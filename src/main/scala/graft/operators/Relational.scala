@@ -1,0 +1,553 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Core relational operator inventory (SURVEY.md §2), Spark-first.
+  *
+  * Each query re-expresses a capability of the reference engine
+  * (yahoo/maha) as a declarative Spark plan; citations point into
+  * /root/reference. Every query has a DuckDB oracle in [[oracle]] with
+  * identical column names and identical (decimal-exact) arithmetic.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on sf0.1):
+  *  - dimension tables (region/nation/supplier, static-mapping decodes)
+  *    are broadcast; fact⋈fact joins shuffle on join keys and rely on
+  *    AQE for skew splitting.
+  *  - aggregates are declared on top of the scan so Catalyst performs
+  *    map-side partial aggregation before any shuffle.
+  *  - the agg-before-join ("outer group by" of
+  *    OracleOuterGroupByQueryGenerator.scala:36) shape is built
+  *    explicitly: aggregate the fact to the join key's grain FIRST,
+  *    then join dimensions — the join input is |groups|, not |fact|.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: grouped rollups with
+    * Sum/Avg/Count (RollupExpression.scala:29-33) and a pushed-down
+    * date filter. Filter + column pruning reach the parquet scan. */
+  def q01(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Full filter-operation vocabulary on one scan: In / Not In /
+    * Between / Like / Not Like / <> / > / < (FilterOperation.scala:37-54).
+    * All predicates are Catalyst `Column` ops → pushed to parquet. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F")
+        && !col("o_orderpriority").isin("5-LOW")
+        && col("o_orderpriority") =!= "4-NOT SPECIFIED"
+        && col("o_totalprice") > 1000 && col("o_totalprice") < 400000
+        && col("o_orderdate").between(lit("1995-01-01"), lit("1996-12-31"))
+        && col("o_orderpriority").like("%-%")
+        && !col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("o_orderkey")
+
+  /** Star join (cube = fact + FK'd dims, Fact.scala:438): lineitem ⋈
+    * orders ⋈ customer ⋈ nation ⋈ region, revenue per nation.
+    * nation/region broadcast (tiny); customer/orders shuffle-join at
+    * scale. Equivalent of maha's fact-dim SQL join + MultiEngineQuery
+    * API join collapsed into one plan (QueryPipeline.scala:282-348). */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+    lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= lit("1995-01-01")
+          && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Agg-before-join ("outer group by",
+    * OracleOuterGroupByQueryGenerator.scala:36): the fact is aggregated
+    * to the FK grain before the dimension join, then re-grouped on the
+    * dim attribute. At 100 TB the join input shrinks from |lineitem| to
+    * |orders|. */
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val lineAgg = lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("order_rev_dec"))
+    lineAgg
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("order_rev_dec")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-K (Druid TopN strength reduction,
+    * DruidQueryGenerator.scala:418-463) → Spark TakeOrderedAndProject
+    * via orderBy+limit; deterministic tie-break on the key. */
+  def q05(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"),
+        sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** Time-series query (Druid Timeseries,
+    * DruidQueryGenerator.scala:465-490; grain model Grain.scala:30):
+    * monthly grain via date_trunc. */
+  def q06(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("month")
+
+  /** Pagination with stable total row count: ROW_NUMBER page window +
+    * Count(*) OVER() TOTALROWS (OracleQueryCommon.scala:35-41). */
+  def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("totalrows", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn").between(11, 20))
+      .select("c_custkey", "c_name", "c_acctbal", "rn", "totalrows")
+      .orderBy("rn")
+  }
+
+  /** UnionView (fact/View.scala:24-80): UNION ALL of per-stage
+    * sub-facts with injected constant stage columns
+    * (QueryPipeline.scala:389 nextStage). */
+  def q08(s: SparkSession, d: String): DataFrame = {
+    def stage(status: String, label: String): DataFrame =
+      orders(s, d).filter(col("o_orderstatus") === status)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .withColumn("stage", lit(label))
+        .select("stage", "o_orderpriority", "n", "total")
+    stage("O", "open").unionByName(stage("F", "closed"))
+      .orderBy("stage", "o_orderpriority")
+  }
+
+  /** DISTINCT dim-only query (RequestModel.scala:155
+    * isRequestingDistict). */
+  def q09(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** Filtered rollups (DruidFilteredRollup,
+    * RollupExpression.scala:71-81): sum/count over a predicate via
+    * sum(CASE WHEN …). */
+  def q10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec2(col("l_quantity"))))
+          .cast("double").as("returned_qty"),
+        sum(when(col("l_returnflag") === "A", dec2(col("l_quantity"))))
+          .cast("double").as("ack_qty"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+        count(lit(1)).as("n_total"))
+      .orderBy("l_linestatus")
+
+  /** Exact COUNT DISTINCT rollup (CountRollup + distinct;
+    * DerivedExpression COUNT_DISTINCT, e.g. Hive :536-571). */
+  def q11(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_suppkey")
+
+  /** Static-mapping DECODE (DataType.scala:43-64 StaticMapping;
+    * DECODE_DIM DerivedExpression Oracle :794-812): display values
+    * projected, filter reverse-mapped to storage values
+    * (hasUniqueStaticMapping DataType.scala:45). */
+  def q12(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(when(col("o_orderstatus") === "O", "Open")
+        .when(col("o_orderstatus") === "F", "Fulfilled")
+        .when(col("o_orderstatus") === "P", "Pending")
+        .otherwise("Unknown").as("status_display"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("status_display")
+
+  /** Scalar-function vocabulary (§2.8: ROUND/NVL/TRIM/REGEX/DECODE/
+    * TO_CHAR analogues, DerivedExpression.scala) as codegen'd native
+    * functions — no UDFs. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+      lower(col("p_brand")).as("brand_lower"),
+      length(col("p_type")).cast("bigint").as("type_len"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first_word"),
+      coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("other")).as("brand_nvl"),
+      concat_ws("-", col("p_brand"), col("p_size")).as("brand_size"),
+      (dec2(col("p_retailprice")) * rate(lit(0.9))).cast("double").as("discounted_price"))
+      .orderBy("p_partkey")
+
+  /** HAVING on aggregates (Druid HavingSpec
+    * DruidQueryGenerator.scala:503-508; OGB having
+    * OracleOuterGroupByQueryGenerator.scala:77). */
+  def q14(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .filter(col("n_orders") >= 4 && col("total") > 100000)
+      .orderBy("o_custkey")
+
+  /** TimeShift curator (TimeShiftCurator.scala:49): current vs
+    * previous period per dim with Pct Change — one scan, two filtered
+    * rollups (no self-join needed in Spark). */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val cur = sum(when(col("o_orderdate") >= lit("1996-01-01")
+      && col("o_orderdate") < lit("1997-01-01"), dec2(col("o_totalprice"))))
+    val prev = sum(when(col("o_orderdate") >= lit("1995-01-01")
+      && col("o_orderdate") < lit("1996-01-01"), dec2(col("o_totalprice"))))
+    orders(s, d).groupBy("o_orderpriority")
+      .agg(coalesce(cur, lit(0)).cast("double").as("total_cur"),
+        coalesce(prev, lit(0)).cast("double").as("total_prev"))
+      .withColumn("pct_change",
+        when(col("total_prev") =!= 0,
+          round((col("total_cur") - col("total_prev")) / col("total_prev") * 100, 4)))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TotalMetrics curator (TotalMetricsCurator.scala): grand totals,
+    * no group-by. */
+  def q16(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+      sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+      count(lit(1)).as("n_lines"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+
+  /** Drilldown curator (DrilldownCurator.scala): finer-grain re-group
+    * with parent share via a window aggregate over the coarse dim.
+    * Window-SUM runs on exact decimals (order-insensitive). */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val agg = orders(s, d).groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("tot_dec"))
+    val w = Window.partitionBy("o_orderpriority")
+    agg.withColumn("parent_dec", sum(col("tot_dec")).over(w))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        col("tot_dec").cast("double").as("total"),
+        (col("tot_dec").cast("double") / col("parent_dec").cast("double"))
+          .as("share_of_priority"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** Field-to-field comparison predicate (FieldEqualityFilter
+    * FilterOperation.scala:287, generalized to >): join + cross-column
+    * compare l_quantity > p_size. */
+  def q18(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") > col("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+      .orderBy("p_brand")
+
+  /** Pagination via offset/limit (paginationStartIndex + rowsPerPage,
+    * ReportingRequest.scala:68-69; ROWNUM wrappers
+    * OracleQueryCommon.scala:38-41). */
+  def q19(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .offset(20).limit(10)
+
+  /** OuterFilter (FilterOperation.scala:141): predicate applied on the
+    * final joined result rather than pushed into either side. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** DateTimeBetween filter (FilterOperation.scala:161) + hourly/daily
+    * grain bucketing on the events table (HourlyGrain Grain.scala:102). */
+  def q21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("ts") >= lit("2024-01-05 06:30:00")
+        && col("ts") < lit("2024-01-20 18:45:00"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day", "event_type")
+
+  /** IN-subquery / semi-join — maha's MultiEngineQuery IN-list shipping
+    * (QueryPipeline.scala:921-932) expressed as a broadcast left-semi
+    * join inside one plan. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 300000)
+      .select("o_orderkey")
+    lineitem(s, d)
+      .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Dim-driven right-outer join (publicDimToJoinTypeMap
+    * RequestModel.scala:180-228: dim-driven → fact ROJ dim) with
+    * IsNull/IsNotNull on the outer side + NVL defaults. */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val factAgg = orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    factAgg
+      .join(customer(s, d).filter(col("c_nationkey") < 10),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        col("n").isNotNull.as("has_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_predicates" -> (q02 _),
+    "q03_star_join_revenue" -> (q03 _),
+    "q04_agg_before_join" -> (q04 _),
+    "q05_topk_orders" -> (q05 _),
+    "q06_timeseries_monthly" -> (q06 _),
+    "q07_paginate_totalrows" -> (q07 _),
+    "q08_union_view" -> (q08 _),
+    "q09_distinct_dims" -> (q09 _),
+    "q10_filtered_rollup" -> (q10 _),
+    "q11_count_distinct" -> (q11 _),
+    "q12_decode_mapping" -> (q12 _),
+    "q13_scalar_funcs" -> (q13 _),
+    "q14_having" -> (q14 _),
+    "q15_timeshift" -> (q15 _),
+    "q16_total_metrics" -> (q16 _),
+    "q17_drilldown_share" -> (q17 _),
+    "q18_field_compare_join" -> (q18 _),
+    "q19_paginate_offset" -> (q19 _),
+    "q20_outer_filter" -> (q20 _),
+    "q21_events_datetime" -> (q21 _),
+    "q22_in_subquery_semijoin" -> (q22 _),
+    "q23_dim_driven_right_join" -> (q23 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND o_orderpriority NOT IN ('5-LOW')
+        |  AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  AND o_totalprice > 1000 AND o_totalprice < 400000
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND o_orderpriority LIKE '%-%'
+        |  AND o_orderpriority NOT LIKE '%URGENT%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03_star_join_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q04_agg_before_join" ->
+      """WITH line_agg AS (
+        | SELECT l_orderkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS order_rev_dec
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_mktsegment,
+        | CAST(SUM(order_rev_dec) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM line_agg
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q05_topk_orders" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q06_timeseries_monthly" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q07_paginate_totalrows" ->
+      """SELECT c_custkey, c_name, c_acctbal, rn, totalrows FROM (
+        | SELECT c_custkey, c_name, c_acctbal,
+        |  row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |  count(*) OVER () AS totalrows
+        | FROM customer) t
+        |WHERE rn BETWEEN 11 AND 20 ORDER BY rn""".stripMargin,
+    "q08_union_view" ->
+      """SELECT * FROM (
+        | SELECT 'open' AS stage, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        | FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+        | UNION ALL
+        | SELECT 'closed' AS stage, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        | FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority) t
+        |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q09_distinct_dims" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q10_filtered_rollup" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS returned_qty,
+        | CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS ack_qty,
+        | COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+        | COUNT(*) AS n_total
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q12_decode_mapping" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_display,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('O','F')
+        |GROUP BY 1 ORDER BY status_display""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 8)) AS name_prefix,
+        | lower(p_brand) AS brand_lower,
+        | length(p_type) AS type_len,
+        | regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+        | coalesce(nullif(p_brand, 'Brand#1'), 'other') AS brand_nvl,
+        | concat_ws('-', p_brand, p_size) AS brand_size,
+        | CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(8,2)) AS DOUBLE) AS discounted_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 4 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) > 100000
+        |ORDER BY o_custkey""".stripMargin,
+    "q15_timeshift" ->
+      """SELECT o_orderpriority,
+        | CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS total_cur,
+        | CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS total_prev,
+        | CASE WHEN CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) <> 0
+        |   THEN round((CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE)
+        |        - CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE))
+        |        / CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) * 100, 4)
+        | END AS pct_change
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_total_metrics" ->
+      """SELECT
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_lines,
+        | COUNT(DISTINCT l_orderkey) AS n_orders,
+        | strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+        | strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+        |FROM lineitem""".stripMargin,
+    "q17_drilldown_share" ->
+      """WITH agg AS (
+        | SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot_dec
+        | FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        |SELECT o_orderpriority, o_orderstatus, n,
+        | CAST(tot_dec AS DOUBLE) AS total,
+        | CAST(tot_dec AS DOUBLE) / CAST(SUM(tot_dec) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share_of_priority
+        |FROM agg ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q18_field_compare_join" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q19_paginate_offset" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
+    "q20_outer_filter" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_events_datetime" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 06:30:00' AND ts < TIMESTAMP '2024-01-20 18:45:00'
+        |GROUP BY 1, event_type ORDER BY day, event_type""".stripMargin,
+    "q22_in_subquery_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_dim_driven_right_join" ->
+      """SELECT c_custkey, c_name,
+        | COALESCE(n, 0) AS n_orders, COALESCE(total, 0.0) AS total,
+        | n IS NOT NULL AS has_orders
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        | FROM orders GROUP BY o_custkey) f ON c_custkey = o_custkey
+        |WHERE c_nationkey < 10
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

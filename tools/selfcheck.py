@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dev-only self-check: compare Verify output parquet against DuckDB
+oracle_sql.json, mimicking the driver's compare (sort columns by name,
+sort rows, exact value compare). Usage:
+  python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = float(v)
+            rr.append(repr(v))
+        out.append(tuple(rr))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); fails += 1; continue
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        gcols, grows = canon(got.fetchall(), got.columns)
+        try:
+            want = con.sql(sql)
+            wcols, wrows = canon(want.fetchall(), want.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        if gcols != wcols:
+            print(f"FAIL {name}: cols {gcols} != {wcols}"); fails += 1; continue
+        if len(grows) != len(wrows):
+            print(f"FAIL {name}: rows {len(grows)} != {len(wrows)}"); fails += 1; continue
+        bad = [(a, b) for a, b in zip(grows, wrows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0][0]} != {bad[0][1]}")
+            fails += 1
+        else:
+            print(f"OK   {name} ({len(grows)} rows)")
+    sys.exit(1 if fails else 0)
+
+main()
