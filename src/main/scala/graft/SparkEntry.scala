@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++ operators.TextOps.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle
+    operators.Relational.oracle ++ operators.TextOps.oracle ++
+      operators.Dedup.oracle ++ operators.Similarity.oracle
 }

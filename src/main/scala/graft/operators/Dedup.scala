@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Near-duplicate detection at training-data scale.
+  *
+  * Three families, all shuffle-on-signature (never all-pairs over the
+  * corpus):
+  *  - exact n-gram Jaccard via shingle-explode + equi-join on shingle
+  *    (the candidate space is pairs sharing ≥1 shingle — at 100 TB
+  *    this is the standard "inverted index join" and shuffles on the
+  *    shingle hash; frequent-shingle skew is handled by AQE).
+  *  - MinHash + LSH banding: k=32 minhashes (xxhash64 seeded per
+  *    function), 8 bands × 4 rows; candidates share a band signature,
+  *    then exact-Jaccard verification on the candidates only.
+  *  - SimHash: 64-bit token-vote signature, blocked on 4 × 16-bit
+  *    chunks (two signatures within Hamming distance r share a chunk
+  *    with high probability), verified with bit_count(xor).
+  *
+  * Everything is higher-order Column expressions — per-row signature
+  * computation is a map-only stage.
+  */
+object Dedup {
+
+  /** 5-token shingles, distinct, per document. */
+  private val shingled: (SparkSession, String) => DataFrame = (s, d) =>
+    documents(s, d)
+      .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
+      .filter(size(col("tokens")) >= 5)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(tokens) - 5),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))""".stripMargin))
+      .select("doc_id", "shingles")
+
+  /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of
+    * documents sharing at least one 5-gram, with exact Jaccard ≥ 0.2. */
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cand = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("bigint").as("n"))
+    cand
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"), col("inter"),
+        col("sa.n").as("nx"), col("sb.n").as("ny"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("x", "y")
+  }
+
+  /** MinHash signatures: k minhashes; minhash_i = min over shingles of
+    * xxhash64(i, shingle). */
+  private def minhashed(s: SparkSession, d: String, k: Int): DataFrame = {
+    val sig = (0 until k)
+      .map(i => s"array_min(transform(shingles, t -> xxhash64(${i}L, t)))")
+      .mkString("array(", ", ", ")")
+    shingled(s, d).withColumn("sig", expr(sig))
+  }
+
+  /** MinHash + LSH near-dup pairs (no SQL oracle — hash-dependent;
+    * driver records rows-only). 8 bands × 4 rows, candidates verified
+    * with exact Jaccard ≥ 0.5 over the shingle sets. */
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val k = 32; val bands = 8; val rows = k / bands
+    val mh = minhashed(s, d, k).cache()
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => s"element_at(sig, ${b * rows + r + 1})")
+      s"xxhash64(${b}L, ${slots.mkString(", ")})"
+    }.mkString("array(", ", ", ")")
+    val exploded = mh.select(col("doc_id"),
+      posexplode(expr(bandCols)).as(Seq("band_idx", "band_hash")))
+    val cand = exploded.groupBy("band_idx", "band_hash")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] as x, ids[j] as y))))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .distinct()
+    val sh = shingled(s, d)
+    cand
+      .join(sh.select(col("doc_id").as("x"), col("shingles").as("shx")), "x")
+      .join(sh.select(col("doc_id").as("y"), col("shingles").as("shy")), "y")
+      .withColumn("jaccard",
+        size(array_intersect(col("shx"), col("shy"))).cast("double")
+          / size(array_union(col("shx"), col("shy"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("x", "y", "jaccard")
+      .orderBy("x", "y")
+  }
+
+  /** SimHash near-dup pairs (no SQL oracle): 64-bit signature from
+    * token votes, 16-bit band blocking, Hamming ≤ 3 verification. */
+  def ddSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .withColumn("tokens", expr("array_distinct(split(trim(text), '\\\\s+'))"))
+      .withColumn("votes", expr(
+        """aggregate(tokens, transform(sequence(0, 63), z -> 0L),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      b -> case when (shiftright(xxhash64(t), b) & 1) = 1 then 1L else -1L end),
+          |    (u, v) -> u + v))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, b) -> acc + case when element_at(votes, b + 1) >= 0
+          |    then shiftleft(1L, b) else 0L end)""".stripMargin))
+      .select("doc_id", "simhash")
+      .cache()
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535L)"))
+        .as(Seq("band_idx", "band_val")))
+    val cand = blocked.groupBy("band_idx", "band_val")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] as x, ids[j] as y))))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("x"), col("simhash").as("hx")), "x")
+      .join(sh.select(col("doc_id").as("y"), col("simhash").as("hy")), "y")
+      .withColumn("hamming", bit_count(col("hx").bitwiseXOR(col("hy"))).cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select("x", "y", "hamming")
+      .orderBy("x", "y")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd02_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd03_minhash_lsh" -> (ddMinhashLsh _),
+    "dd04_simhash" -> (ddSimhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd02_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT x, y, inter, len(sa.shingles) AS nx, len(sb.shingles) AS ny,
+        | CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = x
+        |JOIN sh sb ON sb.doc_id = y
+        |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2
+        |ORDER BY x, y""".stripMargin,
+  )
+}
