@@ -10,18 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Runs the full JSON request → analyze → plan pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q03(spark, "/root/testdata/sf0.001")
+    operators.SemanticQueries.run(operators.SemanticQueries.sem02Json)(
+      spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextOps.queries ++
-      operators.Dedup.queries ++ operators.Similarity.queries
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.SemanticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.TextOps.oracle ++
-      operators.Dedup.oracle ++ operators.Similarity.oracle
+      operators.Dedup.oracle ++ operators.Similarity.oracle ++
+      operators.SemanticQueries.oracle
 }

@@ -1,0 +1,138 @@
+package graft.analyzer
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON reporting request — the Spark-native analogue of maha's
+  * ReportingRequest grammar (reference request/ReportingRequest.scala:
+  * 54-74, deserializers :101-141). Example:
+  *
+  * {{{
+  * {"cube": "order_stats",
+  *  "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+  *  "filterExpressions": [
+  *    {"field": "Order Date", "operator": "between",
+  *     "from": "1995-01-01", "to": "1996-12-31"},
+  *    {"field": "Order Status", "operator": "in", "values": ["Open"]}],
+  *  "sortBy": [{"field": "Total Spend", "order": "Desc"}],
+  *  "paginationStartIndex": 0, "rowsPerPage": 100,
+  *  "dimensionDriven": false}
+  * }}}
+  */
+object request {
+
+  sealed trait QFilter { def field: String }
+  final case class InFilter(field: String, values: Seq[String]) extends QFilter
+  final case class NotInFilter(field: String, values: Seq[String]) extends QFilter
+  final case class EqFilter(field: String, value: String) extends QFilter
+  final case class NeqFilter(field: String, value: String) extends QFilter
+  final case class BetweenFilter(field: String, from: String, to: String) extends QFilter
+  final case class GtFilter(field: String, value: String) extends QFilter
+  final case class LtFilter(field: String, value: String) extends QFilter
+  final case class LikeFilter(field: String, value: String) extends QFilter
+  final case class NotLikeFilter(field: String, value: String) extends QFilter
+  final case class IsNullFilter(field: String) extends QFilter
+  final case class IsNotNullFilter(field: String) extends QFilter
+
+  final case class SortBy(field: String, descending: Boolean)
+
+  final case class ReportingRequest(
+      cube: String,
+      selectFields: Seq[String],
+      filters: Seq[QFilter],
+      sortBy: Seq[SortBy],
+      paginationStartIndex: Int,
+      rowsPerPage: Int,
+      dimensionDriven: Boolean)
+
+  /** Parse + structural validation. Unknown operators and malformed
+    * fields are errors, mirroring maha's strict deserialization. */
+  def parse(json: String): Either[String, ReportingRequest] = {
+    def str(v: JValue, what: String): Either[String, String] = v match {
+      case JString(s) => Right(s)
+      case JNothing   => Left(s"missing $what")
+      case other      => Left(s"$what must be a string, got $other")
+    }
+    try {
+      val root = JsonMethods.parse(json)
+      for {
+        cube <- str(root \ "cube", "cube")
+        fields <- (root \ "selectFields") match {
+          case JArray(arr) if arr.nonEmpty =>
+            val fs = arr.map(f => str(f \ "field", "selectFields[].field"))
+            fs.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(fs.collect { case Right(s) => s }))
+          case _ => Left("selectFields must be a non-empty array")
+        }
+        filters <- (root \ "filterExpressions") match {
+          case JArray(arr) =>
+            val fs = arr.map(parseFilter)
+            fs.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(fs.collect { case Right(f) => f }))
+          case JNothing => Right(Nil)
+          case _        => Left("filterExpressions must be an array")
+        }
+        sorts <- (root \ "sortBy") match {
+          case JArray(arr) =>
+            val ss = arr.map { s =>
+              for {
+                f <- str(s \ "field", "sortBy[].field")
+                o <- str(s \ "order", "sortBy[].order")
+                d <- o.toLowerCase match {
+                  case "asc" => Right(false); case "desc" => Right(true)
+                  case other => Left(s"sortBy[].order must be Asc|Desc, got '$other'")
+                }
+              } yield SortBy(f, d)
+            }
+            ss.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(ss.collect { case Right(s) => s }))
+          case JNothing => Right(Nil)
+          case _        => Left("sortBy must be an array")
+        }
+      } yield {
+        val start = (root \ "paginationStartIndex") match {
+          case JInt(i) => i.toInt; case _ => 0
+        }
+        val rows = (root \ "rowsPerPage") match {
+          case JInt(i) => i.toInt; case _ => -1
+        }
+        val dimDriven = (root \ "dimensionDriven") match {
+          case JBool(b) => b; case _ => false
+        }
+        ReportingRequest(cube, fields, filters, sorts, start, rows, dimDriven)
+      }
+    } catch {
+      case e: Exception => Left(s"malformed request json: ${e.getMessage}")
+    }
+  }
+
+  private def parseFilter(v: JValue): Either[String, QFilter] = {
+    def s(path: String): Either[String, String] = (v \ path) match {
+      case JString(x) => Right(x)
+      case _          => Left(s"filter missing '$path'")
+    }
+    def vals: Either[String, Seq[String]] = (v \ "values") match {
+      case JArray(a) if a.nonEmpty && a.forall(_.isInstanceOf[JString]) =>
+        Right(a.collect { case JString(x) => x })
+      case _ => Left("filter missing non-empty string 'values'")
+    }
+    for {
+      field <- s("field")
+      op <- s("operator")
+      f <- op.toLowerCase match {
+        case "in"          => vals.map(InFilter(field, _))
+        case "not in"      => vals.map(NotInFilter(field, _))
+        case "=" | "equals" => s("value").map(EqFilter(field, _))
+        case "<>" | "not equal to" => s("value").map(NeqFilter(field, _))
+        case "between" => for { a <- s("from"); b <- s("to") } yield BetweenFilter(field, a, b)
+        case ">"  => s("value").map(GtFilter(field, _))
+        case "<"  => s("value").map(LtFilter(field, _))
+        case "like"     => s("value").map(LikeFilter(field, _))
+        case "not like" => s("value").map(NotLikeFilter(field, _))
+        case "isnull" | "is null"        => Right(IsNullFilter(field))
+        case "isnotnull" | "is not null" => Right(IsNotNullFilter(field))
+        case other => Left(s"unknown filter operator '$other'")
+      }
+    } yield f
+  }
+}

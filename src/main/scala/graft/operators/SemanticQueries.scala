@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Tables.dec2
+import graft.semantic.model._
+import graft.analyzer.{request, RequestModel}
+import graft.planner.Planner
+
+/** The full request→plan pipeline exercised end-to-end: JSON reporting
+  * requests (maha's primary entry point, §3.1 of SURVEY.md) against a
+  * cube registry over the TPC-H-ish test tables, planned into single
+  * Spark plans and oracle-checked against DuckDB.
+  */
+object SemanticQueries {
+
+  /** Order Status static mapping (storage → display). */
+  private val statusMapping = StaticMapping(
+    Map("O" -> "Open", "F" -> "Fulfilled", "P" -> "Pending"), "Unknown")
+
+  private def spendMetric = PubMetric("Total Spend", SumRollup,
+    df => dec2(df.col("o_totalprice")), _.cast("double"))
+  private def countMetric = PubMetric("Order Count", CountRollup, _ => lit(1))
+  private def maxPriceMetric = PubMetric("Max Price", MaxRollup,
+    df => dec2(df.col("o_totalprice")), _.cast("double"))
+  private def distinctCustomersMetric = PubMetric("Distinct Customers",
+    CountDistinctRollup, df => df.col("o_custkey"))
+
+  /** Pre-aggregated rollup standing in for a materialized table
+    * (FactBuilder.newRollUp analogue): orders at (priority, day) grain.
+    * Its metrics re-aggregate the stored partials (count → sum). */
+  private def rollupView(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(count(lit(1)).as("__cnt"), sum(dec2(col("o_totalprice"))).as("__spend"))
+
+  val orderCube: CubeDef = CubeDef(
+    name = "order_stats",
+    variants = Seq(
+      FactDef(
+        name = "orders_base",
+        table = "orders",
+        dimCols = Seq(
+          PubCol("Order Date", "o_orderdate",
+            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+          PubCol("Order Status", "o_orderstatus", staticMapping = Some(statusMapping)),
+          PubCol("Order Priority", "o_orderpriority"),
+          PubCol("Customer Key", "o_custkey")),
+        metrics = Seq(spendMetric, countMetric, maxPriceMetric,
+          distinctCustomersMetric),
+        cost = 100),
+      FactDef(
+        name = "orders_by_priority_day_rollup",
+        table = "orders",
+        dimCols = Seq(
+          PubCol("Order Date", "o_orderdate",
+            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+          PubCol("Order Priority", "o_orderpriority")),
+        metrics = Seq(
+          PubMetric("Total Spend", SumRollup, df => df.col("__spend"), _.cast("double")),
+          PubMetric("Order Count", SumRollup, df => df.col("__cnt"))),
+        cost = 10,
+        view = Some(rollupView),
+        availableDims = Some(Set.empty))),
+    dims = Seq(
+      DimDef("customer", "customer", "c_custkey", "o_custkey", None, Seq(
+        PubCol("Customer Name", "c_name"),
+        PubCol("Market Segment", "c_mktsegment"),
+        PubCol("Nation Key", "c_nationkey")), small = false),
+      DimDef("nation", "nation", "n_nationkey", "c_nationkey", Some("customer"),
+        Seq(PubCol("Nation Name", "n_name")), small = true),
+      DimDef("region", "region", "r_regionkey", "n_regionkey",
+        Some("nation"), Seq(PubCol("Region Name", "r_name")), small = true)))
+
+  val registry: Registry = Registry(orderCube)
+
+  /** Run a JSON request through parse → analyze → plan. */
+  def run(json: String)(s: SparkSession, dir: String): DataFrame = {
+    val planned = for {
+      req <- request.parse(json)
+      model <- RequestModel.from(req, registry)
+      p <- Planner.plan(model, s, dir)
+    } yield p
+    planned.fold(err => throw new IllegalArgumentException(err), _.df)
+  }
+
+  /** Same but exposing the planner decision (for tests). */
+  def planFor(json: String, s: SparkSession, dir: String): Either[String, Planner.Planned] =
+    for {
+      req <- request.parse(json)
+      model <- RequestModel.from(req, registry)
+      p <- Planner.plan(model, s, dir)
+    } yield p
+
+  val sem01Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}],
+      | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin
+
+  val sem02Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Market Segment"}, {"field": "Region Name"}, {"field": "Order Count"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"field": "Region Name", "operator": "=", "value": "ASIA"}]}""".stripMargin
+
+  val sem03Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}, {"field": "Max Price"}],
+      | "filterExpressions": [{"field": "Order Status", "operator": "in", "values": ["Open", "Fulfilled"]}]}""".stripMargin
+
+  val sem04Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}, {"field": "Total Spend"}],
+      | "dimensionDriven": true,
+      | "rowsPerPage": 50}""".stripMargin
+
+  val sem05Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Customer Key"}, {"field": "Order Count"}, {"field": "Distinct Customers"}],
+      | "filterExpressions": [{"field": "Order Count", "operator": ">", "value": "3"}]}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sem01_rollup_select" -> (run(sem01Json) _),
+    "sem02_snowflake_join" -> (run(sem02Json) _),
+    "sem03_decode_reverse_filter" -> (run(sem03Json) _),
+    "sem04_dim_driven_roj" -> (run(sem04Json) _),
+    "sem05_fk_join_elimination" -> (run(sem05Json) _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sem01_rollup_select" ->
+      """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY "Total Spend" DESC, "Order Priority"""".stripMargin,
+    "sem02_snowflake_join" ->
+      """SELECT c_mktsegment AS "Market Segment", r_name AS "Region Name",
+        | COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1, 2 ORDER BY "Market Segment", "Region Name"""".stripMargin,
+    "sem03_decode_reverse_filter" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
+        | COUNT(*) AS "Order Count",
+        | CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Max Price"
+        |FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |GROUP BY 1 ORDER BY "Order Status"""".stripMargin,
+    "sem04_dim_driven_roj" ->
+      """SELECT c_name AS "Customer Name", f.cnt AS "Order Count", f.spend AS "Total Spend"
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1) f ON c_custkey = o_custkey
+        |ORDER BY "Customer Name" LIMIT 50""".stripMargin,
+    "sem05_fk_join_elimination" ->
+      """SELECT o_custkey AS "Customer Key", COUNT(*) AS "Order Count",
+        | COUNT(DISTINCT o_custkey) AS "Distinct Customers"
+        |FROM orders GROUP BY 1 HAVING COUNT(*) > 3
+        |ORDER BY "Customer Key"""".stripMargin,
+  )
+}

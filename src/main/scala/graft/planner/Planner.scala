@@ -1,0 +1,247 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.semantic.model._
+import graft.analyzer.request._
+import graft.analyzer.RequestModel._
+import graft.core.Tables
+
+/** Plan builder: RequestModel → one declarative Spark plan.
+  *
+  * Replaces maha's per-engine query generators + QueryPipeline
+  * (reference query/QueryPipeline.scala:904-1285). The planner makes
+  * the decisions Catalyst cannot make from config knowledge:
+  *
+  *  - variant (rollup/subset) selection: cheapest physical fact
+  *    covering the requested aliases (reference Fact.scala:1938
+  *    getCandidatesFor + CostEstimator.scala) — Catalyst has no
+  *    materialized-view rewrite, so this is resolution-time;
+  *  - join elimination: dimensions are joined only when a non-FK
+  *    attribute or dim filter needs them (reference
+  *    RequestModel.scala:25-64);
+  *  - agg-before-join: when every requested metric re-aggregates
+  *    (sum/min/max/count), the fact is aggregated to (dims ∪ FKs)
+  *    grain BEFORE dimension joins — the outer-group-by rewrite of
+  *    OracleOuterGroupByQueryGenerator.scala:36, which at 100 TB
+  *    shrinks the join input from |fact| to |groups|;
+  *  - join type from the driven-ness matrix;
+  *  - broadcast hints for dims marked small.
+  *
+  * Everything downstream (predicate pushdown into the parquet scan,
+  * column pruning, partial aggregation, join strategy) is left to
+  * Catalyst.
+  */
+object Planner {
+
+  final case class Planned(df: DataFrame, factName: String, twoStage: Boolean)
+
+  def plan(m: Model, spark: SparkSession, dir: String): Either[String, Planned] = {
+    chooseVariant(m).map { fact =>
+      val factDf = fact.view.map(_(spark, dir))
+        .getOrElse(Tables.tbl(spark, dir, fact.table))
+      build(m, fact, factDf, spark, dir)
+    }
+  }
+
+  /** Cheapest variant covering all requested fact-level aliases and
+    * able to reach all required dims. */
+  private def chooseVariant(m: Model): Either[String, FactDef] = {
+    val neededFactAliases =
+      m.selects.collect { case Resolved(a, FactDimCol) => a } ++
+        m.dimFilters.collect { case f if m.cube.variants.exists(_.dimCols.exists(_.alias == f.field)) => f.field } ++
+        m.selects.collect { case Resolved(a, MetricCol) => a } ++
+        m.metricFilters.map(_.field)
+    val candidates = m.cube.variants.filter { v =>
+      val aliases = (v.dimCols.map(_.alias) ++ v.metrics.map(_.alias)).toSet
+      neededFactAliases.forall(aliases.contains) &&
+        m.joinDims.forall(d => v.availableDims.forall(_.contains(d)))
+    }
+    if (candidates.isEmpty)
+      Left(s"no variant of cube '${m.cube.name}' covers fields " +
+        neededFactAliases.distinct.mkString("[", ", ", "]"))
+    else Right(candidates.minBy(_.cost))
+  }
+
+  private def build(m: Model, fact: FactDef, factScan: DataFrame,
+      spark: SparkSession, dir: String): Planned = {
+    val pubDim: Map[String, PubCol] = fact.dimCols.map(c => c.alias -> c).toMap
+    val metric: Map[String, PubMetric] = fact.metrics.map(mc => mc.alias -> mc).toMap
+    val dimAttrOwner: Map[String, DimDef] =
+      m.cube.dims.flatMap(d => d.cols.map(c => c.alias -> d)).toMap
+
+    // 1. fact-side filters: forced + request filters on fact-level cols
+    val factFilters =
+      m.cube.forced.map(_.apply(factScan)) ++
+        m.dimFilters.collect {
+          case f if pubDim.contains(f.field) =>
+            filterToColumn(f, factScan.col(pubDim(f.field).physical), pubDim(f.field))
+        }
+    val filtered = factFilters.foldLeft(factScan)(_.filter(_))
+
+    // 2. decide aggregation staging
+    val selectedMetricDefs = m.selectedMetrics.map(metric)
+    val reAggregable: Rollup => Boolean = {
+      case SumRollup | MinRollup | MaxRollup | CountRollup => true
+      case _ => false
+    }
+    val twoStage = m.joinDims.nonEmpty && selectedMetricDefs.nonEmpty &&
+      selectedMetricDefs.forall(md => reAggregable(md.rollup))
+
+    // FKs the fact must carry for each requested dim chain's root
+    val rootFks = m.joinDims.flatMap { dname =>
+      val d = m.cube.dimByName(dname)
+      if (d.parent.isEmpty) Some(d.fkInParent) else None
+    }.distinct
+    val factDimPhysicals = m.selects.collect {
+      case Resolved(a, FactDimCol) => pubDim(a).physical
+    }.distinct
+
+    def preAggCol(md: PubMetric): Column = md.rollup match {
+      case SumRollup   => sum(md.pre(factScan))
+      case MinRollup   => min(md.pre(factScan))
+      case MaxRollup   => max(md.pre(factScan))
+      case CountRollup => count(lit(1))
+      case AvgRollup   => avg(md.pre(factScan))
+      case CountDistinctRollup => countDistinct(md.pre(factScan))
+    }
+
+    val factSide =
+      if (twoStage) {
+        val keys = (factDimPhysicals ++ rootFks).distinct.map(filtered.col)
+        filtered.groupBy(keys: _*)
+          .agg(selectedMetricDefs.head.let(md => preAggCol(md).as(s"__m_${md.alias}")),
+            selectedMetricDefs.tail.map(md => preAggCol(md).as(s"__m_${md.alias}")): _*)
+      } else filtered
+
+    // 3. dimension joins, parents before children
+    var joined = factSide
+    var dimDfs = Map.empty[String, DataFrame]
+    m.joinDims.foreach { dname =>
+      val d = m.cube.dimByName(dname)
+      var dimDf = Tables.tbl(spark, dir, d.table)
+      // push dim-attr filters into the dim scan
+      val dimColByAlias = d.cols.map(c => c.alias -> c).toMap
+      m.dimFilters.foreach { f =>
+        dimColByAlias.get(f.field).foreach { pc =>
+          dimDf = dimDf.filter(filterToColumn(f, dimDf.col(pc.physical), pc))
+        }
+      }
+      val dimSide = if (d.small) broadcast(dimDf) else dimDf
+      val parentDf = d.parent.map(dimDfs).getOrElse(factSide)
+      val cond = parentDf.col(resolveFk(m, fact, d, twoStage)) === dimDf.col(d.key)
+      val how = m.joinKind match {
+        case InnerJoin      => "inner"
+        case LeftOuterJoin  => "left_outer"
+        case RightOuterJoin => "right_outer"
+      }
+      joined = joined.join(dimSide, cond, how)
+      dimDfs += (dname -> dimDf)
+    }
+
+    // 4. projection expressions per selected alias
+    def displayExpr(alias: String): Column = {
+      m.selects.find(_.alias == alias).get.kind match {
+        case FactDimCol =>
+          val pc = pubDim(alias)
+          val base =
+            if (twoStage) joined.col(pc.physical) else factScan.col(pc.physical)
+          render(pc, base)
+        case DimAttrCol(dname) =>
+          val d = m.cube.dimByName(dname)
+          val pc = d.cols.find(_.alias == alias).get
+          render(pc, dimDfs(dname).col(pc.physical))
+        case MetricCol => col(alias) // resolved post-agg
+      }
+    }
+
+    // 5. final aggregation at the requested grain
+    val nonMetricAliases = m.selectedNonMetrics
+    val result0 =
+      if (selectedMetricDefs.isEmpty) {
+        // dim-only distinct query (maha isRequestingDistict)
+        joined.select(nonMetricAliases.map(a => displayExpr(a).as(a)): _*).distinct()
+      } else {
+        def finalAgg(md: PubMetric): Column = {
+          val c =
+            if (twoStage) md.rollup match {
+              case SumRollup   => sum(col(s"__m_${md.alias}"))
+              case MinRollup   => min(col(s"__m_${md.alias}"))
+              case MaxRollup   => max(col(s"__m_${md.alias}"))
+              case CountRollup => sum(col(s"__m_${md.alias}"))
+              case _ => throw new IllegalStateException("non-reaggregable in two-stage")
+            }
+            else preAggCol(md)
+          md.finish(c).as(md.alias)
+        }
+        val keyed = joined.groupBy(nonMetricAliases.map(a => displayExpr(a).as(a)): _*)
+        keyed.agg(finalAgg(selectedMetricDefs.head),
+          selectedMetricDefs.tail.map(finalAgg): _*)
+      }
+
+    // 6. HAVING on metric aliases
+    val havinged = m.metricFilters.foldLeft(result0) { (df, f) =>
+      df.filter(filterToColumn(f, col(f.field), PubCol(f.field, f.field)))
+    }
+
+    // 7. deterministic sort: requested sorts, then remaining non-metric
+    // aliases as tie-breaks; then pagination
+    val sortCols =
+      m.req.sortBy.map(s => if (s.descending) col(s.field).desc else col(s.field).asc) ++
+        nonMetricAliases.filterNot(a => m.req.sortBy.exists(_.field == a))
+          .map(col(_).asc)
+    val sorted =
+      if (sortCols.nonEmpty) havinged.orderBy(sortCols: _*) else havinged
+    val paged = {
+      val afterOffset =
+        if (m.req.paginationStartIndex > 0) sorted.offset(m.req.paginationStartIndex)
+        else sorted
+      if (m.req.rowsPerPage > 0) afterOffset.limit(m.req.rowsPerPage) else afterOffset
+    }
+
+    val projected = paged.select(m.selects.map(r => col(r.alias)): _*)
+    Planned(projected, fact.name, twoStage)
+  }
+
+  /** FK column for a chain-root dim lives on the fact side; for child
+    * dims it lives in the parent dim table. */
+  private def resolveFk(m: Model, fact: FactDef, d: DimDef, twoStage: Boolean): String =
+    d.fkInParent
+
+  /** Storage→display rendering (static mapping / day grain). */
+  private def render(pc: PubCol, base: Column): Column =
+    pc.staticMapping match {
+      case Some(sm) =>
+        sm.toDisplay.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (stor, disp)) => acc.when(base === stor, disp)
+        }.otherwise(sm.default)
+      case None if pc.isDayGrain => date_format(base, "yyyy-MM-dd")
+      case None => base
+    }
+
+  /** Request filter → Column predicate, reverse-mapping display values
+    * to storage values through a unique static mapping. */
+  private def filterToColumn(f: QFilter, base: Column, pc: PubCol): Column = {
+    def sv(v: String): String = pc.staticMapping match {
+      case Some(sm) if sm.isUnique => sm.toStorage.getOrElse(v, v)
+      case _ => v
+    }
+    f match {
+      case InFilter(_, vs)     => base.isin(vs.map(sv): _*)
+      case NotInFilter(_, vs)  => !base.isin(vs.map(sv): _*)
+      case EqFilter(_, v)      => base === sv(v)
+      case NeqFilter(_, v)     => base =!= sv(v)
+      case BetweenFilter(_, a, b) => base >= lit(a) && base <= lit(b)
+      case GtFilter(_, v)      => base > lit(v)
+      case LtFilter(_, v)      => base < lit(v)
+      case LikeFilter(_, v)    => base.like(v)
+      case NotLikeFilter(_, v) => !base.like(v)
+      case IsNullFilter(_)     => base.isNull
+      case IsNotNullFilter(_)  => base.isNotNull
+    }
+  }
+
+  private implicit class Let[A](private val a: A) extends AnyVal {
+    def let[B](f: A => B): B = f(a)
+  }
+}

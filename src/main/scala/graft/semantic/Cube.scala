@@ -1,0 +1,127 @@
+package graft.semantic
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic layer: the Spark-native analogue of maha's cube registry.
+  *
+  * A cube is a star/snowflake schema: one logical fact with physical
+  * variants (base table, column subsets, pre-aggregated rollups —
+  * FactBuilder.createSubset / newRollUp, reference fact/Fact.scala:1285,
+  * 1385) plus foreign-keyed dimensions (Dimension.scala:607). Public
+  * aliases ("Order Priority") map to physical columns with per-column
+  * allowed filter operations (PublicColumn, reference Column.scala:13-44)
+  * and optional static storage→display mappings
+  * (StaticMapping, reference DataType.scala:43-64).
+  *
+  * Unlike maha there is exactly one execution engine: every variant is
+  * a Spark relation (parquet scan or a defined view standing in for a
+  * materialized rollup), and the planner emits one Catalyst plan
+  * instead of N engine-native queries.
+  */
+object model {
+
+  /** Filter operations a public column may allow
+    * (reference FilterOperation.scala:37-54). */
+  sealed trait FilterOp
+  case object InOp extends FilterOp
+  case object NotInOp extends FilterOp
+  case object EqOp extends FilterOp
+  case object NeqOp extends FilterOp
+  case object BetweenOp extends FilterOp
+  case object GtOp extends FilterOp
+  case object LtOp extends FilterOp
+  case object LikeOp extends FilterOp
+  case object NotLikeOp extends FilterOp
+  case object IsNullOp extends FilterOp
+  case object IsNotNullOp extends FilterOp
+  val AllOps: Set[FilterOp] = Set(InOp, NotInOp, EqOp, NeqOp, BetweenOp,
+    GtOp, LtOp, LikeOp, NotLikeOp, IsNullOp, IsNotNullOp)
+
+  /** Rollup declarations (reference RollupExpression.scala:29-34). */
+  sealed trait Rollup
+  case object SumRollup extends Rollup
+  case object MinRollup extends Rollup
+  case object MaxRollup extends Rollup
+  case object AvgRollup extends Rollup
+  case object CountRollup extends Rollup
+  case object CountDistinctRollup extends Rollup
+
+  /** Storage→display enum mapping; filters on display values are
+    * reverse-mapped to storage values when the mapping is unique
+    * (reference DataType.scala:45 hasUniqueStaticMapping). */
+  final case class StaticMapping(toDisplay: Map[String, String], default: String) {
+    lazy val toStorage: Map[String, String] = toDisplay.map(_.swap)
+    def isUnique: Boolean = toStorage.size == toDisplay.size
+  }
+
+  /** A public (aliased) dimension attribute. */
+  final case class PubCol(
+      alias: String,
+      physical: String,
+      allowedOps: Set[FilterOp] = AllOps,
+      staticMapping: Option[StaticMapping] = None,
+      isDayGrain: Boolean = false)
+
+  /** A public metric: rollup over a physical expression. `pre` is the
+    * column fed to the first aggregation (cast to exact decimal for
+    * order-insensitive sums); `finish` post-processes the final
+    * aggregate (e.g. cast back to double). */
+  final case class PubMetric(
+      alias: String,
+      rollup: Rollup,
+      pre: DataFrame => Column,
+      finish: Column => Column = identity)
+
+  /** A dimension table in the snowflake: joined to its parent (another
+    * dim, or the fact) via `fkInParent` = parent-side physical FK
+    * column, `key` = this table's key. `small` marks broadcast-safe
+    * dims (maha dimLevel, reference Dimension.scala:607). */
+  final case class DimDef(
+      name: String,
+      table: String,
+      key: String,
+      fkInParent: String,
+      parent: Option[String],
+      cols: Seq[PubCol],
+      small: Boolean = true)
+
+  /** A physical fact variant. `view` replaces the raw scan for
+    * rollup/subset variants (standing in for a materialized table;
+    * at production scale these are parquet tables of their own).
+    * `cost` mirrors maha's per-table cost estimate
+    * (reference CostEstimator.scala:25-60) — candidates are ranked by
+    * it ascending. */
+  final case class FactDef(
+      name: String,
+      table: String,
+      dimCols: Seq[PubCol],
+      metrics: Seq[PubMetric],
+      cost: Long,
+      view: Option[(SparkSession, String) => DataFrame] = None,
+      availableDims: Option[Set[String]] = None)
+
+  /** Always-applied predicates (maha forceFilters / schema-required
+    * filters, reference Fact.scala:458). */
+  final case class ForcedFilter(apply: DataFrame => Column)
+
+  final case class CubeDef(
+      name: String,
+      variants: Seq[FactDef],
+      dims: Seq[DimDef],
+      forced: Seq[ForcedFilter] = Nil,
+      maxDaysWindow: Option[Int] = None) {
+    def base: FactDef = variants.head
+    lazy val dimByName: Map[String, DimDef] = dims.map(d => d.name -> d).toMap
+  }
+
+  /** Immutable cube registry (reference registry/Registry.scala:134). */
+  final case class Registry(cubes: Map[String, CubeDef]) {
+    def cube(name: String): Either[String, CubeDef] =
+      cubes.get(name).toRight(s"unknown cube '$name'")
+  }
+  object Registry {
+    def apply(defs: CubeDef*): Registry =
+      new Registry(defs.map(c => c.name -> c).toMap)
+  }
+}

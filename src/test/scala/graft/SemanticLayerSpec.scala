@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.analyzer.{request, RequestModel}
+import graft.operators.SemanticQueries
+
+/** Analyzer + planner decision tests, mirroring the reference's
+  * RequestModelTest / DefaultQueryPipelineFactoryTest coverage:
+  * alias resolution errors, filter-operation legality, join-type
+  * matrix, variant (rollup) selection, join elimination, agg staging.
+  */
+class SemanticLayerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def model(json: String) =
+    request.parse(json).flatMap(RequestModel.from(_, SemanticQueries.registry))
+
+  test("request parser rejects malformed operator") {
+    val r = request.parse(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
+        | "filterExpressions": [{"field": "Order Priority", "operator": "frobnicate", "value": "x"}]}""".stripMargin)
+    assert(r.isLeft && r.swap.toOption.get.contains("unknown filter operator"))
+  }
+
+  test("unknown field is rejected with cube name in the error") {
+    val r = model(
+      """{"cube": "order_stats", "selectFields": [{"field": "No Such Field"}]}""")
+    assert(r.isLeft && r.swap.toOption.get.contains("No Such Field"))
+  }
+
+  test("filter-operation legality: Order Date allows between but not like") {
+    val bad = model(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
+        | "filterExpressions": [{"field": "Order Date", "operator": "like", "value": "1995%"}]}""".stripMargin)
+    assert(bad.isLeft && bad.swap.toOption.get.contains("not allowed"))
+  }
+
+  test("sortBy must reference a selected field") {
+    val r = model(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
+        | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin)
+    assert(r.isLeft && r.swap.toOption.get.contains("not in selectFields"))
+  }
+
+  test("join-type matrix: fact-driven with dim filter → inner") {
+    val m = model(SemanticQueries.sem02Json).toOption.get
+    assert(m.joinKind == RequestModel.InnerJoin)
+    assert(m.joinDims == Seq("customer", "nation", "region"))
+  }
+
+  test("join-type matrix: dim-driven → right outer") {
+    val m = model(SemanticQueries.sem04Json).toOption.get
+    assert(m.joinKind == RequestModel.RightOuterJoin)
+  }
+
+  test("join-type matrix: fact-driven without dim filter → left outer") {
+    val m = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}]}""".stripMargin)
+      .toOption.get
+    assert(m.joinKind == RequestModel.LeftOuterJoin)
+  }
+
+  test("snowflake parent expansion: region pulls nation and customer") {
+    val m = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Region Name"}, {"field": "Order Count"}]}""".stripMargin)
+      .toOption.get
+    assert(m.joinDims == Seq("customer", "nation", "region"))
+  }
+
+  test("planner picks the cheap rollup when it covers the request") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem01Json, spark, sf).toOption.get
+    assert(p.factName == "orders_by_priority_day_rollup")
+  }
+
+  test("planner falls back to base when rollup lacks a column") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem03Json, spark, sf).toOption.get
+    assert(p.factName == "orders_base")
+  }
+
+  test("rollup is disqualified when dims must be joined") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem02Json, spark, sf).toOption.get
+    assert(p.factName == "orders_base")
+    assert(p.twoStage, "re-aggregable metrics + dim joins → agg-before-join")
+  }
+
+  test("join elimination: FK-only request produces no join in the plan") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem05Json, spark, sf).toOption.get
+    val physical = p.df.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("join"), s"unexpected join:\n$physical")
+  }
+
+  test("small dims are broadcast in the snowflake join") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem02Json, spark, sf).toOption.get
+    val physical = p.df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), s"no broadcast join:\n$physical")
+  }
+
+  test("metric filter on unselected metric is rejected") {
+    val r = model(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
+        | "filterExpressions": [{"field": "Total Spend", "operator": ">", "value": "10"}]}""".stripMargin)
+    assert(r.isLeft && r.swap.toOption.get.contains("unselected"))
+  }
+
+  test("rollup and base variants agree on the same request") {
+    import org.apache.spark.sql.functions._
+    val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
+    // force the base variant by asking for a column only the base has
+    val baseJson = SemanticQueries.sem01Json.replace(
+      """{"field": "Order Priority"}""",
+      """{"field": "Order Priority"}, {"field": "Order Status"}""")
+    val viaBase = SemanticQueries.run(baseJson)(spark, sf)
+      .groupBy(col("Order Priority"))
+      .agg(sum(col("Order Count")).as("Order Count"),
+        sum(col("Total Spend")).as("Total Spend"))
+    val a = viaRollup.collect().map(r => (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2) * 100))).toSet
+    val b = viaBase.collect().map(r => (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2) * 100))).toSet
+    assert(a == b)
+  }
+}
