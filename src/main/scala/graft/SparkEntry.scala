@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.SemanticQueries.queries
+      operators.SemanticQueries.queries ++ operators.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.TextOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
-      operators.SemanticQueries.oracle
+      operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle
 }

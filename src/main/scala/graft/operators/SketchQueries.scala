@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Sketch-based distinct aggregation (DruidThetaSketchRollup /
+  * DruidHyperUniqueRollup analogues, reference
+  * RollupExpression.scala:83-93), using Spark 4.1's native DataSketches
+  * theta/HLL aggregates — mergeable across partitions, so map-side
+  * partials shuffle only kilobyte compact sketches.
+  *
+  * Theta sketches are exact below their nominal capacity (2^lgK
+  * uniques); the test scale factors stay below lgK=14's 16384-entry
+  * capacity, so sk01/sk02 are oracle-checked against exact COUNT
+  * DISTINCT. At 100 TB the same plans degrade gracefully to ~1.6%
+  * relative error while shuffling only kilobyte compact sketches.
+  */
+object SketchQueries {
+
+  /** Per-priority distinct customers via theta sketch (exact at test
+    * scale), alongside the raw count. */
+  def sk01(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        theta_sketch_estimate(theta_sketch_agg(col("o_custkey"), 14)).cast("bigint")
+          .as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Retained customers: sketch per (priority, year), then sketch
+    * INTERSECTION across years per priority — the set operation that
+    * motivates theta over HLL. */
+  def sk02(s: SparkSession, d: String): DataFrame = {
+    val byYear = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("o_orderpriority", "yr")
+      .agg(theta_sketch_agg(col("o_custkey"), 14).as("sk"))
+    byYear.groupBy("o_orderpriority")
+      .agg(theta_sketch_estimate(theta_intersection_agg(col("sk"))).cast("bigint")
+        .as("n_retained"))
+      .filter(col("n_retained") > 0)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Mergeable-sketch pipeline with Spark's native HLL: per-month HLL
+    * sketches unioned to quarters (rows-only check — HLL estimates are
+    * approximate and engine-specific). */
+  def sk03(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("hll"))
+    monthly.groupBy("quarter")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_customers"),
+        count(lit(1)).as("n_months"))
+      .orderBy("quarter")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk01_theta_distinct" -> (sk01 _),
+    "sk02_theta_intersection" -> (sk02 _),
+    "sk03_hll_union" -> (sk03 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sk01_theta_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "sk02_theta_intersection" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_retained FROM (
+        | SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        | INTERSECT
+        | SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') t
+        |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY o_orderpriority""".stripMargin,
+  )
+}
