@@ -17,10 +17,17 @@ object RequestModel {
 
   final case class Resolved(alias: String, kind: ColKind)
 
-  /** Join type decided per maha's publicDimToJoinTypeMap semantics:
-    * dim-driven → fact right-outer-joins the dim (all dim rows kept);
-    * fact-driven with a filter on a dim attribute → inner;
-    * fact-driven otherwise → left outer. */
+  /** Join type decided per maha's publicDimToJoinTypeMap matrix
+    * (reference RequestModel.scala:180-228), PER DIMENSION:
+    *  - dim-driven + metric filters → InnerJoin for every dim (a HAVING
+    *    on a fact metric can never keep a null-extended row);
+    *  - dim-driven otherwise → RightOuterJoin for the DRIVING dim only
+    *    (the most granular requested dim — all its rows are kept);
+    *    parent dims pulled in for snowflake reachability are InnerJoin
+    *    (they are attributes of the driving dim, and ROJ-ing them would
+    *    fabricate rows for parent values with no child/fact);
+    *  - fact-driven with a filter on any dim attribute → InnerJoin;
+    *  - fact-driven otherwise → LeftOuterJoin. */
   sealed trait JoinKind
   case object InnerJoin extends JoinKind
   case object LeftOuterJoin extends JoinKind
@@ -33,7 +40,7 @@ object RequestModel {
       dimFilters: Seq[QFilter],      // on fact-level dim cols or dim attrs
       metricFilters: Seq[QFilter],   // HAVING
       joinDims: Seq[String],         // dims (in join order) that must be joined
-      joinKind: JoinKind,
+      joinKinds: Map[String, JoinKind],
       isDimDriven: Boolean) {
     def selectedMetrics: Seq[String] =
       selects.collect { case Resolved(a, MetricCol) => a }
@@ -109,16 +116,59 @@ object RequestModel {
                 dimFs.flatMap(f => dimAttr.get(f.field))).distinct
               val withParents = expandParents(cube, directDims)
               val hasDimAttrFilter = dimFs.exists(f => dimAttr.contains(f.field))
-              val joinKind =
-                if (req.dimensionDriven) RightOuterJoin
-                else if (hasDimAttrFilter) InnerJoin
-                else LeftOuterJoin
-              Right(Model(req, cube, selects, dimFs, metricFs,
-                withParents, joinKind, req.dimensionDriven))
+              // driving dim = the directly-requested dim closest to the
+              // fact in the join chain (most granular)
+              val driving = withParents.find(directDims.contains)
+              val joinKinds: Map[String, JoinKind] = withParents.map { dname =>
+                val kind =
+                  if (req.dimensionDriven)
+                    if (metricFs.nonEmpty) InnerJoin
+                    else if (driving.contains(dname)) RightOuterJoin
+                    else InnerJoin
+                  else if (hasDimAttrFilter) InnerJoin
+                  else LeftOuterJoin
+                dname -> kind
+              }.toMap
+              windowCheck(cube, pubColOf, dimFs).toLeft(()).map { _ =>
+                Model(req, cube, selects, dimFs, metricFs,
+                  withParents, joinKinds, req.dimensionDriven)
+              }
           }
         }
     }
   }
+
+  /** maxDaysWindow enforcement (reference RequestModel maxDaysWindow
+    * checks; Fact.scala:438): when the cube declares a window cap, the
+    * request must carry a Between filter on a day-grain column and its
+    * width (inclusive) must not exceed the cap. Returns an error, or
+    * None when valid. */
+  private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
+      dimFs: Seq[QFilter]): Option[String] =
+    cube.maxDaysWindow.flatMap { maxDays =>
+      val dayBetween = dimFs.collectFirst {
+        case BetweenFilter(field, from, to)
+            if pubColOf.get(field).exists(_.isDayGrain) => (field, from, to)
+      }
+      dayBetween match {
+        case None =>
+          Some(s"cube '${cube.name}' requires a Between filter on its " +
+            s"day-grain column (maxDaysWindow=$maxDays)")
+        case Some((field, from, to)) =>
+          try {
+            val days = java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(from), java.time.LocalDate.parse(to)) + 1
+            if (days < 1) Some(s"'$field' Between window is empty ($from > $to)")
+            else if (days > maxDays)
+              Some(s"'$field' window of $days days exceeds maxDaysWindow=$maxDays " +
+                s"on cube '${cube.name}'")
+            else None
+          } catch {
+            case _: java.time.format.DateTimeParseException =>
+              Some(s"'$field' Between bounds must be yyyy-MM-dd dates")
+          }
+      }
+    }
 
   /** Order dims so parents are joined before children, including
     * transitive parents of requested dims (snowflake chains). */

@@ -126,14 +126,26 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy("month")
 
-  /** Pagination with stable total row count: ROW_NUMBER page window +
-    * Count(*) OVER() TOTALROWS (OracleQueryCommon.scala:35-41). */
+  /** Pagination with stable total row count: ROW_NUMBER page +
+    * Count(*) OVER() TOTALROWS (OracleQueryCommon.scala:35-41).
+    *
+    * Scale shape: a naive global ROW_NUMBER window moves the whole
+    * table to one partition. Instead the top (start+pageSize) rows are
+    * fetched distributed (orderBy+limit → TakeOrderedAndProject), the
+    * window numbers only those ≤20 rows, and TOTALROWS is a separate
+    * scalar count aggregate (fully map-side combined) broadcast onto
+    * the page — both sides scan-prunable and partition-parallel. */
   def q07(s: SparkSession, d: String): DataFrame = {
+    val startIndex = 10; val pageSize = 10
+    val total = customer(s, d).agg(count(lit(1)).as("totalrows"))
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(startIndex + pageSize)
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .withColumn("totalrows", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rn").between(11, 20))
+      .filter(col("rn") > startIndex)
+      .crossJoin(broadcast(total))
       .select("c_custkey", "c_name", "c_acctbal", "rn", "totalrows")
       .orderBy("rn")
   }

@@ -130,7 +130,7 @@ object Planner {
       val dimSide = if (d.small) broadcast(dimDf) else dimDf
       val parentDf = d.parent.map(dimDfs).getOrElse(factSide)
       val cond = parentDf.col(resolveFk(m, fact, d, twoStage)) === dimDf.col(d.key)
-      val how = m.joinKind match {
+      val how = m.joinKinds(dname) match {
         case InnerJoin      => "inner"
         case LeftOuterJoin  => "left_outer"
         case RightOuterJoin => "right_outer"
@@ -171,7 +171,19 @@ object Planner {
               case CountRollup => sum(col(s"__m_${md.alias}"))
               case _ => throw new IllegalStateException("non-reaggregable in two-stage")
             }
-            else preAggCol(md)
+            else md.rollup match {
+              // Under an outer join that can null-extend the fact side,
+              // count only genuine fact rows (non-null fact FK) and
+              // return NULL for all-null groups — so the single-stage
+              // shape agrees with the two-stage sum-of-partials, where
+              // unmatched dim rows also get NULL.
+              case CountRollup
+                  if m.joinKinds.values.exists(_ == RightOuterJoin)
+                    && rootFks.nonEmpty =>
+                val cnt = count(factScan.col(rootFks.head))
+                when(cnt > 0, cnt)
+              case _ => preAggCol(md)
+            }
           md.finish(c).as(md.alias)
         }
         val keyed = joined.groupBy(nonMetricAliases.map(a => displayExpr(a).as(a)): _*)
@@ -220,17 +232,33 @@ object Planner {
     }
 
   /** Request filter → Column predicate, reverse-mapping display values
-    * to storage values through a unique static mapping. */
+    * to storage values through the static mapping. A non-unique mapping
+    * yields an IN over ALL matching storage values; the default display
+    * value matches every storage value outside the map; an unknown
+    * display value is an explicit error (never a silent no-match). */
   private def filterToColumn(f: QFilter, base: Column, pc: PubCol): Column = {
-    def sv(v: String): String = pc.staticMapping match {
-      case Some(sm) if sm.isUnique => sm.toStorage.getOrElse(v, v)
-      case _ => v
+    def inDisplays(vs: Seq[String]): Column = pc.staticMapping match {
+      case Some(sm) =>
+        val (defaults, named) = vs.distinct.partition(_ == sm.default)
+        val stor = named.flatMap { v =>
+          val hits = sm.storageValuesFor(v)
+          if (hits.isEmpty) throw new IllegalArgumentException(
+            s"filter value '$v' on '${pc.alias}' is not a display value " +
+              s"of its static mapping")
+          hits
+        }
+        val branches =
+          (if (stor.nonEmpty) Seq(base.isin(stor: _*)) else Nil) ++
+            (if (defaults.nonEmpty)
+              Seq(!base.isin(sm.toDisplay.keys.toSeq.sorted: _*)) else Nil)
+        branches.reduce(_ || _)
+      case None => if (vs.size == 1) base === vs.head else base.isin(vs: _*)
     }
     f match {
-      case InFilter(_, vs)     => base.isin(vs.map(sv): _*)
-      case NotInFilter(_, vs)  => !base.isin(vs.map(sv): _*)
-      case EqFilter(_, v)      => base === sv(v)
-      case NeqFilter(_, v)     => base =!= sv(v)
+      case InFilter(_, vs)     => inDisplays(vs)
+      case NotInFilter(_, vs)  => !inDisplays(vs)
+      case EqFilter(_, v)      => inDisplays(Seq(v))
+      case NeqFilter(_, v)     => !inDisplays(Seq(v))
       case BetweenFilter(_, a, b) => base >= lit(a) && base <= lit(b)
       case GtFilter(_, v)      => base > lit(v)
       case LtFilter(_, v)      => base < lit(v)

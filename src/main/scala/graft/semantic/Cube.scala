@@ -48,11 +48,17 @@ object model {
   case object CountDistinctRollup extends Rollup
 
   /** Storage→display enum mapping; filters on display values are
-    * reverse-mapped to storage values when the mapping is unique
-    * (reference DataType.scala:45 hasUniqueStaticMapping). */
+    * reverse-mapped to the full set of matching storage values — an IN
+    * predicate when the mapping is non-unique (reference
+    * DataType.scala:45 hasUniqueStaticMapping decides unique-ness; maha
+    * validates filter values against the map). Filtering on the default
+    * display value matches every storage value NOT in the map. */
   final case class StaticMapping(toDisplay: Map[String, String], default: String) {
     lazy val toStorage: Map[String, String] = toDisplay.map(_.swap)
     def isUnique: Boolean = toStorage.size == toDisplay.size
+    /** All storage values rendering as display value `v`. */
+    def storageValuesFor(v: String): Seq[String] =
+      toDisplay.collect { case (stor, disp) if disp == v => stor }.toSeq.sorted
   }
 
   /** A public (aliased) dimension attribute. */

@@ -53,13 +53,13 @@ class SemanticLayerSpec extends AnyFunSuite {
 
   test("join-type matrix: fact-driven with dim filter → inner") {
     val m = model(SemanticQueries.sem02Json).toOption.get
-    assert(m.joinKind == RequestModel.InnerJoin)
+    assert(m.joinKinds.values.toSet == Set(RequestModel.InnerJoin))
     assert(m.joinDims == Seq("customer", "nation", "region"))
   }
 
-  test("join-type matrix: dim-driven → right outer") {
+  test("join-type matrix: dim-driven → right outer on the driving dim") {
     val m = model(SemanticQueries.sem04Json).toOption.get
-    assert(m.joinKind == RequestModel.RightOuterJoin)
+    assert(m.joinKinds("customer") == RequestModel.RightOuterJoin)
   }
 
   test("join-type matrix: fact-driven without dim filter → left outer") {
@@ -67,7 +67,30 @@ class SemanticLayerSpec extends AnyFunSuite {
       """{"cube": "order_stats",
         | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}]}""".stripMargin)
       .toOption.get
-    assert(m.joinKind == RequestModel.LeftOuterJoin)
+    assert(m.joinKinds.values.toSet == Set(RequestModel.LeftOuterJoin))
+  }
+
+  test("join-type matrix: dim-driven snowflake ROJs only the driving dim") {
+    // Customer Name is the driving (most granular) dim; nation/region are
+    // reachability parents and must be inner-joined — ROJ-ing them would
+    // fabricate null-extended rows for nations with no customers
+    // (reference RequestModel.scala:180-228).
+    val m = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Name"}, {"field": "Region Name"}, {"field": "Order Count"}],
+        | "dimensionDriven": true}""".stripMargin).toOption.get
+    assert(m.joinKinds("customer") == RequestModel.RightOuterJoin)
+    assert(m.joinKinds("nation") == RequestModel.InnerJoin)
+    assert(m.joinKinds("region") == RequestModel.InnerJoin)
+  }
+
+  test("join-type matrix: dim-driven with metric filter forces inner") {
+    val m = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Count", "operator": ">", "value": "3"}],
+        | "dimensionDriven": true}""".stripMargin).toOption.get
+    assert(m.joinKinds("customer") == RequestModel.InnerJoin)
   }
 
   test("snowflake parent expansion: region pulls nation and customer") {
@@ -111,6 +134,63 @@ class SemanticLayerSpec extends AnyFunSuite {
       """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
         | "filterExpressions": [{"field": "Total Spend", "operator": ">", "value": "10"}]}""".stripMargin)
     assert(r.isLeft && r.swap.toOption.get.contains("unselected"))
+  }
+
+  test("maxDaysWindow: missing day filter and oversize window rejected") {
+    import graft.semantic.model.Registry
+    val capped = Registry(SemanticQueries.orderCube.copy(maxDaysWindow = Some(31)))
+    def m(json: String) = request.parse(json).flatMap(RequestModel.from(_, capped))
+    val noDay = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""")
+    assert(noDay.isLeft && noDay.swap.toOption.get.contains("maxDaysWindow"))
+    val tooWide = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1995-03-31"}]}""".stripMargin)
+    assert(tooWide.isLeft && tooWide.swap.toOption.get.contains("exceeds maxDaysWindow"))
+    val ok = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1995-01-31"}]}""".stripMargin)
+    assert(ok.isRight)
+  }
+
+  test("non-unique static mapping filter becomes an IN over storage values") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // O and P both display as 'Active': filtering on Active must match both
+    val mapping = StaticMapping(
+      Map("O" -> "Active", "P" -> "Active", "F" -> "Done"), "Unknown")
+    val cube = SemanticQueries.orderCube.copy(variants =
+      Seq(SemanticQueries.orderCube.base.copy(dimCols =
+        SemanticQueries.orderCube.base.dimCols.map {
+          case pc if pc.alias == "Order Status" =>
+            pc.copy(staticMapping = Some(mapping))
+          case pc => pc
+        })))
+    val reg = Registry(cube)
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Status", "operator": "in", "values": ["Active"]}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, reg)
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.df
+    val got = planned.toOption.get.agg(sum(col("Order Count"))).collect()(0).getLong(0)
+    val want = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus").isin("O", "P")).count()
+    assert(got == want)
+  }
+
+  test("unknown display value in a static-mapping filter errors loudly") {
+    val bad =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Status", "operator": "=", "value": "Bogus"}]}""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      SemanticQueries.run(bad)(spark, sf).collect()
+    }
+    assert(ex.getMessage.contains("Bogus"))
   }
 
   test("rollup and base variants agree on the same request") {
