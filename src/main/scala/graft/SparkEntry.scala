@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.SemanticQueries.queries ++ operators.SketchQueries.queries
+      operators.SemanticQueries.queries ++ operators.SketchQueries.queries ++
+      operators.Extended.queries ++ streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.TextOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
-      operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle
+      operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle ++
+      operators.Extended.oracle ++ streaming.Streaming.oracle
 }

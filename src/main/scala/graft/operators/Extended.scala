@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Second-wave operator inventory: the remaining SURVEY.md §2
+  * capabilities — SQL front door (§3.2), Druid lookup-join analogue
+  * (§2.3.3), semi-structured props extraction, BPE-style
+  * sub-tokenization, and multimodal binary chunking / decode-stub
+  * plumbing (mapInPandas analogue via typed mapPartitions).
+  */
+object Extended {
+
+  /** Supplier-side star join (uses the supplier dim chain:
+    * lineitem ⋈ supplier ⋈ nation): revenue per supplier nation.
+    * nation is broadcast; supplier⋈lineitem shuffles on s_suppkey.
+    * (Fact–dim join matrix, reference RequestModel.scala:180-228.) */
+  def q24(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
+  /** Semi-structured JSON props extraction on the events stream table
+    * (Druid extraction-fn / PostResultColumn analogue, reference
+    * Column.scala:127): get_json_object stays inside codegen. */
+  def q25(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("bigint") / 10)
+          .cast("bigint").as("k_decile"),
+        col("value"))
+      .groupBy("event_type", "k_decile")
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("double").as("total_value"))
+      .orderBy("event_type", "k_decile")
+
+  /** Druid lookup-extraction analogue (LOOKUP_WITH_DECODE /
+    * LOOKUP_WITH_RETAIN_MISSING_VALUE, reference
+    * DerivedFunction.scala:157-347): a small in-memory lookup table
+    * broadcast map-side-joined onto the dim chain; missing keys retain
+    * the original value via coalesce. */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lookup = Seq(
+      ("ASIA", "East"), ("EUROPE", "North"), ("AMERICA", "West"))
+      .toDF("r_key", "zone")
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(lookup), col("r_name") === col("r_key"), "left_outer")
+      .groupBy(coalesce(col("zone"), col("r_name")).as("zone"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy("zone")
+  }
+
+  /** SQL front door (§3.2: the Calcite/Avatica layer collapses into
+    * spark.sql over registered temp views). The SQL text is ANSI
+    * enough to run verbatim on both Spark and the DuckDB oracle. */
+  val sql01Text: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority
+      |HAVING COUNT(*) > 10
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sql01(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(sql01Text)
+  }
+
+  /** BPE-style sub-tokenization: a regex piece-splitter
+    * (letters | digits | single punctuation) via regexp_extract_all,
+    * with per-document piece-class statistics. Map-only, codegen'd. */
+  def tx05(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("pieces",
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("pieces")).cast("bigint").as("n_pieces"),
+        expr("size(filter(pieces, p -> p rlike '^[A-Za-z]+$'))")
+          .cast("bigint").as("n_alpha"),
+        expr("size(filter(pieces, p -> p rlike '^[0-9]+$'))")
+          .cast("bigint").as("n_digit"),
+        expr("size(filter(pieces, p -> p not rlike '^[A-Za-z0-9]'))")
+          .cast("bigint").as("n_punct"),
+        (size(col("pieces")).cast("double") / length(col("text")))
+          .as("pieces_per_char"))
+      .orderBy("doc_id")
+
+  /** Multimodal frame chunking: fixed-size 64-byte frames over the
+    * binary payload (posexplode of a computed frame index — the
+    * partitioning/batch shape a video frame-sampler would use), with
+    * per-frame hash + length. The corpus is ASCII (verified), so
+    * character frames == byte frames and the DuckDB oracle can chunk
+    * with substring. */
+  def mm02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          "transform(sequence(0, int(ceil(length(text) / 64.0)) - 1)," +
+            " i -> substring(text, i * 64 + 1, 64))"))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(encode(col("frame"), "UTF-8")).as("frame_md5"),
+        length(col("frame")).cast("bigint").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Decode-stub plumbing (mapInPandas analogue): the typed
+    * mapPartitions pipeline a real image/audio decoder would run in —
+    * binary payload in, fixed feature schema out, one batch per
+    * partition. The decode itself is a STUB (this container ships no
+    * codecs): deterministic pseudo-features from the payload bytes
+    * stand in for decoder output. Driver records a rows-only check. */
+  def mm03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        // STUB decode: replace with a real codec (e.g. image decode to
+        // W×H×C tensor) in production; shapes/signature stay the same.
+        val fakeWidth = (bytes.length % 97) + 1
+        val fakeHeight = (bytes.take(16).foldLeft(0)(_ + java.lang.Byte.toUnsignedInt(_)) % 53) + 1
+        val meanByte = if (bytes.isEmpty) 0.0
+          else bytes.foldLeft(0L)(_ + java.lang.Byte.toUnsignedInt(_)).toDouble / bytes.length
+        (docId, fakeWidth, fakeHeight, meanByte)
+      }
+    }.toDF("doc_id", "width", "height", "mean_byte")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_supplier_star" -> (q24 _),
+    "q25_props_json" -> (q25 _),
+    "q26_lookup_decode_join" -> (q26 _),
+    "sql01_front_door" -> (sql01 _),
+    "tx05_bpe_pieces" -> (tx05 _),
+    "mm02_frame_chunks" -> (mm02 _),
+    "mm03_decode_stub" -> (mm03 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_supplier_star" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q25_props_json" ->
+      """SELECT event_type,
+        | CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, k_decile""".stripMargin,
+    "q26_lookup_decode_join" ->
+      """SELECT COALESCE(l.zone, r_name) AS zone, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN (VALUES ('ASIA', 'East'), ('EUROPE', 'North'),
+        |  ('AMERICA', 'West')) AS l(r_key, zone) ON r_name = l.r_key
+        |GROUP BY 1 ORDER BY zone""".stripMargin,
+    "sql01_front_door" -> sql01Text,
+    "tx05_bpe_pieces" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS pieces
+        | FROM documents)
+        |SELECT doc_id, len(pieces) AS n_pieces,
+        | len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS n_alpha,
+        | len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$'))) AS n_digit,
+        | len(list_filter(pieces, p -> NOT regexp_matches(p, '^[A-Za-z0-9]'))) AS n_punct,
+        | CAST(len(pieces) AS DOUBLE) / length(text) AS pieces_per_char
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "mm02_frame_chunks" ->
+      """WITH f AS (
+        | SELECT doc_id, text,
+        |  unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+        | FROM documents)
+        |SELECT doc_id, i - 1 AS frame_idx,
+        | md5(substring(text, (i - 1) * 64 + 1, 64)) AS frame_md5,
+        | length(substring(text, (i - 1) * 64 + 1, 64)) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

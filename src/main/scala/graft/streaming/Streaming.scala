@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Structured Streaming extension over the events table (SURVEY.md
+  * §2.9: the reference has no streaming surface — this is the optional
+  * Spark-native extension for near-real-time cubes).
+  *
+  * st01 runs a real streaming query: file source → event-time windowed
+  * aggregation → memory sink, driven to completion with
+  * Trigger.AvailableNow so the result is deterministic and equals the
+  * batch group-by (which is exactly what the DuckDB oracle computes).
+  * At scale the same plan runs unbounded with the watermark bounding
+  * state; partitioning is the shuffle on (window, event_type).
+  *
+  * st02 is the custom-state operator family
+  * (mapGroupsWithState-style sessionization). It is expressed as a
+  * typed groupByKey + flatMapGroups over event-time-sorted per-user
+  * events — the identical per-group logic a streaming
+  * flatMapGroupsWithState would run with an event-time timeout closing
+  * sessions. Per-user event counts are bounded (≤ a few hundred), so
+  * the in-memory per-group sort is safe at any corpus scale; the
+  * shuffle is on user_id.
+  */
+object Streaming {
+
+  /** Raw parquet schema of events (ts is INT64 nanos in the file —
+    * see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming daily windowed aggregation with a watermark, driven to
+    * completion (AvailableNow) into a memory sink. */
+  def st01(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec6(col("value"))).cast("double").as("total_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("st01_mem")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st01_mem")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Sessionization: a new session starts after a ≥30-minute gap in a
+    * user's event-time sequence. Emits one row per session. */
+  def st02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+    evs.groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (e._3, e._2))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var sid = 0L; var n = 0L
+        var start = 0L; var last = Long.MinValue
+        def flush(): Unit = if (n > 0) out += ((uid, sid, n, start, last))
+        sorted.foreach { case (_, _, ts) =>
+          if (last == Long.MinValue || ts - last > gapUs) {
+            flush(); sid += 1; n = 0; start = ts
+          }
+          n += 1; last = ts
+        }
+        flush()
+        out
+      }
+      .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "session_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_window" -> (st01 _),
+    "st02_sessionize" -> (st02 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_stream_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "st02_sessionize" ->
+      """WITH o AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM o)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+  )
+}
