@@ -71,7 +71,8 @@ object RequestModel {
   private def resolve(req: ReportingRequest, cube: CubeDef): Either[String, Model] = {
     // alias → kind over the union of variant dim cols, dim attrs, metrics
     val factDimAliases = cube.variants.flatMap(_.dimCols).map(_.alias).toSet
-    val metricAliases = cube.variants.flatMap(_.metrics).map(_.alias).toSet
+    val metricAliases = (cube.variants.flatMap(_.metrics).map(_.alias) ++
+      cube.variants.flatMap(_.derived).map(_.alias)).toSet
     val dimAttr: Map[String, String] =
       cube.dims.flatMap(d => d.cols.map(c => c.alias -> d.name)).toMap
 

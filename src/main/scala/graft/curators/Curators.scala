@@ -1,0 +1,115 @@
+package graft.curators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analyzer.{request, RequestModel}
+import graft.analyzer.request._
+import graft.semantic.model._
+import graft.planner.Planner
+
+/** Curators: second-pass request programs over the semantic pipeline —
+  * the Spark-native analogue of the reference's curator framework
+  * (service RequestCoordinator running TimeShift / Drilldown /
+  * TotalMetrics / RowCount curators in parallel,
+  * reference service/.../curators/Curator.scala,
+  * TimeShiftCurator.scala:49-58, DrilldownCurator.scala,
+  * TotalMetricsCurator.scala).
+  *
+  * Each curator derives a NEW ReportingRequest from the incoming one,
+  * plans it through the same analyzer/planner, and composes the two
+  * DataFrames inside one Spark plan — so what the reference does with
+  * serving-JVM row merges (IN-list shipping, IndexedRowList) is here a
+  * join/semi-join Catalyst can optimize (broadcast the small side, no
+  * driver collect).
+  */
+object Curators {
+
+  private def planned(req: ReportingRequest, reg: Registry,
+      s: SparkSession, dir: String): DataFrame =
+    (for {
+      m <- RequestModel.from(req, reg)
+      p <- Planner.plan(m, s, dir)
+    } yield p.df).fold(e => throw new IllegalArgumentException(e), identity)
+
+  private def parsed(json: String): ReportingRequest =
+    request.parse(json).fold(e => throw new IllegalArgumentException(e), identity)
+
+  private def metricAliases(reg: Registry, cube: String): Set[String] =
+    reg.cube(cube).toOption.get.variants
+      .flatMap(v => v.metrics.map(_.alias) ++ v.derived.map(_.alias)).toSet
+
+  /** TimeShift: re-plan the request for the immediately preceding
+    * period of the same length ([from - len, from - 1], reference
+    * TimeShiftCurator period computation), left-join prev onto current
+    * on every non-metric column, append "<m> Prev" and
+    * "<m> Pct Change" per metric. */
+  def timeShift(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
+    val req = parsed(json)
+    val mets = metricAliases(reg, req.cube)
+    val dayF = req.filters.collectFirst {
+      case BetweenFilter(f, from, to) if !mets(f) => BetweenFilter(f, from, to)
+    }.getOrElse(throw new IllegalArgumentException(
+      "timeshift requires a Between day filter"))
+    val from = java.time.LocalDate.parse(dayF.from)
+    val to = java.time.LocalDate.parse(dayF.to)
+    val len = java.time.temporal.ChronoUnit.DAYS.between(from, to) + 1
+    val prevF = BetweenFilter(dayF.field,
+      from.minusDays(len).toString, from.minusDays(1).toString)
+    val prevReq = req.copy(filters = req.filters.map {
+      case f if f == (dayF: QFilter) => prevF
+      case f => f
+    })
+    val dims = req.selectFields.filterNot(mets)
+    val metsSel = req.selectFields.filter(mets)
+    val cur = planned(req, reg, s, dir)
+    val prev = planned(prevReq, reg, s, dir)
+      .select((dims.map(col) ++ metsSel.map(a => col(a).as(s"$a Prev"))): _*)
+    val joined = cur.join(prev, dims, "left_outer")
+    val withPct = metsSel.foldLeft(joined) { (df, a) =>
+      df.withColumn(s"$a Pct Change",
+        when(col(s"$a Prev").isNotNull && col(s"$a Prev") =!= 0,
+          round((col(a) - col(s"$a Prev")) / col(s"$a Prev") * 100, 4)))
+    }
+    withPct.orderBy(dims.map(col): _*)
+  }
+
+  /** TotalMetrics: grand totals of the requested metrics under the same
+    * filters — the request re-planned with its dims dropped. */
+  def totalMetrics(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
+    val req = parsed(json)
+    val mets = metricAliases(reg, req.cube)
+    val totalsReq = req.copy(
+      selectFields = req.selectFields.filter(mets),
+      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+    planned(totalsReq, reg, s, dir)
+  }
+
+  /** RowCount: total (unpaginated) row count of the request's result
+    * grain — Count(*) OVER() TOTALROWS as a scalar aggregate
+    * (reference RowCountCurator, Curator.scala:211-238). */
+  def rowCount(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
+    val req = parsed(json)
+    val unpaged = req.copy(sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+    planned(unpaged, reg, s, dir).agg(count(lit(1)).as("totalrows"))
+  }
+
+  /** Drilldown: take the top-N parent rows of the base request (by its
+    * first sort), then re-request at (parent dims + drill dim) grain
+    * restricted to those parents — the reference's injected-IN-filter
+    * re-request (DrilldownCurator) expressed as a broadcast left-semi
+    * join instead of a driver-side collect. */
+  def drillDown(json: String, drillField: String, topN: Int, reg: Registry)(
+      s: SparkSession, dir: String): DataFrame = {
+    val req = parsed(json)
+    val mets = metricAliases(reg, req.cube)
+    val parentDims = req.selectFields.filterNot(mets)
+    val parents = planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
+      reg, s, dir).select(parentDims.map(col): _*)
+    val drillReq = req.copy(
+      selectFields = parentDims ++ Seq(drillField) ++ req.selectFields.filter(mets),
+      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+    planned(drillReq, reg, s, dir)
+      .join(broadcast(parents), parentDims, "left_semi")
+      .orderBy((parentDims :+ drillField).map(col): _*)
+  }
+}

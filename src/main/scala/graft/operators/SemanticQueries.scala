@@ -49,7 +49,13 @@ object SemanticQueries {
           PubCol("Customer Key", "o_custkey")),
         metrics = Seq(spendMetric, countMetric, maxPriceMetric,
           distinctCustomersMetric),
-        cost = 100),
+        cost = 100,
+        derived = Seq(
+          // PostResultColumn analogue: computed after the final agg
+          // from other metric aliases (inputs aggregated even when
+          // not selected).
+          PubDerived("Avg Order Value", Seq("Total Spend", "Order Count"),
+            df => col("Total Spend") / col("Order Count")))),
       FactDef(
         name = "orders_by_priority_day_rollup",
         table = "orders",
@@ -120,12 +126,41 @@ object SemanticQueries {
       | "selectFields": [{"field": "Customer Key"}, {"field": "Order Count"}, {"field": "Distinct Customers"}],
       | "filterExpressions": [{"field": "Order Count", "operator": ">", "value": "3"}]}""".stripMargin
 
+  val sem06Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}, {"field": "Total Spend"}, {"field": "Avg Order Value"}],
+      | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}],
+      | "sortBy": [{"field": "Avg Order Value", "order": "Desc"}]}""".stripMargin
+
+  val sem07Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Status"}, {"field": "Avg Order Value"}]}""".stripMargin
+
+  val cur01Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1996-02-01", "to": "1996-07-31"}]}""".stripMargin
+
+  val cur04Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}],
+      | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin
+
+  import graft.curators.Curators
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sem01_rollup_select" -> (run(sem01Json) _),
     "sem02_snowflake_join" -> (run(sem02Json) _),
     "sem03_decode_reverse_filter" -> (run(sem03Json) _),
     "sem04_dim_driven_roj" -> (run(sem04Json) _),
     "sem05_fk_join_elimination" -> (run(sem05Json) _),
+    "sem06_derived_metric" -> (run(sem06Json) _),
+    "sem07_derived_hidden_inputs" -> (run(sem07Json) _),
+    "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
+    "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
+    "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
+    "cur04_drilldown" -> (Curators.drillDown(cur04Json, "Order Status", 3, registry) _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,5 +199,56 @@ object SemanticQueries {
         | COUNT(DISTINCT o_custkey) AS "Distinct Customers"
         |FROM orders GROUP BY 1 HAVING COUNT(*) > 3
         |ORDER BY "Customer Key"""".stripMargin,
+    "sem06_derived_metric" ->
+      """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS "Avg Order Value"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY "Avg Order Value" DESC, "Order Priority"""".stripMargin,
+    "sem07_derived_hidden_inputs" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS "Avg Order Value"
+        |FROM orders GROUP BY 1 ORDER BY "Order Status"""".stripMargin,
+    "cur01_timeshift" ->
+      """WITH cur AS (
+        | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate <= TIMESTAMP '1996-07-31'
+        | GROUP BY 1),
+        |prev AS (
+        | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-08-03' AND o_orderdate <= TIMESTAMP '1996-01-31'
+        | GROUP BY 1)
+        |SELECT cur.p AS "Order Priority", cur.v AS "Total Spend",
+        | prev.v AS "Total Spend Prev",
+        | CASE WHEN prev.v IS NOT NULL AND prev.v <> 0
+        |   THEN round((cur.v - prev.v) / prev.v * 100, 4) END AS "Total Spend Pct Change"
+        |FROM cur LEFT JOIN prev ON cur.p = prev.p
+        |ORDER BY "Order Priority"""".stripMargin,
+    "cur02_totalmetrics" ->
+      """SELECT COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'""".stripMargin,
+    "cur03_rowcount" ->
+      """SELECT COUNT(*) AS totalrows FROM customer""".stripMargin,
+    "cur04_drilldown" ->
+      """WITH agg AS (
+        | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        | GROUP BY 1),
+        |top3 AS (SELECT p FROM agg ORDER BY v DESC, p LIMIT 3)
+        |SELECT o_orderpriority AS "Order Priority",
+        | CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        | AND o_orderpriority IN (SELECT p FROM top3)
+        |GROUP BY 1, 2 ORDER BY "Order Priority", "Order Status"""".stripMargin,
   )
 }

@@ -53,7 +53,8 @@ object Planner {
         m.selects.collect { case Resolved(a, MetricCol) => a } ++
         m.metricFilters.map(_.field)
     val candidates = m.cube.variants.filter { v =>
-      val aliases = (v.dimCols.map(_.alias) ++ v.metrics.map(_.alias)).toSet
+      val aliases = (v.dimCols.map(_.alias) ++ v.metrics.map(_.alias) ++
+        v.derived.map(_.alias)).toSet
       neededFactAliases.forall(aliases.contains) &&
         m.joinDims.forall(d => v.availableDims.forall(_.contains(d)))
     }
@@ -79,8 +80,12 @@ object Planner {
         }
     val filtered = factFilters.foldLeft(factScan)(_.filter(_))
 
-    // 2. decide aggregation staging
-    val selectedMetricDefs = m.selectedMetrics.map(metric)
+    // 2. decide aggregation staging; derived (post-result) metrics pull
+    // their input metrics into the aggregation even when unselected
+    val derivedByAlias = fact.derived.map(dm => dm.alias -> dm).toMap
+    val (derivedSel, plainSel) = m.selectedMetrics.partition(derivedByAlias.contains)
+    val neededPlain = (plainSel ++ derivedSel.flatMap(a => derivedByAlias(a).inputs)).distinct
+    val selectedMetricDefs = neededPlain.map(metric)
     val reAggregable: Rollup => Boolean = {
       case SumRollup | MinRollup | MaxRollup | CountRollup => true
       case _ => false
@@ -191,8 +196,13 @@ object Planner {
           selectedMetricDefs.tail.map(finalAgg): _*)
       }
 
-    // 6. HAVING on metric aliases
-    val havinged = m.metricFilters.foldLeft(result0) { (df, f) =>
+    // 5b. post-result derived metrics (PostResultColumn analogue)
+    val withDerived = derivedSel.foldLeft(result0) { (df, a) =>
+      df.withColumn(a, derivedByAlias(a).compute(df))
+    }
+
+    // 6. HAVING on metric aliases (incl. derived)
+    val havinged = m.metricFilters.foldLeft(withDerived) { (df, f) =>
       df.filter(filterToColumn(f, col(f.field), PubCol(f.field, f.field)))
     }
 

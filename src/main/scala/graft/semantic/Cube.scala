@@ -92,6 +92,16 @@ object model {
       cols: Seq[PubCol],
       small: Boolean = true)
 
+  /** A post-result derived metric (PostResultColumn / DerivedColumn
+    * analogue, reference Column.scala:99-140): computed AFTER the final
+    * aggregation from other metric aliases. `inputs` are aggregated
+    * (and hidden from the projection unless themselves requested);
+    * `compute` builds the expression over the post-agg frame. */
+  final case class PubDerived(
+      alias: String,
+      inputs: Seq[String],
+      compute: DataFrame => Column)
+
   /** A physical fact variant. `view` replaces the raw scan for
     * rollup/subset variants (standing in for a materialized table;
     * at production scale these are parquet tables of their own).
@@ -105,7 +115,8 @@ object model {
       metrics: Seq[PubMetric],
       cost: Long,
       view: Option[(SparkSession, String) => DataFrame] = None,
-      availableDims: Option[Set[String]] = None)
+      availableDims: Option[Set[String]] = None,
+      derived: Seq[PubDerived] = Nil)
 
   /** Always-applied predicates (maha forceFilters / schema-required
     * filters, reference Fact.scala:458). */
