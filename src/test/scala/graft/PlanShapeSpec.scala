@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators._
+
+/** Physical-plan shape regressions: the scale-critical properties the
+  * 100 TB design intent depends on, asserted via explain output —
+  * filters reach the parquet scan, column pruning reaches the reader,
+  * small dims broadcast, top-k runs as TakeOrderedAndProject, semi
+  * joins broadcast, aggregation is partial before shuffle.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: date filter is pushed to the parquet scan") {
+    val plan = physical(Relational.q01(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$plan")
+  }
+
+  test("q01: column pruning — scan reads only referenced lineitem columns") {
+    val plan = physical(Relational.q01(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q03: small dims join as broadcast hash joins") {
+    val plan = physical(Relational.q03(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q05: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val plan = physical(Relational.q05(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("q07: page fetch is TakeOrderedAndProject + scalar count (no global window over the table)") {
+    val plan = physical(Relational.q07(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("q22: IN-subquery semi join broadcasts the key set") {
+    val plan = physical(Relational.q22(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"semi join not broadcast:\n$plan")
+  }
+
+  test("q04: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = physical(Relational.q04(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate(keys=[l_orderkey"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("tx04: documents scan prunes to doc_id + text") {
+    val plan = physical(TextOps.txFingerprint(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("whole-stage codegen covers the scalar-function pipeline") {
+    val df = Relational.q13(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = physical(df)
+    assert(plan.contains("*("), s"no WholeStageCodegen spans:\n$plan")
+  }
+}
