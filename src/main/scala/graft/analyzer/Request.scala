@@ -43,7 +43,9 @@ object request {
       sortBy: Seq[SortBy],
       paginationStartIndex: Int,
       rowsPerPage: Int,
-      dimensionDriven: Boolean)
+      dimensionDriven: Boolean,
+      timezone: Option[String] = None,
+      schema: Option[String] = None)
 
   /** Parse + structural validation. Unknown operators and malformed
     * fields are errors, mirroring maha's strict deserialization. */
@@ -99,7 +101,14 @@ object request {
         val dimDriven = (root \ "dimensionDriven") match {
           case JBool(b) => b; case _ => false
         }
-        ReportingRequest(cube, fields, filters, sorts, start, rows, dimDriven)
+        val tz = (root \ "timezone") match {
+          case JString(z) => Some(z); case _ => None
+        }
+        val schema = (root \ "schema") match {
+          case JString(z) => Some(z); case _ => None
+        }
+        ReportingRequest(cube, fields, filters, sorts, start, rows, dimDriven,
+          tz, schema)
       }
     } catch {
       case e: Exception => Left(s"malformed request json: ${e.getMessage}")

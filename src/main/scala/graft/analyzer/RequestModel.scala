@@ -101,7 +101,17 @@ object RequestModel {
               else Some(s"operator ${opOf(f)} not allowed on '${f.field}'")
           }
         }
+        // schema-based access control (PublicColumn.restrictedSchemas)
+        val aclErrs = (req.selectFields ++ req.filters.map(_.field)).distinct
+          .flatMap { a =>
+            pubColOf.get(a).flatMap(_.restrictedTo).collect {
+              case allowed if !req.schema.exists(allowed.contains) =>
+                s"field '$a' is restricted to schemas " +
+                  allowed.toSeq.sorted.mkString("[", ", ", "]")
+            }
+          }
         if (filterErrs.nonEmpty) Left(filterErrs.mkString("; "))
+        else if (aclErrs.nonEmpty) Left(aclErrs.mkString("; "))
         else {
           val (metricFs, dimFs) = req.filters.partition(f =>
             metricAliases(f.field))

@@ -56,12 +56,14 @@ object Dedup {
   }
 
   /** MinHash signatures: k minhashes; minhash_i = min over shingles of
-    * xxhash64(i, shingle). */
+    * xxhash64(i, shingle). Computed as explode(shingles) → k codegen'd
+    * MIN aggregates per doc (one hash call per (shingle, i), map-side
+    * combined) — the interpreted array_min(transform(...)) form
+    * re-walked the shingle array k times per document outside codegen. */
   private def minhashed(s: SparkSession, d: String, k: Int): DataFrame = {
-    val sig = (0 until k)
-      .map(i => s"array_min(transform(shingles, t -> xxhash64(${i}L, t)))")
-      .mkString("array(", ", ", ")")
-    shingled(s, d).withColumn("sig", expr(sig))
+    val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("t"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i.toLong), col("t"))).as(s"m$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs (no SQL oracle — hash-dependent;
@@ -69,13 +71,13 @@ object Dedup {
     * with exact Jaccard ≥ 0.5 over the shingle sets. */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val k = 32; val bands = 8; val rows = k / bands
-    val mh = minhashed(s, d, k).cache()
+    val mh = minhashed(s, d, k)
     val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => s"element_at(sig, ${b * rows + r + 1})")
-      s"xxhash64(${b}L, ${slots.mkString(", ")})"
-    }.mkString("array(", ", ", ")")
+      val slots = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      xxhash64((lit(b.toLong) +: slots): _*)
+    }
     val exploded = mh.select(col("doc_id"),
-      posexplode(expr(bandCols)).as(Seq("band_idx", "band_hash")))
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val cand = exploded.groupBy("band_idx", "band_hash")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

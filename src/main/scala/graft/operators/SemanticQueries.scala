@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.core.Tables.dec2
+import graft.core.Tables.{dec2, dec6}
 import graft.semantic.model._
 import graft.analyzer.{request, RequestModel}
 import graft.planner.Planner
@@ -79,7 +79,30 @@ object SemanticQueries {
       DimDef("region", "region", "r_regionkey", "n_regionkey",
         Some("nation"), Seq(PubCol("Region Name", "r_name")), small = true)))
 
-  val registry: Registry = Registry(orderCube)
+  /** Cube over the events stream table: a tz-point Day grain (requests
+    * carry a local timezone; the planner converts day-filter bounds
+    * local→UTC and renders Day in local time — BaseUTCTimeProvider
+    * analogue) and a schema-restricted column (PublicColumn
+    * restrictedSchemas analogue). */
+  val eventsCube: CubeDef = CubeDef(
+    name = "user_events",
+    variants = Seq(FactDef(
+      name = "events_base",
+      table = "events",
+      dimCols = Seq(
+        PubCol("Day", "ts", allowedOps = Set(BetweenOp),
+          isDayGrain = true, tzPoint = true),
+        PubCol("Event Type", "event_type"),
+        PubCol("User ID", "user_id", restrictedTo = Some(Set("internal")))),
+      metrics = Seq(
+        PubMetric("Event Count", CountRollup, _ => lit(1)),
+        PubMetric("Total Value", SumRollup,
+          df => dec6(df.col("value")), _.cast("double"))),
+      cost = 100,
+      view = Some((s, d) => Tables.events(s, d)))),
+    dims = Nil)
+
+  val registry: Registry = Registry(orderCube, eventsCube)
 
   /** Run a JSON request through parse → analyze → plan. */
   def run(json: String)(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +170,12 @@ object SemanticQueries {
       | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}],
       | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin
 
+  val sem08Json: String =
+    """{"cube": "user_events",
+      | "selectFields": [{"field": "Day"}, {"field": "Event Type"}, {"field": "Event Count"}, {"field": "Total Value"}],
+      | "filterExpressions": [{"field": "Day", "operator": "between", "from": "2024-01-05", "to": "2024-01-15"}],
+      | "timezone": "America/Los_Angeles"}""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -157,6 +186,7 @@ object SemanticQueries {
     "sem05_fk_join_elimination" -> (run(sem05Json) _),
     "sem06_derived_metric" -> (run(sem06Json) _),
     "sem07_derived_hidden_inputs" -> (run(sem07Json) _),
+    "sem08_utc_timezone" -> (run(sem08Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -211,6 +241,13 @@ object SemanticQueries {
         |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS "Avg Order Value"
         |FROM orders GROUP BY 1 ORDER BY "Order Status"""".stripMargin,
+    "sem08_utc_timezone" ->
+      """SELECT strftime(date_trunc('day', ts - INTERVAL 8 HOUR), '%Y-%m-%d') AS "Day",
+        | event_type AS "Event Type", COUNT(*) AS "Event Count",
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS "Total Value"
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 08:00:00' AND ts < TIMESTAMP '2024-01-16 08:00:00'
+        |GROUP BY 1, 2 ORDER BY "Day", "Event Type"""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

@@ -72,11 +72,13 @@ object Planner {
       m.cube.dims.flatMap(d => d.cols.map(c => c.alias -> d)).toMap
 
     // 1. fact-side filters: forced + request filters on fact-level cols
+    val tz = m.req.timezone
     val factFilters =
       m.cube.forced.map(_.apply(factScan)) ++
         m.dimFilters.collect {
           case f if pubDim.contains(f.field) =>
-            filterToColumn(f, factScan.col(pubDim(f.field).physical), pubDim(f.field))
+            filterToColumn(f, factScan.col(pubDim(f.field).physical),
+              pubDim(f.field), tz)
         }
     val filtered = factFilters.foldLeft(factScan)(_.filter(_))
 
@@ -129,7 +131,7 @@ object Planner {
       val dimColByAlias = d.cols.map(c => c.alias -> c).toMap
       m.dimFilters.foreach { f =>
         dimColByAlias.get(f.field).foreach { pc =>
-          dimDf = dimDf.filter(filterToColumn(f, dimDf.col(pc.physical), pc))
+          dimDf = dimDf.filter(filterToColumn(f, dimDf.col(pc.physical), pc, tz))
         }
       }
       val dimSide = if (d.small) broadcast(dimDf) else dimDf
@@ -151,11 +153,11 @@ object Planner {
           val pc = pubDim(alias)
           val base =
             if (twoStage) joined.col(pc.physical) else factScan.col(pc.physical)
-          render(pc, base)
+          render(pc, base, tz)
         case DimAttrCol(dname) =>
           val d = m.cube.dimByName(dname)
           val pc = d.cols.find(_.alias == alias).get
-          render(pc, dimDfs(dname).col(pc.physical))
+          render(pc, dimDfs(dname).col(pc.physical), tz)
         case MetricCol => col(alias) // resolved post-agg
       }
     }
@@ -203,7 +205,7 @@ object Planner {
 
     // 6. HAVING on metric aliases (incl. derived)
     val havinged = m.metricFilters.foldLeft(withDerived) { (df, f) =>
-      df.filter(filterToColumn(f, col(f.field), PubCol(f.field, f.field)))
+      df.filter(filterToColumn(f, col(f.field), PubCol(f.field, f.field), tz))
     }
 
     // 7. deterministic sort: requested sorts, then remaining non-metric
@@ -230,13 +232,16 @@ object Planner {
   private def resolveFk(m: Model, fact: FactDef, d: DimDef, twoStage: Boolean): String =
     d.fkInParent
 
-  /** Storage→display rendering (static mapping / day grain). */
-  private def render(pc: PubCol, base: Column): Column =
+  /** Storage→display rendering (static mapping / day grain / local
+    * timezone for point-in-time grains). */
+  private def render(pc: PubCol, base: Column, tz: Option[String]): Column =
     pc.staticMapping match {
       case Some(sm) =>
         sm.toDisplay.foldLeft(when(lit(false), lit(null))) {
           case (acc, (stor, disp)) => acc.when(base === stor, disp)
         }.otherwise(sm.default)
+      case None if pc.isDayGrain && pc.tzPoint =>
+        date_format(from_utc_timestamp(base, tz.getOrElse("UTC")), "yyyy-MM-dd")
       case None if pc.isDayGrain => date_format(base, "yyyy-MM-dd")
       case None => base
     }
@@ -246,7 +251,8 @@ object Planner {
     * yields an IN over ALL matching storage values; the default display
     * value matches every storage value outside the map; an unknown
     * display value is an explicit error (never a silent no-match). */
-  private def filterToColumn(f: QFilter, base: Column, pc: PubCol): Column = {
+  private def filterToColumn(f: QFilter, base: Column, pc: PubCol,
+      tz: Option[String] = None): Column = {
     def inDisplays(vs: Seq[String]): Column = pc.staticMapping match {
       case Some(sm) =>
         val (defaults, named) = vs.distinct.partition(_ == sm.default)
@@ -269,6 +275,15 @@ object Planner {
       case NotInFilter(_, vs)  => !inDisplays(vs)
       case EqFilter(_, v)      => inDisplays(Seq(v))
       case NeqFilter(_, v)     => !inDisplays(Seq(v))
+      case BetweenFilter(_, a, b) if pc.isDayGrain && pc.tzPoint =>
+        // local day window → UTC instant half-open range (the
+        // BaseUTCTimeProvider widening+conversion analogue)
+        val zone = java.time.ZoneId.of(tz.getOrElse("UTC"))
+        val lo = java.sql.Timestamp.from(
+          java.time.LocalDate.parse(a).atStartOfDay(zone).toInstant)
+        val hi = java.sql.Timestamp.from(
+          java.time.LocalDate.parse(b).plusDays(1).atStartOfDay(zone).toInstant)
+        base >= lit(lo) && base < lit(hi)
       case BetweenFilter(_, a, b) => base >= lit(a) && base <= lit(b)
       case GtFilter(_, v)      => base > lit(v)
       case LtFilter(_, v)      => base < lit(v)

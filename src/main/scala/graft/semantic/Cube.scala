@@ -61,13 +61,24 @@ object model {
       toDisplay.collect { case (stor, disp) if disp == v => stor }.toSeq.sorted
   }
 
-  /** A public (aliased) dimension attribute. */
+  /** A public (aliased) dimension attribute.
+    *
+    * `isDayGrain` renders yyyy-MM-dd and enables maxDaysWindow checks;
+    * `tzPoint` additionally marks the physical column as a UTC
+    * point-in-time timestamp: a request `timezone` converts day-filter
+    * bounds local→UTC and the rendered Day local-of-UTC (the
+    * BaseUTCTimeProvider analogue, reference
+    * core/.../BaseUTCTimeProvider.scala, RequestModel.scala:715-723).
+    * `restrictedTo` limits the column to the named request schemas
+    * (reference PublicColumn.restrictedSchemas, Column.scala:22). */
   final case class PubCol(
       alias: String,
       physical: String,
       allowedOps: Set[FilterOp] = AllOps,
       staticMapping: Option[StaticMapping] = None,
-      isDayGrain: Boolean = false)
+      isDayGrain: Boolean = false,
+      tzPoint: Boolean = false,
+      restrictedTo: Option[Set[String]] = None)
 
   /** A public metric: rollup over a physical expression. `pre` is the
     * column fed to the first aggregation (cast to exact decimal for

@@ -193,6 +193,37 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Bogus"))
   }
 
+  test("schema ACL: restricted column rejected without the right schema") {
+    val noSchema = model(
+      """{"cube": "user_events", "selectFields": [{"field": "User ID"}, {"field": "Event Count"}]}""")
+    assert(noSchema.isLeft && noSchema.swap.toOption.get.contains("restricted"))
+    val wrongSchema = model(
+      """{"cube": "user_events", "selectFields": [{"field": "User ID"}, {"field": "Event Count"}],
+        | "schema": "public"}""".stripMargin)
+    assert(wrongSchema.isLeft)
+    val ok = model(
+      """{"cube": "user_events", "selectFields": [{"field": "User ID"}, {"field": "Event Count"}],
+        | "schema": "internal"}""".stripMargin)
+    assert(ok.isRight)
+  }
+
+  test("timezone: local day filter converts to a UTC half-open range") {
+    // 2024-01-05 local (PST, UTC-8) starts at 08:00 UTC; a UTC request
+    // on the same dates matches a strictly different event set
+    val utc = SemanticQueries.run(SemanticQueries.sem08Json.replace(
+      """ "timezone": "America/Los_Angeles"""", """ "timezone": "UTC""""))(spark, sf)
+    val la = SemanticQueries.run(SemanticQueries.sem08Json)(spark, sf)
+    import org.apache.spark.sql.functions._
+    val utcN = utc.agg(sum(col("Event Count"))).collect()(0).getLong(0)
+    val laN = la.agg(sum(col("Event Count"))).collect()(0).getLong(0)
+    assert(utcN != laN, "UTC and LA windows should select different event sets")
+    // LA window = [05T08:00Z, 16T08:00Z)
+    val want = graft.core.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-05 08:00:00") && col("ts") < lit("2024-01-16 08:00:00"))
+      .count()
+    assert(laN == want)
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
