@@ -33,8 +33,31 @@ object request {
   final case class NotLikeFilter(field: String, value: String) extends QFilter
   final case class IsNullFilter(field: String) extends QFilter
   final case class IsNotNullFilter(field: String) extends QFilter
+  /** Boolean filter trees (reference OrFilter/AndFilter,
+    * FilterOperation.scala:355-368). `field` routes the tree: all
+    * leaves must live on the same side (validated at analysis). */
+  final case class OrFilter(filters: Seq[QFilter]) extends QFilter {
+    def field: String = filters.head.field
+  }
+  final case class AndFilter(filters: Seq[QFilter]) extends QFilter {
+    def field: String = filters.head.field
+  }
+  /** Applied on the final (joined, aggregated, rendered) result rather
+    * than pushed into a scan (reference OuterFilter,
+    * FilterOperation.scala:141). */
+  final case class OuterFilter(inner: QFilter) extends QFilter {
+    def field: String = inner.field
+  }
 
   final case class SortBy(field: String, descending: Boolean)
+
+  /** All leaf predicates of a filter tree. */
+  def leaves(f: QFilter): Seq[QFilter] = f match {
+    case OrFilter(fs)   => fs.flatMap(leaves)
+    case AndFilter(fs)  => fs.flatMap(leaves)
+    case OuterFilter(i) => leaves(i)
+    case leaf           => Seq(leaf)
+  }
 
   final case class ReportingRequest(
       cube: String,
@@ -68,7 +91,7 @@ object request {
         }
         filters <- (root \ "filterExpressions") match {
           case JArray(arr) =>
-            val fs = arr.map(parseFilter)
+            val fs = arr.map(parseFilterTree)
             fs.collectFirst { case Left(e) => Left(e) }
               .getOrElse(Right(fs.collect { case Right(f) => f }))
           case JNothing => Right(Nil)
@@ -144,4 +167,26 @@ object request {
       }
     } yield f
   }
+
+  private def children(v: JValue): Either[String, Seq[QFilter]] =
+    (v \ "filterExpressions") match {
+      case JArray(arr) if arr.size >= 2 =>
+        val fs = arr.map(parseFilterTree)
+        fs.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(fs.collect { case Right(f) => f }))
+      case _ => Left("or/and filter requires 'filterExpressions' with >= 2 entries")
+    }
+
+  /** Recursive filter grammar: leaves plus or / and / outer nodes. */
+  def parseFilterTree(v: JValue): Either[String, QFilter] =
+    (v \ "operator") match {
+      case JString(op) if op.equalsIgnoreCase("or") => children(v).map(OrFilter(_))
+      case JString(op) if op.equalsIgnoreCase("and") => children(v).map(AndFilter(_))
+      case JString(op) if op.equalsIgnoreCase("outer") =>
+        (v \ "filter") match {
+          case JNothing => Left("outer filter requires a nested 'filter'")
+          case inner    => parseFilterTree(inner).map(OuterFilter(_))
+        }
+      case _ => parseFilter(v)
+    }
 }

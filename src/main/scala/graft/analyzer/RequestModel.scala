@@ -39,6 +39,7 @@ object RequestModel {
       selects: Seq[Resolved],
       dimFilters: Seq[QFilter],      // on fact-level dim cols or dim attrs
       metricFilters: Seq[QFilter],   // HAVING
+      outerFilters: Seq[QFilter],    // applied on the final rendered result
       joinDims: Seq[String],         // dims (in join order) that must be joined
       joinKinds: Map[String, JoinKind],
       isDimDriven: Boolean) {
@@ -91,7 +92,8 @@ object RequestModel {
         val pubColOf: Map[String, PubCol] =
           (cube.variants.flatMap(_.dimCols) ++ cube.dims.flatMap(_.cols))
             .map(c => c.alias -> c).toMap
-        val filterErrs = req.filters.flatMap { f =>
+        val allLeaves = req.filters.flatMap(request.leaves)
+        val filterErrs = allLeaves.flatMap { f =>
           kindOf(f.field) match {
             case Left(e) => Some(e)
             case Right(Resolved(_, MetricCol)) => None // HAVING: always legal
@@ -100,6 +102,12 @@ object RequestModel {
               if (pc.allowedOps.contains(opOf(f))) None
               else Some(s"operator ${opOf(f)} not allowed on '${f.field}'")
           }
+        } ++ req.filters.collect {
+          // boolean trees must not mix metric and non-metric leaves
+          case f if {
+            val ls = request.leaves(f).map(_.field)
+            ls.exists(metricAliases) && ls.exists(!metricAliases(_))
+          } => s"filter tree on '${f.field}' mixes metric and dimension fields"
         }
         // schema-based access control (PublicColumn.restrictedSchemas)
         val aclErrs = (req.selectFields ++ req.filters.map(_.field)).distinct
@@ -113,20 +121,29 @@ object RequestModel {
         if (filterErrs.nonEmpty) Left(filterErrs.mkString("; "))
         else if (aclErrs.nonEmpty) Left(aclErrs.mkString("; "))
         else {
-          val (metricFs, dimFs) = req.filters.partition(f =>
-            metricAliases(f.field))
+          val (outerWrapped, pushable) =
+            req.filters.partition(_.isInstanceOf[OuterFilter])
+          val outerFs = outerWrapped.map(_.asInstanceOf[OuterFilter].inner)
+          val (metricFs, dimFs) = pushable.partition(f =>
+            request.leaves(f).forall(l => metricAliases(l.field)))
           // sorts must reference selected fields
           val badSort = req.sortBy.find(s => !req.selectFields.contains(s.field))
-          val badHaving = metricFs.find(f => !req.selectFields.contains(f.field))
-          (badSort, badHaving) match {
-            case (Some(s), _) => Left(s"sortBy field '${s.field}' not in selectFields")
-            case (_, Some(f)) => Left(s"metric filter on unselected field '${f.field}'")
+          val badHaving = metricFs.flatMap(request.leaves)
+            .find(f => !req.selectFields.contains(f.field))
+          // outer filters see only the rendered result columns
+          val badOuter = outerFs.flatMap(request.leaves)
+            .find(f => !req.selectFields.contains(f.field))
+          (badSort, badHaving, badOuter) match {
+            case (Some(s), _, _) => Left(s"sortBy field '${s.field}' not in selectFields")
+            case (_, Some(f), _) => Left(s"metric filter on unselected field '${f.field}'")
+            case (_, _, Some(f)) => Left(s"outer filter on unselected field '${f.field}'")
             case _ =>
               // dims needed: selected dim attrs + dim-attr filters, plus parents
               val directDims = (selects.collect { case Resolved(_, DimAttrCol(d)) => d } ++
-                dimFs.flatMap(f => dimAttr.get(f.field))).distinct
+                dimFs.flatMap(request.leaves).flatMap(f => dimAttr.get(f.field))).distinct
               val withParents = expandParents(cube, directDims)
-              val hasDimAttrFilter = dimFs.exists(f => dimAttr.contains(f.field))
+              val hasDimAttrFilter =
+                dimFs.flatMap(request.leaves).exists(f => dimAttr.contains(f.field))
               // driving dim = the directly-requested dim closest to the
               // fact in the join chain (most granular)
               val driving = withParents.find(directDims.contains)
@@ -141,7 +158,7 @@ object RequestModel {
                 dname -> kind
               }.toMap
               windowCheck(cube, pubColOf, dimFs).toLeft(()).map { _ =>
-                Model(req, cube, selects, dimFs, metricFs,
+                Model(req, cube, selects, dimFs, metricFs, outerFs,
                   withParents, joinKinds, req.dimensionDriven)
               }
           }

@@ -176,6 +176,23 @@ object SemanticQueries {
       | "filterExpressions": [{"field": "Day", "operator": "between", "from": "2024-01-05", "to": "2024-01-15"}],
       | "timezone": "America/Los_Angeles"}""".stripMargin
 
+  /** OR tree mixing a dim attribute and a fact-level (static-mapped)
+    * column — unpushable by construction, evaluated post-join. */
+  val sem09Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Market Segment"}, {"field": "Order Status"}, {"field": "Order Count"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"operator": "or", "filterExpressions": [
+      |   {"field": "Market Segment", "operator": "=", "value": "BUILDING"},
+      |   {"field": "Order Status", "operator": "=", "value": "Pending"}]}]}""".stripMargin
+
+  /** OuterFilter: applied on the final rendered result (display
+    * values), not pushed into any scan. */
+  val sem10Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}],
+      | "filterExpressions": [{"operator": "outer", "filter":
+      |   {"field": "Order Status", "operator": "in", "values": ["Open", "Fulfilled"]}}]}""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,6 +204,8 @@ object SemanticQueries {
     "sem06_derived_metric" -> (run(sem06Json) _),
     "sem07_derived_hidden_inputs" -> (run(sem07Json) _),
     "sem08_utc_timezone" -> (run(sem08Json) _),
+    "sem09_or_filter_tree" -> (run(sem09Json) _),
+    "sem10_outer_filter" -> (run(sem10Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -248,6 +267,23 @@ object SemanticQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 08:00:00' AND ts < TIMESTAMP '2024-01-16 08:00:00'
         |GROUP BY 1, 2 ORDER BY "Day", "Event Type"""".stripMargin,
+    "sem09_or_filter_tree" ->
+      """SELECT c_mktsegment AS "Market Segment",
+        | CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |  WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
+        | COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' OR o_orderstatus = 'P'
+        |GROUP BY 1, 2 ORDER BY "Market Segment", "Order Status"""".stripMargin,
+    "sem10_outer_filter" ->
+      """SELECT * FROM (
+        | SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+        |   WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS "Order Status",
+        |  COUNT(*) AS "Order Count"
+        | FROM orders GROUP BY 1) t
+        |WHERE "Order Status" IN ('Open', 'Fulfilled')
+        |ORDER BY "Order Status"""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

@@ -71,14 +71,26 @@ object Planner {
     val dimAttrOwner: Map[String, DimDef] =
       m.cube.dims.flatMap(d => d.cols.map(c => c.alias -> d)).toMap
 
-    // 1. fact-side filters: forced + request filters on fact-level cols
+    // 1. filter routing: a tree is pushed into the fact scan when every
+    // leaf is a fact-level column, into one dim scan when every leaf
+    // belongs to that dim; anything mixed is evaluated post-join (it
+    // cannot be pushed into either side by construction).
     val tz = m.req.timezone
+    def factPushable(f: QFilter) =
+      leaves(f).forall(l => pubDim.contains(l.field))
+    def owningDim(f: QFilter): Option[DimDef] =
+      m.cube.dims.find(d =>
+        leaves(f).forall(l => d.cols.exists(_.alias == l.field)))
+    val postJoinFilters = m.dimFilters
+      .filterNot(factPushable)
+      .filter(owningDim(_).isEmpty)
+
+    val factResolver: String => (Column, PubCol) =
+      a => (factScan.col(pubDim(a).physical), pubDim(a))
     val factFilters =
       m.cube.forced.map(_.apply(factScan)) ++
         m.dimFilters.collect {
-          case f if pubDim.contains(f.field) =>
-            filterToColumn(f, factScan.col(pubDim(f.field).physical),
-              pubDim(f.field), tz)
+          case f if factPushable(f) => predicate(f, factResolver, tz)
         }
     val filtered = factFilters.foldLeft(factScan)(_.filter(_))
 
@@ -92,8 +104,11 @@ object Planner {
       case SumRollup | MinRollup | MaxRollup | CountRollup => true
       case _ => false
     }
+    // post-join filters need fact physical columns in the joined frame,
+    // so the agg-before-join rewrite is disabled when any exist
     val twoStage = m.joinDims.nonEmpty && selectedMetricDefs.nonEmpty &&
-      selectedMetricDefs.forall(md => reAggregable(md.rollup))
+      selectedMetricDefs.forall(md => reAggregable(md.rollup)) &&
+      postJoinFilters.isEmpty
 
     // FKs the fact must carry for each requested dim chain's root
     val rootFks = m.joinDims.flatMap { dname =>
@@ -130,8 +145,11 @@ object Planner {
       // push dim-attr filters into the dim scan
       val dimColByAlias = d.cols.map(c => c.alias -> c).toMap
       m.dimFilters.foreach { f =>
-        dimColByAlias.get(f.field).foreach { pc =>
-          dimDf = dimDf.filter(filterToColumn(f, dimDf.col(pc.physical), pc, tz))
+        if (!factPushable(f) && owningDim(f).exists(_.name == dname)) {
+          val resolver: String => (Column, PubCol) = { a =>
+            val pc = dimColByAlias(a); (dimDf.col(pc.physical), pc)
+          }
+          dimDf = dimDf.filter(predicate(f, resolver, tz))
         }
       }
       val dimSide = if (d.small) broadcast(dimDf) else dimDf
@@ -144,6 +162,19 @@ object Planner {
       }
       joined = joined.join(dimSide, cond, how)
       dimDfs += (dname -> dimDf)
+    }
+
+    // 3b. mixed (cross-side) filter trees on the joined frame
+    if (postJoinFilters.nonEmpty) {
+      val postResolver: String => (Column, PubCol) = { a =>
+        pubDim.get(a).map(pc => (factScan.col(pc.physical), pc)).getOrElse {
+          val d = dimAttrOwner(a)
+          val pc = d.cols.find(_.alias == a).get
+          (dimDfs(d.name).col(pc.physical), pc)
+        }
+      }
+      joined = postJoinFilters.foldLeft(joined)((df, f) =>
+        df.filter(predicate(f, postResolver, tz)))
     }
 
     // 4. projection expressions per selected alias
@@ -203,9 +234,15 @@ object Planner {
       df.withColumn(a, derivedByAlias(a).compute(df))
     }
 
-    // 6. HAVING on metric aliases (incl. derived)
+    // 6. HAVING on metric aliases (incl. derived), then OuterFilters on
+    // the rendered result columns (reference FilterOperation.scala:141)
+    val aliasResolver: String => (Column, PubCol) =
+      a => (col(a), PubCol(a, a))
     val havinged = m.metricFilters.foldLeft(withDerived) { (df, f) =>
-      df.filter(filterToColumn(f, col(f.field), PubCol(f.field, f.field), tz))
+      df.filter(predicate(f, aliasResolver, tz))
+    }
+    val outered = m.outerFilters.foldLeft(havinged) { (df, f) =>
+      df.filter(predicate(f, aliasResolver, tz))
     }
 
     // 7. deterministic sort: requested sorts, then remaining non-metric
@@ -215,7 +252,7 @@ object Planner {
         nonMetricAliases.filterNot(a => m.req.sortBy.exists(_.field == a))
           .map(col(_).asc)
     val sorted =
-      if (sortCols.nonEmpty) havinged.orderBy(sortCols: _*) else havinged
+      if (sortCols.nonEmpty) outered.orderBy(sortCols: _*) else outered
     val paged = {
       val afterOffset =
         if (m.req.paginationStartIndex > 0) sorted.offset(m.req.paginationStartIndex)
@@ -244,6 +281,19 @@ object Planner {
         date_format(from_utc_timestamp(base, tz.getOrElse("UTC")), "yyyy-MM-dd")
       case None if pc.isDayGrain => date_format(base, "yyyy-MM-dd")
       case None => base
+    }
+
+  /** Filter tree → Column predicate: boolean nodes recurse with the
+    * given alias resolver; leaves delegate to [[filterToColumn]]. */
+  private def predicate(f: QFilter,
+      resolve: String => (Column, PubCol), tz: Option[String]): Column =
+    f match {
+      case OrFilter(fs)   => fs.map(predicate(_, resolve, tz)).reduce(_ || _)
+      case AndFilter(fs)  => fs.map(predicate(_, resolve, tz)).reduce(_ && _)
+      case OuterFilter(i) => predicate(i, resolve, tz)
+      case leaf =>
+        val (base, pc) = resolve(leaf.field)
+        filterToColumn(leaf, base, pc, tz)
     }
 
   /** Request filter → Column predicate, reverse-mapping display values

@@ -193,6 +193,35 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Bogus"))
   }
 
+  test("filter trees: or with one child and mixed metric/dim are rejected") {
+    val oneChild = request.parse(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}],
+        | "filterExpressions": [{"operator": "or", "filterExpressions": [
+        |   {"field": "Order Priority", "operator": "=", "value": "1-URGENT"}]}]}""".stripMargin)
+    assert(oneChild.isLeft && oneChild.swap.toOption.get.contains(">= 2"))
+    val mixed = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"operator": "or", "filterExpressions": [
+        |   {"field": "Order Priority", "operator": "=", "value": "1-URGENT"},
+        |   {"field": "Order Count", "operator": ">", "value": "3"}]}]}""".stripMargin)
+    assert(mixed.isLeft && mixed.swap.toOption.get.contains("mixes"))
+  }
+
+  test("outer filter on an unselected field is rejected") {
+    val r = model(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"operator": "outer", "filter":
+        |   {"field": "Order Status", "operator": "=", "value": "Open"}}]}""".stripMargin)
+    assert(r.isLeft && r.swap.toOption.get.contains("outer filter"))
+  }
+
+  test("mixed or-tree disables agg-before-join (needs fact cols post-join)") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem09Json, spark, sf).toOption.get
+    assert(!p.twoStage)
+  }
+
   test("schema ACL: restricted column rejected without the right schema") {
     val noSchema = model(
       """{"cube": "user_events", "selectFields": [{"field": "User ID"}, {"field": "Event Count"}]}""")
