@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: exact fixed-point dot product of two
+  * float vectors — Σ floor(aᵢ·bᵢ·1e12) as a BIGINT.
+  *
+  * This is the numeric-determinism primitive of the similarity
+  * operators (each float×float product is IEEE-identical in any engine;
+  * scaling+flooring to integers makes the SUM associative, so Spark's
+  * partial-aggregation and row order cannot perturb results vs the
+  * DuckDB oracle — see operators/Similarity.scala).
+  *
+  * Implemented as a BinaryExpression with `doGenCode` (a tight
+  * primitive loop inside whole-stage codegen, no per-element boxing)
+  * because the equivalent `aggregate(zip_with(...))` higher-order
+  * expression allocates an intermediate array and evaluates lambdas
+  * interpreted per element — the preference order of SURVEY §2:
+  * native Expression > composed HOFs > UDF. Register per session via
+  * [[GraftFunctions.fixdot]] or `GraftExtensions` (SparkSessionExtensions).
+  */
+case class FixedPointDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"fixdot requires two array<float> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fixdot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        acc += math.floor(
+          a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e12).toLong
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) java.lang.Math.floor(
+         |      (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1.0E12D);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FixedPointDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API wrappers for graft's native expressions. */
+object GraftFunctions {
+  /** Exact fixed-point dot product (scaled by 1e12) as BIGINT. */
+  def fixdot(a: Column, b: Column): Column =
+    GraftBridge.column(FixedPointDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Exact dot product as DOUBLE (unscaled). */
+  def fixdotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    fixdot(a, b).cast("double") / lit(1e12)
+  }
+
+  /** Register graft's native expressions for SQL use in an existing
+    * session (new sessions can instead set
+    * spark.sql.extensions=graft.functions.GraftExtensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "fixdot",
+      exprs => FixedPointDot(exprs(0), exprs(1)))
+}

@@ -21,23 +21,19 @@ import graft.core.Tables._
   */
 object Similarity {
 
-  /** Exact fixed-point fold: each float×float product is computed in
+  /** Exact fixed-point dot: each float×float product is computed in
     * double (IEEE-identical in any engine), scaled by 1e12, floored,
     * and summed as BIGINT — an associative exact sum, so Spark's
-    * partial-aggregation order can't perturb it. */
-  private val norm2Fix =
-    """cast(aggregate(transform(embedding, x ->
-      |    cast(floor(cast(x as double) * cast(x as double) * 1e12) as bigint)),
-      |  0L, (acc, v) -> acc + v) as double) / 1e12""".stripMargin
-
-  private val dotFix =
-    """cast(aggregate(zip_with(qe, ce, (x, y) ->
-      |    cast(floor(cast(x as double) * cast(y as double) * 1e12) as bigint)),
-      |  0L, (acc, v) -> acc + v) as double) / 1e12""".stripMargin
+    * partial-aggregation order can't perturb it. Runs as the native
+    * codegen'd [[graft.functions.FixedPointDot]] expression (a tight
+    * primitive loop; the aggregate/zip_with HOF form it replaces
+    * allocated an array and ran interpreted per element). */
+  private def dotFix = graft.functions.GraftFunctions.fixdotD(col("qe"), col("ce"))
 
   private def withNorm(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
-      .withColumn("nrm", sqrt(expr(norm2Fix)))
+      .withColumn("nrm", sqrt(
+        graft.functions.GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10
     * (oracle-checked). Query side is broadcast; corpus side is a
@@ -49,7 +45,7 @@ object Similarity {
     val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
     c.join(q, col("qid") =!= col("nid"))
-      .withColumn("cosine", expr(dotFix) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select("qid", "nid", "rank", "cosine")
@@ -91,7 +87,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", expr(dotFix) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
       .select("qid", "nid", "rank", "cosine")
@@ -118,7 +114,7 @@ object Similarity {
       col("nrm").as("cn"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("x") < col("y"))
-      .withColumn("cosine", expr(dotFix) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .filter(col("cosine") >= 0.3)
       .select("x", "y", "cosine")
       .orderBy("x", "y")

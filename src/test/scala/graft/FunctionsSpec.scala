@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Native-expression tests: the codegen'd FixedPointDot must agree
+  * exactly with (a) the interpreted higher-order-function formulation
+  * it replaced and (b) a driver-side Scala reference, and be callable
+  * from SQL after registration.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("fixdot matches the aggregate/zip_with fixed-point formulation") {
+    val hof = expr(
+      """aggregate(zip_with(embedding, embedding, (x, y) ->
+        |    cast(floor(cast(x as double) * cast(y as double) * 1e12) as bigint)),
+        |  0L, (acc, v) -> acc + v)""".stripMargin)
+    val df = graft.core.Tables.embeddings(spark, sf)
+      .select(GraftFunctions.fixdot(col("embedding"), col("embedding")).as("native"),
+        hof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("fixdot matches a driver-side reference on a known vector") {
+    import spark.implicits._
+    val a = Array(0.5f, -1.25f, 3.0f)
+    val b = Array(2.0f, 0.5f, -1.0f)
+    val expected = a.zip(b).map { case (x, y) =>
+      math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.fixdot(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(got == expected)
+  }
+
+  test("null array yields null; null elements are skipped") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.fixdot(col("a"), col("b")).as("d"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("fixdot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    graft.core.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val n = spark.sql(
+      "SELECT fixdot(embedding, embedding) AS d FROM emb WHERE vec_id < 3")
+      .filter(col("d") > 0).count()
+    assert(n == 3)
+  }
+
+  test("type mismatch is a clear analysis error") {
+    val ex = intercept[Exception] {
+      graft.core.Tables.orders(spark, sf)
+        .select(GraftFunctions.fixdot(col("o_orderkey"), col("o_orderkey")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("fixdot") || ex.getMessage.contains("DATATYPE"))
+  }
+}
