@@ -34,7 +34,8 @@ import graft.core.Tables
   */
 object Planner {
 
-  final case class Planned(df: DataFrame, factName: String, twoStage: Boolean)
+  final case class Planned(df: DataFrame, factName: String, twoStage: Boolean,
+      dimPaged: Boolean = false)
 
   def plan(m: Model, spark: SparkSession, dir: String): Either[String, Planned] = {
     chooseVariant(m).map { fact =>
@@ -136,6 +137,22 @@ object Planner {
             selectedMetricDefs.tail.map(md => preAggCol(md).as(s"__m_${md.alias}")): _*)
       } else filtered
 
+    // Dim-driven pagination-first (reference QueryPipeline.scala:918-946
+    // dim-query-then-fact shape; SURVEY §7.3): when the request is
+    // dim-driven, paginated, metric-filter-free, and sorted only by
+    // plain attributes of the driving dim (or unsorted), the PAGE of
+    // driving-dim rows is computed BEFORE the join — the fact side then
+    // joins against rowsPerPage dim rows instead of the whole dim
+    // table. At 100 TB this bounds the join input by the page size.
+    val drivingDim = m.joinDims.find(dn => m.joinKinds(dn) == RightOuterJoin)
+    val dimPageable = drivingDim.exists { dn =>
+      val d = m.cube.dimByName(dn)
+      def plainDimCol(a: String) = d.cols.exists(pc =>
+        pc.alias == a && pc.staticMapping.isEmpty && !pc.isDayGrain)
+      m.isDimDriven && m.req.rowsPerPage > 0 && m.metricFilters.isEmpty &&
+        m.outerFilters.isEmpty && m.req.sortBy.forall(s => plainDimCol(s.field))
+    }
+
     // 3. dimension joins, parents before children
     var joined = factSide
     var dimDfs = Map.empty[String, DataFrame]
@@ -151,6 +168,17 @@ object Planner {
           }
           dimDf = dimDf.filter(predicate(f, resolver, tz))
         }
+      }
+      if (dimPageable && drivingDim.contains(dname)) {
+        val sortCols =
+          if (m.req.sortBy.nonEmpty) m.req.sortBy.map { sb =>
+            val c = dimDf.col(dimColByAlias(sb.field).physical)
+            if (sb.descending) c.desc else c.asc
+          } :+ dimDf.col(d.key).asc
+          else Seq(dimDf.col(d.key).asc)
+        dimDf = dimDf.orderBy(sortCols: _*)
+          .offset(math.max(m.req.paginationStartIndex, 0))
+          .limit(m.req.rowsPerPage)
       }
       val dimSide = if (d.small) broadcast(dimDf) else dimDf
       val parentDf = d.parent.map(dimDfs).getOrElse(factSide)
@@ -253,15 +281,17 @@ object Planner {
           .map(col(_).asc)
     val sorted =
       if (sortCols.nonEmpty) outered.orderBy(sortCols: _*) else outered
-    val paged = {
-      val afterOffset =
-        if (m.req.paginationStartIndex > 0) sorted.offset(m.req.paginationStartIndex)
-        else sorted
-      if (m.req.rowsPerPage > 0) afterOffset.limit(m.req.rowsPerPage) else afterOffset
-    }
+    val paged =
+      if (dimPageable) sorted // page already taken on the driving dim
+      else {
+        val afterOffset =
+          if (m.req.paginationStartIndex > 0) sorted.offset(m.req.paginationStartIndex)
+          else sorted
+        if (m.req.rowsPerPage > 0) afterOffset.limit(m.req.rowsPerPage) else afterOffset
+      }
 
     val projected = paged.select(m.selects.map(r => col(r.alias)): _*)
-    Planned(projected, fact.name, twoStage)
+    Planned(projected, fact.name, twoStage, dimPageable)
   }
 
   /** FK column for a chain-root dim lives on the fact side; for child

@@ -253,6 +253,19 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(laN == want)
   }
 
+  test("dim-driven pagination limits the driving dim before the join") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem04Json, spark, sf).toOption.get
+    assert(p.dimPaged, "sem04 should page the driving dim pre-join")
+    assert(p.df.count() == 50)
+    // a metric sort disables the dim-side page (fact order decides)
+    val metricSorted = SemanticQueries.sem04Json.replace(
+      """ "rowsPerPage": 50""",
+      """ "rowsPerPage": 50, "sortBy": [{"field": "Total Spend", "order": "Desc"}]""")
+    val p2 = SemanticQueries.planFor(metricSorted, spark, sf).toOption.get
+    assert(!p2.dimPaged)
+    assert(p2.df.count() == 50)
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
