@@ -93,9 +93,33 @@ object Streaming {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Streaming exact deduplication: dropDuplicates over the key
+    * columns is Structured Streaming's stateful dedup operator (state =
+    * seen keys, shuffled on the key — the streaming counterpart of
+    * dd01's hash-groupBy). Run to completion with AvailableNow;
+    * projecting only the key columns makes the result deterministic. */
+  def st03(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .format("memory")
+      .queryName("st03_mem")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st03_mem").orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_sessionize" -> (st02 _),
+    "st03_stream_dedup" -> (st03 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -104,6 +128,9 @@ object Streaming {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "st03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "st02_sessionize" ->
       """WITH o AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
