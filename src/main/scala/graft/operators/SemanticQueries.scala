@@ -24,6 +24,8 @@ object SemanticQueries {
   private def countMetric = PubMetric("Order Count", CountRollup, _ => lit(1))
   private def maxPriceMetric = PubMetric("Max Price", MaxRollup,
     df => dec2(df.col("o_totalprice")), _.cast("double"))
+  private def avgPriceMetric = PubMetric("Avg Price", AvgRollup,
+    df => dec2(df.col("o_totalprice")))
   private def distinctCustomersMetric = PubMetric("Distinct Customers",
     CountDistinctRollup, df => df.col("o_custkey"))
 
@@ -34,6 +36,16 @@ object SemanticQueries {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"), col("o_orderdate"))
       .agg(count(lit(1)).as("__cnt"), sum(dec2(col("o_totalprice"))).as("__spend"))
+
+  /** UnionView variant (reference fact/View.scala:24-80): the fact is a
+    * UNION ALL of per-stage sub-facts, each stage injecting a constant
+    * stage column (ConstDimCol / QueryPipeline nextStage analogue). */
+  private def unionView(s: SparkSession, d: String): DataFrame = {
+    def stage(status: String, label: String): DataFrame =
+      Tables.orders(s, d).filter(col("o_orderstatus") === status)
+        .withColumn("__stage", lit(label))
+    stage("O", "open").unionByName(stage("F", "closed"))
+  }
 
   val orderCube: CubeDef = CubeDef(
     name = "order_stats",
@@ -48,7 +60,7 @@ object SemanticQueries {
           PubCol("Order Priority", "o_orderpriority"),
           PubCol("Customer Key", "o_custkey")),
         metrics = Seq(spendMetric, countMetric, maxPriceMetric,
-          distinctCustomersMetric),
+          avgPriceMetric, distinctCustomersMetric),
         cost = 100,
         derived = Seq(
           // PostResultColumn analogue: computed after the final agg
@@ -68,6 +80,18 @@ object SemanticQueries {
           PubMetric("Order Count", SumRollup, df => df.col("__cnt"))),
         cost = 10,
         view = Some(rollupView),
+        availableDims = Some(Set.empty)),
+      FactDef(
+        name = "orders_union_view",
+        table = "orders",
+        dimCols = Seq(
+          PubCol("Source Stage", "__stage"),
+          PubCol("Order Date", "o_orderdate",
+            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+          PubCol("Order Priority", "o_orderpriority")),
+        metrics = Seq(spendMetric, countMetric),
+        cost = 20,
+        view = Some(unionView),
         availableDims = Some(Set.empty))),
     dims = Seq(
       DimDef("customer", "customer", "c_custkey", "o_custkey", None, Seq(
@@ -193,6 +217,19 @@ object SemanticQueries {
       | "filterExpressions": [{"operator": "outer", "filter":
       |   {"field": "Order Status", "operator": "in", "values": ["Open", "Fulfilled"]}}]}""".stripMargin
 
+  /** Union-view variant selection: Source Stage only exists on the
+    * UNION ALL view, so the planner must pick it. */
+  val sem11Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Source Stage"}, {"field": "Order Priority"}, {"field": "Order Count"}, {"field": "Total Spend"}]}""".stripMargin
+
+  /** AverageRollup through the planner (single-stage: avg is not
+    * re-aggregable). */
+  val sem12Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Avg Price"}, {"field": "Order Count"}],
+      | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}]}""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,6 +243,8 @@ object SemanticQueries {
     "sem08_utc_timezone" -> (run(sem08Json) _),
     "sem09_or_filter_tree" -> (run(sem09Json) _),
     "sem10_outer_filter" -> (run(sem10Json) _),
+    "sem11_union_view" -> (run(sem11Json) _),
+    "sem12_avg_rollup" -> (run(sem12Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -284,6 +323,22 @@ object SemanticQueries {
         | FROM orders GROUP BY 1) t
         |WHERE "Order Status" IN ('Open', 'Fulfilled')
         |ORDER BY "Order Status"""".stripMargin,
+    "sem11_union_view" ->
+      """SELECT stage AS "Source Stage", o_orderpriority AS "Order Priority",
+        | COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM (
+        | SELECT 'open' AS stage, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        | UNION ALL
+        | SELECT 'closed' AS stage, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY 1, 2 ORDER BY "Source Stage", "Order Priority"""".stripMargin,
+    "sem12_avg_rollup" ->
+      """SELECT o_orderpriority AS "Order Priority",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS "Avg Price",
+        | COUNT(*) AS "Order Count"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY "Order Priority"""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

@@ -125,7 +125,11 @@ object Planner {
       case MinRollup   => min(md.pre(factScan))
       case MaxRollup   => max(md.pre(factScan))
       case CountRollup => count(lit(1))
-      case AvgRollup   => avg(md.pre(factScan))
+      // exact decimal sum → one double conversion → IEEE divide: the
+      // engine-independent average (decimal avg would round at an
+      // engine-specific scale)
+      case AvgRollup   =>
+        sum(md.pre(factScan)).cast("double") / count(md.pre(factScan))
       case CountDistinctRollup => countDistinct(md.pre(factScan))
     }
 
