@@ -35,21 +35,21 @@ object Dedup {
       .select("doc_id", "shingles")
 
   /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of
-    * documents sharing at least one 5-gram, with exact Jaccard ≥ 0.2. */
+    * documents sharing at least one 5-gram, with exact Jaccard ≥ 0.2.
+    * The inverted-index join carries each side's shingle-set size, so
+    * intersection AND union sizes fall out of one shuffle — no
+    * join-back against the corpus for sizes. */
   def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val cand = ex.as("a")
+    val ex = shingled(s, d).select(col("doc_id"),
+      size(col("shingles")).cast("bigint").as("n"),
+      explode(col("shingles")).as("s"))
+    ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.n").as("nx"), col("b.n").as("ny"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("bigint").as("n"))
-    cand
-      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
-      .select(col("x"), col("y"), col("inter"),
-        col("sa.n").as("nx"), col("sb.n").as("ny"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .select(col("x"), col("y"), col("inter"), col("nx"), col("ny"),
+        (col("inter").cast("double") / (col("nx") + col("ny") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("x", "y")
