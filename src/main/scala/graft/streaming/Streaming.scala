@@ -28,6 +28,18 @@ import graft.core.Tables
   */
 object Streaming {
 
+  /** Checkpoint root for the bounded (AvailableNow) runs: tmpfs when
+    * available — the offset/commit WAL fsyncs dominate small bounded
+    * runs; production unbounded streams would point this at durable
+    * storage instead. */
+  private def ckptDir(name: String): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val dir = s"$base/graft-ckpt-$name-${java.util.UUID.randomUUID()}"
+    new java.io.File(dir).deleteOnExit()
+    dir
+  }
+
   /** Raw parquet schema of events (ts is INT64 nanos in the file —
     * see Tables.events). */
   private val rawSchema = StructType(Seq(
@@ -54,6 +66,7 @@ object Streaming {
     val q = stream.writeStream
       .format("memory")
       .queryName("st01_mem")
+      .option("checkpointLocation", ckptDir("st01"))
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -109,6 +122,7 @@ object Streaming {
       .writeStream
       .format("memory")
       .queryName("st03_mem")
+      .option("checkpointLocation", ckptDir("st03"))
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
