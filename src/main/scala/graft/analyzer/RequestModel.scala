@@ -157,10 +157,19 @@ object RequestModel {
                   else LeftOuterJoin
                 dname -> kind
               }.toMap
-              windowCheck(cube, pubColOf, dimFs).toLeft(()).map { _ =>
-                Model(req, cube, selects, dimFs, metricFs, outerFs,
-                  withParents, joinKinds, req.dimensionDriven)
+              val rowsGuard = cube.maxRowsSync.collect {
+                case max if req.rowsPerPage <= 0 =>
+                  s"cube '${cube.name}' requires pagination " +
+                    s"(rowsPerPage 1..$max)"
+                case max if req.rowsPerPage > max =>
+                  s"rowsPerPage ${req.rowsPerPage} exceeds cube " +
+                    s"'${cube.name}' maxRowsSync=$max"
               }
+              rowsGuard.orElse(windowCheck(cube, pubColOf, dimFs))
+                .toLeft(()).map { _ =>
+                  Model(req, cube, selects, dimFs, metricFs, outerFs,
+                    withParents, joinKinds, req.dimensionDriven)
+                }
           }
         }
     }

@@ -144,7 +144,42 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** Scala-UDF escape hatch (JavaScriptFilter analogue, reference
+    * FilterOperation.scala:278: Druid-only JS predicates become Scala
+    * UDFs in the Spark rebuild). The predicate itself is arbitrary JVM
+    * code; this one is chosen to be SQL-expressible so the oracle can
+    * check it. UDFs break codegen/pushdown — reserved for logic the
+    * function library can't express. */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    s.udf.register("js_pred",
+      (k: Long) => ((k % 100003L) * 31L + 7L) % 100L < 15L)
+    orders(s, d)
+      .filter(expr("js_pred(o_orderkey)"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Typed Aggregator UDAF (reference UDAF surface,
+    * UDFRegistration.scala:10-28): exact sum-of-squares with a custom
+    * buffer + merge, plus variance derived from the exact partials. */
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val sq = udaf(graft.functions.Udafs.sumOfSquares)
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        sq(col("o_totalprice")).as("sum_sq"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .withColumn("variance",
+        (col("sum_sq") - col("total") * col("total") / col("n")) / col("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_udf_filter" -> (q27 _),
+    "q28_custom_udaf" -> (q28 _),
     "q24_supplier_star" -> (q24 _),
     "q25_props_json" -> (q25 _),
     "q26_lookup_decode_join" -> (q26 _),
@@ -155,6 +190,21 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q27_udf_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE ((o_orderkey % 100003) * 31 + 7) % 100 < 15
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q28_custom_udaf" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        | COUNT(*) AS n,
+        | (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |     * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS variance
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q24_supplier_star" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,

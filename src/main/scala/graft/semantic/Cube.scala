@@ -133,12 +133,17 @@ object model {
     * filters, reference Fact.scala:458). */
   final case class ForcedFilter(apply: DataFrame => Column)
 
+  /** `maxRowsSync` caps the page size a synchronous request may ask
+    * for (reference max-rows guards, DruidQueryGenerator.scala:159-166:
+    * sync 5,000 / topN 400 / async 100,000); when set, requests must
+    * paginate within the cap. */
   final case class CubeDef(
       name: String,
       variants: Seq[FactDef],
       dims: Seq[DimDef],
       forced: Seq[ForcedFilter] = Nil,
-      maxDaysWindow: Option[Int] = None) {
+      maxDaysWindow: Option[Int] = None,
+      maxRowsSync: Option[Int] = None) {
     def base: FactDef = variants.head
     lazy val dimByName: Map[String, DimDef] = dims.map(d => d.name -> d).toMap
   }

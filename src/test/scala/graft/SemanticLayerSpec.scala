@@ -222,6 +222,23 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(!p.twoStage)
   }
 
+  test("maxRowsSync guard: unpaginated and oversize requests rejected") {
+    import graft.semantic.model.Registry
+    val capped = Registry(SemanticQueries.orderCube.copy(maxRowsSync = Some(100)))
+    def m(json: String) = request.parse(json).flatMap(RequestModel.from(_, capped))
+    val unpaged = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""")
+    assert(unpaged.isLeft && unpaged.swap.toOption.get.contains("requires pagination"))
+    val tooBig = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "rowsPerPage": 500}""".stripMargin)
+    assert(tooBig.isLeft && tooBig.swap.toOption.get.contains("maxRowsSync"))
+    val ok = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "rowsPerPage": 100}""".stripMargin)
+    assert(ok.isRight)
+  }
+
   test("schema ACL: restricted column rejected without the right schema") {
     val noSchema = model(
       """{"cube": "user_events", "selectFields": [{"field": "User ID"}, {"field": "Event Count"}]}""")
