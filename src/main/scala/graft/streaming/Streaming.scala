@@ -50,9 +50,21 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `body` with a temporarily reduced shuffle-partition count:
+    * each streaming state partition carries fixed per-batch overhead
+    * (store init, commit, snapshot), so a bounded run with tiny state
+    * wants few partitions; an unbounded production stream would size
+    * this to state volume instead. */
+  private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Streaming daily windowed aggregation with a watermark, driven to
     * completion (AvailableNow) into a memory sink. */
-  def st01(s: SparkSession, d: String): DataFrame = {
+  def st01(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream
       .schema(rawSchema)
@@ -111,7 +123,7 @@ object Streaming {
     * seen keys, shuffled on the key — the streaming counterpart of
     * dd01's hash-groupBy). Run to completion with AvailableNow;
     * projecting only the key columns makes the result deterministic. */
-  def st03(s: SparkSession, d: String): DataFrame = {
+  def st03(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val q = s.readStream
       .schema(rawSchema)
