@@ -230,6 +230,19 @@ object SemanticQueries {
       | "selectFields": [{"field": "Order Priority"}, {"field": "Avg Price"}, {"field": "Order Count"}],
       | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}]}""".stripMargin
 
+  /** SQL front door over the cube registry (MahaCalciteSqlParser
+    * analogue): Catalyst parses the SQL, SqlFrontDoor translates the
+    * restricted grammar to a ReportingRequest, and the normal
+    * analyze/plan path runs it — aggregation implicit, display-value
+    * filters reverse-mapped, same as the JSON door. */
+  val sql02Text: String =
+    """SELECT `Order Priority`, `Order Count`, `Total Spend`
+      |FROM order_stats
+      |WHERE `Order Date` BETWEEN '1995-01-01' AND '1996-12-31'
+      |  AND `Order Status` IN ('Open', 'Fulfilled')
+      |ORDER BY `Total Spend` DESC
+      |LIMIT 3""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +258,7 @@ object SemanticQueries {
     "sem10_outer_filter" -> (run(sem10Json) _),
     "sem11_union_view" -> (run(sem11Json) _),
     "sem12_avg_rollup" -> (run(sem12Json) _),
+    "sql02_cube_sql" -> (graft.analyzer.SqlFrontDoor.run(sql02Text, registry) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -339,6 +353,13 @@ object SemanticQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
         |GROUP BY 1 ORDER BY "Order Priority"""".stripMargin,
+    "sql02_cube_sql" ->
+      """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+        | AND o_orderstatus IN ('O', 'F')
+        |GROUP BY 1 ORDER BY "Total Spend" DESC, "Order Priority" LIMIT 3""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

@@ -16,4 +16,10 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Parse SQL text to an unresolved logical plan with the session's
+    * own parser (private[sql] behind sessionState). */
+  def parseSql(spark: SparkSession,
+      sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
 }

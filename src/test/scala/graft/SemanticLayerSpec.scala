@@ -283,6 +283,33 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(p2.df.count() == 50)
   }
 
+  test("SQL front door: BETWEEN merges, IN reverse-maps, limit applies") {
+    val req = graft.analyzer.SqlFrontDoor
+      .toRequest(spark, SemanticQueries.sql02Text).toOption.get
+    assert(req.cube == "order_stats")
+    assert(req.rowsPerPage == 3)
+    assert(req.filters.exists {
+      case request.BetweenFilter("Order Date", "1995-01-01", "1996-12-31") => true
+      case _ => false
+    })
+    assert(req.filters.exists {
+      case request.InFilter("Order Status", vs) => vs == Seq("Open", "Fulfilled")
+      case _ => false
+    })
+    assert(req.sortBy == Seq(request.SortBy("Total Spend", descending = true)))
+  }
+
+  test("SQL front door: OR trees translate; GROUP BY is rejected") {
+    val orReq = graft.analyzer.SqlFrontDoor.toRequest(spark,
+      """SELECT `Order Priority`, `Order Count` FROM order_stats
+        |WHERE `Order Priority` = '1-URGENT' OR `Order Priority` = '2-HIGH'""".stripMargin)
+      .toOption.get
+    assert(orReq.filters.exists(_.isInstanceOf[request.OrFilter]))
+    val grouped = graft.analyzer.SqlFrontDoor.toRequest(spark,
+      "SELECT `Order Priority`, COUNT(*) FROM order_stats GROUP BY `Order Priority`")
+    assert(grouped.isLeft)
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
