@@ -21,6 +21,72 @@ class StreamingSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("flatMapGroupsWithState sessionization emits correct sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val gapUs = 1800L * 1000000L
+    // (user, sessionStartUs, sessionEndUs, n); event-time logic runs at
+    // µs precision (matching batch st02), state timeouts at ms
+    def sessionize(uid: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+      if (rows.isEmpty && state.hasTimedOut) {
+        val (st, last, n) = state.get
+        state.remove()
+        return Iterator.single((uid, st, last, n))
+      }
+      val sorted = rows.toIndexedSeq.sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (st, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+      sorted.foreach { case (us, _) =>
+        if (last >= 0 && us - last > gapUs) { out += ((uid, st, last, n)); n = 0; st = us }
+        if (last < 0) st = us
+        n += 1; last = us
+      }
+      state.update((st, last, n))
+      state.setTimeoutTimestamp((last + gapUs) / 1000 + 1)
+      out.iterator
+    }
+    val q = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         st: GroupState[(Long, Long, Long)]) =>
+          sessionize(uid, it.map { r =>
+            val us = r._2.getTime * 1000 + (r._2.getNanos / 1000) % 1000
+            (us, r._3)
+          }, st))
+      .toDF("user_id", "start_us", "end_us", "n")
+      .writeStream.format("memory").queryName("fmgs_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("fmgs_mem").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.streaming.Streaming.st02(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+      .toSet
+    assert(streamed.nonEmpty, "no sessions emitted")
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch reference: ${(streamed -- batch).take(3)}")
+    // all but the per-user trailing sessions must have been emitted
+    val maxUs = graft.core.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val mustEmit = batch.filter { case (_, _, end, _) =>
+      end + gapUs < maxUs - 60L * 1000000L }
+    assert(mustEmit.subsetOf(streamed),
+      s"sessions past watermark not emitted: ${(mustEmit -- streamed).take(3)}")
+  }
+
   test("streaming session_window aggregation equals batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
