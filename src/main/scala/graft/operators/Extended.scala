@@ -119,6 +119,22 @@ object Extended {
         length(col("frame")).cast("bigint").as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Stride resampling ("resize" plumbing): take every 4th byte of the
+    * payload — the downsample shape an image/audio resizer runs (the
+    * real kernel would interpolate; the stride indexing, schema and
+    * per-row output contract are the same). ASCII corpus ⇒ char
+    * stride == byte stride, so the DuckDB oracle can check it. */
+  def mm04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("resized", expr(
+        "array_join(transform(sequence(1, length(text), 4)," +
+          " i -> substring(text, i, 1)), '')"))
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_orig"),
+        length(col("resized")).cast("bigint").as("n_resized"),
+        md5(encode(col("resized"), "UTF-8")).as("resized_md5"))
+      .orderBy("doc_id")
+
   /** Decode-stub plumbing (mapInPandas analogue): the typed
     * mapPartitions pipeline a real image/audio decoder would run in —
     * binary payload in, fixed feature schema out, one batch per
@@ -187,6 +203,7 @@ object Extended {
     "tx05_bpe_pieces" -> (tx05 _),
     "mm02_frame_chunks" -> (mm02 _),
     "mm03_decode_stub" -> (mm03 _),
+    "mm04_resize_stride" -> (mm04 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -241,6 +258,15 @@ object Extended {
         | len(list_filter(pieces, p -> NOT regexp_matches(p, '^[A-Za-z0-9]'))) AS n_punct,
         | CAST(len(pieces) AS DOUBLE) / length(text) AS pieces_per_char
         |FROM p ORDER BY doc_id""".stripMargin,
+    "mm04_resize_stride" ->
+      """WITH r AS (
+        | SELECT doc_id, text,
+        |  array_to_string(list_transform(range(1, length(text) + 1, 4),
+        |    i -> substring(text, CAST(i AS BIGINT), 1)), '') AS resized
+        | FROM documents)
+        |SELECT doc_id, length(text) AS n_orig, length(resized) AS n_resized,
+        | md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm02_frame_chunks" ->
       """WITH f AS (
         | SELECT doc_id, text,
