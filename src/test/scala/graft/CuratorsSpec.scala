@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.curators.Curators
+import graft.operators.SemanticQueries.{registry, cur01Json, cur04Json, sem04Json}
+
+/** Curator edge cases beyond the oracle-checked cur01–cur04. */
+class CuratorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("timeshift requires a day Between filter") {
+    val noDay =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}]}""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      Curators.timeShift(noDay, registry)(spark, sf).collect()
+    }
+    assert(ex.getMessage.contains("Between"))
+  }
+
+  test("timeshift works on the tz-grain events cube") {
+    val json =
+      """{"cube": "user_events",
+        | "selectFields": [{"field": "Event Type"}, {"field": "Total Value"}],
+        | "filterExpressions": [{"field": "Day", "operator": "between", "from": "2024-01-16", "to": "2024-01-30"}],
+        | "timezone": "America/Los_Angeles"}""".stripMargin
+    val df = Curators.timeShift(json, registry)(spark, sf)
+    assert(df.columns.toSeq == Seq("Event Type", "Total Value",
+      "Total Value Prev", "Total Value Pct Change"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(1)))
+  }
+
+  test("rowCount ignores pagination") {
+    val n = Curators.rowCount(sem04Json, registry)(spark, sf)
+      .collect()(0).getLong(0)
+    val customers = graft.core.Tables.customer(spark, sf).count()
+    assert(n == customers)
+  }
+
+  test("drilldown with topN larger than the parent set keeps all parents") {
+    val df = Curators.drillDown(cur04Json, "Order Status", 100, registry)(spark, sf)
+    val parents = df.select("Order Priority").distinct().count()
+    assert(parents == 5) // all five priorities survive
+  }
+
+  test("totalmetrics returns exactly one row with the filters applied") {
+    val df = Curators.totalMetrics(cur01Json, registry)(spark, sf)
+    assert(df.count() == 1)
+    val total = df.collect()(0).getDouble(df.columns.indexOf("Total Spend"))
+    val want = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-02-01")
+        && col("o_orderdate") <= lit("1996-07-31"))
+      .agg(sum(graft.core.Tables.dec2(col("o_totalprice"))).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(total - want) < 1e-6)
+  }
+}
