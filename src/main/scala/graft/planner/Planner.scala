@@ -37,17 +37,37 @@ object Planner {
   final case class Planned(df: DataFrame, factName: String, twoStage: Boolean,
       dimPaged: Boolean = false)
 
-  def plan(m: Model, spark: SparkSession, dir: String): Either[String, Planned] = {
-    chooseVariant(m).map { fact =>
-      val factDf = fact.view.map(_(spark, dir))
-        .getOrElse(Tables.tbl(spark, dir, fact.table))
-      build(m, fact, factDf, spark, dir)
+  def plan(m: Model, spark: SparkSession, dir: String): Either[String, Planned] =
+    chooseVariants(m).map(vs => planOn(m, vs.head, spark, dir))
+
+  /** Fallback execution (QueryPipelineWithFallback analogue, reference
+    * QueryPipeline.scala:111-152,325-339): run the cheapest covering
+    * variant; if it throws or returns an EMPTY result while a costlier
+    * covering variant remains (e.g. a stale rollup missing the
+    * requested window), re-plan on the next candidate. The emptiness
+    * probe executes the plan — exactly the reference's empty-result
+    * rerun semantics. */
+  def planWithFallback(m: Model, spark: SparkSession, dir: String): Either[String, Planned] =
+    chooseVariants(m).map { vs =>
+      var last: Option[Planned] = None
+      vs.foreach { v =>
+        try {
+          val p = planOn(m, v, spark, dir)
+          last = Some(p)
+          if (!p.df.isEmpty) return Right(p)
+        } catch { case _: Exception if vs.last != v => () }
+      }
+      last.getOrElse(planOn(m, vs.head, spark, dir))
     }
+
+  private def planOn(m: Model, fact: FactDef, spark: SparkSession, dir: String): Planned = {
+    val factDf = fact.view.map(_(spark, dir))
+      .getOrElse(Tables.tbl(spark, dir, fact.table))
+    build(m, fact, factDf, spark, dir)
   }
 
-  /** Cheapest variant covering all requested fact-level aliases and
-    * able to reach all required dims. */
-  private def chooseVariant(m: Model): Either[String, FactDef] = {
+  /** Covering variants, cheapest first. */
+  private def chooseVariants(m: Model): Either[String, Seq[FactDef]] = {
     val neededFactAliases =
       m.selects.collect { case Resolved(a, FactDimCol) => a } ++
         m.dimFilters.collect { case f if m.cube.variants.exists(_.dimCols.exists(_.alias == f.field)) => f.field } ++
@@ -62,7 +82,7 @@ object Planner {
     if (candidates.isEmpty)
       Left(s"no variant of cube '${m.cube.name}' covers fields " +
         neededFactAliases.distinct.mkString("[", ", ", "]"))
-    else Right(candidates.minBy(_.cost))
+    else Right(candidates.sortBy(_.cost))
   }
 
   private def build(m: Model, fact: FactDef, factScan: DataFrame,
@@ -117,7 +137,8 @@ object Planner {
       if (d.parent.isEmpty) Some(d.fkInParent) else None
     }.distinct
     val factDimPhysicals = m.selects.collect {
-      case Resolved(a, FactDimCol) => pubDim(a).physical
+      case Resolved(a, FactDimCol) if pubDim(a).constVal.isEmpty =>
+        pubDim(a).physical
     }.distinct
 
     def preAggCol(md: PubMetric): Column = md.rollup match {
@@ -214,9 +235,12 @@ object Planner {
       m.selects.find(_.alias == alias).get.kind match {
         case FactDimCol =>
           val pc = pubDim(alias)
-          val base =
-            if (twoStage) joined.col(pc.physical) else factScan.col(pc.physical)
-          render(pc, base, tz)
+          if (pc.constVal.isDefined) lit(pc.constVal.get)
+          else {
+            val base =
+              if (twoStage) joined.col(pc.physical) else factScan.col(pc.physical)
+            render(pc, base, tz)
+          }
         case DimAttrCol(dname) =>
           val d = m.cube.dimByName(dname)
           val pc = d.cols.find(_.alias == alias).get
@@ -306,6 +330,12 @@ object Planner {
   /** Storage→display rendering (static mapping / day grain / local
     * timezone for point-in-time grains). */
   private def render(pc: PubCol, base: Column, tz: Option[String]): Column =
+    pc.constVal match {
+      case Some(v) => lit(v)
+      case None => renderMapped(pc, base, tz)
+    }
+
+  private def renderMapped(pc: PubCol, base: Column, tz: Option[String]): Column =
     pc.staticMapping match {
       case Some(sm) =>
         sm.toDisplay.foldLeft(when(lit(false), lit(null))) {

@@ -78,7 +78,10 @@ object model {
       staticMapping: Option[StaticMapping] = None,
       isDayGrain: Boolean = false,
       tzPoint: Boolean = false,
-      restrictedTo: Option[Set[String]] = None)
+      restrictedTo: Option[Set[String]] = None,
+      /** ConstColumn analogue (reference Column.scala:86): rendered as
+        * this literal; `physical` is ignored. */
+      constVal: Option[String] = None)
 
   /** A public metric: rollup over a physical expression. `pre` is the
     * column fed to the first aggregation (cast to exact decimal for

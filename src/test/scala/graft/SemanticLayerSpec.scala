@@ -310,6 +310,54 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(grouped.isLeft)
   }
 
+  test("const column renders as a literal and groups correctly") {
+    import graft.semantic.model._
+    val cube = SemanticQueries.orderCube.copy(variants =
+      Seq(SemanticQueries.orderCube.base.copy(dimCols =
+        SemanticQueries.orderCube.base.dimCols :+
+          PubCol("Data Source", "__none", allowedOps = Set.empty,
+            constVal = Some("graft")))))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Data Source"}, {"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.df
+    val rows = planned.toOption.get.collect()
+    assert(rows.length == 5 && rows.forall(_.getString(0) == "graft"))
+  }
+
+  test("fallback execution: empty cheap variant falls back to base") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // a "stale rollup": covers the request but returns no rows
+    val emptyRollup = SemanticQueries.orderCube.base.copy(
+      name = "stale_rollup", cost = 1,
+      view = Some((s, d) => graft.core.Tables.orders(s, d).filter(lit(false))))
+    val cube = SemanticQueries.orderCube.copy(variants =
+      Seq(emptyRollup, SemanticQueries.orderCube.base))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.planWithFallback(m, spark, sf)
+    } yield p
+    val p = planned.toOption.get
+    assert(p.factName == "orders_base", "should have fallen back")
+    assert(p.df.count() == 5)
+    // without fallback the cheap empty variant is (correctly) chosen
+    val direct = (for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p).toOption.get
+    assert(direct.factName == "stale_rollup" && direct.df.count() == 0)
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
