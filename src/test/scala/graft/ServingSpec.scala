@@ -77,9 +77,9 @@ class ServingSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_month"),
       s"no partition filter:\n$plan")
     // the scan must touch only the one matching partition
-    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount }
-    assert(scanned.forall(_ == 1), s"pruning left $scanned partitions")
+    val scanned = PlanInspect.scans(pruned.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"pruning left $scanned partitions")
   }
 }
