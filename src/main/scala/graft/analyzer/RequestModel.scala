@@ -110,7 +110,8 @@ object RequestModel {
           } => s"filter tree on '${f.field}' mixes metric and dimension fields"
         }
         // schema-based access control (PublicColumn.restrictedSchemas)
-        val aclErrs = (req.selectFields ++ req.filters.map(_.field)).distinct
+        // — every LEAF of every filter tree, not just head fields
+        val aclErrs = (req.selectFields ++ allLeaves.map(_.field)).distinct
           .flatMap { a =>
             pubColOf.get(a).flatMap(_.restrictedTo).collect {
               case allowed if !req.schema.exists(allowed.contains) =>
@@ -183,7 +184,13 @@ object RequestModel {
   private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
       dimFs: Seq[QFilter]): Option[String] =
     cube.maxDaysWindow.flatMap { maxDays =>
-      val dayBetween = dimFs.collectFirst {
+      // a Between inside a top-level AND is still conjunctive and
+      // satisfies the day-window requirement (OR-nested ones do not)
+      def conjunctive(f: QFilter): Seq[QFilter] = f match {
+        case AndFilter(fs) => fs.flatMap(conjunctive)
+        case leaf => Seq(leaf)
+      }
+      val dayBetween = dimFs.flatMap(conjunctive).collectFirst {
         case BetweenFilter(field, from, to)
             if pubColOf.get(field).exists(_.isDayGrain) => (field, from, to)
       }

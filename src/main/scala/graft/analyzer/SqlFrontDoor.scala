@@ -110,10 +110,23 @@ object SqlFrontDoor {
       case LessThanOrEqual(_: UnresolvedAttribute, Literal(_, _)) => true
       case _ => false
     }
-    val geqBy = geq.map { case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-      a.name -> litStr(l) }.toMap
-    val leqBy = leq.map { case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-      a.name -> litStr(l) }.toMap
+    val geqPairsE = geq.map { case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+      litStr(l).map(a.name -> _) }
+    val leqPairsE = leq.map { case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+      litStr(l).map(a.name -> _) }
+    (geqPairsE ++ leqPairsE).collectFirst { case Left(e) => return Left(e) }
+    val geqPairs = geqPairsE.collect { case Right(p) => p }
+    val leqPairs = leqPairsE.collect { case Right(p) => p }
+    // multiple bounds on one field would silently widen via toMap
+    val dup = (geqPairs ++ leqPairs).groupBy(_._1).collect {
+      case (f, ps) if ps.size > 2 || geqPairs.count(_._1 == f) > 1
+          || leqPairs.count(_._1 == f) > 1 => f
+    }
+    if (dup.nonEmpty)
+      return Left(s"multiple range bounds on ${dup.mkString(", ")} — " +
+        "use a single BETWEEN per field")
+    val geqBy = geqPairs.toMap
+    val leqBy = leqPairs.toMap
     val unmatched = (geqBy.keySet diff leqBy.keySet) ++ (leqBy.keySet diff geqBy.keySet)
     if (unmatched.nonEmpty)
       return Left(s"range on ${unmatched.mkString(", ")} must be a full BETWEEN")
@@ -130,19 +143,20 @@ object SqlFrontDoor {
         if f.nameParts.map(_.toLowerCase) == Seq("between") =>
       f.arguments match {
         case Seq(a: UnresolvedAttribute, lo: Literal, hi: Literal) =>
-          Right(BetweenFilter(a.name, litStr(lo), litStr(hi)))
+          for { loS <- litStr(lo); hiS <- litStr(hi) }
+            yield BetweenFilter(a.name, loS, hiS)
         case _ => Left(s"unsupported BETWEEN shape: ${e.sql}")
       }
-    case EqualTo(a: UnresolvedAttribute, l: Literal) => Right(EqFilter(a.name, litStr(l)))
-    case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => Right(NeqFilter(a.name, litStr(l)))
-    case GreaterThan(a: UnresolvedAttribute, l: Literal) => Right(GtFilter(a.name, litStr(l)))
-    case LessThan(a: UnresolvedAttribute, l: Literal) => Right(LtFilter(a.name, litStr(l)))
+    case EqualTo(a: UnresolvedAttribute, l: Literal) => litStr(l).map(EqFilter(a.name, _))
+    case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => litStr(l).map(NeqFilter(a.name, _))
+    case GreaterThan(a: UnresolvedAttribute, l: Literal) => litStr(l).map(GtFilter(a.name, _))
+    case LessThan(a: UnresolvedAttribute, l: Literal) => litStr(l).map(LtFilter(a.name, _))
     case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      Right(InFilter(a.name, vs.map(v => litStr(v.asInstanceOf[Literal]))))
+      seqE(vs.map(v => litStr(v.asInstanceOf[Literal]))).map(InFilter(a.name, _))
     case Not(In(a: UnresolvedAttribute, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
-      Right(NotInFilter(a.name, vs.map(v => litStr(v.asInstanceOf[Literal]))))
-    case Like(a: UnresolvedAttribute, l: Literal, _) => Right(LikeFilter(a.name, litStr(l)))
-    case Not(Like(a: UnresolvedAttribute, l: Literal, _)) => Right(NotLikeFilter(a.name, litStr(l)))
+      seqE(vs.map(v => litStr(v.asInstanceOf[Literal]))).map(NotInFilter(a.name, _))
+    case Like(a: UnresolvedAttribute, l: Literal, _) => litStr(l).map(LikeFilter(a.name, _))
+    case Not(Like(a: UnresolvedAttribute, l: Literal, _)) => litStr(l).map(NotLikeFilter(a.name, _))
     case IsNull(a: UnresolvedAttribute) => Right(IsNullFilter(a.name))
     case IsNotNull(a: UnresolvedAttribute) => Right(IsNotNullFilter(a.name))
     case Or(l, r) =>
@@ -152,10 +166,30 @@ object SqlFrontDoor {
     case other => Left(s"unsupported WHERE predicate: ${other.sql}")
   }
 
-  private def litStr(l: Literal): String = l.value match {
-    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-    case null => ""
-    case v => v.toString
+  private def seqE[A](es: Seq[Either[String, A]]): Either[String, Seq[A]] =
+    es.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(es.collect { case Right(a) => a }))
+
+  /** Only plain string/numeric/boolean literals translate faithfully
+    * into the request's string-valued filters; typed DATE/TIMESTAMP
+    * literals carry internal representations (days/µs since epoch) and
+    * must be rejected, not stringified. */
+  private def litStr(l: Literal): Either[String, String] = l.dataType match {
+    case _: org.apache.spark.sql.types.StringType =>
+      Right(l.value.toString)
+    case dt if l.value == null =>
+      Left(s"NULL literal not supported (use IS NULL); type ${dt.sql}")
+    case _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.LongType |
+         _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.DoubleType |
+         _: org.apache.spark.sql.types.FloatType |
+         _: org.apache.spark.sql.types.BooleanType =>
+      Right(l.value.toString)
+    case d: org.apache.spark.sql.types.DecimalType =>
+      Right(l.value.toString)
+    case other => Left(s"unsupported literal type ${other.sql}: ${l.sql} — " +
+      "write dates as plain strings (e.g. '1995-01-01')")
   }
 
   private object IntegerLiteral {

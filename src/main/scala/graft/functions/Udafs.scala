@@ -17,19 +17,29 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Udafs {
 
-  /** Buffer: (Σ (100·x)², count). */
-  case class SqBuf(sumSqCents: Long, n: Long)
+  /** Buffer: (Σ x² as exact decimal dollars², count). BigDecimal, not
+    * Long cents²: a Long buffer overflows near 9.2e18 — already at
+    * sf0.1 a priority group's Σ cents² is ≈ 2.5e19. The decimal sum is
+    * exact at scale 4 and converts to double once in finish, matching
+    * the oracle's CAST(SUM(dec*dec) AS DOUBLE) single rounding. */
+  case class SqBuf(sumSq: BigDecimal, n: Long)
 
   val sumOfSquares: Aggregator[Double, SqBuf, Double] =
     new Aggregator[Double, SqBuf, Double] {
-      override def zero: SqBuf = SqBuf(0L, 0L)
+      override def zero: SqBuf = SqBuf(BigDecimal(0), 0L)
       override def reduce(b: SqBuf, x: Double): SqBuf = {
         val cents = math.round(x * 100) // exact: inputs have 2 decimals
-        SqBuf(b.sumSqCents + cents * cents, b.n + 1)
+        val sq = (BigDecimal(cents) * BigDecimal(cents)) / 10000 // exact, scale 4
+        SqBuf(b.sumSq + sq, b.n + 1)
       }
       override def merge(a: SqBuf, b: SqBuf): SqBuf =
-        SqBuf(a.sumSqCents + b.sumSqCents, a.n + b.n)
-      override def finish(b: SqBuf): Double = b.sumSqCents.toDouble / 1e4
+        SqBuf(a.sumSq + b.sumSq, a.n + b.n)
+      // DuckDB casts DECIMAL→DOUBLE via the unscaled integer
+      // (double(unscaled) / 10^scale — two roundings); replicate that
+      // exactly rather than the correctly-rounded BigDecimal.toDouble,
+      // which can differ by 1 ulp and break the oracle hash-match.
+      override def finish(b: SqBuf): Double =
+        (b.sumSq * 10000).toBigInt.toDouble / 1e4
       override def bufferEncoder: Encoder[SqBuf] = Encoders.product[SqBuf]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }

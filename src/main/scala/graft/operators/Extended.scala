@@ -111,8 +111,11 @@ object Extended {
     documents(s, d)
       .select(col("doc_id"), col("text"),
         posexplode(expr(
-          "transform(sequence(0, int(ceil(length(text) / 64.0)) - 1)," +
-            " i -> substring(text, i * 64 + 1, 64))"))
+          // empty text → no frames (sequence(0,-1) would count DOWN and
+          // fabricate two phantom frames, diverging from the oracle)
+          "case when length(text) = 0 then array() else " +
+            "transform(sequence(0, int(ceil(length(text) / 64.0)) - 1)," +
+            " i -> substring(text, i * 64 + 1, 64)) end"))
           .as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
         md5(encode(col("frame"), "UTF-8")).as("frame_md5"),

@@ -97,7 +97,8 @@ object SemanticQueries {
       DimDef("customer", "customer", "c_custkey", "o_custkey", None, Seq(
         PubCol("Customer Name", "c_name"),
         PubCol("Market Segment", "c_mktsegment"),
-        PubCol("Nation Key", "c_nationkey")), small = false),
+        PubCol("Nation Key", "c_nationkey")), small = false,
+        uniqueCols = Set("Customer Name")),
       DimDef("nation", "nation", "n_nationkey", "c_nationkey", Some("customer"),
         Seq(PubCol("Nation Name", "n_name")), small = true),
       DimDef("region", "region", "r_regionkey", "n_regionkey",

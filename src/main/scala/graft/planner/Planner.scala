@@ -68,11 +68,16 @@ object Planner {
 
   /** Covering variants, cheapest first. */
   private def chooseVariants(m: Model): Either[String, Seq[FactDef]] = {
+    // coverage is judged on every LEAF of every filter tree — the head
+    // field alone would let a variant missing a nested leaf be chosen
     val neededFactAliases =
       m.selects.collect { case Resolved(a, FactDimCol) => a } ++
-        m.dimFilters.collect { case f if m.cube.variants.exists(_.dimCols.exists(_.alias == f.field)) => f.field } ++
+        m.dimFilters.flatMap(leaves).collect {
+          case l if m.cube.variants.exists(_.dimCols.exists(_.alias == l.field)) =>
+            l.field
+        } ++
         m.selects.collect { case Resolved(a, MetricCol) => a } ++
-        m.metricFilters.map(_.field)
+        m.metricFilters.flatMap(leaves).map(_.field)
     val candidates = m.cube.variants.filter { v =>
       val aliases = (v.dimCols.map(_.alias) ++ v.metrics.map(_.alias) ++
         v.derived.map(_.alias)).toSet
@@ -173,9 +178,18 @@ object Planner {
     val dimPageable = drivingDim.exists { dn =>
       val d = m.cube.dimByName(dn)
       def plainDimCol(a: String) = d.cols.exists(pc =>
-        pc.alias == a && pc.staticMapping.isEmpty && !pc.isDayGrain)
+        pc.alias == a && pc.staticMapping.isEmpty && !pc.isDayGrain &&
+          pc.constVal.isEmpty)
       m.isDimDriven && m.req.rowsPerPage > 0 && m.metricFilters.isEmpty &&
-        m.outerFilters.isEmpty && m.req.sortBy.forall(s => plainDimCol(s.field))
+        m.outerFilters.isEmpty &&
+        // the result grain must be exactly driving-dim rows: every
+        // selected non-metric is a plain driving-dim attribute and at
+        // least one is unique per dim row — otherwise paging dim ROWS
+        // truncates the inputs of a coarser-grain aggregate
+        m.selectedNonMetrics.nonEmpty &&
+        m.selectedNonMetrics.forall(plainDimCol) &&
+        m.selectedNonMetrics.exists(d.uniqueCols.contains) &&
+        m.req.sortBy.forall(s => plainDimCol(s.field))
     }
 
     // 3. dimension joins, parents before children
@@ -195,12 +209,17 @@ object Planner {
         }
       }
       if (dimPageable && drivingDim.contains(dname)) {
-        val sortCols =
-          if (m.req.sortBy.nonEmpty) m.req.sortBy.map { sb =>
-            val c = dimDf.col(dimColByAlias(sb.field).physical)
-            if (sb.descending) c.desc else c.asc
-          } :+ dimDf.col(d.key).asc
-          else Seq(dimDf.col(d.key).asc)
+        // page order must equal the FINAL sort order (request sorts,
+        // then the remaining non-metric aliases asc, then key)
+        val orderAliases =
+          m.req.sortBy.map(sb => (sb.field, sb.descending)) ++
+            m.selectedNonMetrics
+              .filterNot(a => m.req.sortBy.exists(_.field == a))
+              .map((_, false))
+        val sortCols = orderAliases.map { case (a, descend) =>
+          val c = dimDf.col(dimColByAlias(a).physical)
+          if (descend) c.desc else c.asc
+        } :+ dimDf.col(d.key).asc
         dimDf = dimDf.orderBy(sortCols: _*)
           .offset(math.max(m.req.paginationStartIndex, 0))
           .limit(m.req.rowsPerPage)
@@ -377,10 +396,15 @@ object Planner {
               s"of its static mapping")
           hits
         }
+        // the default display value matches storage values OUTSIDE the
+        // map AND any storage value explicitly mapped TO the default
+        val defaultStor = sm.storageValuesFor(sm.default)
         val branches =
           (if (stor.nonEmpty) Seq(base.isin(stor: _*)) else Nil) ++
             (if (defaults.nonEmpty)
-              Seq(!base.isin(sm.toDisplay.keys.toSeq.sorted: _*)) else Nil)
+              Seq(!base.isin(sm.toDisplay.keys.toSeq.sorted: _*)) else Nil) ++
+            (if (defaults.nonEmpty && defaultStor.nonEmpty)
+              Seq(base.isin(defaultStor: _*)) else Nil)
         branches.reduce(_ || _)
       case None => if (vs.size == 1) base === vs.head else base.isin(vs: _*)
     }

@@ -97,6 +97,9 @@ object model {
     * dim, or the fact) via `fkInParent` = parent-side physical FK
     * column, `key` = this table's key. `small` marks broadcast-safe
     * dims (maha dimLevel, reference Dimension.scala:607). */
+  /** `uniqueCols`: aliases unique per dim row (candidate keys) — lets
+    * the planner prove a result grain equals dim-row grain (e.g. for
+    * dim-side pagination). */
   final case class DimDef(
       name: String,
       table: String,
@@ -104,7 +107,8 @@ object model {
       fkInParent: String,
       parent: Option[String],
       cols: Seq[PubCol],
-      small: Boolean = true)
+      small: Boolean = true,
+      uniqueCols: Set[String] = Set.empty)
 
   /** A post-result derived metric (PostResultColumn / DerivedColumn
     * analogue, reference Column.scala:99-140): computed AFTER the final

@@ -19,21 +19,46 @@ object Serving {
 
   /** JSON API envelope for one result page:
     * {"fields":[{"fieldName":…,"fieldType":…}],"rows":[[…]],"rowCount":n}
-    * — the JsonRowList wire shape. Uses toJSON (distributed
-    * serialization) and streams the page through toLocalIterator. */
+    * — the JsonRowList wire shape: rows are POSITIONAL arrays aligned
+    * with the fields list, nulls emitted explicitly (df.toJSON would
+    * drop null-valued keys and emit objects, breaking positional
+    * consumers). Streams the page through toLocalIterator. */
   def jsonEnvelope(page: DataFrame): String = {
     val fields = page.schema.fields.map { f =>
       s"""{"fieldName":${q(f.name)},"fieldType":${q(typeName(f.dataType))}}"""
     }.mkString("[", ",", "]")
+    val width = page.schema.length
     val rows = new StringBuilder("[")
     var n = 0L
-    val it = page.toJSON.toLocalIterator()
+    val it = page.toLocalIterator()
     while (it.hasNext) {
+      val row = it.next()
       if (n > 0) rows.append(',')
-      rows.append(it.next()); n += 1
+      rows.append('[')
+      var i = 0
+      while (i < width) {
+        if (i > 0) rows.append(',')
+        rows.append(jsonVal(row.get(i)))
+        i += 1
+      }
+      rows.append(']')
+      n += 1
     }
     rows.append(']')
     s"""{"fields":$fields,"rows":${rows.result()},"rowCount":$n}"""
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => q(s)
+    case b: Boolean => b.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) q(d.toString) else d.toString
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) q(f.toString) else f.toString
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case other => q(other.toString) // timestamps, dates, binary, …
   }
 
   private def typeName(dt: DataType): String = dt match {

@@ -358,6 +358,65 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(direct.factName == "stale_rollup" && direct.df.count() == 0)
   }
 
+  test("schema ACL applies to every leaf of a filter tree") {
+    val viaTree = model(
+      """{"cube": "user_events",
+        | "selectFields": [{"field": "Event Type"}, {"field": "Event Count"}],
+        | "filterExpressions": [{"operator": "and", "filterExpressions": [
+        |   {"field": "Event Type", "operator": "=", "value": "click"},
+        |   {"field": "User ID", "operator": "=", "value": "7"}]}]}""".stripMargin)
+    assert(viaTree.isLeft && viaTree.swap.toOption.get.contains("restricted"))
+  }
+
+  test("variant coverage is judged on every filter-tree leaf") {
+    // Order Status only exists on the base variant; an AND tree whose
+    // HEAD leaf is covered by the cheap rollup must still force base
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"operator": "and", "filterExpressions": [
+        |   {"field": "Order Priority", "operator": "=", "value": "1-URGENT"},
+        |   {"field": "Order Status", "operator": "=", "value": "Open"}]}]}""".stripMargin
+    val p = SemanticQueries.planFor(json, spark, sf).toOption.get
+    assert(p.factName == "orders_base", s"picked ${p.factName}")
+    assert(p.df.count() > 0)
+  }
+
+  test("dim-page disabled when the result grain is coarser than dim rows") {
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Market Segment"}, {"field": "Order Count"}],
+        | "dimensionDriven": true, "rowsPerPage": 3}""".stripMargin
+    val p = SemanticQueries.planFor(json, spark, sf).toOption.get
+    assert(!p.dimPaged, "paging dim rows would truncate a segment-grain aggregate")
+    // segment counts must cover ALL customers' orders despite the page
+    val rows = p.df.collect()
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("SQL front door rejects typed date literals and duplicate bounds") {
+    val typed = graft.analyzer.SqlFrontDoor.toRequest(spark,
+      "SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        "WHERE `Order Date` BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'")
+    assert(typed.isLeft && typed.swap.toOption.get.contains("literal"))
+    val dup = graft.analyzer.SqlFrontDoor.toRequest(spark,
+      "SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        "WHERE `Order Priority` >= '1' AND `Order Priority` >= '2' AND `Order Priority` <= '5'")
+    assert(dup.isLeft && dup.swap.toOption.get.contains("bounds"))
+  }
+
+  test("maxDaysWindow accepts a day Between nested in a top-level AND tree") {
+    import graft.semantic.model.Registry
+    val capped = Registry(SemanticQueries.orderCube.copy(maxDaysWindow = Some(31)))
+    val r = request.parse(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"operator": "and", "filterExpressions": [
+        |   {"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1995-01-31"},
+        |   {"field": "Order Priority", "operator": "=", "value": "1-URGENT"}]}]}""".stripMargin)
+      .flatMap(RequestModel.from(_, capped))
+    assert(r.isRight, r.swap.toOption.getOrElse(""))
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)

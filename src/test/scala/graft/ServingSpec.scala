@@ -33,7 +33,20 @@ class ServingSpec extends AnyFunSuite {
     val JInt(n) = (env \ "rowCount"): @unchecked
     assert(n == 10)
     val JArray(rows) = (env \ "rows"): @unchecked
-    assert(rows.size == 10 && (rows.head \ "revenue").isInstanceOf[JDouble])
+    assert(rows.size == 10)
+    // rows are positional arrays aligned with fields
+    val JArray(first) = rows.head: @unchecked
+    assert(first.size == 3 && first(1).isInstanceOf[JDouble])
+  }
+
+  test("json envelope emits explicit nulls positionally") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String], Option.empty[Double]))
+      .toDF("k", "s", "v")
+    val env = JsonMethods.parse(Serving.jsonEnvelope(df))
+    val JArray(rows) = (env \ "rows"): @unchecked
+    val JArray(first) = rows.head: @unchecked
+    assert(first.size == 3 && first(1) == JNull && first(2) == JNull)
   }
 
   test("csv sink round-trips a result") {
