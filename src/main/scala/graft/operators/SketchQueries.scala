@@ -62,10 +62,33 @@ object SketchQueries {
       .orderBy("quarter")
   }
 
+  /** Churned customers: theta A-NOT-B set difference across years per
+    * priority (ThetaSketchSetOp NOT analogue, reference
+    * DerivedExpression.scala:1384) — exact below sketch capacity. */
+  def sk04(s: SparkSession, d: String): DataFrame = {
+    val byYear = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("o_orderpriority", "yr")
+      .agg(theta_sketch_agg(col("o_custkey"), 14).as("sk"))
+    val y95 = byYear.filter(col("yr") === 1995)
+      .select(col("o_orderpriority"), col("sk").as("sk95"))
+    val y96 = byYear.filter(col("yr") === 1996)
+      .select(col("o_orderpriority"), col("sk").as("sk96"))
+    y95.join(y96, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        theta_sketch_estimate(theta_difference(col("sk95"), col("sk96")))
+          .cast("bigint").as("n_churned"))
+      .filter(col("n_churned") > 0)
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk01_theta_distinct" -> (sk01 _),
     "sk02_theta_intersection" -> (sk02 _),
     "sk03_hll_union" -> (sk03 _),
+    "sk04_theta_difference" -> (sk04 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,6 +96,14 @@ object SketchQueries {
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "sk04_theta_difference" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_churned FROM (
+        | SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        | EXCEPT
+        | SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') t
+        |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY o_orderpriority""".stripMargin,
     "sk02_theta_intersection" ->
       """SELECT o_orderpriority, COUNT(*) AS n_retained FROM (
         | SELECT DISTINCT o_orderpriority, o_custkey FROM orders

@@ -182,6 +182,34 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("default display filter also matches storage values mapped to the default") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // 'P' is explicitly mapped to the default display 'Other'; filtering
+    // on 'Other' must match BOTH unmapped storage values and 'P'
+    val mapping = StaticMapping(Map("O" -> "Open", "P" -> "Other"), "Other")
+    val cube = SemanticQueries.orderCube.copy(variants =
+      Seq(SemanticQueries.orderCube.base.copy(dimCols =
+        SemanticQueries.orderCube.base.dimCols.map {
+          case pc if pc.alias == "Order Status" =>
+            pc.copy(staticMapping = Some(mapping))
+          case pc => pc
+        })))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Status", "operator": "=", "value": "Other"}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.df
+    val got = planned.toOption.get.agg(sum(col("Order Count"))).collect()(0).getLong(0)
+    val want = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "O").count() // P and F both display 'Other'
+    assert(got == want)
+  }
+
   test("unknown display value in a static-mapping filter errors loudly") {
     val bad =
       """{"cube": "order_stats",
