@@ -122,6 +122,19 @@ object Extended {
         length(col("frame")).cast("bigint").as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Weekly grain bucketing (GET_INTERVAL_DATE 'w' / START_OF_THE_WEEK,
+    * reference DerivedFunction.scala:21-48, PostResultFunction.scala:117):
+    * ISO-Monday week start via date_trunc('week'). */
+  def q29(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+        .as("week_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("week_start")
+
   /** Stride resampling ("resize" plumbing): take every 4th byte of the
     * payload — the downsample shape an image/audio resizer runs (the
     * real kernel would interpolate; the stride indexing, schema and
@@ -200,6 +213,7 @@ object Extended {
     "q27_udf_filter" -> (q27 _),
     "q28_custom_udaf" -> (q28 _),
     "q24_supplier_star" -> (q24 _),
+    "q29_weekly_grain" -> (q29 _),
     "q25_props_json" -> (q25 _),
     "q26_lookup_decode_join" -> (q26 _),
     "sql01_front_door" -> (sql01 _),
@@ -225,6 +239,13 @@ object Extended {
         |   - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |     * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS variance
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q29_weekly_grain" ->
+      """SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1 ORDER BY week_start""".stripMargin,
     "q24_supplier_star" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
