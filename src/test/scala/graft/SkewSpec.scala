@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted-join correctness: result must equal the plain join, and the
+  * hot key's rows must actually spread across salt buckets. */
+class SkewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("salted equi-join equals the plain join on skewed data") {
+    import spark.implicits._
+    // fabricate skew: 90% of rows share customer key 1
+    val skewed = graft.core.Tables.orders(spark, sf)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 10 =!= 0, lit(1L)).otherwise(col("o_custkey")))
+    val dim = graft.core.Tables.customer(spark, sf)
+    val plain = skewed.join(dim, skewed("o_custkey") === dim("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedEquiJoin(skewed, "o_custkey",
+        Seq("o_orderkey"), dim, "c_custkey", buckets = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val a = plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = salted.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("left_outer salted join preserves unmatched big-side rows") {
+    import spark.implicits._
+    val big = Seq((1L, 10L), (1L, 11L), (99L, 12L)).toDF("k", "v")
+    val small = Seq((1L, "one")).toDF("sk", "name")
+    val out = Skew.saltedEquiJoin(big, "k", Seq("v"), small, "sk", 4, "left_outer")
+      .select("k", "v", "name").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 1) // the k=99 row survives unmatched
+  }
+
+  test("the hot key's rows spread across salt buckets") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "v")
+    val buckets = big.withColumn("__salt", pmod(xxhash64(col("v")), lit(8L)))
+      .groupBy("__salt").count().collect()
+    assert(buckets.length == 8, s"expected 8 buckets, got ${buckets.length}")
+    assert(buckets.map(_.getLong(1)).max < 1000, "no spreading happened")
+  }
+}
