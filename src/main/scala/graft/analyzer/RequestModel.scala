@@ -142,7 +142,17 @@ object RequestModel {
               // dims needed: selected dim attrs + dim-attr filters, plus parents
               val directDims = (selects.collect { case Resolved(_, DimAttrCol(d)) => d } ++
                 dimFs.flatMap(request.leaves).flatMap(f => dimAttr.get(f.field))).distinct
-              val withParents = expandParents(cube, directDims)
+              // a dimension-only request (no metrics, no fact-level
+              // fields) never touches the fact: trim the chain to start
+              // at the most granular REQUESTED dim (maha's dim-driven
+              // dimension-listing queries run on the dim tables alone)
+              val factless =
+                selects.forall(_.kind.isInstanceOf[DimAttrCol]) &&
+                  dimFs.flatMap(request.leaves).forall(f => dimAttr.contains(f.field))
+              val fullChain = expandParents(cube, directDims)
+              val withParents =
+                if (factless) fullChain.dropWhile(d => !directDims.contains(d))
+                else fullChain
               val hasDimAttrFilter =
                 dimFs.flatMap(request.leaves).exists(f => dimAttr.contains(f.field))
               // driving dim = the directly-requested dim closest to the

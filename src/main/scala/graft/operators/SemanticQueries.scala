@@ -244,6 +244,12 @@ object SemanticQueries {
       |ORDER BY `Total Spend` DESC
       |LIMIT 3""".stripMargin
 
+  /** Dimension-only listing (no metrics): the planner must eliminate
+    * the fact scan and query the dim chain alone. */
+  val sem13Json: String =
+    """{"cube": "order_stats",
+      | "selectFields": [{"field": "Market Segment"}, {"field": "Region Name"}]}""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,6 +266,7 @@ object SemanticQueries {
     "sem11_union_view" -> (run(sem11Json) _),
     "sem12_avg_rollup" -> (run(sem12Json) _),
     "sql02_cube_sql" -> (graft.analyzer.SqlFrontDoor.run(sql02Text, registry) _),
+    "sem13_dim_only_listing" -> (run(sem13Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -354,6 +361,12 @@ object SemanticQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
         |GROUP BY 1 ORDER BY "Order Priority"""".stripMargin,
+    "sem13_dim_only_listing" ->
+      """SELECT DISTINCT c_mktsegment AS "Market Segment", r_name AS "Region Name"
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY "Market Segment", "Region Name"""".stripMargin,
     "sql02_cube_sql" ->
       """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"

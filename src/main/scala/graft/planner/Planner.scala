@@ -192,8 +192,18 @@ object Planner {
         m.req.sortBy.forall(s => plainDimCol(s.field))
     }
 
+    // Dimension-only requests (no metrics, no fact-level selects or
+    // filters, no forced filters) run on the dim chain alone — the
+    // fact scan is eliminated entirely (maha's dimension-listing
+    // queries, e.g. populating a filter dropdown).
+    val factNeeded =
+      m.selects.exists(_.kind == FactDimCol) ||
+        m.selectedMetrics.nonEmpty ||
+        factFilters.nonEmpty ||
+        m.joinDims.isEmpty
+
     // 3. dimension joins, parents before children
-    var joined = factSide
+    var joined: DataFrame = if (factNeeded) factSide else null
     var dimDfs = Map.empty[String, DataFrame]
     m.joinDims.foreach { dname =>
       val d = m.cube.dimByName(dname)
@@ -224,15 +234,21 @@ object Planner {
           .offset(math.max(m.req.paginationStartIndex, 0))
           .limit(m.req.rowsPerPage)
       }
-      val dimSide = if (d.small) broadcast(dimDf) else dimDf
-      val parentDf = d.parent.map(dimDfs).getOrElse(factSide)
-      val cond = parentDf.col(resolveFk(m, fact, d, twoStage)) === dimDf.col(d.key)
-      val how = m.joinKinds(dname) match {
-        case InnerJoin      => "inner"
-        case LeftOuterJoin  => "left_outer"
-        case RightOuterJoin => "right_outer"
+      if (joined == null) {
+        // chain base of a fact-eliminated plan: no join condition
+        joined = dimDf
+      } else {
+        val dimSide = if (d.small) broadcast(dimDf) else dimDf
+        val parentDf = d.parent.filter(dimDfs.contains).map(dimDfs)
+          .getOrElse(factSide)
+        val cond = parentDf.col(resolveFk(m, fact, d, twoStage)) === dimDf.col(d.key)
+        val how = m.joinKinds(dname) match {
+          case InnerJoin      => "inner"
+          case LeftOuterJoin  => "left_outer"
+          case RightOuterJoin => "right_outer"
+        }
+        joined = joined.join(dimSide, cond, how)
       }
-      joined = joined.join(dimSide, cond, how)
       dimDfs += (dname -> dimDf)
     }
 

@@ -445,6 +445,26 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(r.isRight, r.swap.toOption.getOrElse(""))
   }
 
+  test("dimension-only request eliminates the fact scan") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem13Json, spark, sf).toOption.get
+    val plan = p.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet"), s"fact scanned:\n$plan")
+    assert(p.df.count() > 0)
+    // a coarsest-dim-only request touches ONLY that dim's table
+    val regionOnly = model(
+      """{"cube": "order_stats", "selectFields": [{"field": "Region Name"}]}""")
+      .toOption.get
+    assert(regionOnly.joinDims == Seq("region"), regionOnly.joinDims.toString)
+    val p2 = (for {
+      m <- Right(regionOnly): Either[String, RequestModel.Model]
+      pp <- graft.planner.Planner.plan(m, spark, sf)
+    } yield pp).toOption.get
+    val plan2 = p2.df.queryExecution.executedPlan.toString
+    assert(!plan2.contains("customer.parquet") && !plan2.contains("orders.parquet"),
+      s"unneeded scans:\n$plan2")
+    assert(p2.df.count() == 5)
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
