@@ -42,7 +42,12 @@ object RequestModel {
       outerFilters: Seq[QFilter],    // applied on the final rendered result
       joinDims: Seq[String],         // dims (in join order) that must be joined
       joinKinds: Map[String, JoinKind],
-      isDimDriven: Boolean) {
+      isDimDriven: Boolean,
+      /** true when the fact scan can be eliminated entirely: no
+        * metrics, no fact-level selects or filter leaves, no cube
+        * forced filters — the SINGLE source of truth; the planner must
+        * not re-derive this. */
+      isFactless: Boolean = false) {
     def selectedMetrics: Seq[String] =
       selects.collect { case Resolved(a, MetricCol) => a }
     def selectedNonMetrics: Seq[String] =
@@ -148,7 +153,9 @@ object RequestModel {
               // dimension-listing queries run on the dim tables alone)
               val factless =
                 selects.forall(_.kind.isInstanceOf[DimAttrCol]) &&
-                  dimFs.flatMap(request.leaves).forall(f => dimAttr.contains(f.field))
+                  dimFs.flatMap(request.leaves).forall(f => dimAttr.contains(f.field)) &&
+                  outerFs.flatMap(request.leaves).forall(f => dimAttr.contains(f.field)) &&
+                  metricFs.isEmpty && cube.forced.isEmpty
               val fullChain = expandParents(cube, directDims)
               val withParents =
                 if (factless) fullChain.dropWhile(d => !directDims.contains(d))
@@ -179,7 +186,8 @@ object RequestModel {
               rowsGuard.orElse(windowCheck(cube, pubColOf, dimFs))
                 .toLeft(()).map { _ =>
                   Model(req, cube, selects, dimFs, metricFs, outerFs,
-                    withParents, joinKinds, req.dimensionDriven)
+                    withParents, joinKinds, req.dimensionDriven,
+                    isFactless = factless && withParents.nonEmpty)
                 }
           }
         }

@@ -66,17 +66,17 @@ object SketchQueries {
     * priority (ThetaSketchSetOp NOT analogue, reference
     * DerivedExpression.scala:1384) — exact below sketch capacity. */
   def sk04(s: SparkSession, d: String): DataFrame = {
-    val byYear = orders(s, d)
+    // one pass: both years' sketches as filtered aggregates (nulls are
+    // skipped by the sketch), so a priority active only in 1995 still
+    // appears (its 1996 sketch is empty) and the fact is scanned once
+    val yr = year(col("o_orderdate"))
+    orders(s, d)
       .filter(col("o_orderdate") >= lit("1995-01-01")
         && col("o_orderdate") < lit("1997-01-01"))
-      .withColumn("yr", year(col("o_orderdate")))
-      .groupBy("o_orderpriority", "yr")
-      .agg(theta_sketch_agg(col("o_custkey"), 14).as("sk"))
-    val y95 = byYear.filter(col("yr") === 1995)
-      .select(col("o_orderpriority"), col("sk").as("sk95"))
-    val y96 = byYear.filter(col("yr") === 1996)
-      .select(col("o_orderpriority"), col("sk").as("sk96"))
-    y95.join(y96, Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(
+        theta_sketch_agg(when(yr === 1995, col("o_custkey")), 14).as("sk95"),
+        theta_sketch_agg(when(yr === 1996, col("o_custkey")), 14).as("sk96"))
       .select(col("o_orderpriority"),
         theta_sketch_estimate(theta_difference(col("sk95"), col("sk96")))
           .cast("bigint").as("n_churned"))

@@ -17,25 +17,44 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SaltCol = "__graft_salt"
+
+  /** The deterministic per-row salt expression (exposed for tests). */
+  private[graft] def saltExpr(saltSource: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(saltSource: _*), lit(buckets.toLong))
+
+  /** Join types where replicating the small side `buckets`× cannot
+    * duplicate output rows (unmatched small-side replicas only survive
+    * right/full outer joins). */
+  private val safeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Equi-join `big ⋈ small` on bigKey = smallKey with the big side's
     * hot keys spread over `buckets` partitions. `saltSource` columns of
     * the big side feed the per-row salt hash (pick columns that vary
-    * within a key, e.g. the row's other ids). Inner and left_outer
-    * semantics are preserved; `small` is replicated `buckets`×. */
+    * within a key, e.g. the row's other ids). `small` is replicated
+    * `buckets`×, so only big-side-preserving join types are allowed —
+    * right/full outer would emit each unmatched small row once per
+    * replica. */
   def saltedEquiJoin(big: DataFrame, bigKey: String, saltSource: Seq[String],
       small: DataFrame, smallKey: String, buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val saltCols: Seq[Column] = saltSource.map(big.col)
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
+    require(safeJoinTypes(joinType.toLowerCase),
+      s"join type '$joinType' would duplicate unmatched small-side rows " +
+        s"across the $buckets salt replicas; use ${safeJoinTypes.mkString("/")}")
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"inputs must not already contain a '$SaltCol' column")
+    val saltedBig = big.withColumn(SaltCol,
+      saltExpr(saltSource.map(big.col), buckets))
     val replicatedSmall = small
-      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+      .withColumn(SaltCol, explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig
       .join(replicatedSmall,
         saltedBig.col(bigKey) === replicatedSmall.col(smallKey)
-          && saltedBig.col("__salt") === replicatedSmall.col("__salt"),
+          && saltedBig.col(SaltCol) === replicatedSmall.col(SaltCol),
         joinType)
-      .drop("__salt")
+      .drop(SaltCol)
   }
 }

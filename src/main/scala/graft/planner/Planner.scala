@@ -192,15 +192,12 @@ object Planner {
         m.req.sortBy.forall(s => plainDimCol(s.field))
     }
 
-    // Dimension-only requests (no metrics, no fact-level selects or
-    // filters, no forced filters) run on the dim chain alone — the
-    // fact scan is eliminated entirely (maha's dimension-listing
-    // queries, e.g. populating a filter dropdown).
-    val factNeeded =
-      m.selects.exists(_.kind == FactDimCol) ||
-        m.selectedMetrics.nonEmpty ||
-        factFilters.nonEmpty ||
-        m.joinDims.isEmpty
+    // Dimension-only requests run on the dim chain alone — the fact
+    // scan is eliminated entirely (maha's dimension-listing queries,
+    // e.g. populating a filter dropdown). The decision is made ONCE in
+    // RequestModel (Model.isFactless) so analyzer chain-trimming and
+    // planner fact-elimination can never disagree.
+    val factNeeded = !m.isFactless
 
     // 3. dimension joins, parents before children
     var joined: DataFrame = if (factNeeded) factSide else null
@@ -239,10 +236,13 @@ object Planner {
         joined = dimDf
       } else {
         val dimSide = if (d.small) broadcast(dimDf) else dimDf
-        val parentDf = d.parent.filter(dimDfs.contains).map(dimDfs)
-          .getOrElse(factSide)
+        // non-base dims always have their parent in the (trimmed)
+        // chain; a missing one is a bug — fail fast, never guess
+        val parentDf = d.parent.map(dimDfs).getOrElse(factSide)
         val cond = parentDf.col(resolveFk(m, fact, d, twoStage)) === dimDf.col(d.key)
-        val how = m.joinKinds(dname) match {
+        // fact-eliminated chains are pure listings: parents inner-join
+        // (LOJ would fabricate NULL parent attrs for dangling FKs)
+        val how = if (!factNeeded) "inner" else m.joinKinds(dname) match {
           case InnerJoin      => "inner"
           case LeftOuterJoin  => "left_outer"
           case RightOuterJoin => "right_outer"

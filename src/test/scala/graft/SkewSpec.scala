@@ -48,9 +48,20 @@ class SkewSpec extends AnyFunSuite {
   test("the hot key's rows spread across salt buckets") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "v")
-    val buckets = big.withColumn("__salt", pmod(xxhash64(col("v")), lit(8L)))
-      .groupBy("__salt").count().collect()
+    // exercise the utility's own salt expression
+    val buckets = big.withColumn("s", Skew.saltExpr(Seq(col("v")), 8))
+      .groupBy("s").count().collect()
     assert(buckets.length == 8, s"expected 8 buckets, got ${buckets.length}")
     assert(buckets.map(_.getLong(1)).max < 1000, "no spreading happened")
+  }
+
+  test("right/full outer join types are rejected (would duplicate rows)") {
+    import spark.implicits._
+    val big = Seq((1L, 1L)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("sk", "name")
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(big, "k", Seq("v"), small, "sk", 4, "right_outer")
+    }
+    assert(ex.getMessage.contains("duplicate"))
   }
 }
