@@ -34,12 +34,18 @@ object Udafs {
       }
       override def merge(a: SqBuf, b: SqBuf): SqBuf =
         SqBuf(a.sumSq + b.sumSq, a.n + b.n)
-      // DuckDB casts DECIMAL→DOUBLE via the unscaled integer
-      // (double(unscaled) / 10^scale — two roundings); replicate that
-      // exactly rather than the correctly-rounded BigDecimal.toDouble,
-      // which can differ by 1 ulp and break the oracle hash-match.
-      override def finish(b: SqBuf): Double =
-        (b.sumSq * 10000).toBigInt.toDouble / 1e4
+      // DuckDB casts a (hugeint-backed) DECIMAL to DOUBLE as
+      // double(upper 64 bits)·2⁶⁴ + double(lower 64 bits), then divides
+      // by 10^scale — three roundings, none of them nearest-rounding
+      // the full integer. Replicate bit-for-bit (verified at sf0.1,
+      // where nearest-rounding the unscaled value differs by 1 ulp)
+      // rather than using the correctly-rounded BigDecimal.toDouble.
+      override def finish(b: SqBuf): Double = {
+        val unscaled = (b.sumSq * 10000).toBigInt
+        val upper = (unscaled >> 64).toDouble
+        val lower = (unscaled & BigInt("ffffffffffffffff", 16)).toDouble
+        (upper * 18446744073709551616.0 + lower) / 1e4
+      }
       override def bufferEncoder: Encoder[SqBuf] = Encoders.product[SqBuf]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
