@@ -68,7 +68,13 @@ object request {
       rowsPerPage: Int,
       dimensionDriven: Boolean,
       timezone: Option[String] = None,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      /** Async (job-queue / curator-internal) requests are exempt from
+        * the sync pagination requirement and capped by maxRowsAsync
+        * instead of maxRowsSync (reference SyncRequest/AsyncRequest,
+        * ReportingRequest.scala:54-74; sync 5,000 vs async 100,000 row
+        * caps, DruidQueryGenerator.scala:159-166). */
+      async: Boolean = false)
 
   /** Parse + structural validation. Unknown operators and malformed
     * fields are errors, mirroring maha's strict deserialization. */
@@ -130,8 +136,11 @@ object request {
         val schema = (root \ "schema") match {
           case JString(z) => Some(z); case _ => None
         }
+        val async = (root \ "requestType") match {
+          case JString(t) => t.equalsIgnoreCase("async"); case _ => false
+        }
         ReportingRequest(cube, fields, filters, sorts, start, rows, dimDriven,
-          tz, schema)
+          tz, schema, async)
       }
     } catch {
       case e: Exception => Left(s"malformed request json: ${e.getMessage}")

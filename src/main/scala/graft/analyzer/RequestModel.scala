@@ -175,14 +175,25 @@ object RequestModel {
                   else LeftOuterJoin
                 dname -> kind
               }.toMap
-              val rowsGuard = cube.maxRowsSync.collect {
-                case max if req.rowsPerPage <= 0 =>
-                  s"cube '${cube.name}' requires pagination " +
-                    s"(rowsPerPage 1..$max)"
-                case max if req.rowsPerPage > max =>
-                  s"rowsPerPage ${req.rowsPerPage} exceeds cube " +
-                    s"'${cube.name}' maxRowsSync=$max"
-              }
+              // sync requests must paginate within maxRowsSync; async
+              // (curator-internal / job-queue) requests need not
+              // paginate but an explicit page is capped by maxRowsAsync
+              // (reference sync 5,000 vs async 100,000 row guards,
+              // DruidQueryGenerator.scala:159-166)
+              val rowsGuard =
+                if (req.async) cube.maxRowsAsync.collect {
+                  case max if req.rowsPerPage > max =>
+                    s"rowsPerPage ${req.rowsPerPage} exceeds cube " +
+                      s"'${cube.name}' maxRowsAsync=$max"
+                }
+                else cube.maxRowsSync.collect {
+                  case max if req.rowsPerPage <= 0 =>
+                    s"cube '${cube.name}' requires pagination " +
+                      s"(rowsPerPage 1..$max)"
+                  case max if req.rowsPerPage > max =>
+                    s"rowsPerPage ${req.rowsPerPage} exceeds cube " +
+                      s"'${cube.name}' maxRowsSync=$max"
+                }
               rowsGuard.orElse(windowCheck(cube, pubColOf, dimFs))
                 .toLeft(()).map { _ =>
                   Model(req, cube, selects, dimFs, metricFs, outerFs,

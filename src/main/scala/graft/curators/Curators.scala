@@ -38,18 +38,32 @@ object Curators {
     reg.cube(cube).toOption.get.variants
       .flatMap(v => v.metrics.map(_.alias) ++ v.derived.map(_.alias)).toSet
 
+  private def pubCols(reg: Registry, cube: String): Map[String, PubCol] = {
+    val c = reg.cube(cube).toOption.get
+    (c.variants.flatMap(_.dimCols) ++ c.dims.flatMap(_.cols))
+      .map(pc => pc.alias -> pc).toMap
+  }
+
   /** TimeShift: re-plan the request for the immediately preceding
     * period of the same length ([from - len, from - 1], reference
     * TimeShiftCurator period computation), left-join prev onto current
     * on every non-metric column, append "<m> Prev" and
-    * "<m> Pct Change" per metric. */
+    * "<m> Pct Change" per metric.
+    *
+    * The shifted window comes from the Between filter on a DAY-GRAIN
+    * column (a Between on any other dim is not a time window). When the
+    * day column is itself selected, prev rows are aligned to current
+    * rows at the same offset within the period (prev day + len = cur
+    * day) so the join keys match instead of comparing disjoint dates. */
   def timeShift(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
     val req = parsed(json)
     val mets = metricAliases(reg, req.cube)
+    val pubs = pubCols(reg, req.cube)
     val dayF = req.filters.collectFirst {
-      case BetweenFilter(f, from, to) if !mets(f) => BetweenFilter(f, from, to)
+      case BetweenFilter(f, from, to) if pubs.get(f).exists(_.isDayGrain) =>
+        BetweenFilter(f, from, to)
     }.getOrElse(throw new IllegalArgumentException(
-      "timeshift requires a Between day filter"))
+      "timeshift requires a Between filter on a day-grain column"))
     val from = java.time.LocalDate.parse(dayF.from)
     val to = java.time.LocalDate.parse(dayF.to)
     val len = java.time.temporal.ChronoUnit.DAYS.between(from, to) + 1
@@ -62,8 +76,14 @@ object Curators {
     val dims = req.selectFields.filterNot(mets)
     val metsSel = req.selectFields.filter(mets)
     val cur = planned(req, reg, s, dir)
+    val dayGrainSel: Set[String] =
+      dims.filter(a => pubs.get(a).exists(_.isDayGrain)).toSet
     val prev = planned(prevReq, reg, s, dir)
-      .select((dims.map(col) ++ metsSel.map(a => col(a).as(s"$a Prev"))): _*)
+      .select((dims.map { a =>
+        if (dayGrainSel(a))
+          date_format(date_add(to_date(col(a)), len.toInt), "yyyy-MM-dd").as(a)
+        else col(a)
+      } ++ metsSel.map(a => col(a).as(s"$a Prev"))): _*)
     val joined = cur.join(prev, dims, "left_outer")
     val withPct = metsSel.foldLeft(joined) { (df, a) =>
       df.withColumn(s"$a Pct Change",
@@ -78,9 +98,12 @@ object Curators {
   def totalMetrics(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
     val req = parsed(json)
     val mets = metricAliases(reg, req.cube)
+    // curator-internal second passes are async-style requests: exempt
+    // from the sync pagination requirement (maxRowsSync) that would
+    // otherwise reject rowsPerPage = -1
     val totalsReq = req.copy(
       selectFields = req.selectFields.filter(mets),
-      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1, async = true)
     planned(totalsReq, reg, s, dir)
   }
 
@@ -89,7 +112,8 @@ object Curators {
     * (reference RowCountCurator, Curator.scala:211-238). */
   def rowCount(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
     val req = parsed(json)
-    val unpaged = req.copy(sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+    val unpaged = req.copy(sortBy = Nil, paginationStartIndex = 0,
+      rowsPerPage = -1, async = true)
     planned(unpaged, reg, s, dir).agg(count(lit(1)).as("totalrows"))
   }
 
@@ -107,7 +131,7 @@ object Curators {
       reg, s, dir).select(parentDims.map(col): _*)
     val drillReq = req.copy(
       selectFields = parentDims ++ Seq(drillField) ++ req.selectFields.filter(mets),
-      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1)
+      sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1, async = true)
     planned(drillReq, reg, s, dir)
       .join(broadcast(parents), parentDims, "left_semi")
       .orderBy((parentDims :+ drillField).map(col): _*)

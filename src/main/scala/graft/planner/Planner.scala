@@ -44,20 +44,33 @@ object Planner {
     * QueryPipeline.scala:111-152,325-339): run the cheapest covering
     * variant; if it throws or returns an EMPTY result while a costlier
     * covering variant remains (e.g. a stale rollup missing the
-    * requested window), re-plan on the next candidate. The emptiness
-    * probe executes the plan — exactly the reference's empty-result
-    * rerun semantics. */
+    * requested window), re-plan on the next candidate.
+    *
+    * The emptiness probe executes the plan (the reference's
+    * empty-result rerun semantics), so: with a SINGLE covering variant
+    * there is nothing to fall back to and NO probe runs (the plan
+    * executes exactly once, when the caller consumes it); with several,
+    * each candidate is persisted before the probe so the winner's rows
+    * are served from cache, not recomputed. A variant that throws is
+    * skipped; if every variant throws the last error propagates; if
+    * every variant is empty the last empty (valid) plan is returned. */
   def planWithFallback(m: Model, spark: SparkSession, dir: String): Either[String, Planned] =
     chooseVariants(m).map { vs =>
-      var last: Option[Planned] = None
-      vs.foreach { v =>
-        try {
-          val p = planOn(m, v, spark, dir)
-          last = Some(p)
-          if (!p.df.isEmpty) return Right(p)
-        } catch { case _: Exception if vs.last != v => () }
+      if (vs.sizeIs == 1) planOn(m, vs.head, spark, dir)
+      else {
+        var lastEmpty: Option[Planned] = None
+        var lastErr: Option[Exception] = None
+        vs.foreach { v =>
+          try {
+            val p = planOn(m, v, spark, dir)
+            val cached = p.copy(df = p.df.persist())
+            if (!cached.df.isEmpty) return Right(cached)
+            lastEmpty.foreach(_.df.unpersist()) // superseded empty probe
+            lastEmpty = Some(cached)
+          } catch { case e: Exception => lastErr = Some(e) }
+        }
+        lastEmpty.getOrElse(lastErr.fold(planOn(m, vs.head, spark, dir))(throw _))
       }
-      last.getOrElse(planOn(m, vs.head, spark, dir))
     }
 
   private def planOn(m: Model, fact: FactDef, spark: SparkSession, dir: String): Planned = {
@@ -182,6 +195,15 @@ object Planner {
           pc.constVal.isEmpty)
       m.isDimDriven && m.req.rowsPerPage > 0 && m.metricFilters.isEmpty &&
         m.outerFilters.isEmpty &&
+        // every dim filter must act BEFORE the page is taken: either
+        // pushed into the fact scan (an ROJ keeps all paged dim rows,
+        // so fact filters only null metrics) or applied to the driving
+        // dim itself. A filter owned by a NON-driving dim is inner-
+        // joined after pagination and would drop rows out of an
+        // already-taken page; a mixed post-join tree likewise.
+        postJoinFilters.isEmpty &&
+        m.dimFilters.forall(f =>
+          factPushable(f) || owningDim(f).exists(_.name == dn)) &&
         // the result grain must be exactly driving-dim rows: every
         // selected non-metric is a plain driving-dim attribute and at
         // least one is unique per dim row — otherwise paging dim ROWS

@@ -142,15 +142,18 @@ object model {
 
   /** `maxRowsSync` caps the page size a synchronous request may ask
     * for (reference max-rows guards, DruidQueryGenerator.scala:159-166:
-    * sync 5,000 / topN 400 / async 100,000); when set, requests must
-    * paginate within the cap. */
+    * sync 5,000 / topN 400 / async 100,000); when set, sync requests
+    * must paginate within the cap. `maxRowsAsync` is the (looser) cap
+    * for async/internal requests, which are exempt from the pagination
+    * requirement. */
   final case class CubeDef(
       name: String,
       variants: Seq[FactDef],
       dims: Seq[DimDef],
       forced: Seq[ForcedFilter] = Nil,
       maxDaysWindow: Option[Int] = None,
-      maxRowsSync: Option[Int] = None) {
+      maxRowsSync: Option[Int] = None,
+      maxRowsAsync: Option[Int] = None) {
     def base: FactDef = variants.head
     lazy val dimByName: Map[String, DimDef] = dims.map(d => d.name -> d).toMap
   }

@@ -157,13 +157,18 @@ object Streaming {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // Both windows order by (ts_us, event_id) — the SAME µs precision
+    // Spark sorts on. Ordering window w by raw ns-precision `ts` shifts
+    // session boundaries for events that tie at µs but not ns.
     "st02_sessionize" ->
-      """WITH o AS (
-        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |o AS (
+        | SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |       OR ts_us - lag(ts_us) OVER w > 1800000000
         |   THEN 1 ELSE 0 END AS brk
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |s AS (
         | SELECT user_id, ts_us,
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id

@@ -54,6 +54,63 @@ class CuratorsSpec extends AnyFunSuite {
     assert(parents == 5) // all five priorities survive
   }
 
+  test("timeshift picks the DAY-grain Between, not the first Between") {
+    // a Between on a non-date dim precedes the day filter; selecting it
+    // would crash LocalDate.parse on '1-URGENT'
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+        | "filterExpressions": [
+        |   {"field": "Order Priority", "operator": "between", "from": "1-URGENT", "to": "3-MEDIUM"},
+        |   {"field": "Order Date", "operator": "between", "from": "1996-02-01", "to": "1996-07-31"}]}""".stripMargin
+    val rows = Curators.timeShift(json, registry)(spark, sf).collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(2)),
+      "prev period should produce non-null Prev values")
+  }
+
+  test("timeshift aligns prev rows when the day column is selected") {
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Date"}, {"field": "Total Spend"}],
+        | "filterExpressions": [
+        |   {"field": "Order Date", "operator": "between", "from": "1996-02-01", "to": "1996-07-31"}]}""".stripMargin
+    val df = Curators.timeShift(json, registry)(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(2)),
+      "day-aligned join must match prev-period rows, not produce all nulls")
+    // prev of day d must equal the spend aggregated directly on d - 182
+    val direct = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1995-08-03")
+        && col("o_orderdate") <= lit("1996-01-31"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(graft.core.Tables.dec2(col("o_totalprice"))).cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val day = r.getString(0)
+      val prevDay = java.time.LocalDate.parse(day).minusDays(182).toString
+      direct.get(prevDay) match {
+        case Some(v) => assert(!r.isNullAt(2) && math.abs(r.getDouble(2) - v) < 1e-6,
+          s"prev($day) should be spend($prevDay)")
+        case None => assert(r.isNullAt(2), s"prev($day) should be null")
+      }
+    }
+  }
+
+  test("curators run against a cube that requires sync pagination") {
+    // curator-internal second passes are async-style; maxRowsSync used
+    // to reject their rowsPerPage = -1 inner requests
+    import graft.semantic.model.Registry
+    val capped = Registry(
+      graft.operators.SemanticQueries.orderCube.copy(maxRowsSync = Some(100)),
+      graft.operators.SemanticQueries.eventsCube)
+    val n = Curators.rowCount(sem04Json, capped)(spark, sf).collect()(0).getLong(0)
+    assert(n == graft.core.Tables.customer(spark, sf).count())
+    val totals = Curators.totalMetrics(cur01Json, capped)(spark, sf)
+    assert(totals.count() == 1)
+    val drill = Curators.drillDown(cur04Json, "Order Status", 3, capped)(spark, sf)
+    assert(drill.count() > 0)
+  }
+
   test("totalmetrics returns exactly one row with the filters applied") {
     val df = Curators.totalMetrics(cur01Json, registry)(spark, sf)
     assert(df.count() == 1)

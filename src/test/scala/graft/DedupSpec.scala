@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Dedup scale-hardening: the frequent-shingle document-frequency cap
+  * (a shingle in k docs emits k·(k-1)/2 candidate pairs — hot
+  * boilerplate shingles must be dropped before the inverted-index
+  * self-join or candidate generation is quadratic in df at corpus
+  * scale).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hot-shingle df cap prunes boilerplate pairs, keeps cold pairs") {
+    import spark.implicits._
+    // five docs that are ONE identical hot shingle (df=5), plus two
+    // docs sharing a cold shingle (df=2)
+    val docs = (
+      (1L to 5L).map(i => (i, "a b c d e")) ++
+        Seq((10L, "p q r s t"), (11L, "p q r s t"))
+      ).toDF("doc_id", "text")
+    val sh = Dedup.shingle(docs).cache()
+    try {
+      // cap above every df: all 11 pairs (C(5,2) hot + 1 cold)
+      val uncapped = Dedup.ddNgramJaccardFrom(sh, maxDf = 100).collect()
+      assert(uncapped.length == 11, s"got ${uncapped.length}")
+      // cap of 3: the df=5 boilerplate shingle is dropped BEFORE the
+      // join; the df=2 cold pair must survive untouched
+      val capped = Dedup.ddNgramJaccardFrom(sh, maxDf = 3).collect()
+      assert(capped.length == 1, s"got ${capped.length}")
+      assert(capped(0).getLong(0) == 10L && capped(0).getLong(1) == 11L)
+      assert(capped(0).getAs[Double]("jaccard") == 1.0)
+    } finally { sh.unpersist(); () }
+  }
+
+  test("default cap exceeds the test corpus's max shingle df") {
+    // guards the dd02 oracle: with the default cap the result set on
+    // the driver's test data must be identical to the uncapped run
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sh = Dedup.shingle(docs).cache()
+    try {
+      import org.apache.spark.sql.functions._
+      val maxDf = sh.select(explode(col("shingles")).as("s"))
+        .groupBy("s").count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxDf <= Dedup.DefaultMaxShingleDf,
+        s"test-corpus max shingle df $maxDf exceeds the default cap — " +
+          "dd02's oracle hash would change")
+    } finally { sh.unpersist(); () }
+  }
+}

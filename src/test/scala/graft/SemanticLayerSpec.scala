@@ -465,6 +465,117 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(p2.df.count() == 5)
   }
 
+  test("dim-page disabled by a filter on a non-driving dim") {
+    // Region Name is owned by the region dim, inner-joined AFTER the
+    // driving customer dim would be paged — paging first would return a
+    // short/wrong page, so dimPageable must reject the rewrite.
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Region Name", "operator": "=", "value": "ASIA"}],
+        | "dimensionDriven": true, "rowsPerPage": 10}""".stripMargin
+    val p = SemanticQueries.planFor(json, spark, sf).toOption.get
+    assert(!p.dimPaged, "page must be taken after the region filter")
+    val got = p.df.collect().map(_.getString(0)).toSeq
+    import org.apache.spark.sql.functions._
+    val want = graft.core.Tables.customer(spark, sf)
+      .join(graft.core.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.core.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("c_name").orderBy("c_name").limit(10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want, s"page mismatch:\n got=$got\nwant=$want")
+    // a filter owned by the DRIVING dim keeps the pre-join page: it is
+    // applied to the dim scan before orderBy/offset/limit
+    val drivingFiltered =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Name"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Market Segment", "operator": "=", "value": "BUILDING"}],
+        | "dimensionDriven": true, "rowsPerPage": 10}""".stripMargin
+    val p2 = SemanticQueries.planFor(drivingFiltered, spark, sf).toOption.get
+    assert(p2.dimPaged, "driving-dim filter must not disable the dim page")
+    val got2 = p2.df.collect().map(_.getString(0)).toSeq
+    val want2 = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_name").orderBy("c_name").limit(10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == want2)
+  }
+
+  test("fallback with a single covering variant never executes the plan") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // a view that parses/plans fine but THROWS on execution: if the
+    // emptiness probe ran, planWithFallback itself would blow up
+    val bomb = udf((x: Long) => {
+      throw new RuntimeException("boom"); x: Long
+    })
+    val bombed = SemanticQueries.orderCube.base.copy(
+      name = "bomb", view = Some((s, d) =>
+        graft.core.Tables.orders(s, d).filter(bomb(col("o_orderkey")) > 0)))
+    val cube = SemanticQueries.orderCube.copy(variants = Seq(bombed))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.planWithFallback(m, spark, sf)
+    } yield p
+    assert(planned.isRight, "single-variant path must not probe-execute")
+    intercept[Exception] { planned.toOption.get.df.count() } // proves the bomb arms
+  }
+
+  test("fallback returns the earlier empty plan when the last variant throws") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    val bomb = udf((x: Long) => { throw new RuntimeException("boom"); x: Long })
+    val emptyCheap = SemanticQueries.orderCube.base.copy(
+      name = "empty_cheap", cost = 1,
+      view = Some((s, d) => graft.core.Tables.orders(s, d).filter(lit(false))))
+    val bombedBase = SemanticQueries.orderCube.base.copy(
+      name = "bombed_base", cost = 100, view = Some((s, d) =>
+        graft.core.Tables.orders(s, d).filter(bomb(col("o_orderkey")) > 0)))
+    val cube = SemanticQueries.orderCube.copy(variants = Seq(emptyCheap, bombedBase))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin
+    val planned = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.planWithFallback(m, spark, sf)
+    } yield p
+    val p = planned.toOption.get
+    assert(p.factName == "empty_cheap",
+      "valid-but-empty beats a throwing costlier variant")
+    assert(p.df.count() == 0)
+  }
+
+  test("async requests skip the sync pagination guard, capped by maxRowsAsync") {
+    import graft.semantic.model.Registry
+    val capped = Registry(SemanticQueries.orderCube.copy(
+      maxRowsSync = Some(100), maxRowsAsync = Some(1000)))
+    def m(json: String) = request.parse(json).flatMap(RequestModel.from(_, capped))
+    // async without pagination: legal (the reference's async path)
+    val asyncUnpaged = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "requestType": "async"}""".stripMargin)
+    assert(asyncUnpaged.isRight, asyncUnpaged.swap.toOption.getOrElse(""))
+    // async page above the async cap: rejected
+    val asyncTooBig = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "requestType": "async", "rowsPerPage": 5000}""".stripMargin)
+    assert(asyncTooBig.isLeft &&
+      asyncTooBig.swap.toOption.get.contains("maxRowsAsync"))
+    // sync unpaged still rejected on the same cube
+    val syncUnpaged = m(
+      """{"cube": "order_stats", "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""")
+    assert(syncUnpaged.isLeft &&
+      syncUnpaged.swap.toOption.get.contains("requires pagination"))
+  }
+
   test("rollup and base variants agree on the same request") {
     import org.apache.spark.sql.functions._
     val viaRollup = SemanticQueries.run(SemanticQueries.sem01Json)(spark, sf)
