@@ -90,6 +90,13 @@ object GraftFunctions {
     fixdot(a, b).cast("double") / lit(1e12)
   }
 
+  /** Multi-band random-hyperplane LSH signatures (array<int>, one
+    * packed sign-bit signature per band). */
+  def hyperplaneBands(v: Column, bands: Int, rowsPerBand: Int,
+      seed: Long): Column =
+    GraftBridge.column(HyperplaneBands(
+      GraftBridge.expression(v), bands, rowsPerBand, seed))
+
   /** Register graft's native expressions for SQL use in an existing
     * session (new sessions can instead set
     * spark.sql.extensions=graft.functions.GraftExtensions). */

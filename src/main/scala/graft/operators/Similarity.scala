@@ -64,59 +64,80 @@ object Similarity {
         max(col("nrm")).as("max_norm"))
       .orderBy("label")
 
-  /** LSH-bucketed ANN (no SQL oracle — hash-dependent): 6
-    * random-hyperplane sign bits (coefficients ±1 derived from
-    * xxhash64(plane, dim)) form the bucket id; neighbors are searched
-    * within the query's bucket only, turning candidate generation into
-    * an equi-join on bucket. */
+  /** Explode a frame into one row per (band_idx, band_sig): the
+    * multi-band hyperplane signature runs as the native codegen'd
+    * [[graft.functions.HyperplaneBands]] expression (one pass over the
+    * vector for ALL planes, cached ±1 coefficient matrix) — replacing
+    * the interpreted aggregate(zip_with(...)) per-plane fold that
+    * re-derived every coefficient per row. */
+  private def banded(v: DataFrame, bands: Int, rowsPerBand: Int,
+      seed: Long): DataFrame =
+    v.select(v.columns.map(col) :+
+      posexplode(graft.functions.GraftFunctions.hyperplaneBands(
+        col("embedding"), bands, rowsPerBand, seed))
+        .as(Seq("band_idx", "band_sig")): _*)
+
+  /** LSH-bucketed ANN (no SQL oracle — hash-dependent): multi-band
+    * AND-OR amplified candidate generation (as in the MinHash dedup
+    * family): a corpus vector is a candidate for a query when ANY of
+    * the `bands` per-band signatures (rowsPerBand sign bits each)
+    * matches exactly. Expected per-band bucket size is n/2^rowsPerBand
+    * — tunable, unlike a single flat bucket id whose candidate set is
+    * O(n²/2^planes) with planes capped by signature width. The (tiny)
+    * query side is broadcast, so candidate generation is a broadcast
+    * equi-join on (band, signature): a single corpus scan, no shuffle. */
   def simLshAnn(s: SparkSession, d: String): DataFrame = {
-    val planes = 6
-    val bucketExpr =
-      s"""aggregate(sequence(0, ${planes - 1}), 0,
-         |  (acc, p) -> acc + case when
-         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |        (x, i) -> cast(x as double) * (cast(pmod(xxhash64(p, i), 2) as double) * 2.0d - 1.0d)),
-         |      cast(0.0 as double), (a, v) -> a + v) >= 0
-         |    then cast(shiftleft(1, p) as int) else 0 end)""".stripMargin
-    val v = withNorm(s, d).withColumn("bucket", expr(bucketExpr))
-    val q = v.filter(col("vec_id") < 10)
+    val bands = 3; val rowsPerBand = 6; val seed = 42L
+    val ex = banded(withNorm(s, d), bands, rowsPerBand, seed)
+    val q = broadcast(ex.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("bucket"))
+        col("nrm").as("qn"), col("band_idx"), col("band_sig")))
+    val c = ex.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("band_idx"), col("band_sig"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
-    q.join(c, Seq("bucket"))
+    c.join(q, Seq("band_idx", "band_sig"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      // a pair can match in several bands: dedupe before ranking so
+      // duplicates don't occupy top-k slots
+      .select("qid", "nid", "cosine").distinct()
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
       .select("qid", "nid", "rank", "cosine")
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine high-similarity pairs (no SQL oracle): all pairs
-    * within the same LSH bucket with cosine ≥ 0.3 — the embedding
-    * analogue of MinHash dedup (this synthetic corpus has no true
-    * embedding near-dups; max pairwise cosine ≈ 0.48). */
-  def simNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val planes = 8
-    val bucketExpr =
-      s"""aggregate(sequence(0, ${planes - 1}), 0,
-         |  (acc, p) -> acc + case when
-         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |        (x, i) -> cast(x as double) * (cast(pmod(xxhash64(p, i), 2) as double) * 2.0d - 1.0d)),
-         |      cast(0.0 as double), (a, v) -> a + v) >= 0
-         |    then cast(shiftleft(1, p) as int) else 0 end)""".stripMargin
-    val v = withNorm(s, d).withColumn("bucket", expr(bucketExpr))
-    val a = v.select(col("vec_id").as("x"), col("embedding").as("qe"),
-      col("nrm").as("qn"), col("bucket"))
-    val b = v.select(col("vec_id").as("y"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("bucket"))
-    a.join(b, Seq("bucket"))
+  /** Embedding-cosine near-dup pairs (no SQL oracle): all same-bucket
+    * pairs in any band with cosine ≥ 0.3 — the embedding analogue of
+    * MinHash dedup (this synthetic corpus has no true embedding
+    * near-dups; max pairwise cosine ≈ 0.48). Verification (the fixdot
+    * cosine) is fused into the band self-join as in the SimHash
+    * operator, so candidate pairs are never materialized; an
+    * over-sized bucket (a degenerate hot key: near-constant embedding
+    * regions) is dropped before the self-join, bounding the join's
+    * worst case — the same cap discipline as the hot-shingle filter in
+    * the n-gram dedup. */
+  def simNearDupPairs(s: SparkSession, d: String): DataFrame =
+    simNearDupPairsFrom(withNorm(s, d), bands = 3, rowsPerBand = 8,
+      seed = 7L, maxBucket = 10000)
+
+  private[graft] def simNearDupPairsFrom(v: DataFrame, bands: Int,
+      rowsPerBand: Int, seed: Long, maxBucket: Int): DataFrame = {
+    val ex = banded(v, bands, rowsPerBand, seed)
+    val hot = ex.groupBy("band_idx", "band_sig")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+      .select("band_idx", "band_sig")
+    val capped = ex.join(broadcast(hot), Seq("band_idx", "band_sig"), "left_anti")
+    val a = capped.select(col("band_idx"), col("band_sig"),
+      col("vec_id").as("x"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = capped.select(col("band_idx"), col("band_sig"),
+      col("vec_id").as("y"), col("embedding").as("ce"), col("nrm").as("cn"))
+    a.join(b, Seq("band_idx", "band_sig"))
       .filter(col("x") < col("y"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .filter(col("cosine") >= 0.3)
       .select("x", "y", "cosine")
+      .distinct() // a pair can match in several bands
       .orderBy("x", "y")
   }
 

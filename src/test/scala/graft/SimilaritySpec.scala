@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** Scale-hardening checks for the LSH similarity operators: the
+  * signature must run as the native codegen'd expression (not an
+  * interpreted higher-order fold), multi-band amplification must find
+  * planted near-duplicates, and over-sized buckets must be capped
+  * before the self-join.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("band signatures: deterministic, bands independent, packed width") {
+    import spark.implicits._
+    // distinct powers of two: no ±1 combination sums to exactly zero,
+    // so negating the vector provably flips EVERY plane's sign bit
+    val df = Seq(
+      (1L, Array.tabulate(16)(i => (1 << i).toFloat)),
+      (2L, Array.tabulate(16)(i => (1 << i).toFloat)),     // identical
+      (3L, Array.tabulate(16)(i => -(1 << i).toFloat)))    // negated
+      .toDF("vec_id", "embedding")
+    val sigs = df.select(col("vec_id"),
+      GraftFunctions.hyperplaneBands(col("embedding"), 4, 8, 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical vectors must share every band")
+    assert(sigs(1L).length == 4)
+    assert(sigs(1L).forall(s => s >= 0 && s < 256), "8-bit band signatures")
+    // a negated vector flips every plane's sign: all bands must differ
+    // (each band complements, and 8-bit complement != identity)
+    assert(sigs(1L).zip(sigs(3L)).forall { case (a, b) => (a ^ b) == 255 })
+  }
+
+  test("sim03/sim04 plans contain the native signature, no interpreted HOF") {
+    val df = Similarity.queries("sim03_lsh_ann")(spark, sf)
+    val plan = df.queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("hyperplane_bands"), s"native expr missing:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted higher-order fold back in the signature path:\n$plan")
+    val plan4 = Similarity.queries("sim04_embedding_near_dups")(spark, sf)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan4.contains("hyperplane_bands") && !plan4.contains("lambdafunction"))
+  }
+
+  test("multi-band amplification finds a planted near-duplicate pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.001f) // cosine ≈ 1
+    val corpus = (1L to 200L).map(i => (i, vec())) ++
+      Seq((900L, base), (901L, nearDup))
+    val df = corpus.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    val pairs = Similarity.simNearDupPairsFrom(df,
+      bands = 3, rowsPerBand = 8, seed = 7L, maxBucket = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900L, 901L)),
+      "an almost-identical pair agrees on every plane, so every band matches")
+  }
+
+  test("bucket cap drops degenerate hot buckets before the self-join") {
+    import spark.implicits._
+    // 50 identical vectors: one bucket of 50 per band → C(50,2) pairs
+    val df = (1L to 50L).map(i => (i, Array.tabulate(16)(j => (j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    val uncapped = Similarity.simNearDupPairsFrom(df, 2, 8, 7L, maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+    val capped = Similarity.simNearDupPairsFrom(df, 2, 8, 7L, maxBucket = 10)
+    assert(capped.count() == 0, "hot buckets must be skipped entirely")
+  }
+}
