@@ -207,9 +207,11 @@ object RequestModel {
 
   /** maxDaysWindow enforcement (reference RequestModel maxDaysWindow
     * checks; Fact.scala:438): when the cube declares a window cap, the
-    * request must carry a Between filter on a day-grain column and its
-    * width (inclusive) must not exceed the cap. Returns an error, or
-    * None when valid. */
+    * request must carry a Between filter on a time-grain column
+    * (Day/Hour/Minute — the reference counts requested days from
+    * whichever grain the request filters at, Grain.scala:102,143) and
+    * its width in calendar days (inclusive) must not exceed the cap.
+    * Returns an error, or None when valid. */
   private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
       dimFs: Seq[QFilter]): Option[String] =
     cube.maxDaysWindow.flatMap { maxDays =>
@@ -219,18 +221,20 @@ object RequestModel {
         case AndFilter(fs) => fs.flatMap(conjunctive)
         case leaf => Seq(leaf)
       }
-      val dayBetween = dimFs.flatMap(conjunctive).collectFirst {
+      val grainBetween = dimFs.flatMap(conjunctive).collectFirst {
         case BetweenFilter(field, from, to)
-            if pubColOf.get(field).exists(_.isDayGrain) => (field, from, to)
+            if pubColOf.get(field).exists(_.grain.isDefined) =>
+          (field, pubColOf(field).grain.get, from, to)
       }
-      dayBetween match {
+      grainBetween match {
         case None =>
           Some(s"cube '${cube.name}' requires a Between filter on its " +
-            s"day-grain column (maxDaysWindow=$maxDays)")
-        case Some((field, from, to)) =>
+            s"time-grain column (maxDaysWindow=$maxDays)")
+        case Some((field, grain, from, to)) =>
           try {
             val days = java.time.temporal.ChronoUnit.DAYS.between(
-              java.time.LocalDate.parse(from), java.time.LocalDate.parse(to)) + 1
+              grain.parseLocal(from).toLocalDate,
+              grain.parseLocal(to).toLocalDate) + 1
             if (days < 1) Some(s"'$field' Between window is empty ($from > $to)")
             else if (days > maxDays)
               Some(s"'$field' window of $days days exceeds maxDaysWindow=$maxDays " +
@@ -238,7 +242,8 @@ object RequestModel {
             else None
           } catch {
             case _: java.time.format.DateTimeParseException =>
-              Some(s"'$field' Between bounds must be yyyy-MM-dd dates")
+              Some(s"'$field' Between bounds must match the column's " +
+                s"grain format (${grain.format})")
           }
       }
     }

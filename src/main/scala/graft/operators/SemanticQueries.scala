@@ -55,7 +55,7 @@ object SemanticQueries {
         table = "orders",
         dimCols = Seq(
           PubCol("Order Date", "o_orderdate",
-            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+            allowedOps = Set(BetweenOp, EqOp, InOp), grain = Some(DayGrain)),
           PubCol("Order Status", "o_orderstatus", staticMapping = Some(statusMapping)),
           PubCol("Order Priority", "o_orderpriority"),
           PubCol("Customer Key", "o_custkey")),
@@ -73,7 +73,7 @@ object SemanticQueries {
         table = "orders",
         dimCols = Seq(
           PubCol("Order Date", "o_orderdate",
-            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+            allowedOps = Set(BetweenOp, EqOp, InOp), grain = Some(DayGrain)),
           PubCol("Order Priority", "o_orderpriority")),
         metrics = Seq(
           PubMetric("Total Spend", SumRollup, df => df.col("__spend"), _.cast("double")),
@@ -87,7 +87,7 @@ object SemanticQueries {
         dimCols = Seq(
           PubCol("Source Stage", "__stage"),
           PubCol("Order Date", "o_orderdate",
-            allowedOps = Set(BetweenOp, EqOp, InOp), isDayGrain = true),
+            allowedOps = Set(BetweenOp, EqOp, InOp), grain = Some(DayGrain)),
           PubCol("Order Priority", "o_orderpriority")),
         metrics = Seq(spendMetric, countMetric),
         cost = 20,
@@ -116,7 +116,14 @@ object SemanticQueries {
       table = "events",
       dimCols = Seq(
         PubCol("Day", "ts", allowedOps = Set(BetweenOp),
-          isDayGrain = true, tzPoint = true),
+          grain = Some(DayGrain), tzPoint = true),
+        // the same physical instant exposed at finer grains (reference
+        // HourlyGrain/MinuteGrain, Grain.scala:102,143: requests carry
+        // Hour/Minute fields next to Day over one timestamp column)
+        PubCol("Hour", "ts", allowedOps = Set(BetweenOp),
+          grain = Some(HourGrain), tzPoint = true),
+        PubCol("Minute", "ts", allowedOps = Set(BetweenOp),
+          grain = Some(MinuteGrain), tzPoint = true),
         PubCol("Event Type", "event_type"),
         PubCol("User ID", "user_id", restrictedTo = Some(Set("internal")))),
       metrics = Seq(
@@ -250,6 +257,22 @@ object SemanticQueries {
     """{"cube": "order_stats",
       | "selectFields": [{"field": "Market Segment"}, {"field": "Region Name"}]}""".stripMargin
 
+  /** Hourly grain through the cube layer with a local timezone: the
+    * Between bounds are local hours, converted to an exact half-open
+    * UTC instant range; the rendered Hour is local-of-UTC. */
+  val sem14Json: String =
+    """{"cube": "user_events",
+      | "selectFields": [{"field": "Hour"}, {"field": "Event Type"}, {"field": "Event Count"}],
+      | "filterExpressions": [{"field": "Hour", "operator": "between", "from": "2024-01-05 00", "to": "2024-01-06 23"}],
+      | "timezone": "America/Los_Angeles"}""".stripMargin
+
+  /** Minute grain, same shape. */
+  val sem15Json: String =
+    """{"cube": "user_events",
+      | "selectFields": [{"field": "Minute"}, {"field": "Event Count"}, {"field": "Total Value"}],
+      | "filterExpressions": [{"field": "Minute", "operator": "between", "from": "2024-01-05 10:00", "to": "2024-01-05 13:30"}],
+      | "timezone": "America/Los_Angeles"}""".stripMargin
+
   import graft.curators.Curators
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -267,6 +290,8 @@ object SemanticQueries {
     "sem12_avg_rollup" -> (run(sem12Json) _),
     "sql02_cube_sql" -> (graft.analyzer.SqlFrontDoor.run(sql02Text, registry) _),
     "sem13_dim_only_listing" -> (run(sem13Json) _),
+    "sem14_hourly_grain" -> (run(sem14Json) _),
+    "sem15_minute_grain" -> (run(sem15Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -367,6 +392,21 @@ object SemanticQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY "Market Segment", "Region Name"""".stripMargin,
+    // America/Los_Angeles is UTC-8 (PST) throughout January: local
+    // [2024-01-05 00, 2024-01-06 23] hours → UTC [05 08:00, 07 08:00)
+    "sem14_hourly_grain" ->
+      """SELECT strftime(date_trunc('hour', ts - INTERVAL 8 HOUR), '%Y-%m-%d %H') AS "Hour",
+        | event_type AS "Event Type", COUNT(*) AS "Event Count"
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 08:00:00' AND ts < TIMESTAMP '2024-01-07 08:00:00'
+        |GROUP BY 1, 2 ORDER BY "Hour", "Event Type"""".stripMargin,
+    "sem15_minute_grain" ->
+      """SELECT strftime(date_trunc('minute', ts - INTERVAL 8 HOUR), '%Y-%m-%d %H:%M') AS "Minute",
+        | COUNT(*) AS "Event Count",
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS "Total Value"
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 18:00:00' AND ts < TIMESTAMP '2024-01-05 21:31:00'
+        |GROUP BY 1 ORDER BY "Minute"""".stripMargin,
     "sql02_cube_sql" ->
       """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"

@@ -191,7 +191,7 @@ object Planner {
     val dimPageable = drivingDim.exists { dn =>
       val d = m.cube.dimByName(dn)
       def plainDimCol(a: String) = d.cols.exists(pc =>
-        pc.alias == a && pc.staticMapping.isEmpty && !pc.isDayGrain &&
+        pc.alias == a && pc.staticMapping.isEmpty && pc.grain.isEmpty &&
           pc.constVal.isEmpty)
       m.isDimDriven && m.req.rowsPerPage > 0 && m.metricFilters.isEmpty &&
         m.outerFilters.isEmpty &&
@@ -398,9 +398,10 @@ object Planner {
         sm.toDisplay.foldLeft(when(lit(false), lit(null))) {
           case (acc, (stor, disp)) => acc.when(base === stor, disp)
         }.otherwise(sm.default)
-      case None if pc.isDayGrain && pc.tzPoint =>
-        date_format(from_utc_timestamp(base, tz.getOrElse("UTC")), "yyyy-MM-dd")
-      case None if pc.isDayGrain => date_format(base, "yyyy-MM-dd")
+      case None if pc.grain.isDefined && pc.tzPoint =>
+        date_format(from_utc_timestamp(base, tz.getOrElse("UTC")),
+          pc.grain.get.format)
+      case None if pc.grain.isDefined => date_format(base, pc.grain.get.format)
       case None => base
     }
 
@@ -451,14 +452,16 @@ object Planner {
       case NotInFilter(_, vs)  => !inDisplays(vs)
       case EqFilter(_, v)      => inDisplays(Seq(v))
       case NeqFilter(_, v)     => !inDisplays(Seq(v))
-      case BetweenFilter(_, a, b) if pc.isDayGrain && pc.tzPoint =>
-        // local day window → UTC instant half-open range (the
-        // BaseUTCTimeProvider widening+conversion analogue)
+      case BetweenFilter(_, a, b) if pc.grain.isDefined && pc.tzPoint =>
+        // local grain window → UTC instant half-open range (the
+        // BaseUTCTimeProvider widening+conversion analogue: one engine,
+        // so the conversion is exact and needs no day-widening)
+        val g = pc.grain.get
         val zone = java.time.ZoneId.of(tz.getOrElse("UTC"))
         val lo = java.sql.Timestamp.from(
-          java.time.LocalDate.parse(a).atStartOfDay(zone).toInstant)
+          g.parseLocal(a).atZone(zone).toInstant)
         val hi = java.sql.Timestamp.from(
-          java.time.LocalDate.parse(b).plusDays(1).atStartOfDay(zone).toInstant)
+          g.next(g.parseLocal(b)).atZone(zone).toInstant)
         base >= lit(lo) && base < lit(hi)
       case BetweenFilter(_, a, b) => base >= lit(a) && base <= lit(b)
       case GtFilter(_, v)      => base > lit(v)

@@ -47,6 +47,48 @@ object model {
   case object CountRollup extends Rollup
   case object CountDistinctRollup extends Rollup
 
+  /** Time grains (reference Grain.scala: DailyGrain :61, HourlyGrain
+    * :102, MinuteGrain :143). A grain knows how to render a
+    * point-in-time column and how to parse request filter bounds at
+    * its own precision. The reference's BaseUTCTimeProvider widens a
+    * local-time window by a day on each side before pushing it to
+    * engines that can only filter at day grain
+    * (core/.../BaseUTCTimeProvider.scala; RequestModel.scala:715-723);
+    * with a single Spark engine the local bounds convert EXACTLY to a
+    * half-open UTC instant range instead, so no widening (and no
+    * post-filter trim) is needed. */
+  sealed trait Grain {
+    /** Spark date_format render pattern. */
+    def format: String
+    /** Parse a request filter bound at this grain's precision. */
+    def parseLocal(s: String): java.time.LocalDateTime
+    /** The next instant at this grain (exclusive upper bound of a
+      * Between whose `to` is `t`). */
+    def next(t: java.time.LocalDateTime): java.time.LocalDateTime
+  }
+  case object DayGrain extends Grain {
+    val format = "yyyy-MM-dd"
+    def parseLocal(s: String): java.time.LocalDateTime =
+      java.time.LocalDate.parse(s).atStartOfDay()
+    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusDays(1)
+  }
+  case object HourGrain extends Grain {
+    val format = "yyyy-MM-dd HH"
+    private val fmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
+    def parseLocal(s: String): java.time.LocalDateTime =
+      java.time.LocalDateTime.parse(s.trim, fmt)
+    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusHours(1)
+  }
+  case object MinuteGrain extends Grain {
+    val format = "yyyy-MM-dd HH:mm"
+    private val fmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    def parseLocal(s: String): java.time.LocalDateTime =
+      java.time.LocalDateTime.parse(s.trim, fmt)
+    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusMinutes(1)
+  }
+
   /** Storage→display enum mapping; filters on display values are
     * reverse-mapped to the full set of matching storage values — an IN
     * predicate when the mapping is non-unique (reference
@@ -63,25 +105,29 @@ object model {
 
   /** A public (aliased) dimension attribute.
     *
-    * `isDayGrain` renders yyyy-MM-dd and enables maxDaysWindow checks;
-    * `tzPoint` additionally marks the physical column as a UTC
-    * point-in-time timestamp: a request `timezone` converts day-filter
-    * bounds local→UTC and the rendered Day local-of-UTC (the
-    * BaseUTCTimeProvider analogue, reference
-    * core/.../BaseUTCTimeProvider.scala, RequestModel.scala:715-723).
-    * `restrictedTo` limits the column to the named request schemas
-    * (reference PublicColumn.restrictedSchemas, Column.scala:22). */
+    * `grain` marks the column as a time column rendered at that grain
+    * (Day → yyyy-MM-dd, Hour → yyyy-MM-dd HH, Minute → yyyy-MM-dd
+    * HH:mm) and enables maxDaysWindow checks; `tzPoint` additionally
+    * marks the physical column as a UTC point-in-time timestamp: a
+    * request `timezone` converts grain-filter bounds local→UTC and the
+    * rendered value local-of-UTC (the BaseUTCTimeProvider analogue,
+    * reference core/.../BaseUTCTimeProvider.scala,
+    * RequestModel.scala:715-723). `restrictedTo` limits the column to
+    * the named request schemas (reference
+    * PublicColumn.restrictedSchemas, Column.scala:22). */
   final case class PubCol(
       alias: String,
       physical: String,
       allowedOps: Set[FilterOp] = AllOps,
       staticMapping: Option[StaticMapping] = None,
-      isDayGrain: Boolean = false,
+      grain: Option[Grain] = None,
       tzPoint: Boolean = false,
       restrictedTo: Option[Set[String]] = None,
       /** ConstColumn analogue (reference Column.scala:86): rendered as
         * this literal; `physical` is ignored. */
-      constVal: Option[String] = None)
+      constVal: Option[String] = None) {
+    def isDayGrain: Boolean = grain.contains(DayGrain)
+  }
 
   /** A public metric: rollup over a physical expression. `pre` is the
     * column fed to the first aggregation (cast to exact decimal for
