@@ -47,7 +47,11 @@ object RequestModel {
         * metrics, no fact-level selects or filter leaves, no cube
         * forced filters — the SINGLE source of truth; the planner must
         * not re-derive this. */
-      isFactless: Boolean = false) {
+      isFactless: Boolean = false,
+      /** calendar days (inclusive) covered by the request's grain
+        * Between, 1 when absent (reference ReportingRequest numDays,
+        * core RequestModel.scala:150-173) — feeds CostModel.estimate. */
+      numDays: Int = 1) {
     def selectedMetrics: Seq[String] =
       selects.collect { case Resolved(a, MetricCol) => a }
     def selectedNonMetrics: Seq[String] =
@@ -198,7 +202,8 @@ object RequestModel {
                 .toLeft(()).map { _ =>
                   Model(req, cube, selects, dimFs, metricFs, outerFs,
                     withParents, joinKinds, req.dimensionDriven,
-                    isFactless = factless && withParents.nonEmpty)
+                    isFactless = factless && withParents.nonEmpty,
+                    numDays = requestNumDays(pubColOf, dimFs))
                 }
           }
         }
@@ -212,21 +217,41 @@ object RequestModel {
     * whichever grain the request filters at, Grain.scala:102,143) and
     * its width in calendar days (inclusive) must not exceed the cap.
     * Returns an error, or None when valid. */
+  /** The request's conjunctive Between on a time-grain column, if any
+    * (a Between inside a top-level AND is still conjunctive and
+    * satisfies the day-window requirement; OR-nested ones do not). */
+  private def grainBetween(pubColOf: Map[String, PubCol],
+      dimFs: Seq[QFilter]): Option[(String, Grain, String, String)] = {
+    def conjunctive(f: QFilter): Seq[QFilter] = f match {
+      case AndFilter(fs) => fs.flatMap(conjunctive)
+      case leaf => Seq(leaf)
+    }
+    dimFs.flatMap(conjunctive).collectFirst {
+      case BetweenFilter(field, from, to)
+          if pubColOf.get(field).exists(_.grain.isDefined) =>
+        (field, pubColOf(field).grain.get, from, to)
+    }
+  }
+
+  /** Calendar days (inclusive) spanned by the grain Between; 1 when
+    * absent or unparseable (windowCheck rejects those cases on cubes
+    * that care). Reference ReportingRequest numDays via
+    * DailyGrain.validateFilterAndGetNumDays (RequestModel.scala:150-173). */
+  private def requestNumDays(pubColOf: Map[String, PubCol],
+      dimFs: Seq[QFilter]): Int =
+    grainBetween(pubColOf, dimFs).flatMap { case (_, grain, from, to) =>
+      try {
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          grain.parseLocal(from).toLocalDate,
+          grain.parseLocal(to).toLocalDate) + 1
+        if (days >= 1 && days <= Int.MaxValue) Some(days.toInt) else None
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }.getOrElse(1)
+
   private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
       dimFs: Seq[QFilter]): Option[String] =
     cube.maxDaysWindow.flatMap { maxDays =>
-      // a Between inside a top-level AND is still conjunctive and
-      // satisfies the day-window requirement (OR-nested ones do not)
-      def conjunctive(f: QFilter): Seq[QFilter] = f match {
-        case AndFilter(fs) => fs.flatMap(conjunctive)
-        case leaf => Seq(leaf)
-      }
-      val grainBetween = dimFs.flatMap(conjunctive).collectFirst {
-        case BetweenFilter(field, from, to)
-            if pubColOf.get(field).exists(_.grain.isDefined) =>
-          (field, pubColOf(field).grain.get, from, to)
-      }
-      grainBetween match {
+      grainBetween(pubColOf, dimFs) match {
         case None =>
           Some(s"cube '${cube.name}' requires a Between filter on its " +
             s"time-grain column (maxDaysWindow=$maxDays)")

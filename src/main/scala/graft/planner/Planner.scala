@@ -100,8 +100,17 @@ object Planner {
     if (candidates.isEmpty)
       Left(s"no variant of cube '${m.cube.name}' covers fields " +
         neededFactAliases.distinct.mkString("[", ", ", "]"))
-    else Right(candidates.sortBy(_.cost))
+    else Right(candidates.sortBy(estimatedCost(_, m)))
   }
+
+  /** Request-aware variant cost (reference CostEstimator.scala:25-60 /
+    * Fact.scala:478-479): rows ≈ rowsPerDay × (numDays+1) through the
+    * variant's CostModel when declared — so a window-independent
+    * lifetime rollup beats the daily base exactly when the requested
+    * window is wide enough — else the static `cost`. Ties break on the
+    * static cost, then name, for determinism. */
+  private def estimatedCost(v: FactDef, m: Model): (Long, Long, String) =
+    (v.costModel.map(_.estimate(m.numDays)).getOrElse(v.cost), v.cost, v.name)
 
   private def build(m: Model, fact: FactDef, factScan: DataFrame,
       spark: SparkSession, dir: String): Planned = {

@@ -166,12 +166,37 @@ object model {
       inputs: Seq[String],
       compute: DataFrame => Column)
 
+  /** Request-aware cost estimate (reference CostEstimator.scala:25-60
+    * getDefaultRows: rows = defaultRowCount × (numDays + 1);
+    * Fact.scala:426-429 CostMultiplier = LongRangeLookup over the row
+    * estimate). `rowsPerDay` is the defaultRowCount analogue for a
+    * time-partitioned variant: its scanned rows grow with the request
+    * window. `fixedRows` marks a variant pre-aggregated ACROSS time
+    * (a lifetime rollup): its size is window-independent, so it wins
+    * wide windows and loses narrow ones. `multiplier` is the
+    * CostMultiplier range lookup — first (upperBound, mult) with
+    * estimated rows ≤ upperBound applies, else 1.0 — letting a cube
+    * penalize variants whose estimate crosses a scan-size threshold. */
+  final case class CostModel(
+      rowsPerDay: Long,
+      fixedRows: Option[Long] = None,
+      multiplier: Seq[(Long, Double)] = Nil) {
+    def estimate(numDays: Int): Long = {
+      val rows = fixedRows.getOrElse(rowsPerDay * (numDays + 1L))
+      val mult = multiplier.collectFirst {
+        case (ub, m) if rows <= ub => m
+      }.getOrElse(1.0)
+      math.max(1L, (rows * mult).toLong)
+    }
+  }
+
   /** A physical fact variant. `view` replaces the raw scan for
     * rollup/subset variants (standing in for a materialized table;
     * at production scale these are parquet tables of their own).
-    * `cost` mirrors maha's per-table cost estimate
+    * `cost` mirrors maha's per-table static cost estimate
     * (reference CostEstimator.scala:25-60) — candidates are ranked by
-    * it ascending. */
+    * it ascending; `costModel`, when set, supersedes it with a
+    * request-aware estimate responding to the filter window. */
   final case class FactDef(
       name: String,
       table: String,
@@ -180,7 +205,8 @@ object model {
       cost: Long,
       view: Option[(SparkSession, String) => DataFrame] = None,
       availableDims: Option[Set[String]] = None,
-      derived: Seq[PubDerived] = Nil)
+      derived: Seq[PubDerived] = Nil,
+      costModel: Option[CostModel] = None)
 
   /** Always-applied predicates (maha forceFilters / schema-required
     * filters, reference Fact.scala:458). */

@@ -386,6 +386,68 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(direct.factName == "stale_rollup" && direct.df.count() == 0)
   }
 
+  test("request-aware cost: cheapest variant flips with the window width") {
+    import graft.semantic.model._
+    // daily base: scanned rows grow with the window; lifetime rollup:
+    // pre-aggregated across time, window-independent (reference
+    // CostEstimator.scala:25-60 — rows = defaultRowCount × (numDays+1))
+    val base = SemanticQueries.orderCube.base.copy(
+      costModel = Some(CostModel(rowsPerDay = 1000)))
+    val lifetime = SemanticQueries.orderCube.base.copy(
+      name = "orders_lifetime_rollup",
+      costModel = Some(CostModel(rowsPerDay = 0, fixedRows = Some(50000))))
+    val cube = SemanticQueries.orderCube.copy(variants = Seq(base, lifetime))
+    def pick(from: String, to: String): String = (for {
+      req <- request.parse(
+        s"""{"cube": "order_stats",
+           | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+           | "filterExpressions": [{"field": "Order Date", "operator": "between",
+           |   "from": "$from", "to": "$to"}]}""".stripMargin)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.factName).toOption.get
+    // 2-day window: 1000×3 = 3k < 50k → daily base
+    assert(pick("1995-01-01", "1995-01-02") == "orders_base")
+    // 90-day window: 1000×91 = 91k > 50k → lifetime rollup
+    assert(pick("1995-01-01", "1995-03-31") == "orders_lifetime_rollup")
+    // no window at all → numDays=1 → base still cheapest
+    val noWindow = (for {
+      req <- request.parse(
+        """{"cube": "order_stats",
+          | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.factName).toOption.get
+    assert(noWindow == "orders_base")
+  }
+
+  test("cost multiplier penalizes estimates crossing a row threshold") {
+    import graft.semantic.model._
+    // CostMultiplier analogue (reference Fact.scala:426-429): past 10k
+    // estimated rows the base is penalized 10×, so even a 20-day window
+    // (21k rows) loses to a 100k-row lifetime rollup
+    val base = SemanticQueries.orderCube.base.copy(
+      costModel = Some(CostModel(rowsPerDay = 1000,
+        multiplier = Seq(10000L -> 1.0, Long.MaxValue -> 10.0))))
+    val lifetime = SemanticQueries.orderCube.base.copy(
+      name = "orders_lifetime_rollup",
+      costModel = Some(CostModel(rowsPerDay = 0, fixedRows = Some(100000))))
+    val cube = SemanticQueries.orderCube.copy(variants = Seq(base, lifetime))
+    def pick(from: String, to: String): String = (for {
+      req <- request.parse(
+        s"""{"cube": "order_stats",
+           | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+           | "filterExpressions": [{"field": "Order Date", "operator": "between",
+           |   "from": "$from", "to": "$to"}]}""".stripMargin)
+      m <- RequestModel.from(req, Registry(cube))
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.factName).toOption.get
+    // 5-day window: 6k ≤ 10k → mult 1 → 6k < 100k → base
+    assert(pick("1995-01-01", "1995-01-05") == "orders_base")
+    // 20-day window: 21k > 10k → ×10 = 210k > 100k → rollup
+    assert(pick("1995-01-01", "1995-01-20") == "orders_lifetime_rollup")
+  }
+
   test("schema ACL applies to every leaf of a filter tree") {
     val viaTree = model(
       """{"cube": "user_events",
