@@ -134,7 +134,29 @@ object SemanticQueries {
       view = Some((s, d) => Tables.events(s, d)))),
     dims = Nil)
 
-  val registry: Registry = Registry(orderCube, eventsCube)
+  /** Int-keyed static mapping (reference IntType(length, staticMapping),
+    * DataType.scala:66-86): an int-coded storage column decoded to
+    * display values through the cube, with reverse filters comparing
+    * numeric literals so pushdown survives. */
+  private val lineRoleMapping = StaticMapping.int(
+    Map(1 -> "Primary", 2 -> "Secondary"), "Additional")
+
+  val lineitemCube: CubeDef = CubeDef(
+    name = "line_stats",
+    variants = Seq(FactDef(
+      name = "lineitem_base",
+      table = "lineitem",
+      dimCols = Seq(
+        PubCol("Line Role", "l_linenumber", staticMapping = Some(lineRoleMapping)),
+        PubCol("Return Flag", "l_returnflag")),
+      metrics = Seq(
+        PubMetric("Line Count", CountRollup, _ => lit(1)),
+        PubMetric("Total Qty", SumRollup,
+          df => dec2(df.col("l_quantity")), _.cast("double"))),
+      cost = 100)),
+    dims = Nil)
+
+  val registry: Registry = Registry(orderCube, eventsCube, lineitemCube)
 
   /** Run a JSON request through parse → analyze → plan. */
   def run(json: String)(s: SparkSession, dir: String): DataFrame = {
@@ -266,6 +288,14 @@ object SemanticQueries {
       | "filterExpressions": [{"field": "Hour", "operator": "between", "from": "2024-01-05 00", "to": "2024-01-06 23"}],
       | "timezone": "America/Los_Angeles"}""".stripMargin
 
+  /** Int-keyed static mapping: decode l_linenumber codes to display
+    * values and reverse-filter on a named value AND the default (the
+    * default matches every storage value outside the map). */
+  val sem16Json: String =
+    """{"cube": "line_stats",
+      | "selectFields": [{"field": "Line Role"}, {"field": "Line Count"}, {"field": "Total Qty"}],
+      | "filterExpressions": [{"field": "Line Role", "operator": "in", "values": ["Primary", "Additional"]}]}""".stripMargin
+
   /** Minute grain, same shape. */
   val sem15Json: String =
     """{"cube": "user_events",
@@ -292,6 +322,7 @@ object SemanticQueries {
     "sem13_dim_only_listing" -> (run(sem13Json) _),
     "sem14_hourly_grain" -> (run(sem14Json) _),
     "sem15_minute_grain" -> (run(sem15Json) _),
+    "sem16_int_decode" -> (run(sem16Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -407,6 +438,14 @@ object SemanticQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 18:00:00' AND ts < TIMESTAMP '2024-01-05 21:31:00'
         |GROUP BY 1 ORDER BY "Minute"""".stripMargin,
+    "sem16_int_decode" ->
+      """SELECT CASE l_linenumber WHEN 1 THEN 'Primary' WHEN 2 THEN 'Secondary'
+        |  ELSE 'Additional' END AS "Line Role",
+        | COUNT(*) AS "Line Count",
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS "Total Qty"
+        |FROM lineitem
+        |WHERE l_linenumber = 1 OR l_linenumber NOT IN (1, 2)
+        |GROUP BY 1 ORDER BY "Line Role"""".stripMargin,
     "sql02_cube_sql" ->
       """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"

@@ -405,7 +405,8 @@ object Planner {
     pc.staticMapping match {
       case Some(sm) =>
         sm.toDisplay.foldLeft(when(lit(false), lit(null))) {
-          case (acc, (stor, disp)) => acc.when(base === stor, disp)
+          case (acc, (stor, disp)) =>
+            acc.when(base === lit(sm.storageLit(stor)), disp)
         }.otherwise(sm.default)
       case None if pc.grain.isDefined && pc.tzPoint =>
         date_format(from_utc_timestamp(base, tz.getOrElse("UTC")),
@@ -445,14 +446,17 @@ object Planner {
           hits
         }
         // the default display value matches storage values OUTSIDE the
-        // map AND any storage value explicitly mapped TO the default
+        // map AND any storage value explicitly mapped TO the default;
+        // literals go through storageLit so int-keyed mappings compare
+        // numerically (pushdown-safe — no cast on the column side)
         val defaultStor = sm.storageValuesFor(sm.default)
         val branches =
-          (if (stor.nonEmpty) Seq(base.isin(stor: _*)) else Nil) ++
+          (if (stor.nonEmpty)
+            Seq(base.isin(stor.map(sm.storageLit): _*)) else Nil) ++
             (if (defaults.nonEmpty)
-              Seq(!base.isin(sm.toDisplay.keys.toSeq.sorted: _*)) else Nil) ++
+              Seq(!base.isin(sm.sortedStorageKeys.map(sm.storageLit): _*)) else Nil) ++
             (if (defaults.nonEmpty && defaultStor.nonEmpty)
-              Seq(base.isin(defaultStor: _*)) else Nil)
+              Seq(base.isin(defaultStor.map(sm.storageLit): _*)) else Nil)
         branches.reduce(_ || _)
       case None => if (vs.size == 1) base === vs.head else base.isin(vs: _*)
     }

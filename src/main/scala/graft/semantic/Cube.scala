@@ -95,12 +95,30 @@ object model {
     * DataType.scala:45 hasUniqueStaticMapping decides unique-ness; maha
     * validates filter values against the map). Filtering on the default
     * display value matches every storage value NOT in the map. */
-  final case class StaticMapping(toDisplay: Map[String, String], default: String) {
+  final case class StaticMapping(toDisplay: Map[String, String], default: String,
+      /** int-keyed storage (reference IntType(length, staticMapping),
+        * DataType.scala:66-86): keys are canonical base-10 longs and
+        * predicates/renders compare with NUMERIC literals, so the typed
+        * comparison pushes into the parquet scan without casting the
+        * column side. Declare via [[StaticMapping.int]]. */
+      numericKeys: Boolean = false) {
     lazy val toStorage: Map[String, String] = toDisplay.map(_.swap)
     def isUnique: Boolean = toStorage.size == toDisplay.size
+    /** Storage key as the literal value to compare the physical column
+      * against: Long for int-keyed mappings, String otherwise. */
+    def storageLit(s: String): Any = if (numericKeys) s.toLong else s
+    private def sortKeys(ks: Seq[String]): Seq[String] =
+      if (numericKeys) ks.sortBy(_.toLong) else ks.sorted
     /** All storage values rendering as display value `v`. */
     def storageValuesFor(v: String): Seq[String] =
-      toDisplay.collect { case (stor, disp) if disp == v => stor }.toSeq.sorted
+      sortKeys(toDisplay.collect { case (stor, disp) if disp == v => stor }.toSeq)
+    def sortedStorageKeys: Seq[String] = sortKeys(toDisplay.keys.toSeq)
+  }
+  object StaticMapping {
+    /** Int-keyed mapping (IntType staticMapping analogue). */
+    def int(toDisplay: Map[Int, String], default: String): StaticMapping =
+      StaticMapping(toDisplay.map { case (k, v) => k.toString -> v }, default,
+        numericKeys = true)
   }
 
   /** A public (aliased) dimension attribute.

@@ -448,6 +448,19 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(pick("1995-01-01", "1995-01-20") == "orders_lifetime_rollup")
   }
 
+  test("int-keyed static mapping: numeric reverse filter reaches the scan") {
+    val p = SemanticQueries.planFor(SemanticQueries.sem16Json, spark, sf).toOption.get
+    // the reverse-mapped predicate compares the int column against
+    // numeric literals, so it must appear in PushedFilters (a cast on
+    // the column side would block pushdown)
+    val scanLine = p.df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters"))
+    assert(scanLine.exists(_.contains("l_linenumber")),
+      s"numeric predicate not pushed: $scanLine")
+    val roles = p.df.collect().map(_.getString(0)).toSet
+    assert(roles == Set("Primary", "Additional"))
+  }
+
   test("schema ACL applies to every leaf of a filter tree") {
     val viaTree = model(
       """{"cube": "user_events",
