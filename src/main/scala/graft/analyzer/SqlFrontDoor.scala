@@ -1,7 +1,7 @@
 package graft.analyzer
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias, And, Descending,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
   LessThan, LessThanOrEqual, Like, Literal, Not, Or, SortOrder}
@@ -38,12 +38,42 @@ object SqlFrontDoor {
     try walk(GraftBridge.parseSql(spark, sql))
     catch { case e: Exception => Left(s"unparseable SQL: ${e.getMessage}") }
 
-  def run(sql: String, reg: Registry)(spark: SparkSession, dir: String): DataFrame =
-    (for {
-      req <- toRequest(spark, sql)
-      m <- RequestModel.from(req, reg)
-      p <- Planner.plan(m, spark, dir)
-    } yield p.df).fold(e => throw new IllegalArgumentException(e), identity)
+  def run(sql: String, reg: Registry)(spark: SparkSession, dir: String): DataFrame = {
+    val plan =
+      try GraftBridge.parseSql(spark, sql)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"unparseable SQL: ${e.getMessage}") }
+    plan match {
+      // DESCRIBE <cube> (reference MahaCalciteSqlParser.scala:48-134
+      // DESCRIBE handling): the cube's public field listing as rows —
+      // driver-side config metadata, no scan.
+      case d: DescribeRelation =>
+        d.relation match {
+          case u: UnresolvedTableOrView =>
+            describe(u.multipartIdentifier.mkString("."), reg)(spark)
+          case other => throw new IllegalArgumentException(
+            s"DESCRIBE must name a registered cube, got: $other")
+        }
+      case p =>
+        (for {
+          req <- walk(p)
+          m <- RequestModel.from(req, reg)
+          pl <- Planner.plan(m, spark, dir)
+        } yield pl.df).fold(e => throw new IllegalArgumentException(e), identity)
+    }
+  }
+
+  /** `DESCRIBE <cube>` result: one row per public field, sorted by
+    * field name (the flat listing behind Domain.cubeJson). */
+  def describe(cubeName: String, reg: Registry)(spark: SparkSession): DataFrame = {
+    val cube = reg.cube(cubeName)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    import spark.implicits._
+    graft.semantic.Domain.fields(cube).toDF()
+      .select("field", "kind", "dataType", "dimension", "filterOps",
+        "rollup", "restrictedTo")
+      .orderBy("field")
+  }
 
   private def walk(plan: LogicalPlan): Either[String, ReportingRequest] = {
     var limit = -1

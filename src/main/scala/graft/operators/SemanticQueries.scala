@@ -319,6 +319,7 @@ object SemanticQueries {
     "sem11_union_view" -> (run(sem11Json) _),
     "sem12_avg_rollup" -> (run(sem12Json) _),
     "sql02_cube_sql" -> (graft.analyzer.SqlFrontDoor.run(sql02Text, registry) _),
+    "sql03_describe" -> (graft.analyzer.SqlFrontDoor.run("DESCRIBE order_stats", registry) _),
     "sem13_dim_only_listing" -> (run(sem13Json) _),
     "sem14_hourly_grain" -> (run(sem14Json) _),
     "sem15_minute_grain" -> (run(sem15Json) _),
@@ -453,6 +454,29 @@ object SemanticQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
         | AND o_orderstatus IN ('O', 'F')
         |GROUP BY 1 ORDER BY "Total Spend" DESC, "Order Priority" LIMIT 3""".stripMargin,
+    // DESCRIBE is config metadata, so its oracle is the golden field
+    // listing itself — any drift in the cube's public surface (fields,
+    // kinds, data types, allowed ops) fails the hash.
+    "sql03_describe" ->
+      """SELECT * FROM (VALUES
+        | ('Avg Order Value','Fact','Number',NULL,'<,=,>','Derived',NULL),
+        | ('Avg Price','Fact','Number',NULL,'<,=,>','Avg',NULL),
+        | ('Customer Key','Dimension','String',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Customer Name','Dimension','String','customer','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Distinct Customers','Fact','Number',NULL,'<,=,>','CountDistinct',NULL),
+        | ('Market Segment','Dimension','String','customer','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Max Price','Fact','Number',NULL,'<,=,>','Max',NULL),
+        | ('Nation Key','Dimension','String','customer','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Nation Name','Dimension','String','nation','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Order Count','Fact','Number',NULL,'<,=,>','Count',NULL),
+        | ('Order Date','Dimension','Date',NULL,'=,BETWEEN,IN',NULL,NULL),
+        | ('Order Priority','Dimension','String',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Order Status','Dimension','Enum',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Region Name','Dimension','String','region','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Source Stage','Dimension','String',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
+        | ('Total Spend','Fact','Number',NULL,'<,=,>','Sum',NULL)
+        |) AS t(field, kind, "dataType", dimension, "filterOps", rollup, "restrictedTo")
+        |ORDER BY field""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

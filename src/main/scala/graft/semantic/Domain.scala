@@ -1,0 +1,131 @@
+package graft.semantic
+
+import graft.semantic.model._
+
+/** Registry/domain introspection (reference registry/Registry.scala:
+  * 685-737 `domainJsonAsString` / `getCubeJsonAsStringForCube`, field
+  * shape per getCubeJsonByName :422-459): a JSON description of every
+  * cube — fields, kinds, data types, allowed filter operations, schema
+  * restrictions, window/row caps — for UIs and API clients ("what
+  * fields does this cube have?"), plus the flat field listing backing
+  * the SQL front door's DESCRIBE. Pure config metadata: no Spark
+  * session, no scans.
+  */
+object Domain {
+
+  /** One public field of a cube, flattened across fact variants and
+    * dimensions. `kind` is Dimension|Fact (reference "type"); `rollup`
+    * is set for facts (Derived for post-result columns); `dimension`
+    * names the owning snowflake dim for dim attributes (reference
+    * "dimensionName"), None for fact-level columns. */
+  final case class FieldDesc(
+      field: String,
+      kind: String,
+      dataType: String,
+      dimension: Option[String],
+      filterOps: String,
+      rollup: Option[String],
+      restrictedTo: Option[String])
+
+  def opToken(op: FilterOp): String = op match {
+    case InOp => "IN";           case NotInOp => "NOT IN"
+    case EqOp => "=";            case NeqOp => "<>"
+    case BetweenOp => "BETWEEN"; case GtOp => ">"
+    case LtOp => "<";            case LikeOp => "LIKE"
+    case NotLikeOp => "NOT LIKE"
+    case IsNullOp => "IS NULL";  case IsNotNullOp => "IS NOT NULL"
+  }
+
+  private def opsOf(ops: Set[FilterOp]): String =
+    ops.map(opToken).toSeq.sorted.mkString(",")
+
+  /** The HAVING vocabulary advertised for metrics. */
+  private val MetricOps = opsOf(Set(EqOp, GtOp, LtOp))
+
+  private def dataTypeOf(pc: PubCol): String =
+    if (pc.constVal.isDefined) "Const"
+    else pc.staticMapping match {
+      case Some(sm) => if (sm.numericKeys) "Enum(Int)" else "Enum"
+      case None => pc.grain match {
+        case Some(DayGrain) => "Date"
+        case Some(_) => "Timestamp"
+        case None => "String"
+      }
+    }
+
+  private def dimColDesc(pc: PubCol, dim: Option[String]): FieldDesc =
+    FieldDesc(pc.alias, "Dimension", dataTypeOf(pc), dim,
+      opsOf(pc.allowedOps), None, pc.restrictedTo.map(_.toSeq.sorted.mkString(",")))
+
+  private val rollupName: Rollup => String = {
+    case SumRollup => "Sum";   case MinRollup => "Min"
+    case MaxRollup => "Max";   case AvgRollup => "Avg"
+    case CountRollup => "Count"
+    case CountDistinctRollup => "CountDistinct"
+  }
+
+  /** Flat public field list of a cube: fact-level dim columns and
+    * metrics unioned across variants (first declaration wins), then
+    * snowflake dim attributes. Sorted by field name. */
+  def fields(cube: CubeDef): Seq[FieldDesc] = {
+    val factLevel = cube.variants.flatMap(_.dimCols).map(pc => pc.alias -> pc)
+    val metrics = cube.variants.flatMap(_.metrics).map(m => m.alias ->
+      FieldDesc(m.alias, "Fact", "Number", None, MetricOps,
+        Some(rollupName(m.rollup)), None))
+    val derived = cube.variants.flatMap(_.derived).map(d => d.alias ->
+      FieldDesc(d.alias, "Fact", "Number", None, MetricOps, Some("Derived"), None))
+    val dimAttrs = cube.dims.flatMap(d =>
+      d.cols.map(pc => pc.alias -> dimColDesc(pc, Some(d.name))))
+    val all = factLevel.map { case (a, pc) => a -> dimColDesc(pc, None) } ++
+      metrics ++ derived ++ dimAttrs
+    all.foldLeft(Vector.empty[(String, FieldDesc)]) {
+      case (acc, kv) if acc.exists(_._1 == kv._1) => acc
+      case (acc, kv) => acc :+ kv
+    }.map(_._2).sortBy(_.field)
+  }
+
+  // --- JSON rendering (hand-rolled; no external dependencies) ---
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jOpt(o: Option[String]): String = o.fold("null")(jStr)
+
+  private def jArr(vs: Seq[String]): String = vs.map(jStr).mkString("[", ",", "]")
+
+  private def fieldJson(f: FieldDesc): String =
+    s"""{"field":${jStr(f.field)},"type":${jStr(f.kind)},""" +
+      s""""dataType":${jStr(f.dataType)},"dimensionName":${jOpt(f.dimension)},""" +
+      s""""filterable":true,"filterOperations":${jArr(f.filterOps.split(",").toSeq)},""" +
+      s""""rollup":${jOpt(f.rollup)},"allowedSchemas":${
+        f.restrictedTo.fold("null")(r => jArr(r.split(",").toSeq))}}"""
+
+  /** Single-cube JSON (getCubeJsonAsStringForCube analogue). */
+  def cubeJson(cube: CubeDef): String = {
+    def jNum(o: Option[Int]) = o.fold("null")(_.toString)
+    s"""{"name":${jStr(cube.name)},""" +
+      s""""variants":${jArr(cube.variants.map(_.name))},""" +
+      s""""maxDaysWindow":${jNum(cube.maxDaysWindow)},""" +
+      s""""maxRowsSync":${jNum(cube.maxRowsSync)},""" +
+      s""""maxRowsAsync":${jNum(cube.maxRowsAsync)},""" +
+      s""""fields":[${fields(cube).map(fieldJson).mkString(",")}]}"""
+  }
+
+  /** Whole-registry domain JSON (domainJsonAsString analogue):
+    * dimensions with their field lists, then cubes. */
+  def domainJson(reg: Registry): String = {
+    val cubes = reg.cubes.values.toSeq.sortBy(_.name)
+    val dims = cubes.flatMap(_.dims).groupBy(_.name).toSeq.sortBy(_._1).map {
+      case (name, ds) =>
+        s"""{"name":${jStr(name)},"fields":${
+          jArr(ds.flatMap(_.cols.map(_.alias)).distinct.sorted)}}"""
+    }
+    s"""{"dimensions":[${dims.mkString(",")}],""" +
+      s""""cubes":[${cubes.map(cubeJson).mkString(",")}]}"""
+  }
+}

@@ -461,6 +461,40 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(roles == Set("Primary", "Additional"))
   }
 
+  test("registry domain JSON describes cubes, fields, ops, and caps") {
+    val json = graft.semantic.Domain.domainJson(SemanticQueries.registry)
+    assert(json.contains("\"name\":\"order_stats\""))
+    assert(json.contains("\"field\":\"Order Date\""))
+    assert(json.contains("\"dataType\":\"Date\""))
+    assert(json.contains("\"filterOperations\":[\"=\",\"BETWEEN\",\"IN\"]"))
+    assert(json.contains("\"dimensionName\":\"customer\""))
+    // restricted column advertises its schemas (User ID on user_events)
+    assert(json.contains("\"allowedSchemas\":[\"internal\"]"))
+    // int-keyed mapping surfaces its typed enum
+    assert(json.contains("\"dataType\":\"Enum(Int)\""))
+    // dimensions section lists snowflake dims with their fields
+    assert(json.contains("\"dimensions\":[") &&
+      json.contains("{\"name\":\"customer\",\"fields\":["))
+  }
+
+  test("DESCRIBE cube through the SQL front door") {
+    val df = graft.analyzer.SqlFrontDoor.run(
+      "DESCRIBE order_stats", SemanticQueries.registry)(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 16)
+    val byField = rows.map(r => r.getString(0) -> r).toMap
+    assert(byField("Order Date").getString(2) == "Date")
+    assert(byField("Order Date").getString(4) == "=,BETWEEN,IN")
+    assert(byField("Customer Name").getString(3) == "customer")
+    assert(byField("Total Spend").getString(5) == "Sum")
+    assert(byField("Avg Order Value").getString(5) == "Derived")
+    // unknown cube errors loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.analyzer.SqlFrontDoor.run("DESCRIBE nope", SemanticQueries.registry)(spark, sf)
+    }
+    assert(err.getMessage.contains("unknown cube"))
+  }
+
   test("schema ACL applies to every leaf of a filter tree") {
     val viaTree = model(
       """{"cube": "user_events",
