@@ -73,8 +73,15 @@ object RequestModel {
   }
 
   def from(req: ReportingRequest, registry: Registry): Either[String, Model] =
+    from(req, registry, None)
+
+  /** Revision-aware entry: `revision` (from a BucketSelector decision
+    * or an explicit request pin) picks among the registry's revisions
+    * of the cube; None resolves the default. */
+  def from(req: ReportingRequest, registry: Registry,
+      revision: Option[Int]): Either[String, Model] =
     for {
-      cube <- registry.cube(req.cube)
+      cube <- registry.cube(req.cube, revision)
       model <- resolve(req, cube)
     } yield model
 

@@ -243,18 +243,45 @@ object model {
       forced: Seq[ForcedFilter] = Nil,
       maxDaysWindow: Option[Int] = None,
       maxRowsSync: Option[Int] = None,
-      maxRowsAsync: Option[Int] = None) {
+      maxRowsAsync: Option[Int] = None,
+      /** Cube revision (reference PublicFact.revision; registry holds
+        * several revisions of one cube for A/B rollout — see
+        * [[graft.semantic.Bucketing]]). */
+      revision: Int = 0) {
     def base: FactDef = variants.head
     lazy val dimByName: Map[String, DimDef] = dims.map(d => d.name -> d).toMap
   }
 
-  /** Immutable cube registry (reference registry/Registry.scala:134). */
-  final case class Registry(cubes: Map[String, CubeDef]) {
+  /** Immutable cube registry (reference registry/Registry.scala:134),
+    * revision-aware (registry defaultPublicFactRevisionMap + factMap
+    * keyed on (name, revision), Registry.scala:292-299): several
+    * revisions of one cube coexist; lookups without a revision resolve
+    * through the default map (the FIRST declared revision per name). */
+  final class Registry private (
+      val byRevision: Map[(String, Int), CubeDef],
+      val defaultRevision: Map[String, Int]) {
+    /** Default-revision view (name → cube). */
+    lazy val cubes: Map[String, CubeDef] =
+      defaultRevision.map { case (n, r) => n -> byRevision((n, r)) }
     def cube(name: String): Either[String, CubeDef] =
       cubes.get(name).toRight(s"unknown cube '$name'")
+    def cube(name: String, revision: Option[Int]): Either[String, CubeDef] =
+      revision match {
+        case None => cube(name)
+        case Some(r) => byRevision.get((name, r)).toRight(
+          s"unknown cube '$name' revision $r (have ${revisionsOf(name).mkString(",")})")
+      }
+    def revisionsOf(name: String): Seq[Int] =
+      byRevision.keys.collect { case (n, r) if n == name => r }.toSeq.sorted
   }
   object Registry {
-    def apply(defs: CubeDef*): Registry =
-      new Registry(defs.map(c => c.name -> c).toMap)
+    def apply(defs: CubeDef*): Registry = {
+      val dup = defs.groupBy(c => (c.name, c.revision)).collect {
+        case (k, cs) if cs.sizeIs > 1 => k }
+      require(dup.isEmpty, s"duplicate cube revisions: ${dup.mkString(",")}")
+      new Registry(
+        defs.map(c => (c.name, c.revision) -> c).toMap,
+        defs.map(c => c.name -> c.revision).reverse.toMap) // first declared wins
+    }
   }
 }

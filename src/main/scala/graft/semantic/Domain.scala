@@ -86,7 +86,7 @@ object Domain {
 
   // --- JSON rendering (hand-rolled; no external dependencies) ---
 
-  private def jStr(s: String): String =
+  private[graft] def jStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
