@@ -141,11 +141,104 @@ object Similarity {
       .orderBy("x", "y")
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+  // the LSH route: train k centroids, assign every corpus vector to
+  // its nearest centroid (the "inverted lists"), then search only the
+  // nprobe lists nearest each query. Candidate generation is an
+  // equi-join on centroid id — per-query work is nprobe/k of the
+  // corpus instead of all of it.
+  //
+  // Everything is deterministic so results are stable across runs:
+  // seeding orders by a hash of vec_id, list means are exact decimal
+  // sums, and all dot products run through the fixed-point codegen
+  // expression. Training is fully distributed (no driver-side k-means):
+  // assignment is a broadcast cross-join of k centroids against the
+  // corpus with a partial-aggregated min(struct(dist,cid)) — shuffle
+  // volume n rows, not n×k — and the mean step shuffles (cid,pos)
+  // partial sums, n×dim rows map-side-combined into k×dim groups.
+  // ---------------------------------------------------------------
+
+  /** Nearest-centroid assignment: argmin over ‖c‖² − 2·v·c (the ‖v‖²
+    * term is constant per vector). Ties break on cid via the struct
+    * ordering. */
+  private def nearestCid(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", col("cn2") - lit(2.0) *
+        graft.functions.GraftFunctions.fixdotD(col("embedding"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
+
+  /** Train k centroids: hash-seeded picks refined by `iters` Lloyd
+    * steps. Means are exact decimal sums cast back to float, so the
+    * centroids (and everything downstream) are run-order independent. */
+  private def trainCentroids(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    def withNorm2(c: DataFrame): DataFrame = c.withColumn("cn2",
+      graft.functions.GraftFunctions.fixdotD(col("cemb"), col("cemb")))
+    // hash-order the corpus and TAKE k (TakeOrderedAndProject — no
+    // global sort, no single-partition window over n rows); the
+    // row_number window then runs over the k seeds only
+    val seedW = Window.orderBy(hash(col("vec_id")), col("vec_id"))
+    var cents = withNorm2(
+      v.select(col("vec_id"), col("embedding"))
+        .orderBy(hash(col("vec_id")), col("vec_id")).limit(k)
+        .withColumn("cid", row_number().over(seedW))
+        .select(col("cid"), col("embedding").as("cemb")))
+    for (_ <- 1 to iters) {
+      val assigned = nearestCid(v, cents)
+      val means = v.join(assigned, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+      cents = withNorm2(means)
+    }
+    cents
+  }
+
+  /** IVF ANN top-3 for query vectors vec_id < 10 (no SQL oracle —
+    * k-means is not expressible in the oracle; determinism + recall are
+    * spec-asserted). k=8 lists, nprobe=4: each query scans ≈ half the
+    * corpus here; at scale k grows with corpus size (√n lists is the
+    * usual rule) and nprobe stays small, so per-query work is
+    * nprobe·n/k rows via a broadcast equi-join on cid — no shuffle of
+    * the corpus beyond the one building the lists. */
+  def simIvfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val nprobe = 4; val iters = 2
+    val v = withNorm(s, d)
+    val cents = trainCentroids(v, k, iters)
+    val lists = v.join(nearestCid(v, cents), "vec_id") // inverted lists
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", col("cn2") - lit(2.0) *
+        graft.functions.GraftFunctions.fixdotD(col("qe"), col("cemb")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
     "sim03_lsh_ann" -> (simLshAnn _),
     "sim04_embedding_near_dups" -> (simNearDupPairs _),
+    "sim05_ivf_ann" -> (simIvfAnn _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -71,6 +71,29 @@ class SimilaritySpec extends AnyFunSuite {
       "an almost-identical pair agrees on every plane, so every band matches")
   }
 
+  test("IVF ANN: deterministic, probes its own lists, decent recall") {
+    val r1 = Similarity.simIvfAnn(spark, sf).collect()
+    val r2 = Similarity.simIvfAnn(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq,
+      "hash seeding + exact decimal means + fixdot must make IVF deterministic")
+    // per query: ranks are exactly 1..3, neighbors distinct, never self
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val nbrs = rows.map(_.getLong(1))
+      assert(nbrs.distinct.length == 3 && !nbrs.contains(q))
+    }
+    // recall@3 vs the brute-force ground truth: nprobe=4 of k=8 lists
+    // scans about half this (unclustered, synthetic) corpus, so the
+    // expected overlap is ≈50%; 20% is a safe floor for 30 slots
+    val exact = Similarity.simCosineTopK(spark, sf).collect()
+      .filter(_.getLong(2) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = r1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@3 $recall collapsed — probe routing is broken")
+  }
+
   test("bucket cap drops degenerate hot buckets before the self-join") {
     import spark.implicits._
     // 50 identical vectors: one bucket of 50 per band → C(50,2) pairs
