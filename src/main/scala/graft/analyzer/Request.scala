@@ -74,7 +74,11 @@ object request {
         * instead of maxRowsSync (reference SyncRequest/AsyncRequest,
         * ReportingRequest.scala:54-74; sync 5,000 vs async 100,000 row
         * caps, DruidQueryGenerator.scala:159-166). */
-      async: Boolean = false)
+      async: Boolean = false,
+      /** Evaluation date (yyyy-MM-dd) for lookback validation —
+        * "today" unless pinned (replays, tests). The reference's
+        * DailyGrain.getDaysFromNow measures against the wall clock. */
+      asOfDate: Option[String] = None)
 
   /** Parse + structural validation. Unknown operators and malformed
     * fields are errors, mirroring maha's strict deserialization. */
@@ -139,8 +143,11 @@ object request {
         val async = (root \ "requestType") match {
           case JString(t) => t.equalsIgnoreCase("async"); case _ => false
         }
+        val asOf = (root \ "asOfDate") match {
+          case JString(dd) => Some(dd); case _ => None
+        }
         ReportingRequest(cube, fields, filters, sorts, start, rows, dimDriven,
-          tz, schema, async)
+          tz, schema, async, asOf)
       }
     } catch {
       case e: Exception => Left(s"malformed request json: ${e.getMessage}")

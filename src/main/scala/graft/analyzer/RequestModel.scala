@@ -206,6 +206,7 @@ object RequestModel {
                       s"'${cube.name}' maxRowsSync=$max"
                 }
               rowsGuard.orElse(windowCheck(cube, pubColOf, dimFs))
+                .orElse(lookBackCheck(req, cube, pubColOf, dimFs))
                 .toLeft(()).map { _ =>
                   Model(req, cube, selects, dimFs, metricFs, outerFs,
                     withParents, joinKinds, req.dimensionDriven,
@@ -254,6 +255,30 @@ object RequestModel {
         if (days >= 1 && days <= Int.MaxValue) Some(days.toInt) else None
       } catch { case _: java.time.format.DateTimeParseException => None }
     }.getOrElse(1)
+
+  /** maxDaysLookBack enforcement (reference validateMaxLookBackWindow,
+    * RequestModel.scala:1300-1319: requestedDaysLookBack = days from
+    * now to the window's FROM bound, must not exceed the cap). The
+    * evaluation date is the request's asOfDate when pinned (replays,
+    * tests), else today. Parse failures are left to windowCheck. */
+  private def lookBackCheck(req: ReportingRequest, cube: CubeDef,
+      pubColOf: Map[String, PubCol], dimFs: Seq[QFilter]): Option[String] =
+    cube.maxDaysLookBack.flatMap { maxBack =>
+      grainBetween(pubColOf, dimFs).flatMap { case (field, grain, from, _) =>
+        try {
+          val asOf = req.asOfDate.fold(java.time.LocalDate.now())(
+            java.time.LocalDate.parse)
+          val back = java.time.temporal.ChronoUnit.DAYS.between(
+            grain.parseLocal(from).toLocalDate, asOf)
+          if (back > maxBack)
+            Some(s"'$field' window starts $back days back, exceeding " +
+              s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
+          else None
+        } catch {
+          case _: java.time.format.DateTimeParseException => None
+        }
+      }
+    }
 
   private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
       dimFs: Seq[QFilter]): Option[String] =

@@ -242,6 +242,10 @@ object model {
       dims: Seq[DimDef],
       forced: Seq[ForcedFilter] = Nil,
       maxDaysWindow: Option[Int] = None,
+      /** How far back a request window may START, in days from the
+        * evaluation date (reference maxDaysLookBack, Fact.scala:463;
+        * validateMaxLookBackWindow, RequestModel.scala:1300-1319). */
+      maxDaysLookBack: Option[Int] = None,
       maxRowsSync: Option[Int] = None,
       maxRowsAsync: Option[Int] = None,
       /** Cube revision (reference PublicFact.revision; registry holds

@@ -542,6 +542,23 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(dup.isLeft && dup.swap.toOption.get.contains("bounds"))
   }
 
+  test("maxDaysLookBack rejects windows starting too far back") {
+    import graft.semantic.model.Registry
+    val capped = Registry(SemanticQueries.orderCube.copy(maxDaysLookBack = Some(365)))
+    def req(from: String, to: String) = request.parse(
+      s"""{"cube": "order_stats",
+         | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+         | "filterExpressions": [{"field": "Order Date", "operator": "between",
+         |   "from": "$from", "to": "$to"}],
+         | "asOfDate": "1996-06-30"}""".stripMargin)
+      .flatMap(RequestModel.from(_, capped))
+    // from 1996-01-01 = 181 days back of the pinned as-of date: fine
+    assert(req("1996-01-01", "1996-06-01").isRight)
+    // from 1995-01-01 = 546 days back: rejected with the cap in the error
+    val far = req("1995-01-01", "1995-06-01")
+    assert(far.isLeft && far.swap.toOption.get.contains("maxDaysLookBack=365"))
+  }
+
   test("maxDaysWindow accepts a day Between nested in a top-level AND tree") {
     import graft.semantic.model.Registry
     val capped = Registry(SemanticQueries.orderCube.copy(maxDaysWindow = Some(31)))
