@@ -210,7 +210,10 @@ object Similarity {
   def simIvfAnn(s: SparkSession, d: String): DataFrame = {
     val k = 8; val nprobe = 4; val iters = 2
     val v = withNorm(s, d)
-    val cents = trainCentroids(v, k, iters)
+    // the trained quantizer is k rows (~k·dim floats) but its lineage
+    // is the whole Lloyd loop; persist so list assignment and query
+    // probing don't re-train it (bounded: k centroids, not data-sized)
+    val cents = trainCentroids(v, k, iters).persist()
     val lists = v.join(nearestCid(v, cents), "vec_id") // inverted lists
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
