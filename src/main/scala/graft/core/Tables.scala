@@ -26,9 +26,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     * default; read nanos as long and floor-truncate to microseconds
-    * (identical to DuckDB's ns→µs truncation). */
+    * (identical to DuckDB's ns→µs truncation). The truncation makes
+    * time predicates opaque to scan pushdown, so the
+    * [[graft.functions.MicrosTruncationPushdown]] rule (installed here;
+    * also available via GraftExtensions) rewrites them back onto the
+    * raw nanos column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.experimental.extraOptimizations.contains(
+        graft.functions.MicrosTruncationPushdown))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.functions.MicrosTruncationPushdown
     tbl(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fixdot"),
       new ExpressionInfo(classOf[FixedPointDot].getName, "fixdot"),
       (exprs: Seq[Expression]) => FixedPointDot(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => MicrosTruncationPushdown)
   }
 }
