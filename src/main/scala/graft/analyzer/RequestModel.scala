@@ -260,23 +260,31 @@ object RequestModel {
     * RequestModel.scala:1300-1319: requestedDaysLookBack = days from
     * now to the window's FROM bound, must not exceed the cap). The
     * evaluation date is the request's asOfDate when pinned (replays,
-    * tests), else today. Parse failures are left to windowCheck. */
+    * tests), else today. Like maxDaysWindow, declaring the cap makes
+    * the grain Between REQUIRED — a request without one (or with
+    * unparseable bounds) is rejected, never silently unbounded. */
   private def lookBackCheck(req: ReportingRequest, cube: CubeDef,
       pubColOf: Map[String, PubCol], dimFs: Seq[QFilter]): Option[String] =
     cube.maxDaysLookBack.flatMap { maxBack =>
-      grainBetween(pubColOf, dimFs).flatMap { case (field, grain, from, _) =>
-        try {
-          val asOf = req.asOfDate.fold(java.time.LocalDate.now())(
-            java.time.LocalDate.parse)
-          val back = java.time.temporal.ChronoUnit.DAYS.between(
-            grain.parseLocal(from).toLocalDate, asOf)
-          if (back > maxBack)
-            Some(s"'$field' window starts $back days back, exceeding " +
-              s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
-          else None
-        } catch {
-          case _: java.time.format.DateTimeParseException => None
-        }
+      grainBetween(pubColOf, dimFs) match {
+        case None =>
+          Some(s"cube '${cube.name}' requires a Between filter on its " +
+            s"time-grain column (maxDaysLookBack=$maxBack)")
+        case Some((field, grain, from, _)) =>
+          try {
+            val asOf = req.asOfDate.fold(java.time.LocalDate.now())(
+              java.time.LocalDate.parse)
+            val back = java.time.temporal.ChronoUnit.DAYS.between(
+              grain.parseLocal(from).toLocalDate, asOf)
+            if (back > maxBack)
+              Some(s"'$field' window starts $back days back, exceeding " +
+                s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
+            else None
+          } catch {
+            case _: java.time.format.DateTimeParseException =>
+              Some(s"'$field' Between bounds (or asOfDate) must match the " +
+                s"column's grain format (${grain.format}) / yyyy-MM-dd")
+          }
       }
     }
 

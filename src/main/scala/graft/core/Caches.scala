@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-session memoization of expensive cached intermediates (dedup
+  * shingle/signature frames, the IVF coarse quantizer): repeated
+  * invocations share ONE cache entry instead of stacking persisted
+  * copies for the session lifetime. (At 100 TB these are intermediate
+  * tables written once and read by each stage; in-session they are
+  * Spark cache entries.)
+  *
+  * Keyed on the session OBJECT (weak keys), not an identity hash —
+  * distinct live sessions can never collide, and a key for a stopped
+  * session disappears with an explicit [[release]]. Note the cached
+  * DataFrames hold a strong reference back to their session, so GC
+  * alone does not reclaim a stopped session's entries — callers owning
+  * a session's lifecycle should release() it (as Bench does between
+  * timing passes via releaseAll). */
+object Caches {
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame =
+    bySession.synchronized {
+      bySession.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(key, _ => mk.cache())
+
+  /** Unpersist every memoized frame of ONE session. Call only after the
+    * consuming queries' results have been fully executed/written — the
+    * returned frames are lazy, so releasing earlier would recompute the
+    * expensive stages uncached. */
+  def release(s: SparkSession): Unit = {
+    val m = bySession.remove(s)
+    if (m != null) m.values.forEach(df => { df.unpersist(); () })
+  }
+
+  /** Release every session's entries (single-session tools: Bench). */
+  def releaseAll(): Unit = bySession.synchronized {
+    bySession.values.forEach(m => m.values.forEach(df => { df.unpersist(); () }))
+    bySession.clear()
+  }
+}

@@ -24,27 +24,18 @@ import graft.core.Tables._
   */
 object Dedup {
 
-  /** Memoized per-(session, dir) cached intermediates, so repeated
-    * invocations share ONE cache entry instead of stacking persisted
-    * copies for the session lifetime, and [[releaseCaches]] can
-    * unpersist them once the consuming queries have been executed.
-    * (At 100 TB these are intermediate tables written once and read by
-    * each stage; in-session they are Spark cache entries.) */
-  private val memoized =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Memoized per-(session, dir) cached intermediates via the shared
+    * session-keyed registry [[graft.core.Caches]]. */
   private def memo(s: SparkSession, d: String, tag: String)
       (mk: => DataFrame): DataFrame =
-    memoized.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d|$tag", _ => mk.cache())
+    graft.core.Caches.memo(s, s"dedup|$d|$tag")(mk)
 
-  /** Unpersist every dedup intermediate cache. Call after the consuming
+  /** Unpersist every memoized intermediate cache (all operators, all
+    * sessions — single-session tools only). Call after the consuming
     * queries' results have been fully executed/written — the returned
     * DataFrames are lazy, so releasing earlier would recompute the
     * expensive shingle/signature stages uncached. */
-  def releaseCaches(): Unit = {
-    memoized.values.forEach(df => { df.unpersist(); () })
-    memoized.clear()
-  }
+  def releaseCaches(): Unit = graft.core.Caches.releaseAll()
 
   /** 5-token shingles, distinct, per document — CACHED: the shingle
     * array is an expensive higher-order expression, and every consumer

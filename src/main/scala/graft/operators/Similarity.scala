@@ -211,9 +211,12 @@ object Similarity {
     val k = 8; val nprobe = 4; val iters = 2
     val v = withNorm(s, d)
     // the trained quantizer is k rows (~k·dim floats) but its lineage
-    // is the whole Lloyd loop; persist so list assignment and query
-    // probing don't re-train it (bounded: k centroids, not data-sized)
-    val cents = trainCentroids(v, k, iters).persist()
+    // is the whole Lloyd loop; memoize per (session, dir) so list
+    // assignment and query probing share one training pass and repeat
+    // invocations reuse the index instead of stacking cache entries
+    // (an IVF index is built once and amortized over queries)
+    val cents = graft.core.Caches.memo(s, s"ivf|$d|k$k-i$iters")(
+      trainCentroids(v, k, iters))
     val lists = v.join(nearestCid(v, cents), "vec_id") // inverted lists
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))

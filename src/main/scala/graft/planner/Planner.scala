@@ -64,7 +64,10 @@ object Planner {
           try {
             val p = planOn(m, v, spark, dir)
             val cached = p.copy(df = p.df.persist())
-            if (!cached.df.isEmpty) return Right(cached)
+            if (!cached.df.isEmpty) {
+              lastEmpty.foreach(_.df.unpersist()) // probe lost to this winner
+              return Right(cached)
+            }
             lastEmpty.foreach(_.df.unpersist()) // superseded empty probe
             lastEmpty = Some(cached)
           } catch { case e: Exception => lastErr = Some(e) }

@@ -252,6 +252,13 @@ object model {
         * several revisions of one cube for A/B rollout — see
         * [[graft.semantic.Bucketing]]). */
       revision: Int = 0) {
+    // a CostModel estimate is a ROW COUNT while the static cost is an
+    // arbitrary rank — mixing them in one cube would compare
+    // incommensurable units and silently bury the modeled variants, so
+    // a cube must declare cost models on all variants or none
+    require(variants.forall(_.costModel.isDefined) ||
+      variants.forall(_.costModel.isEmpty),
+      s"cube '$name': either every variant declares a costModel or none does")
     def base: FactDef = variants.head
     lazy val dimByName: Map[String, DimDef] = dims.map(d => d.name -> d).toMap
   }

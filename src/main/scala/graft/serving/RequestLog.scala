@@ -82,9 +82,15 @@ object RequestLog {
     override def close(): Unit = synchronized(out.close())
   }
 
-  /** Build the envelope from an analyzed + planned request. */
+  /** Build the envelope from an analyzed + planned request.
+    * hasFactFilters/hasDimFilters split the request's pushable filter
+    * leaves by OWNERSHIP (fact-level column vs snowflake dim
+    * attribute), matching the proto's hasFactFilters/hasDimFilters —
+    * dims joined merely for selected attributes set neither. */
   def record(requestId: String, m: Model, planned: Planned,
-      startMs: Long, endMs: Long): RequestLogRecord =
+      startMs: Long, endMs: Long): RequestLogRecord = {
+    val dimAttrs = m.cube.dims.flatMap(_.cols.map(_.alias)).toSet
+    val filterFields = m.dimFilters.flatMap(graft.analyzer.request.leaves).map(_.field)
     RequestLogRecord(
       requestId = requestId,
       cube = m.cube.name,
@@ -93,14 +99,15 @@ object RequestLog {
       requestType = if (m.req.async) "async" else "sync",
       drivingTable = planned.factName,
       isDimDriven = m.isDimDriven,
-      hasFactFilters = m.dimFilters.nonEmpty,
-      hasDimFilters = m.joinDims.nonEmpty,
+      hasFactFilters = filterFields.exists(!dimAttrs(_)),
+      hasDimFilters = filterFields.exists(dimAttrs),
       hasMetricFilters = m.metricFilters.nonEmpty,
       numDays = m.numDays,
       requestStartTime = startMs,
       requestEndTime = endMs,
       status = 200,
       errorMessage = None)
+  }
 
   /** Failure envelope (status 400, no chosen fact). */
   def failure(requestId: String, cube: String, error: String,

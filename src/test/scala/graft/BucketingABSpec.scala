@@ -121,6 +121,8 @@ class BucketingABSpec extends AnyFunSuite {
     assert(rec.drivingTable == p.factName && rec.status == 200)
     assert(rec.numDays == 731, "sem01 spans 1995-01-01..1996-12-31")
     assert(rec.requestType == "sync" && !rec.isDimDriven)
+    // sem01 filters only the fact-level Order Date: fact yes, dim no
+    assert(rec.hasFactFilters && !rec.hasDimFilters && !rec.hasMetricFilters)
 
     val mem = new RequestLog.InMemoryWriter
     mem.write(rec)

@@ -557,6 +557,24 @@ class SemanticLayerSpec extends AnyFunSuite {
     // from 1995-01-01 = 546 days back: rejected with the cap in the error
     val far = req("1995-01-01", "1995-06-01")
     assert(far.isLeft && far.swap.toOption.get.contains("maxDaysLookBack=365"))
+    // declaring the cap makes the time filter required: a request
+    // without one must not scan unbounded history silently
+    val none = request.parse(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin)
+      .flatMap(RequestModel.from(_, capped))
+    assert(none.isLeft && none.swap.toOption.get.contains("maxDaysLookBack"))
+  }
+
+  test("a cube may not mix cost-modeled and static-cost variants") {
+    import graft.semantic.model._
+    val e = intercept[IllegalArgumentException] {
+      SemanticQueries.orderCube.copy(variants = Seq(
+        SemanticQueries.orderCube.base,
+        SemanticQueries.orderCube.base.copy(name = "modeled",
+          costModel = Some(CostModel(rowsPerDay = 1000)))))
+    }
+    assert(e.getMessage.contains("costModel"))
   }
 
   test("maxDaysWindow accepts a day Between nested in a top-level AND tree") {
