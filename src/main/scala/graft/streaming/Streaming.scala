@@ -142,10 +142,49 @@ object Streaming {
     s.table("st03_mem").orderBy("user_id", "event_type")
   }
 
+  /** Watermarked stream-stream interval join (click→purchase
+    * attribution): each purchase joins the same user's clicks from the
+    * preceding 6 hours. Both sides carry a watermark and the join
+    * condition bounds event-time distance, so streaming state is
+    * evictable — the canonical Structured Streaming interval-join shape
+    * (state per side ≈ watermark + interval of events, shuffled on
+    * user_id). AvailableNow drives it to completion, making the result
+    * equal the batch/oracle join. */
+  def st04(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, prefix: String): DataFrame = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("""c_user = p_user AND
+             |p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours""".stripMargin))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("st04_mem")
+      .option("checkpointLocation", ckptDir("st04"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st04_mem")
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_sessionize" -> (st02 _),
     "st03_stream_dedup" -> (st03 _),
+    "st04_stream_join" -> (st04 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -157,6 +196,16 @@ object Streaming {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "st04_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        | p.event_id AS purchase_id,
+        | epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     // Both windows order by (ts_us, event_id) — the SAME µs precision
     // Spark sorts on. Ordering window w by raw ns-precision `ts` shifts
     // session boundaries for events that tie at µs but not ns.
