@@ -55,10 +55,10 @@ object Streaming {
     * (store init, commit, snapshot), so a bounded run with tiny state
     * wants few partitions; an unbounded production stream would size
     * this to state volume instead. */
-  private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
+  private def withFewPartitions[A](s: SparkSession, n: Int = 4)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "4")
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -150,8 +150,22 @@ object Streaming {
     * (state per side ≈ watermark + interval of events, shuffled on
     * user_id). AvailableNow drives it to completion, making the result
     * equal the batch/oracle join. */
-  def st04(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+  // 2 state partitions: a stream-stream join keeps FOUR stores per
+  // partition (keyToNumValues + keyWithIndexToValue per side), so its
+  // per-batch fixed cost is ~4× a windowed agg's — halve the partition
+  // count for the bounded run; unbounded production sizes it to state.
+  def st04(s: SparkSession, d: String): DataFrame = withFewPartitions(s, n = 2) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INNER join output is emitted in the batch where rows match, not
+    // gated on the watermark — the trailing no-data micro-batch exists
+    // only to evict state, which a bounded run doesn't need
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.get(noDataKey)
+    s.conf.set(noDataKey, "false")
+    try st04Run(s, d) finally s.conf.set(noDataKey, prevNoData)
+  }
+
+  private def st04Run(s: SparkSession, d: String): DataFrame = {
     def side(tpe: String, prefix: String): DataFrame = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
