@@ -59,6 +59,23 @@ object request {
     case leaf           => Seq(leaf)
   }
 
+  /** Flatten top-level AND nesting: the CONJUNCTIVE leaves (an
+    * OR-nested leaf is not conjunctive and is not returned). */
+  def conjunctive(f: QFilter): Seq[QFilter] = f match {
+    case AndFilter(fs) => fs.flatMap(conjunctive)
+    case leaf          => Seq(leaf)
+  }
+
+  /** Replace leaves matched by `pf` anywhere in the tree, preserving
+    * the boolean structure. */
+  def transformLeaves(f: QFilter)(pf: PartialFunction[QFilter, QFilter]): QFilter =
+    f match {
+      case AndFilter(fs)  => AndFilter(fs.map(transformLeaves(_)(pf)))
+      case OrFilter(fs)   => OrFilter(fs.map(transformLeaves(_)(pf)))
+      case OuterFilter(i) => OuterFilter(transformLeaves(i)(pf))
+      case leaf           => pf.applyOrElse(leaf, identity[QFilter])
+    }
+
   final case class ReportingRequest(
       cube: String,
       selectFields: Seq[String],

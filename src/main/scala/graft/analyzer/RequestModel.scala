@@ -48,10 +48,11 @@ object RequestModel {
         * forced filters — the SINGLE source of truth; the planner must
         * not re-derive this. */
       isFactless: Boolean = false,
-      /** calendar days (inclusive) covered by the request's grain
-        * Between, 1 when absent (reference ReportingRequest numDays,
-        * core RequestModel.scala:150-173) — feeds CostModel.estimate. */
-      numDays: Int = 1) {
+      /** calendar days (inclusive) covered by the request's effective
+        * time window; None = no window (unbounded scan). Reference
+        * ReportingRequest numDays, core RequestModel.scala:150-173 —
+        * feeds CostModel.estimate. */
+      numDays: Option[Int] = None) {
     def selectedMetrics: Seq[String] =
       selects.collect { case Resolved(a, MetricCol) => a }
     def selectedNonMetrics: Seq[String] =
@@ -205,111 +206,122 @@ object RequestModel {
                     s"rowsPerPage ${req.rowsPerPage} exceeds cube " +
                       s"'${cube.name}' maxRowsSync=$max"
                 }
-              rowsGuard.orElse(windowCheck(cube, pubColOf, dimFs))
-                .orElse(lookBackCheck(req, cube, pubColOf, dimFs))
-                .toLeft(()).map { _ =>
-                  Model(req, cube, selects, dimFs, metricFs, outerFs,
-                    withParents, joinKinds, req.dimensionDriven,
-                    isFactless = factless && withParents.nonEmpty,
-                    numDays = requestNumDays(pubColOf, dimFs))
-                }
+              grainWindows(pubColOf, dimFs).flatMap { wins =>
+                rowsGuard.orElse(windowCheck(cube, wins))
+                  .orElse(lookBackCheck(req, cube, wins))
+                  .toLeft(()).map { _ =>
+                    Model(req, cube, selects, dimFs, metricFs, outerFs,
+                      withParents, joinKinds, req.dimensionDriven,
+                      isFactless = factless && withParents.nonEmpty,
+                      numDays = requestNumDays(wins))
+                  }
+              }
           }
         }
     }
   }
 
-  /** maxDaysWindow enforcement (reference RequestModel maxDaysWindow
-    * checks; Fact.scala:438): when the cube declares a window cap, the
-    * request must carry a Between filter on a time-grain column
-    * (Day/Hour/Minute — the reference counts requested days from
-    * whichever grain the request filters at, Grain.scala:102,143) and
-    * its width in calendar days (inclusive) must not exceed the cap.
-    * Returns an error, or None when valid. */
-  /** The request's conjunctive Between on a time-grain column, if any
-    * (a Between inside a top-level AND is still conjunctive and
-    * satisfies the day-window requirement; OR-nested ones do not). */
-  private def grainBetween(pubColOf: Map[String, PubCol],
-      dimFs: Seq[QFilter]): Option[(String, Grain, String, String)] = {
-    def conjunctive(f: QFilter): Seq[QFilter] = f match {
-      case AndFilter(fs) => fs.flatMap(conjunctive)
-      case leaf => Seq(leaf)
-    }
-    dimFs.flatMap(conjunctive).collectFirst {
+  /** A parsed conjunctive time window (Between on a grain column). */
+  final case class GrainWindow(field: String, grain: Grain,
+      from: java.time.LocalDateTime, to: java.time.LocalDateTime) {
+    /** Calendar days covered, inclusive. */
+    def days: Long = java.time.temporal.ChronoUnit.DAYS.between(
+      from.toLocalDate, to.toLocalDate) + 1
+  }
+
+  /** Every conjunctive Between on a time-grain column (a Between inside
+    * a top-level AND is still conjunctive; OR-nested ones are not),
+    * parsed and validated ONCE for all consumers (windowCheck,
+    * lookBackCheck, numDays — they previously re-scanned and re-parsed
+    * independently and disagreed on error handling). A grain column's
+    * Between with unparseable bounds, or an inverted window — at the
+    * grain's OWN precision, so an Hour Between inverted within one
+    * calendar day is caught too — is a malformed request, cap or no
+    * cap: erroring beats a silently empty result. */
+  private def grainWindows(pubColOf: Map[String, PubCol],
+      dimFs: Seq[QFilter]): Either[String, Seq[GrainWindow]] = {
+    val raw = dimFs.flatMap(request.conjunctive).collect {
       case BetweenFilter(field, from, to)
           if pubColOf.get(field).exists(_.grain.isDefined) =>
         (field, pubColOf(field).grain.get, from, to)
     }
+    val parsed = raw.map { case (field, grain, from, to) =>
+      try {
+        val lf = grain.parseLocal(from); val lt = grain.parseLocal(to)
+        if (lf.isAfter(lt))
+          Left(s"'$field' Between window is empty ($from > $to)")
+        else Right(GrainWindow(field, grain, lf, lt))
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          Left(s"'$field' Between bounds must match the column's " +
+            s"grain format (${grain.format})")
+      }
+    }
+    parsed.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(parsed.collect { case Right(w) => w }))
   }
 
-  /** Calendar days (inclusive) spanned by the grain Between; 1 when
-    * absent or unparseable (windowCheck rejects those cases on cubes
-    * that care). Reference ReportingRequest numDays via
-    * DailyGrain.validateFilterAndGetNumDays (RequestModel.scala:150-173). */
-  private def requestNumDays(pubColOf: Map[String, PubCol],
-      dimFs: Seq[QFilter]): Int =
-    grainBetween(pubColOf, dimFs).flatMap { case (_, grain, from, to) =>
-      try {
-        val days = java.time.temporal.ChronoUnit.DAYS.between(
-          grain.parseLocal(from).toLocalDate,
-          grain.parseLocal(to).toLocalDate) + 1
-        if (days >= 1 && days <= Int.MaxValue) Some(days.toInt) else None
-      } catch { case _: java.time.format.DateTimeParseException => None }
-    }.getOrElse(1)
+  /** Requested window width in calendar days; None = the request
+    * carries no time window at all (an unbounded scan — the cost model
+    * prices it at the retention horizon, not as one day). With windows
+    * on SEVERAL grain columns every predicate applies, so the
+    * effective scan is their intersection: take the minimum — also
+    * making validation independent of filter ordering. Reference
+    * numDays: core RequestModel.scala:150-173. */
+  private def requestNumDays(wins: Seq[GrainWindow]): Option[Int] =
+    wins.map(_.days).minOption.map(d => math.min(d, Int.MaxValue.toLong).toInt)
 
   /** maxDaysLookBack enforcement (reference validateMaxLookBackWindow,
     * RequestModel.scala:1300-1319: requestedDaysLookBack = days from
     * now to the window's FROM bound, must not exceed the cap). The
     * evaluation date is the request's asOfDate when pinned (replays,
-    * tests), else today. Like maxDaysWindow, declaring the cap makes
-    * the grain Between REQUIRED — a request without one (or with
-    * unparseable bounds) is rejected, never silently unbounded. */
+    * tests), else today in the REQUEST's timezone (UTC when absent) —
+    * never the server's default zone, which would make edge-of-cap
+    * acceptance flip with server locale. Declaring the cap makes the
+    * time filter REQUIRED — never silently unbounded. The effective
+    * scan start with several windows is the latest FROM (intersection),
+    * so the look-back distance is the minimum. */
   private def lookBackCheck(req: ReportingRequest, cube: CubeDef,
-      pubColOf: Map[String, PubCol], dimFs: Seq[QFilter]): Option[String] =
+      wins: Seq[GrainWindow]): Option[String] =
     cube.maxDaysLookBack.flatMap { maxBack =>
-      grainBetween(pubColOf, dimFs) match {
-        case None =>
-          Some(s"cube '${cube.name}' requires a Between filter on its " +
-            s"time-grain column (maxDaysLookBack=$maxBack)")
-        case Some((field, grain, from, _)) =>
-          try {
-            val asOf = req.asOfDate.fold(java.time.LocalDate.now())(
-              java.time.LocalDate.parse)
-            val back = java.time.temporal.ChronoUnit.DAYS.between(
-              grain.parseLocal(from).toLocalDate, asOf)
-            if (back > maxBack)
-              Some(s"'$field' window starts $back days back, exceeding " +
-                s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
-            else None
-          } catch {
-            case _: java.time.format.DateTimeParseException =>
-              Some(s"'$field' Between bounds (or asOfDate) must match the " +
-                s"column's grain format (${grain.format}) / yyyy-MM-dd")
-          }
+      if (wins.isEmpty)
+        Some(s"cube '${cube.name}' requires a Between filter on its " +
+          s"time-grain column (maxDaysLookBack=$maxBack)")
+      else try {
+        val zone = req.timezone.map(java.time.ZoneId.of)
+          .getOrElse(java.time.ZoneOffset.UTC)
+        val asOf = req.asOfDate.fold(java.time.LocalDate.now(zone))(
+          java.time.LocalDate.parse)
+        val (field, back) = wins.map(w => w.field ->
+          java.time.temporal.ChronoUnit.DAYS.between(w.from.toLocalDate, asOf))
+          .minBy(_._2)
+        if (back > maxBack)
+          Some(s"'$field' window starts $back days back, exceeding " +
+            s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
+        else None
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          Some("asOfDate must be a yyyy-MM-dd date")
       }
     }
 
-  private def windowCheck(cube: CubeDef, pubColOf: Map[String, PubCol],
-      dimFs: Seq[QFilter]): Option[String] =
+  /** maxDaysWindow enforcement (reference RequestModel maxDaysWindow
+    * checks; Fact.scala:438): when the cube declares a window cap, the
+    * request must carry a Between on a time-grain column and the
+    * EFFECTIVE window (intersection when several apply — the minimum
+    * width) must not exceed the cap in calendar days. */
+  private def windowCheck(cube: CubeDef,
+      wins: Seq[GrainWindow]): Option[String] =
     cube.maxDaysWindow.flatMap { maxDays =>
-      grainBetween(pubColOf, dimFs) match {
-        case None =>
-          Some(s"cube '${cube.name}' requires a Between filter on its " +
-            s"time-grain column (maxDaysWindow=$maxDays)")
-        case Some((field, grain, from, to)) =>
-          try {
-            val days = java.time.temporal.ChronoUnit.DAYS.between(
-              grain.parseLocal(from).toLocalDate,
-              grain.parseLocal(to).toLocalDate) + 1
-            if (days < 1) Some(s"'$field' Between window is empty ($from > $to)")
-            else if (days > maxDays)
-              Some(s"'$field' window of $days days exceeds maxDaysWindow=$maxDays " +
-                s"on cube '${cube.name}'")
-            else None
-          } catch {
-            case _: java.time.format.DateTimeParseException =>
-              Some(s"'$field' Between bounds must match the column's " +
-                s"grain format (${grain.format})")
-          }
+      if (wins.isEmpty)
+        Some(s"cube '${cube.name}' requires a Between filter on its " +
+          s"time-grain column (maxDaysWindow=$maxDays)")
+      else {
+        val w = wins.minBy(_.days)
+        if (w.days > maxDays)
+          Some(s"'${w.field}' window of ${w.days} days exceeds " +
+            s"maxDaysWindow=$maxDays on cube '${cube.name}'")
+        else None
       }
     }
 

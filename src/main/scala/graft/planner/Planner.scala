@@ -64,7 +64,14 @@ object Planner {
           try {
             val p = planOn(m, v, spark, dir)
             val cached = p.copy(df = p.df.persist())
-            if (!cached.df.isEmpty) {
+            // the probe executes the plan: if IT throws, release the
+            // just-registered cache entry before skipping the variant —
+            // else every failing fallback pins a broken InMemoryRelation
+            // that later identical plan fragments get rewritten onto
+            val empty =
+              try cached.df.isEmpty
+              catch { case e: Exception => cached.df.unpersist(); throw e }
+            if (!empty) {
               lastEmpty.foreach(_.df.unpersist()) // probe lost to this winner
               return Right(cached)
             }

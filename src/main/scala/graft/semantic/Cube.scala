@@ -58,35 +58,43 @@ object model {
     * half-open UTC instant range instead, so no widening (and no
     * post-filter trim) is needed. */
   sealed trait Grain {
-    /** Spark date_format render pattern. */
+    /** Render pattern — valid for BOTH Spark date_format and
+      * java.time.DateTimeFormatter (the three grains use only
+      * y/M/d/H/m letters, which agree across the two). */
     def format: String
+    /** One grain step. */
+    def step: java.time.Duration
+    private lazy val fmt =
+      java.time.format.DateTimeFormatter.ofPattern(format)
     /** Parse a request filter bound at this grain's precision. */
     def parseLocal(s: String): java.time.LocalDateTime
+    /** Render an instant back at this grain (inverse of parseLocal). */
+    def renderLocal(t: java.time.LocalDateTime): String = fmt.format(t)
     /** The next instant at this grain (exclusive upper bound of a
       * Between whose `to` is `t`). */
-    def next(t: java.time.LocalDateTime): java.time.LocalDateTime
+    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plus(step)
   }
   case object DayGrain extends Grain {
     val format = "yyyy-MM-dd"
+    val step: java.time.Duration = java.time.Duration.ofDays(1)
     def parseLocal(s: String): java.time.LocalDateTime =
-      java.time.LocalDate.parse(s).atStartOfDay()
-    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusDays(1)
+      java.time.LocalDate.parse(s.trim).atStartOfDay()
   }
   case object HourGrain extends Grain {
     val format = "yyyy-MM-dd HH"
+    val step: java.time.Duration = java.time.Duration.ofHours(1)
     private val fmt =
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
     def parseLocal(s: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(s.trim, fmt)
-    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusHours(1)
   }
   case object MinuteGrain extends Grain {
     val format = "yyyy-MM-dd HH:mm"
+    val step: java.time.Duration = java.time.Duration.ofMinutes(1)
     private val fmt =
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
     def parseLocal(s: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(s.trim, fmt)
-    def next(t: java.time.LocalDateTime): java.time.LocalDateTime = t.plusMinutes(1)
   }
 
   /** Storage→display enum mapping; filters on display values are
@@ -199,13 +207,24 @@ object model {
       rowsPerDay: Long,
       fixedRows: Option[Long] = None,
       multiplier: Seq[(Long, Double)] = Nil) {
-    def estimate(numDays: Int): Long = {
-      val rows = fixedRows.getOrElse(rowsPerDay * (numDays + 1L))
+    /** `numDays` = the request's window width; None = NO window — an
+      * unbounded full-history scan, priced at the retention horizon so
+      * a window-independent rollup beats the per-day base (pricing it
+      * as one day would pick the full-history scan over the rollup
+      * built precisely for that case). */
+    def estimate(numDays: Option[Int]): Long = {
+      val nd = numDays.getOrElse(CostModel.UnboundedHorizonDays)
+      val rows = fixedRows.getOrElse(rowsPerDay * (nd + 1L))
       val mult = multiplier.collectFirst {
         case (ub, m) if rows <= ub => m
       }.getOrElse(1.0)
       math.max(1L, (rows * mult).toLong)
     }
+  }
+  object CostModel {
+    /** Assumed history depth (days) when a request carries no time
+      * window. */
+    val UnboundedHorizonDays = 3650
   }
 
   /** A physical fact variant. `view` replaces the raw scan for

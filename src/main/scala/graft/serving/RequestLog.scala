@@ -32,7 +32,8 @@ object RequestLog {
       hasFactFilters: Boolean,
       hasDimFilters: Boolean,
       hasMetricFilters: Boolean,
-      numDays: Int,
+      /** Effective window width in days; None = unbounded request. */
+      numDays: Option[Int],
       requestStartTime: Long,
       requestEndTime: Long,
       status: Int,                   // 200 | 400
@@ -46,7 +47,7 @@ object RequestLog {
         s""""drivingTable":${jStr(drivingTable)},""" +
         s""""isDimDriven":$isDimDriven,"hasFactFilters":$hasFactFilters,""" +
         s""""hasDimFilters":$hasDimFilters,"hasMetricFilters":$hasMetricFilters,""" +
-        s""""numDays":$numDays,""" +
+        s""""numDays":${numDays.fold("null")(_.toString)},""" +
         s""""requestStartTime":$requestStartTime,"requestEndTime":$requestEndTime,""" +
         s""""status":$status,"errorMessage":${opt(errorMessage)}}"""
     }
@@ -115,6 +116,6 @@ object RequestLog {
     RequestLogRecord(requestId, cube, revision = -1, schema = None,
       requestType = "sync", drivingTable = "", isDimDriven = false,
       hasFactFilters = false, hasDimFilters = false, hasMetricFilters = false,
-      numDays = 1, requestStartTime = startMs, requestEndTime = endMs,
+      numDays = None, requestStartTime = startMs, requestEndTime = endMs,
       status = 400, errorMessage = Some(error))
 }
