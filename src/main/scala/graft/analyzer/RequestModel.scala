@@ -300,8 +300,14 @@ object RequestModel {
             s"maxDaysLookBack=$maxBack on cube '${cube.name}'")
         else None
       } catch {
+        // DateTimeException covers both DateTimeParseException (bad
+        // asOfDate) and ZoneRulesException (bad request timezone) — an
+        // invalid zone must surface as a validation error, not escape
+        // the Either contract as an uncaught exception
         case _: java.time.format.DateTimeParseException =>
           Some("asOfDate must be a yyyy-MM-dd date")
+        case _: java.time.DateTimeException =>
+          Some(s"unknown request timezone '${req.timezone.getOrElse("")}'")
       }
     }
 

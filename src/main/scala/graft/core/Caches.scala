@@ -27,6 +27,21 @@ object Caches {
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }.computeIfAbsent(key, _ => mk.cache())
 
+  /** Register an EXTERNALLY persisted frame under (session, key) so the
+    * normal release()/releaseAll() lifecycle owns its unpersist (used by
+    * Planner.planWithFallback for the winning probe cache). Re-tracking
+    * the same key unpersists the superseded entry, so a long-lived
+    * server replanning the same query does not stack cache entries. */
+  def track(s: SparkSession, key: String, df: DataFrame): DataFrame = {
+    val m = bySession.synchronized {
+      bySession.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    val old = m.put(key, df)
+    if (old != null && (old ne df)) old.unpersist()
+    df
+  }
+
   /** Unpersist every memoized frame of ONE session. Call only after the
     * consuming queries' results have been fully executed/written — the
     * returned frames are lazy, so releasing earlier would recompute the

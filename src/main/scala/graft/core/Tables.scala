@@ -33,10 +33,16 @@ object Tables {
     * raw nanos column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (!s.experimental.extraOptimizations.contains(
-        graft.functions.MicrosTruncationPushdown))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.functions.MicrosTruncationPushdown
+    // synchronized: concurrent first use would otherwise race the
+    // contains/append check and install the rule twice (harmless — the
+    // rewrite is idempotent — but noisy); the narrow pattern keeps an
+    // accidental double install inert for non-events queries too
+    s.experimental.synchronized {
+      if (!s.experimental.extraOptimizations.contains(
+          graft.functions.MicrosTruncationPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.functions.MicrosTruncationPushdown
+    }
     tbl(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -66,7 +66,14 @@ object Dedup {
     * cap are dropped BEFORE the join — standard practice (near-dup
     * pairs share many shingles, so recall is barely affected). The
     * default is far above the test corpus's max df, so oracle results
-    * are unchanged there. */
+    * are unchanged there.
+    *
+    * Error bound above the cap (one-sided): set sizes `n` are computed
+    * from the UNCAPPED shingle sets while intersections count only
+    * capped shingles, so reported jaccard ≤ true jaccard — the cap can
+    * only DROP pairs near the threshold, never admit a false pair.
+    * If exactness above the cap ever matters, recompute `n` from the
+    * capped sets instead. */
   val DefaultMaxShingleDf = 1000
 
   /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of

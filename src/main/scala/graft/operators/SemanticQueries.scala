@@ -459,7 +459,7 @@ object SemanticQueries {
     // kinds, data types, allowed ops) fails the hash.
     "sql03_describe" ->
       """SELECT * FROM (VALUES
-        | ('Avg Order Value','Fact','Number',NULL,'<,=,>','Derived',NULL),
+        | ('Avg Order Value','Fact','Number',NULL,'<,=,>','Derived',CAST(NULL AS VARCHAR)),
         | ('Avg Price','Fact','Number',NULL,'<,=,>','Avg',NULL),
         | ('Customer Key','Dimension','String',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
         | ('Customer Name','Dimension','String','customer','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),

@@ -73,13 +73,23 @@ object Planner {
               catch { case e: Exception => cached.df.unpersist(); throw e }
             if (!empty) {
               lastEmpty.foreach(_.df.unpersist()) // probe lost to this winner
+              // hand the persisted winner to the session cache registry:
+              // Caches.release/releaseAll (or a re-plan of the same
+              // model) unpersists it — a long-lived server doesn't leak
+              // one cache entry per fallback-planned query
+              graft.core.Caches.track(spark,
+                s"fallback:${v.name}:${m.hashCode}", cached.df)
               return Right(cached)
             }
             lastEmpty.foreach(_.df.unpersist()) // superseded empty probe
             lastEmpty = Some(cached)
           } catch { case e: Exception => lastErr = Some(e) }
         }
-        lastEmpty.getOrElse(lastErr.fold(planOn(m, vs.head, spark, dir))(throw _))
+        lastEmpty.map { p =>
+          graft.core.Caches.track(spark,
+            s"fallback:${p.factName}:${m.hashCode}", p.df)
+          p
+        }.getOrElse(lastErr.fold(planOn(m, vs.head, spark, dir))(throw _))
       }
     }
 

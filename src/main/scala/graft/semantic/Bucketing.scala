@@ -42,6 +42,12 @@ object Bucketing {
         s"total $what bucket percentage is not 100% but ${m.values.sum}")
     check("internal", internalBucketPercentage)
     check("external", externalBucketPercentage)
+    // dry-run percentages are independent per-revision sampling rates,
+    // not a distribution — each must simply be a valid percentage
+    dryRunPercentage.foreach { case (rev, pct) =>
+      require(pct >= 0 && pct <= 100,
+        s"dry-run percentage for revision $rev must be in 0..100, got $pct")
+    }
   }
 
   final case class BucketingConfig(cubeConfigs: Map[String, CubeBucketingConfig] = Map.empty)
@@ -82,17 +88,25 @@ object Bucketing {
             pickFrom(pcts, bucketOf(params.user.userId, s"cube:$cube"))
           })
           .getOrElse(default.revision)
-        val dryRun = params.dryRunRevision.orElse(cfg.flatMap { c =>
-          // independent hash salt: the dry-run population is not the
-          // same slice of users as a same-percentage rollout bucket
-          c.dryRunPercentage.toSeq.sortBy(_._1).collectFirst {
-            case (rev, pct)
-                if bucketOf(params.user.userId, s"dryrun:$cube:$rev") < pct => rev
+        // an EXPLICITLY requested dry-run revision must exist — silently
+        // dropping it would shadow-test nothing while looking configured
+        val explicitBad = params.dryRunRevision
+          .filterNot(r => registry.byRevision.contains((cube, r)))
+        if (explicitBad.isDefined)
+          Left(s"dry-run revision ${explicitBad.get} does not exist for cube '$cube'")
+        else {
+          val dryRun = params.dryRunRevision.orElse(cfg.flatMap { c =>
+            // independent hash salt: the dry-run population is not the
+            // same slice of users as a same-percentage rollout bucket
+            c.dryRunPercentage.toSeq.sortBy(_._1).collectFirst {
+              case (rev, pct)
+                  if bucketOf(params.user.userId, s"dryrun:$cube:$rev") < pct => rev
+            }
+          }).filter(_ != revision)
+          registry.cube(cube, Some(revision)).map { _ =>
+            CubeBucketSelected(revision,
+              dryRun.filter(r => registry.byRevision.contains((cube, r))))
           }
-        }).filter(_ != revision)
-        registry.cube(cube, Some(revision)).map { _ =>
-          CubeBucketSelected(revision,
-            dryRun.filter(r => registry.byRevision.contains((cube, r))))
         }
       }
 

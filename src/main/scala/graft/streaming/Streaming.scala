@@ -17,14 +17,13 @@ import graft.core.Tables
   * At scale the same plan runs unbounded with the watermark bounding
   * state; partitioning is the shuffle on (window, event_type).
   *
-  * st02 is the custom-state operator family
-  * (mapGroupsWithState-style sessionization). It is expressed as a
-  * typed groupByKey + flatMapGroups over event-time-sorted per-user
-  * events — the identical per-group logic a streaming
-  * flatMapGroupsWithState would run with an event-time timeout closing
-  * sessions. Per-user event counts are bounded (≤ a few hundred), so
-  * the in-memory per-group sort is safe at any corpus scale; the
-  * shuffle is on user_id.
+  * st02 is sessionization in its scale-safe shape: lag + running-sum
+  * windows (shuffle-sort all the way — no per-group buffer, so one
+  * bot user with millions of events costs only sort spill).
+  * `sessionizeTyped` keeps the imperative per-group operator family
+  * (mapGroupsWithState-style) bounded via secondary sort + an O(1)
+  * streaming iterator; StreamingSpec cross-checks both against a real
+  * flatMapGroupsWithState run with event-time timeouts.
   */
 object Streaming {
 
@@ -89,31 +88,76 @@ object Streaming {
       .orderBy("day", "event_type")
   }
 
-  /** Sessionization: a new session starts after a ≥30-minute gap in a
-    * user's event-time sequence. Emits one row per session. */
+  /** Session gap: a new session starts after a ≥30-minute gap in a
+    * user's event-time sequence. */
+  private val gapUs = 1800L * 1000000L
+
+  /** Sessionization, scale-safe shape: lag + running sum over a
+    * per-user event-time window. Both windows are shuffle-sort
+    * (Catalyst's WindowExec streams sorted rows) — NO per-group
+    * in-memory buffer, so a 100 TB corpus with one bot user holding
+    * millions of events still fits: the only memory is the sort
+    * spill, which Tungsten handles. Emits one row per session. */
   def st02(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val gapUs = 1800L * 1000000L
     val evs = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val brk = when(lag(col("ts_us"), 1).over(w).isNull
+        .or(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs), 1L)
+      .otherwise(0L)
+    evs.withColumn("session_idx",
+        sum(brk).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Typed-state sessionization (the mapGroupsWithState-style operator
+    * family), BOUNDED: secondary sort — repartition on user_id, sort
+    * within partitions by (user_id, ts_us, event_id), then a single
+    * streaming mapPartitions pass holding O(1) state (the open session
+    * of the current user). No `it.toIndexedSeq`: a hot user with more
+    * events than executor memory streams through. Kept alongside st02
+    * as the imperative-per-group escape hatch; SessionizeSpec asserts
+    * it matches the window formulation row-for-row. */
+  def sessionizeTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
       .as[(Long, Long, Long)]
-    evs.groupByKey(_._1)
-      .flatMapGroups { (uid, it) =>
-        val sorted = it.toIndexedSeq.sortBy(e => (e._3, e._2))
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long)]
-        var sid = 0L; var n = 0L
-        var start = 0L; var last = Long.MinValue
-        def flush(): Unit = if (n > 0) out += ((uid, sid, n, start, last))
-        sorted.foreach { case (_, _, ts) =>
-          if (last == Long.MinValue || ts - last > gapUs) {
-            flush(); sid += 1; n = 0; start = ts
+    evs.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var curUid = Long.MinValue
+        private var sid = 0L; private var n = 0L
+        private var start = 0L; private var last = 0L
+        private var pending: Option[(Long, Long, Long, Long, Long)] = None
+        private var done = false
+        private def closed: Option[(Long, Long, Long, Long, Long)] =
+          if (n > 0) Some((curUid, sid, n, start, last)) else None
+        private def advance(): Unit = {
+          while (pending.isEmpty && !done) {
+            if (it.hasNext) {
+              val (uid, _, ts) = it.next()
+              if (uid != curUid) {
+                pending = closed
+                curUid = uid; sid = 1L; n = 1L; start = ts; last = ts
+              } else if (ts - last > gapUs) {
+                pending = closed
+                sid += 1; n = 1L; start = ts; last = ts
+              } else { n += 1; last = ts }
+            } else { pending = closed; n = 0; done = true }
           }
-          n += 1; last = ts
         }
-        flush()
-        out
+        def hasNext: Boolean = { advance(); pending.isDefined }
+        def next(): (Long, Long, Long, Long, Long) = {
+          advance(); val r = pending.get; pending = None; r
+        }
       }
+    }
       .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
       .orderBy("user_id", "session_idx")
   }
@@ -234,8 +278,10 @@ object Streaming {
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |s AS (
         | SELECT user_id, ts_us,
-        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  -- CAST: DuckDB types SUM(int) OVER as HUGEINT; Spark emits
+        |  -- BIGINT and the driver's hasher is type-sensitive.
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         | FROM o)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

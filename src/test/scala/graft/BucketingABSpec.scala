@@ -88,6 +88,16 @@ class BucketingABSpec extends AnyFunSuite {
     val same = sel.select("order_stats",
       BucketParams(UserInfo("alice", false), dryRunRevision = Some(0))).toOption.get
     assert(same.dryRunRevision.isEmpty, "dry-running the served revision is pointless")
+    // an explicitly pinned dry-run revision that does not exist is an
+    // error (silently shadow-testing nothing would look configured)
+    val unknown = sel.select("order_stats",
+      BucketParams(UserInfo("alice", false), dryRunRevision = Some(9)))
+    assert(unknown.isLeft && unknown.swap.toOption.get.contains("dry-run"))
+    // dry-run percentages are per-revision sampling rates in 0..100
+    val bad = intercept[IllegalArgumentException] {
+      CubeBucketingConfig(dryRunPercentage = Map(1 -> 120))
+    }
+    assert(bad.getMessage.contains("0..100"))
   }
 
   test("end-to-end: whitelisted user is served by the revision-1 cube") {
@@ -119,7 +129,7 @@ class BucketingABSpec extends AnyFunSuite {
     val rec = RequestLog.record("req-1", m, p, startMs = 1000L, endMs = 1500L)
     assert(rec.cube == "order_stats" && rec.revision == 0)
     assert(rec.drivingTable == p.factName && rec.status == 200)
-    assert(rec.numDays == 731, "sem01 spans 1995-01-01..1996-12-31")
+    assert(rec.numDays == Some(731), "sem01 spans 1995-01-01..1996-12-31")
     assert(rec.requestType == "sync" && !rec.isDimDriven)
     // sem01 filters only the fact-level Order Date: fact yes, dim no
     assert(rec.hasFactFilters && !rec.hasDimFilters && !rec.hasMetricFilters)

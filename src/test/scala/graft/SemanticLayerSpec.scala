@@ -410,7 +410,9 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(pick("1995-01-01", "1995-01-02") == "orders_base")
     // 90-day window: 1000×91 = 91k > 50k → lifetime rollup
     assert(pick("1995-01-01", "1995-03-31") == "orders_lifetime_rollup")
-    // no window at all → numDays=1 → base still cheapest
+    // no window → unbounded horizon (CostModel.UnboundedHorizonDays =
+    // 3650): 1000×3651 ≫ 50k, so the window-independent lifetime
+    // rollup correctly wins a lifetime scan
     val noWindow = (for {
       req <- request.parse(
         """{"cube": "order_stats",
@@ -418,7 +420,7 @@ class SemanticLayerSpec extends AnyFunSuite {
       m <- RequestModel.from(req, Registry(cube))
       p <- graft.planner.Planner.plan(m, spark, sf)
     } yield p.factName).toOption.get
-    assert(noWindow == "orders_base")
+    assert(noWindow == "orders_lifetime_rollup")
   }
 
   test("cost multiplier penalizes estimates crossing a row threshold") {
@@ -564,6 +566,16 @@ class SemanticLayerSpec extends AnyFunSuite {
         | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin)
       .flatMap(RequestModel.from(_, capped))
     assert(none.isLeft && none.swap.toOption.get.contains("maxDaysLookBack"))
+    // a bad request timezone is a validation error, not an uncaught
+    // ZoneRulesException escaping the Either contract
+    val badTz = request.parse(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"field": "Order Date", "operator": "between",
+        |   "from": "1996-01-01", "to": "1996-06-01"}],
+        | "timezone": "Mars/Olympus"}""".stripMargin)
+      .flatMap(RequestModel.from(_, capped))
+    assert(badTz.isLeft && badTz.swap.toOption.get.contains("timezone"))
   }
 
   test("a cube may not mix cost-modeled and static-cost variants") {

@@ -87,6 +87,21 @@ class StreamingSpec extends AnyFunSuite {
       s"sessions past watermark not emitted: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("sessionize: bounded typed secondary-sort variant equals window form") {
+    // st02 is two shuffle-sort window passes (lag + running sum) — no
+    // per-group in-memory buffer, so a hot user larger than executor
+    // memory only costs sort spill. The typed variant streams a
+    // secondary-sorted iterator with O(1) state; both must agree.
+    val win = graft.streaming.Streaming.st02(spark, sf).collect().toSeq
+    val typed = graft.streaming.Streaming.sessionizeTyped(spark, sf).collect().toSeq
+    assert(win.nonEmpty && win == typed)
+    // plan shape: WindowExec, and NO FlatMapGroups / per-group collect
+    val plan = graft.streaming.Streaming.st02(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(500))
+    assert(!plan.contains("FlatMapGroups"), "st02 must not buffer groups")
+  }
+
   test("streaming session_window aggregation equals batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._

@@ -46,6 +46,17 @@ def main():
             print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
         if gcols != wcols:
             print(f"FAIL {name}: cols {gcols} != {wcols}"); fails += 1; continue
+        # type-sensitive, like the driver's hasher: DuckDB types of the
+        # Spark parquet output must equal the oracle result's types
+        # (e.g. HUGEINT vs BIGINT hash-mismatches even when values agree)
+        order = sorted(range(len(got.columns)), key=lambda i: got.columns[i])
+        gtypes = [str(got.types[i]) for i in order]
+        worder = sorted(range(len(want.columns)), key=lambda i: want.columns[i])
+        wtypes = [str(want.types[i]) for i in worder]
+        if gtypes != wtypes:
+            mism = [(gcols[j], gtypes[j], wtypes[j])
+                    for j in range(len(gtypes)) if gtypes[j] != wtypes[j]]
+            print(f"FAIL {name}: types differ {mism}"); fails += 1; continue
         if len(grows) != len(wrows):
             print(f"FAIL {name}: rows {len(grows)} != {len(wrows)}"); fails += 1; continue
         bad = [(a, b) for a, b in zip(grows, wrows) if a != b]
