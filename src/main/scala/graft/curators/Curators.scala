@@ -44,6 +44,12 @@ object Curators {
       .map(pc => pc.alias -> pc).toMap
   }
 
+  /** The default (un-curated) pass: the request itself through the
+    * analyzer/planner — what RequestCoordinator runs alongside the
+    * curators. */
+  def default(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame =
+    planned(parsed(json), reg, s, dir)
+
   /** TimeShift: re-plan the request for the immediately preceding
     * period of the same length ([from - len, from - 1], reference
     * TimeShiftCurator period computation), left-join prev onto current
@@ -115,6 +121,34 @@ object Curators {
     val unpaged = req.copy(sortBy = Nil, paginationStartIndex = 0,
       rowsPerPage = -1, async = true)
     planned(unpaged, reg, s, dir).agg(count(lit(1)).as("totalrows"))
+  }
+
+  /** Parallel dashboard merge — RequestCoordinator end-to-end: the
+    * default request plus TotalMetrics and RowCount execute
+    * CONCURRENTLY (three overlapping Spark jobs over one session), then
+    * merge into one response frame: each scalar rider broadcast-joins
+    * onto the default rows — the in-plan analogue of the reference
+    * coordinator's curator-result envelope merge
+    * (service/.../RequestCoordinator.scala:83-173). */
+  def parallelMerge(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
+    import RequestCoordinator._
+    val res = RequestCoordinator.run(json, reg, Seq(TotalMetrics, RowCount), s, dir)
+    // hand the coordinator's persisted frames to the session cache
+    // registry so Caches.release owns their unpersist
+    res.foreach { case (n, e) =>
+      e.foreach(df => graft.core.Caches.track(s, s"curator-merge:$n", df))
+    }
+    val req = parsed(json)
+    val mets = metricAliases(reg, req.cube)
+    val dims = req.selectFields.filterNot(mets)
+    val totals = mets.foldLeft(res("totalmetrics").toOption.get) { (df, m) =>
+      if (df.columns.contains(m)) df.withColumnRenamed(m, s"$m Total") else df
+    }
+    res("default").toOption.get
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(res("rowcount").toOption.get
+        .withColumnRenamed("totalrows", "Result Rows")))
+      .orderBy(dims.map(col): _*)
   }
 
   /** Drilldown: take the top-N parent rows of the base request (by its

@@ -328,6 +328,7 @@ object SemanticQueries {
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
     "cur04_drilldown" -> (Curators.drillDown(cur04Json, "Order Status", 3, registry) _),
+    "cur05_parallel_merge" -> (Curators.parallelMerge(cur01Json, registry) _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -477,6 +478,21 @@ object SemanticQueries {
         | ('Total Spend','Fact','Number',NULL,'<,=,>','Sum',NULL)
         |) AS t(field, kind, "dataType", dimension, "filterOps", rollup, "restrictedTo")
         |ORDER BY field""".stripMargin,
+    "cur05_parallel_merge" ->
+      """WITH cur AS (
+        | SELECT o_orderpriority AS "Order Priority",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate <= TIMESTAMP '1996-07-31'
+        | GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend Total"
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate <= TIMESTAMP '1996-07-31'),
+        |rc AS (SELECT COUNT(*) AS "Result Rows" FROM cur)
+        |SELECT cur."Order Priority", cur."Total Spend",
+        | tot."Total Spend Total", rc."Result Rows"
+        |FROM cur, tot, rc ORDER BY "Order Priority"""".stripMargin,
     "cur01_timeshift" ->
       """WITH cur AS (
         | SELECT o_orderpriority AS p, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v

@@ -18,6 +18,52 @@ class CuratorsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("coordinator runs default + curators concurrently with identical results") {
+    import graft.curators.RequestCoordinator
+    import graft.curators.RequestCoordinator._
+    // barrier with one party per curator: run() passes only if EVERY
+    // curator's future reaches preExecute before ANY proceeds — i.e.
+    // they genuinely execute concurrently, not serialized on the
+    // caller's thread (a sequential coordinator deadlocks here and the
+    // await below times out)
+    val specs = Seq(TimeShift, TotalMetrics, RowCount)
+    val barrier = new java.util.concurrent.CyclicBarrier(specs.size + 1)
+    val results = RequestCoordinator.run(cur01Json, registry, specs, spark, sf,
+      preExecute = _ => barrier.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(results.keySet ==
+      Set("default", "timeshift", "totalmetrics", "rowcount"))
+    assert(results.valuesIterator.forall(_.isRight), results.filter(_._2.isLeft))
+    // results identical to the sequential single-curator paths
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(results("default").toOption.get) ==
+      rows(Curators.default(cur01Json, registry)(spark, sf)))
+    assert(rows(results("timeshift").toOption.get) ==
+      rows(Curators.timeShift(cur01Json, registry)(spark, sf)))
+    assert(rows(results("rowcount").toOption.get) ==
+      rows(Curators.rowCount(cur01Json, registry)(spark, sf)))
+    RequestCoordinator.release(results)
+  }
+
+  test("coordinator isolates curator failures; default failure throws") {
+    import graft.curators.RequestCoordinator
+    import graft.curators.RequestCoordinator._
+    // user_events has no day-grain Between in this request → timeshift
+    // fails, but the default and rowcount still serve
+    val noDay =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}]}""".stripMargin
+    val results = RequestCoordinator.run(noDay, registry,
+      Seq(TimeShift, RowCount), spark, sf)
+    assert(results("default").isRight && results("rowcount").isRight)
+    assert(results("timeshift").swap.toOption.get.contains("Between"))
+    RequestCoordinator.release(results)
+    val bad = intercept[IllegalArgumentException] {
+      RequestCoordinator.run("""{"cube": "nope", "selectFields": []}""",
+        registry, Seq(RowCount), spark, sf)
+    }
+    assert(bad.getMessage.contains("default request failed"))
+  }
+
   test("timeshift requires a day Between filter") {
     val noDay =
       """{"cube": "order_stats",
