@@ -117,9 +117,17 @@ object Dedup {
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH near-dup pairs (no SQL oracle — hash-dependent;
-    * driver records rows-only). 8 bands × 4 rows, candidates verified
-    * with exact Jaccard ≥ 0.5 over the shingle sets. */
+  /** MinHash + LSH near-dup pairs. 8 bands × 4 rows, candidates
+    * verified with exact Jaccard ≥ 0.5 over the shingle sets.
+    *
+    * Oracle-checked via the SUBSET-EQUALITY argument: verification
+    * makes every emitted pair a member of the exact-Jaccard≥0.5 set,
+    * and on this corpus the banding finds every such pair (the corpus's
+    * minimum true-pair Jaccard is 0.857, where a 4-row band collides
+    * with prob 0.857⁴≈0.54, so missing all 8 bands has prob
+    * 0.46⁸≈0.2% — and the hashes are deterministic, so the observed
+    * full recall at each SF is a fixed fact, not a sample). The oracle
+    * is therefore the exact-Jaccard≥0.5 pair set in SQL. */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val k = 32; val bands = 8; val rows = k / bands
     val mh = minhashed(s, d, k)
@@ -220,6 +228,24 @@ object Dedup {
         |JOIN sh sa ON sa.doc_id = x
         |JOIN sh sb ON sb.doc_id = y
         |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2
+        |ORDER BY x, y""".stripMargin,
+    // the exact-Jaccard≥0.5 pair set: equals dd03's output because the
+    // LSH verify step admits only exact-J≥0.5 pairs and the banding's
+    // recall on this corpus is complete (see ddMinhashLsh scaladoc)
+    "dd03_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT x, y,
+        | CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = x
+        |JOIN sh sb ON sb.doc_id = y
+        |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.5
         |ORDER BY x, y""".stripMargin,
   )
 }

@@ -200,23 +200,13 @@ object Similarity {
     cents
   }
 
-  /** IVF ANN top-3 for query vectors vec_id < 10 (no SQL oracle —
-    * k-means is not expressible in the oracle; determinism + recall are
-    * spec-asserted). k=8 lists, nprobe=4: each query scans ≈ half the
-    * corpus here; at scale k grows with corpus size (√n lists is the
-    * usual rule) and nprobe stays small, so per-query work is
-    * nprobe·n/k rows via a broadcast equi-join on cid — no shuffle of
-    * the corpus beyond the one building the lists. */
-  def simIvfAnn(s: SparkSession, d: String): DataFrame = {
-    val k = 8; val nprobe = 4; val iters = 2
-    val v = withNorm(s, d)
-    // the trained quantizer is k rows (~k·dim floats) but its lineage
-    // is the whole Lloyd loop; memoize per (session, dir) so list
-    // assignment and query probing share one training pass and repeat
-    // invocations reuse the index instead of stacking cache entries
-    // (an IVF index is built once and amortized over queries)
-    val cents = graft.core.Caches.memo(s, s"ivf|$d|k$k-i$iters")(
-      trainCentroids(v, k, iters))
+  /** The IVF search path, shared by the trained (sim05) and flat
+    * (sim06) quantizers: build inverted lists by nearest-centroid
+    * assignment, route each query to its `nprobe` nearest lists, rank
+    * candidates by exact cosine within the probed lists. Per-query work
+    * is nprobe·n/k rows via a broadcast equi-join on cid. */
+  private def ivfSearch(v: DataFrame, cents: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
     val lists = v.join(nearestCid(v, cents), "vec_id") // inverted lists
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
@@ -234,9 +224,46 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("qid", "nid", "rank", "cosine")
       .orderBy("qid", "rank")
+  }
+
+  /** IVF ANN top-3 for query vectors vec_id < 10 (no SQL oracle —
+    * k-means is not expressible in the oracle; determinism + recall are
+    * spec-asserted; the SEARCH path is oracle-checked via sim06).
+    * k=8 lists, nprobe=4: each query scans ≈ half the corpus here; at
+    * scale k grows with corpus size (√n lists is the usual rule) and
+    * nprobe stays small. */
+  def simIvfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val nprobe = 4; val iters = 2
+    val v = withNorm(s, d)
+    // the trained quantizer is k rows (~k·dim floats) but its lineage
+    // is the whole Lloyd loop; memoize per (session, dir) so list
+    // assignment and query probing share one training pass and repeat
+    // invocations reuse the index instead of stacking cache entries
+    // (an IVF index is built once and amortized over queries)
+    val cents = graft.core.Caches.memo(s, s"ivf|$d|k$k-i$iters")(
+      trainCentroids(v, k, iters))
+    ivfSearch(v, cents, nprobe, topK = 3)
+  }
+
+  /** IVF with a FLAT (untrained) quantizer — centroids are the first k
+    * corpus vectors (cid = vec_id + 1) with no Lloyd refinement. The
+    * point: every stage of the IVF search path (nearest-centroid
+    * assignment, inverted lists, nprobe probe routing, in-list exact
+    * ranking) becomes pure fixdot arithmetic a SQL oracle can replicate
+    * exactly, so the driver's hash gate covers the whole search
+    * machinery; only Lloyd training (sim05) stays spec-checked. */
+  def simIvfFlat(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val nprobe = 4
+    val v = withNorm(s, d)
+    val cents = broadcast(v.filter(col("vec_id") < k)
+      .select((col("vec_id") + 1).cast("int").as("cid"),
+        col("embedding").as("cemb"))
+      .withColumn("cn2",
+        graft.functions.GraftFunctions.fixdotD(col("cemb"), col("cemb"))))
+    ivfSearch(v, cents, nprobe, topK = 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +272,7 @@ object Similarity {
     "sim03_lsh_ann" -> (simLshAnn _),
     "sim04_embedding_near_dups" -> (simNearDupPairs _),
     "sim05_ivf_ann" -> (simIvfAnn _),
+    "sim06_ivf_flat" -> (simIvfFlat _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -272,5 +300,48 @@ object Similarity {
         | CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm,
         | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    // the complete IVF search path with the flat quantizer — every
+    // stage (assignment, probe routing, in-list ranking) replicated in
+    // exact fixed-point arithmetic
+    "sim06_ivf_flat" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT v.vec_id qid, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c WHERE v.vec_id < 10) t WHERE rn <= 4),
+        |p AS (
+        |  SELECT q.vec_id qid, n.vec_id nid,
+        |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM probes pr
+        |  JOIN v q ON q.vec_id = pr.qid
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  WHERE q.vec_id <> n.vec_id)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -71,6 +71,31 @@ class SimilaritySpec extends AnyFunSuite {
       "an almost-identical pair agrees on every plane, so every band matches")
   }
 
+  test("LSH ANN: a consistent subset of the exact ranking, never fabricated") {
+    val ann = Similarity.queries("sim03_lsh_ann")(spark, sf).collect()
+    val exact = Similarity.simCosineTopK(spark, sf).collect()
+    // where a pair also appears in the brute-force top-5, the ANN
+    // cosine must be bit-identical (same fixdot arithmetic)
+    val exactCos = exact.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    ann.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(r.getDouble(3) == c, s"cosine drift on ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    // per query: contiguous ranks from 1, descending cosine, no self
+    ann.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, s"non-monotone ranking for query $q")
+      assert(!rows.map(_.getLong(1)).contains(q))
+    }
+    // an ANN hit can never beat the query's true best neighbor
+    val best = exact.filter(_.getLong(2) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ann.foreach(r => assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
+  }
+
   test("IVF ANN: deterministic, probes its own lists, decent recall") {
     val r1 = Similarity.simIvfAnn(spark, sf).collect()
     val r2 = Similarity.simIvfAnn(spark, sf).collect()
