@@ -158,14 +158,42 @@ object SemanticQueries {
 
   val registry: Registry = Registry(orderCube, eventsCube, lineitemCube)
 
+  /** Session-global request-log writer (reference
+    * MahaRequestLogWriter): Noop by default; a server installs a
+    * JSON-lines/Kafka backend. Every request through [[run]] emits one
+    * envelope — success or failure — keyed by request id. */
+  @volatile var requestLogWriter: graft.serving.RequestLog.RequestLogWriter =
+    graft.serving.RequestLog.NoopWriter
+
   /** Run a JSON request through parse → analyze → plan. */
-  def run(json: String)(s: SparkSession, dir: String): DataFrame = {
+  def run(json: String)(s: SparkSession, dir: String): DataFrame =
+    runLogged(json, java.util.UUID.randomUUID().toString)(s, dir)
+
+  /** Like [[run]] but with a caller-supplied request id (what an HTTP
+    * front door propagates from its request header). The envelope's end
+    * time stamps PLAN completion — execution is lazy; a serving layer
+    * that materializes the result logs a second, completion-time
+    * envelope (see [[graft.serving]]). */
+  def runLogged(json: String, requestId: String)(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving.RequestLog
+    val start = System.currentTimeMillis()
+    val parsed = request.parse(json)
     val planned = for {
-      req <- request.parse(json)
+      req <- parsed
       model <- RequestModel.from(req, registry)
       p <- Planner.plan(model, s, dir)
-    } yield p
-    planned.fold(err => throw new IllegalArgumentException(err), _.df)
+    } yield (model, p)
+    planned match {
+      case Right((model, p)) =>
+        requestLogWriter.write(RequestLog.record(requestId, model, p,
+          start, System.currentTimeMillis()))
+        p.df
+      case Left(err) =>
+        requestLogWriter.write(RequestLog.failure(requestId,
+          parsed.map(_.cube).getOrElse(""), err,
+          start, System.currentTimeMillis()))
+        throw new IllegalArgumentException(err)
+    }
   }
 
   /** Same but exposing the planner decision (for tests). */

@@ -105,20 +105,32 @@ object Domain {
       s""""rollup":${jOpt(f.rollup)},"allowedSchemas":${
         f.restrictedTo.fold("null")(r => jArr(r.split(",").toSeq))}}"""
 
-  /** Single-cube JSON (getCubeJsonAsStringForCube analogue). */
-  def cubeJson(cube: CubeDef): String = {
+  /** Single-cube JSON (getCubeJsonAsStringForCube analogue).
+    * `fresh` (when provided — see [[Freshness]]) adds the per-table
+    * "data as of" block the reference's IngestionTimeUpdater surfaces
+    * next to the domain. */
+  def cubeJson(cube: CubeDef,
+      fresh: Seq[Freshness.TableFreshness] = Nil): String = {
     def jNum(o: Option[Int]) = o.fold("null")(_.toString)
+    val freshJson =
+      if (fresh.isEmpty) "null"
+      else fresh.map(t =>
+        s"""{"table":${jStr(t.table)},"dataAsOf":${jStr(t.asOf)},""" +
+          s""""source":${jStr(t.source)}}""").mkString("[", ",", "]")
     s"""{"name":${jStr(cube.name)},""" +
       s""""variants":${jArr(cube.variants.map(_.name))},""" +
       s""""maxDaysWindow":${jNum(cube.maxDaysWindow)},""" +
       s""""maxRowsSync":${jNum(cube.maxRowsSync)},""" +
       s""""maxRowsAsync":${jNum(cube.maxRowsAsync)},""" +
+      s""""dataAsOf":$freshJson,""" +
       s""""fields":[${fields(cube).map(fieldJson).mkString(",")}]}"""
   }
 
   /** Whole-registry domain JSON (domainJsonAsString analogue):
-    * dimensions with their field lists, then cubes. */
-  def domainJson(reg: Registry): String = {
+    * dimensions with their field lists, then cubes — each carrying its
+    * freshness block when a freshness map is supplied. */
+  def domainJson(reg: Registry,
+      freshness: Map[String, Seq[Freshness.TableFreshness]] = Map.empty): String = {
     val cubes = reg.cubes.values.toSeq.sortBy(_.name)
     val dims = cubes.flatMap(_.dims).groupBy(_.name).toSeq.sortBy(_._1).map {
       case (name, ds) =>
@@ -126,6 +138,7 @@ object Domain {
           jArr(ds.flatMap(_.cols.map(_.alias)).distinct.sorted)}}"""
     }
     s"""{"dimensions":[${dims.mkString(",")}],""" +
-      s""""cubes":[${cubes.map(cubeJson).mkString(",")}]}"""
+      s""""cubes":[${cubes.map(c =>
+        cubeJson(c, freshness.getOrElse(c.name, Nil))).mkString(",")}]}"""
   }
 }

@@ -119,6 +119,27 @@ class BucketingABSpec extends AnyFunSuite {
     assert(p.df.count() == 5)
   }
 
+  test("request log: SemanticQueries.run emits envelopes end-to-end") {
+    val mem = new RequestLog.InMemoryWriter
+    val prev = SemanticQueries.requestLogWriter
+    SemanticQueries.requestLogWriter = mem
+    try {
+      SemanticQueries.runLogged(SemanticQueries.sem01Json, "req-e2e-1")(spark, sf)
+      val ok = mem.records.find(_.requestId == "req-e2e-1").get
+      assert(ok.status == 200 && ok.cube == "order_stats" &&
+        ok.drivingTable.nonEmpty)
+      // a failing request logs a 400 envelope with the cube it parsed
+      intercept[IllegalArgumentException] {
+        SemanticQueries.runLogged(
+          """{"cube": "order_stats", "selectFields": [{"field": "No Such"}]}""",
+          "req-e2e-2")(spark, sf)
+      }
+      val bad = mem.records.find(_.requestId == "req-e2e-2").get
+      assert(bad.status == 400 && bad.cube == "order_stats" &&
+        bad.errorMessage.isDefined)
+    } finally SemanticQueries.requestLogWriter = prev
+  }
+
   test("request log: envelope fields and JSON-lines backend") {
     val planned = for {
       req <- request.parse(SemanticQueries.sem01Json)

@@ -479,6 +479,32 @@ class SemanticLayerSpec extends AnyFunSuite {
       json.contains("{\"name\":\"customer\",\"fields\":["))
   }
 
+  test("freshness: per-table data-as-of surfaces in the domain JSON") {
+    import graft.semantic.Freshness
+    Freshness.invalidate()
+    // order_stats base has a day-grain column → max(o_orderdate)
+    val base = SemanticQueries.orderCube.base
+    val f = Freshness.forFact(spark, sf, base)
+    assert(f.source == "max(o_orderdate)", f)
+    assert(f.asOf.matches("\\d{4}-\\d{2}-\\d{2}.*"), s"date-shaped asOf: $f")
+    // memoized: a second call must not rescan (same instance is fine;
+    // assert stability)
+    assert(Freshness.forFact(spark, sf, base) == f)
+    // a gainless fact falls back to file mtime
+    val noGrain = SemanticQueries.lineitemCube.base
+    val lf = Freshness.forFact(spark, sf, noGrain)
+    assert(lf.source == "file_mtime" && lf.asOf.nonEmpty)
+    // domain JSON carries the block per cube
+    val fresh = Freshness.forRegistry(SemanticQueries.registry, spark, sf)
+    val json = graft.semantic.Domain.domainJson(SemanticQueries.registry, fresh)
+    assert(json.contains("\"dataAsOf\":[{\"table\":"))
+    assert(json.contains("\"source\":\"max(o_orderdate)\""))
+    // without freshness the field is null (pure-config introspection)
+    assert(graft.semantic.Domain.domainJson(SemanticQueries.registry)
+      .contains("\"dataAsOf\":null"))
+    Freshness.invalidate()
+  }
+
   test("DESCRIBE cube through the SQL front door") {
     val df = graft.analyzer.SqlFrontDoor.run(
       "DESCRIBE order_stats", SemanticQueries.registry)(spark, sf)
