@@ -1,0 +1,102 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+import graft.operators.SemanticQueries
+import graft.semantic.{Domain, Freshness}
+import graft.semantic.model.Registry
+
+/** Minimal HTTP front door — the analogue of the reference's reporting
+  * API resource (api-jersey/.../MahaResource.scala:30+: POST JSON
+  * ReportingRequest → JSON row envelope; registry/domain introspection
+  * endpoints; async job endpoints backed by the worker).
+  *
+  * Built on the JDK's com.sun.net.httpserver (no new dependencies).
+  * Routes:
+  *   POST /report            JSON request body → Serving.jsonEnvelope
+  *   GET  /domain            Domain.domainJson (+freshness)
+  *   POST /jobs              async submit → {"jobId": …}
+  *   GET  /jobs/{id}         status; completed jobs embed the envelope
+  *
+  * The request id comes from the X-Request-Id header (generated when
+  * absent) and is echoed back; a completion-time request-log envelope
+  * is emitted AFTER materialization — the serving-layer counterpart of
+  * the plan-time envelope runLogged writes (reference request-log
+  * lifecycle: one record per served request, stamped at completion).
+  */
+final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
+    jobs: JobQueue, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
+
+  def start(): Int = {
+    server.createContext("/report", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val start = System.currentTimeMillis()
+      try {
+        val df = SemanticQueries.runLogged(body, reqId)(s, dir)
+        val env = Serving.jsonEnvelope(df) // materializes the page
+        val cube = graft.analyzer.request.parse(body).map(_.cube).getOrElse("")
+        SemanticQueries.requestLogWriter.write(RequestLog.served(
+          s"$reqId-served", cube, start, System.currentTimeMillis()))
+        (200, env, reqId)
+      } catch {
+        case e: IllegalArgumentException =>
+          // runLogged already wrote the 400 plan-time envelope
+          (400, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
+      }
+    })
+    server.createContext("/domain", (ex: HttpExchange) => handle(ex) {
+      (200, Domain.domainJson(reg, Freshness.forRegistry(reg, s, dir)),
+        requestId(ex))
+    })
+    server.createContext("/jobs", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      val path = ex.getRequestURI.getPath.stripPrefix("/jobs").stripPrefix("/")
+      if (ex.getRequestMethod == "POST" && path.isEmpty) {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        jobs.submit(body) match {
+          case Right(id) => (202, s"""{"jobId":${Domain.jStr(id)}}""", reqId)
+          case Left(err) => (400, s"""{"error":${Domain.jStr(err)}}""", reqId)
+        }
+      } else jobs.status(path) match {
+        case None => (404, s"""{"error":"unknown job"}""", reqId)
+        case Some(JobQueue.Queued) => (200, """{"status":"queued"}""", reqId)
+        case Some(JobQueue.Running) => (200, """{"status":"running"}""", reqId)
+        case Some(JobQueue.Failed(e)) =>
+          (200, s"""{"status":"failed","error":${Domain.jStr(e)}}""", reqId)
+        case Some(JobQueue.Completed(n)) =>
+          val env = jobs.fetch(path).map(Serving.jsonEnvelope).getOrElse("null")
+          (200, s"""{"status":"completed","rowCount":$n,"result":$env}""", reqId)
+      }
+    })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  private def requestId(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+
+  private def handle(ex: HttpExchange)(f: => (Int, String, String)): Unit = {
+    val (code, bodyStr, reqId) =
+      try f
+      catch { case e: Exception =>
+        (500, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+          requestId(ex))
+      }
+    val bytes = bodyStr.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("X-Request-Id", reqId)
+    ex.sendResponseHeaders(code, bytes.length)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+
+  def stop(): Unit = server.stop(0)
+}

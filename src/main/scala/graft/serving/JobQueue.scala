@@ -1,0 +1,91 @@
+package graft.serving
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.SemanticQueries
+
+/** Async job queue — the thin in-process analogue of the reference's
+  * worker / job service (worker/.../Worker.scala: async reporting
+  * requests are enqueued, executed by workers, results stored and
+  * fetched later by job id; sync requests never enter the queue).
+  *
+  * Submission accepts only `"async": true` requests — a sync request
+  * executes inline through [[SemanticQueries.run]] with its own
+  * (tighter) guards; the async path inherits `maxRowsAsync`
+  * enforcement from the analyzer, exactly as the reference's worker
+  * re-validates against the async cap.
+  *
+  * Results are written as parquet under `resultDir/<jobId>` — the
+  * job-store shape: a fetch may happen much later (or from another
+  * process), so results live outside the session, not in driver
+  * memory. Workers are daemon threads over the SHARED session;
+  * Spark's scheduler interleaves queued jobs with interactive ones.
+  */
+final class JobQueue(s: SparkSession, dir: String,
+    resultDir: java.nio.file.Path, workers: Int = 2) {
+
+  import JobQueue._
+
+  private val state = new ConcurrentHashMap[String, JobStatus]()
+  private val pool = Executors.newFixedThreadPool(workers,
+    (r: Runnable) => { val t = new Thread(r, "graft-job-worker"); t.setDaemon(true); t })
+
+  /** Enqueue an async request; Left for unparseable or sync requests. */
+  def submit(json: String): Either[String, String] =
+    graft.analyzer.request.parse(json).flatMap { req =>
+      if (!req.async)
+        Left("sync requests execute inline; the job queue accepts async=true only")
+      else {
+        val jobId = java.util.UUID.randomUUID().toString
+        state.put(jobId, Queued)
+        pool.execute(() => execute(jobId, json))
+        Right(jobId)
+      }
+    }
+
+  private def execute(jobId: String, json: String): Unit = {
+    state.put(jobId, Running)
+    try {
+      val df = SemanticQueries.runLogged(json, s"job-$jobId")(s, dir)
+      val out = resultDir.resolve(jobId).toString
+      df.write.mode("overwrite").parquet(out)
+      val rows = s.read.parquet(out).count()
+      state.put(jobId, Completed(rows))
+    } catch {
+      case e: Exception => state.put(jobId, Failed(e.getMessage))
+    }
+  }
+
+  /** Poll surface. None = unknown job id. */
+  def status(jobId: String): Option[JobStatus] = Option(state.get(jobId))
+
+  /** Completed results, read back from the job store. */
+  def fetch(jobId: String): Option[DataFrame] = status(jobId) match {
+    case Some(Completed(_)) =>
+      Some(s.read.parquet(resultDir.resolve(jobId).toString))
+    case _ => None
+  }
+
+  /** Block until the job leaves the queue/running states (tests and
+    * simple callers; a real client polls [[status]]). */
+  def await(jobId: String, timeoutMs: Long = 120000L): Option[JobStatus] = {
+    val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(timeoutMs)
+    var st = status(jobId)
+    while (st.exists(x => x == Queued || x == Running)
+        && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      st = status(jobId)
+    }
+    st
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}
+
+object JobQueue {
+  sealed trait JobStatus
+  case object Queued extends JobStatus
+  case object Running extends JobStatus
+  final case class Completed(rows: Long) extends JobStatus
+  final case class Failed(error: String) extends JobStatus
+}

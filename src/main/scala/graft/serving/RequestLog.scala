@@ -110,6 +110,18 @@ object RequestLog {
       errorMessage = None)
   }
 
+  /** Serving-completion envelope: what the HTTP layer stamps AFTER the
+    * result page is materialized (the plan-time envelope from
+    * runLogged carries the model detail; this one carries the true
+    * end-to-end latency). */
+  def served(requestId: String, cube: String,
+      startMs: Long, endMs: Long): RequestLogRecord =
+    RequestLogRecord(requestId, cube, revision = -1, schema = None,
+      requestType = "sync", drivingTable = "", isDimDriven = false,
+      hasFactFilters = false, hasDimFilters = false, hasMetricFilters = false,
+      numDays = None, requestStartTime = startMs, requestEndTime = endMs,
+      status = 200, errorMessage = None)
+
   /** Failure envelope (status 400, no chosen fact). */
   def failure(requestId: String, cube: String, error: String,
       startMs: Long, endMs: Long): RequestLogRecord =

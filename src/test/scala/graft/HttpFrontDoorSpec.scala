@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.operators.SemanticQueries
+import graft.serving.{HttpFrontDoor, JobQueue, RequestLog}
+
+/** HTTP front door e2e (reference api-jersey MahaResource analogue):
+  * real server, real client, JSON request in → envelope out; async
+  * jobs submit/poll; request-id plumbing into the request log. */
+class HttpFrontDoorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String,
+      headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /report round-trips a request; request id reaches the log") {
+    val mem = new RequestLog.InMemoryWriter
+    val prev = SemanticQueries.requestLogWriter
+    SemanticQueries.requestLogWriter = mem
+    val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
+    val port = door.start()
+    try {
+      val r = post(port, "/report", SemanticQueries.sem01Json,
+        Map("X-Request-Id" -> "http-req-7"))
+      assert(r.statusCode() == 200, r.body())
+      assert(r.headers().firstValue("X-Request-Id").get() == "http-req-7")
+      assert(r.body().contains("\"fields\":[{\"fieldName\":\"Order Priority\"")
+        && r.body().contains("\"rowCount\":5"), r.body().take(300))
+      // plan-time envelope (model detail) + completion-time envelope
+      assert(mem.records.exists(x => x.requestId == "http-req-7" && x.status == 200))
+      assert(mem.records.exists(x => x.requestId == "http-req-7-served"
+        && x.requestEndTime >= x.requestStartTime))
+      // a broken request surfaces 400 with the error, and logs it
+      val bad = post(port, "/report",
+        """{"cube": "order_stats", "selectFields": [{"field": "No Such"}]}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("No Such"))
+      assert(mem.records.exists(_.status == 400))
+    } finally {
+      door.stop(); jobs.shutdown()
+      SemanticQueries.requestLogWriter = prev
+    }
+  }
+
+  test("GET /domain serves introspection with freshness; /jobs round-trips") {
+    val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpjobs2"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
+    val port = door.start()
+    try {
+      val d = get(port, "/domain")
+      assert(d.statusCode() == 200)
+      assert(d.body().contains("\"name\":\"order_stats\"")
+        && d.body().contains("\"dataAsOf\":[{\"table\":"))
+      // async job lifecycle over HTTP
+      val asyncJson = SemanticQueries.sem01Json
+        .replaceFirst("\\{", """{"requestType": "async", """)
+      val sub = post(port, "/jobs", asyncJson)
+      assert(sub.statusCode() == 202, sub.body())
+      val jobId = sub.body().split("\"")(3)
+      var status = ""
+      val deadline = System.currentTimeMillis() + 120000
+      while (!status.contains("completed") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        status = get(port, s"/jobs/$jobId").body()
+        assert(!status.contains("failed"), status)
+      }
+      assert(status.contains("\"rowCount\":5") && status.contains("\"rows\":["))
+      // sync submissions to the queue are rejected at the door
+      val rej = post(port, "/jobs", SemanticQueries.sem01Json)
+      assert(rej.statusCode() == 400 && rej.body().contains("async"))
+      assert(get(port, "/jobs/nope").statusCode() == 404)
+    } finally { door.stop(); jobs.shutdown() }
+  }
+}

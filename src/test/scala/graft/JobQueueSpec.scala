@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.operators.SemanticQueries
+import graft.serving.JobQueue
+
+/** Async job queue (reference worker/job-service analogue):
+  * submit → poll → fetch, with sync guards untouched. */
+class JobQueueSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def asyncJson(body: String): String =
+    body.replaceFirst("\\{", """{"requestType": "async", """)
+
+  test("submit → poll → fetch returns the same rows as the inline run") {
+    val resultDir = java.nio.file.Files.createTempDirectory("jobq")
+    val q = new JobQueue(spark, sf, resultDir)
+    try {
+      val json = asyncJson(SemanticQueries.sem01Json)
+      val id = q.submit(json).toOption.get
+      val st = q.await(id)
+      assert(st.contains(JobQueue.Completed(5)), s"status: $st")
+      val fetched = q.fetch(id).get
+      val direct = SemanticQueries.run(json)(spark, sf)
+      assert(fetched.columns.toSeq == direct.columns.toSeq)
+      assert(fetched.orderBy("Order Priority").collect().toSeq ==
+        direct.orderBy("Order Priority").collect().toSeq)
+    } finally q.shutdown()
+  }
+
+  test("sync requests are rejected; bad requests fail with an error") {
+    val resultDir = java.nio.file.Files.createTempDirectory("jobq2")
+    val q = new JobQueue(spark, sf, resultDir)
+    try {
+      val sync = q.submit(SemanticQueries.sem01Json)
+      assert(sync.isLeft && sync.swap.toOption.get.contains("async"))
+      // unknown field → job transitions to Failed, not an exception
+      val id = q.submit(asyncJson(
+        """{"cube": "order_stats", "selectFields": [{"field": "No Such"}]}"""))
+        .toOption.get
+      q.await(id) match {
+        case Some(JobQueue.Failed(err)) => assert(err.contains("No Such"))
+        case other => fail(s"expected Failed, got $other")
+      }
+      assert(q.fetch(id).isEmpty, "failed jobs have nothing to fetch")
+      assert(q.status("no-such-job").isEmpty)
+    } finally q.shutdown()
+  }
+}
