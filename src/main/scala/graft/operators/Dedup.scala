@@ -169,7 +169,10 @@ object Dedup {
     * whole-stage codegen with map-side partial aggregation; the
     * interpreted higher-order-function formulation (aggregate/zip_with
     * re-hashing each token 64×) was 70× slower at sf0.1. */
-  def ddSimhash(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, simhash) signature stage of [[ddSimhash]], exposed
+    * so specs can compute brute-force ground truth over the SAME
+    * signatures the blocked join sees. */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"),
         explode(expr("array_distinct(split(trim(text), '\\\\s+'))")).as("t"))
@@ -179,11 +182,15 @@ object Dedup {
     val simhashExpr = (0 until 64).map(b =>
       when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    val sh = memo(s, d, "simhash") {
+    memo(s, d, "simhash") {
       tok.groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitCnts: _*)
         .select(col("doc_id"), simhashExpr.as("simhash"))
     }
+  }
+
+  def ddSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashSignatures(s, d)
     // Candidate generation + verification fused into one self-equi-join
     // on the band: the Hamming predicate runs streamed inside the join
     // stage, so the (potentially huge, skew-prone) candidate pair set

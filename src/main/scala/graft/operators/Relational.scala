@@ -353,6 +353,65 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** As-of join (point-in-time correctness for feature/label joins —
+    * the operator TPC-style engines bolt on for time-series work):
+    * each purchase event is joined to the SAME USER's most recent
+    * click at-or-before the purchase time.
+    *
+    * Spark-first shape: instead of a per-row range probe (quadratic)
+    * or an interval join (state proportional to the band width), both
+    * sides are UNIONed with a side tag and a single
+    * partitionBy(user).orderBy(time, side, id) running
+    * `last(_, ignoreNulls)` window carries the latest click forward
+    * onto every purchase row. One shuffle-sort on the join key, zero
+    * joins, bounded state — the plan survives any corpus size and any
+    * click/purchase ratio. Ties: a click at exactly the purchase
+    * timestamp qualifies (side 0 sorts first); among same-µs clicks
+    * the highest event_id wins (window order is ascending, `last`
+    * takes the latest). */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("side"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(null).cast("bigint").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("side"),
+        lit(null).cast("bigint").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("side"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("us").as("purchase_us"),
+        col("asof_click_id"), col("asof_click_value"))
+      .orderBy("purchase_id")
+  }
+
+  /** One-pass hierarchical totals via ROLLUP grouping sets (the
+    * reference computes grand totals with a SECOND query through the
+    * TotalMetricsCurator, TotalMetricsCurator.scala — grouping sets
+    * fold subtotal + total grains into the SAME scan and shuffle,
+    * which at 100 TB halves the fact reads). grouping_id()
+    * disambiguates subtotal rows from genuine NULL keys. */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+    o.rollup(col("n_name"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("n_name"), col("yr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
@@ -377,6 +436,8 @@ object Relational {
     "q21_events_datetime" -> (q21 _),
     "q22_in_subquery_semijoin" -> (q22 _),
     "q23_dim_driven_right_join" -> (q23 _),
+    "q30_asof_join" -> (q30 _),
+    "q31_grouping_rollup" -> (q31 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -561,5 +622,35 @@ object Relational {
         | FROM orders GROUP BY o_custkey) f ON c_custkey = o_custkey
         |WHERE c_nationkey < 10
         |ORDER BY c_custkey""".stripMargin,
+    // same union+window formulation as the Spark plan; epoch_us matches
+    // Spark's ns→µs floor truncation, so tie handling is identical
+    "q30_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) us FROM events),
+        |u AS (
+        |  SELECT user_id, us, 0 AS side, event_id AS click_id,
+        |    value AS click_value, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, us, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id
+        |  FROM e WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER win AS asof_click_id,
+        |    last_value(click_value IGNORE NULLS) OVER win AS asof_click_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, side, click_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT purchase_id, user_id, us AS purchase_us, asof_click_id, asof_click_value
+        |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+    "q31_grouping_rollup" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        | GROUPING(n_name, yr) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, yr)
+        |ORDER BY gid, n_name, yr""".stripMargin,
   )
 }

@@ -266,6 +266,42 @@ object Similarity {
     ivfSearch(v, cents, nprobe, topK = 3)
   }
 
+  /** Int8 scalar-quantized cosine top-k (oracle-checked): the
+    * memory-bandwidth scale path for 100 TB embedding search — a
+    * symmetric per-vector quantization (scale = 127/max|x|, round
+    * half-up) shrinks the corpus 4× and turns every dot product into
+    * pure integer arithmetic, which is EXACTLY reproducible across
+    * engines (unlike float sums, whose result depends on fold order).
+    * The quantized cosine qdot/√(q·q)/√(c·c) needs no dequantization:
+    * the per-vector scales cancel. In production the quantized column
+    * is materialized once at ingest; the transform() here stands in
+    * for that prep stage, and the search itself is the same
+    * broadcast-queries × one-corpus-scan plan as sim01. */
+  def simInt8TopK(s: SparkSession, d: String): DataFrame = {
+    val qv = embeddings(s, d)
+      .withColumn("mx", expr(
+        "cast(array_max(transform(embedding, x -> abs(x))) as double)"))
+      .withColumn("q", expr(
+        """transform(embedding, x -> cast(floor(cast(x as double)
+          |  * (127.0d / (case when mx > 0d then mx else 1.0d end)) + 0.5d) as int))""".stripMargin))
+      .withColumn("self", expr(
+        "aggregate(q, 0L, (acc, x) -> acc + cast(x as bigint) * x)"))
+      .select(col("vec_id"), col("q"), col("self"))
+    val lhs = broadcast(qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("self").as("sa")))
+    val rhs = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("self").as("sb"))
+    val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("nid"))
+    rhs.join(lhs, col("qid") =!= col("nid"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qcos", col("qdot").cast("double")
+        / (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank", "qdot", "qcos")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
@@ -273,6 +309,7 @@ object Similarity {
     "sim04_embedding_near_dups" -> (simNearDupPairs _),
     "sim05_ivf_ann" -> (simIvfAnn _),
     "sim06_ivf_flat" -> (simIvfFlat _),
+    "sim07_int8_topk" -> (simInt8TopK _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -343,5 +380,32 @@ object Similarity {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // integer arithmetic end-to-end: quantization, dots and self-dots
+    // are exact, so the oracle replicates them value-for-value
+    "sim07_int8_topk" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * (127.0 / (CASE WHEN mx > 0 THEN mx ELSE 1.0 END)) + 0.5) AS INTEGER)) q
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) mx
+        |        FROM embeddings)),
+        |sd AS (SELECT vec_id, q,
+        |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) self
+        |  FROM qv),
+        |p AS (
+        |  SELECT a.vec_id qid, b.vec_id nid,
+        |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |      z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) qdot,
+        |    a.self sa, b.self sb
+        |  FROM sd a JOIN sd b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |SELECT qid, nid, rank, qdot, qcos FROM (
+        |  SELECT qid, nid, qdot,
+        |    CAST(qdot AS DOUBLE) / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))) AS qcos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(qdot AS DOUBLE) / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))) DESC,
+        |      nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -89,6 +89,59 @@ object TextOps {
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
       .orderBy("fingerprint")
 
+  /** Repetition-quality signals (Gopher-style filters: Rae et al. 2021
+    * §A1.1 — duplicate-line/para fractions, top-n-gram fraction): the
+    * per-document counters that flag boilerplate and degenerate
+    * repetition in a training corpus. Token frequencies are computed
+    * with explode → two keyed aggregations (doc_id, token) → (doc_id),
+    * so the per-doc work is bounded by document length and the whole
+    * thing is two partial-aggregated shuffles at 100 TB — no per-row
+    * quadratic HOF scans. */
+  def txRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("tokens", expr(tokensExpr))
+    val tokStats = docs
+      .select(col("doc_id"), explode(col("tokens")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_token_n"))
+    val bigramStats = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c")) - count(lit(1))).as("dup_bigram_n"))
+    tokStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_token_n"),
+        (col("top_token_n").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("dup_bigram_n"), lit(0L)).as("dup_bigram_n"),
+        (coalesce(col("dup_bigram_n"), lit(0L)).cast("double")
+          / coalesce(col("n_bigrams"), lit(1L))).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII / sensitive-pattern scrubbing: one alternation regex of
+    * redaction patterns (email, US-SSN, 10-digit phone — which a clean
+    * corpus should match zero times — plus corpus-specific terms),
+    * counted then replaced in a single codegen'd map stage. At 100 TB
+    * this is a pure map over the scan: no shuffle, no UDF. */
+  private val scrubPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" + // email
+      "|\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" +             // SSN-shaped
+      "|\\b[0-9]{10}\\b" +                              // bare 10-digit phone
+      "|\\b(?:customer|vector)\\b"                      // domain terms (corpus hits)
+
+  def txPiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(scrubPattern)).cast("bigint").as("n_redacted"),
+        regexp_replace(col("text"), scrubPattern, "[REDACTED]").as("scrubbed"))
+      .orderBy("doc_id")
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -107,6 +160,8 @@ object TextOps {
     "tx02_lang_id" -> (txLangId _),
     "tx03_token_topk" -> (txTokenTopK _),
     "tx04_fingerprint" -> (txFingerprint _),
+    "tx06_repetition" -> (txRepetition _),
+    "tx07_pii_scrub" -> (txPiiScrub _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -145,6 +200,39 @@ object TextOps {
     "tx04_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx06_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, COUNT(*) c
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+        |  GROUP BY doc_id, t),
+        |ts AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
+        |    COUNT(*) n_distinct_tokens, MAX(c) top_token_n
+        |  FROM tok GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, b, COUNT(*) c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) b
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents))
+        |  GROUP BY doc_id, b),
+        |bs AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) n_bigrams,
+        |    CAST(SUM(c) - COUNT(*) AS BIGINT) dup_bigram_n
+        |  FROM bg GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tokens, n_distinct_tokens, top_token_n,
+        |  CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
+        |  COALESCE(dup_bigram_n, 0) AS dup_bigram_n,
+        |  CAST(COALESCE(dup_bigram_n, 0) AS DOUBLE) / COALESCE(n_bigrams, 1) AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
+    "tx07_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b|\b[0-9]{10}\b|\b(?:customer|vector)\b')) AS BIGINT) AS n_redacted,
+        | regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b|\b[0-9]{10}\b|\b(?:customer|vector)\b',
+        |   '[REDACTED]', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dd01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,

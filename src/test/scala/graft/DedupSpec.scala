@@ -41,6 +41,38 @@ class DedupSpec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("dd04 simhash: blocked join equals brute-force Hamming ≤ 3 ground truth") {
+    // dd04 has no SQL oracle (xxhash64 signatures aren't computable in
+    // DuckDB), so pin its semantics with an in-Spark exhaustive check:
+    // the 16-bit band blocking is LOSSLESS for Hamming ≤ 3 (pigeonhole:
+    // 3 flipped bits touch at most 3 of 4 bands, so one band always
+    // matches) and the verify filter admits nothing above 3 — the
+    // emitted pair set must therefore EQUAL the brute-force all-pairs
+    // set over the same signatures, with correct distances.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.queries("dd04_simhash")(spark, dir).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty, "dd04 found no pairs on the seeded corpus")
+      assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "non-canonical pair")
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+      val sig = Dedup.simhashSignatures(spark, dir)
+      val truth = sig.select(col("doc_id").as("x"), col("simhash").as("hx"))
+        .crossJoin(sig.select(col("doc_id").as("y"), col("simhash").as("hy")))
+        .filter(col("x") < col("y")
+          && bit_count(col("hx").bitwiseXOR(col("hy"))) <= 3)
+        .select(col("x"), col("y"),
+          bit_count(col("hx").bitwiseXOR(col("hy"))).cast("bigint").as("hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(truth.nonEmpty, "corpus seeded no Hamming ≤ 3 signature pairs")
+      val emitted = rows.map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("hamming"))).toSet
+      assert(emitted == truth,
+        s"blocked join diverged from brute force: missed=${truth -- emitted} extra=${emitted -- truth}")
+    } finally { out.unpersist(); () }
+  }
+
   test("default cap exceeds the test corpus's max shingle df") {
     // guards the dd02 oracle: with the default cap the result set on
     // the driver's test data must be identical to the uncapped run
