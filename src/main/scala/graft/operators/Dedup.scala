@@ -214,10 +214,96 @@ object Dedup {
       .orderBy("x", "y")
   }
 
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the piece that
+    * turns pairwise near-dup DETECTION into corpus DEDUP: transitive
+    * closure of the pair relation, one canonical doc per cluster.
+    *
+    * Why not plain label propagation: min-label flooding needs
+    * O(component diameter) rounds; the star alternation contracts
+    * paths geometrically and converges in O(log n) rounds on any
+    * graph. Why this formulation scales: both star steps are written
+    * as a min-AGGREGATE per node plus an equi-join back onto the edge
+    * list — no neighbor list is ever collected, so a 100M-member
+    * boilerplate cluster costs a partial-aggregated shuffle, not a
+    * single-task `collect_list`. Each round persists its edge set and
+    * unpersists the previous one; convergence is detected by an
+    * order-insensitive (count, xor-of-hashes) checksum, one tiny job
+    * per round.
+    *
+    * Input: pairs (x, y) with x < y. Output: one row per clustered
+    * vertex — (doc_id, canonical = component minimum). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // canonical directed form: u > v always (edge points high → low).
+    // localCheckpoint (not just persist): each round's plan must start
+    // from the materialized edge set, or the lineage — and Catalyst
+    // re-optimization time — grows exponentially with round count, the
+    // standard iterative-DataFrame trap.
+    var edges = pairs.select(col("y").as("u"), col("x").as("v"))
+      .distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      // xor, not sum: order-insensitive and can't overflow under ANSI
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) {
+      // large-star: m(u) = min over Γ(u) ∪ {u}; every neighbor w > u
+      // re-attaches to m(u). Computed on the symmetric adjacency.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.filter(col("v") > col("u"))
+        .join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, no loops
+        .distinct()
+      // small-star: on high→low edges, every small neighbor (and u
+      // itself) re-attaches to u's minimum neighbor.
+      val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val sig2 = checksum(afterSmall)
+      edges.unpersist()
+      edges = afterSmall
+      done = sig2 == sig
+      sig = sig2
+      rounds += 1
+    }
+    // fixpoint edge set is a star forest rooted at each component min
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("canonical"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("canonical")))
+      .distinct()
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster assignment (oracle-checked against a DuckDB
+    * recursive-CTE transitive closure): each document that appears in
+    * an exact-Jaccard ≥ 0.2 near-dup pair, its cluster's canonical
+    * (minimum) doc_id, and the cluster size. Downstream dedup keeps
+    * `doc_id = canonical_doc` and drops the rest. */
+  def ddComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf)
+      .select("x", "y")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical_doc")
+    connectedComponents(pairs)
+      .select(col("doc_id"), col("canonical").as("canonical_doc"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
     "dd03_minhash_lsh" -> (ddMinhashLsh _),
     "dd04_simhash" -> (ddSimhash _),
+    "dd05_components" -> (ddComponents _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +322,29 @@ object Dedup {
         |JOIN sh sb ON sb.doc_id = y
         |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2
         |ORDER BY x, y""".stripMargin,
+    // same pair derivation as dd02, then a recursive transitive
+    // closure: comp(a) = min over everything reachable from a — the
+    // declarative ground truth for the star-contraction algorithm
+    "dd05_components" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT x, y FROM cand
+        |          JOIN sh sa ON sa.doc_id = x JOIN sh sb ON sb.doc_id = y
+        |          WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2),
+        |e AS (SELECT x a, y b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_doc
+        |        FROM reach GROUP BY a)
+        |SELECT doc_id, canonical_doc,
+        |  COUNT(*) OVER (PARTITION BY canonical_doc) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
     // the exact-Jaccard≥0.5 pair set: equals dd03's output because the
     // LSH verify step admits only exact-J≥0.5 pairs and the banding's
     // recall on this corpus is complete (see ddMinhashLsh scaladoc)

@@ -41,6 +41,32 @@ class DedupSpec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("connected components: star contraction matches ground truth on adversarial graphs") {
+    import spark.implicits._
+    // worst cases for star contraction: a long chain (max diameter —
+    // plain min-propagation would need 30 rounds, the star alternation
+    // must finish in O(log n)), a cycle, a pre-made star, an isolated
+    // edge, and a component whose min arrives via the LARGEST id
+    val chain = (1L until 30L).map(i => (i, i + 1))            // comp 1
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (100L, 103L))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+    val lone = Seq((300L, 301L))
+    val viaMax = Seq((400L, 999L), (999L, 401L))               // 400~401 only through 999
+    val pairs = (chain ++ cycle ++ star ++ lone ++ viaMax)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("x", "y")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want =
+      (1L to 30L).map(_ -> 1L).toMap ++
+        (100L to 103L).map(_ -> 100L) ++
+        (200L to 203L).map(_ -> 200L) ++
+        Seq(300L -> 300L, 301L -> 300L) ++
+        Seq(400L -> 400L, 401L -> 400L, 999L -> 400L)
+    assert(got == want,
+      s"wrong labels: ${got.toSet -- want.toSet} vs missing ${want.toSet -- got.toSet}")
+  }
+
   test("dd04 simhash: blocked join equals brute-force Hamming ≤ 3 ground truth") {
     // dd04 has no SQL oracle (xxhash64 signatures aren't computable in
     // DuckDB), so pin its semantics with an in-Spark exhaustive check:
