@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.SemanticQueries.queries ++ operators.SketchQueries.queries ++
-      operators.Extended.queries ++ streaming.Streaming.queries
+      operators.Extended.queries ++ operators.Sampling.queries ++
+      streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracle ++ operators.TextOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle ++
-      operators.Extended.oracle ++ streaming.Streaming.oracle
+      operators.Extended.oracle ++ operators.Sampling.oracle ++
+      streaming.Streaming.oracle
 }

@@ -142,6 +142,34 @@ object TextOps {
         regexp_replace(col("text"), scrubPattern, "[REDACTED]").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Benchmark-contamination audit (the decontamination step every
+    * LLM training pipeline runs before eval: Brown et al. 2020 §C,
+    * 13-gram overlap; 5-grams here to fit the corpus's short docs):
+    * for each training document, the fraction of its distinct 5-grams
+    * that also occur in a held-out benchmark set (stand-in: every
+    * 50th doc). The benchmark gram set is distinct-ed and broadcast —
+    * benchmarks are tiny next to training corpora, so at 100 TB this
+    * is one corpus scan + a map-side semi-join, no shuffle of the
+    * corpus grams. */
+  def txContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingle(documents(s, d))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val grams = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("shingles")).cast("bigint").as("n_grams"),
+        explode(col("shingles")).as("s"))
+    val hits = grams.join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("shingles")).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -162,6 +190,7 @@ object TextOps {
     "tx04_fingerprint" -> (txFingerprint _),
     "tx06_repetition" -> (txRepetition _),
     "tx07_pii_scrub" -> (txPiiScrub _),
+    "tx08_contamination" -> (txContamination _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -234,6 +263,21 @@ object TextOps {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b|\b[0-9]{10}\b|\b(?:customer|vector)\b',
         |   '[REDACTED]', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx08_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT unnest(shingles) s FROM sh WHERE doc_id % 50 = 0),
+        |grams AS (SELECT doc_id, unnest(shingles) s FROM sh WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*) n_contaminated FROM grams
+        |         WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+        |SELECT sh.doc_id, CAST(len(shingles) AS BIGINT) AS n_grams,
+        |  COALESCE(n_contaminated, 0) AS n_contaminated,
+        |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / len(shingles) AS contamination_frac
+        |FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+        |WHERE sh.doc_id % 50 <> 0
+        |ORDER BY sh.doc_id""".stripMargin,
     "dd01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
