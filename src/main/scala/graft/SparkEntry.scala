@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.SemanticQueries.queries ++ operators.SketchQueries.queries ++
       operators.Extended.queries ++ operators.Sampling.queries ++
-      streaming.Streaming.queries
+      operators.Events.queries ++ streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle ++
       operators.Extended.oracle ++ operators.Sampling.oracle ++
-      streaming.Streaming.oracle
+      operators.Events.oracle ++ streaming.Streaming.oracle
 }

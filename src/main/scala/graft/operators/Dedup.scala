@@ -234,6 +234,11 @@ object Dedup {
     *
     * Input: pairs (x, y) with x < y. Output: one row per clustered
     * vertex — (doc_id, canonical = component minimum). */
+  /** Rounds the last [[connectedComponents]] call took — observability
+    * for specs (the star contraction must converge in O(log n), not
+    * run to the safety cap). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     // canonical directed form: u > v always (edge points high → low).
     // localCheckpoint (not just persist): each round's plan must start
@@ -276,12 +281,17 @@ object Dedup {
       sig = sig2
       rounds += 1
     }
-    // fixpoint edge set is a star forest rooted at each component min
-    val labels = edges.select(col("u").as("doc_id"), col("v").as("canonical"))
+    lastCcRounds = rounds
+    // fixpoint edge set is a star forest rooted at each component min.
+    // The returned frame is LAZY and reads the final checkpointed
+    // blocks — unpersisting here would race the caller's consumption
+    // (a localCheckpoint'd RDD cannot recompute evicted blocks), so
+    // hand lifecycle to the session cache registry instead.
+    graft.core.Caches.track(edges.sparkSession,
+      s"cc:edges:${System.identityHashCode(pairs)}", edges)
+    edges.select(col("u").as("doc_id"), col("v").as("canonical"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("canonical")))
       .distinct()
-    edges.unpersist()
-    labels
   }
 
   /** Duplicate-cluster assignment (oracle-checked against a DuckDB
@@ -290,8 +300,8 @@ object Dedup {
     * (minimum) doc_id, and the cluster size. Downstream dedup keeps
     * `doc_id = canonical_doc` and drops the rest. */
   def ddComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf)
-      .select("x", "y")
+    val pairs = memo(s, d, "ccpairs")(
+      ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical_doc")
     connectedComponents(pairs)
       .select(col("doc_id"), col("canonical").as("canonical_doc"))

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Event-analytics operators — the funnel / cohort workloads the
+  * reference's Druid deployments serve (timeseries + groupBy over an
+  * event stream; reference README.md:66-100 wikiticker example,
+  * DruidQueryGenerator granularity handling).
+  *
+  * Both operators are single-shuffle-per-keyed-stage shapes: funnels
+  * are ONE shuffle-sort on user plus running-min windows (no
+  * per-step self-joins — a k-step funnel in k running mins), and
+  * retention is two keyed aggregations. At 100 TB both partition by
+  * user_id and never materialize per-user event lists.
+  */
+object Events {
+
+  private def us(c: Column) = unix_micros(c)
+
+  /** 3-step funnel view → click → purchase: a user advances to a step
+    * only by an event at-or-after their first qualifying event of the
+    * previous step. One window pass computes, per event, the running
+    * first-view and first-qualified-click timestamps; a user's step
+    * flags fall out of one aggregation. No join, no step self-joins,
+    * one shuffle-sort on user_id. */
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("first_view", min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("click_t",
+        when(col("event_type") === "click" && col("first_view") <= col("t"), col("t")))
+      .withColumn("first_click", min(col("click_t")).over(w))
+      .withColumn("purchase_t",
+        when(col("event_type") === "purchase" && col("first_click") <= col("t"), col("t")))
+    val perUser = staged.groupBy("user_id")
+      .agg(max(col("first_view").isNotNull).as("s1"),
+        max(col("first_click").isNotNull).as("s2"),
+        max(col("purchase_t").isNotNull).as("s3"))
+    perUser.select(
+      explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"), col("s1").as("reached")),
+        struct(lit(2).as("step"), lit("click").as("step_name"), col("s2").as("reached")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"), col("s3").as("reached"))))
+        .as("f"))
+      .groupBy(col("f.step").as("step"), col("f.step_name").as("step_name"))
+      .agg(sum(when(col("f.reached"), 1L).otherwise(0L)).as("n_users"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort day, day offset) the distinct users active that day.
+    * Cohorts via one keyed aggregation, the activity join shuffles on
+    * user_id (both sides already keyed), then a partial-aggregated
+    * rollup on (cohort, offset). */
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("bigint"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev01_funnel" -> (evFunnel _),
+    "ev02_retention" -> (evRetention _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical running-min window formulation; epoch_us(ts) matches
+    // Spark's ns→µs floor truncation
+    "ev01_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, t,
+        |    min(CASE WHEN event_type = 'view' THEN t END) OVER w AS first_view
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT user_id, event_type, t, first_view,
+        |    min(CASE WHEN event_type = 'click' AND first_view <= t THEN t END)
+        |      OVER w AS first_click
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(first_view IS NOT NULL) AS r1,
+        |    max(first_click IS NOT NULL) AS r2,
+        |    max(event_type = 'purchase' AND first_click <= t) AS r3
+        |  FROM s2 GROUP BY user_id),
+        |sel AS (
+        |  SELECT 1 AS step, 'view' AS step_name, r1 AS reached FROM per_user
+        |  UNION ALL SELECT 2, 'click', r2 FROM per_user
+        |  UNION ALL SELECT 3, 'purchase', r3 FROM per_user)
+        |SELECT step, step_name,
+        |  CAST(SUM(CASE WHEN reached THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        |FROM sel GROUP BY step, step_name ORDER BY step""".stripMargin,
+    "ev02_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) act_day FROM events),
+        |cohorts AS (SELECT user_id, min(act_day) cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, CAST(act_day - cohort_day AS BIGINT) AS "offset",
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+        |WHERE act_day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -170,6 +170,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact length-distribution quantiles per language (corpus QA /
+    * filter-threshold tuning). `percentile` is Spark's EXACT
+    * linear-interpolation quantile — same definition as DuckDB's
+    * quantile_cont, so results match bit-for-bit. Exact quantiles
+    * shuffle each group's values once; at 100 TB the same query ships
+    * with approx_percentile (KLL-style mergeable sketch, bounded
+    * memory) — the exact form here doubles as that path's oracle. */
+  def txLengthQuantiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, array(0.1D, 0.5D, 0.9D, 0.99D))").as("q"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -191,6 +205,7 @@ object TextOps {
     "tx06_repetition" -> (txRepetition _),
     "tx07_pii_scrub" -> (txPiiScrub _),
     "tx08_contamination" -> (txContamination _),
+    "tx09_length_quantiles" -> (txLengthQuantiles _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -278,6 +293,10 @@ object TextOps {
         |FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
         |WHERE sh.doc_id % 50 <> 0
         |ORDER BY sh.doc_id""".stripMargin,
+    "tx09_length_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, [0.1, 0.5, 0.9, 0.99]) AS q,
+        | COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dd01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies

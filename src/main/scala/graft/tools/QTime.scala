@@ -1,0 +1,18 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("QT_DIR", "/root/testdata/sf0.1")
+    val qs = graft.SparkEntry.queries
+    for (name <- args) {
+      val t0 = System.nanoTime()
+      val n = qs(name)(spark, d).count()
+      println(s"QT $name rows=$n sec=${(System.nanoTime()-t0)/1e9} ccRounds=${graft.operators.Dedup.lastCcRounds}")
+    }
+    spark.stop()
+  }
+}

@@ -89,6 +89,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("q30: as-of join plans as one window over a union — no join operator") {
+    val plan = physical(Relational.q30(spark, sf))
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    assert(plan.contains("Window"), s"missing window:\n$plan")
+    // exactly one shuffle on the join key feeds the window (the final
+    // presentation sort is a range exchange, not a data shuffle)
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("sp01: deterministic split is map-only — no exchange before the sort") {
+    val plan = physical(Sampling.spSplit(spark, sf))
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0, s"split should not shuffle:\n$plan")
+  }
+
+  test("tx08: benchmark gram set broadcasts; corpus side is not shuffled for the semi-join") {
+    val plan = physical(TextOps.txContamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"contamination semi-join must broadcast the benchmark grams:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = Relational.q13(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
