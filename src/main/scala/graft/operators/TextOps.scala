@@ -184,6 +184,33 @@ object TextOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Zipf-rank unigram scoring (statistical quality filter — the
+    * rank-based stand-in for unigram log-prob scoring: natural text is
+    * dominated by high-frequency tokens, so a LOW mean corpus-frequency
+    * rank separates prose from noise/boilerplate). Rank-based rather
+    * than log-prob so every aggregate stays in EXACT integer
+    * arithmetic — float log-prob sums depend on both libm ULPs and
+    * aggregation order, which no cross-engine oracle can pin. Shape at
+    * 100 TB: one shuffle builds the vocab (rank = row_number over
+    * (count desc, token)), one shuffle scores tokens against it (the
+    * top-of-Zipf vocab broadcasts in practice), one rollup per doc. */
+  def txZipfRank(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("c"), col("t"))).cast("bigint"))
+      .select("t", "rank")
+    toks.join(vocab, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .withColumn("mean_rank",
+        col("rank_sum").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "rank_sum", "mean_rank")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -206,6 +233,7 @@ object TextOps {
     "tx07_pii_scrub" -> (txPiiScrub _),
     "tx08_contamination" -> (txContamination _),
     "tx09_length_quantiles" -> (txLengthQuantiles _),
+    "tx10_zipf_rank" -> (txZipfRank _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -297,6 +325,17 @@ object TextOps {
       """SELECT lang, quantile_cont(n_chars, [0.1, 0.5, 0.9, 0.99]) AS q,
         | COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "tx10_zipf_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t FROM documents),
+        |vocab AS (
+        |  SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rank
+        |  FROM toks GROUP BY t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(rank) AS BIGINT) AS rank_sum,
+        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+        |FROM toks JOIN vocab USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies

@@ -113,6 +113,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"contamination semi-join must broadcast the benchmark grams:\n$plan")
   }
 
+  test("ev01: k-step funnel is one shuffle on user_id — no per-step self-joins") {
+    val plan = physical(Events.evFunnel(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not join:\n$plan")
+    // one data shuffle for the user window; the per-user flags and the
+    // 3-row step rollup ride AQE-coalesced exchanges of tiny data
+    val userShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles == 1, s"expected 1 user shuffle, got $userShuffles:\n$plan")
+  }
+
+  test("ev02: retention aggregates partially before each shuffle") {
+    val plan = physical(Events.evRetention(spark, sf))
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    // cohort join keys both sides on user_id — the join must not
+    // introduce an extra exchange beyond the two keyed aggregations
+    assert(plan.contains("Exchange hashpartitioning(user_id"),
+      s"missing user_id exchange:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = Relational.q13(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
