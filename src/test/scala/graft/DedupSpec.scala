@@ -65,6 +65,11 @@ class DedupSpec extends AnyFunSuite {
         Seq(400L -> 400L, 401L -> 400L, 999L -> 400L)
     assert(got == want,
       s"wrong labels: ${got.toSet -- want.toSet} vs missing ${want.toSet -- got.toSet}")
+    // star contraction must be O(log n): the 30-node chain (diameter
+    // 29) has to collapse in ~log2 rounds + 1 convergence-detect round,
+    // not the ~30 rounds plain min-propagation would take
+    assert(Dedup.lastCcRounds <= 8,
+      s"contraction took ${Dedup.lastCcRounds} rounds — not logarithmic")
   }
 
   test("dd04 simhash: blocked join equals brute-force Hamming ≤ 3 ground truth") {
