@@ -31,8 +31,13 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a FAILED pass must not contribute a (fast) sample — under min
+        // aggregation a quick crash would mask the successful pass's
+        // real cost; +inf keeps the min honest, and a query failing in
+        // both passes surfaces as a huge sentinel in the JSON
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
       }
     }
     // two cold passes, per-query MIN: this host shows episodic

@@ -56,7 +56,7 @@ object Dedup {
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4])))""".stripMargin))
       .select("doc_id", "shingles")
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingles")(shingle(documents(s, d)))
 
   /** Document-frequency cap on shingles entering the inverted-index
@@ -247,6 +247,15 @@ object Dedup {
     // standard iterative-DataFrame trap.
     var edges = pairs.select(col("y").as("u"), col("x").as("v"))
       .distinct().localCheckpoint()
+    // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
+    // LogicalRDD was never registered with the CacheManager); freeing a
+    // round's blocks promptly means unpersisting the underlying RDD.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     def checksum(e: DataFrame): (Long, Long) = {
       // xor, not sum: order-insensitive and can't overflow under ANSI
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
@@ -275,7 +284,7 @@ object Dedup {
         .union(minsS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
       val sig2 = checksum(afterSmall)
-      edges.unpersist()
+      freeCheckpoint(edges)
       edges = afterSmall
       done = sig2 == sig
       sig = sig2
@@ -284,9 +293,11 @@ object Dedup {
     lastCcRounds = rounds
     // fixpoint edge set is a star forest rooted at each component min.
     // The returned frame is LAZY and reads the final checkpointed
-    // blocks — unpersisting here would race the caller's consumption
-    // (a localCheckpoint'd RDD cannot recompute evicted blocks), so
-    // hand lifecycle to the session cache registry instead.
+    // blocks — freeing them here would race the caller's consumption
+    // (a localCheckpoint'd RDD cannot recompute evicted blocks). The
+    // registry keeps the frame reachable until release(); after that
+    // the RDD is unreferenced and ContextCleaner's weak-ref pass
+    // unpersists the blocks (Dataset.unpersist can't — see above).
     graft.core.Caches.track(edges.sparkSession,
       s"cc:edges:${System.identityHashCode(pairs)}", edges)
     edges.select(col("u").as("doc_id"), col("v").as("canonical"))
@@ -302,10 +313,16 @@ object Dedup {
   def ddComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = memo(s, d, "ccpairs")(
       ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical_doc")
-    connectedComponents(pairs)
+    val labels = connectedComponents(pairs)
       .select(col("doc_id"), col("canonical").as("canonical_doc"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    // cluster sizes via groupBy + join, NOT a window over canonical_doc:
+    // a window would funnel a whole (possibly 100M-member boilerplate)
+    // cluster into one sort task; the aggregate is map-side partial and
+    // the join side of a giant cluster is AQE-skew-splittable
+    val sizes = labels.groupBy("canonical_doc")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "canonical_doc")
+      .select("doc_id", "canonical_doc", "cluster_size")
       .orderBy("doc_id")
   }
 

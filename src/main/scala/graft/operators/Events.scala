@@ -29,8 +29,17 @@ object Events {
   def evFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("user_id"), col("event_type"), us(col("ts")).as("t"))
+      // explicit step priority for same-microsecond ties: an earlier
+      // funnel step sorts BEFORE a later one at the same t, so "at-or-
+      // after" is symmetric for every step (alphabetical ordering would
+      // make a click at first-view time not qualify, by accident)
+      .withColumn("prio",
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(3))
     val w = Window.partitionBy("user_id")
-      .orderBy(col("t"), col("event_type"))
+      .orderBy(col("t"), col("prio"), col("event_type"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val staged = ev
       .withColumn("first_view", min(when(col("event_type") === "view", col("t"))).over(w))
@@ -80,19 +89,22 @@ object Events {
     // identical running-min window formulation; epoch_us(ts) matches
     // Spark's ns→µs floor truncation
     "ev01_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t FROM events),
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t,
+        |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |       WHEN 'purchase' THEN 2 ELSE 3 END AS prio
+        |  FROM events),
         |s1 AS (
-        |  SELECT user_id, event_type, t,
+        |  SELECT user_id, event_type, t, prio,
         |    min(CASE WHEN event_type = 'view' THEN t END) OVER w AS first_view
         |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, prio, event_type
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s2 AS (
         |  SELECT user_id, event_type, t, first_view,
         |    min(CASE WHEN event_type = 'click' AND first_view <= t THEN t END)
         |      OVER w AS first_click
         |  FROM s1
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, prio, event_type
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |per_user AS (
         |  SELECT user_id,

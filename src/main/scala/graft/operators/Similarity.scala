@@ -294,8 +294,12 @@ object Similarity {
     rhs.join(lhs, col("qid") =!= col("nid"))
       .withColumn("qdot", expr(
         "aggregate(zip_with(qa, qb, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("qcos", col("qdot").cast("double")
-        / (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))))
+      // NULL (not NaN) for a zero vector: Spark's 0/0.0 is NaN, which
+      // sorts FIRST under desc() and would crown zero vectors rank-1
+      // everywhere; DuckDB's 0/0 is NULL (sorts last) — align on NULL
+      .withColumn("qcos", when(col("sa") > 0 && col("sb") > 0,
+        col("qdot").cast("double")
+          / (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double")))))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select("qid", "nid", "rank", "qdot", "qcos")

@@ -107,6 +107,9 @@ object TextOps {
         count(lit(1)).as("n_distinct_tokens"),
         max(col("c")).as("top_token_n"))
     val bigramStats = docs
+      // guard: a 1-token doc makes sequence(0, -1) count DOWN ([0, -1])
+      // and the out-of-bounds accesses throw under ANSI mode
+      .filter(size(col("tokens")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(tokens) - 2), i -> concat(tokens[i], ' ', tokens[i+1]))"))
         .as("b"))
@@ -152,7 +155,10 @@ object TextOps {
     * is one corpus scan + a map-side semi-join, no shuffle of the
     * corpus grams. */
   def txContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingle(documents(s, d))
+    // memoized+cached shingles: this plan references the shingle frame
+    // from three subtrees, and the higher-order shingling expression is
+    // exactly what Dedup.shingled exists to compute once
+    val sh = Dedup.shingled(s, d)
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(explode(col("shingles")).as("s")).distinct()
     val grams = sh.filter(col("doc_id") % 50 =!= 0)
