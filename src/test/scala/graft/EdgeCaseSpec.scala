@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextOps}
+
+/** Degenerate-input hardening the sf corpora cannot exercise (no
+  * 1-token documents, no all-zero embeddings): these inputs crashed or
+  * mis-ranked before the guards and must stay pinned.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("tx06: a single-token document neither crashes under ANSI nor skews fractions") {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    Seq(
+      (1L, "solo", "en", "web", 4L),
+      (2L, "a b a b", "en", "web", 7L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.txRepetition(spark, dir).collect()
+    val solo = rows.find(_.getLong(0) == 1L).get
+    assert(solo.getAs[Long]("n_tokens") == 1L)
+    assert(solo.getAs[Long]("dup_bigram_n") == 0L)
+    assert(solo.getAs[Double]("dup_bigram_frac") == 0.0)
+    val abab = rows.find(_.getLong(0) == 2L).get
+    // bigrams: "a b","b a","a b" → 3 total, 2 distinct → 1 duplicate
+    assert(abab.getAs[Long]("dup_bigram_n") == 1L)
+  }
+
+  test("sim07: an all-zero embedding scores NULL cosine and never outranks real neighbors") {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    val vecs = (0L until 12L).map { i =>
+      val v = if (i == 11L) Array.fill(4)(0.0f)
+              else Array.tabulate(4)(j => (1.0 + i + j).toFloat)
+      (i, v)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("sim07_int8_topk")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // NaN would sort first under desc and make vec 11 everyone's top hit
+    assert(!out.exists(r => !r.isNullAt(4) && r.getDouble(4).isNaN),
+      "NaN cosine leaked into results")
+    assert(!out.exists(r => r.getLong(1) == 11L && r.getLong(2) == 1L),
+      "zero vector ranked as a top-1 neighbor")
+  }
+}
