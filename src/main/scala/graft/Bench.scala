@@ -49,16 +49,28 @@ object Bench {
     val p2 = timedPass().toMap
     val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
     graft.operators.Dedup.releaseCaches()
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // STDOUT line: the driver captures only the LAST 2000 chars of the
+    // run's output and parses the JSON line out of that tail (sbt's
+    // trailing "[success] Total time…" line eats ~80 of them). With 90+
+    // queries the full-name full-precision map is ~4.6k chars and has
+    // been truncated mid-object every round — so the printed line uses
+    // each query's unique short prefix ("q05_topk_orders" → "q05") and
+    // 3-decimal seconds, keeping it ≤ ~1.5k chars. The full-name
+    // full-precision map still goes to BENCH_LOCAL.json below.
+    val qShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qjson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":2,"agg":"min","queries":$qShort,"sf":"$sfDir"}"""
     println(line)
-    // also write the line to a file: the driver captures stdout via a
-    // truncating log tail, which has cut the JSON mid-object before
+    val qFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qFull,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

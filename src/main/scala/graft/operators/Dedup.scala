@@ -158,34 +158,42 @@ object Dedup {
       .orderBy("x", "y")
   }
 
-  /** SimHash near-dup pairs (no SQL oracle): 64-bit signature from
+  /** SimHash near-dup pairs (oracle-checked): 64-bit signature from
     * token votes, 16-bit band blocking, Hamming ≤ 3 verification.
     *
     * The signature is computed as explode(distinct tokens) → one
-    * xxhash64 per token → 64 conditional SUMs in a single hash
-    * aggregate on doc_id (bit b of the signature is set iff ≥ half the
-    * tokens hash with bit b set — identical to the ±1-vote formulation
-    * since 2·setCount ≥ n ⟺ Σ votes ≥ 0). Everything stays inside
-    * whole-stage codegen with map-side partial aggregation; the
-    * interpreted higher-order-function formulation (aggregate/zip_with
-    * re-hashing each token 64×) was 70× slower at sf0.1. */
-  /** The (doc_id, simhash) signature stage of [[ddSimhash]], exposed
-    * so specs can compute brute-force ground truth over the SAME
-    * signatures the blocked join sees. */
+    * md5-derived 64-bit hash per token (two 32-bit halves from the
+    * first 16 hex chars, so a DuckDB oracle reproduces the EXACT same
+    * bits: md5 is the one hash both engines compute identically) → 64
+    * conditional SUMs in a single hash aggregate on doc_id (bit b is
+    * set iff ≥ half the tokens hash with bit b set — identical to the
+    * ±1-vote formulation since 2·setCount ≥ n ⟺ Σ votes ≥ 0).
+    * Everything stays inside whole-stage codegen with map-side partial
+    * aggregation; the interpreted higher-order-function formulation
+    * (re-hashing each token 64×) was 70× slower at sf0.1. The halves
+    * are kept separate (hi_sig/lo_sig, each < 2³²) so neither engine
+    * ever touches the BIGINT sign bit. */
+  /** The (doc_id, hi_sig, lo_sig) signature stage of [[ddSimhash]],
+    * exposed so specs can compute brute-force ground truth over the
+    * SAME signatures the blocked join sees. */
   private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"),
         explode(expr("array_distinct(split(trim(text), '\\\\s+'))")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitCnts = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
-    val simhashExpr = (0 until 64).map(b =>
-      when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(0L))
+      .select(col("doc_id"), md5(col("t")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+    val bitCnts =
+      (0 until 32).map(b => sum(shiftright(col("hi"), b).bitwiseAND(1L)).as(s"h$b")) ++
+        (0 until 32).map(b => sum(shiftright(col("lo"), b).bitwiseAND(1L)).as(s"l$b"))
+    def sig(p: String) = (0 until 32).map(b =>
+      when(col(s"$p$b") * 2 >= col("n"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     memo(s, d, "simhash") {
       tok.groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitCnts: _*)
-        .select(col("doc_id"), simhashExpr.as("simhash"))
+        .select(col("doc_id"), sig("h").as("hi_sig"), sig("l").as("lo_sig"))
     }
   }
 
@@ -197,19 +205,22 @@ object Dedup {
     // is never materialized or shuffled — only verified pairs reach the
     // final distinct. (The collect_set → pair-explode → distinct →
     // join-back formulation shuffled 1.3M candidate pairs at sf0.1.)
-    val blocked = sh.select(col("doc_id"), col("simhash"),
+    // 4 bands × 16 bits over the 64 signature bits: lossless for
+    // Hamming ≤ 3 by pigeonhole (3 flipped bits touch ≤ 3 bands).
+    val blocked = sh.select(col("doc_id"), col("hi_sig"), col("lo_sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535L)"))
+        "array(shiftrightunsigned(hi_sig, 16), hi_sig & 65535L," +
+          " shiftrightunsigned(lo_sig, 16), lo_sig & 65535L)"))
         .as(Seq("band_idx", "band_val")))
     val a = blocked.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("x"), col("simhash").as("hx"))
+      col("doc_id").as("x"), col("hi_sig").as("hx"), col("lo_sig").as("lx"))
     val b = blocked.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("y"), col("simhash").as("hy"))
+      col("doc_id").as("y"), col("hi_sig").as("hy"), col("lo_sig").as("ly"))
+    val ham = (bit_count(col("hx").bitwiseXOR(col("hy")))
+      + bit_count(col("lx").bitwiseXOR(col("ly"))))
     a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("x") < col("y")
-        && bit_count(col("hx").bitwiseXOR(col("hy"))) <= 3)
-      .select(col("x"), col("y"),
-        bit_count(col("hx").bitwiseXOR(col("hy"))).cast("bigint").as("hamming"))
+      .filter(col("x") < col("y") && ham <= 3)
+      .select(col("x"), col("y"), ham.cast("bigint").as("hamming"))
       .distinct()
       .orderBy("x", "y")
   }
@@ -333,7 +344,29 @@ object Dedup {
     "dd05_components" -> (ddComponents _),
   )
 
+  /** DuckDB replica of [[simhashSignatures]]+[[ddSimhash]]: identical
+    * md5-derived token bits, identical vote rule, brute-force pairs
+    * (the band blocking is lossless for Hamming ≤ 3, so the blocked
+    * join's output EQUALS the all-pairs set — what this SQL computes). */
+  private def simhashOracleSql: String = {
+    val sums = ((0 until 32).map(b => s"sum((hi >> $b) & 1) AS h$b") ++
+      (0 until 32).map(b => s"sum((lo >> $b) & 1) AS l$b")).mkString(", ")
+    def sig(p: String) = (0 until 32).map(b =>
+      s"(CASE WHEN 2 * $p$b >= n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+       |              ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo FROM tok),
+       |v AS (SELECT doc_id, count(*) AS n, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${sig("h")} AS hi_sig, ${sig("l")} AS lo_sig FROM v)
+       |SELECT a.doc_id AS x, b.doc_id AS y,
+       | CAST(bit_count(xor(a.hi_sig, b.hi_sig)) + bit_count(xor(a.lo_sig, b.lo_sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi_sig, b.hi_sig)) + bit_count(xor(a.lo_sig, b.lo_sig)) <= 3
+       |ORDER BY x, y""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dd04_simhash" -> simhashOracleSql,
     "dd02_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),

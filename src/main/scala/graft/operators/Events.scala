@@ -80,9 +80,67 @@ object Events {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Markov path transitions: per-user next-event pairs via one lead()
+    * window, then a partial-aggregated count. One shuffle-sort on
+    * user_id, one (map-side-combined) count shuffle — per-user event
+    * LISTS are never materialized, so a 100M-event power user costs a
+    * sort, not memory. Ties inside a user at the same microsecond
+    * break on event_id, and the top-20 ties break on the pair names,
+    * so the result is deterministic. */
+  def evPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), us(col("ts")).as("t"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"), col("next_type"))
+      .limit(20)
+  }
+
+  /** Attribution-window RANGE JOIN, batch form of st04: for every
+    * purchase, the same user's view/click counts in the preceding 24 h.
+    *
+    * Spark has no range-join optimization — the naive formulation
+    * (join on user + two time inequalities) degenerates to a per-user
+    * nested loop. This one buckets the time axis at the window length
+    * (24 h): a candidate event lives in exactly ONE bucket, a purchase
+    * probes exactly TWO adjacent buckets, so the join is a plain
+    * equi-join on (user_id, bucket) with the exact range predicate
+    * streamed as a residual filter — hash join, bounded 2× probe-side
+    * fan-out, no candidate pair set materialized, and no duplicates to
+    * dedup (each candidate matches a probe through its single bucket).
+    * At 100 TB both sides shuffle-partition on (user_id, bucket), and
+    * AQE handles hot users. */
+  def evAttribution(s: SparkSession, d: String): DataFrame = {
+    val B = 86400000000L // 24 h in µs = attribution window = bucket width
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), us(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val prior = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), expr(s"t div ${B}L").as("bucket"),
+        col("event_type").as("etype"), col("t").as("ct"))
+    val probes = purchases.select(col("event_id"), col("user_id"), col("t"),
+      explode(array(expr(s"(t - ${B}L) div ${B}L"), expr(s"t div ${B}L"))).as("bucket"))
+    val hits = probes.join(prior, Seq("user_id", "bucket"))
+      .filter(col("ct") >= col("t") - B && col("ct") < col("t"))
+      .groupBy("event_id")
+      .agg(sum(when(col("etype") === "view", 1L).otherwise(0L)).as("n_views_24h"),
+        sum(when(col("etype") === "click", 1L).otherwise(0L)).as("n_clicks_24h"))
+    purchases.select(col("event_id"), col("user_id"))
+      .join(hits, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_views_24h"), lit(0L)).as("n_views_24h"),
+        coalesce(col("n_clicks_24h"), lit(0L)).as("n_clicks_24h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_funnel" -> (evFunnel _),
     "ev02_retention" -> (evRetention _),
+    "ev03_path_transitions" -> (evPaths _),
+    "ev04_attribution_window" -> (evAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -119,6 +177,29 @@ object Events {
         |SELECT step, step_name,
         |  CAST(SUM(CASE WHEN reached THEN 1 ELSE 0 END) AS BIGINT) AS n_users
         |FROM sel GROUP BY step, step_name ORDER BY step""".stripMargin,
+    "ev03_path_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, COUNT(*) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, event_type, next_type LIMIT 20""".stripMargin,
+    // declarative range join — ground truth for the bucketed equi-join
+    "ev04_attribution_window" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_type, t FROM ev WHERE event_type IN ('view', 'click')),
+        |hits AS (SELECT p.event_id,
+        |   CAST(SUM(CASE WHEN c.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+        |   CAST(SUM(CASE WHEN c.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        | FROM p JOIN c ON c.user_id = p.user_id
+        |   AND c.t >= p.t - 86400000000 AND c.t < p.t
+        | GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  CAST(COALESCE(nv, 0) AS BIGINT) AS n_views_24h,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) AS n_clicks_24h
+        |FROM p LEFT JOIN hits ON p.event_id = hits.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "ev02_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) act_day FROM events),
         |cohorts AS (SELECT user_id, min(act_day) cohort_day FROM ev GROUP BY user_id)

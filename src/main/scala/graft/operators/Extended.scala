@@ -155,21 +155,29 @@ object Extended {
     * mapPartitions pipeline a real image/audio decoder would run in —
     * binary payload in, fixed feature schema out, one batch per
     * partition. The decode itself is a STUB (this container ships no
-    * codecs): deterministic pseudo-features from the payload bytes
-    * stand in for decoder output. Driver records a rows-only check. */
+    * codecs): deterministic pseudo-features derived from an md5 of the
+    * payload bytes stand in for decoder output. md5 is chosen so the
+    * DuckDB oracle reproduces the exact values from the same bytes
+    * (text's UTF-8 encoding) — the fake is arbitrary anyway, and this
+    * choice upgrades mm03 from rows-only to hash-checked while keeping
+    * the binary-in, features-out plumbing real. */
   def mm03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
+      // one digest instance per partition, reset per row — the shape a
+      // real decoder handle (JNI codec context etc.) would take
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (docId, bytes) =>
         // STUB decode: replace with a real codec (e.g. image decode to
         // W×H×C tensor) in production; shapes/signature stay the same.
-        val fakeWidth = (bytes.length % 97) + 1
-        val fakeHeight = (bytes.take(16).foldLeft(0)(_ + java.lang.Byte.toUnsignedInt(_)) % 53) + 1
-        val meanByte = if (bytes.isEmpty) 0.0
-          else bytes.foldLeft(0L)(_ + java.lang.Byte.toUnsignedInt(_)).toDouble / bytes.length
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        val fakeWidth = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 97 + 1).toInt
+        val fakeHeight = (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 53 + 1).toInt
+        val meanByte = (java.lang.Long.parseLong(hex.substring(16, 24), 16) % 25600).toDouble / 100.0
         (docId, fakeWidth, fakeHeight, meanByte)
       }
     }.toDF("doc_id", "width", "height", "mean_byte")
@@ -224,6 +232,14 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    // replica of the mm03 stub: md5 over the same bytes (DuckDB's md5
+    // hashes the string's UTF-8 encoding = the Spark payload column)
+    "mm03_decode_stub" ->
+      """SELECT doc_id,
+        | CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 97 + 1 AS INTEGER) AS width,
+        | CAST(('0x' || substr(md5(text), 9, 8))::BIGINT % 53 + 1 AS INTEGER) AS height,
+        | CAST(('0x' || substr(md5(text), 17, 8))::BIGINT % 25600 AS DOUBLE) / 100.0 AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_udf_filter" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

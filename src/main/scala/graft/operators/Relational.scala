@@ -412,6 +412,51 @@ object Relational {
       .orderBy(col("gid"), col("n_name"), col("yr"))
   }
 
+  /** Analytic-window battery over a day-grain pre-aggregate: lag,
+    * running total, 7-day moving average (reference's analytic columns
+    * ride ROW_NUMBER only; lead/lag/frames round out §2.5).
+    *
+    * Scale shape: aggregate to date grain FIRST (one partial-agg
+    * shuffle, output ≤ 365 rows here and bounded by the calendar at
+    * any corpus size), then run the unpartitioned window over the tiny
+    * aggregate — the single-partition sort everyone fears in a global
+    * window is over days, not raw rows. The moving average divides the
+    * exact decimal frame sum by the frame count in DOUBLE at the end,
+    * so both engines compute bit-identical values. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy("day")
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"),
+      col("rev").cast("double").as("revenue"),
+      lag(col("rev"), 1).over(w).cast("double").as("prev_revenue"),
+      sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"),
+      (sum(col("rev")).over(w7).cast("double") / count(lit(1)).over(w7)).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** INTERSECT / EXCEPT (§2.7 beyond the reference's UNION-only set
+    * ops): customers ordering in both 1995 and 1996, and in 1995 only.
+    * Both set ops hash-aggregate on the key — one shuffle each, no
+    * sort — and the two branches reuse the same scan (Catalyst reuses
+    * the exchange). */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    def custsIn(year: Int) = orders(s, d)
+      .filter(col("o_orderdate") >= s"$year-01-01" && col("o_orderdate") < s"${year + 1}-01-01")
+      .select(col("o_custkey"))
+    val both = custsIn(1995).intersect(custsIn(1996))
+      .withColumn("segment", lit("both"))
+    val only95 = custsIn(1995).except(custsIn(1996))
+      .withColumn("segment", lit("only_1995"))
+    both.unionByName(only95)
+      .select(col("segment"), col("o_custkey"))
+      .orderBy("segment", "o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
@@ -438,6 +483,8 @@ object Relational {
     "q23_dim_driven_right_join" -> (q23 _),
     "q30_asof_join" -> (q30 _),
     "q31_grouping_rollup" -> (q31 _),
+    "q32_window_analytics" -> (q32 _),
+    "q34_set_ops" -> (q34 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -652,5 +699,29 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, yr)
         |ORDER BY gid, n_name, yr""".stripMargin,
+    "q32_window_analytics" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT day,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(lag(rev) OVER (ORDER BY day) AS DOUBLE) AS prev_revenue,
+        |  CAST(SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |FROM daily ORDER BY day""".stripMargin,
+    "q34_set_ops" ->
+      """WITH c95 AS (SELECT o_custkey FROM orders
+        |             WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+        |c96 AS (SELECT o_custkey FROM orders
+        |        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+        |sel AS (
+        |  SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+        |  UNION ALL
+        |  SELECT 'only_1995', o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96))
+        |SELECT segment, o_custkey FROM sel ORDER BY segment, o_custkey""".stripMargin,
   )
 }

@@ -73,9 +73,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("dd04 simhash: blocked join equals brute-force Hamming ≤ 3 ground truth") {
-    // dd04 has no SQL oracle (xxhash64 signatures aren't computable in
-    // DuckDB), so pin its semantics with an in-Spark exhaustive check:
-    // the 16-bit band blocking is LOSSLESS for Hamming ≤ 3 (pigeonhole:
+    // dd04 is oracle-checked (md5-derived signatures are reproducible
+    // in DuckDB), and this spec additionally pins the BLOCKING: the
+    // 16-bit band scheme is LOSSLESS for Hamming ≤ 3 (pigeonhole:
     // 3 flipped bits touch at most 3 of 4 bands, so one band always
     // matches) and the verify filter admits nothing above 3 — the
     // emitted pair set must therefore EQUAL the brute-force all-pairs
@@ -89,12 +89,12 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "non-canonical pair")
       assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
       val sig = Dedup.simhashSignatures(spark, dir)
-      val truth = sig.select(col("doc_id").as("x"), col("simhash").as("hx"))
-        .crossJoin(sig.select(col("doc_id").as("y"), col("simhash").as("hy")))
-        .filter(col("x") < col("y")
-          && bit_count(col("hx").bitwiseXOR(col("hy"))) <= 3)
-        .select(col("x"), col("y"),
-          bit_count(col("hx").bitwiseXOR(col("hy"))).cast("bigint").as("hamming"))
+      val ham = (bit_count(col("hx").bitwiseXOR(col("hy")))
+        + bit_count(col("lx").bitwiseXOR(col("ly"))))
+      val truth = sig.select(col("doc_id").as("x"), col("hi_sig").as("hx"), col("lo_sig").as("lx"))
+        .crossJoin(sig.select(col("doc_id").as("y"), col("hi_sig").as("hy"), col("lo_sig").as("ly")))
+        .filter(col("x") < col("y") && ham <= 3)
+        .select(col("x"), col("y"), ham.cast("bigint").as("hamming"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(truth.nonEmpty, "corpus seeded no Hamming ≤ 3 signature pairs")
       val emitted = rows.map(r => (r.getLong(0), r.getLong(1),
