@@ -238,11 +238,80 @@ object Streaming {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Batch count of the last [[st05]] run — exposed so specs can
+    * assert the maintenance was actually incremental (>1 merge). */
+  @volatile private[graft] var lastSt05Batches: Int = 0
+
+  /** Incremental ROLLUP MAINTENANCE via foreachBatch merge-on-write —
+    * the realtime-ingestion analogue of the reference's Druid realtime
+    * cubes (new events continuously folded into a day-grain rollup
+    * that the semantic layer then serves).
+    *
+    * Shape: file stream split into several micro-batches
+    * (maxFilesPerTrigger=1); each batch partial-aggregates to the
+    * rollup grain (map-side combine — raw rows never cross batches),
+    * then merges with the current target by re-aggregating
+    * target ∪ partial and writing a NEW versioned parquet dir, swap-
+    * on-success. Per-batch cost scales with the GRAIN cardinality
+    * (bounded by calendar × type), not the corpus; at 100 TB the same
+    * loop partitions the target by day so a batch rewrites only
+    * touched partitions (dynamic partition overwrite). The decimal
+    * sum is re-normalized to DECIMAL(30,6) after every merge so the
+    * target schema is stable regardless of how many batches ran.
+    * AvailableNow drives it to completion → result equals the batch
+    * rollup, which is exactly what the oracle computes. */
+  def st05(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = java.nio.file.Files.createTempDirectory("graft-st05")
+    root.toFile.deleteOnExit()
+    // split the arrivals into 4 files so AvailableNow sees 4 batches
+    s.read.schema(rawSchema).option("pathGlobFilter", "events.parquet")
+      .parquet(d).repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    var targetDir: Option[String] = None
+    var version = 0
+    lastSt05Batches = 0
+    val q = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .writeStream
+      .option("checkpointLocation", ckptDir("st05"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch
+          .groupBy(to_date(col("tsm")).as("day"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(Tables.dec6(col("value"))).cast(DecimalType(30, 6)).as("val_sum"))
+        val merged = targetDir match {
+          case None => partial
+          case Some(dir) => s.read.parquet(dir).unionByName(partial)
+            .groupBy("day", "event_type")
+            .agg(sum(col("n")).cast("long").as("n"),
+              sum(col("val_sum")).cast(DecimalType(30, 6)).as("val_sum"))
+        }
+        version += 1
+        val next = s"$root/v$version"
+        merged.write.mode("overwrite").parquet(next)
+        targetDir = Some(next) // swap-on-success: readers see old or new
+        lastSt05Batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    targetDir.fold(s.emptyDataFrame) { dir =>
+      s.read.parquet(dir)
+        .select(col("day"), col("event_type"), col("n"),
+          col("val_sum").cast("double").as("total_value"))
+        .orderBy("day", "event_type")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_sessionize" -> (st02 _),
     "st03_stream_dedup" -> (st03 _),
     "st04_stream_join" -> (st04 _),
+    "st05_incremental_rollup" -> (st05 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,6 +323,12 @@ object Streaming {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // ground truth for the incrementally-maintained rollup: the full
+    // batch recompute (n batches of merge-on-write must equal it)
+    "st05_incremental_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "st04_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
         | p.event_id AS purchase_id,

@@ -124,6 +124,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(userShuffles == 1, s"expected 1 user shuffle, got $userShuffles:\n$plan")
   }
 
+  test("ev04: attribution range join stays an equi-join — no nested loop") {
+    // the naive range-join plan is BroadcastNestedLoopJoin/Cartesian;
+    // the time-bucketed formulation must hash-join on (user_id, bucket)
+    // with the range predicate as a residual filter
+    val plan = physical(Events.evAttribution(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
+  }
+
   test("ev02: retention aggregates partially before each shuffle") {
     val plan = physical(Events.evRetention(spark, sf))
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")

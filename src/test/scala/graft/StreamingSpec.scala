@@ -128,4 +128,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0
       && batch.exceptAll(streamed).count() == 0)
   }
+
+  test("st05 incremental rollup: multiple merge batches, equals batch rollup") {
+    import graft.streaming.Streaming
+    val out = Streaming.st05(spark, sf)
+    val got = out.collect()
+    // the maintenance loop must actually have been incremental — the
+    // source split guarantees 4 files → 4 merge-on-write batches
+    assert(Streaming.lastSt05Batches >= 2,
+      s"expected >1 micro-batch, got ${Streaming.lastSt05Batches}")
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.core.Tables.dec6(col("value"))).cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+      .collect()
+    assert(got.length == batch.length && got.sameElements(batch),
+      "incrementally-maintained rollup diverged from full recompute")
+  }
 }
