@@ -27,6 +27,19 @@ object Caches {
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }.computeIfAbsent(key, _ => mk.cache())
 
+  private val objBySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
+
+  /** Memoize a driver-side VALUE (e.g. a trained coarse quantizer —
+    * k×dim index metadata) per (session, key); released with the same
+    * release()/releaseAll() lifecycle as the cached frames. */
+  def memoObj[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
+    objBySession.synchronized {
+      objBySession.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+    }.computeIfAbsent(key, _ => mk).asInstanceOf[T]
+
   /** Register an EXTERNALLY persisted frame under (session, key) so the
     * normal release()/releaseAll() lifecycle owns its unpersist (used by
     * Planner.planWithFallback for the winning probe cache). Re-tracking
@@ -49,11 +62,16 @@ object Caches {
   def release(s: SparkSession): Unit = {
     val m = bySession.remove(s)
     if (m != null) m.values.forEach(df => { df.unpersist(); () })
+    objBySession.remove(s)
+    ()
   }
 
   /** Release every session's entries (single-session tools: Bench). */
-  def releaseAll(): Unit = bySession.synchronized {
-    bySession.values.forEach(m => m.values.forEach(df => { df.unpersist(); () }))
-    bySession.clear()
+  def releaseAll(): Unit = {
+    bySession.synchronized {
+      bySession.values.forEach(m => m.values.forEach(df => { df.unpersist(); () }))
+      bySession.clear()
+    }
+    objBySession.synchronized(objBySession.clear())
   }
 }

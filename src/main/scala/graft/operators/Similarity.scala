@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
@@ -162,63 +162,101 @@ object Similarity {
   /** Nearest-centroid assignment: argmin over ‖c‖² − 2·v·c (the ‖v‖²
     * term is constant per vector). Ties break on cid via the struct
     * ordering. */
-  private def nearestCid(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", col("cn2") - lit(2.0) *
-        graft.functions.GraftFunctions.fixdotD(col("embedding"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
+  /** A coarse-quantizer centroid, driver-resident: cid, the vector,
+    * and its fixed-point squared norm (the constant term of the
+    * distance). Centers are O(k·dim) index METADATA — the MLlib
+    * KMeans representation — not data. */
+  private case class Ctr(cid: Int, cemb: Seq[Float], cn2: Double)
+
+  /** Driver-side replica of [[graft.functions.FixedPointDot]] —
+    * identical arithmetic (per-element double product, ×1e12, floor,
+    * exact long sum), so centroid norms computed here equal the ones
+    * the engine computes, bit for bit. */
+  private def fixdotDriver(a: Seq[Float], b: Seq[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L; var i = 0
+    while (i < n) {
+      acc += math.floor(a(i).toDouble * b(i).toDouble * 1e12).toLong
+      i += 1
+    }
+    acc
+  }
+
+  private def ctr(cid: Int, emb: Seq[Float]): Ctr =
+    Ctr(cid, emb, fixdotDriver(emb, emb).toDouble / 1e12)
+
+  /** Per-row distance/cid structs against the (small, literal) center
+    * set — each is one codegen'd fixdot, so nearest-centroid choices
+    * and probe routing are MAP-ONLY projections: no cross join, no
+    * argmin shuffle, one corpus scan. This is the 100 TB shape —
+    * centroids ship with the closure (a real deployment broadcasts
+    * them), the corpus streams by once. */
+  private def distStructs(centers: Seq[Ctr], v: Column): Seq[Column] =
+    centers.map { c =>
+      struct((lit(c.cn2) - lit(2.0) * graft.functions.GraftFunctions
+        .fixdotD(v, typedLit(c.cemb))).as("dist"), lit(c.cid).as("cid"))
+    }
+
+  /** argmin cid per row (ties on cid via struct ordering — identical
+    * to the min(struct(dist,cid)) aggregate it replaces). */
+  private def nearestCidCol(centers: Seq[Ctr], v: Column): Column = {
+    val ds = distStructs(centers, v)
+    (if (ds.sizeIs == 1) ds.head else least(ds: _*)).getField("cid")
+  }
 
   /** Train k centroids: hash-seeded picks refined by `iters` Lloyd
     * steps. Means are exact decimal sums cast back to float, so the
-    * centroids (and everything downstream) are run-order independent. */
-  private def trainCentroids(v: DataFrame, k: Int, iters: Int): DataFrame = {
-    def withNorm2(c: DataFrame): DataFrame = c.withColumn("cn2",
-      graft.functions.GraftFunctions.fixdotD(col("cemb"), col("cemb")))
+    * centroids (and everything downstream) are run-order independent.
+    * Each Lloyd step is ONE self-contained job: a map-only assignment
+    * fused into the posexplode (no cross join, no argmin shuffle, no
+    * join back onto the corpus), then the two mean aggregations. All
+    * corpus-sized work is distributed; only the k×dim centers ride
+    * the driver. */
+  private def trainCentroids(v: DataFrame, k: Int, iters: Int): Seq[Ctr] = {
     // hash-order the corpus and TAKE k (TakeOrderedAndProject — no
-    // global sort, no single-partition window over n rows); the
-    // row_number window then runs over the k seeds only
-    val seedW = Window.orderBy(hash(col("vec_id")), col("vec_id"))
-    var cents = withNorm2(
+    // global sort); collect returns the k seeds in that order, so
+    // cid = hash-order rank, same assignment as ever
+    var centers: Seq[Ctr] =
       v.select(col("vec_id"), col("embedding"))
         .orderBy(hash(col("vec_id")), col("vec_id")).limit(k)
-        .withColumn("cid", row_number().over(seedW))
-        .select(col("cid"), col("embedding").as("cemb")))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => ctr(i + 1, r.getSeq[Float](1)) }
     for (_ <- 1 to iters) {
-      val assigned = nearestCid(v, cents)
-      val means = v.join(assigned, "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      val means = v
+        .select(nearestCidCol(centers, col("embedding")).as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
           .cast("float").as("m"))
         .groupBy("cid")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cemb"))
-      cents = withNorm2(means)
+      centers = means.collect().toSeq
+        .map(r => ctr(r.getInt(0), r.getSeq[Float](1)))
     }
-    cents
+    centers
   }
 
   /** The IVF search path, shared by the trained (sim05) and flat
     * (sim06) quantizers: build inverted lists by nearest-centroid
     * assignment, route each query to its `nprobe` nearest lists, rank
-    * candidates by exact cosine within the probed lists. Per-query work
-    * is nprobe·n/k rows via a broadcast equi-join on cid. */
-  private def ivfSearch(v: DataFrame, cents: DataFrame,
+    * candidates by exact cosine within the probed lists. List
+    * assignment and probe routing are both map-only against the
+    * literal centers; candidate generation is an equi-join on cid —
+    * per-query work is nprobe·n/k rows. */
+  private def ivfSearch(v: DataFrame, centers: Seq[Ctr],
       nprobe: Int, topK: Int): DataFrame = {
-    val lists = v.join(nearestCid(v, cents), "vec_id") // inverted lists
-      .select(col("cid"), col("vec_id").as("nid"),
-        col("embedding").as("ce"), col("nrm").as("cn"))
-    val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val lists = v.select(
+      nearestCidCol(centers, col("embedding")).as("cid"),
+      col("vec_id").as("nid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // nprobe nearest lists per query: array_sort over the k dist
+    // structs (ascending (dist, cid) — the same order the row_number
+    // formulation used), slice, explode. Map-only.
     val probes = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", col("cn2") - lit(2.0) *
-        graft.functions.GraftFunctions.fixdotD(col("qe"), col("cemb")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(slice(array_sort(array(distStructs(
+          centers, col("embedding")): _*)), 1, nprobe)).as("pr"))
+      .select(col("qid"), col("qe"), col("qn"), col("pr.cid").as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
     lists.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
@@ -238,12 +276,11 @@ object Similarity {
   def simIvfAnn(s: SparkSession, d: String): DataFrame = {
     val k = 8; val nprobe = 4; val iters = 2
     val v = withNorm(s, d)
-    // the trained quantizer is k rows (~k·dim floats) but its lineage
-    // is the whole Lloyd loop; memoize per (session, dir) so list
-    // assignment and query probing share one training pass and repeat
-    // invocations reuse the index instead of stacking cache entries
-    // (an IVF index is built once and amortized over queries)
-    val cents = graft.core.Caches.memo(s, s"ivf|$d|k$k-i$iters")(
+    // the trained quantizer is k×dim floats of index metadata; memoize
+    // per (session, dir) so repeat invocations reuse the index instead
+    // of retraining (an IVF index is built once and amortized over
+    // queries)
+    val cents = graft.core.Caches.memoObj(s, s"ivf|$d|k$k-i$iters")(
       trainCentroids(v, k, iters))
     ivfSearch(v, cents, nprobe, topK = 3)
   }
@@ -258,11 +295,10 @@ object Similarity {
   def simIvfFlat(s: SparkSession, d: String): DataFrame = {
     val k = 8; val nprobe = 4
     val v = withNorm(s, d)
-    val cents = broadcast(v.filter(col("vec_id") < k)
-      .select((col("vec_id") + 1).cast("int").as("cid"),
-        col("embedding").as("cemb"))
-      .withColumn("cn2",
-        graft.functions.GraftFunctions.fixdotD(col("cemb"), col("cemb"))))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
     ivfSearch(v, cents, nprobe, topK = 3)
   }
 
