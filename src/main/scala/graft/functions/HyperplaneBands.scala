@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -11,21 +11,27 @@ import org.apache.spark.sql.types._
   * signatures of a float vector — `bands` independent signatures of
   * `rowsPerBand` sign bits each, returned as `array<int>`.
   *
-  * Plane coefficients are ±1 derived from XXH64(plane · 2³² + dim,
-  * seed), materialized ONCE per (plane, dimension) into a cached
-  * coefficient matrix and reused for every row — the
-  * `aggregate(zip_with(...))` higher-order formulation this replaces
-  * re-derived every coefficient per row per plane in interpreted
-  * lambda evaluation (it was the flagged hot path of the sim03/sim04
-  * operators; the same preference order as [[FixedPointDot]]: native
-  * expression > composed HOFs > UDF).
+  * Plane coefficients are ±1 derived from the parity of the first hex
+  * digit of md5("seed:plane:dim"), materialized ONCE per
+  * (plane, dimension) into a cached coefficient matrix and reused for
+  * every row — the `aggregate(zip_with(...))` higher-order formulation
+  * this replaces re-derived every coefficient per row per plane in
+  * interpreted lambda evaluation (it was the flagged hot path of the
+  * sim03/sim04 operators; the same preference order as
+  * [[FixedPointDot]]: native expression > composed HOFs > UDF).
   *
-  * One pass over the vector accumulates ALL planes (sum of xᵢ·coefᵖᵢ
-  * per plane); each band then packs its `rowsPerBand` sign bits into
-  * an int. Multi-band AND-OR amplification (as in the MinHash-LSH
-  * dedup operator, operators/Dedup.scala): two vectors are candidates
-  * when ANY band signature matches entirely, so candidate probability
-  * is 1-(1-s^r)^b and expected bucket size is n/2^r per band — both
+  * One pass over the vector accumulates ALL planes. The per-plane
+  * accumulator is EXACT fixed-point (coefᵖᵢ · ⌊xᵢ·10¹²⌋ summed as
+  * long — the [[FixedPointDot]] discipline), so the sign bits are
+  * order-independent and bit-reproducible by any engine: the DuckDB
+  * oracle for sim03/sim04 recomputes the identical signatures from
+  * md5() + floor() SQL, which is what upgrades those queries from
+  * rows-only to full hash-checked rows. Each band packs its
+  * `rowsPerBand` sign bits into an int. Multi-band AND-OR
+  * amplification (as in the MinHash-LSH dedup operator,
+  * operators/Dedup.scala): two vectors are candidates when ANY band
+  * signature matches entirely, so candidate probability is
+  * 1-(1-s^r)^b and expected bucket size is n/2^r per band — both
   * tunable, which is what makes the bucket math survive 100 TB.
   */
 case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
@@ -48,15 +54,20 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
   /** Coefficient matrix [plane][dim], built deterministically on first
     * use and grown if a longer vector appears. A benign init race just
     * recomputes identical values. */
-  @transient private var coef: Array[Array[Float]] = _
+  @transient private var coef: Array[Array[Byte]] = _
 
-  private def coefFor(dims: Int): Array[Array[Float]] = {
+  private def coefFor(dims: Int): Array[Array[Byte]] = {
     val cur = coef
     if (cur != null && cur(0).length >= dims) cur
     else {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val m = Array.tabulate(planes, dims) { (p, i) =>
-        if ((XXH64.hashLong((p.toLong << 32) | i.toLong, seed) & 1L) == 0L) 1f
-        else -1f
+        md.reset()
+        val h = md.digest(
+          s"$seed:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first hex digit even → +1, odd → -1 (DuckDB: substr(md5(k),1,1)
+        // IN ('0','2','4','6','8','a','c','e'))
+        if ((((h(0) >> 4) & 0xf) & 1) == 0) 1.toByte else (-1).toByte
       }
       coef = m
       m
@@ -65,15 +76,18 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
 
   /** Shared by the interpreted and codegen paths (the generated code
     * calls this via a plan reference): compiled JVM loops, no per-row
-    * allocation beyond the accumulators and the output array. */
+    * allocation beyond the accumulators and the output array. The
+    * per-plane accumulator is the exact fixed-point long sum
+    * Σ coefᵖᵢ·⌊xᵢ·10¹²⌋ — associative, so partial order can't flip a
+    * sign bit, and replicable in engine-portable SQL. */
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val m = coefFor(n)
-    val acc = new Array[Double](planes)
+    val acc = new Array[Long](planes)
     var i = 0
     while (i < n) {
       if (!v.isNullAt(i)) {
-        val x = v.getFloat(i).toDouble
+        val x = math.floor(v.getFloat(i).toDouble * 1e12).toLong
         var p = 0
         while (p < planes) { acc(p) += x * m(p)(i); p += 1 }
       }
@@ -85,7 +99,7 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
       var sig = 0
       var r = 0
       while (r < rowsPerBand) {
-        if (acc(b * rowsPerBand + r) >= 0) sig |= 1 << r
+        if (acc(b * rowsPerBand + r) >= 0L) sig |= 1 << r
         r += 1
       }
       out(b) = sig

@@ -77,11 +77,13 @@ object Similarity {
         col("embedding"), bands, rowsPerBand, seed))
         .as(Seq("band_idx", "band_sig")): _*)
 
-  /** LSH-bucketed ANN (no SQL oracle — hash-dependent): multi-band
-    * AND-OR amplified candidate generation (as in the MinHash dedup
-    * family): a corpus vector is a candidate for a query when ANY of
-    * the `bands` per-band signatures (rowsPerBand sign bits each)
-    * matches exactly. Expected per-band bucket size is n/2^rowsPerBand
+  /** LSH-bucketed ANN (oracle-checked: the md5-derived ±1 planes and
+    * exact fixed-point sign sums are recomputed verbatim by the DuckDB
+    * oracle, so the "hash-dependent" output is in fact engine-portable):
+    * multi-band AND-OR amplified candidate generation (as in the
+    * MinHash dedup family): a corpus vector is a candidate for a query
+    * when ANY of the `bands` per-band signatures (rowsPerBand sign
+    * bits each) matches exactly. Expected per-band bucket size is n/2^rowsPerBand
     * — tunable, unlike a single flat bucket id whose candidate set is
     * O(n²/2^planes) with planes capped by signature width. The (tiny)
     * query side is broadcast, so candidate generation is a broadcast
@@ -107,7 +109,8 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs (no SQL oracle): all same-bucket
+  /** Embedding-cosine near-dup pairs (oracle-checked, same signature
+    * replication as sim03): all same-bucket
     * pairs in any band with cosine ≥ 0.3 — the embedding analogue of
     * MinHash dedup (this synthetic corpus has no true embedding
     * near-dups; max pairwise cosine ≈ 0.48). Verification (the fixdot
@@ -352,7 +355,74 @@ object Similarity {
     "sim07_int8_topk" -> (simInt8TopK _),
   )
 
+  /** Shared oracle CTEs: per-vector norms (`v`) and per-(vec, band)
+    * hyperplane signatures (`sigs`) — the byte-for-byte SQL replica of
+    * [[graft.functions.HyperplaneBands]] (md5-parity ±1 coefficients,
+    * exact fixed-point sign sums), which is what lets the LSH queries
+    * be hash-checked rather than rows-only. */
+  private def hyperSigCtes(bands: Int, rowsPerBand: Int, seed: Long): String = {
+    val planes = bands * rowsPerBand
+    s"""v AS (SELECT vec_id, embedding,
+       |  sqrt(CAST(list_sum(list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+       |  FROM embeddings),
+       |pc AS (SELECT p, list_transform(range(0, 64), i ->
+       |    CASE WHEN substr(md5('$seed:' || p || ':' || i), 1, 1)
+       |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END) coefs
+       |  FROM range(0, $planes) t(p)),
+       |sums AS (SELECT v.vec_id, pc.p,
+       |  CAST(list_sum(list_transform(list_zip(v.embedding, pc.coefs),
+       |    z -> CAST(z[2] AS BIGINT) * CAST(floor(CAST(z[1] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) s
+       |  FROM v, pc),
+       |sigs AS (SELECT vec_id, CAST(p // $rowsPerBand AS INTEGER) band_idx,
+       |  CAST(sum(CASE WHEN s >= 0 THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS INTEGER) band_sig
+       |  FROM sums GROUP BY vec_id, p // $rowsPerBand)""".stripMargin
+  }
+
+  /** Exact fixed-point pair cosine between CTE rows `qv` and `cv` —
+    * identical arithmetic to [[dotFix]] / sim01's oracle. */
+  private val oracleCosine: String =
+    """(CAST(list_sum(list_transform(list_zip(qv.embedding, cv.embedding),
+      |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+      |      / (qv.nrm * cv.nrm)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // identical signatures to the native HyperplaneBands expression
+    // (bands=3, rowsPerBand=6, seed=42), then the same candidate
+    // generation (any-band match), pair dedup, verify, and ranking
+    "sim03_lsh_ann" ->
+      s"""WITH ${hyperSigCtes(bands = 3, rowsPerBand = 6, seed = 42L)},
+         |cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid
+         |  FROM sigs q JOIN sigs c
+         |    ON q.band_idx = c.band_idx AND q.band_sig = c.band_sig
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |p AS (SELECT cand.qid, cand.nid, $oracleCosine AS cosine
+         |  FROM cand
+         |  JOIN v qv ON qv.vec_id = cand.qid
+         |  JOIN v cv ON cv.vec_id = cand.nid)
+         |SELECT qid, nid, rank, cosine FROM (
+         |  SELECT qid, nid, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // bands=3, rowsPerBand=8, seed=7; the maxBucket=10000 hot-bucket
+    // drop is replicated (inert on this corpus: 500 vectors)
+    "sim04_embedding_near_dups" ->
+      s"""WITH ${hyperSigCtes(bands = 3, rowsPerBand = 8, seed = 7L)},
+         |hot AS (SELECT band_idx, band_sig FROM sigs
+         |  GROUP BY band_idx, band_sig HAVING count(*) > 10000),
+         |capped AS (SELECT s.* FROM sigs s
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |    WHERE h.band_idx = s.band_idx AND h.band_sig = s.band_sig)),
+         |cand AS (SELECT DISTINCT a.vec_id x, b.vec_id y
+         |  FROM capped a JOIN capped b
+         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         |  WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT cand.x, cand.y, $oracleCosine AS cosine
+         |  FROM cand
+         |  JOIN v qv ON qv.vec_id = cand.x
+         |  JOIN v cv ON cv.vec_id = cand.y)
+         |SELECT x, y, cosine FROM p WHERE cosine >= 0.3 ORDER BY x, y""".stripMargin,
     "sim01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(CAST(list_sum(list_transform(embedding,
