@@ -337,11 +337,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Passage-level exact-dup signal (the CCNet paragraph-dedup shape,
+    * adapted to newline-free docs): each document is cut into
+    * contiguous 32-token passages, each passage is fingerprinted
+    * (md5 of the joined tokens), and a passage is "duplicated" when
+    * its fingerprint occurs more than once in the whole corpus. The
+    * per-doc output is the fraction of duplicated passages — the
+    * boilerplate/copy signal a filtering pipeline thresholds on.
+    *
+    * Scale shape: chunking + fingerprinting are map-only codegen'd
+    * expressions (no explode of raw tokens — one row per PASSAGE, 32×
+    * fewer than per-token); the corpus-wide count is one shuffle on
+    * the 128-bit fingerprint; the count map joins back on the same
+    * key, then a per-doc partial aggregate. No all-pairs anything. */
+  def ddPassageDedup(s: SparkSession, d: String): DataFrame =
+    ddPassageDedupFrom(graft.core.Tables.documents(s, d), chunk = 32)
+
+  private[graft] def ddPassageDedupFrom(docs: DataFrame, chunk: Int): DataFrame = {
+    val pas = docs
+      .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(tokens) - 1) DIV $chunk),
+           |  i -> md5(concat_ws(' ', slice(tokens, i * $chunk + 1, $chunk))))""".stripMargin))
+        .as(Seq("pos", "fp")))
+    val counts = pas.groupBy("fp").agg(count(lit(1)).as("c"))
+    pas.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        col("n_dup_passages").cast("double") / col("n_passages"))
+      .select("doc_id", "n_passages", "n_dup_passages", "dup_frac")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
     "dd03_minhash_lsh" -> (ddMinhashLsh _),
     "dd04_simhash" -> (ddSimhash _),
     "dd05_components" -> (ddComponents _),
+    "dd06_passage_dedup" -> (ddPassageDedup _),
   )
 
   /** DuckDB replica of [[simhashSignatures]]+[[ddSimhash]]: identical
@@ -366,6 +401,19 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "dd06_passage_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+        |pas AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks) - 1) // 32 + 1),
+        |          i -> md5(array_to_string(toks[(i * 32 + 1):((i + 1) * 32)], ' ')))) fp
+        |        FROM tok),
+        |cnt AS (SELECT fp, COUNT(*) c FROM pas GROUP BY fp),
+        |per AS (SELECT p.doc_id, COUNT(*) n_passages,
+        |          SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) n_dup
+        |        FROM pas p JOIN cnt USING (fp) GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n_passages AS BIGINT) n_passages,
+        |  CAST(n_dup AS BIGINT) n_dup_passages,
+        |  CAST(n_dup AS DOUBLE) / n_passages AS dup_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
     "dd04_simhash" -> simhashOracleSql,
     "dd02_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),

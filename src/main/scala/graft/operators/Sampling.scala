@@ -55,9 +55,83 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Tokens-per-doc in the repo-wide whitespace convention (TextOps). */
+  private def withTok(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("n_tok",
+      size(expr("split(trim(text), '\\\\s+')")).cast("bigint"))
+
+  /** Concat-and-chunk sequence packing (the LLM-pretraining layout):
+    * all documents are logically concatenated in doc_id order and cut
+    * into fixed 512-token training sequences; each document maps to
+    * its global token offset and the [first_seq, last_seq] span it
+    * lands in (documents may straddle a cut).
+    *
+    * The global offset is a distributed two-phase prefix sum — the
+    * scale-safe alternative to a single-partition running-sum window
+    * (which would funnel 100 TB through one task):
+    *  1. per-BUCKET token sums (bucket = doc_id / bucketWidth), a tiny
+    *     aggregate collected to the driver and turned into per-bucket
+    *     prefix offsets (#buckets = maxDocId/bucketWidth — the knob
+    *     that keeps the driver list bounded at any corpus size);
+    *  2. a window per bucket (bounded partitions) adds the
+    *     within-bucket running sum to the broadcast bucket prefix.
+    * Everything is integer-exact, so the layout is reproducible
+    * run-to-run and engine-to-engine. */
+  def spSequencePack(s: SparkSession, d: String): DataFrame =
+    spSequencePackFrom(withTok(s, d), seqLen = 512, bucketWidth = 100)
+
+  private[graft] def spSequencePackFrom(docs: DataFrame, seqLen: Int,
+      bucketWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"), col("n_tok"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketWidth"))
+    val bucketSums = toks.groupBy("bucket").agg(sum("n_tok").as("bt"))
+      .orderBy("bucket").collect()
+    var run = 0L
+    val prefixes = bucketSums.map { r =>
+      val p = (r.getLong(0), run); run += r.getLong(1); p
+    }.toSeq
+    val prefixDf = broadcast(prefixes.toDF("bucket", "bucket_off"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(prefixDf, "bucket")
+      .withColumn("start_off",
+        col("bucket_off") + coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_off DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(start_off + n_tok - 1) DIV $seqLen"))
+      .select("doc_id", "n_tok", "start_off", "first_seq", "last_seq")
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture reweighting: per-source sampling rates that move
+    * the token mixture toward a uniform target share (the static
+    * DoReMi-style reweight). Per-source token totals are one partial-
+    * aggregated shuffle of k rows; the global total joins back as a
+    * broadcast — no global window, no second scan. Over-represented
+    * sources get rate < 1; under-represented ones are left at 1
+    * (sampling can only remove data). */
+  def spMixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = withTok(s, d).groupBy("source")
+      .agg(sum("n_tok").cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("bigint").as("total"),
+      count(lit(1)).as("k"))
+    per.join(broadcast(tot))
+      .withColumn("natural_share", col("n_tokens").cast("double") / col("total"))
+      .withColumn("sample_rate",
+        least(lit(1.0), (col("total").cast("double") / col("k")) / col("n_tokens")))
+      .withColumn("expected_tokens",
+        least(col("n_tokens").cast("double"), col("total").cast("double") / col("k")))
+      .select("source", "n_tokens", "natural_share", "sample_rate", "expected_tokens")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp01_split_assign" -> (spSplit _),
     "sp02_stratified_sample" -> (spStratified _),
+    "sp03_sequence_pack" -> (spSequencePack _),
+    "sp04_mixture_weights" -> (spMixtureWeights _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,5 +149,29 @@ object Sampling {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15)) AS BIGINT) % 100 < rate
         |ORDER BY doc_id""".stripMargin,
+    // the oracle states the SPEC (a single global running sum); the
+    // Spark side computes the identical integers via the distributed
+    // two-phase prefix sum — exact arithmetic, so they hash-match
+    "sp03_sequence_pack" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |off AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) start_off
+        |  FROM tok)
+        |SELECT doc_id, n_tok, start_off,
+        |  start_off // 512 AS first_seq,
+        |  (start_off + n_tok - 1) // 512 AS last_seq
+        |FROM off ORDER BY doc_id""".stripMargin,
+    "sp04_mixture_weights" ->
+      """WITH tok AS (SELECT source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) n_tokens FROM tok GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total, COUNT(*) k FROM per)
+        |SELECT source, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / total AS natural_share,
+        |  LEAST(1.0, (CAST(total AS DOUBLE) / k) / n_tokens) AS sample_rate,
+        |  LEAST(CAST(n_tokens AS DOUBLE), CAST(total AS DOUBLE) / k) AS expected_tokens
+        |FROM per, tot ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+/** Behavior + scale-shape checks for the round-5 pipeline operators:
+  * passage-level dedup signal (dd06), concat-and-chunk sequence
+  * packing (sp03), and mixture reweighting (sp04).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("dd06: a copied passage is flagged in BOTH docs, unique text is clean") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-token passage
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 8).map(i => s"x$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 8).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 16).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.ddPassageDedupFrom(docs, chunk = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2: passages = [boiler, x*/y*] → 1 of 2 duplicated
+    assert(out(1L) == (2L, 1L, 0.5))
+    assert(out(2L) == (2L, 1L, 0.5))
+    assert(out(3L) == (2L, 0L, 0.0))
+  }
+
+  test("dd06: intra-doc repetition counts as duplication (boilerplate within one doc)") {
+    import spark.implicits._
+    val p = (1 to 4).map(i => s"r$i").mkString(" ")
+    val docs = Seq((7L, s"$p $p")).toDF("doc_id", "text") // same 4-token passage twice
+    val Array(row) = Dedup.ddPassageDedupFrom(docs, chunk = 4).collect()
+    assert((row.getLong(1), row.getLong(2), row.getDouble(3)) == (2L, 2L, 1.0))
+  }
+
+  test("sp03: two-phase prefix sum equals the single-window spec for any bucket width") {
+    import spark.implicits._
+    val docs = (0L until 97L).map(i => (i, (0 to (i % 7).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+    // ground truth: sequential running sum on the driver
+    val toks = docs.select("doc_id", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val expect = toks.map { case (id, n) =>
+      val row = (id, n, off, off / 16, (off + n - 1) / 16); off += n; row
+    }.toSeq
+    for (bw <- Seq(1, 7, 1000)) {
+      val got = Sampling.spSequencePackFrom(docs, seqLen = 16, bucketWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expect, s"bucketWidth=$bw diverged from the running-sum spec")
+    }
+  }
+
+  test("sp03: no global single-partition window in the plan (the 100 TB guard)") {
+    val df = Sampling.queries("sp03_sequence_pack")(spark, sf)
+    // every Window node must partition by something: an empty
+    // partition spec would funnel the whole corpus into one task
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "sequence packing fell back to a global running-sum window"))
+  }
+
+  test("sp04: rates cap at 1, over-represented sources shrink, totals conserved") {
+    val rows = Sampling.queries("sp04_mixture_weights")(spark, sf).collect()
+    val k = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (nTok, share, rate, exp) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(rate > 0 && rate <= 1.0)
+      assert(math.abs(share - nTok.toDouble / total) < 1e-12)
+      // over target share → downsampled to exactly the target budget
+      if (nTok.toDouble > total.toDouble / k) {
+        assert(rate < 1.0 && math.abs(exp - total.toDouble / k) < 1e-9)
+      } else assert(rate == 1.0 && exp == nTok.toDouble)
+    }
+  }
+}
