@@ -217,6 +217,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The distributed inner loop of BPE tokenizer TRAINING: corpus-wide
+    * adjacent-pair frequencies, ranked with a deterministic tie-break
+    * — each merge round of a BPE trainer is exactly this aggregation,
+    * picks the top pair, rewrites, and repeats (tx05 covers the
+    * ENCODE side with a trained-vocab regex). Shape at 100 TB: pair
+    * extraction is a map-only codegen'd zip of each token array with
+    * its own tail (one row per pair occurrence, then map-side partial
+    * aggregation), one shuffle on the pair key, TakeOrdered for the
+    * top slice — no windows, no joins. */
+  def txBpeMergeRank(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("tokens", expr(tokensExpr))
+      .select(explode(expr(
+        """zip_with(slice(tokens, 1, size(tokens) - 1),
+          |  slice(tokens, 2, size(tokens) - 1),
+          |  (a, b) -> struct(a AS left_tok, b AS right_tok))""".stripMargin))
+        .as("p"))
+      .select(col("p.left_tok"), col("p.right_tok"))
+      .groupBy("left_tok", "right_tok").agg(count(lit(1)).as("cnt"))
+      // top-8 via TakeOrderedAndProject (per-partition top-8 + merge on
+      // the driver — never a global sort/window over the pair vocab);
+      // the rank window then runs on the 8 surviving rows only
+      .orderBy(desc("cnt"), col("left_tok"), col("right_tok")).limit(8)
+      .withColumn("pair_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), col("left_tok"), col("right_tok"))).cast("bigint"))
+      .select("pair_rank", "left_tok", "right_tok", "cnt")
+      .orderBy("pair_rank")
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -240,6 +269,7 @@ object TextOps {
     "tx08_contamination" -> (txContamination _),
     "tx09_length_quantiles" -> (txLengthQuantiles _),
     "tx10_zipf_rank" -> (txZipfRank _),
+    "tx11_bpe_merge_rank" -> (txBpeMergeRank _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -342,6 +372,14 @@ object TextOps {
         |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
         |FROM toks JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx11_bpe_merge_rank" ->
+      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),
+        |pairs AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT p[1] left_tok, p[2] right_tok, COUNT(*) cnt
+        |        FROM pairs GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, left_tok, right_tok) AS BIGINT) pair_rank,
+        |  left_tok, right_tok, cnt
+        |FROM cnt ORDER BY cnt DESC, left_tok, right_tok LIMIT 8""".stripMargin,
     "dd01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies

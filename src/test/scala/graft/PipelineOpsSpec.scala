@@ -77,6 +77,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "sequence packing fell back to a global running-sum window"))
   }
 
+  test("tx11: top-pair slice is TakeOrdered over a partial aggregate — no pair-vocab sort") {
+    import graft.operators.TextOps
+    val df = TextOps.queries("tx11_bpe_merge_rank")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-8 must not globally sort the pair vocabulary:\n$phys")
+    // the ranking window may only see the 8 surviving rows: it must
+    // sit ABOVE the TakeOrderedAndProject in the plan, never below
+    val lines = phys.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val topAt = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && topAt > winAt, "rank window must run on the top-8 rows only")
+    // deterministic: rank 1 is the corpus's most frequent adjacent pair
+    val rows = df.collect()
+    assert(rows.length == 8 && rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(rows.map(_.getLong(3)).toSeq.sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("sp04: rates cap at 1, over-represented sources shrink, totals conserved") {
     val rows = Sampling.queries("sp04_mixture_weights")(spark, sf).collect()
     val k = rows.length
