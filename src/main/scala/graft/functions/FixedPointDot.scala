@@ -97,6 +97,13 @@ object GraftFunctions {
     GraftBridge.column(HyperplaneBands(
       GraftBridge.expression(v), bands, rowsPerBand, seed))
 
+  /** `nprobe` nearest centroid ids (ascending (dist, cid)) as
+    * array<int> — the fused IVF assignment / probe-routing kernel. */
+  def centroidProbe(v: Column, centers: Seq[Seq[Float]], cids: Seq[Int],
+      cn2s: Seq[Double], nprobe: Int): Column =
+    GraftBridge.column(CentroidProbe(
+      GraftBridge.expression(v), centers, cids, cn2s, nprobe))
+
   /** Register graft's native expressions for SQL use in an existing
     * session (new sessions can instead set
     * spark.sql.extensions=graft.functions.GraftExtensions). */

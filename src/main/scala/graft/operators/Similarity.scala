@@ -188,24 +188,21 @@ object Similarity {
   private def ctr(cid: Int, emb: Seq[Float]): Ctr =
     Ctr(cid, emb, fixdotDriver(emb, emb).toDouble / 1e12)
 
-  /** Per-row distance/cid structs against the (small, literal) center
-    * set — each is one codegen'd fixdot, so nearest-centroid choices
-    * and probe routing are MAP-ONLY projections: no cross join, no
-    * argmin shuffle, one corpus scan. This is the 100 TB shape —
-    * centroids ship with the closure (a real deployment broadcasts
-    * them), the corpus streams by once. */
-  private def distStructs(centers: Seq[Ctr], v: Column): Seq[Column] =
-    centers.map { c =>
-      struct((lit(c.cn2) - lit(2.0) * graft.functions.GraftFunctions
-        .fixdotD(v, typedLit(c.cemb))).as("dist"), lit(c.cid).as("cid"))
-    }
+  /** The fused [[graft.functions.CentroidProbe]] kernel against the
+    * (small, driver-resident) center set: nearest-centroid choice and
+    * probe routing are MAP-ONLY projections — one compiled loop over
+    * all k centers per row, no cross join, no argmin shuffle, one
+    * corpus scan. This is the 100 TB shape — centroids ship with the
+    * expression (a real deployment broadcasts them), the corpus
+    * streams by once. */
+  private def probeCol(centers: Seq[Ctr], v: Column, nprobe: Int): Column =
+    graft.functions.GraftFunctions.centroidProbe(v,
+      centers.map(_.cemb), centers.map(_.cid), centers.map(_.cn2), nprobe)
 
-  /** argmin cid per row (ties on cid via struct ordering — identical
-    * to the min(struct(dist,cid)) aggregate it replaces). */
-  private def nearestCidCol(centers: Seq[Ctr], v: Column): Column = {
-    val ds = distStructs(centers, v)
-    (if (ds.sizeIs == 1) ds.head else least(ds: _*)).getField("cid")
-  }
+  /** argmin cid per row (ties on cid ascending — identical to the
+    * min(struct(dist,cid)) aggregate it replaces). */
+  private def nearestCidCol(centers: Seq[Ctr], v: Column): Column =
+    probeCol(centers, v, nprobe = 1).getItem(0)
 
   /** Train k centroids: hash-seeded picks refined by `iters` Lloyd
     * steps. Means are exact decimal sums cast back to float, so the
@@ -252,14 +249,12 @@ object Similarity {
     val lists = v.select(
       nearestCidCol(centers, col("embedding")).as("cid"),
       col("vec_id").as("nid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    // nprobe nearest lists per query: array_sort over the k dist
-    // structs (ascending (dist, cid) — the same order the row_number
-    // formulation used), slice, explode. Map-only.
+    // nprobe nearest lists per query: the same fused kernel with
+    // nprobe > 1 (ascending (dist, cid) — the same order the
+    // row_number formulation used), explode. Map-only.
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
-        explode(slice(array_sort(array(distStructs(
-          centers, col("embedding")): _*)), 1, nprobe)).as("pr"))
-      .select(col("qid"), col("qe"), col("qn"), col("pr.cid").as("cid"))
+        explode(probeCol(centers, col("embedding"), nprobe)).as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
     lists.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))

@@ -42,6 +42,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(abab.getAs[Long]("dup_bigram_n") == 1L)
   }
 
+  test("sp03/tx11/dd06: 1-token and sub-chunk documents flow through packing, pair counting, passage dedup") {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    Seq(
+      (1L, "solo", "en", "web", 4L),              // 1 token: no pairs
+      (2L, "a b c", "en", "web", 5L),             // sub-chunk passage
+      (3L, "a b c", "en", "web", 5L),             // exact dup of 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // packing over L=4: start offsets 0,1,4 → doc 3 starts in seq 1
+    val byId = operators.Sampling.spSequencePackFrom(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("bigint")),
+      seqLen = 4, bucketWidth = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byId(1L) == (0L, 0L, 0L))
+    assert(byId(2L) == (1L, 0L, 0L))
+    assert(byId(3L) == (4L, 1L, 1L))
+    // pair counting: doc 1 contributes nothing; (a,b) and (b,c) twice
+    val pairs = TextOps.queries("tx11_bpe_merge_rank")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(pairs == Map(("a", "b") -> 2L, ("b", "c") -> 2L))
+    // passage dedup: docs 2/3 are one identical sub-chunk passage each
+    val dup = operators.Dedup.queries("dd06_passage_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dup(1L) == (1L, 0L) && dup(2L) == (1L, 1L) && dup(3L) == (1L, 1L))
+  }
+
   test("sim07: an all-zero embedding scores NULL cosine and never outranks real neighbors") {
     import spark.implicits._
     val dir = tmpDir("emb")
