@@ -439,6 +439,23 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Anti join (NOT EXISTS): customers with no 1995 order, by market
+    * segment — the complement of q22's semi join. Plans as a broadcast
+    * or shuffled hash LEFT ANTI on the key (never a nested loop): the
+    * order-key side aggregates away dupes in the join itself, and the
+    * customer scan prunes to the three output-feeding columns. */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val active = orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .select("o_custkey")
+    customer(s, d)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("acctbal_sum"))
+      .orderBy("mktsegment")
+  }
+
   /** INTERSECT / EXCEPT (§2.7 beyond the reference's UNION-only set
     * ops): customers ordering in both 1995 and 1996, and in 1995 only.
     * Both set ops hash-aggregate on the key — one shuffle each, no
@@ -484,6 +501,7 @@ object Relational {
     "q30_asof_join" -> (q30 _),
     "q31_grouping_rollup" -> (q31 _),
     "q32_window_analytics" -> (q32 _),
+    "q33_anti_join" -> (q33 _),
     "q34_set_ops" -> (q34 _),
   )
 
@@ -713,6 +731,14 @@ object Relational {
         |  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
+    "q33_anti_join" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_inactive,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1996-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_set_ops" ->
       """WITH c95 AS (SELECT o_custkey FROM orders
         |             WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),

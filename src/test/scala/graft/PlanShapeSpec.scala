@@ -76,6 +76,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"semi join not broadcast:\n$plan")
   }
 
+  test("q33: NOT EXISTS is a hash LeftAnti, never a nested loop") {
+    val plan = physical(Relational.q33(spark, sf))
+    assert(plan.contains("LeftAnti"), s"anti join missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"anti join degenerated to a nested loop:\n$plan")
+  }
+
   test("q04: aggregation is partial (map-side combine) before the shuffle") {
     val plan = physical(Relational.q04(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate(keys=[l_orderkey"),
