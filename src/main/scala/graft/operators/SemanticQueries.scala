@@ -196,6 +196,32 @@ object SemanticQueries {
     }
   }
 
+  /** EXPLAIN for a reporting request (the `debug` request-parameter
+    * analogue, reference Request.scala:156): one row per covering
+    * variant with the request-aware and static costs the ranking used,
+    * the winner flagged, and the chosen plan's shape flags on the
+    * winning row. Deterministic config+cost metadata, so the oracle is
+    * a golden VALUES listing (like DESCRIBE): any drift in variant
+    * ranking or plan shape fails the hash. */
+  def explainRequest(json: String)(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = for {
+      req <- request.parse(json)
+      model <- RequestModel.from(req, registry)
+      r <- Planner.explain(model, s, dir)
+    } yield r
+    out match {
+      case Right((choices, p)) =>
+        choices.map(c => (c.name, c.estCost, c.staticCost, c.chosen,
+          if (c.chosen) Some(p.twoStage) else None,
+          if (c.chosen) Some(p.dimPaged) else None))
+          .toDF("variant", "est_cost", "static_cost", "chosen",
+            "two_stage", "dim_paged")
+          .orderBy("est_cost", "static_cost", "variant")
+      case Left(err) => throw new IllegalArgumentException(err)
+    }
+  }
+
   /** Same but exposing the planner decision (for tests). */
   def planFor(json: String, s: SparkSession, dir: String): Either[String, Planner.Planned] =
     for {
@@ -352,6 +378,7 @@ object SemanticQueries {
     "sem14_hourly_grain" -> (run(sem14Json) _),
     "sem15_minute_grain" -> (run(sem15Json) _),
     "sem16_int_decode" -> (run(sem16Json) _),
+    "sem17_explain" -> (explainRequest(sem01Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -483,6 +510,16 @@ object SemanticQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
         | AND o_orderstatus IN ('O', 'F')
         |GROUP BY 1 ORDER BY "Total Spend" DESC, "Order Priority" LIMIT 3""".stripMargin,
+    // EXPLAIN is planner metadata, so its oracle is the golden
+    // decision record — any drift in variant ranking, costs, or the
+    // chosen plan's shape flags fails the hash.
+    "sem17_explain" ->
+      """SELECT * FROM (VALUES
+        | ('orders_by_priority_day_rollup', CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE, FALSE, FALSE),
+        | ('orders_union_view', 20, 20, FALSE, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)),
+        | ('orders_base', 100, 100, FALSE, NULL, NULL)
+        |) AS t(variant, est_cost, static_cost, chosen, two_stage, dim_paged)
+        |ORDER BY est_cost, static_cost, variant""".stripMargin,
     // DESCRIBE is config metadata, so its oracle is the golden field
     // listing itself — any drift in the cube's public surface (fields,
     // kinds, data types, allowed ops) fails the hash.

@@ -37,8 +37,28 @@ object Planner {
   final case class Planned(df: DataFrame, factName: String, twoStage: Boolean,
       dimPaged: Boolean = false)
 
+  /** One candidate row of the planner's variant ranking — the debug
+    * surface behind the request `debug` parameter analogue (reference
+    * Request.scala:156 Parameter.Debug; QueryPipeline's query-chain
+    * debug output). */
+  final case class VariantChoice(name: String, estCost: Long,
+      staticCost: Long, chosen: Boolean)
+
   def plan(m: Model, spark: SparkSession, dir: String): Either[String, Planned] =
     chooseVariants(m).map(vs => planOn(m, vs.head, spark, dir))
+
+  /** The planner's decision record for a request: every covering
+    * variant with its request-aware and static costs (ranked order,
+    * winner flagged), plus the chosen plan for its shape flags. Plans
+    * are CONSTRUCTED, not executed — this is metadata, like EXPLAIN. */
+  def explain(m: Model, spark: SparkSession,
+      dir: String): Either[String, (Seq[VariantChoice], Planned)] =
+    chooseVariants(m).map { vs =>
+      val choices = vs.zipWithIndex.map { case (v, i) =>
+        VariantChoice(v.name, estimatedCost(v, m)._1, v.cost, i == 0)
+      }
+      (choices, planOn(m, vs.head, spark, dir))
+    }
 
   /** Fallback execution (QueryPipelineWithFallback analogue, reference
     * QueryPipeline.scala:111-152,325-339): run the cheapest covering
