@@ -72,4 +72,40 @@ class PartitionedCubeSpec extends AnyFunSuite {
       .count()
     assert(rows.map(_.getLong(1)).sum == want)
   }
+
+  test("dim-filter join prunes fact partitions at RUNTIME (dynamic partition pruning)") {
+    writeOnce()
+    import spark.implicits._
+    // a calendar dim mapping month → quarter: the request filters the
+    // DIM side only, so static pruning can't help — the month set is
+    // known only once the (broadcast) dim is built, and Spark must
+    // inject it into the fact scan as a dynamic partition filter. At
+    // 100 TB this is the difference between scanning 3 months and 10
+    // years when the user filters on any dim attribute of time.
+    // the dim must be a real datasource scan: over a LocalRelation the
+    // quarter filter constant-folds away and DPP has no Filter to lift
+    val calLoc = new java.io.File("target/test-partitioned/calendar").getAbsolutePath
+    (1 to 12).map(m => (f"1995-$m%02d", s"1995-Q${(m - 1) / 3 + 1}"))
+      .toDF("cal_month", "quarter")
+      .write.mode("overwrite").parquet(calLoc)
+    val cal = spark.read.parquet(calLoc)
+    val fact = spark.read.parquet(loc)
+    val joined = fact.join(broadcast(cal), col("o_month") === col("cal_month"))
+      .filter(col("quarter") === "1995-Q2")
+      .groupBy("o_month").agg(count(lit(1)).as("n"))
+      .orderBy("o_month")
+    val rows = joined.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1995-04", "1995-05", "1995-06"))
+    val scan = PlanInspect.scans(joined.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("orders_by_month")))
+      .get
+    assert(scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning filter on the fact scan:\n${scan.partitionFilters}")
+    // the runtime-pruned scan must touch exactly the quarter's
+    // partitions — selectedPartitions only sees STATIC filters, so
+    // read the scan's post-execution metric instead
+    assert(scan.metrics("numPartitions").value == 3,
+      s"expected 3 runtime-pruned partitions, got ${scan.metrics("numPartitions").value} " +
+        s"of ${scan.selectedPartitions.partitionCount} statically selected")
+  }
 }
