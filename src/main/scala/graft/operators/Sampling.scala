@@ -127,11 +127,38 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic corpus shuffle for training-data export: every doc
+    * gets a content-independent salted-md5 sort key; docs are sharded
+    * by the key and ranked within their shard by it. The result is a
+    * reproducible global permutation materialized as (shard, rank) —
+    * what an exporter writes as shuffled training shards so
+    * consecutive training batches never replay ingestion order.
+    *
+    * Scale shape: ONE hash shuffle on the shard id, then a per-shard
+    * sort window of n/shards rows — `shards` is the knob that keeps a
+    * shard's sort partition bounded at any corpus size (pick shards ≈
+    * corpus/10⁶ in production; 8 here so the tiny corpora still
+    * exercise multi-row shards). Never a global sort or a global
+    * row_number. */
+  def spCorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val shards = 8
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(md5(concat(lit("shuffle:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("bigint")
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), key.as("key"), (key % shards).as("shard"))
+      .withColumn("shuffle_rank", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "shuffle_rank")
+      .orderBy("shard", "shuffle_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp01_split_assign" -> (spSplit _),
     "sp02_stratified_sample" -> (spStratified _),
     "sp03_sequence_pack" -> (spSequencePack _),
     "sp04_mixture_weights" -> (spMixtureWeights _),
+    "sp05_corpus_shuffle" -> (spCorpusShuffle _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +200,12 @@ object Sampling {
         |  LEAST(1.0, (CAST(total AS DOUBLE) / k) / n_tokens) AS sample_rate,
         |  LEAST(CAST(n_tokens AS DOUBLE), CAST(total AS DOUBLE) / k) AS expected_tokens
         |FROM per, tot ORDER BY source""".stripMargin,
+    "sp05_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shuffle:' || doc_id), 1, 15)) AS BIGINT) skey
+        |  FROM documents)
+        |SELECT doc_id, skey % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM k ORDER BY shard, shuffle_rank""".stripMargin,
   )
 }

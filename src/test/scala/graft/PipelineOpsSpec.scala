@@ -95,6 +95,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).toSeq.sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("sp05: deterministic shuffle is a valid sharded permutation, never ingestion order") {
+    val a = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
+    val b = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "the shuffle must be reproducible run-to-run")
+    // every doc appears exactly once; per-shard ranks are 1..|shard|
+    val n = a.length
+    assert(a.map(_.getLong(0)).distinct.length == n)
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard ranks not contiguous")
+    }
+    // the permutation must break ingestion order: within some shard,
+    // consecutive ranks are non-consecutive doc_ids
+    val broken = a.groupBy(_.getLong(1)).values.exists { rows =>
+      val ids = rows.sortBy(_.getLong(2)).map(_.getLong(0))
+      ids.zip(ids.tail).exists { case (x, y) => y != x + 1 }
+    }
+    assert(broken, "shuffle preserved ingestion order")
+    // scale guard: the rank window partitions by shard, never globally
+    val windows = Sampling.queries("sp05_corpus_shuffle")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("sp04: rates cap at 1, over-represented sources shrink, totals conserved") {
     val rows = Sampling.queries("sp04_mixture_weights")(spark, sf).collect()
     val k = rows.length
