@@ -33,8 +33,13 @@ case class CentroidProbe(child: Expression, centers: Seq[Seq[Float]],
 
   require(centers.nonEmpty && centers.length == cids.length &&
     centers.length == cn2s.length, "centers/cids/cn2s must align")
-  require(nprobe >= 1 && nprobe <= centers.length,
-    "1 <= nprobe <= k required")
+  require(nprobe >= 1, "nprobe >= 1 required")
+
+  /** Clamped like the slice() formulation this kernel replaced: a
+    * quantizer can legitimately come back with fewer than nprobe
+    * populated lists (duplicate seeds tie on assignment, a Lloyd step
+    * can empty a cluster) — probe them all rather than crash. */
+  private def probes: Int = math.min(nprobe, centers.length)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -75,8 +80,9 @@ case class CentroidProbe(child: Expression, centers: Seq[Seq[Float]],
       j += 1
     }
     // partial selection sort on (dist, cid): nprobe smallest to front
+    val np = probes
     var s = 0
-    while (s < nprobe) {
+    while (s < np) {
       var best = s
       var t = s + 1
       while (t < k) {
@@ -88,9 +94,9 @@ case class CentroidProbe(child: Expression, centers: Seq[Seq[Float]],
       val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
       s += 1
     }
-    val out = new Array[Int](nprobe)
+    val out = new Array[Int](np)
     var o = 0
-    while (o < nprobe) { out(o) = cIds(idx(o)); o += 1 }
+    while (o < np) { out(o) = cIds(idx(o)); o += 1 }
     new GenericArrayData(out)
   }
 

@@ -49,7 +49,7 @@ object Dedup {
     * corpora. */
   private[graft] def shingle(docs: DataFrame): DataFrame =
     docs
-      .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("tokens", expr(TextOps.tokensExpr))
       .filter(size(col("tokens")) >= 5)
       .withColumn("shingles", expr(
         """array_distinct(transform(sequence(0, size(tokens) - 5),
@@ -179,7 +179,7 @@ object Dedup {
   private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"),
-        explode(expr("array_distinct(split(trim(text), '\\\\s+'))")).as("t"))
+        explode(expr(s"array_distinct(${TextOps.tokensExpr})")).as("t"))
       .select(col("doc_id"), md5(col("t")).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
@@ -355,7 +355,7 @@ object Dedup {
 
   private[graft] def ddPassageDedupFrom(docs: DataFrame, chunk: Int): DataFrame = {
     val pas = docs
-      .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("tokens", expr(TextOps.tokensExpr))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (size(tokens) - 1) DIV $chunk),
            |  i -> md5(concat_ws(' ', slice(tokens, i * $chunk + 1, $chunk))))""".stripMargin))

@@ -55,10 +55,10 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** Tokens-per-doc in the repo-wide whitespace convention (TextOps). */
+  /** Tokens-per-doc in the repo-wide whitespace convention. */
   private def withTok(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("n_tok",
-      size(expr("split(trim(text), '\\\\s+')")).cast("bigint"))
+      size(expr(TextOps.tokensExpr)).cast("bigint"))
 
   /** Concat-and-chunk sequence packing (the LLM-pretraining layout):
     * all documents are logically concatenated in doc_id order and cut

@@ -361,10 +361,11 @@ object Similarity {
        |  sqrt(CAST(list_sum(list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
        |  FROM embeddings),
-       |pc AS (SELECT p, list_transform(range(0, 64), i ->
+       |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) dim FROM embeddings),
+       |pc AS (SELECT p, list_transform(range(0, dim), i ->
        |    CASE WHEN substr(md5('$seed:' || p || ':' || i), 1, 1)
        |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END) coefs
-       |  FROM range(0, $planes) t(p)),
+       |  FROM range(0, $planes) t(p), dims),
        |sums AS (SELECT v.vec_id, pc.p,
        |  CAST(list_sum(list_transform(list_zip(v.embedding, pc.coefs),
        |    z -> CAST(z[2] AS BIGINT) * CAST(floor(CAST(z[1] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) s

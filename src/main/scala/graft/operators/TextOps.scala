@@ -12,7 +12,11 @@ import graft.core.Tables._
   */
 object TextOps {
 
-  private val tokensExpr = "split(trim(text), '\\\\s+')"
+  /** The repo-wide whitespace tokenization — five oracle-hashed
+    * operator families depend on this exact string (the DuckDB side is
+    * `string_split_regex(trim(text), '\s+')`); shared so a future
+    * tweak can't desynchronize token counts between tx*, sp*, dd*. */
+  private[operators] val tokensExpr = "split(trim(text), '\\\\s+')"
 
   /** Per-document quality metrics: token counts, uniq-token ratio,
     * punctuation ratio, mean token length, stopword ratio. */
