@@ -371,13 +371,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical selection across a duplicate cluster (the "keep the
+    * best copy" step of a multi-source corpus merge): every member of
+    * a near-dup cluster (dd05's connected components) is scored by a
+    * deterministic quality signal (uniq-token ratio of the RAW text —
+    * copies that normalize identically can still differ in casing /
+    * punctuation), and the cluster keeps its argmax (ties → lowest
+    * doc_id). Scale shape: the argmax is max(struct(score, -doc_id))
+    * — a map-side-combined aggregate joined back on the cluster key,
+    * never a window over a possibly-100M-member boilerplate cluster
+    * (the same discipline as dd05's cluster sizes). */
+  def ddCanonicalPick(s: SparkSession, d: String): DataFrame = {
+    val labels = ddComponents(s, d).select("doc_id", "canonical_doc")
+    val qual = documents(s, d)
+      .withColumn("tokens", expr(TextOps.tokensExpr))
+      .select(col("doc_id"),
+        (size(array_distinct(col("tokens"))).cast("double")
+          / size(col("tokens"))).as("uniq_ratio"))
+    val scored = labels.join(qual, "doc_id")
+    val best = scored.groupBy("canonical_doc")
+      .agg(max(struct(col("uniq_ratio"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("canonical_doc"), (-col("b.neg_id")).as("best_doc"))
+    scored.join(best, "canonical_doc")
+      .select(col("doc_id"), col("canonical_doc").as("cluster"),
+        col("best_doc"), (col("doc_id") === col("best_doc")).as("kept"),
+        col("uniq_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
     "dd03_minhash_lsh" -> (ddMinhashLsh _),
     "dd04_simhash" -> (ddSimhash _),
     "dd05_components" -> (ddComponents _),
     "dd06_passage_dedup" -> (ddPassageDedup _),
+    "dd07_canonical_pick" -> (ddCanonicalPick _),
   )
+
+  /** Shared oracle CTEs for dd05/dd07: shingles → verified Jaccard
+    * pairs → undirected edges → transitive closure (`reach`) →
+    * per-doc cluster label `lab(doc_id, canonical_doc)`. Also leaves
+    * `tok` in scope for quality scoring. */
+  private val ccClosureCtes: String =
+    """tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+      |       FROM tok WHERE len(t) >= 5),
+      |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
+      |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT x, y FROM cand
+      |          JOIN sh sa ON sa.doc_id = x JOIN sh sb ON sb.doc_id = y
+      |          WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2),
+      |e AS (SELECT x a, y b FROM pairs UNION SELECT y, x FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |                UNION
+      |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_doc
+      |        FROM reach GROUP BY a)""".stripMargin
 
   /** DuckDB replica of [[simhashSignatures]]+[[ddSimhash]]: identical
     * md5-derived token bits, identical vote rule, brute-force pairs
@@ -434,25 +485,26 @@ object Dedup {
     // closure: comp(a) = min over everything reachable from a — the
     // declarative ground truth for the star-contraction algorithm
     "dd05_components" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
-        |       FROM tok WHERE len(t) >= 5),
-        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
-        |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
-        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT x, y FROM cand
-        |          JOIN sh sa ON sa.doc_id = x JOIN sh sb ON sb.doc_id = y
-        |          WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2),
-        |e AS (SELECT x a, y b FROM pairs UNION SELECT y, x FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM e
-        |                UNION
-        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_doc
-        |        FROM reach GROUP BY a)
-        |SELECT doc_id, canonical_doc,
-        |  COUNT(*) OVER (PARTITION BY canonical_doc) AS cluster_size
-        |FROM lab ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ccClosureCtes
+         |SELECT doc_id, canonical_doc,
+         |  COUNT(*) OVER (PARTITION BY canonical_doc) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // dd05's transitive closure + the raw-text quality score + a
+    // per-cluster argmax (ratio DESC, doc_id ASC — the same order as
+    // max(struct(uniq_ratio, -doc_id)))
+    "dd07_canonical_pick" ->
+      s"""WITH RECURSIVE $ccClosureCtes,
+         |q AS (SELECT doc_id,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio FROM tok),
+         |sc AS (SELECT l.doc_id, l.canonical_doc, q.uniq_ratio
+         |       FROM lab l JOIN q USING (doc_id)),
+         |best AS (SELECT canonical_doc, doc_id AS best_doc FROM (
+         |  SELECT canonical_doc, doc_id,
+         |    row_number() OVER (PARTITION BY canonical_doc
+         |      ORDER BY uniq_ratio DESC, doc_id) rn FROM sc) t WHERE rn = 1)
+         |SELECT sc.doc_id, sc.canonical_doc AS cluster, best.best_doc,
+         |  sc.doc_id = best.best_doc AS kept, sc.uniq_ratio
+         |FROM sc JOIN best USING (canonical_doc) ORDER BY sc.doc_id""".stripMargin,
     // the exact-Jaccard≥0.5 pair set: equals dd03's output because the
     // LSH verify step admits only exact-J≥0.5 pairs and the banding's
     // recall on this corpus is complete (see ddMinhashLsh scaladoc)

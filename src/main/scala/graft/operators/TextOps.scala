@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 
@@ -82,14 +82,19 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Normalized content fingerprint shared by dd01 (exact dedup) and
+    * dd07 (canonical pick) — lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. */
+  private[operators] def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
   /** Exact deduplication via hash-groupBy on the normalized
     * fingerprint: one shuffle on the 128-bit hash; canonical doc =
     * min(doc_id) per group. */
   def ddExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .groupBy(md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
-        .as("fingerprint"))
+      .groupBy(fingerprintCol(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
       .orderBy("fingerprint")
 

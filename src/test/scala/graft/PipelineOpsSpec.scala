@@ -95,6 +95,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).toSeq.sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("dd07: the cluster keeps its highest-quality member, not its lowest id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd07").toFile
+    dir.deleteOnExit()
+    // docs 10/11 share 4 of 8 distinct 5-gram shingles (Jaccard 0.5 →
+    // one cluster); 10 is the min id but repeats tokens (uniq 8/11),
+    // 11 is clean (uniq 1.0) and must be kept. 20 is a singleton.
+    Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w1 w1", "en", "srcA", 0L),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 x9", "en", "srcB", 0L),
+      (20L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val rows = Dedup.queries("dd07_canonical_pick")(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    Dedup.releaseCaches()
+    assert(rows.keySet == Set(10L, 11L), "only cluster members are scored")
+    assert(rows(10L) == (10L, 11L, false), "the min-id copy loses on quality")
+    assert(rows(11L) == (10L, 11L, true), "the clean copy is kept")
+  }
+
   test("sp05: deterministic shuffle is a valid sharded permutation, never ingestion order") {
     val a = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
     val b = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
