@@ -136,14 +136,47 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** 7-day rolling distinct users per day, by the EXPLODE-to-window-
+    * ends shape: each distinct (user, active-day) pair contributes to
+    * the 7 window ends it falls inside, then one count-distinct per
+    * window end. The naive alternatives both die at 100 TB: a
+    * `count_distinct OVER (ORDER BY day RANGE 6 PRECEDING)` is a
+    * single-partition window over the whole corpus, and a per-day
+    * self-join re-scans activity 7×. Here the 7× fan-out happens on
+    * the already-deduplicated (user, day) pairs — tiny next to raw
+    * events — and the count shuffles once on window_end. Window ends
+    * past the last active day are dropped via a semi join against the
+    * (small, broadcast) distinct-day set. */
+  def evRollingDau(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    ud.select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("window_end"))
+      .join(broadcast(days.withColumnRenamed("day", "window_end")),
+        Seq("window_end"), "left_semi")
+      .groupBy("window_end")
+      .agg(count_distinct(col("user_id")).as("dau_7d"))
+      .orderBy("window_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_funnel" -> (evFunnel _),
     "ev02_retention" -> (evRetention _),
     "ev03_path_transitions" -> (evPaths _),
     "ev04_attribution_window" -> (evAttribution _),
+    "ev05_rolling_dau" -> (evRollingDau _),
   )
 
   val oracle: Map[String, String] = Map(
+    "ev05_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) aday FROM events),
+        |days AS (SELECT DISTINCT aday FROM ud),
+        |contrib AS (SELECT user_id, aday + CAST(k AS INTEGER) AS window_end
+        |            FROM ud, range(0, 7) t(k))
+        |SELECT window_end, COUNT(DISTINCT user_id) AS dau_7d
+        |FROM contrib WHERE window_end IN (SELECT aday FROM days)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical running-min window formulation; epoch_us(ts) matches
     // Spark's ns→µs floor truncation
     "ev01_funnel" ->
