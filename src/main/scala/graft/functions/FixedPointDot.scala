@@ -77,6 +77,63 @@ case class FixedPointDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: exact integer dot product of two
+  * int vectors — Σ aᵢ·bᵢ as BIGINT. The int8-quantized analogue of
+  * [[FixedPointDot]] (sim07's scale path): products and sums are
+  * exact in long, so results are engine-portable by construction.
+  * Same rationale as FixedPointDot — a tight codegen'd primitive
+  * loop instead of an interpreted `aggregate(zip_with(...))` fold. */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intdot requires two array<int> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intdot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        acc += a.getInt(i).toLong * b.getInt(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers for graft's native expressions. */
 object GraftFunctions {
   /** Exact fixed-point dot product (scaled by 1e12) as BIGINT. */
@@ -96,6 +153,11 @@ object GraftFunctions {
       seed: Long): Column =
     GraftBridge.column(HyperplaneBands(
       GraftBridge.expression(v), bands, rowsPerBand, seed))
+
+  /** Exact integer dot product of two array<int> columns as BIGINT. */
+  def intdot(a: Column, b: Column): Column =
+    GraftBridge.column(IntDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** `nprobe` nearest centroid ids (ascending (dist, cid)) as
     * array<int> — the fused IVF assignment / probe-routing kernel. */

@@ -318,16 +318,14 @@ object Similarity {
       .withColumn("q", expr(
         """transform(embedding, x -> cast(floor(cast(x as double)
           |  * (127.0d / (case when mx > 0d then mx else 1.0d end)) + 0.5d) as int))""".stripMargin))
-      .withColumn("self", expr(
-        "aggregate(q, 0L, (acc, x) -> acc + cast(x as bigint) * x)"))
+      .withColumn("self", graft.functions.GraftFunctions.intdot(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("self"))
     val lhs = broadcast(qv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("self").as("sa")))
     val rhs = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("self").as("sb"))
     val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("nid"))
     rhs.join(lhs, col("qid") =!= col("nid"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qa, qb, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qdot", graft.functions.GraftFunctions.intdot(col("qa"), col("qb")))
       // NULL (not NaN) for a zero vector: Spark's 0/0.0 is NaN, which
       // sorts FIRST under desc() and would crown zero vectors rank-1
       // everywhere; DuckDB's 0/0 is NULL (sorts last) — align on NULL

@@ -31,6 +31,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("intdot matches the aggregate/zip_with integer formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1, -2, 3), Array(4, 5, -6)),
+      (Array(127, 127, 127), Array(127, 127, 127)),
+      (Array(Int.MaxValue, 1), Array(2, 2))) // per-product long, no int overflow
+      .toDF("a", "b")
+      .select(GraftFunctions.intdot(col("a"), col("b")).as("native"),
+        expr("""aggregate(zip_with(a, b, (x, y) -> cast(x as bigint) * y),
+               |  0L, (acc, v) -> acc + v)""".stripMargin).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(4L - 10L - 18L, 3L * 127L * 127L, Int.MaxValue * 2L + 2L))
+  }
+
   test("fixdot matches a driver-side reference on a known vector") {
     import spark.implicits._
     val a = Array(0.5f, -1.25f, 3.0f)
