@@ -95,6 +95,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).toSeq.sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("dd06/ev05: hash joins only, partial aggregation before every shuffle") {
+    import graft.operators.{Dedup, Events}
+    for ((name, df) <- Seq(
+        "dd06" -> Dedup.queries("dd06_passage_dedup")(spark, sf),
+        "ev05" -> Events.queries("ev05_rolling_dau")(spark, sf))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"$name degenerated to a nested loop:\n$phys")
+      assert(phys.contains("partial_count") || phys.contains("partial_"),
+        s"$name lost map-side partial aggregation:\n$phys")
+    }
+  }
+
   test("dd07: the cluster keeps its highest-quality member, not its lowest id") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dd07").toFile
