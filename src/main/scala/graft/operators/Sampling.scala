@@ -105,6 +105,29 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** The materialized form of [[spSequencePack]]: one row per
+    * (sequence, document) span — which token range of each document
+    * lands in which fixed-length training sequence. This is the table
+    * a trainer's data loader actually consumes (seq_id → ordered doc
+    * slices); straddling documents emit one span per sequence they
+    * cross. Same two-phase prefix sum as sp03, then a map-only explode
+    * of each doc's [first_seq, last_seq] range — fan-out is
+    * ⌈n_tok/seqLen⌉+1 per doc, never data-dependent skew. */
+  def spPackSpans(s: SparkSession, d: String): DataFrame =
+    spPackSpansFrom(withTok(s, d), seqLen = 512, bucketWidth = 100)
+
+  private[graft] def spPackSpansFrom(docs: DataFrame, seqLen: Int,
+      bucketWidth: Int): DataFrame =
+    spSequencePackFrom(docs, seqLen, bucketWidth)
+      .withColumn("seq_id", explode(expr("sequence(first_seq, last_seq)")))
+      .withColumn("doc_tok_start",
+        greatest(lit(0L), expr(s"seq_id * ${seqLen}L - start_off")))
+      .withColumn("n_tok_in_seq",
+        least(col("start_off") + col("n_tok"), expr(s"(seq_id + 1) * ${seqLen}L"))
+          - greatest(col("start_off"), expr(s"seq_id * ${seqLen}L")))
+      .select("seq_id", "doc_id", "doc_tok_start", "n_tok_in_seq")
+      .orderBy("seq_id", "doc_id")
+
   /** Domain-mixture reweighting: per-source sampling rates that move
     * the token mixture toward a uniform target share (the static
     * DoReMi-style reweight). Per-source token totals are one partial-
@@ -159,6 +182,7 @@ object Sampling {
     "sp03_sequence_pack" -> (spSequencePack _),
     "sp04_mixture_weights" -> (spMixtureWeights _),
     "sp05_corpus_shuffle" -> (spCorpusShuffle _),
+    "sp06_pack_spans" -> (spPackSpans _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,6 +224,21 @@ object Sampling {
         |  LEAST(1.0, (CAST(total AS DOUBLE) / k) / n_tokens) AS sample_rate,
         |  LEAST(CAST(n_tokens AS DOUBLE), CAST(total AS DOUBLE) / k) AS expected_tokens
         |FROM per, tot ORDER BY source""".stripMargin,
+    "sp06_pack_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |off AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) start_off
+        |  FROM tok),
+        |spans AS (SELECT doc_id, n_tok, start_off,
+        |  unnest(range(start_off // 512, (start_off + n_tok - 1) // 512 + 1)) AS seq_id
+        |  FROM off)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - start_off) AS doc_tok_start,
+        |  LEAST(start_off + n_tok, (seq_id + 1) * 512)
+        |    - GREATEST(start_off, seq_id * 512) AS n_tok_in_seq
+        |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
     "sp05_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5('shuffle:' || doc_id), 1, 15)) AS BIGINT) skey

@@ -65,6 +65,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sp06: spans tile every sequence exactly and conserve every document") {
+    val spans = Sampling.spPackSpansFrom(
+      graft.core.Tables.documents(spark, sf).withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("bigint")),
+      seqLen = 64, bucketWidth = 50).collect()
+    // per sequence: spans sum to exactly 64 tokens (except the last)
+    val bySeq = spans.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, tot) =>
+      if (seq != lastSeq) assert(tot == 64L, s"seq $seq holds $tot tokens")
+      else assert(tot >= 1L && tot <= 64L)
+    }
+    // per doc: spans conserve the doc's token count, starts are contiguous
+    val byDoc = spans.groupBy(_.getLong(1))
+    val toks = Sampling.spSequencePackFrom(
+      graft.core.Tables.documents(spark, sf).withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("bigint")),
+      seqLen = 64, bucketWidth = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, rows) =>
+      assert(rows.map(_.getLong(3)).sum == toks(doc), s"doc $doc lost tokens")
+      val sorted = rows.sortBy(_.getLong(0))
+      val starts = sorted.map(_.getLong(2))
+      val lens = sorted.map(_.getLong(3))
+      starts.zip(lens).zip(starts.tail).foreach { case ((st, ln), nxt) =>
+        assert(st + ln == nxt, s"doc $doc spans not contiguous")
+      }
+      assert(starts.head == 0L)
+    }
+  }
+
   test("sp03: no global single-partition window in the plan (the 100 TB guard)") {
     val df = Sampling.queries("sp03_sequence_pack")(spark, sf)
     // every Window node must partition by something: an empty
