@@ -322,10 +322,15 @@ object Dedup {
     * (minimum) doc_id, and the cluster size. Downstream dedup keeps
     * `doc_id = canonical_doc` and drops the rest. */
   def ddComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = memo(s, d, "ccpairs")(
-      ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
-    val labels = connectedComponents(pairs)
-      .select(col("doc_id"), col("canonical").as("canonical_doc"))
+    // labels are memoized alongside the pairs: the contraction is
+    // iterative (localCheckpoint per round), so recomputing it for a
+    // second consumer (dd07's canonical pick) would redo every round
+    val labels = memo(s, d, "cclabels") {
+      val pairs = memo(s, d, "ccpairs")(
+        ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
+      connectedComponents(pairs)
+        .select(col("doc_id"), col("canonical").as("canonical_doc"))
+    }
     // cluster sizes via groupBy + join, NOT a window over canonical_doc:
     // a window would funnel a whole (possibly 100M-member boilerplate)
     // cluster into one sort task; the aggregate is map-side partial and
