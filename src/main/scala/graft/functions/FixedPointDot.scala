@@ -82,7 +82,13 @@ case class FixedPointDot(left: Expression, right: Expression)
   * [[FixedPointDot]] (sim07's scale path): products and sums are
   * exact in long, so results are engine-portable by construction.
   * Same rationale as FixedPointDot — a tight codegen'd primitive
-  * loop instead of an interpreted `aggregate(zip_with(...))` fold. */
+  * loop instead of an interpreted `aggregate(zip_with(...))` fold —
+  * and the same element semantics: null SLOTS are skipped and a
+  * length mismatch truncates to the shorter vector (the zip_with fold
+  * it replaced instead nulled the whole sum; sim07's quantized arrays
+  * are non-null fixed-dim transforms of the embedding column, so the
+  * two agree there, and the skip-null convention keeps the whole dot
+  * family consistent). */
 case class IntDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

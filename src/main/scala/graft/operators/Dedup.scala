@@ -321,16 +321,19 @@ object Dedup {
     * an exact-Jaccard ≥ 0.2 near-dup pair, its cluster's canonical
     * (minimum) doc_id, and the cluster size. Downstream dedup keeps
     * `doc_id = canonical_doc` and drops the rest. */
-  def ddComponents(s: SparkSession, d: String): DataFrame = {
-    // labels are memoized alongside the pairs: the contraction is
-    // iterative (localCheckpoint per round), so recomputing it for a
-    // second consumer (dd07's canonical pick) would redo every round
-    val labels = memo(s, d, "cclabels") {
-      val pairs = memo(s, d, "ccpairs")(
+  /** The per-doc cluster label frame, memoized: the contraction is
+    * iterative (localCheckpoint per round — it materializes its own
+    * input, so the pair frame needs no cache of its own), and both
+    * dd05 and dd07 consume the labels. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cclabels") {
+      connectedComponents(
         ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
-      connectedComponents(pairs)
         .select(col("doc_id"), col("canonical").as("canonical_doc"))
     }
+
+  def ddComponents(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabels(s, d)
     // cluster sizes via groupBy + join, NOT a window over canonical_doc:
     // a window would funnel a whole (possibly 100M-member boilerplate)
     // cluster into one sort task; the aggregate is map-side partial and
@@ -387,13 +390,16 @@ object Dedup {
     * never a window over a possibly-100M-member boilerplate cluster
     * (the same discipline as dd05's cluster sizes). */
   def ddCanonicalPick(s: SparkSession, d: String): DataFrame = {
-    val labels = ddComponents(s, d).select("doc_id", "canonical_doc")
-    val qual = documents(s, d)
+    // the memoized label frame directly — not ddComponents, whose
+    // cluster-size aggregate+join would ride along only to be pruned.
+    // Tokenization happens AFTER the join so the (expensive) text scan
+    // is confined to cluster members, and the agg+join-back's double
+    // reference re-tokenizes members only, never the whole corpus.
+    val scored = ccLabels(s, d).join(documents(s, d), "doc_id")
       .withColumn("tokens", expr(TextOps.tokensExpr))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("canonical_doc"),
         (size(array_distinct(col("tokens"))).cast("double")
           / size(col("tokens"))).as("uniq_ratio"))
-    val scored = labels.join(qual, "doc_id")
     val best = scored.groupBy("canonical_doc")
       .agg(max(struct(col("uniq_ratio"), (-col("doc_id")).as("neg_id"))).as("b"))
       .select(col("canonical_doc"), (-col("b.neg_id")).as("best_doc"))

@@ -144,17 +144,20 @@ object Events {
     * single-partition window over the whole corpus, and a per-day
     * self-join re-scans activity 7×. Here the 7× fan-out happens on
     * the already-deduplicated (user, day) pairs — tiny next to raw
-    * events — and the count shuffles once on window_end. Window ends
-    * past the last active day are dropped via a semi join against the
-    * (small, broadcast) distinct-day set. */
+    * events — and the count shuffles once on window_end. The report
+    * covers the DENSE calendar range [first active day, last active
+    * day] — an interior day with no same-day events still gets its
+    * (nonzero) trailing-window count; only window ends past the last
+    * active day are dropped, via a semi join against the (tiny,
+    * broadcast) calendar frame. */
   def evRollingDau(s: SparkSession, d: String): DataFrame = {
     val ud = events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val days = ud.select("day").distinct()
+    val calendar = ud.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("window_end"))
     ud.select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("k"))
       .select(col("user_id"), date_add(col("day"), col("k")).as("window_end"))
-      .join(broadcast(days.withColumnRenamed("day", "window_end")),
-        Seq("window_end"), "left_semi")
+      .join(broadcast(calendar), Seq("window_end"), "left_semi")
       .groupBy("window_end")
       .agg(count_distinct(col("user_id")).as("dau_7d"))
       .orderBy("window_end")
@@ -171,11 +174,12 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ev05_rolling_dau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) aday FROM events),
-        |days AS (SELECT DISTINCT aday FROM ud),
+        |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) wend
+        |        FROM (SELECT min(aday) mn, max(aday) mx FROM ud)),
         |contrib AS (SELECT user_id, aday + CAST(k AS INTEGER) AS window_end
         |            FROM ud, range(0, 7) t(k))
         |SELECT window_end, COUNT(DISTINCT user_id) AS dau_7d
-        |FROM contrib WHERE window_end IN (SELECT aday FROM days)
+        |FROM contrib WHERE window_end IN (SELECT wend FROM cal)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical running-min window formulation; epoch_us(ts) matches
     // Spark's ns→µs floor truncation

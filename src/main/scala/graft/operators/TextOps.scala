@@ -82,9 +82,8 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Normalized content fingerprint shared by dd01 (exact dedup) and
-    * dd07 (canonical pick) — lowercase, strip non-alphanumerics,
-    * collapse whitespace, md5. */
+  /** Normalized content fingerprint (dd01's exact-dedup key) —
+    * lowercase, strip non-alphanumerics, collapse whitespace, md5. */
   private[operators] def fingerprintCol(text: Column): Column =
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))

@@ -46,6 +46,17 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(4L - 10L - 18L, 3L * 127L * 127L, Int.MaxValue * 2L + 2L))
   }
 
+  test("intdot pins the FixedPointDot element semantics: skip null slots, truncate to shorter") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array[java.lang.Integer](1, null, 3), Array[java.lang.Integer](10, 20, 30)),
+      (Array[java.lang.Integer](2, 2, 2, 2), Array[java.lang.Integer](5, 5)))
+      .toDF("a", "b")
+      .select(GraftFunctions.intdot(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(10L + 90L, 20L))
+  }
+
   test("fixdot matches a driver-side reference on a known vector") {
     import spark.implicits._
     val a = Array(0.5f, -1.25f, 3.0f)
