@@ -21,11 +21,26 @@ object Caches {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame =
-    bySession.synchronized {
+  /** NOT computeIfAbsent: `mk` may itself call back into this registry
+    * (connectedComponents track()s its per-round checkpoints while
+    * ccLabels memoizes the result), and ConcurrentHashMap throws
+    * "Recursive update" on re-entrant mutation of a colliding bin. The
+    * get / putIfAbsent race is benign: a concurrent duplicate compute
+    * produces an identical lazy frame, and the loser's .cache() handle
+    * is unpersisted rather than leaked. */
+  def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+    val m = bySession.synchronized {
       bySession.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }.computeIfAbsent(key, _ => mk.cache())
+    }
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val fresh = mk.cache()
+      val prior = m.putIfAbsent(key, fresh)
+      if (prior != null) { fresh.unpersist(); prior } else fresh
+    }
+  }
 
   private val objBySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -34,11 +49,21 @@ object Caches {
   /** Memoize a driver-side VALUE (e.g. a trained coarse quantizer —
     * k×dim index metadata) per (session, key); released with the same
     * release()/releaseAll() lifecycle as the cached frames. */
-  def memoObj[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T =
-    objBySession.synchronized {
+  def memoObj[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = {
+    val m = objBySession.synchronized {
       objBySession.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
-    }.computeIfAbsent(key, _ => mk).asInstanceOf[T]
+    }
+    // same re-entrancy-safe get/putIfAbsent shape as memo (the trainer
+    // behind an IVF quantizer runs Spark jobs that may track() frames)
+    val hit = m.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val fresh = mk
+      val prior = m.putIfAbsent(key, fresh)
+      (if (prior != null) prior else fresh).asInstanceOf[T]
+    }
+  }
 
   /** Register an EXTERNALLY persisted frame under (session, key) so the
     * normal release()/releaseAll() lifecycle owns its unpersist (used by
