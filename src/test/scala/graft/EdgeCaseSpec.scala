@@ -20,7 +20,13 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   private def tmpDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
-    d.deleteOnExit()
+    // deleteOnExit only removes empty dirs; recurse in a shutdown hook
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
     d.getAbsolutePath
   }
 
