@@ -26,8 +26,10 @@ object Caches {
     * ccLabels memoizes the result), and ConcurrentHashMap throws
     * "Recursive update" on re-entrant mutation of a colliding bin. The
     * get / putIfAbsent race is benign: a concurrent duplicate compute
-    * produces an identical lazy frame, and the loser's .cache() handle
-    * is unpersisted rather than leaked. */
+    * builds an identical lazy frame whose .cache() is a NO-OP against
+    * the winner's plan-keyed CacheManager entry — so the loser must
+    * NOT unpersist its handle (that would evict the shared entry);
+    * dropping the handle leaks nothing. */
   def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
     val m = bySession.synchronized {
       bySession.computeIfAbsent(s,
@@ -38,7 +40,7 @@ object Caches {
     else {
       val fresh = mk.cache()
       val prior = m.putIfAbsent(key, fresh)
-      if (prior != null) { fresh.unpersist(); prior } else fresh
+      if (prior != null) prior else fresh
     }
   }
 

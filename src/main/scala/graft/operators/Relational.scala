@@ -372,24 +372,28 @@ object Relational {
   def q30(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    // the click's (id, value) travel as ONE struct (null only on
+    // purchase rows): a single last(_, ignoreNulls) then can never
+    // pair one click's id with an earlier click's value when the
+    // latest click carries a NULL value — two independent ignoreNulls
+    // windows would
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us"), lit(0).as("side"),
-        col("event_id").as("click_id"), col("value").as("click_value"),
+        struct(col("event_id").as("cid"), col("value").as("cval")).as("click"),
         lit(null).cast("bigint").as("purchase_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"), lit(1).as("side"),
-        lit(null).cast("bigint").as("click_id"),
-        lit(null).cast("double").as("click_value"),
+        lit(null).cast("struct<cid:bigint,cval:double>").as("click"),
         col("event_id").as("purchase_id"))
     val w = Window.partitionBy("user_id")
-      .orderBy(col("us"), col("side"), col("click_id"))
+      .orderBy(col("us"), col("side"), col("click").getField("cid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
-      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("asof", last(col("click"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("purchase_id"), col("user_id"), col("us").as("purchase_us"),
-        col("asof_click_id"), col("asof_click_value"))
+        col("asof").getField("cid").as("asof_click_id"),
+        col("asof").getField("cval").as("asof_click_value"))
       .orderBy("purchase_id")
   }
 
@@ -692,20 +696,21 @@ object Relational {
     "q30_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) us FROM events),
         |u AS (
-        |  SELECT user_id, us, 0 AS side, event_id AS click_id,
-        |    value AS click_value, CAST(NULL AS BIGINT) AS purchase_id
+        |  SELECT user_id, us, 0 AS side,
+        |    struct_pack(cid := event_id, cval := value) AS click,
+        |    CAST(NULL AS BIGINT) AS purchase_id
         |  FROM e WHERE event_type = 'click'
         |  UNION ALL
-        |  SELECT user_id, us, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id
+        |  SELECT user_id, us, 1,
+        |    CAST(NULL AS STRUCT(cid BIGINT, cval DOUBLE)), event_id
         |  FROM e WHERE event_type = 'purchase'),
         |w AS (
-        |  SELECT *,
-        |    last_value(click_id IGNORE NULLS) OVER win AS asof_click_id,
-        |    last_value(click_value IGNORE NULLS) OVER win AS asof_click_value
+        |  SELECT *, last_value(click IGNORE NULLS) OVER win AS asofc
         |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, side, click_id
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, side, (click).cid
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT purchase_id, user_id, us AS purchase_us, asof_click_id, asof_click_value
+        |SELECT purchase_id, user_id, us AS purchase_us,
+        |  (asofc).cid AS asof_click_id, (asofc).cval AS asof_click_value
         |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
     "q31_grouping_rollup" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,

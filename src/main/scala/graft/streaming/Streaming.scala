@@ -35,7 +35,7 @@ object Streaming {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
     val dir = s"$base/graft-ckpt-$name-${java.util.UUID.randomUUID()}"
-    new java.io.File(dir).deleteOnExit()
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(new java.io.File(dir)))
     dir
   }
 
@@ -263,7 +263,7 @@ object Streaming {
   def st05(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files.createTempDirectory("graft-st05")
-    root.toFile.deleteOnExit()
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
     // split the arrivals into 4 files so AvailableNow sees 4 batches
     s.read.schema(rawSchema).option("pathGlobFilter", "events.parquet")
       .parquet(d).repartition(4)

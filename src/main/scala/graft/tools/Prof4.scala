@@ -22,11 +22,12 @@ object Prof4 extends App {
   graft.core.Caches.releaseAll()
   t("full sim05 (warm 2)")(
     graft.operators.Similarity.queries("sim05_ivf_ann")(s, d).count())
-  // phase split: training vs search (memo hit)
+  // phase split: the run right after releaseAll RETRAINS (cold memo);
+  // only the following run measures search with a memoized quantizer
   graft.core.Caches.releaseAll()
-  t("search only (memoized train)")(
+  t("train + search (cold memo)")(
     graft.operators.Similarity.queries("sim05_ivf_ann")(s, d).count())
-  t("search only again")(
+  t("search only (memoized train)")(
     graft.operators.Similarity.queries("sim05_ivf_ann")(s, d).count())
   s.stop()
 }

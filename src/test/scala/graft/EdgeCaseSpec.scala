@@ -18,17 +18,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def tmpDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
-    // deleteOnExit only removes empty dirs; recurse in a shutdown hook
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
-    d.getAbsolutePath
-  }
+  private def tmpDir(tag: String): String = graft.core.TempDirs.scratch(tag)
 
   test("tx06: a single-token document neither crashes under ANSI nor skews fractions") {
     import spark.implicits._

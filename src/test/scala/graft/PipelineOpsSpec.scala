@@ -152,14 +152,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("dd07: the cluster keeps its highest-quality member, not its lowest id") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dd07").toFile
-    // deleteOnExit can't remove non-empty dirs — hook a recursive delete
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
-    }
+    val dir = new java.io.File(graft.core.TempDirs.scratch("dd07"))
     // docs 10/11 share 4 of 8 distinct 5-gram shingles (Jaccard 0.5 →
     // one cluster); 10 is the min id but repeats tokens (uniq 8/11),
     // 11 is clean (uniq 1.0) and must be kept. 20 is a singleton.
