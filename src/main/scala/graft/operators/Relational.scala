@@ -460,6 +460,25 @@ object Relational {
       .orderBy("mktsegment")
   }
 
+  /** Correlated scalar subquery: customers whose account balance beats
+    * their NATION's average — the remaining §2.2 predicate surface
+    * after semi (q22) and anti (q33) joins. Expressed through the SQL
+    * front door so Catalyst's subquery decorrelation runs: it rewrites
+    * the per-row subquery into ONE aggregate of customer by nation
+    * joined back — no per-row re-execution, the shape you want when
+    * the outer side is 100 TB. */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("q35_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |   FROM q35_customer c2 WHERE c2.c_nationkey = c1.c_nationkey) AS nation_avg
+        |FROM q35_customer c1
+        |WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |                       FROM q35_customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** INTERSECT / EXCEPT (§2.7 beyond the reference's UNION-only set
     * ops): customers ordering in both 1995 and 1996, and in 1995 only.
     * Both set ops hash-aggregate on the key — one shuffle each, no
@@ -507,9 +526,18 @@ object Relational {
     "q32_window_analytics" -> (q32 _),
     "q33_anti_join" -> (q33 _),
     "q34_set_ops" -> (q34 _),
+    "q35_scalar_subquery" -> (q35 _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q35_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |   FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) AS nation_avg
+        |FROM customer c1
+        |WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |                       FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -176,6 +176,30 @@ object Sampling {
       .orderBy("shard", "shuffle_rank")
   }
 
+  /** Temperature-based mixture sampling (the multilingual α-sampling
+    * of XLM/mT5: sample probability ∝ natural share^α, α < 1 flattens
+    * the mixture toward rare languages). α is pinned at 0.5 so the
+    * power is sqrt — correctly rounded IEEE in every engine, which
+    * keeps the whole computation engine-portable (an arbitrary pow()
+    * has no cross-libm guarantee); the normalizing sum over the
+    * per-language sqrt terms is an exact DECIMAL sum of the (few)
+    * stratum rows. Per-language expected tokens = total · p_s. */
+  def spTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val per = withTok(s, d).groupBy("lang")
+      .agg(sum("n_tok").cast("bigint").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("bigint").as("total"))
+    val shared = per.join(broadcast(tot))
+      .withColumn("natural_share", col("n_tokens").cast("double") / col("total"))
+      .withColumn("tempered", sqrt(col("natural_share")))
+    val norm = shared.agg(
+      sum(col("tempered").cast("decimal(28,18)")).cast("double").as("z"))
+    shared.join(broadcast(norm))
+      .withColumn("sample_prob", col("tempered") / col("z"))
+      .withColumn("expected_tokens", col("sample_prob") * col("total").cast("double"))
+      .select("lang", "n_tokens", "natural_share", "sample_prob", "expected_tokens")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp01_split_assign" -> (spSplit _),
     "sp02_stratified_sample" -> (spStratified _),
@@ -183,6 +207,7 @@ object Sampling {
     "sp04_mixture_weights" -> (spMixtureWeights _),
     "sp05_corpus_shuffle" -> (spCorpusShuffle _),
     "sp06_pack_spans" -> (spPackSpans _),
+    "sp07_temperature_mix" -> (spTemperatureMix _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +264,19 @@ object Sampling {
         |  LEAST(start_off + n_tok, (seq_id + 1) * 512)
         |    - GREATEST(start_off, seq_id * 512) AS n_tok_in_seq
         |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
+    "sp07_temperature_mix" ->
+      """WITH tok AS (SELECT lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) n_tokens FROM tok GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total FROM per),
+        |sh AS (SELECT lang, n_tokens, CAST(n_tokens AS DOUBLE) / total AS natural_share,
+        |         sqrt(CAST(n_tokens AS DOUBLE) / total) AS tempered, total
+        |       FROM per, tot),
+        |norm AS (SELECT CAST(SUM(CAST(tempered AS DECIMAL(28,18))) AS DOUBLE) z FROM sh)
+        |SELECT lang, n_tokens, natural_share,
+        |  tempered / z AS sample_prob,
+        |  (tempered / z) * CAST(total AS DOUBLE) AS expected_tokens
+        |FROM sh, norm ORDER BY lang""".stripMargin,
     "sp05_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5('shuffle:' || doc_id), 1, 15)) AS BIGINT) skey

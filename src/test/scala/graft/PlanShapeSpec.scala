@@ -76,6 +76,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"semi join not broadcast:\n$plan")
   }
 
+  test("q35: correlated scalar subquery decorrelates to one aggregate + join") {
+    val plan = physical(Relational.q35(spark, sf))
+    // Catalyst must rewrite the per-row subquery into a grouped
+    // aggregate joined back — a surviving scalar-subquery node would
+    // mean per-row re-execution
+    assert(!plan.contains("ScalarSubquery"), s"subquery not decorrelated:\n$plan")
+    assert(plan.contains("HashAggregate") &&
+      (plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")),
+      s"expected aggregate + hash join from decorrelation:\n$plan")
+  }
+
   test("q33: NOT EXISTS is a hash LeftAnti, never a nested loop") {
     val plan = physical(Relational.q33(spark, sf))
     assert(plan.contains("LeftAnti"), s"anti join missing:\n$plan")
