@@ -381,6 +381,46 @@ object Similarity {
       |      / (qv.nrm * cv.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // GOLDEN REGRESSION PIN (like DESCRIBE/EXPLAIN): the IVF result is
+    // fully deterministic by construction — hash-seeded k-means, exact
+    // decimal means, fixed-point dots — so its sf0.01 output is a fixed
+    // fact; any drift in training, assignment, probe routing or ranking
+    // fails the hash. (The search MACHINERY is independently
+    // oracle-checked via sim06's flat quantizer.)
+    "sim05_ivf_ann" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(1 AS BIGINT), CAST('0.36999359652295405' AS DOUBLE)),
+        | (0, 334, 2, CAST('0.3627220558566085' AS DOUBLE)),
+        | (0, 423, 3, CAST('0.2969335986167615' AS DOUBLE)),
+        | (1, 386, 1, CAST('0.371484541813965' AS DOUBLE)),
+        | (1, 407, 2, CAST('0.32700994959476415' AS DOUBLE)),
+        | (1, 195, 3, CAST('0.322744426329669' AS DOUBLE)),
+        | (2, 117, 1, CAST('0.31814256421497933' AS DOUBLE)),
+        | (2, 450, 2, CAST('0.2663439551754453' AS DOUBLE)),
+        | (2, 145, 3, CAST('0.2634942990943068' AS DOUBLE)),
+        | (3, 130, 1, CAST('0.39987234323441534' AS DOUBLE)),
+        | (3, 231, 2, CAST('0.29878836543214143' AS DOUBLE)),
+        | (3, 207, 3, CAST('0.2917018470308902' AS DOUBLE)),
+        | (4, 114, 1, CAST('0.3985126935617111' AS DOUBLE)),
+        | (4, 408, 2, CAST('0.32275312526896976' AS DOUBLE)),
+        | (4, 482, 3, CAST('0.313897029295821' AS DOUBLE)),
+        | (5, 404, 1, CAST('0.32840296335881164' AS DOUBLE)),
+        | (5, 419, 2, CAST('0.3192374330200543' AS DOUBLE)),
+        | (5, 33, 3, CAST('0.3109867269286997' AS DOUBLE)),
+        | (6, 350, 1, CAST('0.3245176323191489' AS DOUBLE)),
+        | (6, 430, 2, CAST('0.3225202654552148' AS DOUBLE)),
+        | (6, 145, 3, CAST('0.29769573838537794' AS DOUBLE)),
+        | (7, 340, 1, CAST('0.492765713485283' AS DOUBLE)),
+        | (7, 425, 2, CAST('0.40751993417161997' AS DOUBLE)),
+        | (7, 209, 3, CAST('0.3944625171316967' AS DOUBLE)),
+        | (8, 39, 1, CAST('0.3846962740956175' AS DOUBLE)),
+        | (8, 138, 2, CAST('0.3566711639452886' AS DOUBLE)),
+        | (8, 403, 3, CAST('0.3382375201224662' AS DOUBLE)),
+        | (9, 49, 1, CAST('0.3851705320655604' AS DOUBLE)),
+        | (9, 489, 2, CAST('0.3435384464384384' AS DOUBLE)),
+        | (9, 386, 3, CAST('0.32211790741256185' AS DOUBLE))
+        |) AS t(qid, nid, rank, cosine)
+        |ORDER BY qid, rank""".stripMargin,
     // identical signatures to the native HyperplaneBands expression
     // (bands=3, rowsPerBand=6, seed=42), then the same candidate
     // generation (any-band match), pair dedup, verify, and ranking

@@ -92,6 +92,43 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // GOLDEN REGRESSION PIN: the HLL estimates are a deterministic
+    // function of the input and the engine's pinned sketch
+    // implementation (Spark 4.1.2 DataSketches) — the sf0.01 output is
+    // a fixed fact, so any drift in sketch config, union or
+    // estimation fails the hash. (Exact-below-capacity behavior is
+    // separately oracle-checked via the theta family sk01/sk02/sk04.)
+    "sk03_hll_union" ->
+      """SELECT * FROM (VALUES
+        | ('1995-01-01', CAST(465 AS BIGINT), CAST(3 AS BIGINT)),
+        | ('1995-04-01', 454, 3),
+        | ('1995-07-01', 502, 3),
+        | ('1995-10-01', 480, 3),
+        | ('1996-01-01', 473, 3),
+        | ('1996-04-01', 439, 3),
+        | ('1996-07-01', 502, 3),
+        | ('1996-10-01', 464, 3),
+        | ('1997-01-01', 465, 3),
+        | ('1997-04-01', 488, 3),
+        | ('1997-07-01', 474, 3),
+        | ('1997-10-01', 463, 3),
+        | ('1998-01-01', 451, 3),
+        | ('1998-04-01', 457, 3),
+        | ('1998-07-01', 449, 3),
+        | ('1998-10-01', 488, 3),
+        | ('1999-01-01', 495, 3),
+        | ('1999-04-01', 447, 3),
+        | ('1999-07-01', 478, 3),
+        | ('1999-10-01', 496, 3),
+        | ('2000-01-01', 488, 3),
+        | ('2000-04-01', 485, 3),
+        | ('2000-07-01', 461, 3),
+        | ('2000-10-01', 505, 3),
+        | ('2001-01-01', 457, 3),
+        | ('2001-04-01', 459, 3),
+        | ('2001-07-01', 190, 2)
+        |) AS t(quarter, approx_customers, n_months)
+        |ORDER BY quarter""".stripMargin,
     "sk01_theta_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_orders
