@@ -163,15 +163,67 @@ object Events {
       .orderBy("window_end")
   }
 
+  /** Per-day session statistics (the dashboard next to st02's
+    * sessionize): sessions are the same 30-minute-gap definition in
+    * the same scale-safe lag + running-sum shape (shuffle-sort
+    * windows, no per-group buffers), then one keyed aggregate per
+    * session and one per day. Durations are exact integer µs;
+    * p50/p95 use Spark's exact `percentile` ≡ DuckDB `quantile_cont`,
+    * so the whole distribution is engine-portable. A session is
+    * attributed to the day it STARTS. */
+  def evSessionStats(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val evs = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val brk = when(lag(col("ts_us"), 1).over(w).isNull
+        .or(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs), 1L)
+      .otherwise(0L)
+    evs.withColumn("session_idx",
+        sum(brk).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .withColumn("start_day", to_date(timestamp_micros(col("start_us"))))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .groupBy("start_day")
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum("n_events").cast("double") / count(lit(1))).as("avg_events"),
+        expr("percentile(dur_us, 0.5D)").as("p50_dur_us"),
+        expr("percentile(dur_us, 0.95D)").as("p95_dur_us"))
+      .orderBy("start_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_funnel" -> (evFunnel _),
     "ev02_retention" -> (evRetention _),
     "ev03_path_transitions" -> (evPaths _),
     "ev04_attribution_window" -> (evAttribution _),
     "ev05_rolling_dau" -> (evRollingDau _),
+    "ev06_session_stats" -> (evSessionStats _),
   )
 
   val oracle: Map[String, String] = Map(
+    "ev06_session_stats" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (SELECT user_id, ts_us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b),
+        |per AS (SELECT user_id, session_idx, COUNT(*) n_events,
+        |          MIN(ts_us) start_us, MAX(ts_us) end_us
+        |        FROM sess GROUP BY user_id, session_idx)
+        |SELECT CAST(make_timestamp(start_us) AS DATE) AS start_day,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+        |  quantile_cont(end_us - start_us, 0.5) AS p50_dur_us,
+        |  quantile_cont(end_us - start_us, 0.95) AS p95_dur_us
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev05_rolling_dau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) aday FROM events),
         |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) wend
