@@ -267,7 +267,40 @@ object TextOps {
         substring(hex(col("payload")), 1, 16).as("head_hex"))
       .orderBy("doc_id")
 
+  /** Chunk-level binary dedup (the storage-dedup signal for multimodal
+    * payloads: identical 64-byte blocks across blobs — re-encoded or
+    * re-headered assets share most chunks even when whole-file hashes
+    * differ). The payload is chunked at a fixed stride, each chunk
+    * fingerprinted, and a chunk is "shared" when its fingerprint
+    * occurs under more than one doc — the byte-level analogue of
+    * dd06's passage dedup, same shape: map-only chunk+hash (one row
+    * per CHUNK), one corpus-wide count shuffle, join back, per-doc
+    * rollup. Chunks are carved from the hex encoding (2 hex chars =
+    * 1 byte) because engine-portable byte slicing on BLOBs isn't —
+    * both engines hex identically. */
+  def mmChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunkBytes = 64
+    val hexLen = chunkBytes * 2
+    val ch = documents(s, d)
+      .withColumn("h", hex(encode(col("text"), "UTF-8")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (length(h) - 1) DIV $hexLen),
+           |  i -> md5(substring(h, i * $hexLen + 1, $hexLen)))""".stripMargin))
+        .as(Seq("pos", "fp")))
+    val counts = ch.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    ch.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_frac",
+        col("n_shared_chunks").cast("double") / col("n_chunks"))
+      .select("doc_id", "n_chunks", "n_shared_chunks", "shared_frac")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm05_chunk_dedup" -> (mmChunkDedup _),
     "tx01_text_quality" -> (txQuality _),
     "tx02_lang_id" -> (txLangId _),
     "tx03_token_topk" -> (txTokenTopK _),
@@ -283,6 +316,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm05_chunk_dedup" ->
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, (length(hex(encode(text))) - 1) // 128 + 1),
+        |    i -> md5(substring(hex(encode(text)), i * 128 + 1, 128)))) fp
+        |  FROM documents),
+        |cnt AS (SELECT fp, COUNT(DISTINCT doc_id) ndocs FROM ch GROUP BY fp),
+        |per AS (SELECT c.doc_id, COUNT(*) n_chunks,
+        |          SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) n_shared
+        |        FROM ch c JOIN cnt USING (fp) GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) n_chunks,
+        |  CAST(n_shared AS BIGINT) n_shared_chunks,
+        |  CAST(n_shared AS DOUBLE) / n_chunks AS shared_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
     "tx01_text_quality" ->
       """WITH tok AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
         |SELECT doc_id, n_chars,
