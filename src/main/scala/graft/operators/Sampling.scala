@@ -185,8 +185,13 @@ object Sampling {
     * per-language sqrt terms is an exact DECIMAL sum of the (few)
     * stratum rows. Per-language expected tokens = total · p_s. */
   def spTemperatureMix(s: SparkSession, d: String): DataFrame = {
-    val per = withTok(s, d).groupBy("lang")
-      .agg(sum("n_tok").cast("bigint").as("n_tokens"))
+    // the per-language aggregate (a handful of rows) feeds THREE
+    // consumers (itself, the total, the normalizer) — cache it via the
+    // session registry so the documents scan + tokenization run once,
+    // not once per embedded reference
+    val per = graft.core.Caches.memo(s, s"sp07|$d|per")(
+      withTok(s, d).groupBy("lang")
+        .agg(sum("n_tok").cast("bigint").as("n_tokens")))
     val tot = per.agg(sum("n_tokens").cast("bigint").as("total"))
     val shared = per.join(broadcast(tot))
       .withColumn("natural_share", col("n_tokens").cast("double") / col("total"))

@@ -265,9 +265,14 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** IVF ANN top-3 for query vectors vec_id < 10 (no SQL oracle —
-    * k-means is not expressible in the oracle; determinism + recall are
-    * spec-asserted; the SEARCH path is oracle-checked via sim06).
+  /** IVF ANN top-3 for query vectors vec_id < 10. k-means training is
+    * not SQL-expressible, but the output is fully deterministic
+    * (hash-seeded picks, exact decimal means, fixdot arithmetic), so
+    * the oracle is a GOLDEN REGRESSION PIN of the sf0.01 output — the
+    * driver's correctness scale (TESTDATA.md); checking at any OTHER
+    * scale must skip this query, its pin is a different fixed fact
+    * there. Determinism + recall are additionally spec-asserted, and
+    * the SEARCH path is scale-independently oracle-checked via sim06.
     * k=8 lists, nprobe=4: each query scans ≈ half the corpus here; at
     * scale k grows with corpus size (√n lists is the usual rule) and
     * nprobe stays small. */

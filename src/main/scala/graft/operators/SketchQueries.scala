@@ -47,8 +47,13 @@ object SketchQueries {
   }
 
   /** Mergeable-sketch pipeline with Spark's native HLL: per-month HLL
-    * sketches unioned to quarters (rows-only check — HLL estimates are
-    * approximate and engine-specific). */
+    * sketches unioned to quarters. The estimates are approximate but
+    * DETERMINISTIC for a fixed input and the pinned engine (Spark
+    * 4.1.2 DataSketches), so the oracle is a GOLDEN REGRESSION PIN of
+    * the sf0.01 output — the driver's correctness scale; checking at
+    * any other scale (or after a sketch-config / engine change) must
+    * expect and refresh the pin. Exact-below-capacity sketch behavior
+    * is scale-independently oracle-checked via sk01/sk02/sk04. */
   def sk03(s: SparkSession, d: String): DataFrame = {
     val monthly = orders(s, d)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
