@@ -460,6 +460,25 @@ object Relational {
       .orderBy("mktsegment")
   }
 
+  /** PIVOT / crosstab (the report layout every BI front end renders):
+    * monthly order counts and spend pivoted by order status. The
+    * pivoted statuses are DECLARED (`Seq("O","F","P")`), not
+    * discovered, so the plan is a single partial-aggregated groupBy
+    * with conditional aggregates — no second pass to collect the pivot
+    * domain, no wide-row skew; exactly what the oracle expresses as
+    * CASE sums. */
+  def q36(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("month",
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .groupBy("month")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+      .na.fill(0L, Seq("O_n", "F_n", "P_n"))
+      .orderBy("month")
+
   /** Correlated scalar subquery: customers whose account balance beats
     * their NATION's average — the remaining §2.2 predicate surface
     * after semi (q22) and anti (q33) joins. Expressed through the SQL
@@ -527,9 +546,21 @@ object Relational {
     "q33_anti_join" -> (q33 _),
     "q34_set_ops" -> (q34 _),
     "q35_scalar_subquery" -> (q35 _),
+    "q36_pivot" -> (q36 _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q36_pivot" ->
+      """SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "O_spend",
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "F_spend",
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "P_spend"
+        |FROM orders
+        |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_scalar_subquery" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
