@@ -254,6 +254,28 @@ object TextOps {
       .select("pair_rank", "left_tok", "right_tok", "cnt")
       .orderBy("pair_rank")
 
+  /** Vocabulary statistics per source (corpus QA: synthetic or
+    * template-generated slices show up as tiny vocabularies and
+    * near-zero hapax rates; natural text keeps a long hapax tail —
+    * Heaps'-law intuition as a filterable signal). One explode, one
+    * (source, token) count — map-side combined — then a per-source
+    * rollup; everything integer-exact. */
+  def txVocabStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(expr(tokensExpr)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("bigint").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("type_token_ratio",
+        col("vocab_size").cast("double") / col("n_tokens"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("vocab_size"))
+      .select("source", "n_tokens", "vocab_size", "n_hapax",
+        "type_token_ratio", "hapax_frac")
+      .orderBy("source")
+
   /** Multimodal column plumbing: opaque binary payload + typed
     * metadata. The payload here is the utf-8 encoding of text (the
     * container has no image/audio codecs); the schema, hashing and
@@ -311,6 +333,7 @@ object TextOps {
     "tx09_length_quantiles" -> (txLengthQuantiles _),
     "tx10_zipf_rank" -> (txZipfRank _),
     "tx11_bpe_merge_rank" -> (txBpeMergeRank _),
+    "tx12_vocab_stats" -> (txVocabStats _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -426,6 +449,16 @@ object TextOps {
         |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
         |FROM toks JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx12_vocab_stats" ->
+      """WITH tc AS (SELECT source, t, COUNT(*) c
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+        |  GROUP BY source, t)
+        |SELECT source, CAST(SUM(c) AS BIGINT) n_tokens,
+        |  COUNT(*) AS vocab_size,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_frac
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
     "tx11_bpe_merge_rank" ->
       """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),
         |pairs AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p FROM tok WHERE len(t) >= 2),
