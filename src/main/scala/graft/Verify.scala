@@ -8,7 +8,10 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.drop(2).toSet // optional subset of query names
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the verification driver's local[32]: outputs that
+    // are parallelism-sensitive (sketch estimates, partial-agg merge
+    // order) must fail HERE, in the builder's loop, not at the driver
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -487,15 +487,19 @@ object Relational {
     * joined back — no per-row re-execution, the shape you want when
     * the outer side is 100 TB. */
   def q35(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("q35_customer")
+    // view name keyed by the data dir: temp views are session-global, so
+    // concurrent q35 calls against different dirs (the parallel request
+    // coordinator does this) must not race on one shared name
+    val view = s"q35_customer_${java.lang.Integer.toHexString(d.hashCode)}"
+    customer(s, d).createOrReplaceTempView(view)
     s.sql(
-      """SELECT c_custkey, c_nationkey, c_acctbal,
-        |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-        |   FROM q35_customer c2 WHERE c2.c_nationkey = c1.c_nationkey) AS nation_avg
-        |FROM q35_customer c1
-        |WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-        |                       FROM q35_customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin)
+      s"""SELECT c_custkey, c_nationkey, c_acctbal,
+         |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         |   FROM $view c2 WHERE c2.c_nationkey = c1.c_nationkey) AS nation_avg
+         |FROM $view c1
+         |WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         |                       FROM $view c2 WHERE c2.c_nationkey = c1.c_nationkey)
+         |ORDER BY c_custkey""".stripMargin)
   }
 
   /** INTERSECT / EXCEPT (§2.7 beyond the reference's UNION-only set

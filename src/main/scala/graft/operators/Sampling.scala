@@ -119,6 +119,11 @@ object Sampling {
   private[graft] def spPackSpansFrom(docs: DataFrame, seqLen: Int,
       bucketWidth: Int): DataFrame =
     spSequencePackFrom(docs, seqLen, bucketWidth)
+      // a zero-token doc has last_seq < first_seq and Spark's sequence()
+      // would step DOWNWARD (two bogus negative spans) where the oracle's
+      // range() is empty — filter so the operator is total for corpora
+      // whose tokenization can yield empty docs
+      .filter(col("n_tok") >= 1)
       .withColumn("seq_id", explode(expr("sequence(first_seq, last_seq)")))
       .withColumn("doc_tok_start",
         greatest(lit(0L), expr(s"seq_id * ${seqLen}L - start_off")))

@@ -47,23 +47,36 @@ object SketchQueries {
   }
 
   /** Mergeable-sketch pipeline with Spark's native HLL: per-month HLL
-    * sketches unioned to quarters. The estimates are approximate but
-    * DETERMINISTIC for a fixed input and the pinned engine (Spark
-    * 4.1.2 DataSketches), so the oracle is a GOLDEN REGRESSION PIN of
-    * the sf0.01 output — the driver's correctness scale; checking at
-    * any other scale (or after a sketch-config / engine change) must
-    * expect and refresh the pin. Exact-below-capacity sketch behavior
-    * is scale-independently oracle-checked via sk01/sk02/sk04. */
+    * sketches unioned to quarters. Raw HLL estimates are NOT
+    * deterministic across partitionings — Spark's DataSketches union
+    * estimate depends on the partial-aggregate merge split (judge
+    * probe: sf0.01 estimates differ across local[4], local[32]/32 and
+    * local[32]/200) — so the output never surfaces a raw estimate.
+    * Instead each quarter emits the exact distinct count (the oracle
+    * target) plus an engine-side `estimate_ok` bound check
+    * |est − exact|/exact < 0.05: HLL at the default lgK=12 has ~0.8%
+    * standard error, so the 5% bound is deterministically true at any
+    * parallelism while still failing loudly on a real sketch
+    * regression. Exact-below-capacity sketch behavior is
+    * scale-independently oracle-checked via sk01/sk02/sk04. */
   def sk03(s: SparkSession, d: String): DataFrame = {
-    val monthly = orders(s, d)
-      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
-        .as("month"),
-        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
-          .as("quarter"))
+    val withQuarter = orders(s, d)
+      .withColumn("month",
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
+      .withColumn("quarter",
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd"))
+    val monthly = withQuarter
+      .groupBy("month", "quarter")
       .agg(hll_sketch_agg(col("o_custkey")).as("hll"))
-    monthly.groupBy("quarter")
+    val approx = monthly.groupBy("quarter")
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_customers"),
         count(lit(1)).as("n_months"))
+    val exact = withQuarter.groupBy("quarter")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    exact.join(approx, "quarter")
+      .select(col("quarter"), col("n_customers"), col("n_months"),
+        (abs(col("approx_customers") - col("n_customers")) <
+          col("n_customers") * lit(0.05)).as("estimate_ok"))
       .orderBy("quarter")
   }
 
@@ -97,43 +110,18 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // GOLDEN REGRESSION PIN: the HLL estimates are a deterministic
-    // function of the input and the engine's pinned sketch
-    // implementation (Spark 4.1.2 DataSketches) — the sf0.01 output is
-    // a fixed fact, so any drift in sketch config, union or
-    // estimation fails the hash. (Exact-below-capacity behavior is
-    // separately oracle-checked via the theta family sk01/sk02/sk04.)
+    // The exact distinct count and month count are oracle-computable;
+    // estimate_ok is an engine-side bound check (|est−exact|/exact <
+    // 0.05 with lgK=12 ≈ 0.8% stderr) that is deterministically TRUE
+    // at any partitioning — raw HLL estimates are parallelism-
+    // sensitive and must never be pinned. (Exact-below-capacity
+    // behavior is separately oracle-checked via sk01/sk02/sk04.)
     "sk03_hll_union" ->
-      """SELECT * FROM (VALUES
-        | ('1995-01-01', CAST(465 AS BIGINT), CAST(3 AS BIGINT)),
-        | ('1995-04-01', 454, 3),
-        | ('1995-07-01', 502, 3),
-        | ('1995-10-01', 480, 3),
-        | ('1996-01-01', 473, 3),
-        | ('1996-04-01', 439, 3),
-        | ('1996-07-01', 502, 3),
-        | ('1996-10-01', 464, 3),
-        | ('1997-01-01', 465, 3),
-        | ('1997-04-01', 488, 3),
-        | ('1997-07-01', 474, 3),
-        | ('1997-10-01', 463, 3),
-        | ('1998-01-01', 451, 3),
-        | ('1998-04-01', 457, 3),
-        | ('1998-07-01', 449, 3),
-        | ('1998-10-01', 488, 3),
-        | ('1999-01-01', 495, 3),
-        | ('1999-04-01', 447, 3),
-        | ('1999-07-01', 478, 3),
-        | ('1999-10-01', 496, 3),
-        | ('2000-01-01', 488, 3),
-        | ('2000-04-01', 485, 3),
-        | ('2000-07-01', 461, 3),
-        | ('2000-10-01', 505, 3),
-        | ('2001-01-01', 457, 3),
-        | ('2001-04-01', 459, 3),
-        | ('2001-07-01', 190, 2)
-        |) AS t(quarter, approx_customers, n_months)
-        |ORDER BY quarter""".stripMargin,
+      """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        | TRUE AS estimate_ok
+        |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin,
     "sk01_theta_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_orders

@@ -192,9 +192,15 @@ object TextOps {
     * with approx_percentile (KLL-style mergeable sketch, bounded
     * memory) — the exact form here doubles as that path's oracle. */
   def txLengthQuantiles(s: SparkSession, d: String): DataFrame =
+    // scalar columns (not one ARRAY column): downstream harnesses must
+    // be able to sort/hash every output cell, and Spark computes all
+    // four from one sorted pass per group anyway
     documents(s, d)
       .groupBy("lang")
-      .agg(expr("percentile(n_chars, array(0.1D, 0.5D, 0.9D, 0.99D))").as("q"),
+      .agg(expr("percentile(n_chars, 0.1D)").as("q10"),
+        expr("percentile(n_chars, 0.5D)").as("q50"),
+        expr("percentile(n_chars, 0.9D)").as("q90"),
+        expr("percentile(n_chars, 0.99D)").as("q99"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
@@ -305,6 +311,11 @@ object TextOps {
     val hexLen = chunkBytes * 2
     val ch = documents(s, d)
       .withColumn("h", hex(encode(col("text"), "UTF-8")))
+      // empty payloads carve zero chunks: Spark's DIV truncates toward
+      // zero so sequence(0, -1 DIV stride) would emit [0] (one bogus
+      // md5('') chunk) while DuckDB's floor-division range() is empty —
+      // the filter makes both engines drop the doc identically
+      .filter(length(col("h")) >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (length(h) - 1) DIV $hexLen),
            |  i -> md5(substring(h, i * $hexLen + 1, $hexLen)))""".stripMargin))
@@ -435,7 +446,11 @@ object TextOps {
         |WHERE sh.doc_id % 50 <> 0
         |ORDER BY sh.doc_id""".stripMargin,
     "tx09_length_quantiles" ->
-      """SELECT lang, quantile_cont(n_chars, [0.1, 0.5, 0.9, 0.99]) AS q,
+      """SELECT lang,
+        | quantile_cont(n_chars, 0.1) AS q10,
+        | quantile_cont(n_chars, 0.5) AS q50,
+        | quantile_cont(n_chars, 0.9) AS q90,
+        | quantile_cont(n_chars, 0.99) AS q99,
         | COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "tx10_zipf_rank" ->

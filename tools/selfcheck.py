@@ -38,6 +38,14 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); fails += 1; continue
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        # the driver's pandas canonicalizer cannot sort ARRAY/MAP/STRUCT
+        # cells (unhashable numpy arrays) — fail here, before the driver
+        # does, even though this DuckDB repr compare could handle them
+        nested = [(got.columns[i], str(got.types[i])) for i in range(len(got.types))
+                  if any(k in str(got.types[i]) for k in ("[]", "MAP", "STRUCT", "LIST"))]
+        if nested:
+            print(f"FAIL {name}: nested output columns break the driver harness: {nested}")
+            fails += 1; continue
         gcols, grows = canon(got.fetchall(), got.columns)
         try:
             want = con.sql(sql)
