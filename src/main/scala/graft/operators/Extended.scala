@@ -151,36 +151,65 @@ object Extended {
         md5(encode(col("resized"), "UTF-8")).as("resized_md5"))
       .orderBy("doc_id")
 
-  /** Decode-stub plumbing (mapInPandas analogue): the typed
-    * mapPartitions pipeline a real image/audio decoder would run in —
-    * binary payload in, fixed feature schema out, one batch per
-    * partition. The decode itself is a STUB (this container ships no
-    * codecs): deterministic pseudo-features derived from an md5 of the
-    * payload bytes stand in for decoder output. md5 is chosen so the
-    * DuckDB oracle reproduces the exact values from the same bytes
-    * (text's UTF-8 encoding) — the fake is arbitrary anyway, and this
-    * choice upgrades mm03 from rows-only to hash-checked while keeping
-    * the binary-in, features-out plumbing real. */
+  /** Real multimodal decode (mapInPandas analogue): each document's
+    * bytes become a REAL image payload — PNG for even doc_ids, BMP for
+    * odd, both written and read by the pure-JDK `javax.imageio` codecs
+    * — then decoded back to pixel features inside the typed
+    * mapPartitions pipeline a production decoder runs in: binary
+    * payload in, fixed feature schema out, per-partition codec state.
+    * 24-bit RGB round-trips losslessly through both formats, so the
+    * decoded pixel bytes equal the source text bytes (ASCII corpus,
+    * byte replicated across R=G=B) and the DuckDB oracle recomputes
+    * width/height/pixel-hash directly from the text — scale-
+    * independent, no golden pin. At 100 TB the same operator reads a
+    * parquet binary column instead of encoding its own payloads; the
+    * decode side is unchanged. */
   def mm03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      // one digest instance per partition, reset per row — the shape a
-      // real decoder handle (JNI codec context etc.) would take
+      // per-partition codec/digest state — the shape a JNI decoder
+      // context would take
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (docId, bytes) =>
-        // STUB decode: replace with a real codec (e.g. image decode to
-        // W×H×C tensor) in production; shapes/signature stay the same.
+        val w = (docId % 5 + 4).toInt // 4..8
+        val h = (docId % 3 + 4).toInt // 4..6
+        val n = w * h
+        val pix = java.util.Arrays.copyOf(bytes, n)
+        java.util.Arrays.fill(pix, math.min(bytes.length, n), n, ' '.toByte)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < n) {
+          val v = pix(i) & 0xff
+          img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val fmt = if (docId % 2 == 0) "png" else "bmp"
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        // the decode path under test: real payload bytes → pixels
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(baos.toByteArray))
+        val out = new Array[Byte](dec.getWidth * dec.getHeight)
+        var j = 0
+        var y = 0
+        while (y < dec.getHeight) {
+          var x = 0
+          while (x < dec.getWidth) {
+            out(j) = (dec.getRGB(x, y) & 0xff).toByte
+            j += 1; x += 1
+          }
+          y += 1
+        }
         md.reset()
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        val fakeWidth = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 97 + 1).toInt
-        val fakeHeight = (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 53 + 1).toInt
-        val meanByte = (java.lang.Long.parseLong(hex.substring(16, 24), 16) % 25600).toDouble / 100.0
-        (docId, fakeWidth, fakeHeight, meanByte)
+        val pixelMd5 = md.digest(out).map("%02x".format(_)).mkString
+        (docId, fmt, dec.getWidth, dec.getHeight,
+          (dec.getWidth.toLong * dec.getHeight), pixelMd5)
       }
-    }.toDF("doc_id", "width", "height", "mean_byte")
+    }.toDF("doc_id", "format", "width", "height", "n_pixels", "pixel_md5")
       .orderBy("doc_id")
   }
 
@@ -227,18 +256,22 @@ object Extended {
     "sql01_front_door" -> (sql01 _),
     "tx05_bpe_pieces" -> (tx05 _),
     "mm02_frame_chunks" -> (mm02 _),
-    "mm03_decode_stub" -> (mm03 _),
+    "mm03_decode" -> (mm03 _),
     "mm04_resize_stride" -> (mm04 _),
   )
 
   val oracle: Map[String, String] = Map(
-    // replica of the mm03 stub: md5 over the same bytes (DuckDB's md5
-    // hashes the string's UTF-8 encoding = the Spark payload column)
-    "mm03_decode_stub" ->
+    // the imageio round-trip is pixel-lossless (24-bit RGB), so the
+    // decoded pixel bytes are exactly the first w*h text bytes (space-
+    // padded) — DuckDB recomputes the hash from the text directly
+    "mm03_decode" ->
       """SELECT doc_id,
-        | CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 97 + 1 AS INTEGER) AS width,
-        | CAST(('0x' || substr(md5(text), 9, 8))::BIGINT % 53 + 1 AS INTEGER) AS height,
-        | CAST(('0x' || substr(md5(text), 17, 8))::BIGINT % 25600 AS DOUBLE) / 100.0 AS mean_byte
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        | CAST(doc_id % 5 + 4 AS INTEGER) AS width,
+        | CAST(doc_id % 3 + 4 AS INTEGER) AS height,
+        | CAST((doc_id % 5 + 4) * (doc_id % 3 + 4) AS BIGINT) AS n_pixels,
+        | md5(substr(text || repeat(' ', 48), 1,
+        |            CAST((doc_id % 5 + 4) * (doc_id % 3 + 4) AS INTEGER))) AS pixel_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_udf_filter" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
