@@ -16,6 +16,11 @@ import graft.semantic.model.Registry
   * Built on the JDK's com.sun.net.httpserver (no new dependencies).
   * Routes:
   *   POST /report            JSON request body → Serving.jsonEnvelope
+  *   POST /sql               raw SQL body (incl. DESCRIBE) → envelope —
+  *                           the thin wire surface of the reference's
+  *                           Avatica SQL service (service/.../calcite/
+  *                           avatica/MahaAvaticaService.scala): SQL in,
+  *                           rows out, same analyze/plan path as JSON
   *   GET  /domain            Domain.domainJson (+freshness)
   *   POST /jobs              async submit → {"jobId": …}
   *   GET  /jobs/{id}         status; completed jobs embed the envelope
@@ -48,6 +53,21 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       } catch {
         case e: IllegalArgumentException =>
           // runLogged already wrote the 400 plan-time envelope
+          (400, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
+      }
+    })
+    server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val start = System.currentTimeMillis()
+      try {
+        val df = graft.analyzer.SqlFrontDoor.run(sql, reg)(s, dir)
+        val env = Serving.jsonEnvelope(df)
+        SemanticQueries.requestLogWriter.write(RequestLog.served(
+          s"$reqId-served", "sql", start, System.currentTimeMillis()))
+        (200, env, reqId)
+      } catch {
+        case e: IllegalArgumentException =>
           (400, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
       }
     })

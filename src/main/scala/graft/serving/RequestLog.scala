@@ -70,8 +70,41 @@ object RequestLog {
     def records: Seq[RequestLogRecord] = synchronized { buf.toSeq }
   }
 
+  /** Minimal producer interface — the send(topic, key, value) shape of
+    * org.apache.kafka.clients.producer.KafkaProducer (reference
+    * request-log/.../KafkaMahaRequestLogWriter.scala:18-26 publishes
+    * the proto envelope this way). A real Kafka backend is
+    * [[ProducerWriter]] handed a KafkaProducer adapter; tests exercise
+    * the identical path with [[MockProducer]] (no broker ships in this
+    * container). */
+  trait Producer {
+    def send(topic: String, key: String, value: Array[Byte]): Unit
+    def close(): Unit = ()
+  }
+
+  /** In-memory capture of produced records, in send order. */
+  final class MockProducer extends Producer {
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
+    def send(topic: String, key: String, value: Array[Byte]): Unit =
+      synchronized { buf += ((topic, key, value)) }
+    def sent: Seq[(String, String, Array[Byte])] = synchronized(buf.toSeq)
+  }
+
+  /** Kafka-transport backend: each envelope published to `topic`,
+    * keyed by requestId (key-partitioning keeps one request's records
+    * in order on one partition), value = the JSON envelope's UTF-8
+    * bytes — the message a downstream request-log consumer reads. */
+  final class ProducerWriter(producer: Producer, topic: String)
+      extends RequestLogWriter {
+    def write(rec: RequestLogRecord): Unit =
+      producer.send(topic, rec.requestId,
+        rec.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    override def close(): Unit = producer.close()
+  }
+
   /** JSON-lines file backend: one envelope per line, append-only —
-    * exactly what a Kafka producer would publish per record. */
+    * exactly what a Kafka producer would publish as message values. */
   final class JsonLinesWriter(path: java.nio.file.Path) extends RequestLogWriter {
     private val out = java.nio.file.Files.newBufferedWriter(path,
       java.nio.charset.StandardCharsets.UTF_8,

@@ -65,6 +65,28 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /sql serves SQL and DESCRIBE through the same envelope") {
+    val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpsql"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
+    val port = door.start()
+    try {
+      val r = post(port, "/sql",
+        "SELECT `Order Priority`, `Order Count` FROM order_stats " +
+          "ORDER BY `Order Priority`",
+        Map("X-Request-Id" -> "sql-req-1"))
+      assert(r.statusCode() == 200, r.body())
+      assert(r.headers().firstValue("X-Request-Id").get() == "sql-req-1")
+      assert(r.body().contains("\"fieldName\":\"Order Priority\"")
+        && r.body().contains("\"rowCount\":5"), r.body().take(300))
+      val desc = post(port, "/sql", "DESCRIBE order_stats")
+      assert(desc.statusCode() == 200, desc.body())
+      assert(desc.body().contains("Order Priority")
+        && desc.body().contains("\"rows\":["), desc.body().take(300))
+      val bad = post(port, "/sql", "SELECT nope FROM nowhere")
+      assert(bad.statusCode() == 400 && bad.body().contains("error"), bad.body())
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("GET /domain serves introspection with freshness; /jobs round-trips") {
     val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpjobs2"))
     val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)

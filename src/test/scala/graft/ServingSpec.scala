@@ -95,4 +95,31 @@ class ServingSpec extends AnyFunSuite {
     assert(scanned.nonEmpty && scanned.forall(_ == 1),
       s"pruning left $scanned partitions")
   }
+
+  test("request-log envelope round-trips through the Kafka producer path") {
+    import graft.serving.RequestLog
+    import graft.operators.SemanticQueries
+    val producer = new RequestLog.MockProducer
+    val writer = new RequestLog.ProducerWriter(producer, "maha-request-log")
+    val prev = SemanticQueries.requestLogWriter
+    SemanticQueries.requestLogWriter = writer
+    try {
+      // a real request through the logged run path publishes its
+      // plan-time envelope via the producer transport
+      SemanticQueries.runLogged(SemanticQueries.sem01Json, "kafka-req-1")(spark, sf)
+      writer.close()
+    } finally SemanticQueries.requestLogWriter = prev
+    val (topic, key, value) = producer.sent.head
+    assert(topic == "maha-request-log" && key == "kafka-req-1")
+    // the message value must parse back to the same envelope fields a
+    // downstream request-log consumer relies on
+    val env = JsonMethods.parse(new String(value, "UTF-8"))
+    implicit val fmts: Formats = DefaultFormats
+    assert((env \ "requestId").extract[String] == "kafka-req-1")
+    assert((env \ "cube").extract[String] == "order_stats")
+    assert((env \ "status").extract[Int] == 200)
+    assert((env \ "drivingTable").extract[String].nonEmpty)
+    assert((env \ "requestEndTime").extract[Long] >=
+      (env \ "requestStartTime").extract[Long])
+  }
 }
