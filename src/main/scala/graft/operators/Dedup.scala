@@ -176,8 +176,8 @@ object Dedup {
   /** The (doc_id, hi_sig, lo_sig) signature stage of [[ddSimhash]],
     * exposed so specs can compute brute-force ground truth over the
     * SAME signatures the blocked join sees. */
-  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
+  private[graft] def simhashSignaturesFrom(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextOps.tokensExpr})")).as("t"))
       .select(col("doc_id"), md5(col("t")).as("m"))
@@ -190,15 +190,18 @@ object Dedup {
     def sig(p: String) = (0 until 32).map(b =>
       when(col(s"$p$b") * 2 >= col("n"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    memo(s, d, "simhash") {
-      tok.groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), bitCnts: _*)
-        .select(col("doc_id"), sig("h").as("hi_sig"), sig("l").as("lo_sig"))
-    }
+    tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCnts: _*)
+      .select(col("doc_id"), sig("h").as("hi_sig"), sig("l").as("lo_sig"))
   }
 
-  def ddSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashSignatures(s, d)
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "simhash")(simhashSignaturesFrom(documents(s, d)))
+
+  def ddSimhash(s: SparkSession, d: String): DataFrame =
+    ddSimhashFrom(simhashSignatures(s, d))
+
+  private[graft] def ddSimhashFrom(sh: DataFrame): DataFrame = {
     // Candidate generation + verification fused into one self-equi-join
     // on the band: the Hamming predicate runs streamed inside the join
     // stage, so the (potentially huge, skew-prone) candidate pair set

@@ -204,6 +204,30 @@ object TextOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** The 100 TB quantile path tx09's doc promises: approx_percentile
+    * — Spark's mergeable Greenwald-Khanna quantile summary, bounded
+    * memory per group, kilobyte partials shuffled instead of every
+    * value. Like HLL (sk03), the summary's merge result depends on the
+    * partial-aggregation split, so the raw estimate is never surfaced:
+    * each group emits the exact median (oracle target) plus an
+    * engine-side `estimate_ok` — the approx value must land inside the
+    * exact [q45, q55] value window. accuracy=100 bounds rank error at
+    * 1% of the group, so the ±5% rank window is deterministically
+    * satisfied at any parallelism while a real sketch regression still
+    * fails loudly. */
+  def txQuantileSketch(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5D)").as("q50_exact"),
+        expr("approx_percentile(n_chars, 0.5D, 100)").as("approx"),
+        expr("percentile(n_chars, 0.45D)").as("lo"),
+        expr("percentile(n_chars, 0.55D)").as("hi"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("q50_exact"), col("n_docs"),
+        (col("approx") >= floor(col("lo"))
+          && col("approx") <= ceil(col("hi"))).as("estimate_ok"))
+      .orderBy("lang")
+
   /** Zipf-rank unigram scoring (statistical quality filter — the
     * rank-based stand-in for unigram log-prob scoring: natural text is
     * dominated by high-frequency tokens, so a LOW mean corpus-frequency
@@ -266,6 +290,37 @@ object TextOps {
     * Heaps'-law intuition as a filterable signal). One explode, one
     * (source, token) count — map-side combined — then a per-source
     * rollup; everything integer-exact. */
+  /** Model-based quality scoring (the classifier step of a CCNet-shaped
+    * pipeline — a linear model over hashed token features, the
+    * fasttext-style filter's distributed form): tokens hash to one of
+    * 1024 feature buckets, a broadcast weight vector joins map-side,
+    * one rollup sums per doc. Weights here are a deterministic
+    * md5-derived stand-in for learned coefficients (integer in
+    * [-1000, 1000]); production swaps the generated table for a real
+    * weight vector — shape, join and rollup identical. All aggregation
+    * is EXACT integer arithmetic (the [[graft.functions.FixedPointDot]]
+    * discipline): the only float op is one final division, so the
+    * score is bit-stable at any parallelism and the DuckDB oracle
+    * reproduces it from the same md5 bytes. */
+  def txQualityModel(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % 1024)
+          .as("bucket"))
+    val weights = s.range(1024).select(col("id").as("bucket"),
+      ((conv(substring(md5(concat(lit("w"), col("id"))), 1, 8), 16, 10)
+        .cast("long") % 2001) - 1000).as("w"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_raw"))
+      .select(col("doc_id"), col("n_tokens"), col("score_raw"),
+        (col("score_raw").cast("double")
+          / (col("n_tokens") * lit(1000L)).cast("double")).as("score"),
+        (col("score_raw") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def txVocabStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), explode(expr(tokensExpr)).as("t"))
@@ -345,6 +400,8 @@ object TextOps {
     "tx10_zipf_rank" -> (txZipfRank _),
     "tx11_bpe_merge_rank" -> (txBpeMergeRank _),
     "tx12_vocab_stats" -> (txVocabStats _),
+    "tx13_quantile_sketch" -> (txQuantileSketch _),
+    "tx14_quality_model" -> (txQualityModel _),
     "dd01_dedup_exact" -> (ddExact _),
     "mm01_binary_meta" -> (mmBinaryMeta _),
   )
@@ -453,6 +510,29 @@ object TextOps {
         | quantile_cont(n_chars, 0.99) AS q99,
         | COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // exact median + months are oracle-computable; estimate_ok is the
+    // engine-side GK-summary bound check, deterministically TRUE at
+    // any partitioning (see txQuantileSketch doc)
+    "tx13_quantile_sketch" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS q50_exact,
+        | COUNT(*) AS n_docs, TRUE AS estimate_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same md5-derived buckets/weights on both engines; SUM cast to
+    // BIGINT (DuckDB sums BIGINT into HUGEINT); score is one division
+    // of exact integers so the DOUBLE matches bit-for-bit
+    "tx14_quality_model" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t
+        |        FROM documents)),
+        |w AS (SELECT range AS bucket,
+        |        ('0x' || substr(md5('w' || range), 1, 8))::BIGINT % 2001 - 1000 AS w
+        |      FROM range(1024))
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score_raw,
+        |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) * 1000 AS DOUBLE) AS score,
+        |  SUM(w) > 0 AS keep
+        |FROM toks JOIN w USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx10_zipf_rank" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t FROM documents),

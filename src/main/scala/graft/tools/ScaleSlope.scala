@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale-slope probe for the dedup family: run dd02 (n-gram Jaccard),
+  * dd04 (SimHash) and dd05 (connected components) on the sf0.1 corpus
+  * at 1× and at 10×, and report the wall-time ratio. Their plans are
+  * linear-ish (inverted-index / band equi-joins with hot-key caps, min-
+  * aggregate star contraction), so the 10× corpus should cost ≈10× —
+  * a superlinear jump would expose a hidden hot key.
+  *
+  * The 10× corpus is 10 disjoint copies of the documents table with
+  * per-copy alphabet rotation (`translate`): each copy keeps the
+  * original's INTERNAL duplicate structure while copies stay mutually
+  * dissimilar, so duplicate DENSITY is constant — 10 identical
+  * replicas would instead cross-match quadratically (45 pairs per
+  * original dup pair), measuring blowup of the workload, not the
+  * engine.
+  */
+object ScaleSlope {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SS_DIR", "/root/testdata/sf0.1")
+    val base = graft.core.Tables.documents(spark, d).select("doc_id", "text")
+
+    def corpus(copies: Int): DataFrame = {
+      val lo = "abcdefghijklmnopqrstuvwxyz"
+      val up = lo.toUpperCase
+      val dig = "0123456789"
+      // affine permutation j -> (a*j + b) mod n, a coprime to n: gives
+      // 312 distinct letter maps / 40 digit maps, so EVERY pair of
+      // copies differs on letters (plain rotation repeats every 26
+      // copies, and copies sharing a letter map become near-dups —
+      // measured as a 32× pair blowup at 100 copies)
+      val coA26 = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val coA10 = Array(1, 3, 7, 9)
+      def affine(s: String, a: Int, b: Int): String =
+        s.indices.map(j => s((a * j + b) % s.length)).mkString
+      (0 until copies).map { i =>
+        val mapped =
+          affine(lo, coA26(i / 26 % 12), i % 26) +
+            affine(up, coA26((i / 26 + 5) % 12), (i * 11 + 7) % 26) +
+            affine(dig, coA10(i / 10 % 4), i % 10)
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(col("text"), lo + up + dig, mapped).as("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    def timed(f: => Long): (Double, Long) = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def run(docs: DataFrame): Map[String, (Double, Long)] = {
+      // dd02 end-to-end: shingle + persist (as the memoized production
+      // path does) + inverted-index join
+      val (t02, n02) = timed {
+        val sh = Dedup.shingle(docs).persist()
+        try Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf).count()
+        finally { sh.unpersist(); () }
+      }
+      val (t04, n04) = timed {
+        val sig = Dedup.simhashSignaturesFrom(docs).persist()
+        try Dedup.ddSimhashFrom(sig).count()
+        finally { sig.unpersist(); () }
+      }
+      // dd05 timed on its own input (pairs precomputed and
+      // checkpointed) so the slope isolates the star contraction
+      val sh = Dedup.shingle(docs).persist()
+      val pairs = Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf)
+        .select("x", "y").localCheckpoint()
+      sh.unpersist()
+      val (t05, n05) = timed(Dedup.connectedComponents(pairs).count())
+      Map("dd02" -> ((t02, n02)), "dd04" -> ((t04, n04)),
+        "dd05" -> ((t05, n05)))
+    }
+
+    // 1× is fixed-cost-dominated at sf0.1; the informative slope is
+    // 10× → 100× (500k docs), where data cost dominates
+    val points = Seq(1, 10, 100).map(c => c -> run(corpus(c)))
+    for (op <- Seq("dd02", "dd04", "dd05")) {
+      val cells = points.map { case (c, m) =>
+        val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
+      }.mkString(",")
+      val slope = points.last._2(op)._1 / points(1)._2(op)._1
+      println(f"""{"op":"$op",$cells,"slope_10x_to_100x":$slope%.2f}""")
+    }
+    spark.stop()
+  }
+}
