@@ -194,6 +194,32 @@ object Events {
       .orderBy("start_day")
   }
 
+  /** Daily-metric anomaly flagging (the ops dashboard next to ev05:
+    * which days' event volume is a 2-sigma outlier for its event
+    * type). The sigma test runs ENTIRELY in exact integer arithmetic —
+    * |x − μ| > 2σ is squared into (N·x − S)² > 4·(N·SS − S²) over the
+    * raw count/sum/sum-of-squares, so there is no float mean, no
+    * sqrt, and the flag is bit-identical on any engine at any
+    * parallelism (squares widen to DECIMAL(38,0) / HUGEINT so the
+    * identity survives 100 TB daily volumes). Shape: one daily rollup,
+    * one k-row per-type aggregate broadcast back — no window over the
+    * time series. */
+  def evAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    val dec = "decimal(38,0)"
+    val dev = (col("n_days") * col("n") - col("s")).cast(dec)
+    val thr = (col("n_days") * col("ss") - col("s") * col("s")).cast(dec)
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        (dev * dev > lit(4).cast(dec) * thr).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_funnel" -> (evFunnel _),
     "ev02_retention" -> (evRetention _),
@@ -201,9 +227,25 @@ object Events {
     "ev04_attribution_window" -> (evAttribution _),
     "ev05_rolling_dau" -> (evRollingDau _),
     "ev06_session_stats" -> (evSessionStats _),
+    "ev07_anomaly_days" -> (evAnomaly _),
   )
 
   val oracle: Map[String, String] = Map(
+    // same squared 2-sigma identity in HUGEINT (DuckDB's BIGINT
+    // products widen automatically via explicit casts)
+    "ev07_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS aday, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n_days,
+        |         CAST(SUM(n) AS BIGINT) AS s,
+        |         CAST(SUM(n * n) AS BIGINT) AS ss
+        |       FROM daily GROUP BY 1)
+        |SELECT event_type, aday AS day, n,
+        |  CAST(n_days * n - s AS HUGEINT) * CAST(n_days * n - s AS HUGEINT)
+        |    > 4 * CAST(n_days * ss - s * s AS HUGEINT) AS is_anomaly
+        |FROM daily JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "ev06_session_stats" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) ts_us FROM events),
         |b AS (SELECT user_id, event_id, ts_us,

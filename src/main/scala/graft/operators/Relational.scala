@@ -520,7 +520,29 @@ object Relational {
       .orderBy("segment", "o_custkey")
   }
 
+  /** Rank-function battery (the remaining §2.5 window vocabulary after
+    * q07's row_number pagination and q32's frames): quartile buckets,
+    * percent_rank and cume_dist of customer balance within nation.
+    * Fully deterministic — the window ORDER BY tie-breaks on the key,
+    * and both rank fractions are one integer-ratio division, so the
+    * doubles match bit-for-bit cross-engine. One shuffle on the
+    * partition key; at 100 TB the per-nation sort is the partitioned
+    * shuffle-sort Spark already does for any windowed agg. */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_rank_functions" -> (q37 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
     "q03_star_join_revenue" -> (q03 _),
@@ -554,6 +576,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // ntile/percent_rank/cume_dist share semantics across engines; the
+    // window order tie-breaks on the key so every rank is deterministic
+    "q37_rank_functions" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q36_pivot" ->
       """SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month,
         |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O_n",

@@ -210,7 +210,28 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Per-source document budget (domain balancing — the cap step of a
+    * CC-style pipeline: no single domain may contribute more than K
+    * documents, keeping the best ones). Rank within source by length
+    * desc (doc_id tie-break — swap in a model quality score like tx14's
+    * in production), keep rank ≤ K. Shape: ONE partitioned window
+    * (shuffle on source, per-partition sort); a 100 TB run with a
+    * mega-domain salts that source into sub-partitions, takes per-salt
+    * top-K, then re-ranks the K·salts survivors — same operator
+    * composed twice, never a global sort. */
+  def spSourceBudget(s: SparkSession, d: String): DataFrame = {
+    val k = 40
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
+      .filter(col("rank_in_source") <= k)
+      .orderBy("source", "rank_in_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp08_source_budget" -> (spSourceBudget _),
     "sp01_split_assign" -> (spSplit _),
     "sp02_stratified_sample" -> (spStratified _),
     "sp03_sequence_pack" -> (spSequencePack _),
@@ -221,6 +242,14 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sp08_source_budget" ->
+      """SELECT doc_id, source, n_chars, rank_in_source FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 40
+        |ORDER BY source, rank_in_source""".stripMargin,
     "sp01_split_assign" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 900 THEN 'train'
