@@ -343,7 +343,71 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization ANN with asymmetric-distance scoring (PQ/ADC,
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the codebook compression the int8 path (sim07) does
+    * not give): the 64-dim vector splits into m=4 subvectors, each
+    * quantized to one of k=16 per-subspace centroids, so a corpus
+    * vector stores as 4 nibbles (16 bits vs 256 float bytes). A query
+    * never decodes the corpus: it precomputes the 4×16 table of
+    * query-subvector × centroid dots, and each candidate's approximate
+    * dot is 4 table lookups summed.
+    *
+    * Codebook here is FLAT (subvectors of the first k corpus vectors,
+    * the sim06 discipline) so encoding, table build and ADC ranking are
+    * all exact fixdot arithmetic a SQL oracle replicates bit-for-bit;
+    * Lloyd-refined codebooks would train like sim05. Scale shape: both
+    * encoding and ADC are MAP-ONLY against literal centroids (64 rows
+    * of index metadata); at 100 TB the codes column is materialized
+    * once at ingest and the per-query work is one scan of 2-byte
+    * codes — the memory-bandwidth win PQ exists for. */
+  def simPqAdc(s: SparkSession, d: String): DataFrame = {
+    val m = 4; val k = 16; val sub = 16
+    val v = embeddings(s, d)
+    val cbRows = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+    // codebook(j)(c): subspace j's centroid c (a subdim-float slice)
+    val cb = (0 until m).map(j => (0 until k).map(c =>
+      cbRows(c).getSeq[Float](1).slice(j * sub, (j + 1) * sub)))
+    def subcol(e: Column, j: Int) = slice(e, j * sub + 1, sub)
+    // RAW fixed-point long (not fixdotD's descaled double): every PQ
+    // stage below is exact BIGINT arithmetic
+    def fix(a: Column, b: Seq[Float]) =
+      graft.functions.GraftFunctions.fixdot(a, typedlit(b))
+    // nearest centroid per subspace: argmin over k literal structs of
+    // (selfc − 2·dot, cid) — the fixed-point expansion of L2² with the
+    // row-constant ‖x‖² term dropped (it cannot change the argmin)
+    def codeCol(e: Column, j: Int): Column =
+      array_min(array((0 until k).map { c =>
+        struct((lit(fixdotDriver(cb(j)(c), cb(j)(c)))
+          - lit(2L) * fix(subcol(e, j), cb(j)(c))).as("dist"),
+          lit(c).as("cid"))
+      }: _*)).getField("cid")
+    val coded = v.select(col("vec_id").as("nid")
+      +: (0 until m).map(j => codeCol(col("embedding"), j).as(s"c$j")): _*)
+      .withColumn("code",
+        (((col("c0") * k + col("c1")) * k + col("c2")) * k + col("c3"))
+          .cast("bigint"))
+    // per-query ADC tables: 16 literal-centroid dots per subspace
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid")
+        +: (0 until m).map(j => array((0 until k).map(c =>
+          fix(subcol(col("embedding"), j), cb(j)(c))): _*).as(s"t$j")): _*))
+    val fp = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(desc("fp"), col("nid"))
+    coded.join(q, col("qid") =!= col("nid"))
+      .withColumn("fp", fp)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), col("code"),
+        (col("fp").cast("double") / 1e12).as("approx_dot"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim08_pq_adc" -> (simPqAdc _),
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
     "sim03_lsh_ann" -> (simLshAnn _),
@@ -386,6 +450,44 @@ object Similarity {
       |      / (qv.nrm * cv.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // full PQ replica: same flat codebook (subvectors of vec_id<16),
+    // same fixed-point argmin encoding, same ADC table-lookup scoring
+    "sim08_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |subs AS (SELECT CAST(j AS INTEGER) j FROM range(4) t(j)),
+        |cb AS (SELECT subs.j, c.vec_id cid,
+        |    c.embedding[subs.j*16+1 : subs.j*16+16] AS cent
+        |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 16) c, subs),
+        |enc AS (SELECT e.vec_id, cb.j, cb.cid,
+        |  CAST(list_sum(list_transform(list_zip(cb.cent, cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)
+        |  - 2 * CAST(list_sum(list_transform(
+        |      list_zip(e.embedding[cb.j*16+1 : cb.j*16+16], cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dist
+        |  FROM e, cb),
+        |codes AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) rn
+        |  FROM enc) WHERE rn = 1),
+        |packed AS (SELECT vec_id,
+        |    CAST(SUM(cid * (CASE j WHEN 0 THEN 4096 WHEN 1 THEN 256
+        |                           WHEN 2 THEN 16 ELSE 1 END)) AS BIGINT) AS code
+        |  FROM codes GROUP BY vec_id),
+        |qt AS (SELECT q.vec_id qid, cb.j, cb.cid,
+        |  CAST(list_sum(list_transform(
+        |      list_zip(q.embedding[cb.j*16+1 : cb.j*16+16], cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS t
+        |  FROM e q, cb WHERE q.vec_id < 10),
+        |approx AS (SELECT qt.qid, c.vec_id nid, CAST(SUM(qt.t) AS BIGINT) fp
+        |  FROM codes c JOIN qt ON qt.j = c.j AND qt.cid = c.cid
+        |  WHERE qt.qid <> c.vec_id
+        |  GROUP BY qt.qid, c.vec_id)
+        |SELECT qid, nid, rank, code, approx_dot FROM (
+        |  SELECT a.qid, a.nid, p.code,
+        |    CAST(a.fp AS DOUBLE) / 1e12 AS approx_dot,
+        |    row_number() OVER (PARTITION BY a.qid ORDER BY a.fp DESC, a.nid) rank
+        |  FROM approx a JOIN packed p ON p.vec_id = a.nid) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // GOLDEN REGRESSION PIN (like DESCRIBE/EXPLAIN): the IVF result is
     // fully deterministic by construction — hash-seeded k-means, exact
     // decimal means, fixed-point dots — so its sf0.01 output is a fixed

@@ -119,6 +119,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@3 $recall collapsed — probe routing is broken")
   }
 
+  test("PQ/ADC: valid codes, deterministic, beats-random recall") {
+    val r1 = Similarity.simPqAdc(spark, sf).collect()
+    assert(r1.toSeq == Similarity.simPqAdc(spark, sf).collect().toSeq,
+      "fixed-point PQ must be deterministic")
+    val byQ = r1.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 5L).toSeq)
+      assert(!rows.map(_.getLong(1)).contains(q), "self must be excluded")
+      // packed code is 4 nibbles of 0..15
+      rows.map(_.getLong(3)).foreach(c => assert(c >= 0 && c < 65536))
+    }
+    // 16-bit codes of 64-dim vectors are lossy, but ADC ranking must
+    // still overlap the exact ranking far above chance (5 random picks
+    // from ~n would hit ≈5/n); floor at 10% of the exact top-5 set
+    val exact = Similarity.simCosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = r1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.1, s"PQ recall@5 $recall at chance level — ADC broken")
+  }
+
   test("bucket cap drops degenerate hot buckets before the self-join") {
     import spark.implicits._
     // 50 identical vectors: one bucket of 50 per band → C(50,2) pairs
