@@ -306,7 +306,49 @@ object Streaming {
     }
   }
 
+  /** Stream-STATIC enrichment join (the remaining §2.9 join mode after
+    * st04's stream-stream interval join): the event stream broadcast-
+    * joins a static dimension (event_type → category/weight — the
+    * streaming analogue of q26's lookup join), then rolls up weighted
+    * engagement per (day, category). The static side is planned as a
+    * plain broadcast into every micro-batch — no state store rows for
+    * the dim side (unlike stream-stream), which is why enrichment
+    * against slowly-changing dims is modeled this way at scale; dim
+    * updates arrive by swapping the static table between restarts. */
+  def st06(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = Seq(
+      ("view", "browse", 1L), ("click", "engage", 5L),
+      ("purchase", "convert", 25L), ("signup", "convert", 40L),
+      ("error", "ops", 0L))
+      .toDF("event_type", "category", "weight")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "1 day"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("weight")).as("engagement"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("st06_mem")
+      .option("checkpointLocation", ckptDir("st06"))
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st06_mem")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("category"), col("n"), col("engagement"))
+      .orderBy("day", "category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st06_stream_enrich" -> (st06 _),
     "st01_stream_window" -> (st01 _),
     "st02_sessionize" -> (st02 _),
     "st03_stream_dedup" -> (st03 _),
@@ -315,6 +357,15 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "st06_stream_enrich" ->
+      """WITH dim(event_type, category, weight) AS (VALUES
+        |  ('view', 'browse', 1), ('click', 'engage', 5),
+        |  ('purchase', 'convert', 25), ('signup', 'convert', 40),
+        |  ('error', 'ops', 0))
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, category,
+        |  COUNT(*) AS n, CAST(SUM(weight) AS BIGINT) AS engagement
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1, 2 ORDER BY day, category""".stripMargin,
     "st01_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | COUNT(*) AS n,
