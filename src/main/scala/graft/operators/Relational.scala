@@ -416,6 +416,21 @@ object Relational {
       .orderBy(col("gid"), col("n_name"), col("yr"))
   }
 
+  /** CUBE grouping sets (all four grains of priority × status in ONE
+    * scan + shuffle — q31's ROLLUP covers the hierarchical subset;
+    * CUBE adds the cross-grain subtotals a pivot-style dashboard asks
+    * for). grouping() flags distinguish subtotal rows from genuine
+    * NULL keys, exactly as GROUPING does cross-engine. */
+  def q38(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"))
+      .orderBy(col("g_priority"), col("g_status"),
+        col("o_orderpriority"), col("o_orderstatus"))
+
   /** Analytic-window battery over a day-grain pre-aggregate: lag,
     * running total, 7-day moving average (reference's analytic columns
     * ride ROW_NUMBER only; lead/lag/frames round out §2.5).
@@ -542,6 +557,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q38_cube_grouping" -> (q38 _),
     "q37_rank_functions" -> (q37 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_predicates" -> (q02 _),
@@ -576,6 +592,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_cube_grouping" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
     // ntile/percent_rank/cume_dist share semantics across engines; the
     // window order tie-breaks on the key so every rank is deterministic
     "q37_rank_functions" ->

@@ -102,7 +102,28 @@ object SketchQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Spark's OTHER approximate-distinct path: the built-in
+    * `approx_count_distinct` (HyperLogLog++, Heule et al. 2013) — a
+    * different implementation from sk03's DataSketches HLL, worth
+    * exercising separately because it is the one `SELECT
+    * approx_count_distinct(x)` reaches with no imports. Like every
+    * sketch estimate its merge result is partitioning-sensitive, so
+    * the output follows sk03's discipline: exact count (oracle
+    * target) + deterministic engine-side bound check (default rsd
+    * 5% → the 20% window never flips at any parallelism). */
+  def sk05(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        approx_count_distinct(col("o_custkey")).as("approx"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_customers"), col("n_orders"),
+        (abs(col("approx") - col("n_customers")) <
+          col("n_customers") * lit(0.2)).as("estimate_ok"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk05_approx_distinct" -> (sk05 _),
     "sk01_theta_distinct" -> (sk01 _),
     "sk02_theta_intersection" -> (sk02 _),
     "sk03_hll_union" -> (sk03 _),
@@ -122,6 +143,10 @@ object SketchQueries {
         | COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
         | TRUE AS estimate_ok
         |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin,
+    "sk05_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders, TRUE AS estimate_ok
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "sk01_theta_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_orders
