@@ -138,6 +138,10 @@ class SimilaritySpec extends AnyFunSuite {
     val got = r1.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.1, s"PQ recall@5 $recall at chance level — ADC broken")
+    // encoding must run as the fused native kernel — the 4×16
+    // slice+fixdot struct tree it replaces benched ~4× slower
+    val plan = Similarity.simPqAdc(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_probe"), s"PQ encode not fused:\n${plan.take(2000)}")
   }
 
   test("bucket cap drops degenerate hot buckets before the self-join") {
