@@ -171,7 +171,10 @@ object Extended {
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
       // per-partition codec/digest state — the shape a JNI decoder
-      // context would take
+      // context would take. Memory-cached image streams: the default
+      // disk-backed ImageIO cache creates (and fsyncs) a temp FILE per
+      // encode/decode — pure overhead for kilobyte payloads
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (docId, bytes) =>
         val w = (docId % 5 + 4).toInt // 4..8
