@@ -205,15 +205,19 @@ object Events {
     * one k-row per-type aggregate broadcast back — no window over the
     * time series. */
   def evAnomaly(s: SparkSession, d: String): DataFrame = {
+    // widen BEFORE multiplying: n², s·s and n_days·ss in raw BIGINT
+    // silently overflow once daily counts pass ~3e9 (n² ~ 9e18 ≈ 2⁶³,
+    // s² far beyond); every product runs in DECIMAL(38,0)
+    val dec = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("n").as("s"),
-        sum(col("n") * col("n")).as("ss"))
-    val dec = "decimal(38,0)"
-    val dev = (col("n_days") * col("n") - col("s")).cast(dec)
-    val thr = (col("n_days") * col("ss") - col("s") * col("s")).cast(dec)
+        sum(d(col("n")) * d(col("n"))).as("ss"))
+    val dev = d(col("n_days")) * d(col("n")) - d(col("s"))
+    val thr = d(col("n_days")) * d(col("ss")) - d(col("s")) * d(col("s"))
     daily.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"), col("n"),
         (dev * dev > lit(4).cast(dec) * thr).as("is_anomaly"))
@@ -237,13 +241,13 @@ object Events {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS aday, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type, COUNT(*) AS n_days,
-        |         CAST(SUM(n) AS BIGINT) AS s,
-        |         CAST(SUM(n * n) AS BIGINT) AS ss
+        |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_days,
+        |         CAST(SUM(n) AS HUGEINT) AS s,
+        |         SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS ss
         |       FROM daily GROUP BY 1)
         |SELECT event_type, aday AS day, n,
-        |  CAST(n_days * n - s AS HUGEINT) * CAST(n_days * n - s AS HUGEINT)
-        |    > 4 * CAST(n_days * ss - s * s AS HUGEINT) AS is_anomaly
+        |  (n_days * n - s) * (n_days * n - s)
+        |    > 4 * (n_days * ss - s * s) AS is_anomaly
         |FROM daily JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
     "ev06_session_stats" ->
