@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.SemanticQueries.queries ++ operators.SketchQueries.queries ++
       operators.Extended.queries ++ operators.Sampling.queries ++
-      operators.Events.queries ++ streaming.Streaming.queries
+      operators.Events.queries ++ streaming.Streaming.queries ++
+      operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.SemanticQueries.oracle ++ operators.SketchQueries.oracle ++
       operators.Extended.oracle ++ operators.Sampling.oracle ++
-      operators.Events.oracle ++ streaming.Streaming.oracle
+      operators.Events.oracle ++ streaming.Streaming.oracle ++
+      operators.Pipeline.oracle
 }

@@ -209,15 +209,16 @@ object Events {
     // silently overflow once daily counts pass ~3e9 (n² ~ 9e18 ≈ 2⁶³,
     // s² far beyond); every product runs in DECIMAL(38,0)
     val dec = "decimal(38,0)"
-    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
+    def wide(c: Column) = c.cast(dec)
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("n").as("s"),
-        sum(d(col("n")) * d(col("n"))).as("ss"))
-    val dev = d(col("n_days")) * d(col("n")) - d(col("s"))
-    val thr = d(col("n_days")) * d(col("ss")) - d(col("s")) * d(col("s"))
+        sum(wide(col("n")) * wide(col("n"))).as("ss"))
+    val dev = wide(col("n_days")) * wide(col("n")) - wide(col("s"))
+    val thr = (wide(col("n_days")) * wide(col("ss"))) -
+      (wide(col("s")) * wide(col("s")))
     daily.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"), col("n"),
         (dev * dev > lit(4).cast(dec) * thr).as("is_anomaly"))

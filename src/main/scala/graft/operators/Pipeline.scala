@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** End-to-end corpus-curation pipeline: the individual training-data
+  * operators composed into the manifest a real data run produces. One
+  * query chains
+  *
+  *   1. model-based quality gate      (tx14's hashed linear scorer)
+  *   2. exact-duplicate canonical     (md5 group, keep min doc_id)
+  *   3. per-source document budget    (sp08's top-K by length)
+  *   4. deterministic split assign    (sp01's salted-md5 buckets)
+  *
+  * and emits one row per SURVIVING document with its split — the
+  * output a trainer's data loader consumes. Everything is one linear
+  * DataFrame flow, so Catalyst fuses the stages: the quality gate and
+  * md5 fingerprint ride the same scan; dedup is one shuffle; the
+  * budget is one partitioned window; the split is map-only. The
+  * composed plan is exactly what the stages cost individually — no
+  * materialization between them (contrast with a pipeline of separate
+  * jobs writing intermediate corpora).
+  */
+object Pipeline {
+
+  def ppCurate(s: SparkSession, d: String): DataFrame = {
+    // stage 1: quality gate — reuse tx14's scorer verbatim (keep > 0)
+    val kept = TextOps.txQualityModelScored(s, d)
+      .filter(col("keep")).select("doc_id")
+    val docs = documents(s, d)
+      .join(kept, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+    // stage 2: exact-dup canonical — min doc_id per fingerprint
+    // survives (map-side-combined aggregate, one shuffle on fp)
+    val canon = docs.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("fp", "doc_id"))
+    // stage 3: per-source budget — sp08's window, K = 40
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    val budgeted = canon
+      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
+      .filter(col("rank_in_source") <= 40)
+    // stage 4: sp01's salted split buckets (90/5/5 over 1000)
+    val bucket = (conv(substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint") % 1000)
+    budgeted
+      .withColumn("split",
+        when(bucket < 900, "train").when(bucket < 950, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "n_chars", "rank_in_source", "split")
+      .orderBy("source", "rank_in_source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pp01_curation_manifest" -> (ppCurate _),
+  )
+
+  // each CTE replicates the corresponding stage's proven oracle
+  // fragment (tx14 weights, md5 canonical, sp08 window, sp01 buckets)
+  val oracle: Map[String, String] = Map(
+    "pp01_curation_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t
+        |        FROM documents)),
+        |w AS (SELECT range AS bucket,
+        |        ('0x' || substr(md5('w' || range), 1, 8))::BIGINT % 2001 - 1000 AS wt
+        |      FROM range(1024)),
+        |kept AS (SELECT doc_id FROM toks JOIN w USING (bucket)
+        |         GROUP BY doc_id HAVING SUM(wt) > 0),
+        |docs AS (SELECT d.doc_id, d.source, d.n_chars, md5(d.text) AS fp
+        |         FROM documents d JOIN kept USING (doc_id)),
+        |canon AS (SELECT docs.* FROM docs
+        |          JOIN (SELECT fp, MIN(doc_id) doc_id FROM docs GROUP BY fp) c
+        |            ON docs.fp = c.fp AND docs.doc_id = c.doc_id),
+        |budgeted AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank_in_source
+        |  FROM canon)
+        |SELECT doc_id, source, n_chars, rank_in_source,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000 < 900 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000 < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM budgeted WHERE rank_in_source <= 40
+        |ORDER BY source, rank_in_source""".stripMargin,
+  )
+}

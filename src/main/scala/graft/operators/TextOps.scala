@@ -302,7 +302,13 @@ object TextOps {
     * discipline): the only float op is one final division, so the
     * score is bit-stable at any parallelism and the DuckDB oracle
     * reproduces it from the same md5 bytes. */
-  def txQualityModel(s: SparkSession, d: String): DataFrame = {
+  def txQualityModel(s: SparkSession, d: String): DataFrame =
+    txQualityModelScored(s, d).orderBy("doc_id")
+
+  /** The scorer without the presentation sort — composition point for
+    * [[Pipeline.ppCurate]] (a sort below a join would be wasted work if
+    * the optimizer doesn't eliminate it). */
+  private[operators] def txQualityModelScored(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
       .select(col("doc_id"),
@@ -318,7 +324,6 @@ object TextOps {
         (col("score_raw").cast("double")
           / (col("n_tokens") * lit(1000L)).cast("double")).as("score"),
         (col("score_raw") > 0).as("keep"))
-      .orderBy("doc_id")
   }
 
   def txVocabStats(s: SparkSession, d: String): DataFrame =
