@@ -73,4 +73,19 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.count() == 100 &&
       df.agg(sum("V")).collect()(0).getLong(0) == (1 to 100).map(_ * 10L).sum)
   }
+
+  test("a result writes back over JDBC and reads identically (sink path)") {
+    // the export half of the JDBC story (reference: Oracle/Postgres
+    // result tables): a computed rollup lands in the database via the
+    // same partitioned writer a 100 TB export would use, one
+    // connection per partition
+    val rollup = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    rollup.coalesce(2).write.mode("overwrite")
+      .jdbc(url, "priority_rollup", new java.util.Properties)
+    val back = spark.read.jdbc(url, "priority_rollup", new java.util.Properties)
+    assert(back.orderBy("o_orderpriority").collect().toSeq ==
+      rollup.orderBy("o_orderpriority").collect().toSeq)
+  }
 }
