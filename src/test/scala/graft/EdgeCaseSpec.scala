@@ -84,4 +84,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getLong(1) == 11L && r.getLong(2) == 1L),
       "zero vector ranked as a top-1 neighbor")
   }
+
+  test("q38-style CUBE: GROUPING() separates a genuinely NULL key from subtotal rows") {
+    import spark.implicits._
+    // the orders corpus has no NULL keys, so the oracle can't witness
+    // this distinction — a synthetic frame must: a NULL category DATA
+    // row keeps g_cat = 0, the subtotal row over categories has
+    // g_cat = 1, and they must not merge
+    val df = Seq((Some("a"), 1L), (None, 2L), (Some("a"), 4L))
+      .toDF("cat", "v")
+      .cube(col("cat"))
+      .agg(sum("v").as("total"), grouping(col("cat")).as("g_cat"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getByte(2).toInt))
+      .toSet
+    assert(df == Set(
+      (Some("a"), 5L, 0),  // real group
+      (None, 2L, 0),       // genuine NULL key — data, not subtotal
+      (None, 7L, 1)),      // grand total — subtotal, not data
+      s"CUBE/GROUPING semantics broken: $df")
+  }
 }
