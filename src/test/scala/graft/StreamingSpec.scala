@@ -129,6 +129,56 @@ class StreamingSpec extends AnyFunSuite {
       && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark: bounded state — far-apart dup re-emits") {
+    // the watermark-bounded dedup (the unbounded-corpus shape next to
+    // st03's exact global dedup): a duplicate inside the delay is
+    // suppressed; one arriving after the watermark passed the first
+    // copy's expiry re-emits, proving state was EVICTED, not kept
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmdedup")
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(dir.toFile))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("k", "s").select(col("k"), col("s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/$name")
+    }
+    // a persistent checkpoint + one AvailableNow run per file makes the
+    // batch boundaries deterministic (a fresh glob run may coalesce or
+    // reorder same-mtime files, which would watermark-drop the probe row)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .parquet(s"$dir/src/*")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: key 1 twice within 10 min (dup suppressed), key 2 once
+    write("b1", Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00"),
+      (2L, "2024-01-01 10:00:00")))
+    run()
+    val first = spark.read.parquet(s"$dir/out").collect()
+    assert(first.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      s"within-delay dup not suppressed: ${first.toSeq}")
+    // batch 2 advances the watermark far past key 1's expiry (10:00 +
+    // 30 min); its own key-1 row is still suppressed (eviction applies
+    // at batch END). Batch 3's key-1 row then sees evicted state and
+    // MUST re-emit.
+    write("b2", Seq((1L, "2024-01-01 16:00:00")))
+    run()
+    write("b3", Seq((1L, "2024-01-01 17:00:00")))
+    run()
+    val rows = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).sorted.toSeq
+    assert(rows.count(_._1 == 1L) == 2 && rows.exists(_._2.startsWith("2024-01-01 17")),
+      s"far-apart duplicate did not re-emit — state never evicted ($rows)")
+  }
+
   test("st05 incremental rollup: multiple merge batches, equals batch rollup") {
     import graft.streaming.Streaming
     val out = Streaming.st05(spark, sf)
