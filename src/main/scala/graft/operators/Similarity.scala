@@ -407,7 +407,70 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** SemDeDup — semantic dedup of the embedding corpus (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster with a coarse quantizer, compute
+    * pairwise cosine only WITHIN each cluster, connect pairs ≥ τ into
+    * duplicate groups (transitive closure — the same large/small-star
+    * contraction as dd05), and keep per group the member FARTHEST from
+    * its cluster centroid (the paper's diversity-preserving pick; ties
+    * → lowest vec_id), dropping the rest.
+    *
+    * Scale shape: assignment and centroid-cosine are map-only against
+    * the k×dim literal centers (one corpus scan through the fused
+    * CentroidProbe kernel); the quadratic stage is confined WITHIN a
+    * cluster by an equi-join on cid — in SemDeDup's own regime k grows
+    * with the corpus (k ≈ n/⟨cluster size⟩ holds clusters at a fixed
+    * few-thousand docs), so within-cluster pairs stay bounded and a
+    * skewed list splits under AQE; the closure is dd05's O(log n)
+    * contraction, never a per-cluster collect. The flat quantizer
+    * (first-k vectors — sim06's discipline) keeps every stage exact
+    * fixed-point arithmetic the SQL oracle replicates value-for-value;
+    * a production run swaps in sim05's trained centroids without
+    * touching any downstream stage. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupFrom(s, withNorm(s, d), k = 8, tau = 0.3,
+      memoTag = Some(s"semdedup|$d|k8"))
+
+  private[graft] def semDedupFrom(s: SparkSession, v: DataFrame, k: Int,
+      tau: Double, memoTag: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val cdf = broadcast(cents.map(c => (c.cid, c.cemb, c.cn2))
+      .toDF("cid", "cemb", "cn2"))
+    // per-vector cluster id + cosine to the OWN centroid (the keep
+    // score); memoized — the frame feeds both pair-join sides and the
+    // final scoring join
+    def mkM = v.select(col("vec_id"), col("embedding"), col("nrm"),
+        nearestCidCol(cents, col("embedding")).as("cid"))
+      .join(cdf, "cid")
+      .withColumn("cosc",
+        graft.functions.GraftFunctions.fixdotD(col("embedding"), col("cemb"))
+          / (col("nrm") * sqrt(col("cn2"))))
+      .select("vec_id", "cid", "embedding", "nrm", "cosc")
+    val m = memoTag.fold(mkM)(t => graft.core.Caches.memo(s, t)(mkM))
+    val a = m.select(col("cid"), col("vec_id").as("x"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = m.select(col("cid"), col("vec_id").as("y"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("x") < col("y"))
+      .filter(dotFix / (col("qn") * col("cn")) >= tau)
+      .select("x", "y")
+    val labels = Dedup.connectedComponents(pairs) // (doc_id, canonical)
+    labels.join(m.select(col("vec_id").as("doc_id"), col("cosc")), "doc_id")
+      .groupBy(col("canonical").as("grp"))
+      .agg(count(lit(1)).as("sz"),
+        min(struct(col("cosc"), col("doc_id"))).as("b"))
+      .select(col("grp"), col("sz"), col("b.doc_id").as("keep_id"),
+        (col("sz") - lit(1L)).as("n_dropped"), col("b.cosc").as("keep_cos"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd08_semdedup" -> (semDedup _),
     "sim08_pq_adc" -> (simPqAdc _),
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
@@ -451,6 +514,49 @@ object Similarity {
       |      / (qv.nrm * cv.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the full SemDeDup pipeline in exact fixed-point arithmetic:
+    // flat-quantizer assignment (sim06's argmin), within-cluster
+    // cosine pairs, recursive-CTE transitive closure (dd05's ground
+    // truth), per-group farthest-from-centroid keep pick
+    "dd08_semdedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid, cosc FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (v.nrm * sqrt(c.cn2)) AS cosc,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      c.cid) rn
+        |  FROM v, c) t WHERE rn = 1),
+        |m AS (SELECT v.vec_id, v.embedding, v.nrm, a.cid, a.cosc
+        |      FROM v JOIN asg a USING (vec_id)),
+        |pairs AS (SELECT a.vec_id x, b.vec_id y
+        |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE (CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (a.nrm * b.nrm) >= 0.3),
+        |e AS (SELECT x a, y b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS grp FROM reach GROUP BY a),
+        |sc AS (SELECT l.vec_id, l.grp, m.cosc FROM lab l JOIN m USING (vec_id)),
+        |keep AS (SELECT grp, vec_id AS keep_id, cosc AS keep_cos FROM (
+        |  SELECT grp, vec_id, cosc,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cosc, vec_id) rn FROM sc) t
+        |  WHERE rn = 1),
+        |szs AS (SELECT grp, COUNT(*) sz FROM sc GROUP BY grp)
+        |SELECT s.grp, CAST(s.sz AS BIGINT) sz, k.keep_id,
+        |  CAST(s.sz - 1 AS BIGINT) n_dropped, k.keep_cos
+        |FROM szs s JOIN keep k USING (grp) ORDER BY grp""".stripMargin,
     // full PQ replica: same flat codebook (subvectors of vec_id<16),
     // same fixed-point argmin encoding, same ADC table-lookup scoring
     "sim08_pq_adc" ->

@@ -155,4 +155,33 @@ class SimilaritySpec extends AnyFunSuite {
     val capped = Similarity.simNearDupPairsFrom(df, 2, 8, 7L, maxBucket = 10)
     assert(capped.count() == 0, "hot buckets must be skipped entirely")
   }
+
+  test("semdedup: planted dups cluster; keep = farthest from centroid") {
+    import spark.implicits._
+    // k=4 orthogonal seeds (pairwise cos 0 → no seed-seed pairs); a
+    // planted trio near seed 0 whose farthest-from-centroid member is
+    // id 11; an isolated singleton near seed 3 that must NOT appear
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f), 3L -> Array(0f, 0f, 0f, 1f),
+      10L -> Array(0.9f, 0.1f, 0f, 0f), 11L -> Array(0.8f, 0.2f, 0f, 0f),
+      20L -> Array(0f, 0f, 0f, 0.7f))
+    val v = rows.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    val out = Similarity.semDedupFrom(spark, v, k = 4, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // {0,10,11} is one duplicate group: cos(0,10)≈0.994, cos(0,11)≈0.970,
+    // cos(10,11)≈0.993 — all ≥ 0.3 and same cluster. cos-to-centroid is
+    // 1.0 / 0.994 / 0.970, so the kept (farthest) member is 11.
+    // 20 pairs with 3 (cos 1.0, same cluster) → group {3,20}; both sit
+    // at centroid-cosine ≈ 1.0 (fixed-point rounding decides the keep,
+    // so only size/drops are asserted for this group)
+    assert(out.length == 2, s"expected 2 groups, got ${out.toSeq}")
+    assert(out.contains((0L, 3L, 11L, 2L)),
+      s"trio group wrong (want grp=0 sz=3 keep=11 dropped=2): ${out.toSeq}")
+    val g3 = out.find(_._1 == 3L).get
+    assert(g3._2 == 2L && g3._4 == 1L, s"pair group wrong: $g3")
+    // singletons (1, 2) never appear
+    assert(!out.exists(t => t._1 == 1L || t._1 == 2L))
+  }
 }
