@@ -392,7 +392,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency scoring — the CCNet/KenLM perplexity-filter
+    * shape in exact integer arithmetic: the corpus itself is the LM
+    * (adjacent-pair occurrence counts), and each document scores the
+    * mean binary-digit count of its bigrams' corpus frequencies
+    * (length(bin(c)) = floor(log₂ c) + 1 — an integer both engines
+    * compute exactly, where a float log-prob sum would be fold-order
+    * sensitive). A low score means the doc's word transitions are
+    * rarely seen anywhere else — garbled/disfluent text; a filtering
+    * run thresholds the low tail exactly as CCNet buckets on KenLM
+    * perplexity. Shape at 100 TB: pair extraction is the same
+    * map-only zip as tx11, counts shuffle once on the pair key
+    * (map-side combined), scoring joins occurrences back on that key
+    * and aggregates per doc — no windows, no driver state. */
+  def txBigramFluency(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .withColumn("tokens", expr(tokensExpr))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(tokens, 1, size(tokens) - 1),
+          |  slice(tokens, 2, size(tokens) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("c"))
+    bi.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c"))).cast("bigint")).as("lb_sum"))
+      .withColumn("fluency", col("lb_sum").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "lb_sum", "fluency")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx15_bigram_fluency" -> (txBigramFluency _),
     "mm05_chunk_dedup" -> (mmChunkDedup _),
     "tx01_text_quality" -> (txQuality _),
     "tx02_lang_id" -> (txLangId _),
@@ -412,6 +444,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx15_bigram_fluency" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) bg
+        |       FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT bg, COUNT(*) c FROM bi GROUP BY bg),
+        |per AS (SELECT doc_id, COUNT(*) n_bigrams,
+        |          SUM(length(format('{:b}', c))) lb
+        |        FROM bi JOIN cnt USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) n_bigrams,
+        |  CAST(lb AS BIGINT) lb_sum,
+        |  CAST(lb AS DOUBLE) / n_bigrams AS fluency
+        |FROM per ORDER BY doc_id""".stripMargin,
     "mm05_chunk_dedup" ->
       """WITH ch AS (SELECT doc_id,
         |  unnest(list_transform(range(0, (length(hex(encode(text))) - 1) // 128 + 1),
