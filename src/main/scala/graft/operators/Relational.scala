@@ -458,6 +458,31 @@ object Relational {
       .orderBy("day")
   }
 
+  /** RANGE-frame window over event TIME (q32's frames are ROWS-based):
+    * 7-day moving revenue per order priority, where the frame is
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on the day number —
+    * on a daily series with gaps, a rows-frame silently widens the
+    * window to whatever 7 rows span, while the range-frame stays a
+    * true calendar week (this corpus has gap days per priority, so the
+    * two genuinely differ). Scale discipline: the window runs over the
+    * pre-aggregated per-(priority, day) series — thousands of rows
+    * regardless of fact size — never over the order stream, and
+    * partitioning by priority keeps even that series off a single
+    * task. */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-07-01")
+      .groupBy(col("o_orderpriority").as("pri"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy("pri").orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("pri"), col("day").cast("bigint").as("day"),
+      col("rev").cast("double").as("revenue"),
+      sum(col("rev")).over(w).cast("double").as("rev7"),
+      count(lit(1)).over(w).cast("bigint").as("days_present7"))
+      .orderBy("pri", "day")
+  }
+
   /** Anti join (NOT EXISTS): customers with no 1995 order, by market
     * segment — the complement of q22's semi join. Plans as a broadcast
     * or shuffled hash LEFT ANTI on the key (never a nested loop): the
@@ -585,6 +610,7 @@ object Relational {
     "q30_asof_join" -> (q30 _),
     "q31_grouping_rollup" -> (q31 _),
     "q32_window_analytics" -> (q32 _),
+    "q39_range_frame" -> (q39 _),
     "q33_anti_join" -> (q33 _),
     "q34_set_ops" -> (q34 _),
     "q35_scalar_subquery" -> (q35 _),
@@ -858,6 +884,21 @@ object Relational {
         |  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
+    "q39_range_frame" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+        |  GROUP BY 1, 2)
+        |SELECT pri, CAST(day AS BIGINT) AS day,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY pri ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7,
+        |  CAST(COUNT(*) OVER (PARTITION BY pri ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_present7
+        |FROM daily ORDER BY pri, day""".stripMargin,
     "q33_anti_join" ->
       """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_inactive,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
