@@ -249,7 +249,89 @@ object Extended {
       .orderBy("o_orderpriority")
   }
 
+  /** Perceptual-hash (aHash) image near-dup pairs — the IMAGE leg of
+    * the dedup stack (text: dd01-dd08, binary chunks: mm05): each
+    * payload is decoded through the real javax.imageio path (the same
+    * codec mm03 exercises), the decoded grayscale pixels vote a
+    * mean-threshold bit each (bit_i = pix_i·n ≥ Σpix — exact integer
+    * arithmetic, no float mean), and the ≤48-bit hash is blocked on
+    * four 12-bit chunks exactly like dd04's SimHash: two hashes within
+    * Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole — the blocked join
+    * is lossless), so candidate generation is an equi-join on
+    * (w, h, chunk), never all-pairs over the corpus. The oracle
+    * replicates the pixels from the source bytes (the round-trip is
+    * lossless) and brute-forces the pair set the blocking must equal.
+    * At 100 TB the decode is the scan-time cost and the join shuffles
+    * on the chunk key; a degenerate hot chunk (constant-color corpora)
+    * caps exactly as dd04/sim04 do. */
+  def mm06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val sig = graft.core.Caches.memo(s, s"mm06|$d") {
+      payloads.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (docId, bytes) =>
+          val w = (docId % 5 + 4).toInt
+          val h = (docId % 3 + 4).toInt
+          val n = w * h
+          val pix = java.util.Arrays.copyOf(bytes, n)
+          java.util.Arrays.fill(pix, math.min(bytes.length, n), n, ' '.toByte)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < n) {
+            val v = pix(i) & 0xff
+            img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val fmt = if (docId % 2 == 0) "png" else "bmp"
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          // aHash over the DECODED pixels: exact integer mean vote
+          var sum = 0L
+          var j = 0
+          val dn = dec.getWidth * dec.getHeight
+          val g = new Array[Int](dn)
+          var y = 0
+          while (y < dec.getHeight) {
+            var x = 0
+            while (x < dec.getWidth) {
+              g(j) = dec.getRGB(x, y) & 0xff
+              sum += g(j); j += 1; x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          j = 0
+          while (j < dn) {
+            if (g(j).toLong * dn >= sum) hash |= 1L << j
+            j += 1
+          }
+          (docId, dec.getWidth, dec.getHeight, hash)
+        }
+      }.toDF("doc_id", "w", "h", "ahash")
+    }
+    val ex = sig.select(col("doc_id"), col("w"), col("h"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("ci"))
+      .withColumn("cv", expr("shiftright(ahash, ci * 12) & 4095"))
+    val a = ex.select(col("w"), col("h"), col("ci"), col("cv"),
+      col("doc_id").as("x"), col("ahash").as("ha"))
+    val b = ex.select(col("w"), col("h"), col("ci"), col("cv"),
+      col("doc_id").as("y"), col("ahash").as("hb"))
+    a.join(b, Seq("w", "h", "ci", "cv"))
+      .filter(col("x") < col("y"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select("x", "y", "hamming").distinct()
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm06_phash_neardup" -> (mm06 _),
     "q27_udf_filter" -> (q27 _),
     "q28_custom_udaf" -> (q28 _),
     "q24_supplier_star" -> (q24 _),
@@ -264,6 +346,29 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    // pixels replicated from the source bytes (lossless round-trip),
+    // aHash votes in exact integer arithmetic, brute-force pair set —
+    // which the blocked join must EQUAL (chunking lossless at
+    // Hamming ≤ 3 by pigeonhole over 4 chunks)
+    "mm06_phash_neardup" ->
+      """WITH g AS (SELECT doc_id, hex(encode(text)) hx,
+        |  CAST(doc_id % 5 + 4 AS INTEGER) w, CAST(doc_id % 3 + 4 AS INTEGER) h
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, w*h n,
+        |  list_transform(range(0, w*h), i ->
+        |    CASE WHEN 2*i + 2 <= length(hx)
+        |         THEN ('0x' || substr(hx, 2*i + 1, 2))::INTEGER ELSE 32 END) pix
+        |  FROM g),
+        |ps AS (SELECT doc_id, w, h, n, pix, list_sum(pix) s FROM p),
+        |hsh AS (SELECT doc_id, w, h,
+        |  CAST(list_sum(list_transform(range(0, n), i ->
+        |    CASE WHEN pix[i+1] * n >= s THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) ahash
+        |  FROM ps)
+        |SELECT a.doc_id x, b.doc_id y,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) hamming
+        |FROM hsh a JOIN hsh b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY x, y""".stripMargin,
     // the imageio round-trip is pixel-lossless (24-bit RGB), so the
     // decoded pixel bytes are exactly the first w*h text bytes (space-
     // padded) — DuckDB recomputes the hash from the text directly
