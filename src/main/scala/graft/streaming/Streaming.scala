@@ -209,7 +209,11 @@ object Streaming {
     try st04Run(s, d) finally s.conf.set(noDataKey, prevNoData)
   }
 
-  private def st04Run(s: SparkSession, d: String): DataFrame = {
+  private def st04Run(s: SparkSession, d: String): DataFrame =
+    streamJoinRun(s, d, "inner", "st04_mem")
+
+  private def streamJoinRun(s: SparkSession, d: String, joinType: String,
+      sink: String): DataFrame = {
     def side(tpe: String, prefix: String): DataFrame = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -221,21 +225,40 @@ object Streaming {
       .withWatermark(s"${prefix}_ts", "1 hour")
     val joined = side("click", "c").join(side("purchase", "p"),
       expr("""c_user = p_user AND
-             |p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours""".stripMargin))
+             |p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours""".stripMargin),
+      joinType)
     val q = joined.writeStream
       .format("memory")
-      .queryName("st04_mem")
-      .option("checkpointLocation", ckptDir("st04"))
+      .queryName(sink)
+      .option("checkpointLocation", ckptDir(sink))
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("st04_mem")
+    s.table(sink)
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         col("p_id").as("purchase_id"),
         unix_micros(col("c_ts")).as("click_us"),
         unix_micros(col("p_ts")).as("purchase_us"))
       .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** Watermarked stream-stream LEFT OUTER join — the semantics st04's
+    * inner join doesn't cover: a click with no purchase inside its
+    * 6-hour attribution window must still emit (with nulls), and in a
+    * STREAM that emission can only happen once the watermark proves no
+    * matching purchase can still arrive — i.e. when the click's state
+    * expires. The trailing no-data micro-batch stays ENABLED here (the
+    * opposite of st04): it is what advances the final watermark and
+    * flushes the null side. Clicks younger than (final watermark − 6 h)
+    * are still legitimately "awaiting a match" when the bounded run
+    * drains, so they do not emit — the oracle replicates exactly that
+    * boundary from the data (min of both sides' max event time − 1 h
+    * delay). State size and eviction match st04; the null path adds no
+    * extra state. */
+  def st07(s: SparkSession, d: String): DataFrame = withFewPartitions(s, n = 2) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streamJoinRun(s, d, "leftOuter", "st07_mem")
   }
 
   /** Batch count of the last [[st05]] run — exposed so specs can
@@ -354,6 +377,7 @@ object Streaming {
     "st03_stream_dedup" -> (st03 _),
     "st04_stream_join" -> (st04 _),
     "st05_incremental_rollup" -> (st05 _),
+    "st07_stream_outer_join" -> (st07 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +404,30 @@ object Streaming {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the left-outer run: matches emit as in st04; unmatched clicks
+    // emit (null purchase) only once the final watermark passes their
+    // window end. The watermark is replicated at Spark's precision:
+    // per-side max event time floored to MILLISECONDS minus the 1 h
+    // delay, min across the two sides, strict '<' eviction.
+    "st07_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) us FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) us FROM events
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT (least((SELECT max(us) // 1000 FROM c),
+        |                     (SELECT max(us) // 1000 FROM p))
+        |               - 3600000) * 1000 AS w),
+        |j AS (SELECT c.user_id, c.event_id AS click_id,
+        |        p.event_id AS purchase_id, c.us AS click_us, p.us AS purchase_us
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.us >= c.us AND p.us <= c.us + 21600000000)
+        |SELECT user_id, click_id, purchase_id, click_us, purchase_us FROM j
+        |UNION ALL
+        |SELECT c.user_id, c.event_id, NULL, c.us, NULL FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |        AND p.us >= c.us AND p.us <= c.us + 21600000000)
+        |  AND c.us + 21600000000 < (SELECT w FROM wm)
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "st04_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
         | p.event_id AS purchase_id,
