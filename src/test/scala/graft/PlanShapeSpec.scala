@@ -153,6 +153,17 @@ class PlanShapeSpec extends AnyFunSuite {
       || plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
   }
 
+  test("dd08/mm06: near-dup candidate generation is equi-join, never a nested loop") {
+    // both ops confine the quadratic stage behind an equi-join key
+    // (cluster id / hash chunk); a BNLJ or cartesian would be the
+    // all-pairs blowup the designs exist to avoid
+    for (df <- Seq(Similarity.semDedup(spark, sf), Extended.mm06(spark, sf))) {
+      val plan = physical(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"near-dup join degenerated to a nested loop:\n${plan.take(3000)}")
+    }
+  }
+
   test("ev02: retention aggregates partially before each shuffle") {
     val plan = physical(Events.evRetention(spark, sf))
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
