@@ -84,9 +84,40 @@ object ScaleSlope {
         "dd05" -> ((t05, n05)))
     }
 
+    // dd08 SemDeDup probe: embeddings replicated with per-copy
+    // deterministic SIGN FLIPS — an orthogonal transform, so each
+    // copy's internal cosine structure (and near-dup density) is
+    // preserved EXACTLY while cross-copy cosines collapse toward 0
+    // (pseudorandom ±1 sign products). k scales with the corpus
+    // (SemDeDup's own regime: constant cluster size), so the
+    // within-cluster quadratic stage should stay ~linear overall.
+    val ebase = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding")
+    def ecorpus(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        ebase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, j) -> x * cast(1 - 2 * pmod(hash($i, j), 2) as float))")
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+        .withColumn("nrm", sqrt(graft.functions.GraftFunctions
+          .fixdotD(col("embedding"), col("embedding"))))
+    def runDd08(copies: Int): (Double, Long) = timed {
+      // seeds are vec_id < k: copy 0 holds ids 0..4999, so k ≤ 5000
+      // seed ids always resolve; assignment stays the fused kernel
+      graft.operators.Similarity
+        .semDedupFrom(spark, ecorpus(copies), k = 8 * copies, tau = 0.3)
+        .count()
+    }
+
     // 1× is fixed-cost-dominated at sf0.1; the informative slope is
     // 10× → 100× (500k docs), where data cost dominates
     val points = Seq(1, 10, 100).map(c => c -> run(corpus(c)))
+    val dd08Points = Seq(1, 10, 100).map(c => c -> runDd08(c))
+    val dd08Cells = dd08Points.map { case (c, (t, n)) =>
+      f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
+    }.mkString(",")
+    val dd08Slope = dd08Points.last._2._1 / dd08Points(1)._2._1
+    println(f"""{"op":"dd08",$dd08Cells,"slope_10x_to_100x":$dd08Slope%.2f}""")
     for (op <- Seq("dd02", "dd04", "dd05")) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
