@@ -431,6 +431,25 @@ object Relational {
       .orderBy(col("g_priority"), col("g_status"),
         col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Explicit GROUPING SETS — the hand-picked lattice next to q31's
+    * ROLLUP and q38's CUBE: ((priority, status), (priority), ()) skips
+    * the (status)-only slice a CUBE would compute, which is exactly
+    * what a serving layer does when one rollup axis is never queried
+    * alone. Still ONE pass with per-set partial aggregation (Spark
+    * expands sets before the exchange — no per-set rescans). */
+  def q40(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"))
+      .orderBy(col("g_priority"), col("g_status"),
+        col("o_orderpriority"), col("o_orderstatus"))
+
   /** Analytic-window battery over a day-grain pre-aggregate: lag,
     * running total, 7-day moving average (reference's analytic columns
     * ride ROW_NUMBER only; lead/lag/frames round out §2.5).
@@ -611,6 +630,7 @@ object Relational {
     "q31_grouping_rollup" -> (q31 _),
     "q32_window_analytics" -> (q32 _),
     "q39_range_frame" -> (q39 _),
+    "q40_grouping_sets" -> (q40 _),
     "q33_anti_join" -> (q33 _),
     "q34_set_ops" -> (q34 _),
     "q35_scalar_subquery" -> (q35 _),
@@ -884,6 +904,15 @@ object Relational {
         |  CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
+    "q40_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
     "q39_range_frame" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS pri,

@@ -405,8 +405,11 @@ object TextOps {
     * map-only zip as tx11, counts shuffle once on the pair key
     * (map-side combined), scoring joins occurrences back on that key
     * and aggregates per doc — no windows, no driver state. */
-  def txBigramFluency(s: SparkSession, d: String): DataFrame = {
-    val bi = documents(s, d)
+  def txBigramFluency(s: SparkSession, d: String): DataFrame =
+    txBigramFluencyFrom(documents(s, d))
+
+  private[graft] def txBigramFluencyFrom(docs: DataFrame): DataFrame = {
+    val bi = docs
       .withColumn("tokens", expr(tokensExpr))
       .filter(size(col("tokens")) >= 2)
       .select(col("doc_id"), explode(expr(

@@ -37,6 +37,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == (2L, 0L, 0.0))
   }
 
+  test("tx15: garbled text scores the floor; common phrasing scores higher") {
+    import spark.implicits._
+    // ten docs share the same phrase (its bigrams reach corpus count 10
+    // → log2-bucket 4); one garbled doc is all unique bigrams (count 1
+    // → bucket 1, the floor)
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 10L).map(i => (i, phrase)) :+
+      (99L, (1 to 10).map(i => s"zq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.txBigramFluencyFrom(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(99L) == 1.0, s"garbled doc must sit at the floor: ${out(99L)}")
+    assert(out(1L) > 3.0 && out(1L) == out(10L),
+      s"shared phrasing must score high and identically: ${out(1L)}")
+  }
+
   test("dd06: intra-doc repetition counts as duplication (boilerplate within one doc)") {
     import spark.implicits._
     val p = (1 to 4).map(i => s"r$i").mkString(" ")
