@@ -80,14 +80,18 @@ object Sampling {
   def spSequencePack(s: SparkSession, d: String): DataFrame =
     spSequencePackFrom(withTok(s, d), seqLen = 512, bucketWidth = 100)
 
-  private[graft] def spSequencePackFrom(docs: DataFrame, seqLen: Int,
+  /** The distributed two-phase EXCLUSIVE prefix sum of column `v` in
+    * doc_id order — shared by sp03's token offsets and sp09's byte
+    * offsets. Returns (doc_id, v, start_off). See [[spSequencePack]]
+    * for why this replaces a single-partition running-sum window. */
+  private def withPrefix(docs: DataFrame, v: String,
       bucketWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs.select(col("doc_id"), col("n_tok"))
+    val toks = docs.select(col("doc_id"), col(v))
       .withColumn("bucket", expr(s"doc_id DIV $bucketWidth"))
-    val bucketSums = toks.groupBy("bucket").agg(sum("n_tok").as("bt"))
+    val bucketSums = toks.groupBy("bucket").agg(sum(v).as("bt"))
       .orderBy("bucket").collect()
     var run = 0L
     val prefixes = bucketSums.map { r =>
@@ -98,12 +102,44 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(prefixDf, "bucket")
       .withColumn("start_off",
-        col("bucket_off") + coalesce(sum("n_tok").over(w), lit(0L)))
+        col("bucket_off") + coalesce(sum(v).over(w), lit(0L)))
+      .select("doc_id", v, "start_off")
+  }
+
+  private[graft] def spSequencePackFrom(docs: DataFrame, seqLen: Int,
+      bucketWidth: Int): DataFrame =
+    withPrefix(docs, "n_tok", bucketWidth)
       .withColumn("first_seq", expr(s"start_off DIV $seqLen"))
       .withColumn("last_seq", expr(s"(start_off + n_tok - 1) DIV $seqLen"))
       .select("doc_id", "n_tok", "start_off", "first_seq", "last_seq")
       .orderBy("doc_id")
-  }
+
+  /** Byte-budgeted shard assignment for corpus EXPORT (the "write
+    * ~equal-size output files" step of a curation run): documents in
+    * doc_id order are greedily packed into contiguous shards of
+    * ~targetBytes — a document whose start offset falls in shard k
+    * belongs wholly to shard k (docs are never split; a shard may
+    * overrun by at most one document). The assignment is the same
+    * two-phase prefix sum as sp03, over BYTES instead of tokens, so it
+    * is integer-exact, reproducible, and never funnels the corpus
+    * through one task; sp05 covers WHICH order docs arrive in, this
+    * covers how that order cuts into files. Output is the per-shard
+    * manifest a writer job consumes (one task per shard_id ⇒ one
+    * output file each). */
+  def spShardExport(s: SparkSession, d: String): DataFrame =
+    spShardExportFrom(documents(s, d)
+      .withColumn("n_bytes", octet_length(col("text")).cast("bigint")),
+      targetBytes = 16384L, bucketWidth = 100)
+
+  private[graft] def spShardExportFrom(docs: DataFrame, targetBytes: Long,
+      bucketWidth: Int): DataFrame =
+    withPrefix(docs, "n_bytes", bucketWidth)
+      .withColumn("shard_id", expr(s"start_off DIV $targetBytes"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
 
   /** The materialized form of [[spSequencePack]]: one row per
     * (sequence, document) span — which token range of each document
@@ -239,9 +275,20 @@ object Sampling {
     "sp05_corpus_shuffle" -> (spCorpusShuffle _),
     "sp06_pack_spans" -> (spPackSpans _),
     "sp07_temperature_mix" -> (spTemperatureMix _),
+    "sp09_shard_export" -> (spShardExport _),
   )
 
   val oracle: Map[String, String] = Map(
+    "sp09_shard_export" ->
+      """WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) n_bytes FROM documents),
+        |o AS (SELECT doc_id, n_bytes,
+        |  COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st
+        |  FROM b)
+        |SELECT CAST(st // 16384 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "sp08_source_budget" ->
       """SELECT doc_id, source, n_chars, rank_in_source FROM (
         |  SELECT doc_id, source, n_chars,
