@@ -187,6 +187,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(11L) == (10L, 11L, true), "the clean copy is kept")
   }
 
+  test("sp09: shards are contiguous, conserve every byte, and stay near target") {
+    import spark.implicits._
+    // 40 docs of 100 bytes, target 1000 → exactly 10 docs per shard
+    val even = (1L to 40L).map(i => (i, "x" * 100)).toDF("doc_id", "text")
+      .withColumn("n_bytes", octet_length(col("text")).cast("bigint"))
+    val m1 = Sampling.spShardExportFrom(even, targetBytes = 1000L, bucketWidth = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m1.length == 4 && m1.forall(s => s._2 == 10 && s._3 == 1000),
+      s"even corpus must cut into exact shards: ${m1.toSeq}")
+    // ragged sizes: conservation + contiguity + greedy bound (every
+    // shard but the last ends because the NEXT doc started past the
+    // boundary, so bytes-before-last-doc < target)
+    val ragged = (1L to 30L).map(i => (i, "y" * (37 * i % 301 + 13).toInt))
+      .toDF("doc_id", "text")
+      .withColumn("n_bytes", octet_length(col("text")).cast("bigint"))
+    val m2 = Sampling.spShardExportFrom(ragged, targetBytes = 512L, bucketWidth = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m2.map(_._2).sum == 30, "every doc lands in exactly one shard")
+    assert(m2.map(_._3).sum == ragged.agg(sum("n_bytes")).head.getLong(0),
+      "bytes conserved")
+    val sorted = m2.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._5 + 1 == b._4; case _ => true },
+      s"shards must be contiguous in doc order: ${sorted.toSeq}")
+  }
+
   test("sp05: deterministic shuffle is a valid sharded permutation, never ingestion order") {
     val a = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
     val b = Sampling.queries("sp05_corpus_shuffle")(spark, sf).collect()
