@@ -153,6 +153,18 @@ class PlanShapeSpec extends AnyFunSuite {
       || plan.contains("ShuffledHashJoin"), s"no equi-join found:\n$plan")
   }
 
+  test("q40: grouping sets expand once and aggregate partially — one scan, 3 sets") {
+    val plan = physical(Relational.q40(spark, sf))
+    // Expand lists exactly the 3 declared sets (the (status)-only
+    // slice a CUBE would add is absent), and the aggregate keeps its
+    // map-side partial phase below the exchange
+    assert(plan.contains("Expand"), s"no Expand:\n${plan.take(2000)}")
+    assert(!plan.contains(", 2]"), // grouping_id 2 = the skipped (status) set
+      s"skipped grouping set appeared:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"), s"no partial agg:\n${plan.take(2000)}")
+    assert(plan.split("FileScan").length == 2, "grouping sets must not rescan")
+  }
+
   test("dd08/mm06: near-dup candidate generation is equi-join, never a nested loop") {
     // both ops confine the quadratic stage behind an equi-join key
     // (cluster id / hash chunk); a BNLJ or cartesian would be the
