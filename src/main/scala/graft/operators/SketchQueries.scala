@@ -122,7 +122,47 @@ object SketchQueries {
           col("n_customers") * lit(0.2)).as("estimate_ok"))
       .orderBy("o_orderstatus")
 
+  /** Frequency-estimation sketch (Count-Min, Cormode & Muthukrishnan
+    * 2005) — the FREQUENCY member of the sketch family next to theta
+    * (set ops), HLL (distinct) and GK quantiles (tx13): per-priority
+    * sketches over o_custkey built in one partial-aggregated pass,
+    * merged on the driver (CMS merge is EXACT counter addition, so —
+    * unlike HLL — the estimates are merge-order and parallelism
+    * independent by construction), then point-queried for the 5
+    * smallest customer keys. Emits the oracle-checkable exact counts
+    * plus the engine-side deterministic guarantees: CMS never
+    * underestimates, and the overestimate is bounded by ⌈eps·N⌉.
+    * Sketch bytes are O(width·depth) metadata per group — the
+    * bounded-memory 100 TB path for heavy-hitter point counts. */
+  def sk06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.0005; val confd = 0.99; val seed = 42
+    val perPrio = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr(s"count_min_sketch(o_custkey, cast($eps as double), " +
+          s"cast($confd as double), $seed)").as("cms"),
+        count(lit(1)).as("n"))
+      .collect() // 5 rows of sketch METADATA (~224 KiB each), not data
+    val merged = perPrio.map { r =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val bound = math.ceil(eps * perPrio.map(_.getAs[Long]("n")).sum).toLong
+    val keys = orders(s, d).select(col("o_custkey")).distinct()
+      .orderBy("o_custkey").limit(5).collect().map(_.getLong(0))
+    val est = keys.toSeq.map(k => (k, merged.estimateCount(k)))
+      .toDF("o_custkey", "est")
+    orders(s, d).filter(col("o_custkey").isin(keys.map(Long.box): _*))
+      .groupBy("o_custkey").agg(count(lit(1)).as("exact_n"))
+      .join(broadcast(est), "o_custkey")
+      .select(col("o_custkey"), col("exact_n"),
+        (col("est") >= col("exact_n")
+          && col("est") <= col("exact_n") + lit(bound)).as("estimate_ok"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk06_count_min" -> (sk06 _),
     "sk05_approx_distinct" -> (sk05 _),
     "sk01_theta_distinct" -> (sk01 _),
     "sk02_theta_intersection" -> (sk02 _),
@@ -131,6 +171,14 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact point counts oracle-computable; estimate_ok engine-side:
+    // CMS never underestimates and overestimates by ≤ ⌈eps·N⌉, both
+    // deterministic (CMS merge is exact counter addition)
+    "sk06_count_min" ->
+      """WITH keys AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 5)
+        |SELECT o_custkey, COUNT(*) AS exact_n, TRUE AS estimate_ok
+        |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM keys)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The exact distinct count and month count are oracle-computable;
     // estimate_ok is an engine-side bound check (|est−exact|/exact <
     // 0.05 with lgK=12 ≈ 0.8% stderr) that is deterministically TRUE
