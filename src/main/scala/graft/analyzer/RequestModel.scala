@@ -116,7 +116,9 @@ object RequestModel {
             case Right(Resolved(_, MetricCol)) => None // HAVING: always legal
             case Right(_) =>
               val pc = pubColOf(f.field)
-              if (pc.allowedOps.contains(opOf(f))) None
+              if (pc.effectiveOps.contains(opOf(f))) None
+              else if (pc.passthrough)
+                Some(s"'${f.field}' is a passthrough column and cannot be filtered")
               else Some(s"operator ${opOf(f)} not allowed on '${f.field}'")
           }
         } ++ req.filters.collect {

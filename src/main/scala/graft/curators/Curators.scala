@@ -60,8 +60,17 @@ object Curators {
     * column (a Between on any other dim is not a time window). When the
     * day column is itself selected, prev rows are aligned to current
     * rows at the same offset within the period (prev day + len = cur
-    * day) so the join keys match instead of comparing disjoint dates. */
-  def timeShift(json: String, reg: Registry)(s: SparkSession, dir: String): DataFrame = {
+    * day) so the join keys match instead of comparing disjoint dates.
+    *
+    * `cfg.daysOffset` shifts the comparison window a further N days
+    * back (reference TimeShiftCurator.scala:83-89: offset = 1 +
+    * daysOffset, prev = [from − len − offset + 1 … from − offset] in
+    * our inclusive-bounds terms); `cfg.sortBy` orders the merged
+    * result (reference TimeShiftCurator sortBy config) instead of the
+    * default dim ordering. */
+  def timeShift(json: String, reg: Registry,
+      cfg: TimeShiftConfig = TimeShiftConfig())(
+      s: SparkSession, dir: String): DataFrame = {
     val req = parsed(json)
     val mets = metricAliases(reg, req.cube)
     val pubs = pubCols(reg, req.cube)
@@ -73,8 +82,10 @@ object Curators {
     val from = java.time.LocalDate.parse(dayF.from)
     val to = java.time.LocalDate.parse(dayF.to)
     val len = java.time.temporal.ChronoUnit.DAYS.between(from, to) + 1
+    val shift = len + cfg.daysOffset
     val prevF = BetweenFilter(dayF.field,
-      from.minusDays(len).toString, from.minusDays(1).toString)
+      from.minusDays(shift).toString,
+      from.minusDays(1 + cfg.daysOffset).toString)
     val prevReq = req.copy(filters = req.filters.map {
       case f if f == (dayF: QFilter) => prevF
       case f => f
@@ -87,7 +98,7 @@ object Curators {
     val prev = planned(prevReq, reg, s, dir)
       .select((dims.map { a =>
         if (dayGrainSel(a))
-          date_format(date_add(to_date(col(a)), len.toInt), "yyyy-MM-dd").as(a)
+          date_format(date_add(to_date(col(a)), shift.toInt), "yyyy-MM-dd").as(a)
         else col(a)
       } ++ metsSel.map(a => col(a).as(s"$a Prev"))): _*)
     val joined = cur.join(prev, dims, "left_outer")
@@ -96,7 +107,13 @@ object Curators {
         when(col(s"$a Prev").isNotNull && col(s"$a Prev") =!= 0,
           round((col(a) - col(s"$a Prev")) / col(s"$a Prev") * 100, 4)))
     }
-    withPct.orderBy(dims.map(col): _*)
+    cfg.sortBy match {
+      case Some(sb) =>
+        withPct.orderBy(
+          (if (sb.descending) desc(sb.field) else asc(sb.field)) +:
+            dims.map(col): _*)
+      case None => withPct.orderBy(dims.map(col): _*)
+    }
   }
 
   /** TotalMetrics: grand totals of the requested metrics under the same
@@ -157,17 +174,63 @@ object Curators {
     * re-request (DrilldownCurator) expressed as a broadcast left-semi
     * join instead of a driver-side collect. */
   def drillDown(json: String, drillField: String, topN: Int, reg: Registry)(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    drillDownConfigured(json,
+      DrilldownRequest(dimensions = Seq(drillField), maxRows = Int.MaxValue),
+      topN, reg)(s, dir)
+
+  /** Drilldown under a full reference-shaped [[DrilldownRequest]]
+    * config (DrilldownConfig.scala:35-120 JSON grammar): multiple
+    * drill dimensions, a cube override (empty = same cube,
+    * DrilldownCurator.scala:52), `enforceFilters` (false drops the
+    * base request's non-time filters but always retains the day-grain
+    * window — the reference keeps `dayFilter` outside
+    * `filterExpressions`), extra config filters ANDed in, facts
+    * replacing or (additiveFacts) extending the base metrics
+    * (DrilldownCurator.scala:69-74), a configured ordering, and a
+    * `maxRows` cap (DrilldownCurator.scala:82-83). */
+  def drillDownConfigured(json: String, cfg: DrilldownRequest, topN: Int,
+      reg: Registry)(s: SparkSession, dir: String): DataFrame = {
     val req = parsed(json)
-    val mets = metricAliases(reg, req.cube)
-    val parentDims = req.selectFields.filterNot(mets)
+    val baseMets = metricAliases(reg, req.cube)
+    val parentDims = req.selectFields.filterNot(baseMets)
     val parents = planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
       reg, s, dir).select(parentDims.map(col): _*)
+    val cube = if (cfg.cube.nonEmpty) cfg.cube else req.cube
+    val pubs = pubCols(reg, req.cube)
+    val baseFacts = req.selectFields.filter(baseMets)
+    val facts =
+      if (cfg.facts.isEmpty) baseFacts
+      else if (cfg.additiveFacts) (baseFacts ++ cfg.facts).distinct
+      else cfg.facts
+    val keptFilters =
+      if (cfg.enforceFilters) req.filters
+      else req.filters.filter {
+        case BetweenFilter(f, _, _) if pubs.get(f).exists(_.isDayGrain) => true
+        case _ => false
+      }
     val drillReq = req.copy(
-      selectFields = parentDims ++ Seq(drillField) ++ req.selectFields.filter(mets),
+      cube = cube,
+      selectFields = (parentDims ++ cfg.dimensions).distinct ++ facts,
+      filters = keptFilters ++ cfg.filters,
       sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1, async = true)
-    planned(drillReq, reg, s, dir)
+    val drilled = planned(drillReq, reg, s, dir)
       .join(broadcast(parents), parentDims, "left_semi")
-      .orderBy((parentDims :+ drillField).map(col): _*)
+    val ordered =
+      if (cfg.ordering.isEmpty)
+        drilled.orderBy((parentDims ++ cfg.dimensions).distinct.map(col): _*)
+      else drilled.orderBy(cfg.ordering.map(sb =>
+        if (sb.descending) desc(sb.field) else asc(sb.field)) ++
+        (parentDims ++ cfg.dimensions).distinct.map(col): _*)
+    if (cfg.maxRows == Int.MaxValue) ordered else ordered.limit(cfg.maxRows)
   }
+
+  /** Parse a reference-shaped drilldown config (object or array) and
+    * run every request in it — the multi-request form of
+    * DrilldownConfig (one curator result per request). */
+  def drillDownAll(json: String, configJson: String, topN: Int,
+      reg: Registry)(s: SparkSession, dir: String): Seq[DataFrame] =
+    DrilldownConfig.parse(configJson)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .map(cfg => drillDownConfigured(json, cfg, topN, reg)(s, dir))
 }

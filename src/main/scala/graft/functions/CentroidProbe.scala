@@ -61,18 +61,27 @@ case class CentroidProbe(child: Expression, centers: Seq[Seq[Float]],
     * anything allocation-heavy. */
   def compute(v: ArrayData): ArrayData = {
     val k = cMat.length
+    // copy the row ONCE into a primitive array (null → 0, identical to
+    // skipping: floor(±0.0 · c) = 0): the k-center loop then runs on
+    // plain float[] instead of paying an ArrayData virtual call per
+    // (center, dim) element — k×dim reads collapse to dim
+    val m = v.numElements()
+    val row = new Array[Float](m)
+    var p = 0
+    while (p < m) {
+      if (!v.isNullAt(p)) row(p) = v.getFloat(p)
+      p += 1
+    }
     val dist = new Array[Double](k)
     val idx = new Array[Int](k)
     var j = 0
     while (j < k) {
       val c = cMat(j)
-      val n = math.min(v.numElements(), c.length)
+      val n = math.min(m, c.length)
       var acc = 0L
       var i = 0
       while (i < n) {
-        if (!v.isNullAt(i)) {
-          acc += math.floor(v.getFloat(i).toDouble * c(i).toDouble * 1e12).toLong
-        }
+        acc += math.floor(row(i).toDouble * c(i).toDouble * 1e12).toLong
         i += 1
       }
       dist(j) = cN2(j) - 2.0 * (acc.toDouble / 1e12)

@@ -78,14 +78,33 @@ object Sampling {
     * Everything is integer-exact, so the layout is reproducible
     * run-to-run and engine-to-engine. */
   def spSequencePack(s: SparkSession, d: String): DataFrame =
-    spSequencePackFrom(withTok(s, d), seqLen = 512, bucketWidth = 100)
+    spSequencePackFrom(withTok(s, d), seqLen = 512,
+      bucketWidth = adaptiveWidthFor(withTok(s, d)))
+
+  /** Cap on the per-bucket rows the prefix sum collects to the driver.
+    * #buckets = ⌈(maxDocId+1)/bucketWidth⌉, so deriving the width from
+    * maxDocId keeps the driver list ≤ this bound at ANY corpus size
+    * (a fixed width of 100 would collect 10⁸ rows at 10¹⁰ docs). The
+    * output is bucket-width-invariant (spec-proven), so the policy is
+    * pure driver-memory hygiene. */
+  private[graft] val MaxPrefixBuckets = 100000L
+
+  /** ⌈(maxDocId+1)/MaxPrefixBuckets⌉, floored at 1. */
+  private[graft] def adaptiveBucketWidth(maxDocId: Long): Long =
+    math.max(1L, (maxDocId + MaxPrefixBuckets) / MaxPrefixBuckets)
+
+  /** One column-pruned max(doc_id) scan → the adaptive bucket width. */
+  private[graft] def adaptiveWidthFor(docs: DataFrame): Long = {
+    val r = docs.agg(max("doc_id")).first()
+    adaptiveBucketWidth(if (r.isNullAt(0)) 0L else r.getLong(0))
+  }
 
   /** The distributed two-phase EXCLUSIVE prefix sum of column `v` in
     * doc_id order — shared by sp03's token offsets and sp09's byte
     * offsets. Returns (doc_id, v, start_off). See [[spSequencePack]]
     * for why this replaces a single-partition running-sum window. */
   private def withPrefix(docs: DataFrame, v: String,
-      bucketWidth: Int): DataFrame = {
+      bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
     import s.implicits._
@@ -107,7 +126,7 @@ object Sampling {
   }
 
   private[graft] def spSequencePackFrom(docs: DataFrame, seqLen: Int,
-      bucketWidth: Int): DataFrame =
+      bucketWidth: Long): DataFrame =
     withPrefix(docs, "n_tok", bucketWidth)
       .withColumn("first_seq", expr(s"start_off DIV $seqLen"))
       .withColumn("last_seq", expr(s"(start_off + n_tok - 1) DIV $seqLen"))
@@ -126,13 +145,15 @@ object Sampling {
     * covers how that order cuts into files. Output is the per-shard
     * manifest a writer job consumes (one task per shard_id ⇒ one
     * output file each). */
-  def spShardExport(s: SparkSession, d: String): DataFrame =
-    spShardExportFrom(documents(s, d)
-      .withColumn("n_bytes", octet_length(col("text")).cast("bigint")),
-      targetBytes = 16384L, bucketWidth = 100)
+  def spShardExport(s: SparkSession, d: String): DataFrame = {
+    def in = documents(s, d)
+      .withColumn("n_bytes", octet_length(col("text")).cast("bigint"))
+    spShardExportFrom(in, targetBytes = 16384L,
+      bucketWidth = adaptiveWidthFor(in))
+  }
 
   private[graft] def spShardExportFrom(docs: DataFrame, targetBytes: Long,
-      bucketWidth: Int): DataFrame =
+      bucketWidth: Long): DataFrame =
     withPrefix(docs, "n_bytes", bucketWidth)
       .withColumn("shard_id", expr(s"start_off DIV $targetBytes"))
       .groupBy("shard_id")
@@ -150,10 +171,11 @@ object Sampling {
     * of each doc's [first_seq, last_seq] range — fan-out is
     * ⌈n_tok/seqLen⌉+1 per doc, never data-dependent skew. */
   def spPackSpans(s: SparkSession, d: String): DataFrame =
-    spPackSpansFrom(withTok(s, d), seqLen = 512, bucketWidth = 100)
+    spPackSpansFrom(withTok(s, d), seqLen = 512,
+      bucketWidth = adaptiveWidthFor(withTok(s, d)))
 
   private[graft] def spPackSpansFrom(docs: DataFrame, seqLen: Int,
-      bucketWidth: Int): DataFrame =
+      bucketWidth: Long): DataFrame =
     spSequencePackFrom(docs, seqLen, bucketWidth)
       // a zero-token doc has last_seq < first_seq and Spark's sequence()
       // would step DOWNWARD (two bogus negative spans) where the oracle's

@@ -151,8 +151,19 @@ object model {
       restrictedTo: Option[Set[String]] = None,
       /** ConstColumn analogue (reference Column.scala:86): rendered as
         * this literal; `physical` is ignored. */
-      constVal: Option[String] = None) {
+      constVal: Option[String] = None,
+      /** PassthroughType analogue (reference DataType.scala:168-186):
+        * an OPAQUE column — selected and carried to the output
+        * verbatim, but never filterable (the reference type has no
+        * static mapping and a "Null" json type, i.e. no filter
+        * vocabulary applies). Marking it rejects every filter operator
+        * at request-model time regardless of `allowedOps`. */
+      passthrough: Boolean = false) {
+    require(!passthrough || staticMapping.isEmpty,
+      s"passthrough column '$alias' cannot carry a static mapping")
     def isDayGrain: Boolean = grain.contains(DayGrain)
+    /** Filter legality the analyzer enforces: ∅ for passthrough. */
+    def effectiveOps: Set[FilterOp] = if (passthrough) Set.empty else allowedOps
   }
 
   /** A public metric: rollup over a physical expression. `pre` is the

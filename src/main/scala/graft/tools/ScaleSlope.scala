@@ -101,23 +101,38 @@ object ScaleSlope {
       }.reduce(_ unionByName _)
         .withColumn("nrm", sqrt(graft.functions.GraftFunctions
           .fixdotD(col("embedding"), col("embedding"))))
-    def runDd08(copies: Int): (Double, Long) = timed {
-      // seeds are vec_id < k: copy 0 holds ids 0..4999, so k ≤ 5000
+    // PRODUCTION path: the assignment frame is memoized (Caches.memo,
+    // exactly as the dd08_semdedup query does) so it is computed ONCE
+    // per run instead of once per reference (pair-join side a, side b,
+    // final scoring join = 3 recomputes un-memoized — the round-6
+    // probe's admitted flaw). The tag is unique per (regime, scale)
+    // point, so each timed run still pays its own full compute.
+    def runDd08(tag: String, copies: Int, k: Int): (Double, Long) = timed {
+      // seeds are vec_id < k: copy 0 holds ids 0..1999, so k ≤ 2000
       // seed ids always resolve; assignment stays the fused kernel
       graft.operators.Similarity
-        .semDedupFrom(spark, ecorpus(copies), k = 8 * copies, tau = 0.3)
+        .semDedupFrom(spark, ecorpus(copies), k = k, tau = 0.3,
+          memoTag = Some(s"semdedup-probe|$tag|c$copies|k$k"))
         .count()
     }
 
     // 1× is fixed-cost-dominated at sf0.1; the informative slope is
     // 10× → 100× (500k docs), where data cost dominates
     val points = Seq(1, 10, 100).map(c => c -> run(corpus(c)))
-    val dd08Points = Seq(1, 10, 100).map(c => c -> runDd08(c))
-    val dd08Cells = dd08Points.map { case (c, (t, n)) =>
-      f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
-    }.mkString(",")
-    val dd08Slope = dd08Points.last._2._1 / dd08Points(1)._2._1
-    println(f"""{"op":"dd08",$dd08Cells,"slope_10x_to_100x":$dd08Slope%.2f}""")
+    // two k regimes, both memoized: the paper's own (constant cluster
+    // size, k ∝ n — the within-cluster quadratic stays bounded but the
+    // k×n assignment grows quadratically) and IVF sizing (k ∝ √n — the
+    // assignment and the within-cluster stage balance at O(n^1.5))
+    for ((regime, kOf) <- Seq(
+        ("dd08", (c: Int) => 8 * c),
+        ("dd08_sqrtk", (c: Int) => math.max(8, math.round(8 * math.sqrt(c.toDouble)).toInt)))) {
+      val pts = Seq(1, 10, 100).map(c => c -> runDd08(regime, c, kOf(c)))
+      val cells = pts.map { case (c, (t, n)) =>
+        f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
+      }.mkString(",")
+      val slope = pts.last._2._1 / pts(1)._2._1
+      println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
+    }
     for (op <- Seq("dd02", "dd04", "dd05")) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""

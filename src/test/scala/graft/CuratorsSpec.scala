@@ -168,4 +168,139 @@ class CuratorsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(total - want) < 1e-6)
   }
+
+  test("timeshift config: reference JSON parses; daysOffset shifts the window") {
+    import graft.curators.TimeShiftConfig
+    import graft.analyzer.request.SortBy
+    val cfg = TimeShiftConfig.parse(
+      """{"sortBy": {"field": "Total Spend", "order": "Desc"}, "daysOffset": 7}""")
+      .fold(e => fail(e), identity)
+    assert(cfg == TimeShiftConfig(Some(SortBy("Total Spend", descending = true)), 7))
+    assert(TimeShiftConfig.parse("{}") == Right(TimeShiftConfig(None, 0)))
+    assert(TimeShiftConfig.parse("""{"daysOffset": "x"}""").isLeft)
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Date"}, {"field": "Total Spend"}],
+        | "filterExpressions": [
+        |   {"field": "Order Date", "operator": "between", "from": "1996-02-01", "to": "1996-07-31"}]}""".stripMargin
+    val rows = Curators.timeShift(json, registry,
+      TimeShiftConfig(None, 7))(spark, sf).collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(2)),
+      "offset window should still match prev-period rows")
+    // window length 182; daysOffset 7 ⇒ prev of day d aggregates d − 189
+    val direct = graft.core.Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(graft.core.Tables.dec2(col("o_totalprice"))).cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val day = r.getString(0)
+      val prevDay = java.time.LocalDate.parse(day).minusDays(189).toString
+      direct.get(prevDay) match {
+        case Some(v) => assert(!r.isNullAt(2) && math.abs(r.getDouble(2) - v) < 1e-6,
+          s"prev($day) should be spend($prevDay)")
+        case None => assert(r.isNullAt(2), s"prev($day) should be null")
+      }
+    }
+  }
+
+  test("timeshift config sortBy orders the merged result") {
+    import graft.curators.TimeShiftConfig
+    import graft.analyzer.request.SortBy
+    val df = Curators.timeShift(cur01Json, registry,
+      TimeShiftConfig(Some(SortBy("Total Spend", descending = true)), 0))(spark, sf)
+    val spends = df.collect().map(_.getDouble(1)).toSeq
+    assert(spends.nonEmpty && spends == spends.sortBy(-_),
+      s"rows must be in Total Spend desc order: $spends")
+  }
+
+  test("drilldown config: reference JSON grammar, object and array forms") {
+    import graft.curators.{DrilldownConfig, DrilldownRequest}
+    import graft.analyzer.request.{EqFilter, SortBy}
+    // the reference's documented single-request shape
+    val one = DrilldownConfig.parse(
+      """{"enforceFilters": true, "dimension": "Order Status", "mr": 1000}""")
+      .fold(e => fail(e), identity)
+    assert(one == Seq(DrilldownRequest(dimensions = Seq("Order Status"))))
+    // multi-request array with every knob exercised
+    val many = DrilldownConfig.parse(
+      """[{"dimensions": ["Order Status"], "cube": "order_stats",
+        |  "ordering": [{"field": "Total Spend", "order": "Desc"}], "mr": 2,
+        |  "facts": [{"field": "Order Count"}], "additiveFacts": true},
+        | {"dimension": "Market Segment", "enforceFilters": false,
+        |  "filters": [{"field": "Order Status", "operator": "=", "value": "Open"}]}]""".stripMargin)
+      .fold(e => fail(e), identity)
+    assert(many.size == 2)
+    assert(many(0) == DrilldownRequest(Seq("Order Status"), cube = "order_stats",
+      ordering = Seq(SortBy("Total Spend", descending = true)), maxRows = 2,
+      facts = Seq("Order Count")))
+    assert(many(1) == DrilldownRequest(Seq("Market Segment"),
+      enforceFilters = false, filters = Seq(EqFilter("Order Status", "Open"))))
+    assert(DrilldownConfig.parse("""{"mr": 5}""").isLeft,
+      "a config without dimension(s) must be rejected")
+  }
+
+  test("configured drilldown: cube override + defaults ≡ the classic path") {
+    import graft.curators.DrilldownRequest
+    val classic = Curators.drillDown(cur04Json, "Order Status", 3, registry)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // explicit same-cube override exercises the override branch
+    val configured = Curators.drillDownConfigured(cur04Json,
+      DrilldownRequest(Seq("Order Status"), cube = "order_stats",
+        maxRows = Int.MaxValue), 3, registry)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(configured == classic)
+  }
+
+  test("configured drilldown: enforceFilters=false keeps only the time window") {
+    import graft.curators.DrilldownRequest
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+        | "filterExpressions": [
+        |   {"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"},
+        |   {"field": "Market Segment", "operator": "=", "value": "BUILDING"}],
+        | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin
+    def total(enforce: Boolean): Double =
+      Curators.drillDownConfigured(json,
+        DrilldownRequest(Seq("Order Status"), enforceFilters = enforce,
+          maxRows = Int.MaxValue), 5, registry)(spark, sf)
+        .agg(sum(col("Total Spend"))).collect()(0).getDouble(0)
+    val enforced = total(enforce = true)
+    val unenforced = total(enforce = false)
+    // dropping the segment filter (but keeping the day window) can only
+    // widen the totals
+    assert(unenforced > enforced,
+      s"unenforced=$unenforced should exceed enforced=$enforced")
+  }
+
+  test("configured drilldown: ordering + maxRows + additive facts") {
+    import graft.curators.DrilldownRequest
+    import graft.analyzer.request.SortBy
+    val df = Curators.drillDownConfigured(cur04Json,
+      DrilldownRequest(Seq("Order Status"),
+        ordering = Seq(SortBy("Total Spend", descending = true)), maxRows = 4,
+        facts = Seq("Order Count"), additiveFacts = true), 3, registry)(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("Order Priority", "Order Status", "Total Spend", "Order Count"))
+    val rows = df.collect()
+    assert(rows.length == 4, s"maxRows=4 must cap the result, got ${rows.length}")
+    val spends = rows.map(_.getDouble(2)).toSeq
+    assert(spends == spends.sortBy(-_), s"ordering not applied: $spends")
+    // non-additive facts REPLACE the base metrics
+    val replaced = Curators.drillDownConfigured(cur04Json,
+      DrilldownRequest(Seq("Order Status"), facts = Seq("Order Count"),
+        additiveFacts = false, maxRows = Int.MaxValue), 3, registry)(spark, sf)
+    assert(replaced.columns.toSeq ==
+      Seq("Order Priority", "Order Status", "Order Count"))
+  }
+
+  test("drillDownAll runs every request of a multi-request config") {
+    val dfs = Curators.drillDownAll(cur04Json,
+      """[{"dimension": "Order Status", "mr": 3},
+        | {"dimension": "Market Segment", "mr": 2}]""".stripMargin,
+      3, registry)(spark, sf)
+    assert(dfs.size == 2)
+    assert(dfs(0).columns.contains("Order Status") && dfs(0).count() == 3)
+    assert(dfs(1).columns.contains("Market Segment") && dfs(1).count() == 2)
+  }
 }

@@ -81,6 +81,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sp03: adaptive bucket width bounds the driver-side bucket collect") {
+    import spark.implicits._
+    // policy alone: at 10¹⁰ dense doc_ids a fixed width of 100 means
+    // 10⁸ driver rows; the adaptive width keeps ⌈(maxId+1)/w⌉ ≤ 10⁵
+    for (maxId <- Seq(0L, 99L, 10000000L - 1, 10000000000L)) {
+      val w = Sampling.adaptiveBucketWidth(maxId)
+      val buckets = (maxId + w) / w // ⌈(maxId+1)/w⌉
+      assert(buckets <= Sampling.MaxPrefixBuckets,
+        s"maxId=$maxId width=$w leaves $buckets buckets")
+    }
+    // end-to-end: a synthetic corpus with doc_ids spanning 10⁷ — the
+    // adaptive width must bound the bucket count AND give the same
+    // output as any fixed width (invariance is proven above; this
+    // pins the adaptive entry path itself)
+    val docs = (0L until 400L).map(i => (i * 25000L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+    val w = Sampling.adaptiveWidthFor(docs)
+    assert(w == 100L, s"10⁷ id span should yield width 100, got $w")
+    val adaptive = Sampling.spSequencePackFrom(docs, seqLen = 16, bucketWidth = w)
+      .collect().map(_.toSeq).toSeq
+    val fixed = Sampling.spSequencePackFrom(docs, seqLen = 16, bucketWidth = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(adaptive == fixed)
+  }
+
   test("sp06: spans tile every sequence exactly and conserve every document") {
     val spans = Sampling.spPackSpansFrom(
       graft.core.Tables.documents(spark, sf).withColumn("n_tok",

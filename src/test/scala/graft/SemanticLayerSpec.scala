@@ -357,6 +357,47 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(rows.length == 5 && rows.forall(_.getString(0) == "graft"))
   }
 
+  test("passthrough column: selectable verbatim, every filter op rejected") {
+    import graft.semantic.model._
+    // an opaque payload column (reference PassthroughType,
+    // DataType.scala:168-186): rides the raw priority string through
+    val cube = SemanticQueries.orderCube.copy(variants =
+      Seq(SemanticQueries.orderCube.base.copy(dimCols =
+        SemanticQueries.orderCube.base.dimCols :+
+          PubCol("Opaque Payload", "o_orderpriority", passthrough = true))))
+    val reg = Registry(cube)
+    def planOf(json: String) = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, reg)
+      p <- graft.planner.Planner.plan(m, spark, sf)
+    } yield p.df
+    val ok = planOf(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Opaque Payload"}, {"field": "Order Count"}]}""".stripMargin)
+    val rows = ok.fold(e => fail(e), _.collect())
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)),
+      "passthrough column must carry the physical value verbatim")
+    // every operator class is illegal on a passthrough column,
+    // whatever allowedOps claims
+    for (f <- Seq(
+        """{"field": "Opaque Payload", "operator": "=", "value": "x"}""",
+        """{"field": "Opaque Payload", "operator": "in", "values": ["x"]}""",
+        """{"field": "Opaque Payload", "operator": "like", "value": "%x%"}""",
+        """{"field": "Opaque Payload", "operator": "isnull"}""")) {
+      val bad = planOf(
+        s"""{"cube": "order_stats",
+           | "selectFields": [{"field": "Opaque Payload"}, {"field": "Order Count"}],
+           | "filterExpressions": [$f]}""".stripMargin)
+      assert(bad.isLeft && bad.swap.toOption.get.contains("passthrough"),
+        s"filter $f must be rejected: $bad")
+    }
+    // the marker is incompatible with a static mapping by construction
+    intercept[IllegalArgumentException] {
+      PubCol("Bad", "x", passthrough = true,
+        staticMapping = Some(StaticMapping(Map("a" -> "b"), "a")))
+    }
+  }
+
   test("fallback execution: empty cheap variant falls back to base") {
     import graft.semantic.model._
     import org.apache.spark.sql.functions._

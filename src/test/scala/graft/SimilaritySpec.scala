@@ -184,4 +184,37 @@ class SimilaritySpec extends AnyFunSuite {
     // singletons (1, 2) never appear
     assert(!out.exists(t => t._1 == 1L || t._1 == 2L))
   }
+
+  test("semdedup memoTag: assignment frame scanned once, not per reference") {
+    import spark.implicits._
+    // the source counts its own reads: every materialization of the
+    // corpus RDD bumps the accumulator once per row, so the accumulator
+    // is a direct scan-count metric. Un-memoized, the assignment frame
+    // is re-derived per reference (pair-join side a, side b, scoring
+    // join, plus each connected-components round) — ≥ 4n reads.
+    // Memoized (the production dd08 path), the frame is computed once
+    // and every later reference hits the cache: ≤ centroid collect (n)
+    // + one materialization (n, ≤ 2n under concurrent-stage races).
+    val acc = spark.sparkContext.longAccumulator("semdedup-src-reads")
+    val n = 200
+    val rdd = spark.sparkContext.parallelize(0L until n, 4).map { i =>
+      acc.add(1)
+      (i, Array.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat))
+    }
+    val v = rdd.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    acc.reset()
+    Similarity.semDedupFrom(spark, v, k = 4, tau = 0.9).count()
+    val unmemo = acc.value
+    acc.reset()
+    Similarity.semDedupFrom(spark, v, k = 4, tau = 0.9,
+      memoTag = Some("spec-memo-scan-count")).count()
+    val memo = acc.value
+    assert(unmemo >= 4L * n,
+      s"un-memoized path should scan ≥ 4n rows, saw $unmemo (n=$n)")
+    assert(memo <= 3L * n,
+      s"memoized path should scan ≤ 3n rows (collect + one compute + race slack), saw $memo")
+    assert(memo + n <= unmemo,
+      s"memoization must save at least one full scan: memo=$memo unmemo=$unmemo")
+  }
 }
