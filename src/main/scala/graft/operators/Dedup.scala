@@ -111,11 +111,25 @@ object Dedup {
     * MIN aggregates per doc (one hash call per (shingle, i), map-side
     * combined) — the interpreted array_min(transform(...)) form
     * re-walked the shingle array k times per document outside codegen. */
-  private def minhashed(s: SparkSession, d: String, k: Int): DataFrame = {
-    val ex = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("t"))
+  private[graft] def minhashedFrom(sh: DataFrame, k: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("t"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i.toLong), col("t"))).as(s"m$i"))
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  /** LSH band-bucket cap (the dd02 hot-shingle / sim04 hot-bucket
+    * discipline applied to dd03): a band bucket holding B documents
+    * explodes into B·(B−1)/2 candidate pairs, so one boilerplate-heavy
+    * band signature shared by thousands of docs makes a single
+    * aggregation row quadratic. Buckets over the cap are dropped
+    * BEFORE the collect_set, bounding both the aggregation buffer
+    * (O(cap) ids per bucket) and the pair explode (O(cap²) per
+    * bucket). Recall loss is one-sided and confined to pairs whose
+    * EVERY colliding band is degenerate — near-identical docs collide
+    * in several bands, and a band shared by >cap docs carries almost
+    * no discriminating signal. The default sits far above the test
+    * corpus's max bucket, so oracle results are unchanged there. */
+  val DefaultMaxLshBucket = 10000
 
   /** MinHash + LSH near-dup pairs. 8 bands × 4 rows, candidates
     * verified with exact Jaccard ≥ 0.5 over the shingle sets.
@@ -128,16 +142,28 @@ object Dedup {
     * 0.46⁸≈0.2% — and the hashes are deterministic, so the observed
     * full recall at each SF is a fixed fact, not a sample). The oracle
     * is therefore the exact-Jaccard≥0.5 pair set in SQL. */
-  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
+    ddMinhashLshFrom(shingled(s, d), DefaultMaxLshBucket)
+
+  private[graft] def ddMinhashLshFrom(sh: DataFrame,
+      maxBucket: Int): DataFrame = {
     val k = 32; val bands = 8; val rows = k / bands
-    val mh = minhashed(s, d, k)
+    val mh = minhashedFrom(sh, k)
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => col(s"m${b * rows + r}"))
       xxhash64((lit(b.toLong) +: slots): _*)
     }
     val exploded = mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val cand = exploded.groupBy("band_idx", "band_hash")
+    // the over-cap bucket list is tiny by construction (≤ rows/cap
+    // entries), so it broadcasts and the anti-join drops hot buckets
+    // without re-shuffling `exploded`
+    val hot = exploded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+      .select("band_idx", "band_hash")
+    val capped = exploded.join(broadcast(hot),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val cand = capped.groupBy("band_idx", "band_hash")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
@@ -146,7 +172,6 @@ object Dedup {
           |    j -> struct(ids[i] as x, ids[j] as y))))""".stripMargin)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
-    val sh = shingled(s, d)
     cand
       .join(sh.select(col("doc_id").as("x"), col("shingles").as("shx")), "x")
       .join(sh.select(col("doc_id").as("y"), col("shingles").as("shy")), "y")

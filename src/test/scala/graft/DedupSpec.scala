@@ -104,6 +104,56 @@ class DedupSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("dd03 LSH: band-bucket cap drops a planted degenerate band, keeps cold pairs") {
+    import spark.implicits._
+    // 5,000 identical docs: every band bucket they form holds 5,000
+    // ids → 12.5M candidate pairs per band uncapped. With the cap the
+    // buckets are dropped BEFORE the collect_set/pair explode, so the
+    // run stays sub-quadratic; a cold near-dup pair outside the hot
+    // set must survive untouched.
+    val hotDocs = (1L to 5000L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val coldPair = Seq(
+      (100001L, "p q r s t u v x y z"),
+      (100002L, "p q r s t u v x y z"))
+    val sh = Dedup.shingle((hotDocs ++ coldPair).toDF("doc_id", "text")).cache()
+    try {
+      val capped = Dedup.ddMinhashLshFrom(sh, maxBucket = 100).collect()
+      assert(capped.length == 1, s"only the cold pair should survive: ${capped.length}")
+      assert(capped(0).getLong(0) == 100001L && capped(0).getLong(1) == 100002L)
+      // the SAME hot-band shape under the cap threshold is still found:
+      // a 50-doc identical cluster emits all C(50,2) pairs
+      val small = Dedup.shingle(
+        ((1L to 50L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8")) ++ coldPair)
+          .toDF("doc_id", "text")).cache()
+      try {
+        val found = Dedup.ddMinhashLshFrom(small, maxBucket = 100).count()
+        assert(found == 50L * 49 / 2 + 1, s"under-cap cluster must be complete: $found")
+      } finally { small.unpersist(); () }
+    } finally { sh.unpersist(); () }
+  }
+
+  test("dd03 default LSH bucket cap exceeds the test corpus's max bucket") {
+    // guards the dd03 oracle: with the default cap the result on the
+    // driver's test data is identical to the uncapped run
+    val dir = "/root/testdata/sf0.001"
+    val sh = Dedup.shingle(graft.core.Tables.documents(spark, dir)).cache()
+    try {
+      import org.apache.spark.sql.functions._
+      val mh = Dedup.minhashedFrom(sh, 32)
+      val bandCols = (0 until 8).map { b =>
+        val slots = (0 until 4).map(r => col(s"m${b * 4 + r}"))
+        xxhash64((lit(b.toLong) +: slots): _*)
+      }
+      val maxBucket = mh.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        .groupBy("band_idx", "band_hash").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxBucket <= Dedup.DefaultMaxLshBucket,
+        s"test-corpus max LSH bucket $maxBucket exceeds the default cap — " +
+          "dd03's oracle hash would change")
+    } finally { sh.unpersist(); () }
+  }
+
   test("default cap exceeds the test corpus's max shingle df") {
     // guards the dd02 oracle: with the default cap the result set on
     // the driver's test data must be identical to the uncapped run
