@@ -158,10 +158,12 @@ object Extended {
     * mapPartitions pipeline a production decoder runs in: binary
     * payload in, fixed feature schema out, per-partition codec state.
     * 24-bit RGB round-trips losslessly through both formats, so the
-    * decoded pixel bytes equal the source text bytes (ASCII corpus,
-    * byte replicated across R=G=B) and the DuckDB oracle recomputes
-    * width/height/pixel-hash directly from the text — scale-
-    * independent, no golden pin. At 100 TB the same operator reads a
+    * decoded pixel bytes equal the source UTF-8 text bytes (each byte
+    * replicated across R=G=B) and the DuckDB oracle recomputes
+    * width/height/pixel-hash directly from the text bytes — scale-
+    * independent, no golden pin, and byte-exact on non-ASCII corpora
+    * (the hash is over the hex encoding, never a char-truncated
+    * string). At 100 TB the same operator reads a
     * parquet binary column instead of encoding its own payloads; the
     * decode side is unchanged. */
   def mm03(s: SparkSession, d: String): DataFrame = {
@@ -208,7 +210,15 @@ object Extended {
           y += 1
         }
         md.reset()
-        val pixelMd5 = md.digest(out).map("%02x".format(_)).mkString
+        // fingerprint the HEX of the pixel bytes, not the raw bytes:
+        // hex is ASCII, so the DuckDB replica can md5 it even when a
+        // byte-truncated payload is not valid UTF-8 (DuckDB's md5 is
+        // VARCHAR-only — raw bytes would force an ASCII-corpus
+        // assumption)
+        val hexPix = out.map("%02x".format(_)).mkString
+        val pixelMd5 = md.digest(
+          hexPix.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
         (docId, fmt, dec.getWidth, dec.getHeight,
           (dec.getWidth.toLong * dec.getHeight), pixelMd5)
       }
@@ -370,16 +380,19 @@ object Extended {
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY x, y""".stripMargin,
     // the imageio round-trip is pixel-lossless (24-bit RGB), so the
-    // decoded pixel bytes are exactly the first w*h text bytes (space-
-    // padded) — DuckDB recomputes the hash from the text directly
+    // decoded pixel bytes are exactly the first w*h UTF-8 text BYTES
+    // (space-padded). Both sides hash the lowercase HEX of those bytes
+    // (mm06's byte-slicing discipline): hex slicing is bytewise like
+    // the operator, so non-ASCII corpora — where a byte cut can split
+    // a codepoint — verify identically
     "mm03_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
         | CAST(doc_id % 5 + 4 AS INTEGER) AS width,
         | CAST(doc_id % 3 + 4 AS INTEGER) AS height,
         | CAST((doc_id % 5 + 4) * (doc_id % 3 + 4) AS BIGINT) AS n_pixels,
-        | md5(substr(text || repeat(' ', 48), 1,
-        |            CAST((doc_id % 5 + 4) * (doc_id % 3 + 4) AS INTEGER))) AS pixel_md5
+        | md5(substr(lower(hex(encode(text))) || repeat('20', 48), 1,
+        |            2 * CAST((doc_id % 5 + 4) * (doc_id % 3 + 4) AS INTEGER))) AS pixel_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_udf_filter" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -548,8 +548,12 @@ object Relational {
   def q35(s: SparkSession, d: String): DataFrame = {
     // view name keyed by the data dir: temp views are session-global, so
     // concurrent q35 calls against different dirs (the parallel request
-    // coordinator does this) must not race on one shared name
-    val view = s"q35_customer_${java.lang.Integer.toHexString(d.hashCode)}"
+    // coordinator does this) must not race on one shared name — md5 of
+    // the path, since 32-bit String.hashCode collisions would put two
+    // dirs back on one name
+    val view = "q35_customer_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     customer(s, d).createOrReplaceTempView(view)
     s.sql(
       s"""SELECT c_custkey, c_nationkey, c_acctbal,

@@ -433,18 +433,87 @@ object Similarity {
 
   private[graft] def semDedupFrom(s: SparkSession, v: DataFrame, k: Int,
       tau: Double, memoTag: Option[String] = None): DataFrame = {
-    import s.implicits._
-    val cents = v.filter(col("vec_id") < k)
+    val cents = seedCents(v, k)
+    semDedupPipeline(s, v, cents,
+      _.withColumn("cid", nearestCidCol(cents, col("embedding"))),
+      tau, memoTag)
+  }
+
+  /** dd09 — SemDeDup with a HIERARCHICAL (two-level) assignment: the
+    * exact-flat argmin over all k centers costs O(n·k·dim), which is
+    * the measured superlinear term of dd08 at scale (k grows with the
+    * corpus to hold cluster size constant, so n·k is quadratic in n).
+    * Routing through √k super-centers first — nearest super (√k dots),
+    * then exact argmin within that super's center group (~√k dots) —
+    * cuts assignment to O(n·√k·dim), the same exact-vs-routed duality
+    * the ANN stack already has (sim01 brute vs sim03/05 routed).
+    *
+    * The assignment is approximate ONLY in which group is searched
+    * (a vector whose true nearest center lives in a different super's
+    * group gets its in-group nearest instead — the standard IVF
+    * nprobe=1 trade); everything else (pair cosines, closure, keep
+    * pick) is dd08 exactly, and every step is the same fixed-point
+    * arithmetic, so the DuckDB oracle replicates the full pipeline
+    * value-for-value. Precondition for oracle parity: the k seed
+    * vectors are pairwise distinct (the engine has an exact full-
+    * argmin fallback branch for a vector routed to a super whose
+    * group is empty — reachable only through fixed-point near-ties
+    * between duplicate seeds — which the oracle does not model). */
+  def semDedupHier(s: SparkSession, d: String): DataFrame =
+    semDedupHierFrom(s, withNorm(s, d), k = 16, tau = 0.3,
+      memoTag = Some(s"semdeduph|$d|k16"))
+
+  private[graft] def semDedupHierFrom(s: SparkSession, v: DataFrame, k: Int,
+      tau: Double, memoTag: Option[String] = None): DataFrame = {
+    val cents = seedCents(v, k)
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val supers = cents.take(g)
+    // group every center under its nearest super — same distance and
+    // tie-break (dist, cid ascending) as the row-level kernel, exact
+    // fixed-point, k×g driver-side work
+    def nearestSuperCid(e: Seq[Float]): Int =
+      supers.minBy(sc =>
+        (sc.cn2 - 2.0 * (fixdotDriver(e, sc.cemb).toDouble / 1e12), sc.cid)).cid
+    val groups: Seq[(Int, Seq[Ctr])] =
+      cents.groupBy(c => nearestSuperCid(c.cemb)).toSeq.sortBy(_._1)
+    val assign: DataFrame => DataFrame = { df =>
+      // super id computed ONCE as its own column, so the CASE branches
+      // test a cheap int instead of re-probing the supers per branch
+      val withSid = df.withColumn("gsid",
+        probeCol(supers, col("embedding"), 1).getItem(0))
+      val cidCase = groups.tail.foldLeft(
+        when(col("gsid") === groups.head._1,
+          nearestCidCol(groups.head._2, col("embedding")))) {
+        case (acc, (sv, gcs)) =>
+          acc.when(col("gsid") === sv, nearestCidCol(gcs, col("embedding")))
+      }.otherwise(nearestCidCol(cents, col("embedding")))
+      withSid.withColumn("cid", cidCase).drop("gsid")
+    }
+    semDedupPipeline(s, v, cents, assign, tau, memoTag)
+  }
+
+  /** Seed centers: the first-k vectors (sim06's flat-quantizer
+    * discipline — deterministic, oracle-replicable; cid = vec_id+1). */
+  private def seedCents(v: DataFrame, k: Int): Seq[Ctr] =
+    v.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").collect().toSeq
       .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+
+  /** The shared SemDeDup tail: given an `assign` step that adds the
+    * per-vector `cid`, compute cosine-to-own-centroid, within-cluster
+    * pairs ≥ τ, transitive closure, and the farthest-from-centroid
+    * keep pick per group. */
+  private def semDedupPipeline(s: SparkSession, v: DataFrame,
+      cents: Seq[Ctr], assign: DataFrame => DataFrame, tau: Double,
+      memoTag: Option[String]): DataFrame = {
+    import s.implicits._
     val cdf = broadcast(cents.map(c => (c.cid, c.cemb, c.cn2))
       .toDF("cid", "cemb", "cn2"))
     // per-vector cluster id + cosine to the OWN centroid (the keep
     // score); memoized — the frame feeds both pair-join sides and the
     // final scoring join
-    def mkM = v.select(col("vec_id"), col("embedding"), col("nrm"),
-        nearestCidCol(cents, col("embedding")).as("cid"))
+    def mkM = assign(v.select(col("vec_id"), col("embedding"), col("nrm")))
       .join(cdf, "cid")
       .withColumn("cosc",
         graft.functions.GraftFunctions.fixdotD(col("embedding"), col("cemb"))
@@ -471,6 +540,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd08_semdedup" -> (semDedup _),
+    "dd09_semdedup_hier" -> (semDedupHier _),
     "sim08_pq_adc" -> (simPqAdc _),
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
@@ -537,6 +607,67 @@ object Similarity {
         |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
         |      c.cid) rn
         |  FROM v, c) t WHERE rn = 1),
+        |m AS (SELECT v.vec_id, v.embedding, v.nrm, a.cid, a.cosc
+        |      FROM v JOIN asg a USING (vec_id)),
+        |pairs AS (SELECT a.vec_id x, b.vec_id y
+        |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE (CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (a.nrm * b.nrm) >= 0.3),
+        |e AS (SELECT x a, y b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS grp FROM reach GROUP BY a),
+        |sc AS (SELECT l.vec_id, l.grp, m.cosc FROM lab l JOIN m USING (vec_id)),
+        |keep AS (SELECT grp, vec_id AS keep_id, cosc AS keep_cos FROM (
+        |  SELECT grp, vec_id, cosc,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cosc, vec_id) rn FROM sc) t
+        |  WHERE rn = 1),
+        |szs AS (SELECT grp, COUNT(*) sz FROM sc GROUP BY grp)
+        |SELECT s.grp, CAST(s.sz AS BIGINT) sz, k.keep_id,
+        |  CAST(s.sz - 1 AS BIGINT) n_dropped, k.keep_cos
+        |FROM szs s JOIN keep k USING (grp) ORDER BY grp""".stripMargin,
+    // dd09: dd08's pipeline with the TWO-LEVEL assignment — centers
+    // group under their nearest super (cg), each vector routes to its
+    // nearest super (vs), then exact argmin over that group's centers
+    // only; identical fixed-point arithmetic and (dist, id) tie-breaks
+    // throughout, so the replica is value-for-value
+    "dd09_semdedup_hier" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 16),
+        |sup AS (SELECT cid sid, cemb semb, cn2 sn2 FROM c WHERE cid <= 4),
+        |cg AS (SELECT cid, sid FROM (
+        |  SELECT c.cid, s.sid,
+        |    row_number() OVER (PARTITION BY c.cid ORDER BY
+        |      s.sn2 - 2 * (CAST(list_sum(list_transform(list_zip(c.cemb, s.semb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      s.sid) rn
+        |  FROM c, sup s) t WHERE rn = 1),
+        |vs AS (SELECT vec_id, sid FROM (
+        |  SELECT v.vec_id, s.sid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      s.sn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, s.semb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      s.sid) rn
+        |  FROM v, sup s) t WHERE rn = 1),
+        |asg AS (SELECT vec_id, cid, cosc FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (v.nrm * sqrt(c.cn2)) AS cosc,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      c.cid) rn
+        |  FROM v JOIN vs ON v.vec_id = vs.vec_id
+        |       JOIN cg ON cg.sid = vs.sid
+        |       JOIN c ON c.cid = cg.cid) t WHERE rn = 1),
         |m AS (SELECT v.vec_id, v.embedding, v.nrm, a.cid, a.cosc
         |      FROM v JOIN asg a USING (vec_id)),
         |pairs AS (SELECT a.vec_id x, b.vec_id y

@@ -128,12 +128,17 @@ object SketchQueries {
     * sketches over o_custkey built in one partial-aggregated pass,
     * merged on the driver (CMS merge is EXACT counter addition, so —
     * unlike HLL — the estimates are merge-order and parallelism
-    * independent by construction), then point-queried for the 5
-    * smallest customer keys. Emits the oracle-checkable exact counts
-    * plus the engine-side deterministic guarantees: CMS never
-    * underestimates, and the overestimate is bounded by ⌈eps·N⌉.
-    * Sketch bytes are O(width·depth) metadata per group — the
-    * bounded-memory 100 TB path for heavy-hitter point counts. */
+    * independent by construction), then point-queried for 5 fixed
+    * probe keys (the smallest custkeys — chosen for determinism, not
+    * for being heavy hitters). Emits the oracle-checkable exact
+    * counts plus an engine-side bound check: CMS never
+    * underestimates (a hard guarantee), while est ≤ exact + ⌈eps·N⌉
+    * holds only with probability ≥ confidence (0.99) PER QUERY — the
+    * check uses the doubled window 2⌈eps·N⌉ and, because the seed and
+    * corpus are pinned, the emitted boolean is a fixed fact for this
+    * fixture rather than a universal certainty. Sketch bytes are
+    * O(width·depth) metadata per group — the bounded-memory 100 TB
+    * path for frequency point counts. */
   def sk06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val eps = 0.0005; val confd = 0.99; val seed = 42
@@ -147,7 +152,10 @@ object SketchQueries {
       org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
     }.reduce { (a, b) => a.mergeInPlace(b); a }
-    val bound = math.ceil(eps * perPrio.map(_.getAs[Long]("n")).sum).toLong
+    // 2× the single-sided ⌈eps·N⌉ bound: the CMS overestimate bound is
+    // probabilistic (≥ confidence per query), so the check widens the
+    // window rather than treating it as deterministic
+    val bound = 2L * math.ceil(eps * perPrio.map(_.getAs[Long]("n")).sum).toLong
     val keys = orders(s, d).select(col("o_custkey")).distinct()
       .orderBy("o_custkey").limit(5).collect().map(_.getLong(0))
     val est = keys.toSeq.map(k => (k, merged.estimateCount(k)))
@@ -172,8 +180,9 @@ object SketchQueries {
 
   val oracle: Map[String, String] = Map(
     // exact point counts oracle-computable; estimate_ok engine-side:
-    // CMS never underestimates and overestimates by ≤ ⌈eps·N⌉, both
-    // deterministic (CMS merge is exact counter addition)
+    // CMS never underestimates (hard), and the 2⌈eps·N⌉ overestimate
+    // window holds at ≥ confidence per query — fixed-seed + fixed
+    // corpus make the emitted boolean deterministic for this fixture
     "sk06_count_min" ->
       """WITH keys AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 5)
         |SELECT o_custkey, COUNT(*) AS exact_n, TRUE AS estimate_ok
@@ -181,7 +190,8 @@ object SketchQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The exact distinct count and month count are oracle-computable;
     // estimate_ok is an engine-side bound check (|est−exact|/exact <
-    // 0.05 with lgK=12 ≈ 0.8% stderr) that is deterministically TRUE
+    // 0.05; lgK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%, DataSketches HLL
+    // ≈ 1.3%, so the 5% window is ~3σ) that is deterministically TRUE
     // at any partitioning — raw HLL estimates are parallelism-
     // sensitive and must never be pinned. (Exact-below-capacity
     // behavior is separately oracle-checked via sk01/sk02/sk04.)

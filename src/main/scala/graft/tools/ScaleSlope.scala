@@ -107,26 +107,36 @@ object ScaleSlope {
     // final scoring join = 3 recomputes un-memoized — the round-6
     // probe's admitted flaw). The tag is unique per (regime, scale)
     // point, so each timed run still pays its own full compute.
-    def runDd08(tag: String, copies: Int, k: Int): (Double, Long) = timed {
+    def runDd08(tag: String, copies: Int, k: Int,
+        hier: Boolean = false): (Double, Long) = timed {
       // seeds are vec_id < k: copy 0 holds ids 0..1999, so k ≤ 2000
       // seed ids always resolve; assignment stays the fused kernel
-      graft.operators.Similarity
-        .semDedupFrom(spark, ecorpus(copies), k = k, tau = 0.3,
-          memoTag = Some(s"semdedup-probe|$tag|c$copies|k$k"))
-        .count()
+      val tagged = Some(s"semdedup-probe|$tag|c$copies|k$k")
+      val df =
+        if (hier) graft.operators.Similarity
+          .semDedupHierFrom(spark, ecorpus(copies), k = k, tau = 0.3,
+            memoTag = tagged)
+        else graft.operators.Similarity
+          .semDedupFrom(spark, ecorpus(copies), k = k, tau = 0.3,
+            memoTag = tagged)
+      df.count()
     }
 
     // 1× is fixed-cost-dominated at sf0.1; the informative slope is
     // 10× → 100× (500k docs), where data cost dominates
     val points = Seq(1, 10, 100).map(c => c -> run(corpus(c)))
-    // two k regimes, both memoized: the paper's own (constant cluster
+    // three regimes, all memoized: the paper's own (constant cluster
     // size, k ∝ n — the within-cluster quadratic stays bounded but the
-    // k×n assignment grows quadratically) and IVF sizing (k ∝ √n — the
-    // assignment and the within-cluster stage balance at O(n^1.5))
-    for ((regime, kOf) <- Seq(
-        ("dd08", (c: Int) => 8 * c),
-        ("dd08_sqrtk", (c: Int) => math.max(8, math.round(8 * math.sqrt(c.toDouble)).toInt)))) {
-      val pts = Seq(1, 10, 100).map(c => c -> runDd08(regime, c, kOf(c)))
+    // exact k×n assignment grows quadratically), IVF sizing (k ∝ √n —
+    // clusters grow as √n so the WITHIN-CLUSTER stage goes quadratic
+    // instead), and dd09's fix: k ∝ n with the two-level O(n·√k·dim)
+    // hierarchical assignment — both scale walls removed
+    val sqrtK = (c: Int) => math.max(8, math.round(8 * math.sqrt(c.toDouble)).toInt)
+    for ((regime, kOf, hier) <- Seq(
+        ("dd08", (c: Int) => 8 * c, false),
+        ("dd08_sqrtk", sqrtK, false),
+        ("dd09_hier", (c: Int) => 8 * c, true))) {
+      val pts = Seq(1, 10, 100).map(c => c -> runDd08(regime, c, kOf(c), hier))
       val cells = pts.map { case (c, (t, n)) =>
         f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
       }.mkString(",")

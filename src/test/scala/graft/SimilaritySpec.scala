@@ -185,6 +185,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == 1L || t._1 == 2L))
   }
 
+  test("semdedup hier: two-level assignment matches flat on separated clusters") {
+    import spark.implicits._
+    // same planted corpus as the dd08 test: k=4 seeds, g=2 supers
+    // (centers 1,2); centers 3,4 tie between the supers and group
+    // under super 1 (lowest-sid tie-break). Every vector routes to a
+    // group that CONTAINS its true nearest center, so the two-level
+    // result must equal the flat-argmin result row-for-row.
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f), 3L -> Array(0f, 0f, 0f, 1f),
+      10L -> Array(0.9f, 0.1f, 0f, 0f), 11L -> Array(0.8f, 0.2f, 0f, 0f),
+      20L -> Array(0f, 0f, 0f, 0.7f))
+    val v = rows.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    val flat = Similarity.semDedupFrom(spark, v, k = 4, tau = 0.3)
+      .collect().map(_.toSeq).toSeq
+    val hier = Similarity.semDedupHierFrom(spark, v, k = 4, tau = 0.3)
+      .collect().map(_.toSeq).toSeq
+    assert(hier == flat, s"hier=$hier flat=$flat")
+  }
+
   test("semdedup memoTag: assignment frame scanned once, not per reference") {
     import spark.implicits._
     // the source counts its own reads: every materialization of the
