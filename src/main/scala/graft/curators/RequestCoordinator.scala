@@ -50,7 +50,11 @@ object RequestCoordinator {
   def run(json: String, reg: Registry, curators: Seq[CuratorSpec],
       s: SparkSession, dir: String,
       timeout: Duration = 120.seconds,
-      preExecute: CuratorSpec => Unit = _ => ()): Map[String, Either[String, DataFrame]] = {
+      preExecute: CuratorSpec => Unit = _ => (),
+      monitor: graft.serving.ServiceMonitor =
+        graft.serving.ServiceMonitor.NoOp,
+      requestId: String = ""): Map[String, Either[String, DataFrame]] = {
+    import graft.serving.ServiceMonitor.safely
     val specs = Default +: curators.filterNot(_ == Default)
     require(specs.map(_.name).distinct.sizeIs == specs.size,
       "duplicate curator names in one request")
@@ -61,6 +65,12 @@ object RequestCoordinator {
         // and in listener events
         s.sparkContext.setJobGroup(s"curator-${spec.name}",
           s"curator ${spec.name}", interruptOnCancel = false)
+        // per-curator monitor bracket on the worker thread: begin
+        // before planning, complete with outcome + wall after
+        // materialization (a throwing monitor never fails a curator)
+        safely(monitor.begin(requestId, spec.name))
+        val t0 = System.currentTimeMillis()
+        var outcome = false
         try {
           preExecute(spec)
           val df = spec match {
@@ -72,8 +82,13 @@ object RequestCoordinator {
           }
           val cached = df.persist()
           cached.count() // materialize inside the future, not at merge
+          outcome = true
           Right(cached): Either[String, DataFrame]
-        } finally s.sparkContext.clearJobGroup()
+        } finally {
+          s.sparkContext.clearJobGroup()
+          safely(monitor.complete(requestId, spec.name, outcome,
+            System.currentTimeMillis() - t0))
+        }
       }(pool).recover { case NonFatal(e) => Left(e.getMessage) }(pool)
     }
     val done = fs.map { case (n, f) => n -> Await.result(f, timeout) }.toMap

@@ -32,7 +32,22 @@ import graft.semantic.model.Registry
   * lifecycle: one record per served request, stamped at completion).
   */
 final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
-    jobs: JobQueue, port: Int = 0) {
+    jobs: JobQueue, port: Int = 0,
+    monitor: ServiceMonitor = ServiceMonitor.NoOp) {
+
+  /** begin/complete bracket around one served request: `begin` before
+    * planning, `complete` exactly once with outcome + wall millis; a
+    * throwing monitor never fails the request (reference monitor
+    * contract, MahaServiceMonitor.scala:15-18). */
+  private def monitored(reqId: String, kind: String)(
+      f: => (Int, String, String)): (Int, String, String) = {
+    ServiceMonitor.safely(monitor.begin(reqId, kind))
+    val t0 = System.currentTimeMillis()
+    var outcome = false
+    try { val r = f; outcome = r._1 < 400; r }
+    finally ServiceMonitor.safely(monitor.complete(
+      reqId, kind, outcome, System.currentTimeMillis() - t0))
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
@@ -41,6 +56,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
   def start(): Int = {
     server.createContext("/report", (ex: HttpExchange) => handle(ex) {
       val reqId = requestId(ex)
+      monitored(reqId, "report") {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val start = System.currentTimeMillis()
       try {
@@ -55,9 +71,11 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
           // runLogged already wrote the 400 plan-time envelope
           (400, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
       }
+      }
     })
     server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
       val reqId = requestId(ex)
+      monitored(reqId, "sql") {
       val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val start = System.currentTimeMillis()
       try {
@@ -70,6 +88,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
         case e: IllegalArgumentException =>
           (400, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
       }
+      }
     })
     server.createContext("/domain", (ex: HttpExchange) => handle(ex) {
       (200, Domain.domainJson(reg, Freshness.forRegistry(reg, s, dir)),
@@ -79,10 +98,14 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       val reqId = requestId(ex)
       val path = ex.getRequestURI.getPath.stripPrefix("/jobs").stripPrefix("/")
       if (ex.getRequestMethod == "POST" && path.isEmpty) {
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        jobs.submit(body) match {
-          case Right(id) => (202, s"""{"jobId":${Domain.jStr(id)}}""", reqId)
-          case Left(err) => (400, s"""{"error":${Domain.jStr(err)}}""", reqId)
+        // brackets the SUBMIT (accept/reject), not the async run — the
+        // job's own wall time is visible via GET /jobs/{id} polling
+        monitored(reqId, "job") {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          jobs.submit(body) match {
+            case Right(id) => (202, s"""{"jobId":${Domain.jStr(id)}}""", reqId)
+            case Left(err) => (400, s"""{"error":${Domain.jStr(err)}}""", reqId)
+          }
         }
       } else jobs.status(path) match {
         case None => (404, s"""{"error":"unknown job"}""", reqId)

@@ -64,6 +64,25 @@ class CuratorsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("default request failed"))
   }
 
+  test("coordinator monitor brackets every curator with outcome + wall") {
+    import graft.curators.RequestCoordinator
+    import graft.curators.RequestCoordinator._
+    val mon = new graft.serving.ServiceMonitor.Counting
+    // mixed outcome: no day Between → timeshift fails, others succeed
+    val noDay =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}]}""".stripMargin
+    val results = RequestCoordinator.run(noDay, registry,
+      Seq(TimeShift, RowCount), spark, sf,
+      monitor = mon, requestId = "mon-req-1")
+    assert(mon.started("default") == 1 && mon.succeeded("default") == 1)
+    assert(mon.started("rowcount") == 1 && mon.succeeded("rowcount") == 1)
+    assert(mon.started("timeshift") == 1 && mon.failures("timeshift") == 1
+      && mon.succeeded("timeshift") == 0)
+    assert(mon.wallMillis("default") >= 0)
+    RequestCoordinator.release(results)
+  }
+
   test("timeshift requires a day Between filter") {
     val noDay =
       """{"cube": "order_stats",

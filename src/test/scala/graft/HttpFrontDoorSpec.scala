@@ -87,6 +87,41 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     } finally { door.stop(); jobs.shutdown() }
   }
 
+  test("service monitor sees begin/complete per request, outcome and wall") {
+    val mon = new graft.serving.ServiceMonitor.Counting
+    val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpmon"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      monitor = mon)
+    val port = door.start()
+    try {
+      assert(post(port, "/report", SemanticQueries.sem01Json).statusCode() == 200)
+      val bad = post(port, "/report",
+        """{"cube": "order_stats", "selectFields": [{"field": "No Such"}]}""")
+      assert(bad.statusCode() == 400)
+      assert(post(port, "/sql", "DESCRIBE order_stats").statusCode() == 200)
+      assert(mon.started("report") == 2 && mon.succeeded("report") == 1
+        && mon.failures("report") == 1, "report counts")
+      assert(mon.started("sql") == 1 && mon.succeeded("sql") == 1)
+      assert(mon.wallMillis("report") >= 0 && mon.succeeded("job") == 0)
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
+  test("a throwing monitor never fails the request it observes") {
+    val boom = new graft.serving.ServiceMonitor {
+      def begin(id: String, kind: String): Unit = sys.error("monitor down")
+      def complete(id: String, kind: String, ok: Boolean, ms: Long): Unit =
+        sys.error("monitor down")
+    }
+    val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpmon2"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      monitor = boom)
+    val port = door.start()
+    try {
+      val r = post(port, "/report", SemanticQueries.sem01Json)
+      assert(r.statusCode() == 200 && r.body().contains("\"rowCount\":5"))
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("GET /domain serves introspection with freshness; /jobs round-trips") {
     val jobs = new JobQueue(spark, sf, java.nio.file.Files.createTempDirectory("httpjobs2"))
     val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
