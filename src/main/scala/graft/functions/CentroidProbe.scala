@@ -121,3 +121,117 @@ case class CentroidProbe(child: Expression, centers: Seq[Seq[Float]],
   override protected def withNewChildInternal(newChild: Expression): CentroidProbe =
     copy(child = newChild)
 }
+
+/** Native Catalyst expression: TWO-LEVEL (hierarchical) nearest-
+  * centroid assignment — route to the nearest of `g` super-centers,
+  * then exact (distance, cid)-argmin over only that super's center
+  * group. Returns the chosen cid as INT.
+  *
+  * This is dd09's fused kernel: O(g + max-group) fixed-point dots per
+  * row instead of O(k), as ONE expression holding the full two-level
+  * index as metadata. The previous formulation — a CASE WHEN over g
+  * branches, each its own [[CentroidProbe]] — had identical semantics
+  * but a plan-shape failure mode: optimizer rules that duplicate
+  * projections (e.g. PushProjectionThroughUnion over an n-way union)
+  * replicate the whole g-branch tree per target, and generated-code
+  * size grows with g — measured as a 7× end-to-end regression on a
+  * 100-way-union corpus while this fused form stays flat.
+  *
+  * Arithmetic and tie-breaks are bit-identical to the flat kernel:
+  * dist = ‖c‖² − 2·(fixdot(v,c)/10¹²), ties on cid ascending, at both
+  * levels. `groupOf(s)` lists the center indices grouped under super
+  * s; a vector routed to an EMPTY group falls back to the exact
+  * argmin over all centers (reachable only through fixed-point
+  * near-ties between duplicate seeds — documented oracle
+  * precondition, dd09 scaladoc).
+  */
+case class HierCentroidProbe(child: Expression,
+    supers: Seq[Seq[Float]], superCn2s: Seq[Double],
+    centers: Seq[Seq[Float]], cids: Seq[Int], cn2s: Seq[Double],
+    groupOf: Seq[Seq[Int]]) extends UnaryExpression {
+
+  require(supers.nonEmpty && supers.length == superCn2s.length &&
+    supers.length == groupOf.length, "supers/superCn2s/groupOf must align")
+  require(centers.nonEmpty && centers.length == cids.length &&
+    centers.length == cn2s.length, "centers/cids/cn2s must align")
+  require(groupOf.flatten.forall(i => i >= 0 && i < centers.length),
+    "groupOf indices must point into centers")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hier_centroid_probe requires array<float>, got ${other.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hier_centroid_probe"
+
+  @transient private lazy val sMat: Array[Array[Float]] =
+    supers.map(_.toArray).toArray
+  @transient private lazy val sN2: Array[Double] = superCn2s.toArray
+  @transient private lazy val cMat: Array[Array[Float]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val cIds: Array[Int] = cids.toArray
+  @transient private lazy val cN2: Array[Double] = cn2s.toArray
+  @transient private lazy val grp: Array[Array[Int]] =
+    groupOf.map(_.toArray).toArray
+  @transient private lazy val allIdx: Array[Int] = cMat.indices.toArray
+
+  def compute(v: ArrayData): Int = {
+    val m = v.numElements()
+    val row = new Array[Float](m)
+    var p = 0
+    while (p < m) {
+      if (!v.isNullAt(p)) row(p) = v.getFloat(p)
+      p += 1
+    }
+    @inline def dot(c: Array[Float]): Long = {
+      val n = math.min(m, c.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(row(i).toDouble * c(i).toDouble * 1e12).toLong
+        i += 1
+      }
+      acc
+    }
+    // level 1: nearest super (ties on super index ascending — supers
+    // are ordered by their cid, so index order IS cid order)
+    var bestS = 0
+    var bestSd = Double.MaxValue
+    var s = 0
+    while (s < sMat.length) {
+      val dist = sN2(s) - 2.0 * (dot(sMat(s)).toDouble / 1e12)
+      if (dist < bestSd) { bestSd = dist; bestS = s }
+      s += 1
+    }
+    // level 2: exact (dist, cid)-argmin within the routed group; empty
+    // group → exact argmin over ALL centers
+    val pool = if (grp(bestS).length > 0) grp(bestS) else allIdx
+    var bestC = -1
+    var bestCd = Double.MaxValue
+    var bestCid = Int.MaxValue
+    var t = 0
+    while (t < pool.length) {
+      val j = pool(t)
+      val dist = cN2(j) - 2.0 * (dot(cMat(j)).toDouble / 1e12)
+      if (dist < bestCd || (dist == bestCd && cIds(j) < bestCid)) {
+        bestCd = dist; bestC = j; bestCid = cIds(j)
+      }
+      t += 1
+    }
+    cIds(bestC)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hierCentroidProbe", this,
+      classOf[HierCentroidProbe].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierCentroidProbe =
+    copy(child = newChild)
+}

@@ -172,6 +172,15 @@ object GraftFunctions {
     GraftBridge.column(CentroidProbe(
       GraftBridge.expression(v), centers, cids, cn2s, nprobe))
 
+  /** Fused two-level nearest-centroid assignment (route via supers,
+    * exact argmin in the routed group) as INT cid — dd09's kernel. */
+  def hierCentroidProbe(v: Column, supers: Seq[Seq[Float]],
+      superCn2s: Seq[Double], centers: Seq[Seq[Float]], cids: Seq[Int],
+      cn2s: Seq[Double], groupOf: Seq[Seq[Int]]): Column =
+    GraftBridge.column(HierCentroidProbe(
+      GraftBridge.expression(v), supers, superCn2s, centers, cids, cn2s,
+      groupOf))
+
   /** Register graft's native expressions for SQL use in an existing
     * session (new sessions can instead set
     * spark.sql.extensions=graft.functions.GraftExtensions). */

@@ -466,30 +466,45 @@ object Similarity {
   private[graft] def semDedupHierFrom(s: SparkSession, v: DataFrame, k: Int,
       tau: Double, memoTag: Option[String] = None): DataFrame = {
     val cents = seedCents(v, k)
-    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    semDedupPipeline(s, v, cents,
+      _.withColumn("cid", hierCidCol(cents, col("embedding"))),
+      tau, memoTag)
+  }
+
+  /** dd09's assignment column: the FUSED two-level kernel
+    * ([[graft.functions.HierCentroidProbe]]) — supers are the first
+    * √k centers, each center grouped under its nearest super with the
+    * kernel's own (dist, cid) fixed-point tie-break, all computed
+    * k×√k driver-side and shipped as one expression. One expression
+    * (not a CASE over √k per-group probes) so projection-duplicating
+    * optimizer rules (PushProjectionThroughUnion) and codegen size
+    * stay O(1) in the group count. */
+  private def hierCidCol(cents: Seq[Ctr], v: Column): Column = {
+    val g = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
     val supers = cents.take(g)
-    // group every center under its nearest super — same distance and
-    // tie-break (dist, cid ascending) as the row-level kernel, exact
-    // fixed-point, k×g driver-side work
-    def nearestSuperCid(e: Seq[Float]): Int =
-      supers.minBy(sc =>
-        (sc.cn2 - 2.0 * (fixdotDriver(e, sc.cemb).toDouble / 1e12), sc.cid)).cid
-    val groups: Seq[(Int, Seq[Ctr])] =
-      cents.groupBy(c => nearestSuperCid(c.cemb)).toSeq.sortBy(_._1)
-    val assign: DataFrame => DataFrame = { df =>
-      // super id computed ONCE as its own column, so the CASE branches
-      // test a cheap int instead of re-probing the supers per branch
-      val withSid = df.withColumn("gsid",
-        probeCol(supers, col("embedding"), 1).getItem(0))
-      val cidCase = groups.tail.foldLeft(
-        when(col("gsid") === groups.head._1,
-          nearestCidCol(groups.head._2, col("embedding")))) {
-        case (acc, (sv, gcs)) =>
-          acc.when(col("gsid") === sv, nearestCidCol(gcs, col("embedding")))
-      }.otherwise(nearestCidCol(cents, col("embedding")))
-      withSid.withColumn("cid", cidCase).drop("gsid")
+    def nearestSuperIdx(e: Seq[Float]): Int =
+      supers.indices.minBy(si =>
+        (supers(si).cn2 - 2.0 * (fixdotDriver(e, supers(si).cemb).toDouble / 1e12),
+          supers(si).cid))
+    val groupOf: Seq[Seq[Int]] = {
+      val bySuper = cents.indices.groupBy(ci => nearestSuperIdx(cents(ci).cemb))
+      supers.indices.map(si => bySuper.getOrElse(si, Nil))
     }
-    semDedupPipeline(s, v, cents, assign, tau, memoTag)
+    graft.functions.GraftFunctions.hierCentroidProbe(v,
+      supers.map(_.cemb), supers.map(_.cn2),
+      cents.map(_.cemb), cents.map(_.cid), cents.map(_.cn2), groupOf)
+  }
+
+  /** Diagnostic seams: the bare assignment projections (no pair join /
+    * closure), for isolating assignment cost at scale. */
+  private[graft] def dbgAssignFlat(v: DataFrame, k: Int): DataFrame = {
+    val cents = seedCents(v, k)
+    v.select(col("vec_id"),
+      nearestCidCol(cents, col("embedding")).as("cid"))
+  }
+  private[graft] def dbgAssignHier(v: DataFrame, k: Int): DataFrame = {
+    val cents = seedCents(v, k)
+    v.select(col("vec_id"), hierCidCol(cents, col("embedding")).as("cid"))
   }
 
   /** Seed centers: the first-k vectors (sim06's flat-quantizer

@@ -122,9 +122,20 @@ object ScaleSlope {
       df.count()
     }
 
+    // SS_ONLY=dd08,dd09_hier reruns a subset of probes (comma list of
+    // op prefixes) without paying for the whole battery
+    val only: String => Boolean = sys.env.get("SS_ONLY") match {
+      case Some(list) =>
+        val ps = list.split(",").map(_.trim).filter(_.nonEmpty)
+        op => ps.exists(op.startsWith)
+      case None => _ => true
+    }
     // 1× is fixed-cost-dominated at sf0.1; the informative slope is
     // 10× → 100× (500k docs), where data cost dominates
-    val points = Seq(1, 10, 100).map(c => c -> run(corpus(c)))
+    val points =
+      if (Seq("dd02", "dd04", "dd05").exists(only))
+        Seq(1, 10, 100).map(c => c -> run(corpus(c)))
+      else Nil
     // three regimes, all memoized: the paper's own (constant cluster
     // size, k ∝ n — the within-cluster quadratic stays bounded but the
     // exact k×n assignment grows quadratically), IVF sizing (k ∝ √n —
@@ -135,7 +146,7 @@ object ScaleSlope {
     for ((regime, kOf, hier) <- Seq(
         ("dd08", (c: Int) => 8 * c, false),
         ("dd08_sqrtk", sqrtK, false),
-        ("dd09_hier", (c: Int) => 8 * c, true))) {
+        ("dd09_hier", (c: Int) => 8 * c, true)) if only(regime)) {
       val pts = Seq(1, 10, 100).map(c => c -> runDd08(regime, c, kOf(c), hier))
       val cells = pts.map { case (c, (t, n)) =>
         f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
@@ -143,7 +154,7 @@ object ScaleSlope {
       val slope = pts.last._2._1 / pts(1)._2._1
       println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
     }
-    for (op <- Seq("dd02", "dd04", "dd05")) {
+    for (op <- Seq("dd02", "dd04", "dd05") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
       }.mkString(",")
