@@ -40,14 +40,19 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
       }
     }
-    // two cold passes, per-query MIN: this host shows episodic
-    // multi-minute noisy-neighbor slowdowns (individual queries swing
-    // 10x between consecutive runs with the machine idle), so a single
-    // sample conflates engine cost with host weather; the min of two
-    // independent cold runs is the honest steady-state cost
+    // N cold passes (default 2), per-query MIN: this host shows
+    // episodic multi-minute noisy-neighbor slowdowns (individual
+    // queries swing 10x between consecutive runs with the machine
+    // idle), so a single sample conflates engine cost with host
+    // weather; the min of independent cold runs is the honest
+    // steady-state cost. Raise SPARK_GRAFT_BENCH_PASSES to chase a
+    // suspected-noise delta (the round-6 dd04 +0.54 s protocol).
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val p1 = timedPass()
-    val p2 = timedPass().toMap
-    val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
+    val rest = (2 to nPasses).map(_ => timedPass().toMap)
+    val results = p1.map { case (name, v) =>
+      name -> rest.foldLeft(v)((m, p) => math.min(m, p(name)))
+    }
     graft.operators.Dedup.releaseCaches()
     val total = results.map(_._2).sum
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -63,12 +68,12 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":2,"agg":"min","queries":$qShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$nPasses,"agg":"min","queries":$qShort,"sf":"$sfDir"}"""
     println(line)
     val qFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
