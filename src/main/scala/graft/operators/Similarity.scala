@@ -407,6 +407,86 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ ANN (IVFADC, Jégou et al. TPAMI 2011 §IV: coarse-quantize,
+    * product-quantize the RESIDUAL vector−centroid, score candidates
+    * per probed list with residual ADC tables) — the composition of
+    * sim05/06's routing and sim08's codebook compression, and the
+    * standard billion-scale ANN configuration: the inverted lists
+    * bound the scan (nprobe·n/g candidates per query) while the codes
+    * bound the bytes (2 per vector here vs 256 float).
+    *
+    * Residuals are float subtraction (exact: a float difference is
+    * the correctly-rounded exact difference, which DuckDB reproduces
+    * bit-for-bit via DOUBLE subtract + cast back to FLOAT), and both
+    * quantizers are FLAT (coarse = first g vectors, codebook = first
+    * k vectors' subvectors — the sim06/sim08 discipline), so routing,
+    * encoding, table build and ADC ranking are all exact fixed-point
+    * arithmetic the SQL oracle replicates value-for-value.
+    *
+    * Scale shape: assignment and probe routing are map-only through
+    * the fused CentroidProbe kernel; candidate generation is an
+    * equi-join on the list id with the tiny query×nprobe side
+    * broadcast; the per-(query, list) ADC tables are built on the
+    * broadcast side (nprobe table builds per query — the paper's cost
+    * model). At 100 TB the codes column and list assignment are
+    * materialized once at ingest; a query scans only its probed
+    * lists' 2-byte codes. */
+  def simIvfPq(s: SparkSession, d: String): DataFrame = {
+    val g = 8; val nprobe = 2; val m = 4; val k = 16; val sub = 16
+    val v = embeddings(s, d)
+    val coarse = v.filter(col("vec_id") < g)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val cbRows = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+    val cb = (0 until m).map(j => (0 until k).map(c =>
+      cbRows(c).getSeq[Float](1).slice(j * sub, (j + 1) * sub)))
+    def subcol(e: Column, j: Int) = slice(e, j * sub + 1, sub)
+    def fix(a: Column, b: Seq[Float]) =
+      graft.functions.GraftFunctions.fixdot(a, typedlit(b))
+    def codeCol(e: Column, j: Int): Column =
+      graft.functions.GraftFunctions.centroidProbe(subcol(e, j),
+        cb(j), 0 until k,
+        cb(j).map(c => fixdotDriver(c, c).toDouble / 1e12), nprobe = 1)
+        .getItem(0)
+    import s.implicits._
+    val cdf = broadcast(coarse.map(c => (c.cid, c.cemb))
+      .toDF("cid", "cemb"))
+    // corpus: coarse-assign, residual-encode — both map-only (the
+    // 8-row centroid join is a broadcast)
+    val coded = v
+      .select(col("vec_id").as("nid"), col("embedding"),
+        nearestCidCol(coarse, col("embedding")).as("cid"))
+      .join(cdf, "cid")
+      .withColumn("res", zip_with(col("embedding"), col("cemb"), _ - _))
+      .select(col("nid") +: col("cid")
+        +: (0 until m).map(j => codeCol(col("res"), j).as(s"c$j")): _*)
+    // queries: nprobe nearest lists each, one residual ADC table per
+    // (query, list)
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeCol(coarse, col("embedding"), nprobe)).as("cid"))
+      .join(cdf, "cid")
+      .withColumn("qres", zip_with(col("qe"), col("cemb"), _ - _))
+      .select(col("qid") +: col("cid")
+        +: (0 until m).map(j => array((0 until k).map(c =>
+          fix(subcol(col("qres"), j), cb(j)(c))): _*).as(s"t$j")): _*))
+    val fp = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(desc("fp"), col("nid"))
+    coded.join(q, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("fp", fp)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"),
+        col("cid").cast("int").as("list_id"),
+        (col("fp").cast("double") / 1e12).as("approx_dot"))
+      .orderBy("qid", "rank")
+  }
+
   /** SemDeDup — semantic dedup of the embedding corpus (Abbas et al.
     * 2023, arXiv:2303.09540): cluster with a coarse quantizer, compute
     * pairwise cosine only WITHIN each cluster, connect pairs ≥ τ into
@@ -557,6 +637,7 @@ object Similarity {
     "dd08_semdedup" -> (semDedup _),
     "dd09_semdedup_hier" -> (semDedupHier _),
     "sim08_pq_adc" -> (simPqAdc _),
+    "sim09_ivf_pq" -> (simIvfPq _),
     "sim01_cosine_topk" -> (simCosineTopK _),
     "sim02_label_stats" -> (simLabelStats _),
     "sim03_lsh_ann" -> (simLshAnn _),
@@ -703,6 +784,70 @@ object Similarity {
         |SELECT s.grp, CAST(s.sz AS BIGINT) sz, k.keep_id,
         |  CAST(s.sz - 1 AS BIGINT) n_dropped, k.keep_cos
         |FROM szs s JOIN keep k USING (grp) ORDER BY grp""".stripMargin,
+    // full IVFADC replica: coarse flat-quantizer assignment (dd08's
+    // argmin CTE), float-exact residuals (DOUBLE subtract cast back to
+    // FLOAT — bit-identical to Spark's float subtraction), sim08's
+    // codebook encoding on the residual, per-(query, probed-list)
+    // residual ADC tables, candidates only from probed lists
+    "sim09_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      c.cid) rn
+        |  FROM e v, c) t WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cid,
+        |  list_transform(list_zip(v.embedding, c.cemb),
+        |    z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS FLOAT)) r
+        |  FROM asg a JOIN e v ON v.vec_id = a.vec_id JOIN c ON c.cid = a.cid),
+        |subs AS (SELECT CAST(j AS INTEGER) j FROM range(4) t(j)),
+        |cb AS (SELECT subs.j, cbv.vec_id ccid,
+        |    cbv.embedding[subs.j*16+1 : subs.j*16+16] AS cent
+        |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 16) cbv, subs),
+        |enc AS (SELECT res.vec_id, cb.j, cb.ccid,
+        |  CAST(CAST(list_sum(list_transform(list_zip(cb.cent, cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e12
+        |  - 2 * (CAST(CAST(list_sum(list_transform(
+        |      list_zip(res.r[cb.j*16+1 : cb.j*16+16], cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e12) AS dist
+        |  FROM res, cb),
+        |codes AS (SELECT vec_id, j, ccid FROM (
+        |  SELECT vec_id, j, ccid,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, ccid) rn
+        |  FROM enc) WHERE rn = 1),
+        |probes AS (SELECT vec_id qid, cid FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |        z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |      c.cid) rn
+        |  FROM e v, c WHERE v.vec_id < 10) t WHERE rn <= 2),
+        |qres AS (SELECT p.qid, p.cid,
+        |  list_transform(list_zip(q.embedding, c.cemb),
+        |    z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS FLOAT)) r
+        |  FROM probes p JOIN e q ON q.vec_id = p.qid JOIN c ON c.cid = p.cid),
+        |qt AS (SELECT qr.qid, qr.cid, cb.j, cb.ccid,
+        |  CAST(list_sum(list_transform(
+        |      list_zip(qr.r[cb.j*16+1 : cb.j*16+16], cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS t
+        |  FROM qres qr, cb),
+        |approx AS (SELECT qt.qid, cd.vec_id nid, r2.cid, CAST(SUM(qt.t) AS BIGINT) fp
+        |  FROM codes cd JOIN res r2 ON r2.vec_id = cd.vec_id
+        |  JOIN qt ON qt.cid = r2.cid AND qt.j = cd.j AND qt.ccid = cd.ccid
+        |  WHERE qt.qid <> cd.vec_id
+        |  GROUP BY qt.qid, cd.vec_id, r2.cid)
+        |SELECT qid, nid, rank, list_id, approx_dot FROM (
+        |  SELECT qid, nid, CAST(cid AS INTEGER) list_id,
+        |    CAST(fp AS DOUBLE) / 1e12 AS approx_dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY fp DESC, nid) rank
+        |  FROM approx) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // full PQ replica: same flat codebook (subvectors of vec_id<16),
     // same fixed-point argmin encoding, same ADC table-lookup scoring
     "sim08_pq_adc" ->

@@ -206,6 +206,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hier == flat, s"hier=$hier flat=$flat")
   }
 
+  test("hier assignment is ONE kernel occurrence even under a union input") {
+    import spark.implicits._
+    // regression lock for the dd09 100x probe finding: a CASE over
+    // per-group probes gets cloned into every union branch by
+    // PushProjectionThroughUnion (measured 7x end-to-end); the fused
+    // HierCentroidProbe must appear exactly once per branch with NO
+    // blowup in plan size — i.e. occurrences scale with branches, not
+    // branches x groups
+    val rows = (0L until 32L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 4.0 + j).toFloat)))
+    val one = rows.toDF("vec_id", "embedding")
+    val unioned = (0 until 8).map(i =>
+      one.select((col("vec_id") + lit(i * 1000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionByName _)
+      .withColumn("nrm", sqrt(GraftFunctions.fixdotD(col("embedding"), col("embedding"))))
+    val plan = Similarity.dbgAssignHier(unioned, 16)
+      .queryExecution.optimizedPlan.toString
+    val occ = "hier_centroid_probe".r.findAllIn(plan).length
+    assert(occ <= 8, s"expected <= 1 kernel per union branch, saw $occ")
+    assert(!plan.contains("CASE WHEN"), "no per-group CASE in the plan")
+  }
+
   test("semdedup memoTag: assignment frame scanned once, not per reference") {
     import spark.implicits._
     // the source counts its own reads: every materialization of the
