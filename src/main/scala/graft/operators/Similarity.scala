@@ -652,7 +652,7 @@ object Similarity {
     * [[graft.functions.HyperplaneBands]] (md5-parity ±1 coefficients,
     * exact fixed-point sign sums), which is what lets the LSH queries
     * be hash-checked rather than rows-only. */
-  private def hyperSigCtes(bands: Int, rowsPerBand: Int, seed: Long): String = {
+  private[graft] def hyperSigCtes(bands: Int, rowsPerBand: Int, seed: Long): String = {
     val planes = bands * rowsPerBand
     s"""v AS (SELECT vec_id, embedding,
        |  sqrt(CAST(list_sum(list_transform(embedding,

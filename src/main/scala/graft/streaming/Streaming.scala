@@ -370,6 +370,104 @@ object Streaming {
       .orderBy("day", "category")
   }
 
+  /** Exact fixed-point dot of two float vectors, descaled — the pure-
+    * Scala twin of [[graft.functions.FixedPointDot]] for state-side
+    * comparisons inside stateful operators (same floor(a·b·10¹²)
+    * element terms, same exact long sum). */
+  private def fixdotDescaled(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a(i).toDouble * b(i).toDouble * 1e12).toLong
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
+
+  /** st08 — STREAMING SEMANTIC DEDUP: suppress incoming embedding
+    * vectors that are near-duplicates (cosine ≥ τ) of an already-
+    * ingested vector in the same LSH bucket — the ingest-time
+    * counterpart of dd03/dd08 ("dedup new data against what the
+    * pipeline already accepted"), which a 100 TB training-data feed
+    * runs continuously rather than as a batch sweep.
+    *
+    * Shape: single-band hyperplane signature ([[graft.functions
+    * .HyperplaneBands]], the sim03/sim04 kernel) buckets the stream;
+    * `flatMapGroupsWithState` keyed by bucket keeps the vectors seen
+    * so far in that bucket and tags each arrival with the smallest
+    * earlier vec_id whose cosine clears τ (NULL → kept). Recall is
+    * one-sided exactly like dd03's banding: only in-bucket pairs are
+    * compared, and every emitted verdict is exact fixed-point
+    * arithmetic. State is bounded by the bucket fan-out (more
+    * signature bits → smaller buckets) and, in an unbounded
+    * deployment, an event-time timeout evicting idle buckets — the
+    * same watermark-dedup discipline StreamingSpec pins for st03.
+    *
+    * Determinism of the bounded run: the corpus is split into four
+    * vec_id-range files with ascending modification times, so file-
+    * source arrival order equals id order and the greedy "duplicate
+    * of an EARLIER id" rule gives one fixed answer — which is the
+    * closed form the DuckDB oracle computes (min earlier same-bucket
+    * id with cosine ≥ τ), with no sequential recursion needed. */
+  def st08(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val tau = 0.3
+    val root = java.nio.file.Files.createTempDirectory("graft-st08")
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val mx = base.agg(max("vec_id")).head().getLong(0)
+    val cut = mx / 4 + 1
+    val srcDir = new java.io.File(root.toFile, "src"); srcDir.mkdirs()
+    for (b <- 0 until 4) {
+      val tmp = s"$root/tmp$b"
+      base.filter(col("vec_id") >= b * cut && col("vec_id") < (b + 1) * cut)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"b$b%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(60000L * (b + 1))
+    }
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+      .withColumn("sig", graft.functions.GraftFunctions.hyperplaneBands(
+        col("embedding"), 1, 4, 42L).getItem(0))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions
+        .fixdotD(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("sig"), col("nrm"))
+      .as[(Long, Seq[Float], Int, Double)]
+    val deduped = rows.groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Seq[Float], Double)],
+          (Long, Int, Option[Long], Boolean)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (sig, it, state) =>
+        var seen = state.getOption.getOrElse(Nil)
+        val out = it.toSeq.sortBy(_._1).map { case (vid, emb, _, nrm) =>
+          val dupeOf = seen.iterator
+            .filter(_._1 < vid)
+            .filter { case (_, se, sn) =>
+              fixdotDescaled(emb, se) / (nrm * sn) >= tau }
+            .map(_._1).minOption
+          seen = (vid, emb, nrm) :: seen
+          (vid, sig, dupeOf, dupeOf.isEmpty)
+        }
+        state.update(seen)
+        out.iterator
+      }
+    val q = deduped.toDF("vec_id", "bucket", "dupe_of", "kept")
+      .writeStream.format("memory").queryName("st08_mem")
+      .option("checkpointLocation", ckptDir("st08"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st08_mem").orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st06_stream_enrich" -> (st06 _),
     "st01_stream_window" -> (st01 _),
@@ -378,9 +476,29 @@ object Streaming {
     "st04_stream_join" -> (st04 _),
     "st05_incremental_rollup" -> (st05 _),
     "st07_stream_outer_join" -> (st07 _),
+    "st08_semantic_dedup" -> (st08 _),
   )
 
   val oracle: Map[String, String] = Map(
+    // closed form of the greedy in-bucket streaming dedup: a vector's
+    // dupe_of is the MIN earlier same-bucket vec_id with cosine ≥ τ
+    // (arrival order equals id order by construction of the bounded
+    // run, so greedy == closed form); signatures via the shared
+    // single-band hyperplane replica, cosines in exact fixed point
+    "st08_semantic_dedup" -> {
+      s"""WITH ${graft.operators.Similarity.hyperSigCtes(1, 4, 42L)},
+         |sv AS (SELECT v.vec_id, v.embedding, v.nrm, s.band_sig sig
+         |  FROM v JOIN sigs s USING (vec_id)),
+         |dup AS (SELECT a.vec_id, CAST(MIN(b.vec_id) AS BIGINT) dupe_of
+         |  FROM sv a JOIN sv b ON a.sig = b.sig AND b.vec_id < a.vec_id
+         |  WHERE (CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+         |    / (a.nrm * b.nrm) >= 0.3
+         |  GROUP BY a.vec_id)
+         |SELECT sv.vec_id, CAST(sv.sig AS INTEGER) AS bucket, d.dupe_of,
+         |  (d.dupe_of IS NULL) AS kept
+         |FROM sv LEFT JOIN dup d USING (vec_id) ORDER BY sv.vec_id""".stripMargin
+    },
     "st06_stream_enrich" ->
       """WITH dim(event_type, category, weight) AS (VALUES
         |  ('view', 'browse', 1), ('click', 'engage', 5),

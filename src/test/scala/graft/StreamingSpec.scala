@@ -179,6 +179,28 @@ class StreamingSpec extends AnyFunSuite {
       s"far-apart duplicate did not re-emit — state never evicted ($rows)")
   }
 
+  test("st08 streaming semantic dedup: state catches cross-batch dups") {
+    // the corpus streams as 4 vec_id-quartile files (one micro-batch
+    // each); a duplicate whose earlier partner arrived in a PREVIOUS
+    // file can only be caught through flatMapGroupsWithState state
+    // carried across batches — assert at least one such verdict, plus
+    // the invariants the oracle also enforces
+    val out = graft.streaming.Streaming.st08(spark, sf).collect()
+    val n = out.length
+    assert(n > 0)
+    val maxId = out.map(_.getLong(0)).max
+    val cut = maxId / 4 + 1
+    val dropped = out.filter(!_.getBoolean(3))
+    assert(dropped.nonEmpty, "fixture should contain in-bucket near-dups")
+    dropped.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "dupe_of must be an earlier id")
+    }
+    val crossBatch = dropped.count(r =>
+      r.getLong(2) / cut < r.getLong(0) / cut)
+    assert(crossBatch > 0,
+      s"no cross-batch dup caught (state not exercised): $n rows, ${dropped.length} dropped")
+  }
+
   test("st05 incremental rollup: multiple merge batches, equals batch rollup") {
     import graft.streaming.Streaming
     val out = Streaming.st05(spark, sf)
