@@ -154,6 +154,52 @@ object ScaleSlope {
       val slope = pts.last._2._1 / pts(1)._2._1
       println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
     }
+    // ANN probes on the same sign-flip-replicated embedding corpus,
+    // 100 queries per scale (at the oracle's 10 queries the ONE-TIME
+    // index cost dominates — PQ encoding is ~205M mults at 100× vs the
+    // brute scan's 128M, measured — so the amortized regime needs a
+    // realistic query batch): brute-force exact top-k (query cost ∝ n
+    // each — the linear baseline) vs IVF-PQ with constant lists (g=8:
+    // candidates/query ∝ n/8 at nprobe=2) vs IVF sizing (g ∝ √n:
+    // candidates/query ∝ √n, assignment n·√n — the standard
+    // large-scale trade). In production the encode side runs once at
+    // ingest; this probe still pays it in every run, so these numbers
+    // UNDERSTATE the routed side's advantage.
+    val simNq = 100
+    val sqrtG = (c: Int) => math.max(8, math.round(8 * math.sqrt(c.toDouble)).toInt)
+    // two timings per routed regime: end-to-end (encode + search every
+    // run — what this bounded probe can't amortize) and SEARCH-ONLY
+    // (coded corpus memoized before timing — production's steady
+    // state, where codes are materialized once at ingest)
+    def searchOnly(regime: String, c: Int, g: Int): (Double, Long) = {
+      val tag = s"ivfpq-probe|$regime|c$c|g$g"
+      val df = graft.operators.Similarity.simIvfPqFrom(spark,
+        ecorpus(c).select("vec_id", "embedding"), g = g, nq = simNq,
+        memoTag = Some(tag))
+      df.count() // builds + caches the coded corpus (untimed)
+      val t0 = System.nanoTime()
+      val rows = df.count() // re-runs query side + join + rank only
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    for ((regime, run) <- Seq[(String, Int => (Double, Long))](
+        ("sim01_brute", c => timed(graft.operators.Similarity
+          .simCosineTopKFrom(ecorpus(c), nq = simNq).count())),
+        ("sim09_ivfpq_g8", c => timed(graft.operators.Similarity
+          .simIvfPqFrom(spark, ecorpus(c).select("vec_id", "embedding"),
+            g = 8, nq = simNq).count())),
+        ("sim09_ivfpq_sqrtg", c => timed(graft.operators.Similarity
+          .simIvfPqFrom(spark, ecorpus(c).select("vec_id", "embedding"),
+            g = sqrtG(c), nq = simNq).count())),
+        ("sim09_search_g8", c => searchOnly("g8", c, 8)),
+        ("sim09_search_sqrtg", c => searchOnly("sqrtg", c, sqrtG(c)))
+        ) if only(regime)) {
+      val pts = Seq(1, 10, 100).map(c => c -> run(c))
+      val cells = pts.map { case (c, (t, n)) =>
+        f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
+      }.mkString(",")
+      val slope = pts.last._2._1 / pts(1)._2._1
+      println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
+    }
     for (op <- Seq("dd02", "dd04", "dd05") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
