@@ -30,7 +30,11 @@ object TimeShiftConfig {
     for {
       sort <- parseSortBy(root \ "sortBy")
       off <- (root \ "daysOffset") match {
-        case JInt(i)  => Right(i.toInt)
+        // non-negative only: a negative offset would invert the
+        // comparison window (prev-from > prev-to) or align it over
+        // FUTURE days, silently nulling every "* Prev" column
+        case JInt(i) if i >= 0 => Right(i.toInt)
+        case JInt(i)  => Left(s"daysOffset must be >= 0, got $i")
         case JNothing => Right(0)
         case other    => Left(s"daysOffset must be an int, got $other")
       }

@@ -155,14 +155,18 @@ object Dedup {
     }
     val exploded = mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    // the over-cap bucket list is tiny by construction (≤ rows/cap
-    // entries), so it broadcasts and the anti-join drops hot buckets
-    // without re-shuffling `exploded`
-    val hot = exploded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
-      .select("band_idx", "band_hash")
-    val capped = exploded.join(broadcast(hot),
-      Seq("band_idx", "band_hash"), "left_anti")
+    // cap via a COUNT window over the band key rather than a separate
+    // hot-bucket aggregate + anti-join: the two-consumer form would
+    // recompute the whole minhash aggregation (the dominant stage —
+    // Spark does not dedupe a shared unpersisted subplan), while the
+    // window computes `exploded` once, shuffles it on exactly the key
+    // the candidate groupBy needs next (partitioning reused, no second
+    // shuffle), and drops over-cap buckets in-stream
+    val wband = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash")
+    val capped = exploded
+      .withColumn("sz", count(lit(1)).over(wband))
+      .filter(col("sz") <= maxBucket).drop("sz")
     val cand = capped.groupBy("band_idx", "band_hash")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -585,13 +585,9 @@ object Similarity {
       cents.map(_.cemb), cents.map(_.cid), cents.map(_.cn2), groupOf)
   }
 
-  /** Diagnostic seams: the bare assignment projections (no pair join /
-    * closure), for isolating assignment cost at scale. */
-  private[graft] def dbgAssignFlat(v: DataFrame, k: Int): DataFrame = {
-    val cents = seedCents(v, k)
-    v.select(col("vec_id"),
-      nearestCidCol(cents, col("embedding")).as("cid"))
-  }
+  /** Diagnostic seam: the bare hierarchical assignment projection (no
+    * pair join / closure) — SimilaritySpec's plan-shape regression test
+    * asserts the fused kernel stays O(1) in the group count here. */
   private[graft] def dbgAssignHier(v: DataFrame, k: Int): DataFrame = {
     val cents = seedCents(v, k)
     v.select(col("vec_id"), hierCidCol(cents, col("embedding")).as("cid"))

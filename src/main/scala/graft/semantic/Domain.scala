@@ -54,8 +54,11 @@ object Domain {
     }
 
   private def dimColDesc(pc: PubCol, dim: Option[String]): FieldDesc =
+    // effectiveOps, not allowedOps: a passthrough column rejects every
+    // filter at request-model time, and the introspection contract must
+    // advertise what the analyzer will actually accept
     FieldDesc(pc.alias, "Dimension", dataTypeOf(pc), dim,
-      opsOf(pc.allowedOps), None, pc.restrictedTo.map(_.toSeq.sorted.mkString(",")))
+      opsOf(pc.effectiveOps), None, pc.restrictedTo.map(_.toSeq.sorted.mkString(",")))
 
   private val rollupName: Rollup => String = {
     case SumRollup => "Sum";   case MinRollup => "Min"
@@ -98,12 +101,16 @@ object Domain {
 
   private def jArr(vs: Seq[String]): String = vs.map(jStr).mkString("[", ",", "]")
 
-  private def fieldJson(f: FieldDesc): String =
+  private def fieldJson(f: FieldDesc): String = {
+    // empty op set (passthrough columns): filterable:false with [] —
+    // "".split(",") is Array(""), which would render as [""]
+    val ops = f.filterOps.split(",").toSeq.filter(_.nonEmpty)
     s"""{"field":${jStr(f.field)},"type":${jStr(f.kind)},""" +
       s""""dataType":${jStr(f.dataType)},"dimensionName":${jOpt(f.dimension)},""" +
-      s""""filterable":true,"filterOperations":${jArr(f.filterOps.split(",").toSeq)},""" +
+      s""""filterable":${ops.nonEmpty},"filterOperations":${jArr(ops)},""" +
       s""""rollup":${jOpt(f.rollup)},"allowedSchemas":${
         f.restrictedTo.fold("null")(r => jArr(r.split(",").toSeq))}}"""
+  }
 
   /** Single-cube JSON (getCubeJsonAsStringForCube analogue).
     * `fresh` (when provided — see [[Freshness]]) adds the per-table

@@ -166,7 +166,8 @@ object ScaleSlope {
     // ingest; this probe still pays it in every run, so these numbers
     // UNDERSTATE the routed side's advantage.
     val simNq = 100
-    val sqrtG = (c: Int) => math.max(8, math.round(8 * math.sqrt(c.toDouble)).toInt)
+    // same √n sizing policy as the dd08_sqrtk regime (sqrtK above)
+    val sqrtG = sqrtK
     // two timings per routed regime: end-to-end (encode + search every
     // run — what this bounded probe can't amortize) and SEARCH-ONLY
     // (coded corpus memoized before timing — production's steady

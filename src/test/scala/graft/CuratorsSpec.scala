@@ -197,6 +197,9 @@ class CuratorsSpec extends AnyFunSuite {
     assert(cfg == TimeShiftConfig(Some(SortBy("Total Spend", descending = true)), 7))
     assert(TimeShiftConfig.parse("{}") == Right(TimeShiftConfig(None, 0)))
     assert(TimeShiftConfig.parse("""{"daysOffset": "x"}""").isLeft)
+    // negative offset would invert the prev window (from > to) or align
+    // it over future days — rejected at parse, not silently nulled
+    assert(TimeShiftConfig.parse("""{"daysOffset": -7}""").isLeft)
     val json =
       """{"cube": "order_stats",
         | "selectFields": [{"field": "Order Date"}, {"field": "Total Spend"}],

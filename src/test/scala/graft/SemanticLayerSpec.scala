@@ -396,6 +396,16 @@ class SemanticLayerSpec extends AnyFunSuite {
       PubCol("Bad", "x", passthrough = true,
         staticMapping = Some(StaticMapping(Map("a" -> "b"), "a")))
     }
+    // introspection must advertise what the analyzer accepts: the
+    // /domain field descriptor for a passthrough column carries ZERO
+    // filter operators (allowedOps defaults to AllOps, but every
+    // filter fails — advertising them would be a lying contract)
+    val domainJson = graft.semantic.Domain.domainJson(reg)
+    val payloadDesc = domainJson.split("""\{"field":""")
+      .find(_.startsWith(""""Opaque Payload"""")).get
+    assert(payloadDesc.contains(""""filterable":false""")
+      && payloadDesc.contains(""""filterOperations":[]"""),
+      s"passthrough field must advertise no filter ops: $payloadDesc")
   }
 
   test("fallback execution: empty cheap variant falls back to base") {
