@@ -22,7 +22,8 @@ import graft.operators.SemanticQueries
   * Spark's scheduler interleaves queued jobs with interactive ones.
   */
 final class JobQueue(s: SparkSession, dir: String,
-    resultDir: java.nio.file.Path, workers: Int = 2) {
+    resultDir: java.nio.file.Path, workers: Int = 2,
+    monitor: ServiceMonitor = ServiceMonitor.NoOp) {
 
   import JobQueue._
 
@@ -45,15 +46,23 @@ final class JobQueue(s: SparkSession, dir: String,
 
   private def execute(jobId: String, json: String): Unit = {
     state.put(jobId, Running)
+    // monitor bracket around the worker-side RUN (the front door's
+    // "job" bracket only covers the submit): begin before planning,
+    // complete with outcome + wall once the result is stored
+    ServiceMonitor.safely(monitor.begin(jobId, "job-run"))
+    val t0 = System.currentTimeMillis()
+    var outcome = false
     try {
       val df = SemanticQueries.runLogged(json, s"job-$jobId")(s, dir)
       val out = resultDir.resolve(jobId).toString
       df.write.mode("overwrite").parquet(out)
       val rows = s.read.parquet(out).count()
       state.put(jobId, Completed(rows))
+      outcome = true
     } catch {
       case e: Exception => state.put(jobId, Failed(e.getMessage))
-    }
+    } finally ServiceMonitor.safely(monitor.complete(
+      jobId, "job-run", outcome, System.currentTimeMillis() - t0))
   }
 
   /** Poll surface. None = unknown job id. */

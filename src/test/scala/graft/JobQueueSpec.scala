@@ -37,6 +37,23 @@ class JobQueueSpec extends AnyFunSuite {
     } finally q.shutdown()
   }
 
+  test("worker-side monitor brackets the async RUN with outcome + wall") {
+    val mon = new graft.serving.ServiceMonitor.Counting
+    val resultDir = java.nio.file.Files.createTempDirectory("jobqmon")
+    val q = new JobQueue(spark, sf, resultDir, monitor = mon)
+    try {
+      val ok = q.submit(asyncJson(SemanticQueries.sem01Json)).toOption.get
+      q.await(ok)
+      val bad = q.submit(asyncJson(
+        """{"cube": "order_stats", "selectFields": [{"field": "No Such"}]}"""))
+        .toOption.get
+      q.await(bad)
+      assert(mon.started("job-run") == 2 && mon.succeeded("job-run") == 1
+        && mon.failures("job-run") == 1)
+      assert(mon.wallMillis("job-run") >= 0)
+    } finally q.shutdown()
+  }
+
   test("sync requests are rejected; bad requests fail with an error") {
     val resultDir = java.nio.file.Files.createTempDirectory("jobq2")
     val q = new JobQueue(spark, sf, resultDir)
