@@ -106,6 +106,46 @@ object Dedup {
       .orderBy("x", "y")
   }
 
+  /** dd10 — n-gram CONTAINMENT dedup (Broder's asymmetric measure
+    * c(A,B) = |A∩B|/|A|, "On the resemblance and containment of
+    * documents", SEQUENCES 1997): flags a document whose shingle set
+    * is (nearly) a subset of another's — boilerplate-wrapped copies,
+    * quoted inclusions, page-in-page duplication — which resemblance
+    * (dd02's Jaccard) is structurally blind to: a 100-shingle doc fully
+    * embedded in a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    * containment 1.0. Emits ORDERED (contained, container) pairs at
+    * containment ≥ 0.8; mutual near-identical docs emit both
+    * directions, which is the informative output (each tells you which
+    * side is droppable).
+    *
+    * Scale shape is exactly dd02's: one inverted-index self-join on
+    * the shingle postings with the df cap bounding hot-shingle blowup;
+    * the asymmetric score costs nothing extra (same intersection
+    * count, divided by the contained side's set size only). */
+  def ddContainment(s: SparkSession, d: String): DataFrame =
+    ddContainmentFrom(shingled(s, d), DefaultMaxShingleDf)
+
+  private[graft] def ddContainmentFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"),
+      size(col("shingles")).cast("bigint").as("n"),
+      explode(col("shingles")).as("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val capped = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("contained_id"),
+        col("b.doc_id").as("container_id"), col("a.n").as("n_contained"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_contained"))
+      .filter(col("containment") >= 0.8)
+      .select("contained_id", "container_id", "inter", "n_contained",
+        "containment")
+      .orderBy("contained_id", "container_id")
+  }
+
   /** MinHash signatures: k minhashes; minhash_i = min over shingles of
     * xxhash64(i, shingle). Computed as explode(shingles) → k codegen'd
     * MIN aggregates per doc (one hash call per (shingle, i), map-side
@@ -444,6 +484,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd10_containment" -> (ddContainment _),
     "dd03_minhash_lsh" -> (ddMinhashLsh _),
     "dd04_simhash" -> (ddSimhash _),
     "dd05_components" -> (ddComponents _),
@@ -524,6 +565,23 @@ object Dedup {
         |JOIN sh sb ON sb.doc_id = y
         |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2
         |ORDER BY x, y""".stripMargin,
+    // dd02's intersection with the asymmetric divisor: ordered pairs,
+    // containment = inter / |contained side's shingle set|
+    "dd10_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |cand AS (SELECT a.doc_id cx, b.doc_id cy, COUNT(*) inter
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT cx AS contained_id, cy AS container_id, inter,
+        |  CAST(len(sa.shingles) AS BIGINT) AS n_contained,
+        |  CAST(inter AS DOUBLE) / len(sa.shingles) AS containment
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = cx
+        |WHERE CAST(inter AS DOUBLE) / len(sa.shingles) >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     // same pair derivation as dd02, then a recursive transitive
     // closure: comp(a) = min over everything reachable from a — the
     // declarative ground truth for the star-contraction algorithm

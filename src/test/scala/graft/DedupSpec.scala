@@ -104,6 +104,34 @@ class DedupSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("dd10 containment catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    // small doc fully embedded at the head of a much larger doc: every
+    // one of its shingles is in the big doc's set, so containment = 1.0
+    // while Jaccard ≈ 6/202 ≈ 0.03 — far below dd02's 0.2 floor
+    val small = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val bigTail = (1 to 200).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$small $bigTail"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val sh = Dedup.shingle(docs).cache()
+    try {
+      val jac = Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!jac.contains((1L, 2L)),
+        "resemblance must NOT flag the embedded pair (that is the gap)")
+      val cont = Dedup.ddContainmentFrom(sh, Dedup.DefaultMaxShingleDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      assert(cont.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 1.0),
+        s"doc 1 must be fully contained in doc 2: ${cont.toSeq}")
+      assert(!cont.exists(c => c._1 == 2L && c._2 == 1L),
+        "the big doc is NOT contained in the small one")
+      assert(!cont.exists(c => c._1 == 3L || c._2 == 3L),
+        "unrelated doc stays clear")
+    } finally { sh.unpersist(); () }
+  }
+
   test("dd03 LSH: band-bucket cap drops a planted degenerate band, keeps cold pairs") {
     import spark.implicits._
     // 5,000 identical docs: every band bucket they form holds 5,000
