@@ -34,9 +34,7 @@ object Streaming {
   private def ckptDir(name: String): String = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
-    val dir = s"$base/graft-ckpt-$name-${java.util.UUID.randomUUID()}"
-    sys.addShutdownHook(graft.core.TempDirs.rmTree(new java.io.File(dir)))
-    dir
+    graft.core.TempDirs.scratchShared(s"ckpt-$name", base)
   }
 
   /** Raw parquet schema of events (ts is INT64 nanos in the file —
@@ -399,10 +397,7 @@ object Streaming {
     * earlier vec_id whose cosine clears τ (NULL → kept). Recall is
     * one-sided exactly like dd03's banding: only in-bucket pairs are
     * compared, and every emitted verdict is exact fixed-point
-    * arithmetic. State is bounded by the bucket fan-out (more
-    * signature bits → smaller buckets) and, in an unbounded
-    * deployment, an event-time timeout evicting idle buckets — the
-    * same watermark-dedup discipline StreamingSpec pins for st03.
+    * arithmetic.
     *
     * Determinism of the bounded run: the corpus is split into four
     * vec_id-range files with ascending modification times, so file-
@@ -410,16 +405,45 @@ object Streaming {
     * of an EARLIER id" rule gives one fixed answer — which is the
     * closed form the DuckDB oracle computes (min earlier same-bucket
     * id with cosine ≥ τ), with no sequential recursion needed. */
-  def st08(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+  def st08(s: SparkSession, d: String): DataFrame =
+    st08Core(s, d, sigBits = 8, evictDelaySec = None)
+
+  /** [[st08]]'s core with the two state-bounding deployment knobs
+    * explicit — together they bound state at (buckets active within
+    * the eviction horizon) × (expected bucket population), never
+    * O(corpus):
+    *
+    *  - `sigBits`: hyperplane signature bits = log₂(bucket fan-out).
+    *    Expected bucket population is n/2^sigBits, so a deployment
+    *    sizes this to its feed (≈26 bits keeps buckets ~1.5k vectors
+    *    at 10¹¹ docs); the shipped query uses 8 → 256 buckets at
+    *    sf0.01, same recall semantics as dd03's banding.
+    *  - `evictDelaySec`: event-time horizon after which an IDLE
+    *    bucket's state is evicted via
+    *    `GroupStateTimeout.EventTimeTimeout` — the same watermark-
+    *    eviction discipline StreamingSpec pins for st03's
+    *    `dropDuplicatesWithinWatermark`. A vector's event time is
+    *    vec_id seconds (the bounded run's files arrive in id order,
+    *    so event time is monotone exactly like a wall-clock feed's).
+    *    `None` sizes the horizon past the corpus span: no mid-run
+    *    eviction, which is what the closed-form oracle computes;
+    *    StreamingSpec runs a tight horizon and proves an idle
+    *    bucket's state is dropped (dup past the horizon re-emits as
+    *    kept). */
+  private[graft] def st08Core(s: SparkSession, d: String, sigBits: Int,
+      evictDelaySec: Option[Long]): DataFrame = withFewPartitions(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val tau = 0.3
-    val root = java.nio.file.Files.createTempDirectory("graft-st08")
-    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
+    val root = new java.io.File(graft.core.TempDirs.scratchShared("st08"))
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val mx = base.agg(max("vec_id")).head().getLong(0)
+    val mxRow = base.agg(max("vec_id")).head()
+    require(!mxRow.isNullAt(0), "st08: embeddings corpus is empty")
+    val mx = mxRow.getLong(0)
+    val delaySec = evictDelaySec.getOrElse(mx + 60L)
+    val delayMs = delaySec * 1000L
     val cut = mx / 4 + 1
-    val srcDir = new java.io.File(root.toFile, "src"); srcDir.mkdirs()
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
     for (b <- 0 until 4) {
       val tmp = s"$root/tmp$b"
       base.filter(col("vec_id") >= b * cut && col("vec_id") < (b + 1) * cut)
@@ -435,38 +459,56 @@ object Streaming {
       StructField("embedding", ArrayType(FloatType))))
     val rows = s.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+      // event time = vec_id seconds, offset one day past the epoch:
+      // a row whose event time EQUALS the initial watermark (0) is
+      // filtered as late before reaching the stateful operator, so
+      // vec_id 0 must not map to the epoch itself
+      .withColumn("ts", (col("vec_id") + 86400L).cast("timestamp"))
+      .withWatermark("ts", s"$delaySec seconds")
       .withColumn("sig", graft.functions.GraftFunctions.hyperplaneBands(
-        col("embedding"), 1, 4, 42L).getItem(0))
+        col("embedding"), 1, sigBits, 42L).getItem(0))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions
         .fixdotD(col("embedding"), col("embedding"))))
-      .select(col("vec_id"), col("embedding"), col("sig"), col("nrm"))
-      .as[(Long, Seq[Float], Int, Double)]
+      .select(col("vec_id"), col("embedding"), col("sig"), col("nrm"), col("ts"))
+      .as[(Long, Seq[Float], Int, Double, java.sql.Timestamp)]
     val deduped = rows.groupByKey(_._3)
       .flatMapGroupsWithState[List[(Long, Seq[Float], Double)],
           (Long, Int, Option[Long], Boolean)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) { (sig, it, state) =>
-        var seen = state.getOption.getOrElse(Nil)
-        val out = it.toSeq.sortBy(_._1).map { case (vid, emb, _, nrm) =>
-          val dupeOf = seen.iterator
-            .filter(_._1 < vid)
-            .filter { case (_, se, sn) =>
-              fixdotDescaled(emb, se) / (nrm * sn) >= tau }
-            .map(_._1).minOption
-          seen = (vid, emb, nrm) :: seen
-          (vid, sig, dupeOf, dupeOf.isEmpty)
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (sig, it, state) =>
+        if (state.hasTimedOut) {
+          // idle past the horizon: drop the whole bucket's vectors
+          state.remove()
+          Iterator.empty
+        } else {
+          var seen = state.getOption.getOrElse(Nil)
+          val batch = it.toSeq.sortBy(_._1)
+          val out = batch.map { case (vid, emb, _, nrm, _) =>
+            val dupeOf = seen.iterator
+              .filter(_._1 < vid)
+              .filter { case (_, se, sn) =>
+                fixdotDescaled(emb, se) / (nrm * sn) >= tau }
+              .map(_._1).minOption
+            seen = (vid, emb, nrm) :: seen
+            (vid, sig, dupeOf, dupeOf.isEmpty)
+          }
+          state.update(seen)
+          // re-arm: evict once the watermark passes last arrival + horizon
+          state.setTimeoutTimestamp(batch.map(_._5.getTime).max + delayMs)
+          out.iterator
         }
-        state.update(seen)
-        out.iterator
       }
+    val qn = s"st08_mem_${st08Runs.incrementAndGet()}"
     val q = deduped.toDF("vec_id", "bucket", "dupe_of", "kept")
-      .writeStream.format("memory").queryName("st08_mem")
+      .writeStream.format("memory").queryName(qn)
       .option("checkpointLocation", ckptDir("st08"))
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("st08_mem").orderBy("vec_id")
+    s.table(qn).orderBy("vec_id")
   }
+
+  private val st08Runs = new java.util.concurrent.atomic.AtomicInteger()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st06_stream_enrich" -> (st06 _),
@@ -486,7 +528,7 @@ object Streaming {
     // run, so greedy == closed form); signatures via the shared
     // single-band hyperplane replica, cosines in exact fixed point
     "st08_semantic_dedup" -> {
-      s"""WITH ${graft.operators.Similarity.hyperSigCtes(1, 4, 42L)},
+      s"""WITH ${graft.operators.Similarity.hyperSigCtes(1, 8, 42L)},
          |sv AS (SELECT v.vec_id, v.embedding, v.nrm, s.band_sig sig
          |  FROM v JOIN sigs s USING (vec_id)),
          |dup AS (SELECT a.vec_id, CAST(MIN(b.vec_id) AS BIGINT) dupe_of

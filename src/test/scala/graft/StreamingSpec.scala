@@ -201,6 +201,38 @@ class StreamingSpec extends AnyFunSuite {
       s"no cross-batch dup caught (state not exercised): $n rows, ${dropped.length} dropped")
   }
 
+  test("st08 idle-bucket state is evicted once the watermark passes the horizon") {
+    // Three vectors, event time = vec_id seconds. A (id 0) and C (id
+    // 100000) are identical (cos = 1) and land in the same LSH bucket;
+    // B (id 50000) is A's negation — its hyperplane signature is the
+    // bitwise complement, guaranteeing a DIFFERENT bucket — and only
+    // exists to advance the watermark between A and C. With a 100 s
+    // eviction horizon, A's bucket times out (watermark 49 900 s ≫
+    // timeout 100 s) before C arrives, so C must re-emit as kept —
+    // state was dropped, exactly st03's far-apart-dup discipline. The
+    // unbounded-horizon control run (what the oracle computes) still
+    // catches C as a dup of A.
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratch("st08spec")
+    Seq((10000L, Seq(1f, 0f, 0f, 0f)),
+        (50000L, Seq(-1f, 0f, 0f, 0f)),
+        (100000L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def run(horizon: Option[Long]): Map[Long, Option[Long]] =
+      graft.streaming.Streaming.st08Core(spark, dir, sigBits = 8,
+        evictDelaySec = horizon).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val unbounded = run(None)
+    assert(unbounded(100000L).contains(10000L),
+      s"control: far-apart dup should be caught without eviction ($unbounded)")
+    val bounded = run(Some(100L))
+    assert(bounded(10000L).isEmpty && bounded(50000L).isEmpty)
+    assert(bounded(100000L).isEmpty,
+      s"idle bucket state not evicted — dup past the horizon was still caught ($bounded)")
+  }
+
   test("st05 incremental rollup: multiple merge batches, equals batch rollup") {
     import graft.streaming.Streaming
     val out = Streaming.st05(spark, sf)
