@@ -138,8 +138,41 @@ object RequestModel {
                   allowed.toSeq.sorted.mkString("[", ", ", "]")
             }
           }
+        // PublicColumn guard rails (reference RequestModel.scala
+        // :445-448 required, :451-457 dependsOnColumns, :532-535
+        // incompatibleColumns, :592-595 filteringRequired), with the
+        // reference's error message shapes; alias-sorted so a request
+        // violating several reports deterministically
+        val selectedSet = req.selectFields.toSet
+        val filteredSet = allLeaves.map(_.field).toSet
+        val knobErrs = pubColOf.toSeq.sortBy(_._1).flatMap { case (alias, pc) =>
+          val requiredErr =
+            if (pc.required && !selectedSet(alias))
+              Seq(s"Missing required field: cube=${cube.name}, field=$alias")
+            else Nil
+          val dependsErrs =
+            if (selectedSet(alias))
+              pc.dependsOn.toSeq.sorted.collect {
+                case dep if !selectedSet(dep) =>
+                  s"Missing dependent column: cube=${cube.name}, " +
+                    s"field=$alias, dependsOnColumn=$dep"
+              }
+            else Nil
+          val clash = pc.incompatibleWith.intersect(selectedSet)
+          val incompatErr =
+            if (selectedSet(alias) && clash.nonEmpty)
+              Seq(s"Incompatible columns found in request, $alias is not " +
+                s"compatible with ${clash.toSeq.sorted.mkString("[", ", ", "]")}")
+            else Nil
+          val filteringErr =
+            if (pc.filteringRequired && !filteredSet(alias))
+              Seq(s"Missing required filter: cube=${cube.name}, field=$alias")
+            else Nil
+          requiredErr ++ dependsErrs ++ incompatErr ++ filteringErr
+        }
         if (filterErrs.nonEmpty) Left(filterErrs.mkString("; "))
         else if (aclErrs.nonEmpty) Left(aclErrs.mkString("; "))
+        else if (knobErrs.nonEmpty) Left(knobErrs.mkString("; "))
         else {
           val (outerWrapped, pushable) =
             req.filters.partition(_.isInstanceOf[OuterFilter])

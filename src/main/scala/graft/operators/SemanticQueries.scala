@@ -156,7 +156,21 @@ object SemanticQueries {
       cost = 100)),
     dims = Nil)
 
-  val registry: Registry = Registry(orderCube, eventsCube, lineitemCube)
+  /** Guarded revision of the orders cube for sem18 — its own cube
+    * name, because `filteringRequired` binds EVERY request on a cube
+    * and the unguarded order_stats keeps serving sem01-sem13. Customer
+    * Key (high-cardinality) may never be queried unfiltered: the
+    * reference's requiredFilterAliases guard rail (Fact.scala:1888,
+    * RequestModel.scala:592-595). */
+  val guardedOrderCube: CubeDef = orderCube.copy(
+    name = "order_stats_guarded",
+    variants = Seq(orderCube.base.copy(
+      name = "orders_base_guarded",
+      dimCols = orderCube.base.dimCols.map(c =>
+        if (c.alias == "Customer Key") c.copy(filteringRequired = true) else c))))
+
+  val registry: Registry =
+    Registry(orderCube, eventsCube, lineitemCube, guardedOrderCube)
 
   /** Session-global request-log writer (reference
     * MahaRequestLogWriter): Noop by default; a server installs a
@@ -350,6 +364,18 @@ object SemanticQueries {
       | "selectFields": [{"field": "Line Role"}, {"field": "Line Count"}, {"field": "Total Qty"}],
       | "filterExpressions": [{"field": "Line Role", "operator": "in", "values": ["Primary", "Additional"]}]}""".stripMargin
 
+  /** filteringRequired exercised end-to-end: the guarded cube refuses
+    * any request without a Customer Key filter (SemanticLayerSpec
+    * covers the reject path); this green path carries the mandated IN
+    * filter, which also forces the base variant and ships the IN list
+    * into the fact scan. */
+  val sem18Json: String =
+    """{"cube": "order_stats_guarded",
+      | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}, {"field": "Total Spend"}],
+      | "filterExpressions": [{"field": "Customer Key", "operator": "in",
+      |   "values": ["1", "2", "5", "10", "20", "30", "40", "50"]}],
+      | "sortBy": [{"field": "Order Priority", "order": "Asc"}]}""".stripMargin
+
   /** Minute grain, same shape. */
   val sem15Json: String =
     """{"cube": "user_events",
@@ -379,6 +405,7 @@ object SemanticQueries {
     "sem15_minute_grain" -> (run(sem15Json) _),
     "sem16_int_decode" -> (run(sem16Json) _),
     "sem17_explain" -> (explainRequest(sem01Json) _),
+    "sem18_filtering_required" -> (run(sem18Json) _),
     "cur01_timeshift" -> (Curators.timeShift(cur01Json, registry) _),
     "cur02_totalmetrics" -> (Curators.totalMetrics(sem01Json, registry) _),
     "cur03_rowcount" -> (Curators.rowCount(sem04Json, registry) _),
@@ -503,6 +530,12 @@ object SemanticQueries {
         |FROM lineitem
         |WHERE l_linenumber = 1 OR l_linenumber NOT IN (1, 2)
         |GROUP BY 1 ORDER BY "Line Role"""".stripMargin,
+    "sem18_filtering_required" ->
+      """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"
+        |FROM orders
+        |WHERE o_custkey IN (1, 2, 5, 10, 20, 30, 40, 50)
+        |GROUP BY 1 ORDER BY "Order Priority"""".stripMargin,
     "sql02_cube_sql" ->
       """SELECT o_orderpriority AS "Order Priority", COUNT(*) AS "Order Count",
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS "Total Spend"

@@ -158,9 +158,28 @@ object model {
         * static mapping and a "Null" json type, i.e. no filter
         * vocabulary applies). Marking it rejects every filter operator
         * at request-model time regardless of `allowedOps`. */
-      passthrough: Boolean = false) {
+      passthrough: Boolean = false,
+      /** Request-validation guard rails (reference PublicColumn,
+        * Column.scala:13-44; enforced by RequestModel.resolve with the
+        * reference's error semantics, RequestModel.scala:445-457,
+        * :532-535, :592-595):
+        *  - `required`: every request against the cube must SELECT
+        *    this column;
+        *  - `dependsOn`: a request selecting this column must also
+        *    select every listed alias;
+        *  - `incompatibleWith`: a request selecting this column must
+        *    select none of the listed aliases;
+        *  - `filteringRequired`: every request against the cube must
+        *    carry a filter on this column — the guard rail large
+        *    deployments put on high-cardinality columns. */
+      required: Boolean = false,
+      dependsOn: Set[String] = Set.empty,
+      incompatibleWith: Set[String] = Set.empty,
+      filteringRequired: Boolean = false) {
     require(!passthrough || staticMapping.isEmpty,
       s"passthrough column '$alias' cannot carry a static mapping")
+    require(!(passthrough && filteringRequired),
+      s"passthrough column '$alias' cannot require filtering (it is unfilterable)")
     def isDayGrain: Boolean = grain.contains(DayGrain)
     /** Filter legality the analyzer enforces: ∅ for passthrough. */
     def effectiveOps: Set[FilterOp] = if (passthrough) Set.empty else allowedOps

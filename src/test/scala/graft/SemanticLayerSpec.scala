@@ -408,6 +408,83 @@ class SemanticLayerSpec extends AnyFunSuite {
       s"passthrough field must advertise no filter ops: $payloadDesc")
   }
 
+  test("PublicColumn guard rails: required, dependsOn, incompatibleWith, filteringRequired") {
+    import graft.semantic.model._
+    // the four reference PublicColumn validation knobs (Column.scala
+    // :13-44), enforced at request-model time with the reference's
+    // error shapes (reference RequestModel.scala:445-457, :532-535,
+    // :592-595) — validation only, so no plan/execution needed
+    val base = SemanticQueries.orderCube.base
+    def regWith(mod: PubCol => PubCol): Registry =
+      Registry(SemanticQueries.orderCube.copy(variants =
+        Seq(base.copy(dimCols = base.dimCols.map(mod)))))
+    def model(reg: Registry, json: String) =
+      request.parse(json).flatMap(RequestModel.from(_, reg))
+
+    // required: every request must SELECT the column
+    val reqReg = regWith(c =>
+      if (c.alias == "Order Priority") c.copy(required = true) else c)
+    val missingReq = model(reqReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}]}""".stripMargin)
+    assert(missingReq.swap.toOption.get ==
+      "Missing required field: cube=order_stats, field=Order Priority")
+    assert(model(reqReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin).isRight)
+
+    // dependsOn: selecting the column requires selecting its deps
+    val depReg = regWith(c =>
+      if (c.alias == "Order Status") c.copy(dependsOn = Set("Order Date")) else c)
+    val missingDep = model(depReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}]}""".stripMargin)
+    assert(missingDep.swap.toOption.get ==
+      "Missing dependent column: cube=order_stats, field=Order Status, dependsOnColumn=Order Date")
+    assert(model(depReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Date"},
+        |   {"field": "Order Count"}]}""".stripMargin).isRight)
+    // a request NOT selecting the column owes nothing
+    assert(model(depReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin).isRight)
+
+    // incompatibleWith: the two columns cannot be co-selected
+    val incReg = regWith(c =>
+      if (c.alias == "Customer Key") c.copy(incompatibleWith = Set("Order Priority")) else c)
+    val clash = model(incReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Key"}, {"field": "Order Priority"},
+        |   {"field": "Order Count"}]}""".stripMargin)
+    assert(clash.swap.toOption.get ==
+      "Incompatible columns found in request, Customer Key is not compatible with [Order Priority]")
+    assert(model(incReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Key"}, {"field": "Order Count"}]}""".stripMargin).isRight)
+
+    // filteringRequired: EVERY request against the cube must filter
+    // the column (selected or not) — the high-cardinality guard rail
+    val filtReg = regWith(c =>
+      if (c.alias == "Customer Key") c.copy(filteringRequired = true) else c)
+    val noFilter = model(filtReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}]}""".stripMargin)
+    assert(noFilter.swap.toOption.get ==
+      "Missing required filter: cube=order_stats, field=Customer Key")
+    assert(model(filtReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"}, {"field": "Order Count"}],
+        | "filterExpressions": [
+        |   {"field": "Customer Key", "operator": "in", "values": ["1", "2"]}]}""".stripMargin).isRight,
+      "a filter on the column satisfies the guard even when it is not selected")
+
+    // a passthrough column is unfilterable, so it can never demand one
+    intercept[IllegalArgumentException] {
+      PubCol("Bad", "x", passthrough = true, filteringRequired = true)
+    }
+  }
+
   test("fallback execution: empty cheap variant falls back to base") {
     import graft.semantic.model._
     import org.apache.spark.sql.functions._

@@ -202,8 +202,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("st08 idle-bucket state is evicted once the watermark passes the horizon") {
-    // Three vectors, event time = vec_id seconds. A (id 0) and C (id
-    // 100000) are identical (cos = 1) and land in the same LSH bucket;
+    // Three vectors, event time = vec_id seconds. A (id 10000) and C
+    // (id 100000) are identical (cos = 1), same LSH bucket;
     // B (id 50000) is A's negation — its hyperplane signature is the
     // bitwise complement, guaranteeing a DIFFERENT bucket — and only
     // exists to advance the watermark between A and C. With a 100 s
