@@ -40,14 +40,21 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else 1e9)
       }
     }
-    // N cold passes (default 2), per-query MIN: this host shows
+    // N cold passes (default 3), per-query MIN: this host shows
     // episodic multi-minute noisy-neighbor slowdowns (individual
     // queries swing 10x between consecutive runs with the machine
     // idle), so a single sample conflates engine cost with host
     // weather; the min of independent cold runs is the honest
-    // steady-state cost. Raise SPARK_GRAFT_BENCH_PASSES to chase a
-    // suspected-noise delta (the round-6 dd04 +0.54 s protocol).
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // steady-state cost, and BENCH_NOTES showed min-of-2 still
+    // noise-limited (the round-6 dd04 +0.54 s false regression).
+    val nPasses = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$raw'")
+      }
+      math.max(1, n) // 0/negative would silently mean a single pass
+    }
     val p1 = timedPass()
     val rest = (2 to nPasses).map(_ => timedPass().toMap)
     val results = p1.map { case (name, v) =>

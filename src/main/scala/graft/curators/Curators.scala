@@ -209,6 +209,25 @@ object Curators {
         case BetweenFilter(f, _, _) if pubs.get(f).exists(_.isDayGrain) => true
         case _ => false
       }
+    // with a cube OVERRIDE, re-validate the carried fields and filters
+    // against the TARGET cube's public surface up front (the reference
+    // validates the drilldown request against the target cube,
+    // DrilldownCurator.scala:52-66) — otherwise a base filter or fact
+    // absent from the override cube surfaces as a downstream planner
+    // error instead of a config-validation error
+    if (cube != req.cube) {
+      val tgt = reg.cube(cube).fold(e =>
+        throw new IllegalArgumentException(s"drilldown config: $e"), identity)
+      val known = tgt.variants.flatMap(v => v.dimCols.map(_.alias) ++
+        v.metrics.map(_.alias) ++ v.derived.map(_.alias)).toSet ++
+        tgt.dims.flatMap(_.cols.map(_.alias))
+      val carried = (parentDims ++ cfg.dimensions ++ facts ++
+        keptFilters.flatMap(request.leaves).map(_.field)).distinct
+      val missing = carried.filterNot(known)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"drilldown config: field(s) ${missing.sorted.mkString("[", ", ", "]")} " +
+          s"not present on override cube '$cube'")
+    }
     val drillReq = req.copy(
       cube = cube,
       selectFields = (parentDims ++ cfg.dimensions).distinct ++ facts,

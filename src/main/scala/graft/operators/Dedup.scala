@@ -68,12 +68,14 @@ object Dedup {
     * default is far above the test corpus's max df, so oracle results
     * are unchanged there.
     *
-    * Error bound above the cap (one-sided): set sizes `n` are computed
-    * from the UNCAPPED shingle sets while intersections count only
-    * capped shingles, so reported jaccard ≤ true jaccard — the cap can
-    * only DROP pairs near the threshold, never admit a false pair.
-    * If exactness above the cap ever matters, recompute `n` from the
-    * capped sets instead. */
+    * Error bound above the cap (one-sided, dd02): set sizes `n` are
+    * computed from the UNCAPPED shingle sets while intersections count
+    * only capped shingles, so reported jaccard ≤ true jaccard — the
+    * cap can only DROP pairs near the threshold, never admit a false
+    * pair. dd10's asymmetric divisor |A| is instead computed from the
+    * CAPPED set (see [[ddContainmentFrom]]): its target case is a doc
+    * made mostly of high-df boilerplate, exactly what the uncapped
+    * divisor would bias below threshold. */
   val DefaultMaxShingleDf = 1000
 
   /** Exact n-gram Jaccard similarity join (oracle-checked): pairs of
@@ -126,12 +128,21 @@ object Dedup {
     ddContainmentFrom(shingled(s, d), DefaultMaxShingleDf)
 
   private[graft] def ddContainmentFrom(sh: DataFrame, maxDf: Int): DataFrame = {
-    val ex = sh.select(col("doc_id"),
-      size(col("shingles")).cast("bigint").as("n"),
-      explode(col("shingles")).as("s"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
+    // |A| is the CAPPED set size: hot shingles leave numerator and
+    // denominator TOGETHER, so above the cap the score is exact
+    // containment restricted to the capped shingle universe. Dividing
+    // the capped intersection by the uncapped |A| (dd02's one-sided
+    // shape, fine for Jaccard) would bias a boilerplate-heavy
+    // contained doc — this operator's stated target case — below the
+    // 0.8 threshold. Below the cap (the oracle corpora: the default
+    // cap exceeds the test corpus's max df, same guard as dd02) hot
+    // is empty and n equals |A| exactly, so DuckDB parity holds.
     val capped = ex.join(broadcast(hot), Seq("s"), "left_anti")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     capped.as("a")
       .join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))

@@ -77,9 +77,13 @@ object Sampling {
     *     within-bucket running sum to the broadcast bucket prefix.
     * Everything is integer-exact, so the layout is reproducible
     * run-to-run and engine-to-engine. */
-  def spSequencePack(s: SparkSession, d: String): DataFrame =
-    spSequencePackFrom(withTok(s, d), seqLen = 512,
-      bucketWidth = adaptiveWidthFor(withTok(s, d)))
+  def spSequencePack(s: SparkSession, d: String): DataFrame = {
+    // one shared frame: the width probe prunes to a doc_id-only scan,
+    // and the pack reuses the same tokenized plan instead of building
+    // a second independent one
+    val in = withTok(s, d)
+    spSequencePackFrom(in, seqLen = 512, bucketWidth = adaptiveWidthFor(in))
+  }
 
   /** Cap on the per-bucket rows the prefix sum collects to the driver.
     * #buckets = ⌈(maxDocId+1)/bucketWidth⌉, so deriving the width from
@@ -146,7 +150,7 @@ object Sampling {
     * manifest a writer job consumes (one task per shard_id ⇒ one
     * output file each). */
   def spShardExport(s: SparkSession, d: String): DataFrame = {
-    def in = documents(s, d)
+    val in = documents(s, d)
       .withColumn("n_bytes", octet_length(col("text")).cast("bigint"))
     spShardExportFrom(in, targetBytes = 16384L,
       bucketWidth = adaptiveWidthFor(in))
@@ -170,9 +174,10 @@ object Sampling {
     * cross. Same two-phase prefix sum as sp03, then a map-only explode
     * of each doc's [first_seq, last_seq] range — fan-out is
     * ⌈n_tok/seqLen⌉+1 per doc, never data-dependent skew. */
-  def spPackSpans(s: SparkSession, d: String): DataFrame =
-    spPackSpansFrom(withTok(s, d), seqLen = 512,
-      bucketWidth = adaptiveWidthFor(withTok(s, d)))
+  def spPackSpans(s: SparkSession, d: String): DataFrame = {
+    val in = withTok(s, d)
+    spPackSpansFrom(in, seqLen = 512, bucketWidth = adaptiveWidthFor(in))
+  }
 
   private[graft] def spPackSpansFrom(docs: DataFrame, seqLen: Int,
       bucketWidth: Long): DataFrame =

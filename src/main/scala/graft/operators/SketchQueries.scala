@@ -54,8 +54,9 @@ object SketchQueries {
     * local[32]/200) — so the output never surfaces a raw estimate.
     * Instead each quarter emits the exact distinct count (the oracle
     * target) plus an engine-side `estimate_ok` bound check
-    * |est − exact|/exact < 0.05: HLL at the default lgK=12 has ~0.8%
-    * standard error, so the 5% bound is deterministically true at any
+    * |est − exact|/exact < 0.05: HLL at the default lgK=12 has
+    * ≈1.6% RSE (1.04/√4096; DataSketches HLL ≈1.3%), so the ~3σ 5%
+    * bound is deterministically true at any
     * parallelism while still failing loudly on a real sketch
     * regression. Exact-below-capacity sketch behavior is
     * scale-independently oracle-checked via sk01/sk02/sk04. */

@@ -273,6 +273,27 @@ class CuratorsSpec extends AnyFunSuite {
     assert(configured == classic)
   }
 
+  test("configured drilldown: override cube is validated up front") {
+    import graft.curators.DrilldownRequest
+    // user_events carries none of the orders fields: the config must
+    // fail as a validation error NAMING the missing fields, not as a
+    // downstream planner error from the drill re-request
+    val ex = intercept[IllegalArgumentException] {
+      Curators.drillDownConfigured(cur04Json,
+        DrilldownRequest(Seq("Event Type"), cube = "user_events",
+          maxRows = Int.MaxValue), 3, registry)(spark, sf)
+    }
+    assert(ex.getMessage.contains("not present on override cube 'user_events'"),
+      ex.getMessage)
+    // an unknown override cube name is a config error too
+    val ex2 = intercept[IllegalArgumentException] {
+      Curators.drillDownConfigured(cur04Json,
+        DrilldownRequest(Seq("Event Type"), cube = "no_such_cube",
+          maxRows = Int.MaxValue), 3, registry)(spark, sf)
+    }
+    assert(ex2.getMessage.startsWith("drilldown config:"), ex2.getMessage)
+  }
+
   test("configured drilldown: enforceFilters=false keeps only the time window") {
     import graft.curators.DrilldownRequest
     val json =
