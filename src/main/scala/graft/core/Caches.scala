@@ -82,6 +82,34 @@ object Caches {
     df
   }
 
+  /** Drop (and unpersist) every cached frame and memoized object of
+    * `s` whose key CONTAINS `needle`. Cache keys embed their source
+    * dir/table (e.g. "dedup|/data/sf0.01|shingles"), so an ingestion
+    * pipeline that lands new data under a dir can invalidate exactly
+    * the intermediates derived from it — the data-refresh hook behind
+    * [[graft.semantic.Freshness.refresh]]. Returns the entry count
+    * dropped. */
+  def invalidateMatching(s: SparkSession, needle: String): Int = {
+    var n = 0
+    val m = bySession.synchronized(bySession.get(s))
+    if (m != null) {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.contains(needle)) { e.getValue.unpersist(); it.remove(); n += 1 }
+      }
+    }
+    val om = objBySession.synchronized(objBySession.get(s))
+    if (om != null) {
+      val it = om.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.contains(needle)) { it.remove(); n += 1 }
+      }
+    }
+    n
+  }
+
   /** Unpersist every memoized frame of ONE session. Call only after the
     * consuming queries' results have been fully executed/written — the
     * returned frames are lazy, so releasing earlier would recompute the

@@ -36,6 +36,28 @@ object Freshness {
     case Some(t) => memo.keySet.removeIf(_._2 == t)
   }
 
+  /** Data-landed hook for a LONG-RUNNING service — the analogue of
+    * druid-lookups' scheduled lookup refresh (reference
+    * BaseRocksDBLookupExtractor.java / JDBCLookupExtractor.java
+    * cadence), called from an ingestion completion callback or a
+    * scheduled tick instead of restarting the server:
+    *  1. drops this dir's memoized freshness (next /domain re-reads);
+    *  2. drops every session cache entry derived from the dir
+    *     ([[graft.core.Caches.invalidateMatching]] — cache keys embed
+    *     their source dir), so memoized intermediates (dedup shingle
+    *     frames, IVF quantizers, …) are rebuilt from the new data;
+    *  3. refreshes Spark's own path caches so any catalog-cached
+    *     relation under the dir re-lists its files.
+    * Requests plan against `Tables.tbl` per call, so after this hook
+    * the very next request reflects the landed data — including
+    * re-broadcasting changed dims. */
+  def refresh(s: SparkSession, dir: String): Unit = {
+    memo.keySet.removeIf(_._1 == dir)
+    graft.core.Caches.invalidateMatching(s, dir)
+    s.catalog.refreshByPath(dir)
+    ()
+  }
+
   def forFact(s: SparkSession, dir: String, f: FactDef): TableFreshness =
     memo.computeIfAbsent((dir, f.table), _ => compute(s, dir, f))
 

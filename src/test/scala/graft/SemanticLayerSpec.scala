@@ -408,6 +408,63 @@ class SemanticLayerSpec extends AnyFunSuite {
       s"passthrough field must advertise no filter ops: $payloadDesc")
   }
 
+  test("data refresh hook: served cube picks up changed dim parquet without restart") {
+    // druid-lookups refresh-cadence analogue: land new data under the
+    // served dir, call Freshness.refresh, and the NEXT request must
+    // reflect it — including re-broadcasting a changed dim and
+    // rebuilding memoized intermediates derived from the dir
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val tmp = graft.core.TempDirs.scratch("fresh")
+    for (t <- Seq("orders", "customer", "nation", "region", "documents"))
+      Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Region Name"}, {"field": "Order Count"}]}""".stripMargin
+    def regions(): Set[String] =
+      SemanticQueries.run(json)(spark, tmp).collect().map(_.getString(0)).toSet
+    assert(regions().contains("ASIA"))
+    val n0 = graft.operators.Dedup.shingled(spark, tmp).count()
+
+    // land new data: every region renamed, one document appended.
+    // Staged write + filesystem MOVE, the way an EXTERNAL ingestion
+    // job lands files — a same-session Spark write to the final path
+    // would fire CacheManager.recacheByPath and mask the staleness
+    // the refresh hook exists to fix.
+    def rewrite(table: String, mod: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val out = mod(graft.core.Tables.tbl(spark, tmp, table))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      val stage = s"$tmp/_stage_$table"
+      spark.createDataFrame(rows, out.schema).write.parquet(stage)
+      assert(new java.io.File(s"$tmp/$table.parquet").delete())
+      Files.move(Paths.get(stage), Paths.get(s"$tmp/$table.parquet"))
+    }
+    rewrite("region", _.withColumn("r_name", concat(col("r_name"), lit("_V2"))))
+    rewrite("documents", df => {
+      val one = df.limit(1).collect()(0)
+      val idI = df.schema.fieldIndex("doc_id")
+      val txtI = df.schema.fieldIndex("text")
+      val extra = org.apache.spark.sql.Row.fromSeq(one.toSeq
+        .updated(idI, 987654321L)
+        .updated(txtI, "a brand new landed document with plenty of fresh tokens"))
+      df.unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(extra), df.schema))
+    })
+
+    // WITHOUT the hook the memoized shingle frame is stale — this is
+    // exactly the lie the refresh exists to prevent
+    assert(graft.operators.Dedup.shingled(spark, tmp).count() == n0,
+      "precondition: memoized intermediate must be stale before refresh")
+
+    graft.semantic.Freshness.refresh(spark, tmp)
+    val after = regions()
+    assert(after.exists(_.endsWith("_V2")) && !after.contains("ASIA"),
+      s"changed dim not re-broadcast after refresh: $after")
+    assert(graft.operators.Dedup.shingled(spark, tmp).count() == n0 + 1,
+      "memoized intermediate not rebuilt from the landed data")
+  }
+
   test("PublicColumn guard rails: required, dependsOn, incompatibleWith, filteringRequired") {
     import graft.semantic.model._
     // the four reference PublicColumn validation knobs (Column.scala
