@@ -593,6 +593,13 @@ object Similarity {
     v.select(col("vec_id"), hierCidCol(cents, col("embedding")).as("cid"))
   }
 
+  /** Flat twin of [[dbgAssignHier]]: the exact full-argmin assignment
+    * projection (O(n·k·dim)), for ScaleSlope's production-k probe. */
+  private[graft] def dbgAssignFlat(v: DataFrame, k: Int): DataFrame = {
+    val cents = seedCents(v, k)
+    v.select(col("vec_id"), nearestCidCol(cents, col("embedding")).as("cid"))
+  }
+
   /** Seed centers: the first-k vectors (sim06's flat-quantizer
     * discipline — deterministic, oracle-replicable; cid = vec_id+1). */
   private def seedCents(v: DataFrame, k: Int): Seq[Ctr] =

@@ -201,6 +201,33 @@ object ScaleSlope {
       val slope = pts.last._2._1 / pts(1)._2._1
       println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
     }
+    // PRODUCTION-k assignment probe (assignment stage ONLY, on a
+    // localCheckpointed corpus so plan/scan cost is excluded): exact
+    // flat argmin O(n·k·dim) vs the two-level fused kernel
+    // O(n·√k·dim) at k up to 10⁴ on the 100× corpus — the measured
+    // number behind "the √k assignment win grows with k". Copies are
+    // re-id'd CONTIGUOUSLY (offset = base corpus size, not 10⁷):
+    // seedCents picks vec_id < k, so k = 10⁴ centers need ids 0..9999
+    // present; the per-copy sign flips keep all seeds pairwise
+    // distinct (dd09's oracle-parity precondition).
+    if (only("assign")) {
+      val ebaseN = ebase.count()
+      val contig = (0 until 100).map { i =>
+        ebase.select((col("vec_id") + lit(i * ebaseN)).as("vec_id"),
+          expr(s"transform(embedding, (x, j) -> x * cast(1 - 2 * pmod(hash($i, j), 2) as float))")
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nContig = contig.count()
+      for (k <- Seq(800, 10000)) {
+        // count() would PRUNE the assignment projection entirely —
+        // aggregate over cid so the kernel runs for every row
+        val (tf, _) = timed { graft.operators.Similarity
+          .dbgAssignFlat(contig, k).agg(max("cid")).first(); nContig }
+        val (th, _) = timed { graft.operators.Similarity
+          .dbgAssignHier(contig, k).agg(max("cid")).first(); nContig }
+        println(f"""{"op":"assign_k$k","rows":$nContig,"sec_flat":$tf%.2f,"sec_hier":$th%.2f,"flat_over_hier":${tf / th}%.2f}""")
+      }
+    }
     for (op <- Seq("dd02", "dd04", "dd05") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
