@@ -70,6 +70,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("sem18: the mandated filteringRequired IN list reaches the orders scan") {
+    // the guarded cube's whole point is that the high-cardinality
+    // column is never scanned unfiltered — so the request's IN list
+    // must arrive at the parquet reader as a pushed filter, not as a
+    // post-scan Filter node
+    val plan = physical(
+      SemanticQueries.run(SemanticQueries.sem18Json)(spark, sf))
+    assert(plan.contains("In(o_custkey"),
+      s"Customer Key IN list not pushed to the scan:\n$plan")
+  }
+
+  test("dd10: capped-divisor count is a doc_id-partitioned window, never global") {
+    val plan = physical(Dedup.ddContainment(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    assert(specs > 0, s"expected a window for the capped |A|:\n$plan")
+    assert(!plan.contains("windowspecdefinition(specifiedwindowframe"),
+      s"global (unpartitioned) window in dd10:\n$plan")
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"capped-size window not partitioned by doc_id:\n$plan")
+  }
+
   test("q22: IN-subquery semi join broadcasts the key set") {
     val plan = physical(Relational.q22(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
