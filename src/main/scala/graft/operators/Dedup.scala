@@ -462,6 +462,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd11 — DUPLICATED-SPAN COVERAGE (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr signal, arXiv:2107.06499: exact duplication located
+    * by matching fixed-length token windows; 20 tokens here to suit
+    * the test corpus, 50 in the paper): for every document, the
+    * fraction of its SLIDING 20-token windows whose exact token
+    * sequence also appears in at least one OTHER document. This is
+    * position-weighted and cross-document — dd02/dd10 measure set
+    * resemblance over distinct shingles (drop/keep decisions), dd06
+    * counts repeated non-overlapping chunks including same-doc
+    * repeats; dd11 is the "how much of this doc is copied from
+    * elsewhere" number that decides how much to CUT.
+    *
+    * Scale shape: one sliding-window explode (n_tok rows per doc —
+    * linear), exact per-gram document frequency, join back on the
+    * gram key, per-doc aggregate. Windows travel as md5 digests — a
+    * fixed 32-char shuffle key instead of ~120-char strings, and both
+    * engines compute the identical digest (collisions included), so
+    * the oracle replicates value-for-value. df feeds only a ≥ 2
+    * test, so a boilerplate-hot gram saturates immediately and the
+    * join fan-out is one df row per gram — no dd02-style cap needed
+    * for the pair-explode (there is no pair stage at all). */
+  def ddSpanCoverage(s: SparkSession, d: String): DataFrame =
+    ddSpanCoverageFrom(documents(s, d), w = 20)
+
+  private[graft] def ddSpanCoverageFrom(docs: DataFrame, w: Int): DataFrame = {
+    val grams = docs
+      .withColumn("tokens", expr(TextOps.tokensExpr))
+      .filter(size(col("tokens")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tokens) - $w),
+           |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $w))))""".stripMargin))
+        .as("gh"))
+    val dfreq = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+    grams.join(dfreq, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        col("dup_windows").cast("double") / col("n_windows"))
+      .select("doc_id", "n_windows", "dup_windows", "dup_fraction")
+      .orderBy("doc_id")
+  }
+
   /** Canonical selection across a duplicate cluster (the "keep the
     * best copy" step of a multi-source corpus merge): every member of
     * a near-dup cluster (dd05's connected components) is scored by a
@@ -501,6 +546,7 @@ object Dedup {
     "dd05_components" -> (ddComponents _),
     "dd06_passage_dedup" -> (ddPassageDedup _),
     "dd07_canonical_pick" -> (ddCanonicalPick _),
+    "dd11_span_coverage" -> (ddSpanCoverage _),
   )
 
   /** Shared oracle CTEs for dd05/dd07: shingles → verified Jaccard
@@ -560,6 +606,20 @@ object Dedup {
         |  CAST(n_dup AS BIGINT) n_dup_passages,
         |  CAST(n_dup AS DOUBLE) / n_passages AS dup_frac
         |FROM per ORDER BY doc_id""".stripMargin,
+    // dd11: sliding 20-token windows as md5 digests (identical digest
+    // both engines), cross-document df, per-doc position-weighted
+    // coverage — SUM(CASE) is HUGEINT in DuckDB, cast to match Spark
+    "dd11_span_coverage" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 19),
+        |        i -> md5(array_to_string(t[i:i+19], ' ')))) gh
+        |      FROM tok WHERE len(t) >= 20),
+        |dfreq AS (SELECT gh, COUNT(DISTINCT doc_id) dw FROM g GROUP BY gh)
+        |SELECT g.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN dfreq.dw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  CAST(SUM(CASE WHEN dfreq.dw >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
+        |FROM g JOIN dfreq USING (gh)
+        |GROUP BY 1 ORDER BY g.doc_id""".stripMargin,
     "dd04_simhash" -> simhashOracleSql,
     "dd02_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),

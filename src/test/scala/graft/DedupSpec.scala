@@ -132,6 +132,28 @@ class DedupSpec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("dd11 span coverage: planted cross-doc span counts exactly its interior windows") {
+    import spark.implicits._
+    // A and B share an exact 25-token span wrapped in unique context;
+    // with w=20 exactly the 6 fully-interior windows (25-20+1) of each
+    // doc are duplicated — boundary-crossing windows mix in unique
+    // context tokens and must NOT count. C has no shared span; D is
+    // shorter than one window and yields no row at all.
+    val span = (0 until 25).map(i => s"s$i").mkString(" ")
+    def uniq(p: String, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 10)} $span ${uniq("a", 10, 10)}"),
+      (2L, s"${uniq("b", 10)} $span ${uniq("b", 10, 10)}"),
+      (3L, uniq("c", 45)),
+      (4L, uniq("d", 10))
+    ).toDF("doc_id", "text")
+    val out = Dedup.ddSpanCoverageFrom(docs, w = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((26L, 6L)), 2L -> ((26L, 6L)), 3L -> ((26L, 0L))),
+      s"unexpected coverage: $out")
+  }
+
   test("dd03 LSH: band-bucket cap drops a planted degenerate band, keeps cold pairs") {
     import spark.implicits._
     // 5,000 identical docs: every band bucket they form holds 5,000
