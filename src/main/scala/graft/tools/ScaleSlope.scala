@@ -60,28 +60,42 @@ object ScaleSlope {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // SS_ONLY=dd08,dd09_hier reruns a subset of probes (comma list of
+    // op prefixes) without paying for the whole battery
+    val only: String => Boolean = sys.env.get("SS_ONLY") match {
+      case Some(list) =>
+        val ps = list.split(",").map(_.trim).filter(_.nonEmpty)
+        op => ps.exists(op.startsWith)
+      case None => _ => true
+    }
+
     def run(docs: DataFrame): Map[String, (Double, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Double, Long)]()
       // dd02 end-to-end: shingle + persist (as the memoized production
       // path does) + inverted-index join
-      val (t02, n02) = timed {
+      if (only("dd02")) out("dd02") = timed {
         val sh = Dedup.shingle(docs).persist()
         try Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf).count()
         finally { sh.unpersist(); () }
       }
-      val (t04, n04) = timed {
+      if (only("dd04")) out("dd04") = timed {
         val sig = Dedup.simhashSignaturesFrom(docs).persist()
         try Dedup.ddSimhashFrom(sig).count()
         finally { sig.unpersist(); () }
       }
       // dd05 timed on its own input (pairs precomputed and
       // checkpointed) so the slope isolates the star contraction
-      val sh = Dedup.shingle(docs).persist()
-      val pairs = Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf)
-        .select("x", "y").localCheckpoint()
-      sh.unpersist()
-      val (t05, n05) = timed(Dedup.connectedComponents(pairs).count())
-      Map("dd02" -> ((t02, n02)), "dd04" -> ((t04, n04)),
-        "dd05" -> ((t05, n05)))
+      if (only("dd05")) {
+        val sh = Dedup.shingle(docs).persist()
+        val pairs = Dedup.ddNgramJaccardFrom(sh, Dedup.DefaultMaxShingleDf)
+          .select("x", "y").localCheckpoint()
+        sh.unpersist()
+        out("dd05") = timed(Dedup.connectedComponents(pairs).count())
+      }
+      // dd11 end-to-end: sliding-window explode + df + join-back
+      if (only("dd11")) out("dd11") =
+        timed(Dedup.ddSpanCoverageFrom(docs, w = 20).count())
+      out.toMap
     }
 
     // dd08 SemDeDup probe: embeddings replicated with per-copy
@@ -122,18 +136,10 @@ object ScaleSlope {
       df.count()
     }
 
-    // SS_ONLY=dd08,dd09_hier reruns a subset of probes (comma list of
-    // op prefixes) without paying for the whole battery
-    val only: String => Boolean = sys.env.get("SS_ONLY") match {
-      case Some(list) =>
-        val ps = list.split(",").map(_.trim).filter(_.nonEmpty)
-        op => ps.exists(op.startsWith)
-      case None => _ => true
-    }
     // 1× is fixed-cost-dominated at sf0.1; the informative slope is
     // 10× → 100× (500k docs), where data cost dominates
     val points =
-      if (Seq("dd02", "dd04", "dd05").exists(only))
+      if (Seq("dd02", "dd04", "dd05", "dd11").exists(only))
         Seq(1, 10, 100).map(c => c -> run(corpus(c)))
       else Nil
     // three regimes, all memoized: the paper's own (constant cluster
@@ -228,7 +234,7 @@ object ScaleSlope {
         println(f"""{"op":"assign_k$k","rows":$nContig,"sec_flat":$tf%.2f,"sec_hier":$th%.2f,"flat_over_hier":${tf / th}%.2f}""")
       }
     }
-    for (op <- Seq("dd02", "dd04", "dd05") if only(op)) {
+    for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
       }.mkString(",")
