@@ -55,8 +55,42 @@ object Pipeline {
       .orderBy("source", "rank_in_source")
   }
 
+  /** pp02 — CROSS-SOURCE duplication matrix (corpus forensics: which
+    * sources copy from which — mirror detection, licensing leakage,
+    * mixture double-counting before sp04 reweighting): dd02's
+    * verified near-dup pairs rolled up to unordered
+    * (source_a, source_b) cells with the pair count, the exact
+    * weighted-mean Jaccard (ratio of exact integer sums — no float
+    * accumulation anywhere), and the max pair.
+    *
+    * Scale shape: the heavy lifting is dd02's capped inverted-index
+    * join; this adds two equi-joins of the PAIRS frame (≪ corpus)
+    * against a two-column doc→source projection — linear, and AQE
+    * broadcasts the small side at any scale where one fits — plus an
+    * aggregate whose result is ≤ sources², driver-trivial. */
+  def ppSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    Dedup.ddNgramJaccard(s, d)
+      .join(src.as("sx"), col("x") === col("sx.doc_id"))
+      .join(src.as("sy"), col("y") === col("sy.doc_id"))
+      .select(least(col("sx.source"), col("sy.source")).as("source_a"),
+        greatest(col("sx.source"), col("sy.source")).as("source_b"),
+        col("inter"), col("nx"), col("ny"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("nx") + col("ny") - col("inter")).as("sum_union"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("mean_jaccard",
+        col("sum_inter").cast("double") / col("sum_union"))
+      .select("source_a", "source_b", "n_pairs", "sum_inter", "sum_union",
+        "mean_jaccard", "max_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp01_curation_manifest" -> (ppCurate _),
+    "pp02_source_overlap" -> (ppSourceOverlap _),
   )
 
   // each CTE replicates the corresponding stage's proven oracle
@@ -87,5 +121,32 @@ object Pipeline {
         |       ELSE 'test' END AS split
         |FROM budgeted WHERE rank_in_source <= 40
         |ORDER BY source, rank_in_source""".stripMargin,
+    // pp02: dd02's proven pair oracle (same tokenization, shingles,
+    // inverted-index candidates, ≥ 0.2 verify) rolled up by unordered
+    // source pair; SUMs are HUGEINT in DuckDB — cast to BIGINT, and
+    // mean_jaccard is a single division of the two exact sums
+    "pp02_source_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT x, y, inter, len(sa.shingles) nx, len(sb.shingles) ny,
+        |        CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) jaccard
+        |      FROM cand JOIN sh sa ON cand.x = sa.doc_id JOIN sh sb ON cand.y = sb.doc_id
+        |      WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2)
+        |SELECT least(dx.source, dy.source) AS source_a,
+        |  greatest(dx.source, dy.source) AS source_b,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        |  CAST(SUM(nx + ny - inter) AS BIGINT) AS sum_union,
+        |  CAST(CAST(SUM(inter) AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(nx + ny - inter) AS BIGINT) AS mean_jaccard,
+        |  MAX(jaccard) AS max_jaccard
+        |FROM p JOIN documents dx ON p.x = dx.doc_id
+        |       JOIN documents dy ON p.y = dy.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
