@@ -144,8 +144,27 @@ object RequestModel {
         // reference's error message shapes; alias-sorted so a request
         // violating several reports deterministically
         val selectedSet = req.selectFields.toSet
-        val filteredSet = allLeaves.map(_.field).toSet
-        val knobErrs = pubColOf.toSeq.sortBy(_._1).flatMap { case (alias, pc) =>
+        // filteringRequired must be satisfied by a PUSHABLE filter:
+        // an OuterFilter applies to rendered rows after aggregation,
+        // so it would leave the guarded column's scan unfiltered —
+        // exactly what the knob forbids
+        val filteredSet = req.filters.filterNot(_.isInstanceOf[OuterFilter])
+          .flatMap(request.leaves).map(_.field).toSet
+        // knobs MERGED across variants: an alias often repeats per
+        // variant, and a last-wins map would silently drop a knob
+        // declared on only one of them — the reference's knobs are
+        // cube-level (PublicFact.requiredAliases etc. union over the
+        // public columns), so OR the flags and union the sets
+        val knobCols: Seq[(String, PubCol)] =
+          (cube.variants.flatMap(_.dimCols) ++ cube.dims.flatMap(_.cols))
+            .groupBy(_.alias).toSeq.sortBy(_._1).map { case (a, cs) =>
+              a -> cs.reduce((x, y) => x.copy(
+                required = x.required || y.required,
+                dependsOn = x.dependsOn ++ y.dependsOn,
+                incompatibleWith = x.incompatibleWith ++ y.incompatibleWith,
+                filteringRequired = x.filteringRequired || y.filteringRequired))
+            }
+        val knobErrs = knobCols.flatMap { case (alias, pc) =>
           val requiredErr =
             if (pc.required && !selectedSet(alias))
               Seq(s"Missing required field: cube=${cube.name}, field=$alias")

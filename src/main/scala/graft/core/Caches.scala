@@ -83,20 +83,24 @@ object Caches {
   }
 
   /** Drop (and unpersist) every cached frame and memoized object of
-    * `s` whose key CONTAINS `needle`. Cache keys embed their source
-    * dir/table (e.g. "dedup|/data/sf0.01|shingles"), so an ingestion
-    * pipeline that lands new data under a dir can invalidate exactly
-    * the intermediates derived from it — the data-refresh hook behind
-    * [[graft.semantic.Freshness.refresh]]. Returns the entry count
-    * dropped. */
+    * `s` whose key carries `needle` as one of its '|'-delimited
+    * tokens. Cache keys embed their source dir/table as a token
+    * (e.g. "dedup|/data/sf0.01|shingles"), so an ingestion pipeline
+    * that lands new data under a dir invalidates exactly the
+    * intermediates derived from it — the data-refresh hook behind
+    * [[graft.semantic.Freshness.refresh]]. Token equality, not
+    * substring containment: refreshing "/data/sf0.1" must not evict
+    * a sibling "/data/sf0.10"'s intermediates. Returns the entry
+    * count dropped. */
   def invalidateMatching(s: SparkSession, needle: String): Int = {
+    def hit(key: String): Boolean = key.split('|').contains(needle)
     var n = 0
     val m = bySession.synchronized(bySession.get(s))
     if (m != null) {
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.contains(needle)) { e.getValue.unpersist(); it.remove(); n += 1 }
+        if (hit(e.getKey)) { e.getValue.unpersist(); it.remove(); n += 1 }
       }
     }
     val om = objBySession.synchronized(objBySession.get(s))
@@ -104,7 +108,7 @@ object Caches {
       val it = om.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.contains(needle)) { it.remove(); n += 1 }
+        if (hit(e.getKey)) { it.remove(); n += 1 }
       }
     }
     n

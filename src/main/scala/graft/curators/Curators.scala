@@ -222,7 +222,8 @@ object Curators {
         v.metrics.map(_.alias) ++ v.derived.map(_.alias)).toSet ++
         tgt.dims.flatMap(_.cols.map(_.alias))
       val carried = (parentDims ++ cfg.dimensions ++ facts ++
-        keptFilters.flatMap(request.leaves).map(_.field)).distinct
+        (keptFilters ++ cfg.filters).flatMap(request.leaves).map(_.field))
+        .distinct
       val missing = carried.filterNot(known)
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"drilldown config: field(s) ${missing.sorted.mkString("[", ", ", "]")} " +

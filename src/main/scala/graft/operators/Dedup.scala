@@ -139,16 +139,22 @@ object Dedup {
     // contained doc — this operator's stated target case — below the
     // 0.8 threshold. Below the cap (the oracle corpora: the default
     // cap exceeds the test corpus's max df, same guard as dd02) hot
-    // is empty and n equals |A| exactly, so DuckDB parity holds.
+    // is empty and n_contained equals |A| exactly, so DuckDB parity
+    // holds. The size is a map-side-combined per-doc aggregate joined
+    // onto the (already small) pair output — NOT a window over the
+    // postings, which would shuffle the largest intermediate a second
+    // time, and NOT carried through the self-join.
     val capped = ex.join(broadcast(hot), Seq("s"), "left_anti")
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val sizes = capped.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contained"))
+      .withColumnRenamed("doc_id", "contained_id")
     capped.as("a")
       .join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("contained_id"),
-        col("b.doc_id").as("container_id"), col("a.n").as("n_contained"))
+        col("b.doc_id").as("container_id"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes, "contained_id")
       .withColumn("containment",
         col("inter").cast("double") / col("n_contained"))
       .filter(col("containment") >= 0.8)

@@ -497,7 +497,14 @@ object Streaming {
           out.iterator
         }
       }
-    val qn = s"st08_mem_${st08Runs.incrementAndGet()}"
+    // fixed sink name, previous run's view dropped first: a memory
+    // sink pins its full result set on the driver for as long as the
+    // temp view exists, so per-run unique names would accumulate one
+    // result copy per invocation for the session lifetime (a caller's
+    // handle from a PREVIOUS run goes stale at that point — callers
+    // collect before re-invoking, as Verify/Bench/specs do)
+    val qn = "st08_mem"
+    s.catalog.dropTempView(qn)
     val q = deduped.toDF("vec_id", "bucket", "dupe_of", "kept")
       .writeStream.format("memory").queryName(qn)
       .option("checkpointLocation", ckptDir("st08"))
@@ -507,8 +514,6 @@ object Streaming {
     q.awaitTermination()
     s.table(qn).orderBy("vec_id")
   }
-
-  private val st08Runs = new java.util.concurrent.atomic.AtomicInteger()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st06_stream_enrich" -> (st06 _),

@@ -107,9 +107,12 @@ object ScaleSlope {
     // within-cluster quadratic stage should stay ~linear overall.
     val ebase = graft.core.Tables.embeddings(spark, d)
       .select("vec_id", "embedding")
-    def ecorpus(copies: Int): DataFrame =
+    // idOffset: per-copy vec_id spacing — the default keeps copies in
+    // disjoint id ranges; the assign probe passes the base corpus size
+    // instead so re-ids are CONTIGUOUS (seedCents picks vec_id < k)
+    def ecorpus(copies: Int, idOffset: Long = 10000000L): DataFrame =
       (0 until copies).map { i =>
-        ebase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        ebase.select((col("vec_id") + lit(i * idOffset)).as("vec_id"),
           expr(s"transform(embedding, (x, j) -> x * cast(1 - 2 * pmod(hash($i, j), 2) as float))")
             .as("embedding"))
       }.reduce(_ unionByName _)
@@ -217,12 +220,7 @@ object ScaleSlope {
     // present; the per-copy sign flips keep all seeds pairwise
     // distinct (dd09's oracle-parity precondition).
     if (only("assign")) {
-      val ebaseN = ebase.count()
-      val contig = (0 until 100).map { i =>
-        ebase.select((col("vec_id") + lit(i * ebaseN)).as("vec_id"),
-          expr(s"transform(embedding, (x, j) -> x * cast(1 - 2 * pmod(hash($i, j), 2) as float))")
-            .as("embedding"))
-      }.reduce(_ unionByName _).localCheckpoint()
+      val contig = ecorpus(100, idOffset = ebase.count()).localCheckpoint()
       val nContig = contig.count()
       for (k <- Seq(800, 10000)) {
         // count() would PRUNE the assignment projection entirely —

@@ -292,6 +292,19 @@ class CuratorsSpec extends AnyFunSuite {
           maxRows = Int.MaxValue), 3, registry)(spark, sf)
     }
     assert(ex2.getMessage.startsWith("drilldown config:"), ex2.getMessage)
+    // CONFIG filters are validated against the override cube too.
+    // order_stats_guarded shares every alias with cur04Json's base
+    // cube, so the parent dims/facts/kept filters all resolve — ONLY
+    // the config's own extra filter (Event Type, foreign to the
+    // target) can trip the check
+    val ex3 = intercept[IllegalArgumentException] {
+      Curators.drillDownConfigured(cur04Json,
+        DrilldownRequest(Seq("Order Status"), cube = "order_stats_guarded",
+          filters = Seq(graft.analyzer.request.EqFilter("Event Type", "click")),
+          maxRows = Int.MaxValue), 3, registry)(spark, sf)
+    }
+    assert(ex3.getMessage.contains("not present on override cube 'order_stats_guarded'")
+      && ex3.getMessage.contains("Event Type"), ex3.getMessage)
   }
 
   test("configured drilldown: enforceFilters=false keeps only the time window") {

@@ -81,14 +81,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Customer Key IN list not pushed to the scan:\n$plan")
   }
 
-  test("dd10: capped-divisor count is a doc_id-partitioned window, never global") {
+  test("dd10: capped |A| is a map-side-combined aggregate, no window over the postings") {
     val plan = physical(Dedup.ddContainment(spark, sf))
-    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
-    assert(specs > 0, s"expected a window for the capped |A|:\n$plan")
-    assert(!plan.contains("windowspecdefinition(specifiedwindowframe"),
-      s"global (unpartitioned) window in dd10:\n$plan")
-    assert(plan.contains("windowspecdefinition(doc_id"),
-      s"capped-size window not partitioned by doc_id:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"dd10 must not window the postings frame:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"capped-size aggregate not map-side combined:\n$plan")
   }
 
   test("q22: IN-subquery semi join broadcasts the key set") {

@@ -536,6 +536,32 @@ class SemanticLayerSpec extends AnyFunSuite {
         |   {"field": "Customer Key", "operator": "in", "values": ["1", "2"]}]}""".stripMargin).isRight,
       "a filter on the column satisfies the guard even when it is not selected")
 
+    // an OUTER filter must NOT satisfy the guard: it applies to
+    // rendered rows after aggregation, leaving the column's scan
+    // unfiltered — the exact thing the knob forbids
+    val outerOnly = model(filtReg,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Key"}, {"field": "Order Count"}],
+        | "filterExpressions": [{"operator": "outer", "filter":
+        |   {"field": "Customer Key", "operator": "in", "values": ["1"]}}]}""".stripMargin)
+    assert(outerOnly.swap.toOption.get ==
+      "Missing required filter: cube=order_stats, field=Customer Key",
+      s"outer filter must not satisfy filteringRequired: $outerOnly")
+
+    // knobs are CUBE-level: a knob declared on one variant's copy of
+    // an alias binds even when another variant re-declares the alias
+    // unmarked (a last-wins alias map would silently drop it)
+    val twoVariant = Registry(SemanticQueries.orderCube.copy(variants = Seq(
+      base.copy(dimCols = base.dimCols.map(c =>
+        if (c.alias == "Order Priority") c.copy(required = true) else c)),
+      base.copy(name = "orders_unmarked"))))
+    val dropped = model(twoVariant,
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Status"}, {"field": "Order Count"}]}""".stripMargin)
+    assert(dropped.swap.toOption.get ==
+      "Missing required field: cube=order_stats, field=Order Priority",
+      s"knob on one variant must survive an unmarked re-declaration: $dropped")
+
     // a passthrough column is unfilterable, so it can never demand one
     intercept[IllegalArgumentException] {
       PubCol("Bad", "x", passthrough = true, filteringRequired = true)
