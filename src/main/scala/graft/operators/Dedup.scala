@@ -491,16 +491,26 @@ object Dedup {
     * join fan-out is one df row per gram — no dd02-style cap needed
     * for the pair-explode (there is no pair stage at all). */
   def ddSpanCoverage(s: SparkSession, d: String): DataFrame =
-    ddSpanCoverageFrom(documents(s, d), w = 20)
+    // the gram frame feeds BOTH the df aggregate and the join side,
+    // and Spark materializes no shared subplan on its own (measured:
+    // 2 scans + 2 explodes, no ReusedExchange) — memoize it exactly
+    // like dd02's shingle frame, so the dominant explode runs once
+    ddSpanCoverageGrams(memo(s, d, "spangrams")(
+      spanGramsOf(documents(s, d), w = 20)))
 
-  private[graft] def ddSpanCoverageFrom(docs: DataFrame, w: Int): DataFrame = {
-    val grams = docs
+  private[graft] def ddSpanCoverageFrom(docs: DataFrame, w: Int): DataFrame =
+    ddSpanCoverageGrams(spanGramsOf(docs, w))
+
+  private def spanGramsOf(docs: DataFrame, w: Int): DataFrame =
+    docs
       .withColumn("tokens", expr(TextOps.tokensExpr))
       .filter(size(col("tokens")) >= w)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(tokens) - $w),
            |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $w))))""".stripMargin))
         .as("gh"))
+
+  private def ddSpanCoverageGrams(grams: DataFrame): DataFrame = {
     val dfreq = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("docs_with"))
     grams.join(dfreq, "gh")
