@@ -24,6 +24,12 @@ import graft.semantic.model.Registry
   *   GET  /domain            Domain.domainJson (+freshness)
   *   POST /jobs              async submit → {"jobId": …}
   *   GET  /jobs/{id}         status; completed jobs embed the envelope
+  *   POST /refresh           ingestion-completion callback →
+  *                           Freshness.refresh(session, dir): landed
+  *                           parquet is picked up by the next request
+  *                           without restart (druid-lookups refresh
+  *                           cadence, exposed as the wire hook an
+  *                           ingestion job calls)
   *
   * The request id comes from the X-Request-Id header (generated when
   * absent) and is echoed back; a completion-time request-log envelope
@@ -116,6 +122,15 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
         case Some(JobQueue.Completed(n)) =>
           val env = jobs.fetch(path).map(Serving.jsonEnvelope).getOrElse("null")
           (200, s"""{"status":"completed","rowCount":$n,"result":$env}""", reqId)
+      }
+    })
+    server.createContext("/refresh", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      if (ex.getRequestMethod != "POST")
+        (405, """{"error":"POST only"}""", reqId)
+      else monitored(reqId, "refresh") {
+        Freshness.refresh(s, dir)
+        (200, s"""{"refreshed":${Domain.jStr(dir)}}""", reqId)
       }
     })
     server.start()

@@ -151,4 +151,40 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(get(port, "/jobs/nope").statusCode() == 404)
     } finally { door.stop(); jobs.shutdown() }
   }
+
+  test("POST /refresh: externally landed dim reaches the next served request") {
+    // the wire form of Freshness.refresh — the callback an ingestion
+    // job fires instead of restarting the server
+    import java.nio.file.{Files, Paths}
+    val tmp = graft.core.TempDirs.scratch("httpfresh")
+    for (t <- Seq("orders", "customer", "nation", "region"))
+      Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    val jobs = new JobQueue(spark, tmp, Files.createTempDirectory("httpjobs3"))
+    val mon = new graft.serving.ServiceMonitor.Counting
+    val door = new HttpFrontDoor(spark, tmp, SemanticQueries.registry, jobs,
+      monitor = mon)
+    val port = door.start()
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Region Name"}, {"field": "Order Count"}]}""".stripMargin
+    try {
+      assert(post(port, "/report", json).body().contains("ASIA"))
+      // land a renamed region table the EXTERNAL way (staged + moved,
+      // so no same-session write masks staleness)
+      val out = graft.core.Tables.tbl(spark, tmp, "region")
+        .withColumn("r_name", org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.col("r_name"),
+            org.apache.spark.sql.functions.lit("_V2")))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema).write.parquet(s"$tmp/_stage")
+      assert(new java.io.File(s"$tmp/region.parquet").delete())
+      Files.move(Paths.get(s"$tmp/_stage"), Paths.get(s"$tmp/region.parquet"))
+      assert(get(port, "/refresh").statusCode() == 405)
+      val r = post(port, "/refresh", "")
+      assert(r.statusCode() == 200 && r.body().contains(tmp), r.body())
+      val after = post(port, "/report", json).body()
+      assert(after.contains("ASIA_V2") , after.take(300))
+      assert(mon.succeeded("refresh") == 1L)
+    } finally { door.stop(); jobs.shutdown() }
+  }
 }
