@@ -501,16 +501,23 @@ object Dedup {
   private[graft] def ddSpanCoverageFrom(docs: DataFrame, w: Int): DataFrame =
     ddSpanCoverageGrams(spanGramsOf(docs, w))
 
-  private def spanGramsOf(docs: DataFrame, w: Int): DataFrame =
+  /** Windows travel as the first 60 bits of their md5, as a BIGINT —
+    * both engines compute the identical value (the pp01 split-bucket
+    * pattern), and a fixed 8-byte key makes both the gh shuffle and
+    * the memoized cache ~5× narrower than the 32-char digest string
+    * (measured: the string form's 100× persist cost more than
+    * recomputing the explode twice). Cross-gram 60-bit collisions are
+    * identical in Spark and DuckDB, so parity holds regardless. */
+  private[graft] def spanGramsOf(docs: DataFrame, w: Int): DataFrame =
     docs
       .withColumn("tokens", expr(TextOps.tokensExpr))
       .filter(size(col("tokens")) >= w)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(tokens) - $w),
-           |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $w))))""".stripMargin))
+           |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tokens, i + 1, $w))), 1, 15), 16, 10) as bigint))""".stripMargin))
         .as("gh"))
 
-  private def ddSpanCoverageGrams(grams: DataFrame): DataFrame = {
+  private[graft] def ddSpanCoverageGrams(grams: DataFrame): DataFrame = {
     val dfreq = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("docs_with"))
     grams.join(dfreq, "gh")
@@ -628,7 +635,7 @@ object Dedup {
     "dd11_span_coverage" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 19),
-        |        i -> md5(array_to_string(t[i:i+19], ' ')))) gh
+        |        i -> ('0x' || substr(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT)) gh
         |      FROM tok WHERE len(t) >= 20),
         |dfreq AS (SELECT gh, COUNT(DISTINCT doc_id) dw FROM g GROUP BY gh)
         |SELECT g.doc_id, COUNT(*) AS n_windows,

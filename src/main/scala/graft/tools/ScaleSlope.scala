@@ -92,9 +92,15 @@ object ScaleSlope {
         sh.unpersist()
         out("dd05") = timed(Dedup.connectedComponents(pairs).count())
       }
-      // dd11 end-to-end: sliding-window explode + df + join-back
-      if (only("dd11")) out("dd11") =
-        timed(Dedup.ddSpanCoverageFrom(docs, w = 20).count())
+      // dd11 end-to-end: sliding-window explode + df + join-back,
+      // gram frame persisted exactly as the memoized production path
+      // runs it (the un-memoized From variant computes the dominant
+      // explode twice — the same probe flaw the round-6 dd08 slope had)
+      if (only("dd11")) out("dd11") = timed {
+        val g = Dedup.spanGramsOf(docs, 20).persist()
+        try Dedup.ddSpanCoverageGrams(g).count()
+        finally { g.unpersist(); () }
+      }
       out.toMap
     }
 
