@@ -84,7 +84,12 @@ object Dedup {
     * intersection AND union sizes fall out of one shuffle — no
     * join-back against the corpus for sizes. */
   def ddNgramJaccard(s: SparkSession, d: String): DataFrame =
-    ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf)
+    // memoized: the verified pair frame is tiny relative to the
+    // corpus and is read by three consumers (the dd02 result, dd05's
+    // closure via ccLabels, pp02's source rollup) — the
+    // materialize-once intermediate a 100 TB pipeline would write out
+    memo(s, d, "ngrampairs")(
+      ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf))
 
   private[graft] def ddNgramJaccardFrom(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"),
@@ -416,8 +421,7 @@ object Dedup {
     * dd05 and dd07 consume the labels. */
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cclabels") {
-      connectedComponents(
-        ddNgramJaccardFrom(shingled(s, d), DefaultMaxShingleDf).select("x", "y"))
+      connectedComponents(ddNgramJaccard(s, d).select("x", "y"))
         .select(col("doc_id"), col("canonical").as("canonical_doc"))
     }
 
