@@ -175,7 +175,13 @@ object model {
       required: Boolean = false,
       dependsOn: Set[String] = Set.empty,
       incompatibleWith: Set[String] = Set.empty,
-      filteringRequired: Boolean = false) {
+      filteringRequired: Boolean = false,
+      /** PublicColumn.hiddenFromJson (reference Column.scala:20): the
+        * column stays fully requestable/filterable but is OMITTED from
+        * the /domain and DESCRIBE introspection listings — the knob
+        * for internal/deprecated fields that existing clients still
+        * send. */
+      hiddenFromJson: Boolean = false) {
     require(!passthrough || staticMapping.isEmpty,
       s"passthrough column '$alias' cannot carry a static mapping")
     require(!(passthrough && filteringRequired),

@@ -71,14 +71,18 @@ object Domain {
     * metrics unioned across variants (first declaration wins), then
     * snowflake dim attributes. Sorted by field name. */
   def fields(cube: CubeDef): Seq[FieldDesc] = {
-    val factLevel = cube.variants.flatMap(_.dimCols).map(pc => pc.alias -> pc)
+    // hiddenFromJson columns stay requestable but are not advertised
+    // (reference PublicColumn.hiddenFromJson, Column.scala:20)
+    val factLevel = cube.variants.flatMap(_.dimCols)
+      .filterNot(_.hiddenFromJson).map(pc => pc.alias -> pc)
     val metrics = cube.variants.flatMap(_.metrics).map(m => m.alias ->
       FieldDesc(m.alias, "Fact", "Number", None, MetricOps,
         Some(rollupName(m.rollup)), None))
     val derived = cube.variants.flatMap(_.derived).map(d => d.alias ->
       FieldDesc(d.alias, "Fact", "Number", None, MetricOps, Some("Derived"), None))
     val dimAttrs = cube.dims.flatMap(d =>
-      d.cols.map(pc => pc.alias -> dimColDesc(pc, Some(d.name))))
+      d.cols.filterNot(_.hiddenFromJson)
+        .map(pc => pc.alias -> dimColDesc(pc, Some(d.name))))
     val all = factLevel.map { case (a, pc) => a -> dimColDesc(pc, None) } ++
       metrics ++ derived ++ dimAttrs
     all.foldLeft(Vector.empty[(String, FieldDesc)]) {

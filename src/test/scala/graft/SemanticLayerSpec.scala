@@ -568,6 +568,32 @@ class SemanticLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("hiddenFromJson: column requestable but absent from introspection") {
+    import graft.semantic.model._
+    // reference PublicColumn.hiddenFromJson (Column.scala:20): the
+    // deprecated-but-still-served field pattern — clients keep
+    // sending it, new clients never see it advertised
+    val base = SemanticQueries.orderCube.base
+    val cube = SemanticQueries.orderCube.copy(variants = Seq(base.copy(
+      dimCols = base.dimCols.map(c =>
+        if (c.alias == "Customer Key") c.copy(hiddenFromJson = true) else c))))
+    val reg = Registry(cube)
+    val advertised = graft.semantic.Domain.fields(cube).map(_.field)
+    assert(!advertised.contains("Customer Key")
+      && advertised.contains("Order Priority"), advertised.toString)
+    val described = graft.analyzer.SqlFrontDoor
+      .describe("order_stats", reg)(spark).collect().map(_.getString(0))
+    assert(!described.contains("Customer Key"), described.mkString(","))
+    // still fully requestable AND filterable
+    val m = request.parse(
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Key"}, {"field": "Order Count"}],
+        | "filterExpressions": [
+        |   {"field": "Customer Key", "operator": "in", "values": ["1", "2"]}]}""".stripMargin)
+      .flatMap(RequestModel.from(_, reg))
+    assert(m.isRight, m.toString)
+  }
+
   test("fallback execution: empty cheap variant falls back to base") {
     import graft.semantic.model._
     import org.apache.spark.sql.functions._
