@@ -154,6 +154,25 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected coverage: $out")
   }
 
+  test("dd11: a corpus-wide boilerplate gram flags every doc, exactly once each") {
+    import spark.implicits._
+    // 300 docs share one 20-token boilerplate span (gram df = 300 — the
+    // hot-key shape) followed by 10 unique tokens: every doc has 11
+    // windows, and EXACTLY the one fully-interior boilerplate window is
+    // duplicated — the hot gram must neither explode the plan (df is an
+    // aggregate, no pair stage) nor leak into the unique-tail windows
+    val span = (0 until 20).map(i => s"b$i").mkString(" ")
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"$span " + (0 until 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.ddSpanCoverageFrom(docs, w = 20).collect()
+    assert(out.length == 300)
+    out.foreach { r =>
+      assert(r.getLong(1) == 11L && r.getLong(2) == 1L,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), want (11, 1)")
+    }
+  }
+
   test("dd03 LSH: band-bucket cap drops a planted degenerate band, keeps cold pairs") {
     import spark.implicits._
     // 5,000 identical docs: every band bucket they form holds 5,000
