@@ -565,6 +565,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd12 — INCREMENTAL delta-vs-index dedup (the production shape:
+    * a continuously-ingesting corpus never re-dedups its history —
+    * the daily batch is checked against a PERSISTED shingle index of
+    * everything already accepted, cf. the incremental MinHashLSH
+    * discipline in CCNet/RefinedWeb-style pipelines and maha's
+    * incremental-rollup stance generally). The corpus is split
+    * deterministically: docs with doc_id % 10 == 9 are "today's
+    * batch" (the delta), the rest are the accepted history. Every
+    * delta doc gets a verdict row: is it a near-dup (exact 5-gram
+    * Jaccard ≥ 0.5) of ANY history doc, and if so which history doc
+    * matches best (ties → lowest doc_id).
+    *
+    * Scale shape — why this is the 100 TB path while dd02 is not:
+    * the join is delta-postings ⋈ history-index on the shingle key,
+    * so per-batch cost is O(|delta postings| · capped-df), NOT
+    * O(corpus²) and NOT even O(corpus): history is touched only
+    * through index lookups on the delta's own shingles. The
+    * hot-shingle df cap is computed ON THE INDEX side at build time
+    * (the cap statistic is part of the persisted artifact, exactly
+    * where a production index stores it) and applied with the same
+    * broadcast anti-join as dd02; it is one-sided — capping can only
+    * drop borderline matches, never admit a false one — and the
+    * default sits above the test corpus's max df, so oracle parity
+    * is exact there. The delta side needs no cap: with the index
+    * capped, a delta shingle fans out at most `cap` index rows, and
+    * there is no pair-explode stage at all. The best-match argmax is
+    * a per-delta-doc window over candidates that passed the ≥ 0.5
+    * verify — O(matches), not O(candidates). */
+  def ddIncremental(s: SparkSession, d: String): DataFrame =
+    ddIncrementalFrom(documents(s, d), shingled(s, d), DefaultMaxShingleDf)
+
+  private[graft] def ddIncrementalFrom(docs: DataFrame, sh: DataFrame,
+      maxDf: Int): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(10)) === 9
+    // index build (one-time in production; the memoized shingle frame
+    // is shared with dd02/dd03, so the split re-reads a cached stage)
+    val exh = sh.filter(!isDelta).select(col("doc_id").as("hid"),
+      size(col("shingles")).cast("bigint").as("nh"),
+      explode(col("shingles")).as("s"))
+    val hot = exh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val index = exh.join(broadcast(hot), Seq("s"), "left_anti")
+    // the daily batch probes the index on its own shingles only
+    val exd = sh.filter(isDelta).select(col("doc_id").as("did"),
+      size(col("shingles")).cast("bigint").as("nd"),
+      explode(col("shingles")).as("s"))
+    val matches = exd.join(index, "s")
+      .groupBy("did", "hid", "nd", "nh").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("nd") + col("nh") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("did").orderBy(col("jaccard").desc, col("hid").asc)
+    val best = matches
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("did"), col("hid").as("best_match"),
+        col("jaccard").as("best_jaccard"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(best, col("doc_id") === col("did"), "left")
+      .select(col("doc_id"), col("did").isNotNull.as("is_dup"),
+        col("best_match"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
     "dd10_containment" -> (ddContainment _),
@@ -574,6 +638,7 @@ object Dedup {
     "dd06_passage_dedup" -> (ddPassageDedup _),
     "dd07_canonical_pick" -> (ddCanonicalPick _),
     "dd11_span_coverage" -> (ddSpanCoverage _),
+    "dd12_incremental" -> (ddIncremental _),
   )
 
   /** Shared oracle CTEs for dd05/dd07: shingles → verified Jaccard
@@ -648,6 +713,29 @@ object Dedup {
         |FROM g JOIN dfreq USING (gh)
         |GROUP BY 1 ORDER BY g.doc_id""".stripMargin,
     "dd04_simhash" -> simhashOracleSql,
+    // dd12: dd02's shingle CTEs split into history (doc_id%10<>9) and
+    // delta (doc_id%10=9); best history match per delta doc by
+    // (jaccard DESC, hid ASC); every delta doc gets a verdict row
+    "dd12_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
+        |       FROM tok WHERE len(t) >= 5),
+        |exh AS (SELECT doc_id hid, len(shingles) nh, unnest(shingles) s FROM sh WHERE doc_id % 10 <> 9),
+        |exd AS (SELECT doc_id did, len(shingles) nd, unnest(shingles) s FROM sh WHERE doc_id % 10 = 9),
+        |m AS (SELECT did, hid, nd, nh, COUNT(*) inter
+        |      FROM exd JOIN exh USING (s) GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT did, hid, CAST(inter AS DOUBLE) / (nd + nh - inter) jac FROM m
+        |      WHERE CAST(inter AS DOUBLE) / (nd + nh - inter) >= 0.5),
+        |best AS (SELECT did, hid, jac FROM (
+        |           SELECT did, hid, jac,
+        |             ROW_NUMBER() OVER (PARTITION BY did ORDER BY jac DESC, hid ASC) rn
+        |           FROM j) WHERE rn = 1)
+        |SELECT d.doc_id, (best.did IS NOT NULL) AS is_dup,
+        |  best.hid AS best_match, best.jac AS best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+        |LEFT JOIN best ON best.did = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dd02_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),

@@ -173,6 +173,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd12 incremental: delta verdicts against the history index only") {
+    import spark.implicits._
+    // history: docs 1 and 2 are identical copies of a 12-token text,
+    // doc 3 is unrelated. Delta (doc_id % 10 == 9): 19 is another
+    // identical copy → flagged with best_match = 1 (jaccard ties →
+    // lowest history id); 29 is novel → clean; 39 and 49 are copies of
+    // EACH OTHER but match nothing in history → both clean (within-
+    // batch dups are the NEXT batch's history lookups, not this
+    // operator's output — the index is strictly pre-batch).
+    val hit = (0 until 12).map(i => s"h$i").mkString(" ")
+    val batchDup = (0 until 12).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, hit), (2L, hit), (3L, (0 until 12).map(i => s"c$i").mkString(" ")),
+      (19L, hit), (29L, (0 until 12).map(i => s"n$i").mkString(" ")),
+      (39L, batchDup), (49L, batchDup)
+    ).toDF("doc_id", "text")
+    val out = Dedup.ddIncrementalFrom(docs, Dedup.shingle(docs), maxDf = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out == Map(19L -> ((true, 1L)), 29L -> ((false, -1L)),
+      39L -> ((false, -1L)), 49L -> ((false, -1L))), s"unexpected: $out")
+  }
+
+  test("dd12: the df cap is an index-build-time stat — history-only df") {
+    import spark.implicits._
+    // one shingle is hot in HISTORY (df=4 across history docs) and a
+    // delta doc is made of exactly that text: with cap=3 the index
+    // drops the hot postings, so the delta doc comes back clean —
+    // the one-sided cap bound (drops borderline matches, never admits
+    // false ones). A cold history match in the same batch survives.
+    val hot = (0 until 8).map(i => s"w$i").mkString(" ")
+    val cold = (0 until 8).map(i => s"k$i").mkString(" ")
+    val docs = Seq(
+      (1L, hot), (2L, hot), (3L, hot), (4L, hot), (5L, cold),
+      (19L, hot), (29L, cold)
+    ).toDF("doc_id", "text")
+    val out = Dedup.ddIncrementalFrom(docs, Dedup.shingle(docs), maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(19L -> false, 29L -> true), s"unexpected: $out")
+  }
+
   test("dd03 LSH: band-bucket cap drops a planted degenerate band, keeps cold pairs") {
     import spark.implicits._
     // 5,000 identical docs: every band bucket they form holds 5,000
