@@ -170,7 +170,68 @@ object SketchQueries {
       .orderBy("o_custkey")
   }
 
+  /** sk07 — Bloom-filter runtime pre-filter (the engine-portable,
+    * deterministic replica of Spark's `InjectRuntimeFilter` bloom
+    * pruning, and of the reference's MultiEngineQuery IN-list ship
+    * when the dim-side key set is too large to ship as literals): a
+    * selective dim-side predicate (customers of one nation) builds an
+    * m-bit Bloom bitset — an AGGREGATE producing O(m) bytes of
+    * metadata, not data — which cross-joins (broadcast, 1 row) into
+    * the fact scan so every probe row is tested map-side with pure
+    * column arithmetic, inside whole-stage codegen, before the exact
+    * join runs. No distinct, no shuffle, no explode on the probe side.
+    *
+    * Determinism: bit positions are md5-derived (`pmod(60-bit md5
+    * prefix, m)` — the pp01/dd11 cross-engine pattern), words hold 60
+    * bits each so no engine touches the BIGINT sign bit, and OR is
+    * idempotent so the bitset is partitioning-independent — the one
+    * sketch in the family whose RAW form is safely oracle-checkable.
+    * m is deliberately tiny (240 bits, k=2) so false positives
+    * actually occur at test scale and the measured selectivity is a
+    * real Bloom trade-off, not a degenerate perfect filter; at 100 TB
+    * you'd size m ≈ 8·|build| bits and keep everything else
+    * unchanged. The output asserts the structural invariant too:
+    * member rows always pass (no false negatives — counted, not
+    * assumed). */
+  def sk07(s: SparkSession, d: String): DataFrame = {
+    val m = 240; val words = 4 // 4 words × 60 bits
+    def pos(key: org.apache.spark.sql.Column, i: Int) =
+      pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))),
+        1, 15), 16, 10).cast("bigint"), lit(m))
+    val build = customer(s, d).filter(col("c_nationkey") === 7)
+      .select(col("c_custkey").as("key"))
+    val posD = build.select(
+      explode(array(pos(col("key"), 0), pos(col("key"), 1))).as("p"))
+    val wordCols = (0 until words).map(w => expr(
+      s"bit_or(CASE WHEN p div 60 = $w THEN shiftleft(1L, cast(p % 60 as int)) ELSE 0L END)")
+      .as(s"w$w"))
+    val bitset = posD.agg(wordCols.head, wordCols.tail: _*)
+    val nb = build.agg(count(col("key")).as("n_build_keys"))
+    def bitTest(p: String) = expr(
+      s"(shiftright(element_at(array(w0, w1, w2, w3), cast($p div 60 as int) + 1), " +
+        s"cast($p % 60 as int)) % 2) = 1")
+    val flagged = orders(s, d).select(col("o_custkey").as("key"))
+      .crossJoin(broadcast(bitset)).crossJoin(broadcast(nb))
+      .join(broadcast(build.withColumn("mem", lit(1))), Seq("key"), "left")
+      .withColumn("p0", pos(col("key"), 0))
+      .withColumn("p1", pos(col("key"), 1))
+      .withColumn("pass", bitTest("p0") && bitTest("p1"))
+    flagged.groupBy("n_build_keys")
+      .agg(count(lit(1)).as("n_probe_rows"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("rows_bloom_pass"),
+        sum(when(col("mem") === 1, 1L).otherwise(0L)).as("rows_exact"),
+        sum(when(col("pass") && col("mem").isNull, 1L).otherwise(0L))
+          .as("false_pos_rows"),
+        sum(when(col("mem") === 1 && !col("pass"), 1L).otherwise(0L))
+          .as("false_neg_rows"))
+      .withColumn("bloom_selectivity",
+        col("rows_bloom_pass").cast("double") / col("n_probe_rows"))
+      .select("n_build_keys", "n_probe_rows", "rows_bloom_pass",
+        "rows_exact", "false_pos_rows", "false_neg_rows", "bloom_selectivity")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk07_bloom_filter" -> (sk07 _),
     "sk06_count_min" -> (sk06 _),
     "sk05_approx_distinct" -> (sk05 _),
     "sk01_theta_distinct" -> (sk01 _),
@@ -180,6 +241,40 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // sk07: full value-for-value Bloom replica — md5-derived bit
+    // positions and 60-bit words are computed identically by both
+    // engines, and bit_or is order-independent, so unlike HLL/CMS the
+    // raw bitset is safely oracle-checkable
+    "sk07_bloom_filter" ->
+      """WITH build AS (SELECT c_custkey AS key FROM customer WHERE c_nationkey = 7),
+        |posd AS (SELECT unnest([
+        |    ('0x' || substr(md5(concat('0:', CAST(key AS VARCHAR))), 1, 15))::BIGINT % 240,
+        |    ('0x' || substr(md5(concat('1:', CAST(key AS VARCHAR))), 1, 15))::BIGINT % 240]) AS p FROM build),
+        |bitset AS (SELECT
+        |    bit_or(CASE WHEN p // 60 = 0 THEN (1::BIGINT << CAST(p % 60 AS INT)) ELSE 0 END) AS w0,
+        |    bit_or(CASE WHEN p // 60 = 1 THEN (1::BIGINT << CAST(p % 60 AS INT)) ELSE 0 END) AS w1,
+        |    bit_or(CASE WHEN p // 60 = 2 THEN (1::BIGINT << CAST(p % 60 AS INT)) ELSE 0 END) AS w2,
+        |    bit_or(CASE WHEN p // 60 = 3 THEN (1::BIGINT << CAST(p % 60 AS INT)) ELSE 0 END) AS w3
+        |  FROM posd),
+        |nb AS (SELECT COUNT(key) AS n_build_keys FROM build),
+        |probe AS (SELECT o_custkey AS key,
+        |    ('0x' || substr(md5(concat('0:', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 240 AS p0,
+        |    ('0x' || substr(md5(concat('1:', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 240 AS p1
+        |  FROM orders),
+        |f AS (SELECT probe.key, nb.n_build_keys, (b.key IS NOT NULL) AS mem,
+        |    ((CASE p0 // 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END
+        |        >> CAST(p0 % 60 AS INT)) % 2 = 1)
+        |    AND ((CASE p1 // 60 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END
+        |        >> CAST(p1 % 60 AS INT)) % 2 = 1) AS pass
+        |  FROM probe CROSS JOIN bitset CROSS JOIN nb
+        |  LEFT JOIN build b ON b.key = probe.key)
+        |SELECT n_build_keys, COUNT(*) AS n_probe_rows,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS rows_bloom_pass,
+        |  CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT) AS rows_exact,
+        |  CAST(SUM(CASE WHEN pass AND NOT mem THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_rows,
+        |  CAST(SUM(CASE WHEN mem AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS false_neg_rows,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bloom_selectivity
+        |FROM f GROUP BY 1""".stripMargin,
     // exact point counts oracle-computable; estimate_ok engine-side:
     // CMS never underestimates (hard), and the 2⌈eps·N⌉ overestimate
     // window holds at ≥ confidence per query — fixed-seed + fixed

@@ -56,6 +56,21 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(est == expected)
   }
 
+  test("sk07 bloom pre-filter: no false negatives, pass ⊇ exact, partition-invariant") {
+    val r = graft.operators.SketchQueries.sk07(spark, sf).collect()(0)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(r.getAs[Long]("false_neg_rows") == 0L,
+      "a Bloom filter must never drop a member row")
+    assert(r.getAs[Long]("rows_bloom_pass") >= r.getAs[Long]("rows_exact"))
+    assert(r.getAs[Long]("false_pos_rows") ==
+      r.getAs[Long]("rows_bloom_pass") - r.getAs[Long]("rows_exact"))
+    assert(r.getAs[Long]("n_probe_rows") == nOrders)
+    // bit_or idempotence: the bitset (hence every verdict) must be
+    // independent of the build side's partitioning
+    val again = graft.operators.SketchQueries.sk07(spark, sf).collect()(0)
+    assert(r == again)
+  }
+
   test("string and long updates hash consistently across groups") {
     val docs = Tables.documents(spark, sf)
     val exact = docs.select(countDistinct(col("lang"))).collect()(0).getLong(0)
