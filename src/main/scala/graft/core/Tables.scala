@@ -24,29 +24,60 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read nanos as long and floor-truncate to microseconds
-    * (identical to DuckDB's ns→µs truncation). The truncation makes
-    * time predicates opaque to scan pushdown, so the
+  /** events.ts arrives in either of two parquet encodings depending on
+    * the data generation: TIMESTAMP(MICROS) (native Spark TimestampType
+    * — nothing to do, time predicates push down as-is) or
+    * TIMESTAMP(NANOS), which Spark 4 rejects by default; for the latter
+    * read nanos as long and floor-truncate to microseconds (identical
+    * to DuckDB's ns→µs truncation). The truncation makes time
+    * predicates opaque to scan pushdown, so the
     * [[graft.functions.MicrosTruncationPushdown]] rule (installed here;
     * also available via GraftExtensions) rewrites them back onto the
-    * raw nanos column. */
+    * raw nanos column. Both encodings yield the same µs TimestampType
+    * `ts` column, so every consumer is encoding-agnostic. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // synchronized: concurrent first use would otherwise race the
-    // contains/append check and install the rule twice (harmless — the
-    // rewrite is idempotent — but noisy); the narrow pattern keeps an
-    // accidental double install inert for non-events queries too
-    s.experimental.synchronized {
-      if (!s.experimental.extraOptimizations.contains(
-          graft.functions.MicrosTruncationPushdown))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.functions.MicrosTruncationPushdown
+    val raw = rawEvents(s, d)
+    if (eventsTsIsNanosLong(raw)) {
+      // synchronized: concurrent first use would otherwise race the
+      // contains/append check and install the rule twice (harmless — the
+      // rewrite is idempotent — but noisy); the narrow pattern keeps an
+      // accidental double install inert for non-events queries too
+      s.experimental.synchronized {
+        if (!s.experimental.extraOptimizations.contains(
+            graft.functions.MicrosTruncationPushdown))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.functions.MicrosTruncationPushdown
+      }
     }
-    tbl(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(raw)
   }
+
+  /** events.parquet exactly as the file decodes (nanos files → ts as
+    * raw LONG under the nanosAsLong legacy flag; µs files → ts as
+    * TimestampType). */
+  def rawEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, d, "events")
+  }
+
+  /** The raw (pre-normalization) file schema of events.parquet in `d`
+    * — what `readStream.schema(...)` must declare. Footer-only read. */
+  def eventsRawSchema(s: SparkSession, d: String)
+      : org.apache.spark.sql.types.StructType = rawEvents(s, d).schema
+
+  private def eventsTsIsNanosLong(df: DataFrame): Boolean =
+    df.schema("ts").dataType == org.apache.spark.sql.types.LongType
+
+  /** Normalize a raw events frame (batch or stream) so `tsCol` is a µs
+    * TimestampType regardless of the file encoding: raw-nanos LONG →
+    * `timestamp_micros(ts div 1000)` (integral div — a double division
+    * would lose precision above 2^53 ns); already-timestamp → as-is. */
+  def normalizeEventsTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    if (df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(tsCol,
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$tsCol` div 1000")))
+    else df
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 

@@ -37,15 +37,12 @@ object Streaming {
     graft.core.TempDirs.scratchShared(s"ckpt-$name", base)
   }
 
-  /** Raw parquet schema of events (ts is INT64 nanos in the file —
-    * see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema of events as the file in `d` decodes (ts is
+    * raw INT64 for nanos files, TimestampType for µs files — see
+    * Tables.events); readStream requires it declared up front.
+    * Footer-only batch read, negligible cost. */
+  private def rawSchema(s: SparkSession, d: String): StructType =
+    Tables.eventsRawSchema(s, d)
 
   /** Run `body` with a temporarily reduced shuffle-partition count:
     * each streaming state partition carries fixed per-batch overhead
@@ -62,12 +59,10 @@ object Streaming {
   /** Streaming daily windowed aggregation with a watermark, driven to
     * completion (AvailableNow) into a memory sink. */
   def st01(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
+    val stream = Tables.normalizeEventsTs(s.readStream
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(d))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -166,9 +161,8 @@ object Streaming {
     * dd01's hash-groupBy). Run to completion with AvailableNow;
     * projecting only the key columns makes the result deterministic. */
   def st03(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val q = s.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .select("user_id", "event_type")
@@ -197,7 +191,6 @@ object Streaming {
   // per-batch fixed cost is ~4× a windowed agg's — halve the partition
   // count for the bounded run; unbounded production sizes it to state.
   def st04(s: SparkSession, d: String): DataFrame = withFewPartitions(s, n = 2) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // INNER join output is emitted in the batch where rows match, not
     // gated on the watermark — the trailing no-data micro-batch exists
     // only to evict state, which a bounded run doesn't need
@@ -212,14 +205,15 @@ object Streaming {
 
   private def streamJoinRun(s: SparkSession, d: String, joinType: String,
       sink: String): DataFrame = {
-    def side(tpe: String, prefix: String): DataFrame = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    def side(tpe: String, prefix: String): DataFrame =
+      Tables.normalizeEventsTs(s.readStream
+        .schema(rawSchema(s, d))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${prefix}_user"),
         col("event_id").as(s"${prefix}_id"),
-        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+        col("ts").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
     val joined = side("click", "c").join(side("purchase", "p"),
       expr("""c_user = p_user AND
@@ -255,7 +249,6 @@ object Streaming {
     * delay). State size and eviction match st04; the null path adds no
     * extra state. */
   def st07(s: SparkSession, d: String): DataFrame = withFewPartitions(s, n = 2) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     streamJoinRun(s, d, "leftOuter", "st07_mem")
   }
 
@@ -282,19 +275,20 @@ object Streaming {
     * AvailableNow drives it to completion → result equals the batch
     * rollup, which is exactly what the oracle computes. */
   def st05(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files.createTempDirectory("graft-st05")
     sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
     // split the arrivals into 4 files so AvailableNow sees 4 batches
-    s.read.schema(rawSchema).option("pathGlobFilter", "events.parquet")
+    // (ts kept in its file encoding; the write preserves it, so the
+    // stream read below declares the same raw schema)
+    s.read.schema(rawSchema(s, d)).option("pathGlobFilter", "events.parquet")
       .parquet(d).repartition(4)
       .write.mode("overwrite").parquet(s"$root/src")
     var targetDir: Option[String] = None
     var version = 0
     lastSt05Batches = 0
-    val q = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.normalizeEventsTs(s.readStream.schema(rawSchema(s, d))
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src"))
+      .withColumn("tsm", col("ts"))
       .writeStream
       .option("checkpointLocation", ckptDir("st05"))
       .trigger(Trigger.AvailableNow())
@@ -338,17 +332,15 @@ object Streaming {
     * updates arrive by swapping the static table between restarts. */
   def st06(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = Seq(
       ("view", "browse", 1L), ("click", "engage", 5L),
       ("purchase", "convert", 25L), ("signup", "convert", 40L),
       ("error", "ops", 0L))
       .toDF("event_type", "category", "weight")
-    val stream = s.readStream
-      .schema(rawSchema)
+    val stream = Tables.normalizeEventsTs(s.readStream
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(d))
       .withWatermark("ts", "1 hour")
       .join(broadcast(dim), "event_type")
       .groupBy(window(col("ts"), "1 day"), col("category"))

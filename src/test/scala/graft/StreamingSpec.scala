@@ -25,11 +25,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = graft.core.Tables.eventsRawSchema(spark, sf)
     val gapUs = 1800L * 1000000L
     // (user, sessionStartUs, sessionEndUs, n); event-time logic runs at
     // µs precision (matching batch st02), state timeouts at ms
@@ -52,9 +48,9 @@ class StreamingSpec extends AnyFunSuite {
       state.setTimeoutTimestamp((last + gapUs) / 1000 + 1)
       out.iterator
     }
-    val q = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.core.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sf))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long)]
@@ -103,15 +99,10 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming session_window aggregation equals batch") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val q = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = graft.core.Tables.eventsRawSchema(spark, sf)
+    val q = graft.core.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sf))
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
