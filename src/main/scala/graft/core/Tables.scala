@@ -54,9 +54,15 @@ object Tables {
 
   /** events.parquet exactly as the file decodes (nanos files → ts as
     * raw LONG under the nanosAsLong legacy flag; µs files → ts as
-    * TimestampType). */
+    * TimestampType). Naive (isAdjustedToUTC=false) µs columns must
+    * decode as TimestampType, not TIMESTAMP_NTZ — NTZ is rejected by
+    * streaming watermarks / unix_micros, and an NTZ→LTZ cast after the
+    * scan would block predicate pushdown; disabling NTZ inference keeps
+    * the instant semantics (raw µs since epoch, UTC session) AND the
+    * pushdown at the scan. */
   def rawEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     tbl(s, d, "events")
   }
 
@@ -71,13 +77,21 @@ object Tables {
   /** Normalize a raw events frame (batch or stream) so `tsCol` is a µs
     * TimestampType regardless of the file encoding: raw-nanos LONG →
     * `timestamp_micros(ts div 1000)` (integral div — a double division
-    * would lose precision above 2^53 ns); already-timestamp → as-is. */
+    * would lose precision above 2^53 ns); TIMESTAMP_NTZ (a read that
+    * bypassed [[rawEvents]]'s NTZ-inference toggle) → cast to
+    * TimestampType (value-preserving under the UTC session timezone);
+    * already-timestamp → as-is. */
   def normalizeEventsTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    if (df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(tsCol,
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"`$tsCol` div 1000")))
-    else df
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"`$tsCol` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, org.apache.spark.sql.functions.col(tsCol)
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 
