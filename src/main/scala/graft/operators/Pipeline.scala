@@ -88,9 +88,51 @@ object Pipeline {
       .orderBy("source_a", "source_b")
   }
 
+  /** pp03 — EFFECTIVE token budget per source (what a mixture planner
+    * actually has to spend, not what `ls -l` suggests): total docs and
+    * whitespace tokens per source, minus what exact dedup removes —
+    * a doc contributes "effective" tokens only if it is the canonical
+    * (min doc_id) occurrence of its md5 fingerprint CORPUS-WIDE, so a
+    * source that mirrors another's content shows a high dup_ratio and
+    * a deflated effective budget. Feeds sp04/sp07: mixture weights
+    * computed from raw token counts double-count mirrored content.
+    *
+    * Scale shape: one scan computes (fp, source, n_tok); the canonical
+    * pick is ONE map-side-combined aggregate on fp (same shuffle as
+    * dd01); the per-source rollup aggregates ≤ |sources| rows.
+    * No window, no join back against the corpus — the canonical
+    * carries its own source/n_tok through min(struct(...)). */
+  def ppTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("fp"),
+        size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok"))
+    // per-fingerprint: who is canonical (min doc_id) and that doc's
+    // (source, n_tok) — carried through the same struct-min, ONE
+    // aggregate, no join back
+    val canon = docs
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tok"))).as("c"))
+      .select(col("c.source").as("source"), col("c.n_tok").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("eff_docs"),
+        sum("n_tok").cast("bigint").as("eff_tokens"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("n_tokens"))
+      .join(canon, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("eff_docs"), lit(0L)).as("eff_docs"),
+        coalesce(col("eff_tokens"), lit(0L)).as("eff_tokens"),
+        (lit(1.0) - coalesce(col("eff_tokens"), lit(0L)).cast("double")
+          / col("n_tokens")).as("dup_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp01_curation_manifest" -> (ppCurate _),
     "pp02_source_overlap" -> (ppSourceOverlap _),
+    "pp03_token_budget" -> (ppTokenBudget _),
   )
 
   // each CTE replicates the corresponding stage's proven oracle
@@ -148,5 +190,26 @@ object Pipeline {
         |FROM p JOIN documents dx ON p.x = dx.doc_id
         |       JOIN documents dy ON p.y = dy.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pp03: canonical = arg_min by doc_id per fingerprint (the SQL
+    // spelling of Spark's min(struct(doc_id, source, n_tok)))
+    "pp03_token_budget" ->
+      """WITH docs AS (SELECT doc_id, source, md5(text) fp,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+        |  FROM documents),
+        |canon AS (SELECT fp, arg_min(source, doc_id) src,
+        |    arg_min(n_tok, doc_id) nt
+        |  FROM docs GROUP BY fp),
+        |eff AS (SELECT src AS source, COUNT(*) eff_docs,
+        |    CAST(SUM(nt) AS BIGINT) eff_tokens
+        |  FROM canon GROUP BY 1),
+        |tot AS (SELECT source, COUNT(*) n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) n_tokens
+        |  FROM docs GROUP BY 1)
+        |SELECT t.source, n_docs, n_tokens,
+        |  COALESCE(eff_docs, 0) AS eff_docs,
+        |  COALESCE(eff_tokens, 0) AS eff_tokens,
+        |  1.0 - CAST(COALESCE(eff_tokens, 0) AS DOUBLE) / n_tokens AS dup_ratio
+        |FROM tot t LEFT JOIN eff USING (source)
+        |ORDER BY t.source""".stripMargin,
   )
 }

@@ -293,7 +293,41 @@ object Sampling {
       .orderBy("source", "rank_in_source")
   }
 
+  /** Weighted sampling WITHOUT replacement, probability ∝ n_chars
+    * (sequential Poisson / priority sampling, Ohlsson 1998: priority
+    * q = w/u with u uniform, keep the top-k priorities — an
+    * order-sample PPS scheme; the E-S u^(1/w) exponent is avoided on
+    * purpose: w/u is one IEEE division, bit-identical in any engine,
+    * while pow/ln are not correctly-rounded and could flip a rank at
+    * an ulp boundary). u is the salted-md5 uniform every sp* sampler
+    * uses, so the draw is deterministic and replayable: adding a doc
+    * never changes another doc's priority (the sample is stable under
+    * corpus deltas — the property that makes incremental re-curation
+    * cheap, cf. dd12). Shape: map-only priority computation on the
+    * scan, then ONE TakeOrderedAndProject top-k — no shuffle, no
+    * global sort; at 100 TB it is the same per-partition top-k +
+    * driver merge Spark uses for any LIMIT-by-order. */
+  def spPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    // u in (0, 1]: 60-bit md5 prefix + 1 over 2^60 — never zero, so
+    // the division below cannot overflow to inf
+    val u = (conv(substring(md5(concat(lit("prio:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint") + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("priority", col("n_chars").cast("double") / u)
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(k)
+      .withColumn("draw_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("priority"), col("doc_id"))).cast("bigint"))
+      .select("draw_rank", "doc_id", "source", "n_chars", "priority")
+      .orderBy("draw_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp10_priority_sample" -> (spPrioritySample _),
     "sp08_source_budget" -> (spSourceBudget _),
     "sp01_split_assign" -> (spSplit _),
     "sp02_stratified_sample" -> (spStratified _),
@@ -306,6 +340,19 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    // priority = w/u stated directly; both engines compute u then the
+    // outer division in the same order, so the doubles are bit-equal
+    "sp10_priority_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |    (CAST(CAST(('0x' || substr(md5('prio:' || doc_id), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |      / 1152921504606846976.0) AS priority
+        |  FROM documents)
+        |SELECT draw_rank, doc_id, source, n_chars, priority FROM (
+        |  SELECT doc_id, source, n_chars, priority,
+        |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS draw_rank
+        |  FROM p) t
+        |WHERE draw_rank <= 100 ORDER BY draw_rank""".stripMargin,
     "sp09_shard_export" ->
       """WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) n_bytes FROM documents),
         |o AS (SELECT doc_id, n_bytes,

@@ -646,7 +646,45 @@ object Similarity {
       .orderBy("grp")
   }
 
+  /** Matryoshka (MRL) two-stage retrieval: coarse-score every corpus
+    * vector with only the FIRST `pdim` dimensions (matryoshka-trained
+    * embeddings front-load information, so a 16-dim prefix preserves
+    * neighborhood structure), shortlist the top `shortlist` per query,
+    * then rerank only the shortlist with the full vector. Stage 1
+    * touches pdim/dim of the float traffic of a flat scan — at 100 TB
+    * the prefix lives as its own (4× narrower) column so the scan
+    * reads ¼ of the bytes, and stage 2's full-vector fetch is a
+    * broadcast-semi-joined point lookup over `shortlist × nq` rows,
+    * i.e. negligible. Same fixed-point arithmetic as sim01, so the
+    * two-stage result is oracle-checkable bit-for-bit. */
+  def simMrlRerank(s: SparkSession, d: String): DataFrame = {
+    val pdim = 16; val shortlist = 20; val k = 5; val nq = 10
+    val fx = graft.functions.GraftFunctions
+    val v = embeddings(s, d)
+      .withColumn("pe", slice(col("embedding"), 1, pdim))
+      .withColumn("nrm", sqrt(fx.fixdotD(col("embedding"), col("embedding"))))
+      .withColumn("pn", sqrt(fx.fixdotD(col("pe"), col("pe"))))
+    val q = broadcast(v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("pe").as("qpe"), col("nrm").as("qn"), col("pn").as("qpn")))
+    val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("pe").as("cpe"), col("nrm").as("cn"), col("pn").as("cpn"))
+    val wP = Window.partitionBy("qid").orderBy(desc("pcos"), col("nid"))
+    val wF = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    c.join(q, col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        fx.fixdotD(col("qpe"), col("cpe")) / (col("qpn") * col("cpn")))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= shortlist)
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wF).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim10_mrl_rerank" -> (simMrlRerank _),
     "dd08_semdedup" -> (semDedup _),
     "dd09_semdedup_hier" -> (semDedupHier _),
     "sim08_pq_adc" -> (simPqAdc _),
@@ -975,6 +1013,33 @@ object Similarity {
          |  JOIN v qv ON qv.vec_id = cand.x
          |  JOIN v cv ON cv.vec_id = cand.y)
          |SELECT x, y, cosine FROM p WHERE cosine >= 0.3 ORDER BY x, y""".stripMargin,
+    // the two-stage MRL funnel in exact fixed-point: prefix-cosine
+    // shortlist (embedding[1:16]) then full-vector rerank
+    "sim10_mrl_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm,
+        |  embedding[1:16] pe,
+        |  sqrt(CAST(list_sum(list_transform(embedding[1:16],
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) pn
+        |  FROM embeddings),
+        |cand AS (SELECT q.vec_id qid, c.vec_id nid,
+        |  q.embedding qe, c.embedding ce, q.nrm qn, c.nrm cn,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    (CAST(list_sum(list_transform(list_zip(q.pe, c.pe),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.pn * c.pn) DESC, c.vec_id) prank
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |p AS (SELECT qid, nid,
+        |  (CAST(list_sum(list_transform(list_zip(qe, ce),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |    / (qn * cn) AS cosine
+        |  FROM cand WHERE prank <= 20)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(CAST(list_sum(list_transform(embedding,
