@@ -660,23 +660,43 @@ object Similarity {
   def simMrlRerank(s: SparkSession, d: String): DataFrame = {
     val pdim = 16; val shortlist = 20; val k = 5; val nq = 10
     val fx = graft.functions.GraftFunctions
-    val v = embeddings(s, d)
-      .withColumn("pe", slice(col("embedding"), 1, pdim))
-      .withColumn("nrm", sqrt(fx.fixdotD(col("embedding"), col("embedding"))))
+    // stage 1 reads ONLY the prefix: (vec_id, pe, pn) — at scale the
+    // prefix is its own column and this scan never touches the full
+    // vector bytes; the shortlist window shuffles bare (qid, nid,
+    // pcos) triples, no embeddings ride the shuffle
+    val p = embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, pdim).as("pe"))
       .withColumn("pn", sqrt(fx.fixdotD(col("pe"), col("pe"))))
-    val q = broadcast(v.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("pe").as("qpe"), col("nrm").as("qn"), col("pn").as("qpn")))
-    val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-      col("pe").as("cpe"), col("nrm").as("cn"), col("pn").as("cpn"))
+    val qp = broadcast(p.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("pe").as("qpe"),
+        col("pn").as("qpn")))
     val wP = Window.partitionBy("qid").orderBy(desc("pcos"), col("nid"))
-    val wF = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
-    c.join(q, col("qid") =!= col("nid"))
+    val cand = p.select(col("vec_id").as("nid"), col("pe").as("cpe"),
+        col("pn").as("cpn"))
+      .join(qp, col("qid") =!= col("nid"))
       .withColumn("pcos",
         fx.fixdotD(col("qpe"), col("cpe")) / (col("qpn") * col("cpn")))
+      // explicit narrow projection BEFORE the window: the shuffle to
+      // qid partitions must carry 3 scalars per pair, not vectors
+      .select("qid", "nid", "pcos")
       .withColumn("prank", row_number().over(wP))
       .filter(col("prank") <= shortlist)
+      .select("qid", "nid")
+    // stage 2: the nq×shortlist candidate set is tiny — broadcast it
+    // into the full-vector scan (the "fetch"), broadcast the nq query
+    // vectors, rerank. Full vectors are read once and only joined,
+    // never shuffled wide.
+    val vf = withNorm(s, d)
+    val qf = broadcast(vf.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val wF = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    vf.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(qf, Seq("qid"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .select("qid", "nid", "cosine")
       .withColumn("rank", row_number().over(wF).cast("bigint"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cosine")

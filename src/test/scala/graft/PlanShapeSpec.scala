@@ -209,6 +209,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"missing user_id exchange:\n$plan")
   }
 
+  test("sim10: shortlist window shuffles scalar triples — no vectors ride the exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.types.ArrayType
+    // AQE hides operators inside query-stage leaves; the static plan
+    // exposes the Window nodes and their child schemas directly
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Similarity.simMrlRerank(spark, sf).queryExecution.executedPlan.collect {
+        case w: WindowExec => w }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(windows.nonEmpty, "no window operators found")
+    // the stage-1 (pcos) window is the one whose input would carry
+    // embeddings if the pre-window projection regressed; neither
+    // window's CHILD schema may contain an array column
+    windows.foreach { w =>
+      val arrays = w.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"window input carries vectors through the shuffle: ${arrays.map(_.name)}")
+    }
+    // both stages join via broadcast — candidate generation and the
+    // full-vector fetch must never shuffle the corpus side
+    val plan = physical(Similarity.simMrlRerank(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = Relational.q13(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
