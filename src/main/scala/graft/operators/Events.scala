@@ -225,7 +225,55 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Conversion-lag distribution: per user, first click and the first
+    * purchase at-or-after it; per first-click DAY, the count and the
+    * min / DISCRETE-median / max lag. The median is selected, not
+    * interpolated — the lag value at row (n+1)/2 in (lag, user_id)
+    * order — so every output is exact integer µs arithmetic,
+    * bit-identical cross-engine (quantile_cont's interpolation would
+    * be float). Shape: the per-user reduction is ONE map-side-combined
+    * conditional aggregate pair on user_id (no event-order window —
+    * min(click t) and min(purchase t ≥ fc) commute with partial
+    * aggregation via min(struct)); the per-day median is one window
+    * over the (small) converted-users frame, partitioned by day. */
+  def evConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("t"))
+    // fc = min click t; conv = min purchase t >= fc. One aggregation:
+    // min(t) over clicks, plus the ordered purchase-time list is NOT
+    // needed — min purchase >= fc can't be folded into the same pass
+    // without fc, so aggregate clicks and purchases separately in one
+    // groupBy (conditional mins), then pick conv from the purchase
+    // side with a second conditional pass over the SAME grouped rows:
+    // min purchase-after-fc = min over purchases >= fc, computed by
+    // re-aggregating the (user, t) purchase rows joined to fc —
+    // co-partitioned on user_id, AQE plans it shuffle-free after the
+    // first exchange.
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("t").as("fc"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("t") >= col("fc"))
+      .groupBy("user_id")
+      .agg(min("fc").as("fc"), min("t").as("conv"))
+      .withColumn("lag_us", col("conv") - col("fc"))
+      .withColumn("day", to_date(timestamp_micros(col("fc"))))
+    val wd = Window.partitionBy("day").orderBy(col("lag_us"), col("user_id"))
+    conv
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("day")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_conversions"),
+        min("lag_us").as("min_lag_us"),
+        min(when(col("rn") === ((col("cnt") + 1) / 2).cast("int"), col("lag_us")))
+          .as("median_lag_us"),
+        max("lag_us").as("max_lag_us"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev08_conversion_lag" -> (evConversionLag _),
     "ev01_funnel" -> (evFunnel _),
     "ev02_retention" -> (evRetention _),
     "ev03_path_transitions" -> (evPaths _),
@@ -236,6 +284,27 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // discrete median: the selected element, never interpolation —
+    // exact integer µs end to end
+    "ev08_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |fc AS (SELECT user_id, min(t) fc FROM ev
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(fc) fc, min(t) conv
+        |         FROM ev e JOIN fc USING (user_id)
+        |         WHERE e.event_type = 'purchase' AND t >= fc GROUP BY 1),
+        |lg AS (SELECT user_id, conv - fc AS lag_us,
+        |         CAST(make_timestamp(fc) AS DATE) AS day FROM conv),
+        |r AS (SELECT day, lag_us, user_id,
+        |        row_number() OVER (PARTITION BY day ORDER BY lag_us, user_id) rn,
+        |        COUNT(*) OVER (PARTITION BY day) cnt
+        |      FROM lg)
+        |SELECT day, COUNT(*) AS n_conversions,
+        |  MIN(lag_us) AS min_lag_us,
+        |  MIN(CASE WHEN rn = (cnt + 1) // 2 THEN lag_us END) AS median_lag_us,
+        |  MAX(lag_us) AS max_lag_us
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     // same squared 2-sigma identity in HUGEINT (DuckDB's BIGINT
     // products widen automatically via explicit casts)
     "ev07_anomaly_days" ->

@@ -326,7 +326,38 @@ object Sampling {
       .orderBy("draw_rank")
   }
 
+  /** Length-bucketed batching manifest (the padding-efficiency story
+    * for non-packed fine-tuning batches, where examples can't be
+    * concatenated and every batch pads to its longest member): bucket
+    * docs by n_tok//16, pad each bucket to its own max length, report
+    * per-bucket doc/token counts, padded volume and efficiency, plus
+    * the waste a single global pad-to-max batcher would have paid
+    * (the quantity length-bucketing exists to eliminate). All integer
+    * arithmetic except the final efficiency ratios (one division
+    * each). Shape: ONE map-side-combined aggregate on the bucket id —
+    * no window, no sort; the global-max comparison broadcasts a
+    * 1-row aggregate. */
+  def spPaddingManifest(s: SparkSession, d: String): DataFrame = {
+    val width = 16
+    val per = withTok(s, d)
+      .select((col("n_tok") / width).cast("bigint").as("bucket"), col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("sum_tok"),
+        max("n_tok").as("max_tok"))
+      .withColumn("pad_tok", col("n_docs") * col("max_tok"))
+      .withColumn("efficiency",
+        col("sum_tok").cast("double") / col("pad_tok"))
+    val global = per.agg(max("max_tok").as("gmax"))
+    per.join(broadcast(global))
+      .withColumn("global_pad_tok", col("n_docs") * col("gmax"))
+      .select("bucket", "n_docs", "sum_tok", "max_tok", "pad_tok",
+        "efficiency", "global_pad_tok")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp11_padding_manifest" -> (spPaddingManifest _),
     "sp10_priority_sample" -> (spPrioritySample _),
     "sp08_source_budget" -> (spSourceBudget _),
     "sp01_split_assign" -> (spSplit _),
@@ -340,6 +371,18 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sp11_padding_manifest" ->
+      """WITH tok AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+        |  FROM documents),
+        |per AS (SELECT n_tok // 16 AS bucket, COUNT(*) n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) sum_tok, MAX(n_tok) max_tok
+        |  FROM tok GROUP BY 1),
+        |g AS (SELECT MAX(max_tok) gmax FROM per)
+        |SELECT bucket, n_docs, sum_tok, max_tok,
+        |  n_docs * max_tok AS pad_tok,
+        |  CAST(sum_tok AS DOUBLE) / (n_docs * max_tok) AS efficiency,
+        |  n_docs * gmax AS global_pad_tok
+        |FROM per, g ORDER BY bucket""".stripMargin,
     // priority = w/u stated directly; both engines compute u then the
     // outer division in the same order, so the doubles are bit-equal
     "sp10_priority_sample" ->
