@@ -49,4 +49,40 @@ object Udafs {
       override def bufferEncoder: Encoder[SqBuf] = Encoders.product[SqBuf]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
+
+  /** One (score, id) candidate for [[topKByScore]]. */
+  case class ScoredId(score: Double, id: Long)
+
+  /** Bounded top-k by (score DESC, id ASC) as a MAP-SIDE-COMBINING
+    * aggregate — the scale-correct form of "top-k per key". A
+    * row_number window ships every candidate row through the shuffle
+    * (keys × corpus rows); this aggregate reduces each map partition
+    * to ≤ k candidates per key first, so the shuffle carries
+    * keys × k × partitions worst-case, independent of corpus size.
+    * Total order (exact double compare, id tie-break) ⇒ associative
+    * and order-insensitive ⇒ deterministic at any parallelism.
+    *
+    * The buffer is kept sorted; a non-qualifying row (score below the
+    * current k-th) is rejected in O(1) — the common case once the
+    * buffer saturates, so per-row cost is ~a compare, not a sort. */
+  def topKByScore(k: Int): Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] =
+    new Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+      private def lt(a: ScoredId, b: ScoredId): Boolean =
+        a.score > b.score || (a.score == b.score && a.id < b.id)
+      override def zero: Seq[ScoredId] = Vector.empty
+      override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+        if (b.size >= k && !lt(a, b.last)) b
+        else {
+          val (before, after) = b.span(lt(_, a))
+          (before :+ a) ++ after.take(k - before.size - 1)
+        }
+      }
+      override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
+        y.foldLeft(x)(reduce)
+      override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+      override def bufferEncoder: Encoder[Seq[ScoredId]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredId]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
 }

@@ -103,10 +103,14 @@ object Pipeline {
     * No window, no join back against the corpus — the canonical
     * carries its own source/n_tok through min(struct(...)). */
   def ppTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        md5(encode(col("text"), "UTF-8")).as("fp"),
-        size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok"))
+    // two rollups consume this frame (per-source totals + canonical
+    // pick); memoize the NARROW projection so the text column is read
+    // and fingerprinted/tokenized once, not once per consumer
+    val docs = graft.core.Caches.memo(s, s"pp03|$d|docs")(
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"),
+          size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok")))
     // per-fingerprint: who is canonical (min doc_id) and that doc's
     // (source, n_tok) — carried through the same struct-min, ONE
     // aggregate, no join back

@@ -41,16 +41,35 @@ object Similarity {
   def simCosineTopK(s: SparkSession, d: String): DataFrame =
     simCosineTopKFrom(withNorm(s, d))
 
+  /** Map-side-combining top-k per query: see
+    * [[graft.functions.Udafs.topKByScore]] — each scan partition
+    * reduces to ≤ k candidates per query BEFORE the shuffle, so the
+    * exchange carries nq·k·partitions rows, not nq·corpus. The
+    * row_number window this replaces shipped every scored pair. */
+  private[graft] def topKAgg(k: Int) = udaf(
+    graft.functions.Udafs.topKByScore(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      graft.functions.Udafs.ScoredId]())
+
+  /** Explode a (qid, top: array<struct<score,id>>) frame into ranked
+    * rows (qid, nid, rank, `scoreName`). */
+  private def explodeRanked(g: DataFrame, scoreName: String): DataFrame =
+    g.select(col("qid"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("s.score").as(scoreName))
+
   private[graft] def simCosineTopKFrom(v: DataFrame, nq: Int = 10): DataFrame = {
     val q = broadcast(v.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn")))
-    val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val c = v.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
     c.join(q, col("qid") =!= col("nid"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select("qid", "nid", "rank", "cosine")
+      .groupBy("qid").agg(topKAgg(5)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -657,44 +676,54 @@ object Similarity {
     * broadcast-semi-joined point lookup over `shortlist × nq` rows,
     * i.e. negligible. Same fixed-point arithmetic as sim01, so the
     * two-stage result is oracle-checkable bit-for-bit. */
-  def simMrlRerank(s: SparkSession, d: String): DataFrame = {
-    val pdim = 16; val shortlist = 20; val k = 5; val nq = 10
+  def simMrlRerank(s: SparkSession, d: String): DataFrame =
+    simMrlRerankFrom(embeddings(s, d).select("vec_id", "embedding"))
+
+  /** @param preSliced optional (vec_id, pe) frame where pe is already
+    *   the materialized pdim-prefix column — the production storage
+    *   layout (prefix stored next to the full vector, read without
+    *   touching the wide column). Default derives it by slicing
+    *   `base`, which is correct but reads the full vectors. */
+  private[graft] def simMrlRerankFrom(base: DataFrame, pdim: Int = 16,
+      shortlist: Int = 20, k: Int = 5, nq: Int = 10,
+      preSliced: Option[DataFrame] = None): DataFrame = {
     val fx = graft.functions.GraftFunctions
     // stage 1 reads ONLY the prefix: (vec_id, pe, pn) — at scale the
     // prefix is its own column and this scan never touches the full
     // vector bytes; the shortlist window shuffles bare (qid, nid,
     // pcos) triples, no embeddings ride the shuffle
-    val p = embeddings(s, d)
-      .select(col("vec_id"), slice(col("embedding"), 1, pdim).as("pe"))
+    val p = preSliced.getOrElse(base
+      .select(col("vec_id"), slice(col("embedding"), 1, pdim).as("pe")))
       .withColumn("pn", sqrt(fx.fixdotD(col("pe"), col("pe"))))
     val qp = broadcast(p.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("pe").as("qpe"),
         col("pn").as("qpn")))
-    val wP = Window.partitionBy("qid").orderBy(desc("pcos"), col("nid"))
+    // shortlist via the map-side-combining top-k aggregate: each scan
+    // partition reduces to ≤ shortlist candidates per query before the
+    // shuffle — nq·shortlist·partitions rows cross the wire, not the
+    // nq·corpus scored pairs a rank window would ship
     val cand = p.select(col("vec_id").as("nid"), col("pe").as("cpe"),
         col("pn").as("cpn"))
       .join(qp, col("qid") =!= col("nid"))
       .withColumn("pcos",
         fx.fixdotD(col("qpe"), col("cpe")) / (col("qpn") * col("cpn")))
-      // explicit narrow projection BEFORE the window: the shuffle to
-      // qid partitions must carry 3 scalars per pair, not vectors
-      .select("qid", "nid", "pcos")
-      .withColumn("prank", row_number().over(wP))
-      .filter(col("prank") <= shortlist)
-      .select("qid", "nid")
+      .groupBy("qid")
+      .agg(topKAgg(shortlist)(col("pcos"), col("nid")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("nid"))
     // stage 2: the nq×shortlist candidate set is tiny — broadcast it
     // into the full-vector scan (the "fetch"), broadcast the nq query
-    // vectors, rerank. Full vectors are read once and only joined,
-    // never shuffled wide.
-    val vf = withNorm(s, d)
-    val qf = broadcast(vf.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn")))
+    // vectors, rerank. Full-dim norms and dots are computed AFTER the
+    // candidate join, so the expensive arithmetic runs on ≤ nq·
+    // shortlist rows — a full-corpus norm pass here would silently
+    // re-pay the brute-force cost the funnel exists to avoid.
+    val qf = broadcast(base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val wF = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
-    vf.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
+    base.select(col("vec_id").as("nid"), col("embedding").as("ce"))
       .join(broadcast(cand), Seq("nid"))
       .join(qf, Seq("qid"))
+      .withColumn("qn", sqrt(fx.fixdotD(col("qe"), col("qe"))))
+      .withColumn("cn", sqrt(fx.fixdotD(col("ce"), col("ce"))))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .select("qid", "nid", "cosine")
       .withColumn("rank", row_number().over(wF).cast("bigint"))

@@ -200,6 +200,12 @@ object ScaleSlope {
     for ((regime, run) <- Seq[(String, Int => (Double, Long))](
         ("sim01_brute", c => timed(graft.operators.Similarity
           .simCosineTopKFrom(ecorpus(c), nq = simNq).count())),
+        // MRL funnel: prefix-dim coarse scan + shortlist rerank —
+        // query cost ∝ n like brute force but at pdim/dim (¼) of the
+        // per-row dot arithmetic; the shortlist rerank is O(nq·20)
+        ("sim10_mrl", c => timed(graft.operators.Similarity
+          .simMrlRerankFrom(ecorpus(c).select("vec_id", "embedding"),
+            nq = simNq).count())),
         ("sim09_ivfpq_g8", c => timed(graft.operators.Similarity
           .simIvfPqFrom(spark, ecorpus(c).select("vec_id", "embedding"),
             g = 8, nq = simNq).count())),
@@ -215,6 +221,55 @@ object ScaleSlope {
       }.mkString(",")
       val slope = pts.last._2._1 / pts(1)._2._1
       println(f"""{"op":"$regime",$cells,"slope_10x_to_100x":$slope%.2f}""")
+    }
+    // Column-layout MRL probe: the sim10 deployment stores the 16-dim
+    // prefix as its OWN column, so stage 1 never deserializes the wide
+    // vector. Model that with two localCheckpointed frames (full +
+    // prefix) and compare a brute full-dim scan against the funnel on
+    // the same materialized inputs — generator cost excluded from both.
+    if (only("sim10_cols")) {
+      for (c <- Seq(10, 100)) {
+        val full = ecorpus(c).select("vec_id", "embedding").localCheckpoint()
+        val pref = full.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("pe")).localCheckpoint()
+        val n = full.count()
+        val (tb, _) = timed(graft.operators.Similarity
+          .simCosineTopKFrom(full.withColumn("nrm",
+            sqrt(graft.functions.GraftFunctions
+              .fixdotD(col("embedding"), col("embedding")))),
+            nq = simNq).count())
+        val (tm, _) = timed(graft.operators.Similarity
+          .simMrlRerankFrom(full, nq = simNq, preSliced = Some(pref))
+          .count())
+        println(f"""{"op":"sim10_cols_${c}x","rows":$n,"sec_brute":$tb%.2f,"sec_mrl":$tm%.2f,"brute_over_mrl":${tb / tm}%.2f}""")
+      }
+    }
+    // High-dim MRL probe: production embedding dims are 768-4096, not
+    // this corpus's 64 — and the funnel's economics depend on the dot
+    // arithmetic dominating the per-pair machinery. Tile each vector
+    // 12× to 768 dims with per-position sign decorrelation (orthogonal
+    // per tile, so vectors stay non-degenerate), then compare the same
+    // brute scan vs funnel on checkpointed column-layout frames.
+    if (only("sim10_hidim")) {
+      for (c <- Seq(10, 100)) {
+        val full = ecorpus(c).select(col("vec_id"),
+            expr("""transform(flatten(array_repeat(embedding, 12)),
+                   |(x, j) -> x * cast(1 - 2 * pmod(hash('t', j), 2) as float))"""
+              .stripMargin).as("embedding"))
+          .localCheckpoint()
+        val pref = full.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("pe")).localCheckpoint()
+        val n = full.count()
+        val (tb, _) = timed(graft.operators.Similarity
+          .simCosineTopKFrom(full.withColumn("nrm",
+            sqrt(graft.functions.GraftFunctions
+              .fixdotD(col("embedding"), col("embedding")))),
+            nq = simNq).count())
+        val (tm, _) = timed(graft.operators.Similarity
+          .simMrlRerankFrom(full, nq = simNq, preSliced = Some(pref))
+          .count())
+        println(f"""{"op":"sim10_hidim_${c}x","rows":$n,"dim":768,"sec_brute":$tb%.2f,"sec_mrl":$tm%.2f,"brute_over_mrl":${tb / tm}%.2f}""")
+      }
     }
     // PRODUCTION-k assignment probe (assignment stage ONLY, on a
     // localCheckpointed corpus so plan/scan cost is excluded): exact
