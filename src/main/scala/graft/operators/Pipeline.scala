@@ -37,12 +37,9 @@ object Pipeline {
     val canon = docs.groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"))
       .join(docs, Seq("fp", "doc_id"))
-    // stage 3: per-source budget — sp08's window, K = 40
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
-    val budgeted = canon
-      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
-      .filter(col("rank_in_source") <= 40)
+    // stage 3: per-source budget — sp08's map-side-combined top-N
+    // aggregate (never a corpus-wide partitioned window)
+    val budgeted = Sampling.topNPerSource(canon, 40)
     // stage 4: sp01's salted split buckets (90/5/5 over 1000)
     val bucket = (conv(substring(
       md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)

@@ -277,21 +277,33 @@ object Sampling {
     * CC-style pipeline: no single domain may contribute more than K
     * documents, keeping the best ones). Rank within source by length
     * desc (doc_id tie-break — swap in a model quality score like tx14's
-    * in production), keep rank ≤ K. Shape: ONE partitioned window
-    * (shuffle on source, per-partition sort); a 100 TB run with a
-    * mega-domain salts that source into sub-partitions, takes per-salt
-    * top-K, then re-ranks the K·salts survivors — same operator
-    * composed twice, never a global sort. */
-  def spSourceBudget(s: SparkSession, d: String): DataFrame = {
-    val k = 40
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
-      .filter(col("rank_in_source") <= k)
+    * in production), keep rank ≤ K. Shape: see [[topNPerSource]] —
+    * the map-side-combined top-K aggregate makes a mega-domain a
+    * non-event (each scan partition emits ≤ K rows per source; the
+    * reduce side merges sorted K-lists), where the earlier
+    * partitioned-window form needed salting to survive one. */
+  def spSourceBudget(s: SparkSession, d: String): DataFrame =
+    topNPerSource(documents(s, d), 40)
+
+  /** Top-N docs per source by (n_chars DESC, doc_id) — as the
+    * map-side-combining [[graft.operators.Similarity.topKAgg]]
+    * aggregate, NOT a partitioned window: the window form shuffles
+    * every document row to its source's partition (few sources ⇒ hot
+    * partitions at 100 TB); the aggregate reduces each scan partition
+    * to ≤ N rows per source before the exchange, which then carries
+    * sources × N × partitions rows. n_chars rides through the score
+    * slot (exact below 2⁵³) so no join-back is needed. */
+  private[graft] def topNPerSource(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .groupBy("source")
+      .agg(Similarity.topKAgg(k)(col("n_chars").cast("double"),
+        col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("source"),
+        col("s.score").cast("bigint").as("n_chars"),
+        (col("pos") + 1).cast("bigint").as("rank_in_source"))
       .orderBy("source", "rank_in_source")
-  }
 
   /** Weighted sampling WITHOUT replacement, probability ∝ n_chars
     * (sequential Poisson / priority sampling, Ohlsson 1998: priority
