@@ -507,7 +507,45 @@ object Streaming {
     s.table(qn).orderBy("vec_id")
   }
 
+  /** Streaming trending top-K: the watermarked daily (window,
+    * event_type) counts stream into the materialized aggregate
+    * (identical machinery to st01 — the corpus-sized work); the
+    * per-day top-3 rank runs on that TINY aggregate at serve time via
+    * the same map-side-combining top-k aggregate the ANN path uses.
+    * This split is the production shape for "trending" dashboards:
+    * state is the windowed counts (bounded by watermark), never a
+    * rank buffer. Ranking is a row_number over the ≤ |event_types|
+    * rows per day — trivial at any corpus scale — ordered (n DESC,
+    * event_type) so ties break deterministically. */
+  def st09(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    val stream = Tables.normalizeEventsTs(s.readStream
+      .schema(rawSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("st09_mem")
+      .option("checkpointLocation", ckptDir("st09"))
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val agg = s.table("st09_mem")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(desc("n"), col("event_type"))
+    agg.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("day", "rank", "event_type", "n")
+      .orderBy("day", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_trending_topk" -> (st09 _),
     "st06_stream_enrich" -> (st06 _),
     "st01_stream_window" -> (st01 _),
     "st02_sessionize" -> (st02 _),
@@ -519,6 +557,16 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "st09_trending_topk" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, rank, event_type, n FROM (
+        |  SELECT day, event_type, n,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rank
+        |  FROM daily) t
+        |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     // closed form of the greedy in-bucket streaming dedup: a vector's
     // dupe_of is the MIN earlier same-bucket vec_id with cosine ≥ τ
     // (arrival order equals id order by construction of the bounded
