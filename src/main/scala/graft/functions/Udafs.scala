@@ -85,4 +85,33 @@ object Udafs {
       override def outputEncoder: Encoder[Seq[ScoredId]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
+
+  /** [[topKByScore]] candidate carrying one extra integer column the
+    * output needs but the ordering ignores (a PQ code, a quantized
+    * dot, a routing list id) — saves a join-back after the top-k. */
+  case class ScoredRow(score: Double, id: Long, payload: Long)
+
+  /** [[topKByScore]] with a payload slot; identical (score DESC, id
+    * ASC) total order and bounded-sorted-buffer mechanics. */
+  def topKWithPayload(k: Int)
+      : Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRow]] =
+    new Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRow]] {
+      private def lt(a: ScoredRow, b: ScoredRow): Boolean =
+        a.score > b.score || (a.score == b.score && a.id < b.id)
+      override def zero: Seq[ScoredRow] = Vector.empty
+      override def reduce(b: Seq[ScoredRow], a: ScoredRow): Seq[ScoredRow] = {
+        if (b.size >= k && !lt(a, b.last)) b
+        else {
+          val (before, after) = b.span(lt(_, a))
+          (before :+ a) ++ after.take(k - before.size - 1)
+        }
+      }
+      override def merge(x: Seq[ScoredRow], y: Seq[ScoredRow]): Seq[ScoredRow] =
+        y.foldLeft(x)(reduce)
+      override def finish(r: Seq[ScoredRow]): Seq[ScoredRow] = r
+      override def bufferEncoder: Encoder[Seq[ScoredRow]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredRow]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
 }

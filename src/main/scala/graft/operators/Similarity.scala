@@ -51,6 +51,13 @@ object Similarity {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
       graft.functions.Udafs.ScoredId]())
 
+  /** [[topKAgg]] with an extra ride-along integer column (PQ code,
+    * quantized dot, list id) — avoids a join-back after the top-k. */
+  private[graft] def topKPayloadAgg(k: Int) = udaf(
+    graft.functions.Udafs.topKWithPayload(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      graft.functions.Udafs.ScoredRow]())
+
   /** Explode a (qid, top: array<struct<score,id>>) frame into ranked
     * rows (qid, nid, rank, `scoreName`). */
   private def explodeRanked(g: DataFrame, scoreName: String): DataFrame =
@@ -276,13 +283,15 @@ object Similarity {
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(probeCol(centers, col("embedding"), nprobe)).as("cid"))
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    // rank within the probed lists via the map-side-combining top-k
+    // aggregate — candidates are nprobe/k of the corpus per query and
+    // would otherwise all ride the rank window's shuffle
     lists.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= topK)
-      .select("qid", "nid", "rank", "cosine")
+      .groupBy("qid")
+      .agg(topKAgg(topK)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -349,7 +358,6 @@ object Similarity {
     val lhs = broadcast(qv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("self").as("sa")))
     val rhs = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("self").as("sb"))
-    val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("nid"))
     rhs.join(lhs, col("qid") =!= col("nid"))
       .withColumn("qdot", graft.functions.GraftFunctions.intdot(col("qa"), col("qb")))
       // NULL (not NaN) for a zero vector: Spark's 0/0.0 is NaN, which
@@ -358,9 +366,17 @@ object Similarity {
       .withColumn("qcos", when(col("sa") > 0 && col("sb") > 0,
         col("qdot").cast("double")
           / (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double")))))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select("qid", "nid", "rank", "qdot", "qcos")
+      // a NULL qcos sorts last in the oracle, so with ≥ k non-null
+      // candidates per query (nulls only arise from zero vectors) it
+      // can never reach top-k — drop before the aggregate, whose
+      // input score is a primitive double
+      .filter(col("qcos").isNotNull)
+      .groupBy("qid")
+      .agg(topKPayloadAgg(5)(col("qcos"), col("nid"), col("qdot")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("s.payload").as("qdot"), col("s.score").as("qcos"))
       .orderBy("qid", "rank")
   }
 
@@ -418,13 +434,18 @@ object Similarity {
           fix(subcol(col("embedding"), j), cb(j)(c))): _*).as(s"t$j")): _*))
     val fp = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
-    val w = Window.partitionBy("qid").orderBy(desc("fp"), col("nid"))
+    // fp (an exact fixed-point BIGINT well under 2⁵³) rides the
+    // aggregate's double score slot losslessly; code is the payload —
+    // no join-back after the top-k
     coded.join(q, col("qid") =!= col("nid"))
       .withColumn("fp", fp)
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("nid"), col("rank"), col("code"),
-        (col("fp").cast("double") / 1e12).as("approx_dot"))
+      .groupBy("qid")
+      .agg(topKPayloadAgg(5)(col("fp").cast("double"), col("nid"),
+        col("code")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("s.payload").as("code"), (col("s.score") / 1e12).as("approx_dot"))
       .orderBy("qid", "rank")
   }
 
@@ -504,15 +525,20 @@ object Similarity {
           fix(subcol(col("qres"), j), cb(j)(c))): _*).as(s"t$j")): _*))
     val fp = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
-    val w = Window.partitionBy("qid").orderBy(desc("fp"), col("nid"))
+    // candidates here are nprobe/g of the corpus per query — exactly
+    // the set a rank window would ship whole; the routing list id
+    // rides the payload slot, fp (exact < 2⁵³) the score slot
     coded.join(q, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("fp", fp)
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("nid"), col("rank"),
-        col("cid").cast("int").as("list_id"),
-        (col("fp").cast("double") / 1e12).as("approx_dot"))
+      .groupBy("qid")
+      .agg(topKPayloadAgg(5)(col("fp").cast("double"), col("nid"),
+        col("cid").cast("long")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("s.payload").cast("int").as("list_id"),
+        (col("s.score") / 1e12).as("approx_dot"))
       .orderBy("qid", "rank")
   }
 
