@@ -616,12 +616,15 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double")
         / (col("nd") + col("nh") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("did").orderBy(col("jaccard").desc, col("hid").asc)
+    // best match per delta doc = argmax by (jaccard DESC, hid ASC) —
+    // a map-side-combined max(struct(jaccard, -hid)) aggregate, not a
+    // per-did rank window: each partition reduces to one candidate
+    // per did before the shuffle (dd07's argmax discipline)
     val best = matches
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("did"), col("hid").as("best_match"),
-        col("jaccard").as("best_jaccard"))
+      .groupBy("did")
+      .agg(max(struct(col("jaccard"), (-col("hid")).as("nh_neg"))).as("b"))
+      .select(col("did"), (-col("b.nh_neg")).as("best_match"),
+        col("b.jaccard").as("best_jaccard"))
     docs.filter(isDelta).select(col("doc_id"))
       .join(best, col("doc_id") === col("did"), "left")
       .select(col("doc_id"), col("did").isNotNull.as("is_dup"),

@@ -235,16 +235,47 @@ object TextOps {
     * than log-prob so every aggregate stays in EXACT integer
     * arithmetic — float log-prob sums depend on both libm ULPs and
     * aggregation order, which no cross-engine oracle can pin. Shape at
-    * 100 TB: one shuffle builds the vocab (rank = row_number over
-    * (count desc, token)), one shuffle scores tokens against it (the
-    * top-of-Zipf vocab broadcasts in practice), one rollup per doc. */
+    * 100 TB: one shuffle builds the vocab, ranked by the distributed
+    * [[globalRowNumber]] (range-partitioned two-phase rank — never a
+    * single-partition window over the whole vocabulary), one shuffle
+    * scores tokens against it (the top-of-Zipf vocab broadcasts in
+    * practice), one rollup per doc. */
+  /** Global dense row_number by a STRICT total order without the
+    * single-partition window Spark plans for an unpartitioned
+    * row_number (every row through one task): range-repartition on
+    * the sort key, rank within each bounded partition, add exact
+    * per-partition row-count offsets (≤ #partitions rows collected).
+    * The frame is cached before counting so the sampled range
+    * boundaries are computed once and shared by the count job and the
+    * join; rank values are boundary-invariant anyway because the
+    * order is total (no ties to split), so output is deterministic at
+    * any parallelism. */
+  private def globalRowNumber(df: DataFrame, rankCol: String,
+      orderCols: org.apache.spark.sql.Column*): DataFrame = {
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("_pid", spark_partition_id()).cache()
+    val counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
+    var run = 0L
+    val offs = counts.map { r =>
+      val p = (r.getInt(0), run); run += r.getLong(1); p
+    }.toSeq
+    val sp = df.sparkSession
+    import sp.implicits._
+    val offDf = broadcast(offs.toDF("_pid", "_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(orderCols: _*)
+    parted.join(offDf, "_pid")
+      .withColumn(rankCol,
+        (row_number().over(w) + col("_off")).cast("bigint"))
+      .drop("_pid", "_off")
+  }
+
   def txZipfRank(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
-    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("c"), col("t"))).cast("bigint"))
+    val vocab = globalRowNumber(
+      toks.groupBy("t").agg(count(lit(1)).as("c")),
+      "rank", desc("c"), col("t"))
       .select("t", "rank")
     toks.join(vocab, "t")
       .groupBy("doc_id")
