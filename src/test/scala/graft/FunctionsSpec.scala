@@ -94,4 +94,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("fixdot") || ex.getMessage.contains("DATATYPE"))
   }
+
+  test("topKByScore: any partitioning/merge order equals global sort-take-k") {
+    import graft.functions.Udafs
+    val rnd = new scala.util.Random(42)
+    val agg = Udafs.topKByScore(5)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(60)
+      // duplicate scores on purpose — ties must break by id
+      val rows = Seq.fill(n)(Udafs.ScoredId(
+        rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+      val expected = rows.sortBy(s => (-s.score, s.id)).take(5)
+      val direct = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      assert(direct.toList == expected.toList,
+        s"trial $trial: sequential reduce disagrees with sort-take-k")
+      // random partitioning into 1..6 slices, each reduced then merged
+      // in shuffled order — the aggregate must not care
+      val slices = rows.grouped(1 + rnd.nextInt(6)).toSeq
+      val partials = rnd.shuffle(slices.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      assert(merged.toList == expected.toList,
+        s"trial $trial: merge order changed the result")
+    }
+  }
 }

@@ -26,6 +26,30 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Verify.dump writes a loud error marker for a crashing query") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-verify-err").toString
+    val boom: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (_, _) => throw new IllegalStateException("synthetic query failure")
+    val ok: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => graft.core.Tables.region(s, d)
+    val failed = Verify.dump(spark, sf, out,
+      Seq("zz_boom" -> boom, "zz_ok" -> ok))
+    assert(failed.keySet == Set("zz_boom"))
+    assert(failed("zz_boom").contains("synthetic query failure"))
+    // the marker parquet exists and can never schema-match an oracle
+    val marker = spark.read.parquet(s"$out/zz_boom")
+    assert(marker.columns.toSeq == Seq("verify_error"))
+    assert(marker.head().getString(0).contains("synthetic query failure"))
+    // the healthy query's artifact is untouched by the failure path
+    assert(spark.read.parquet(s"$out/zz_ok").count() > 0)
+    val errors = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/errors.json"))
+    assert(errors.contains("zz_boom") &&
+      errors.contains("synthetic query failure"))
+    graft.core.TempDirs.rmTree(new java.io.File(out))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val n = fn(spark, sf).count()
