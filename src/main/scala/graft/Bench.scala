@@ -69,13 +69,36 @@ object Bench {
     // queries the full-name full-precision map is ~4.6k chars and has
     // been truncated mid-object every round — so the printed line uses
     // each query's unique short prefix ("q05_topk_orders" → "q05") and
-    // 3-decimal seconds, keeping it ≤ ~1.5k chars. The full-name
-    // full-precision map still goes to BENCH_LOCAL.json below.
+    // trimmed 2-decimal seconds. At 147 queries even the 3-decimal
+    // short form crossed 2000 chars (the r8 "parsed": null failure
+    // mode, re-armed by query count) — so the line is measured and, if
+    // it still cannot fit the tail budget, per-FAMILY sums are printed
+    // instead; the full-name full-precision map always goes to
+    // BENCH_LOCAL.json below.
+    def r2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".") match { case "" => "0"; case t => t }
+      else s
+    }
+    def lineWith(qmap: String) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$nPasses,"agg":"min","queries":$qmap,"sf":"$sfDir"}"""
     val qShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$nPasses,"agg":"min","queries":$qShort,"sf":"$sfDir"}"""
+    val line = {
+      val perQuery = lineWith(qShort)
+      // 2000-char tail minus sbt's ~80-char "[success] …" suffix
+      if (perQuery.length <= 1900) perQuery
+      else {
+        // per-family sums: q/sem/dd/sim/tx/sp/st/ev/mm/sk/cur/sql/pp
+        val fams = results.groupBy(_._1.takeWhile(!_.isDigit))
+          .toSeq.sortBy(_._1)
+          .map { case (f, vs) => "\"" + f + "\":" + r2(vs.map(_._2).sum) }
+          .mkString("{", ",", "}")
+        lineWith(fams)
+      }
+    }
     println(line)
     val qFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
