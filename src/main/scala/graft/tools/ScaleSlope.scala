@@ -293,6 +293,54 @@ object ScaleSlope {
         println(f"""{"op":"assign_k$k","rows":$nContig,"sec_flat":$tf%.2f,"sec_hier":$th%.2f,"flat_over_hier":${tf / th}%.2f}""")
       }
     }
+    // Rank-stage A/B — the round-9 sweep moved every per-key top-k
+    // (ANN ranking, per-source budgets, dedup best-match) from a
+    // row_number window to the map-side-combining aggregate
+    // (Udafs.topKByScore). Isolate the ranking machinery itself:
+    // a synthetic scored candidate frame (qid, id, score) with NO dot
+    // products, localCheckpointed so generation is excluded, top-5 of
+    // nq=100 groups both ways. The structural claim under test: the
+    // window ships and sorts every candidate row through the exchange
+    // (cost ∝ corpus), the aggregate reduces each map partition to
+    // ≤ k rows per key first (exchange cost ∝ nq·k·partitions,
+    // corpus-independent) — so the gap must WIDEN with scale.
+    if (only("rank_ab")) {
+      import org.apache.spark.sql.expressions.Window
+      // warmup: both formulations once on a tiny frame, so the 1×
+      // point measures the operator, not janino compilation
+      locally {
+        val tiny = spark.range(1000).select((col("id") % 7).as("qid"),
+          col("id"), rand(1).as("score")).localCheckpoint()
+        val w0 = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+        tiny.withColumn("rank", row_number().over(w0))
+          .filter(col("rank") <= 5).count()
+        tiny.groupBy("qid").agg(graft.operators.Similarity.topKAgg(5)(
+            col("score"), col("id")).as("top"))
+          .select(col("qid"), explode(col("top"))).count()
+      }
+      for (c <- Seq(1, 10, 100)) {
+        val n = 500000L * c
+        val cand = spark.range(n).select(
+            (col("id") % 100).as("qid"), col("id"),
+            (pmod(hash(col("id")), lit(1 << 20)).cast("double") /
+              (1 << 20)).as("score"))
+          .localCheckpoint()
+        cand.count()
+        val (tw, _) = timed {
+          val w = Window.partitionBy("qid")
+            .orderBy(desc("score"), col("id"))
+          cand.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5).count()
+        }
+        val (ta, _) = timed {
+          cand.groupBy("qid")
+            .agg(graft.operators.Similarity.topKAgg(5)(
+              col("score"), col("id")).as("top"))
+            .select(col("qid"), explode(col("top"))).count()
+        }
+        println(f"""{"op":"rank_ab_${c}x","rows":$n,"sec_window":$tw%.2f,"sec_topk_agg":$ta%.2f,"window_over_agg":${tw / ta}%.2f}""")
+      }
+    }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
