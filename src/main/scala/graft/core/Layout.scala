@@ -1,0 +1,122 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustering (Z-order) file layout.
+  *
+  * At 100 TB the scan is won or lost before the first task runs: a
+  * table linearly sorted on one column gives tight parquet min/max
+  * stats — and therefore row-group/file pruning — on THAT column only;
+  * a selective predicate on any second dimension still reads the whole
+  * table. Interleaving the bits of several columns into one Z-value
+  * and range-partitioning + sorting the write on it makes every file
+  * cover a small hyper-rectangle of the clustered space, so min/max
+  * stats stay tight on ALL clustered dimensions at once (the
+  * `OPTIMIZE ZORDER BY` capability of lakehouse table formats,
+  * expressed directly over Spark's write path; the reference engine
+  * has no layout op at all — its Druid/Oracle backends own physical
+  * layout. Derived from the public Z-order curve construction, bit
+  * interleaving of fixed-width keys).
+  *
+  * Pipeline shape (all distributed, stats pre-pass is one aggregate
+  * row of index metadata on the driver):
+  *   1. one `agg(min, max)` pass → per-column [lo, hi];
+  *   2. map-only: 16-bit uniform bucket per column → bit interleave →
+  *      `__z` (pure codegen'd column arithmetic, no UDF);
+  *   3. `repartitionByRange(n, __z)` + `sortWithinPartitions(__z)` →
+  *      parquet files in Z order, row groups tight on every dimension.
+  *
+  * Uniform min-max bucketing keeps the bucket map a pure expression;
+  * heavily skewed columns would want rank (quantile-boundary) buckets
+  * instead — same interleave, boundaries from `approxQuantile` — at
+  * the cost of a literal boundary array in the plan. Pruning quality
+  * degrades gracefully either way; results never change (the layout
+  * is invisible to query semantics — q41's oracle pins exactly that).
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of the given non-negative integer
+    * columns into one LONG: bit `i` of column `j` lands at position
+    * `i * m + (m - 1 - j)` (column 0 owns the most-significant lane of
+    * each group). `m * bits` must fit a long: m ≤ 3 at 16 bits. */
+  def interleaveBits(cols: Seq[Column], bits: Int = 16): Column = {
+    val m = cols.size
+    require(m >= 1 && m * bits <= 62, s"$m cols x $bits bits overflow a LONG")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * m + (m - 1 - j))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Uniform 16-bit bucket of `c` over [lo, hi] (clamped — rows
+    * outside the measured range, e.g. written after the stats pass in
+    * an incremental setting, still map to a valid bucket). */
+  def bucket16(c: Column, lo: Double, hi: Double): Column =
+    least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12))
+        * 65536.0).cast("long")))
+
+  /** The Z-value column for `df` over `zcols` (numeric/date columns),
+    * computing the per-column [lo, hi] stats pre-pass here (one
+    * aggregate → one driver row — index metadata, not data). */
+  def zValueFor(df: DataFrame, zcols: Seq[String]): Column = {
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).first()
+    interleaveBits(zcols.zipWithIndex.map { case (c, i) =>
+      bucket16(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+    })
+  }
+
+  /** Write `df` to `path` as parquet Z-ordered on `zcols` across
+    * `numFiles` range partitions. Every output file covers one
+    * contiguous Z range = one small hyper-rectangle per dimension, so
+    * a selective predicate on ANY clustered column prunes most files
+    * (and row groups within them) from their footer stats alone. */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
+      numFiles: Int): Unit =
+    df.withColumn("__z", zValueFor(df, zcols))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file [min, max] footer statistics of `column` under `dir` —
+    * the same numbers a scan's row-group pruning reads. Driver-side
+    * footer walk (bytes ∝ #files, never data). */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): Seq[(String, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == column).map(_.getStatistics))
+          val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+          val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+          (f.getPath.getName, los.min, his.max)
+        } finally reader.close()
+      }
+  }
+
+  /** How many files under `dir` a range predicate `lo <= column <= hi`
+    * must read, by footer stats — the pruning measure a 100 TB scan
+    * lives by. */
+  def filesIntersecting(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String, lo: Long, hi: Long): Int =
+    fileStats(spark, dir, column).count { case (_, fLo, fHi) =>
+      fHi >= lo && fLo <= hi }
+}

@@ -604,7 +604,43 @@ object Relational {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** Z-order layout round-trip (`core/Layout`): write a Z-ordered copy
+    * of lineitem clustered on (l_partkey, l_suppkey) — bit-interleaved
+    * 16-bit buckets, `repartitionByRange` + sort on the Z-value — then
+    * answer a two-dimensional selective box query FROM THE COPY. The
+    * oracle runs the identical predicate on the ORIGINAL table: a
+    * physical-layout op must be invisible to results, and that
+    * invariance is exactly what this row pins. The payoff is in the
+    * footer stats: every file covers a small (partkey × suppkey)
+    * rectangle, so the box scan prunes most files on EITHER dimension
+    * (measured in LayoutSpec: ~4× fewer files read than a
+    * single-column linear sort for the off-sort-axis predicate). At
+    * 100 TB this is the one-time OPTIMIZE pass amortized over every
+    * subsequent multi-dimension scan; here the copy is written once
+    * per (session, dir) and the write cost is honestly inside the
+    * benched query. */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Caches.memoObj(s, s"zorder|$d") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString
+      graft.core.Layout.writeZOrdered(
+        lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_quantity", "l_extendedprice"),
+        path, Seq("l_partkey", "l_suppkey"), numFiles = 32)
+      path
+    }
+    s.read.parquet(dir)
+      .filter(col("l_partkey").between(1, 50) &&
+        col("l_suppkey").between(1, 5))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_zorder_layout" -> (q41 _),
     "q38_cube_grouping" -> (q38 _),
     "q37_rank_functions" -> (q37 _),
     "q01_pricing_summary" -> (q01 _),
@@ -917,6 +953,15 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
+    // q41 reads a Z-ordered COPY of lineitem; the oracle reads the
+    // original — the layout op must be result-invisible
+    "q41_zorder_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_range_frame" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS pri,

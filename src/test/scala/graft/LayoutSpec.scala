@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Layout
+
+/** Z-order layout (`core/Layout`): bit-interleave correctness, write
+  * round-trip invariance, and the property the op exists for — a
+  * selective predicate on a non-leading clustered dimension prunes
+  * most files from footer stats, where a single-column linear sort
+  * prunes none. */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("interleaveBits matches the textbook Z-curve on known values") {
+    import spark.implicits._
+    // Morton order for 2 dims: z(x, y) with x in the high lane.
+    // z(1,0)=2, z(0,1)=1, z(1,1)=3, z(2,3)=classic 14? Compute:
+    // x=2 (b10), y=3 (b11): bits x1=1,x0=0,y1=1,y0=1 →
+    // z = x1 y1 x0 y0 = 1 1 0 1 = 13.
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L),
+      (65535L, 65535L)).toDF("x", "y")
+    val got = df.select(Layout.interleaveBits(Seq(col("x"), col("y")))
+      .as("z")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 2L, 1L, 3L, 13L, (1L << 32) - 1))
+  }
+
+  test("interleaveBits is monotone in each argument with others fixed") {
+    import spark.implicits._
+    val df = (0L until 64L).map(v => (v, 7L)).toDF("x", "y")
+    val zs = df.select(Layout.interleaveBits(Seq(col("x"), col("y"))))
+      .as[Long].collect().toSeq
+    assert(zs == zs.sorted && zs.distinct.size == zs.size)
+  }
+
+  test("z-ordered write is result-invariant and prunes the off-axis dimension") {
+    val base = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val root = java.nio.file.Files.createTempDirectory("layout-spec").toString
+
+    // linear baseline: range-sorted on l_partkey ONLY (the layout a
+    // single ORDER BY write produces)
+    base.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$root/linear")
+    // Z-order on (l_partkey, l_suppkey)
+    Layout.writeZOrdered(base, s"$root/zorder",
+      Seq("l_partkey", "l_suppkey"), numFiles = 32)
+
+    // 1) result invariance: identical multiset of rows
+    val a = spark.read.parquet(s"$root/zorder")
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .collect().toSeq
+    val b = base.orderBy("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity").collect().toSeq
+    assert(a == b)
+
+    // 2) pruning on the off-sort-axis dimension (l_suppkey ∈ [0, 1] —
+    // 20% of the 0..9 domain at sf0.001): the linear layout's files
+    // all span the full suppkey range; Z-order confines suppkey to
+    // per-file rectangles. Footer-stat intersection counts are what a
+    // scan's row-group pruning reads.
+    val linN = Layout.filesIntersecting(spark, s"$root/linear",
+      "l_suppkey", 0, 1)
+    val zN = Layout.filesIntersecting(spark, s"$root/zorder",
+      "l_suppkey", 0, 1)
+    assert(linN == 32, s"linear layout should not prune suppkey: $linN")
+    assert(zN * 2 <= linN,
+      s"z-order should read at most half the files: $zN vs $linN")
+
+    // 3) the leading dimension still prunes in BOTH layouts
+    val linP = Layout.filesIntersecting(spark, s"$root/linear",
+      "l_partkey", 0, 24)
+    val zP = Layout.filesIntersecting(spark, s"$root/zorder",
+      "l_partkey", 0, 24)
+    assert(linP <= 8 && zP <= 16,
+      s"leading-dim pruning regressed: linear $linP, zorder $zP")
+    println(s"[layout] suppkey-box files: linear $linN zorder $zN; " +
+      s"partkey-box: linear $linP zorder $zP")
+  }
+}
