@@ -335,6 +335,60 @@ object Similarity {
     ivfSearch(v, cents, nprobe, topK = 3)
   }
 
+  /** The IVF index PERSISTED as a cid-partitioned parquet table — the
+    * ingest/serve split every production ANN deployment runs: the
+    * inverted file is built ONCE (assignment + one shuffle on cid +
+    * `partitionBy("cid")` write) and each query batch reads ONLY its
+    * probed partitions. Routing stays the fused CentroidProbe against
+    * literal flat centroids (sim06's oracle-expressible discipline,
+    * k=16 here so probed ∪ ≪ k); the serve join is broadcast(probes)
+    * ⋈ postings on the PARTITION column, which Spark turns into
+    * dynamic partition pruning — the scan's partitionFilters carry a
+    * runtime `dynamicpruning` subquery fed by the probe side, so of
+    * the k list directories only the probed ones are ever opened
+    * (plan-asserted in SimilaritySpec). At 100 TB: nprobe/k of the
+    * corpus is READ, not just filtered — file-listing-level pruning,
+    * the step beyond sim06's in-plan routing. Serve-side ranking is
+    * the map-side-combining top-k aggregate. */
+  def simPersistedIndex(s: SparkSession, d: String): DataFrame =
+    simPersistedIndexFrom(s, d).df
+
+  /** The serve-side frame plus the postings path (for plan specs). */
+  private[graft] case class ServeIndex(df: DataFrame, dir: String)
+  private[graft] def simPersistedIndexFrom(s: SparkSession, d: String)
+      : ServeIndex = {
+    val k = 16; val nprobe = 2; val nq = 5
+    val v = withNorm(s, d)
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val dir = graft.core.Caches.memoObj(s, s"ivfindex|$d|k$k") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfindex").toString
+      v.select(nearestCidCol(cents, col("embedding")).as("cid"),
+          col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(path)
+      path
+    }
+    val postings = s.read.parquet(dir)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCol(cents, col("embedding"), nprobe)).as("cid"))
+    val df = postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .groupBy("qid")
+      .agg(topKAgg(3)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
+      .orderBy("qid", "rank")
+    ServeIndex(df, dir)
+  }
+
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the
     * memory-bandwidth scale path for 100 TB embedding search — a
     * symmetric per-vector quantization (scale = 127/max|x|, round
@@ -771,6 +825,7 @@ object Similarity {
     "sim05_ivf_ann" -> (simIvfAnn _),
     "sim06_ivf_flat" -> (simIvfFlat _),
     "sim07_int8_topk" -> (simInt8TopK _),
+    "sim11_persisted_index" -> (simPersistedIndex _),
   )
 
   /** Shared oracle CTEs: per-vector norms (`v`) and per-(vec, band)
@@ -1167,6 +1222,50 @@ object Similarity {
         |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
         |        c.cid) rn
         |    FROM v, c WHERE v.vec_id < 10) t WHERE rn <= 4),
+        |p AS (
+        |  SELECT q.vec_id qid, n.vec_id nid,
+        |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM probes pr
+        |  JOIN v q ON q.vec_id = pr.qid
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  WHERE q.vec_id <> n.vec_id)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // sim11: the persisted-index serve path is semantically sim06's
+    // flat-quantizer IVF at k=16/nprobe=2/nq=5 — the parquet
+    // round-trip (float arrays, IEEE doubles) is exact, so the same
+    // SQL replica covers the materialized index
+    "sim11_persisted_index" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT v.vec_id qid, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c WHERE v.vec_id < 5) t WHERE rn <= 2),
         |p AS (
         |  SELECT q.vec_id qid, n.vec_id nid,
         |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),

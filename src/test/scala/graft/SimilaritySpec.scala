@@ -260,4 +260,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(memo + n <= unmemo,
       s"memoization must save at least one full scan: memo=$memo unmemo=$unmemo")
   }
+
+  test("persisted index: serve scan dynamically prunes to the probed lists") {
+    val serve = Similarity.simPersistedIndexFrom(spark, sf)
+    val rows = serve.df.collect()
+    assert(rows.nonEmpty)
+    val scan = PlanInspect.scans(serve.df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft-ivfindex")))
+      .getOrElse(fail("no scan over the persisted postings table"))
+    // the join on the PARTITION column against the broadcast probe
+    // side must inject a runtime dynamicpruning subquery into the
+    // postings scan — file-listing-level pruning, not a post-scan
+    // filter
+    assert(scan.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on the postings scan:\n${scan.partitionFilters}")
+    // k=16 list directories exist; 5 queries x nprobe=2 probe <= 10
+    // distinct lists, so the runtime-pruned partition count must be
+    // strictly below k (post-execution metric — static
+    // selectedPartitions can't see runtime pruning)
+    val read = scan.metrics("numPartitions").value
+    assert(read <= 10 && read >= 1,
+      s"expected <= 10 probed partitions of 16, scan read $read")
+  }
 }
