@@ -341,6 +341,41 @@ object ScaleSlope {
         println(f"""{"op":"rank_ab_${c}x","rows":$n,"sec_window":$tw%.2f,"sec_topk_agg":$ta%.2f,"window_over_agg":${tw / ta}%.2f}""")
       }
     }
+    // Z-order layout probe: sf0.1 lineitem (600k rows) written as 256
+    // files linear-sorted on l_partkey vs Z-ordered on
+    // (l_partkey, l_suppkey); measure (a) footer-stat file pruning
+    // for a selective box on the OFF-sort-axis column, (b) wall time
+    // of the corresponding scan+filter+agg on each layout. At 100 TB
+    // the file count is what the driver lists and the row-group stats
+    // are what the readers skip by — the footer counts are the
+    // scale-invariant number, the wall times the local confirmation.
+    if (only("zorder")) {
+      val li = graft.core.Tables.lineitem(spark, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val root = java.nio.file.Files
+        .createTempDirectory("ss-zorder").toString
+      li.repartitionByRange(256, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$root/linear")
+      graft.core.Layout.writeZOrdered(li, s"$root/zorder",
+        Seq("l_partkey", "l_suppkey"), numFiles = 256)
+      // suppkey domain at sf0.1 is 0..999; box = 2% of it
+      val (sLo, sHi) = (100L, 119L)
+      val linN = graft.core.Layout.filesIntersecting(spark,
+        s"$root/linear", "l_suppkey", sLo, sHi)
+      val zN = graft.core.Layout.filesIntersecting(spark,
+        s"$root/zorder", "l_suppkey", sLo, sHi)
+      def scanAgg(dir: String): (Double, Long) = timed {
+        spark.read.parquet(dir)
+          .filter(col("l_suppkey").between(sLo, sHi))
+          .agg(sum(col("l_quantity")).as("q")).collect()
+        spark.read.parquet(dir)
+          .filter(col("l_suppkey").between(sLo, sHi)).count()
+      }
+      val (tLin, nRows) = scanAgg(s"$root/linear")
+      val (tZ, _) = scanAgg(s"$root/zorder")
+      println(f"""{"op":"zorder_offaxis","rows_matched":$nRows,"files_linear":$linN,"files_zorder":$zN,"sec_scan_linear":$tLin%.2f,"sec_scan_zorder":$tZ%.2f}""")
+    }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
