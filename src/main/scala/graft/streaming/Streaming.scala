@@ -544,7 +544,61 @@ object Streaming {
       .orderBy("day", "rank")
   }
 
+  /** Streaming ingest with LAYOUT MAINTENANCE — the small-file
+    * problem and its production answer in one query. Micro-batches
+    * append raw parquet to a staging area (what every streaming sink
+    * produces: one file set per trigger — unbounded file count,
+    * footer stats scattered across arrival order); a compaction pass
+    * then rewrites the accumulated staging data as ONE Z-ordered
+    * table ([[graft.core.Layout]], clustered on (user_id, event_id))
+    * and the serve read answers a selective per-user query from the
+    * compacted copy. The oracle runs the identical predicate on the
+    * original events table — ingest path + physical layout must be
+    * result-invisible, which is exactly what the row pins. At 100 TB
+    * this is the OPTIMIZE/compaction job every streaming lakehouse
+    * table schedules: bounded file count, clustered stats, and
+    * multi-dimension pruning for the readers (StreamingSpec measures
+    * staging vs compacted file counts + off-axis footer pruning). */
+  @volatile private[graft] var lastSt10Dirs: Option[(String, String)] = None
+  def st10(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    val root = java.nio.file.Files.createTempDirectory("graft-st10")
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
+    // 4 arrival files → 4 micro-batches (the st05 discipline)
+    s.read.schema(rawSchema(s, d)).option("pathGlobFilter", "events.parquet")
+      .parquet(d).repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    val staging = s"$root/staging"
+    val q = Tables.normalizeEventsTs(s.readStream.schema(rawSchema(s, d))
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src"))
+      .writeStream
+      .option("checkpointLocation", ckptDir("st10"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the raw streaming sink shape: append-only, per-trigger files
+        batch.write.mode("append").parquet(staging)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // compaction: staging → one Z-ordered table (swap-on-success dir;
+    // a scheduled job in production, inline after AvailableNow here)
+    val compacted = s"$root/compacted"
+    graft.core.Layout.writeZOrdered(
+      s.read.parquet(staging)
+        .select("event_id", "user_id", "event_type", "value"),
+      compacted, Seq("user_id", "event_id"), numFiles = 16)
+    lastSt10Dirs = Some((staging, compacted))
+    s.read.parquet(compacted)
+      .filter(col("user_id").between(1, 40))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec6(col("value"))).cast("double").as("total_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_compacted_ingest" -> (st10 _),
     "st09_trending_topk" -> (st09 _),
     "st06_stream_enrich" -> (st06 _),
     "st01_stream_window" -> (st01 _),
@@ -557,6 +611,15 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // st10 reads a compacted Z-ordered copy built from streamed
+    // micro-batches; the oracle reads the original table — the ingest
+    // path and the layout must be result-invisible
+    "st10_compacted_ingest" ->
+      """SELECT user_id, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | COUNT(DISTINCT event_type) AS n_types
+        |FROM events WHERE user_id BETWEEN 1 AND 40
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st09_trending_topk" ->
       """WITH daily AS (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

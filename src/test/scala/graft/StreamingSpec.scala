@@ -241,4 +241,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == batch.length && got.sameElements(batch),
       "incrementally-maintained rollup diverged from full recompute")
   }
+
+  test("st10: compaction bounds the file count and restores off-axis pruning") {
+    import graft.streaming.Streaming
+    Streaming.st10(spark, sf).collect()
+    val (staging, compacted) = Streaming.lastSt10Dirs
+      .getOrElse(fail("st10 did not record its dirs"))
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    // the small-file problem: one file set per micro-batch (4 batches
+    // here) — staging accumulates at least one file per batch, with
+    // arrival-order stats; compaction rewrites to a bounded count
+    assert(parquetFiles(staging).size >= 4,
+      s"expected >= 4 appended staging files, saw ${parquetFiles(staging).size}")
+    assert(parquetFiles(compacted).size <= 16,
+      s"compaction must bound the file count, saw ${parquetFiles(compacted).size}")
+    // clustered stats: a selective box on the SECOND clustered column
+    // (event_id) must prune compacted files, while the append-order
+    // staging files all span the id range (every batch sees all ids)
+    val n = parquetFiles(compacted).size
+    val hi = spark.read.parquet(compacted)
+      .agg(max(col("event_id"))).first().getLong(0)
+    val zN = graft.core.Layout.filesIntersecting(spark, compacted,
+      "event_id", 0, hi / 20)
+    val sN = graft.core.Layout.filesIntersecting(spark, staging,
+      "event_id", 0, hi / 20)
+    assert(sN == parquetFiles(staging).size,
+      s"staging should not prune (arrival order): $sN")
+    assert(zN * 2 <= n,
+      s"compacted layout should prune the off-axis box: $zN of $n files")
+  }
 }
