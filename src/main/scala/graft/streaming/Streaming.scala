@@ -274,6 +274,51 @@ object Streaming {
     * target schema is stable regardless of how many batches ran.
     * AvailableNow drives it to completion → result equals the batch
     * rollup, which is exactly what the oracle computes. */
+  /** The current rollup state under `root`: highest COMPLETE
+    * (_SUCCESS-marked) versioned dir, parsed from its
+    * `v<version>-b<batchId>` name. Recovered from the FILESYSTEM,
+    * never from driver memory — a restarted driver must see exactly
+    * what the previous incarnation committed. */
+  private[graft] def rollupState(root: String): Option[(String, Int, Long)] = {
+    val pat = """v(\d+)-b(\d+)""".r
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => f.getName match {
+        case pat(v, b) => Some((f.getAbsolutePath, v.toInt, b.toLong))
+        case _ => None
+      })
+      .sortBy(_._2).lastOption
+  }
+
+  /** One IDEMPOTENT merge step of the incremental rollup. foreachBatch
+    * is at-least-once: after a crash between the sink write and the
+    * checkpoint commit, the restarted query REDELIVERS the last batch
+    * — so exactly-once lives in the sink, not the engine. The applied
+    * batch id is encoded in the committed dir name ([[rollupState]]);
+    * a redelivered batch (bid ≤ last committed bid) is a no-op, and
+    * an interrupted write leaves no _SUCCESS marker so readers and
+    * recovery both ignore it. Batch ids are monotone per checkpoint,
+    * which is what makes the ≤ comparison sufficient. */
+  private[graft] def applyRollupBatch(s: SparkSession, root: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val cur = rollupState(root)
+    if (cur.exists(_._3 >= bid)) return // redelivery after crash: skip
+    val partial = batch
+      .groupBy(to_date(col("tsm")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(Tables.dec6(col("value"))).cast(DecimalType(30, 6)).as("val_sum"))
+    val merged = cur match {
+      case None => partial
+      case Some((dir, _, _)) => s.read.parquet(dir).unionByName(partial)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("val_sum")).cast(DecimalType(30, 6)).as("val_sum"))
+    }
+    val next = s"$root/v${cur.fold(1)(_._2 + 1)}-b$bid"
+    merged.write.mode("overwrite").parquet(next)
+    // _SUCCESS written by the committer = the swap: readers see old or new
+  }
+
   def st05(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
     val root = java.nio.file.Files.createTempDirectory("graft-st05")
     sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
@@ -283,8 +328,7 @@ object Streaming {
     s.read.schema(rawSchema(s, d)).option("pathGlobFilter", "events.parquet")
       .parquet(d).repartition(4)
       .write.mode("overwrite").parquet(s"$root/src")
-    var targetDir: Option[String] = None
-    var version = 0
+    val rollup = s"$root/rollup"
     lastSt05Batches = 0
     val q = Tables.normalizeEventsTs(s.readStream.schema(rawSchema(s, d))
       .option("maxFilesPerTrigger", 1).parquet(s"$root/src"))
@@ -292,28 +336,14 @@ object Streaming {
       .writeStream
       .option("checkpointLocation", ckptDir("st05"))
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val partial = batch
-          .groupBy(to_date(col("tsm")).as("day"), col("event_type"))
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(Tables.dec6(col("value"))).cast(DecimalType(30, 6)).as("val_sum"))
-        val merged = targetDir match {
-          case None => partial
-          case Some(dir) => s.read.parquet(dir).unionByName(partial)
-            .groupBy("day", "event_type")
-            .agg(sum(col("n")).cast("long").as("n"),
-              sum(col("val_sum")).cast(DecimalType(30, 6)).as("val_sum"))
-        }
-        version += 1
-        val next = s"$root/v$version"
-        merged.write.mode("overwrite").parquet(next)
-        targetDir = Some(next) // swap-on-success: readers see old or new
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        applyRollupBatch(s, rollup, batch, bid)
         lastSt05Batches += 1
         ()
       }
       .start()
     q.awaitTermination()
-    targetDir.fold(s.emptyDataFrame) { dir =>
+    rollupState(rollup).fold(s.emptyDataFrame) { case (dir, _, _) =>
       s.read.parquet(dir)
         .select(col("day"), col("event_type"), col("n"),
           col("val_sum").cast("double").as("total_value"))

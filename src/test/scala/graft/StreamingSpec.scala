@@ -242,6 +242,39 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally-maintained rollup diverged from full recompute")
   }
 
+  test("st05 merge is idempotent under batch redelivery (exactly-once sink)") {
+    import graft.streaming.Streaming
+    // foreachBatch is at-least-once: a crash between sink write and
+    // checkpoint commit REDELIVERS the last batch on restart. The sink
+    // must make the re-application a no-op — batch id recovered from
+    // the committed dir name, never driver memory.
+    val root = java.nio.file.Files.createTempDirectory("graft-redeliver")
+      .toString
+    sys.addShutdownHook(graft.core.TempDirs.rmTree(new java.io.File(root)))
+    val batch = graft.core.Tables.events(spark, sf)
+      .withColumn("tsm", col("ts")).limit(100)
+    Streaming.applyRollupBatch(spark, root, batch, bid = 0L)
+    val afterFirst = spark.read
+      .parquet(Streaming.rollupState(root).get._1)
+      .agg(sum(col("n"))).first().getLong(0)
+    // redelivery of the SAME batch id: must not double-count
+    Streaming.applyRollupBatch(spark, root, batch, bid = 0L)
+    val st = Streaming.rollupState(root).get
+    assert(st._2 == 1, s"redelivery must not commit a new version: $st")
+    val afterRedeliver = spark.read.parquet(st._1)
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(afterRedeliver == afterFirst,
+      s"redelivered batch was double-counted: $afterFirst -> $afterRedeliver")
+    // the NEXT batch id still applies normally
+    Streaming.applyRollupBatch(spark, root, batch, bid = 1L)
+    val st2 = Streaming.rollupState(root).get
+    assert(st2._2 == 2 && st2._3 == 1L, s"next batch failed to apply: $st2")
+    val afterNext = spark.read.parquet(st2._1)
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(afterNext == 2 * afterFirst,
+      s"second distinct batch should double the count: $afterNext")
+  }
+
   test("st10: compaction bounds the file count and restores off-axis pruning") {
     import graft.streaming.Streaming
     Streaming.st10(spark, sf).collect()
