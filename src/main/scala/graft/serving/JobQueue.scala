@@ -44,8 +44,11 @@ final class JobQueue(s: SparkSession, dir: String,
       }
     }
 
+  private def jobGroup(jobId: String) = s"graft-job-$jobId"
+
   private def execute(jobId: String, json: String): Unit = {
-    state.put(jobId, Running)
+    // a job cancelled while still QUEUED never starts
+    if (!state.replace(jobId, Queued, Running)) return
     // monitor bracket around the worker-side RUN (the front door's
     // "job" bracket only covers the submit): begin before planning,
     // complete with outcome + wall once the result is stored
@@ -53,16 +56,40 @@ final class JobQueue(s: SparkSession, dir: String,
     val t0 = System.currentTimeMillis()
     var outcome = false
     try {
+      // job group (thread-local) so cancel() can interrupt the
+      // Spark jobs this worker launches, mid-stage
+      s.sparkContext.setJobGroup(jobGroup(jobId),
+        s"async job $jobId", interruptOnCancel = true)
+      if (state.get(jobId) == Cancelled) return // cancelled at begin()
       val df = SemanticQueries.runLogged(json, s"job-$jobId")(s, dir)
       val out = resultDir.resolve(jobId).toString
       df.write.mode("overwrite").parquet(out)
       val rows = s.read.parquet(out).count()
-      state.put(jobId, Completed(rows))
-      outcome = true
+      outcome = state.replace(jobId, Running, Completed(rows))
     } catch {
-      case e: Exception => state.put(jobId, Failed(e.getMessage))
-    } finally ServiceMonitor.safely(monitor.complete(
-      jobId, "job-run", outcome, System.currentTimeMillis() - t0))
+      // a cancel() racing the run surfaces as a SparkException from
+      // the killed job group — keep the Cancelled verdict, not Failed
+      case e: Exception =>
+        state.replace(jobId, Running, Failed(e.getMessage))
+    } finally {
+      s.sparkContext.clearJobGroup()
+      ServiceMonitor.safely(monitor.complete(
+        jobId, "job-run", outcome, System.currentTimeMillis() - t0))
+    }
+  }
+
+  /** Best-effort cancel (the reference worker's job-kill surface):
+    * a QUEUED job is marked and never starts; a RUNNING job has its
+    * Spark job group killed (interrupting executors mid-stage) and
+    * reports Cancelled. Completed/Failed jobs are left alone. */
+  def cancel(jobId: String): Boolean = status(jobId) match {
+    case Some(Queued) =>
+      state.replace(jobId, Queued, Cancelled) || cancel(jobId)
+    case Some(Running) =>
+      val flipped = state.replace(jobId, Running, Cancelled)
+      if (flipped) s.sparkContext.cancelJobGroup(jobGroup(jobId))
+      flipped || cancel(jobId)
+    case _ => false
   }
 
   /** Poll surface. None = unknown job id. */
@@ -95,6 +122,7 @@ object JobQueue {
   sealed trait JobStatus
   case object Queued extends JobStatus
   case object Running extends JobStatus
+  case object Cancelled extends JobStatus
   final case class Completed(rows: Long) extends JobStatus
   final case class Failed(error: String) extends JobStatus
 }

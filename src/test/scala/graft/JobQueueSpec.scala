@@ -72,4 +72,43 @@ class JobQueueSpec extends AnyFunSuite {
       assert(q.status("no-such-job").isEmpty)
     } finally q.shutdown()
   }
+
+  test("cancel: a queued job never starts; a running job reports Cancelled") {
+    // a monitor whose begin() blocks pins job 1 in the RUNNING state
+    // (single worker), so job 2 is deterministically QUEUED — no
+    // sleeps, no timing races
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val began = new java.util.concurrent.CountDownLatch(1)
+    val beginCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mon = new graft.serving.ServiceMonitor {
+      def begin(requestId: String, kind: String): Unit = {
+        beginCount.incrementAndGet(); began.countDown(); gate.await()
+      }
+      def complete(requestId: String, kind: String, success: Boolean,
+          wallMillis: Long): Unit = ()
+    }
+    val resultDir = java.nio.file.Files.createTempDirectory("jobqcancel")
+    val q = new JobQueue(spark, sf, resultDir, workers = 1, monitor = mon)
+    try {
+      val json = asyncJson(SemanticQueries.sem01Json)
+      val running = q.submit(json).toOption.get
+      assert(began.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "worker never began job 1")
+      val queued = q.submit(json).toOption.get
+      assert(q.status(queued).contains(JobQueue.Queued))
+      // cancel the queued job, then cancel the running one, release
+      assert(q.cancel(queued), "queued cancel must succeed")
+      assert(q.cancel(running), "running cancel must succeed")
+      gate.countDown()
+      assert(q.await(running).contains(JobQueue.Cancelled))
+      assert(q.await(queued).contains(JobQueue.Cancelled))
+      // the cancelled-while-queued job must never have started
+      q.await(queued); Thread.sleep(100)
+      assert(beginCount.get() == 1,
+        s"queued job must not begin after cancel: ${beginCount.get()}")
+      assert(q.fetch(running).isEmpty && q.fetch(queued).isEmpty)
+      // terminal states refuse further cancels
+      assert(!q.cancel(running) && !q.cancel(queued))
+    } finally { gate.countDown(); q.shutdown() }
+  }
 }
