@@ -621,8 +621,7 @@ object Relational {
     * benched query. */
   def q41(s: SparkSession, d: String): DataFrame = {
     val dir = graft.core.Caches.memoObj(s, s"zorder|$d") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-zorder").toString
+      val path = graft.core.TempDirs.scratchShared("zorder")
       graft.core.Layout.writeZOrdered(
         lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_quantity", "l_extendedprice"),

@@ -364,8 +364,7 @@ object Similarity {
       .orderBy("vec_id").collect().toSeq
       .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
     val dir = graft.core.Caches.memoObj(s, s"ivfindex|$d|k$k") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivfindex").toString
+      val path = graft.core.TempDirs.scratchShared("ivfindex")
       v.select(nearestCidCol(cents, col("embedding")).as("cid"),
           col("vec_id"), col("embedding"), col("nrm"))
         .repartition(col("cid"))

@@ -267,7 +267,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val scan = PlanInspect.scans(serve.df.queryExecution.executedPlan)
       .find(_.relation.location.rootPaths.exists(
-        _.toString.contains("graft-ivfindex")))
+        _.toString.contains("ivfindex")))
       .getOrElse(fail("no scan over the persisted postings table"))
     // the join on the PARTITION column against the broadcast probe
     // side must inject a runtime dynamicpruning subquery into the
