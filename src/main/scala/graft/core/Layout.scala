@@ -91,25 +91,35 @@ object Layout {
   def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
       column: String): Seq[(String, Long, Long)] = {
     import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    statsForFiles(spark,
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(f => f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString), column)
+      .map { case (p, lo, hi) => (new Path(p).getName, lo, hi) }
+  }
+
+  /** [[fileStats]] over an explicit file list (full paths kept). */
+  def statsForFiles(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], column: String): Seq[(String, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(f => f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(f.getPath, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          val stats = blocks.flatMap(_.getColumns.asScala
-            .find(_.getPath.toDotString == column).map(_.getStatistics))
-          val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
-          val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
-          (f.getPath.getName, los.min, his.max)
-        } finally reader.close()
-      }
+    paths.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val stats = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == column).map(_.getStatistics))
+        val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+        val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+        (p, los.min, his.max)
+      } finally reader.close()
+    }
   }
 
   /** How many files under `dir` a range predicate `lo <= column <= hi`

@@ -638,7 +638,45 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Copy-on-write mutation round-trip (`core/TxnTable`): a
+    * key-addressed table (range-clustered on o_orderkey so footer
+    * stats prune the rewrite set) takes a GDPR-style key DELETE and
+    * an UPSERT (two replaced keys + one insert), each committed as a
+    * new manifest version; the query aggregates the LATEST snapshot.
+    * The oracle replays the same mutations relationally (anti-join
+    * the deleted/replaced keys, union the upserts) on the original
+    * table — so the hash gate covers delete completeness, upsert
+    * atomicity (no duplicate keys, no lost rows) and snapshot
+    * correctness in one row. Mutation cost is in the benched query:
+    * at 100 TB a delete of k keys rewrites O(files-containing-k)
+    * range-clustered files, never the table (TxnTableSpec pins the
+    * strict-subset rewrite + by-reference carry-over). */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Caches.memoObj(s, s"cow|$d") {
+      val path = graft.core.TempDirs.scratchShared("cow")
+      graft.core.TxnTable.init(s, path,
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        numFiles = 0) // keep the range clustering — it IS the point
+      graft.core.TxnTable.deleteKeys(s, path, "o_orderkey",
+        Seq(1L, 3L, 5L, 7L))
+      import s.implicits._
+      graft.core.TxnTable.upsert(s, path, "o_orderkey",
+        Seq((2L, "X", 100.0), (4L, "X", 200.0), (10000000L, "X", 300.0))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+      path
+    }
+    graft.core.TxnTable.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_cow_mutations" -> (q42 _),
     "q41_zorder_layout" -> (q41 _),
     "q38_cube_grouping" -> (q38 _),
     "q37_rank_functions" -> (q37 _),
@@ -952,6 +990,24 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
+    // q42's oracle replays the copy-on-write mutations relationally:
+    // delete keys 1,3,5,7; replace keys 2,4; insert key 10000000 —
+    // then aggregates, exactly what reading the final snapshot gives
+    "q42_cow_mutations" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (1, 3, 5, 7)
+        |    AND o_orderkey NOT IN (2, 4)),
+        |up AS (SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), 'X', 100.0),
+        |  (CAST(4 AS BIGINT), 'X', 200.0),
+        |  (CAST(10000000 AS BIGINT), 'X', 300.0))
+        |  t(o_orderkey, o_orderstatus, o_totalprice)),
+        |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM up)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin,
     // q41 reads a Z-ordered COPY of lineitem; the oracle reads the
     // original — the layout op must be result-invisible
     "q41_zorder_layout" ->

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.TxnTable
+
+/** Copy-on-write table (`core/TxnTable`): key deletes and upserts
+  * rewrite only stat-matched files, versions are snapshot-isolated
+  * and time-travelable, vacuum bounds storage. */
+class TxnTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def freshTable(): String = {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    // range-partitioned on the key so footer stats are tight — the
+    // layout a key-addressed table would use (Z-order for multi-key)
+    val src = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    TxnTable.init(spark, dir, src.coalesce(8), numFiles = 8)
+    dir
+  }
+
+  test("init writes v1; delete rewrites only stat-matched files") {
+    val dir = freshTable()
+    // NOTE init's repartition(8) hash-scatters keys, so every file
+    // spans the key range — rebuild with a range layout by hand
+    val all = TxnTable.read(spark, dir).collect()
+    assert(TxnTable.version(dir) == 1 && all.nonEmpty)
+
+    // keys from a narrow range: with the hash-scattered init layout
+    // every file matches; assert correctness here, file-economy below
+    val keys = TxnTable.read(spark, dir)
+      .orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val rewrote = TxnTable.deleteKeys(spark, dir, "o_orderkey", keys)
+    assert(rewrote >= 1)
+    assert(TxnTable.version(dir) == 2)
+    val after = TxnTable.read(spark, dir)
+    assert(after.filter(col("o_orderkey").isin(keys: _*)).count() == 0,
+      "deleted keys must be gone")
+    assert(after.count() == all.length - keys.length,
+      "only the deleted keys may disappear")
+    // TIME TRAVEL: v1 still reads complete
+    assert(TxnTable.read(spark, dir, v = 1).count() == all.length)
+  }
+
+  test("a range-clustered table rewrites a strict subset of files") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    // 8 files of tight contiguous key ranges: 0-999, 1000-1999, ...
+    val parts = (0 until 8).map { p =>
+      (p * 1000L until (p + 1) * 1000L).toDF("k")
+        .withColumn("payload", col("k") * 2)
+    }
+    TxnTable.init(spark, dir, parts.head, numFiles = 1)
+    parts.tail.foreach(p => TxnTable.upsert(spark, dir, "k", p, numFiles = 1))
+    val before = TxnTable.liveFiles(dir)
+    assert(before.size >= 8)
+    // delete keys living in ONE range: exactly the file(s) covering
+    // 3000-3009 rewrite; everything else carries over BY REFERENCE
+    val rewrote = TxnTable.deleteKeys(spark, dir, "k",
+      (3000L to 3009L).toSeq)
+    val afterFiles = TxnTable.liveFiles(dir)
+    assert(rewrote < before.size / 2,
+      s"stat pruning failed: rewrote $rewrote of ${before.size} files")
+    val carried = before.toSet & afterFiles.toSet
+    assert(carried.size == before.size - rewrote,
+      "untouched files must carry over by reference, not be rewritten")
+    assert(TxnTable.read(spark, dir).count() == 8000 - 10)
+  }
+
+  test("upsert replaces matched keys and inserts new ones atomically") {
+    val dir = freshTable()
+    import spark.implicits._
+    val v1 = TxnTable.read(spark, dir)
+    val total = v1.count()
+    val twoKeys = v1.orderBy("o_orderkey").limit(2)
+      .collect().map(_.getLong(0))
+    val updates = Seq(
+      (twoKeys(0), 1L, java.math.BigDecimal.valueOf(1.23), "X"),
+      (twoKeys(1), 2L, java.math.BigDecimal.valueOf(4.56), "X"),
+      (999999999L, 3L, java.math.BigDecimal.valueOf(7.89), "X"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .withColumn("o_totalprice",
+        col("o_totalprice").cast(v1.schema("o_totalprice").dataType))
+      .withColumn("o_custkey",
+        col("o_custkey").cast(v1.schema("o_custkey").dataType))
+    TxnTable.upsert(spark, dir, "o_orderkey", updates)
+    val after = TxnTable.read(spark, dir)
+    assert(after.count() == total + 1, "2 replaced + 1 inserted")
+    assert(after.filter(col("o_orderstatus") === "X").count() == 3)
+    assert(after.filter(col("o_orderkey") === twoKeys(0)).count() == 1,
+      "no duplicate rows for a replaced key")
+  }
+
+  test("vacuum deletes unreferenced files and keeps live versions readable") {
+    val dir = freshTable()
+    val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    TxnTable.deleteKeys(spark, dir, "o_orderkey", keys)
+    val liveCount = TxnTable.read(spark, dir).count()
+    def allParquet(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir, "files"))
+    }
+    val before = allParquet()
+    TxnTable.vacuum(dir, keepSince = 2)
+    assert(allParquet() < before,
+      "vacuum must physically remove the rewritten-away files")
+    assert(TxnTable.read(spark, dir).count() == liveCount,
+      "latest version must survive vacuum intact")
+    intercept[RuntimeException](TxnTable.read(spark, dir, v = 1))
+  }
+}
