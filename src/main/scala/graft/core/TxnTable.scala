@@ -146,6 +146,30 @@ object TxnTable {
     writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
   }
 
+  /** OPTIMIZE: rewrite the whole live set as one freshly clustered
+    * commit — range-clustered on `zcols.head` when one column is
+    * given, Z-ordered ([[Layout]]) for several — and commit it as a
+    * new version. Copy-on-write mutations hash-scatter their rewrite
+    * commits, so pruning quality decays with every delete/upsert;
+    * this is the scheduled re-clustering pass that restores it (the
+    * lakehouse `OPTIMIZE [ZORDER BY]`). Old files stay until
+    * [[vacuum]]; readers on the prior version are unaffected. */
+  def optimize(s: SparkSession, dir: String, zcols: Seq[String],
+      numFiles: Int = 8): Unit = {
+    val live = read(s, dir)
+    val clustered =
+      if (zcols.size == 1)
+        live.repartitionByRange(numFiles, col(zcols.head))
+          .sortWithinPartitions(zcols.head)
+      else
+        live.withColumn("__z", Layout.zValueFor(live, zcols))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    writeManifest(dir, version(dir) + 1,
+      commitFiles(s, dir, clustered, numFiles = 0))
+  }
+
   /** Physically delete files referenced by NO manifest ≥
     * `keepSince` and drop the older manifests — the retention sweep
     * that bounds storage after many copy-on-write commits. */

@@ -104,6 +104,39 @@ class TxnTableSpec extends AnyFunSuite {
       "no duplicate rows for a replaced key")
   }
 
+  test("optimize restores pruning that scattered upserts decayed") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    // start clustered, then upsert hash-scattered commits: every new
+    // file spans the whole key range, so pruning decays
+    TxnTable.init(spark, dir,
+      (0L until 8000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0)
+    (0 until 3).foreach { i =>
+      val scattered = (0L until 8000L by 13L).map(_ + i).toDF("k")
+        .withColumn("payload", col("k") * 3)
+      TxnTable.upsert(spark, dir, "k", scattered, numFiles = 4)
+    }
+    def filesForBox(): Int = {
+      val live = TxnTable.liveFiles(dir).map(rel => s"$dir/$rel")
+      graft.core.Layout.statsForFiles(spark, live, "k")
+        .count { case (_, lo, hi) => hi >= 1000 && lo <= 1999 }
+    }
+    val decayed = filesForBox()
+    val totalBefore = TxnTable.liveFiles(dir).size
+    assert(decayed > totalBefore / 2,
+      s"fixture should be decayed: $decayed of $totalBefore files match a 1/8 box")
+    val rows = TxnTable.read(spark, dir).count()
+    TxnTable.optimize(spark, dir, Seq("k"), numFiles = 8)
+    val after = filesForBox()
+    val totalAfter = TxnTable.liveFiles(dir).size
+    assert(after * 4 <= totalAfter,
+      s"optimize must restore pruning: $after of $totalAfter files for a 1/8 box")
+    assert(TxnTable.read(spark, dir).count() == rows,
+      "optimize must not change contents")
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
