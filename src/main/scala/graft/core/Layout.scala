@@ -59,16 +59,34 @@ object Layout {
       floor((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12))
         * 65536.0).cast("long")))
 
-  /** The Z-value column for `df` over `zcols` (numeric/date columns),
-    * computing the per-column [lo, hi] stats pre-pass here (one
-    * aggregate → one driver row — index metadata, not data). */
+  /** The Z-value column for `df` over `zcols`, computing the
+    * per-column [lo, hi] stats pre-pass here (one aggregate → one
+    * driver row — index metadata, not data). Numeric/date columns get
+    * range buckets (range AND equality predicates prune); STRING
+    * columns get a 16-bit hash bucket — equal values share a bucket,
+    * so equality predicates on a categorical dimension (source, lang)
+    * prune via the co-clustered numeric stats of the same files,
+    * while range predicates on strings stay unprunable (hash order is
+    * not lexicographic — the honest trade, same as hash-bucketed
+    * clustering everywhere). */
   def zValueFor(df: DataFrame, zcols: Seq[String]): Column = {
-    val aggs = zcols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"lo_$c"),
-      max(col(c).cast("double")).as(s"hi_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).first()
-    interleaveBits(zcols.zipWithIndex.map { case (c, i) =>
-      bucket16(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+    import org.apache.spark.sql.types.StringType
+    val isStr = zcols.map(c => df.schema(c).dataType == StringType)
+    val numeric = zcols.zip(isStr).filter(!_._2).map(_._1)
+    val stats: Map[String, (Double, Double)] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).first()
+        numeric.zipWithIndex.map { case (c, i) =>
+          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)) }.toMap
+      }
+    interleaveBits(zcols.zip(isStr).map {
+      case (c, true) => pmod(hash(col(c)), lit(65536)).cast("long")
+      case (c, false) =>
+        val (lo, hi) = stats(c); bucket16(col(c), lo, hi)
     })
   }
 

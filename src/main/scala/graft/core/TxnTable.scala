@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   * The key set rides the driver (a takedown batch is thousands of ids
   * — request metadata, not data). A key set too large for the driver
   * would flip the pruning to a broadcast semi-join against per-file
-  * ranges; same plan shape, different carrier. Concurrent WRITERS are
-  * out of scope (single-writer, like the reference's ingestion
-  * pipelines); readers are isolated by the manifest.
+  * ranges; same plan shape, different carrier. At production file
+  * counts the per-file stats would be written INTO the manifest at
+  * commit time (the Delta-style stats channel) instead of re-read
+  * from footers on every mutation — same numbers, O(1) manifest read
+  * instead of an O(files) footer walk. Concurrent WRITERS are out of
+  * scope (single-writer, like the reference's ingestion pipelines);
+  * readers are isolated by the manifest.
   */
 object TxnTable {
 

@@ -87,4 +87,28 @@ class LayoutSpec extends AnyFunSuite {
     println(s"[layout] suppkey-box files: linear $linN zorder $zN; " +
       s"partkey-box: linear $linP zorder $zP")
   }
+
+  test("string z-columns cluster by hash bucket: equality groups co-locate") {
+    // documents clustered on (lang, doc_id): every (file, lang) slice
+    // must cover far fewer doc_ids than the whole table — i.e. equal
+    // lang values are contiguous in z-order, so a lang = 'x' equality
+    // scan reads a subset of files (range predicates on strings stay
+    // unprunable by design — hash order is not lexicographic)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("layout-str").toString
+    Layout.writeZOrdered(docs, s"$root/z", Seq("lang", "doc_id"),
+      numFiles = 16)
+    val perFile = spark.read.parquet(s"$root/z")
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("f").agg(countDistinct(col("lang")).as("nl"))
+      .collect().map(_.getLong(1))
+    val totalLangs = docs.select("lang").distinct().count()
+    assert(totalLangs >= 4, s"fixture needs several langs: $totalLangs")
+    // hash-bucketed leading lane → most files hold a small subset of
+    // the languages (perfect clustering would be 1-2 per file)
+    val avg = perFile.sum.toDouble / perFile.length
+    assert(avg <= totalLangs / 2.0,
+      s"string lane failed to cluster: avg $avg of $totalLangs langs per file")
+  }
 }
