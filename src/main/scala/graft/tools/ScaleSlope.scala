@@ -376,6 +376,32 @@ object ScaleSlope {
       val (tZ, _) = scanAgg(s"$root/zorder")
       println(f"""{"op":"zorder_offaxis","rows_matched":$nRows,"files_linear":$linN,"files_zorder":$zN,"sec_scan_linear":$tLin%.2f,"sec_scan_zorder":$tZ%.2f}""")
     }
+    // Copy-on-write delete at scale: the claim under test is that a
+    // key delete costs O(files-containing-the-keys), NOT O(table).
+    // Build range-clustered TxnTables at 1x/4x/16x the file count
+    // (same per-file row count — the 100 TB axis is file count), then
+    // delete the same 10-key contiguous range from each and measure
+    // files rewritten + wall time. Both must stay ~FLAT as the table
+    // grows 16x.
+    if (only("cow")) {
+      for (mult <- Seq(1, 4, 16)) {
+        val nFiles = 16 * mult
+        val rowsPerFile = 10000L
+        val dir = graft.core.TempDirs.scratchShared("ss-cow")
+        val n = nFiles * rowsPerFile
+        graft.core.TxnTable.init(spark, dir,
+          spark.range(n).select(col("id").as("k"),
+              (col("id") * 2).as("payload"))
+            .repartitionByRange(nFiles, col("k"))
+            .sortWithinPartitions("k"),
+          numFiles = 0)
+        val t0 = System.nanoTime()
+        val rewrote = graft.core.TxnTable.deleteKeys(spark, dir, "k",
+          (5000L until 5010L).toSeq)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"cow_delete_${mult}x","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"sec_delete":$sec%.2f}""")
+      }
+    }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""
