@@ -98,9 +98,13 @@ object TxnTable {
     writeManifest(dir, 1, commitFiles(s, dir, df, numFiles))
   }
 
-  /** Snapshot read of `v` (default: latest). */
+  /** Snapshot read of `v` (default: latest). mergeSchema unions the
+    * commit schemas — SCHEMA EVOLUTION: an upsert may carry columns
+    * the older commits lack (rows from before the column existed read
+    * as null), so a table can grow columns without rewriting history. */
   def read(s: SparkSession, dir: String, v: Int = -1): DataFrame =
-    s.read.parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
+    s.read.option("mergeSchema", "true")
+      .parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
 
   /** Which live files can contain any of `keys` on `keyCol`, by
     * footer stats — the rewrite set. */

@@ -24,6 +24,8 @@ import graft.semantic.model.Registry
   *   GET  /domain            Domain.domainJson (+freshness)
   *   POST /jobs              async submit → {"jobId": …}
   *   GET  /jobs/{id}         status; completed jobs embed the envelope
+  *   DELETE /jobs/{id}       cancel (queued: never starts; running:
+  *                           Spark job group killed) → 409 if terminal
   *   POST /refresh           ingestion-completion callback →
   *                           Freshness.refresh(session, dir): landed
   *                           parquet is picked up by the next request
@@ -113,10 +115,22 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case Left(err) => (400, s"""{"error":${Domain.jStr(err)}}""", reqId)
           }
         }
+      } else if (ex.getRequestMethod == "DELETE" && path.nonEmpty) {
+        // job-kill surface: queued jobs never start, running jobs have
+        // their Spark job group interrupted ([[JobQueue.cancel]])
+        if (jobs.cancel(path)) (200, """{"status":"cancelled"}""", reqId)
+        else jobs.status(path) match {
+          case None => (404, s"""{"error":"unknown job"}""", reqId)
+          case Some(st) => (409,
+            s"""{"error":"not cancellable","status":${Domain.jStr(st.toString)}}""",
+            reqId)
+        }
       } else jobs.status(path) match {
         case None => (404, s"""{"error":"unknown job"}""", reqId)
         case Some(JobQueue.Queued) => (200, """{"status":"queued"}""", reqId)
         case Some(JobQueue.Running) => (200, """{"status":"running"}""", reqId)
+        case Some(JobQueue.Cancelled) =>
+          (200, """{"status":"cancelled"}""", reqId)
         case Some(JobQueue.Failed(e)) =>
           (200, s"""{"status":"failed","error":${Domain.jStr(e)}}""", reqId)
         case Some(JobQueue.Completed(n)) =>

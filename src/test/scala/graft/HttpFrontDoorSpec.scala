@@ -149,6 +149,19 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       val rej = post(port, "/jobs", SemanticQueries.sem01Json)
       assert(rej.statusCode() == 400 && rej.body().contains("async"))
       assert(get(port, "/jobs/nope").statusCode() == 404)
+      // DELETE surface: a terminal (completed) job refuses the cancel
+      // with 409 + its status; an unknown id is 404. (The
+      // queued/running transitions are pinned race-free in
+      // JobQueueSpec with a latch-blocked worker.)
+      val del = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/jobs/$jobId")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 409 && del.body().contains("Completed"),
+        del.body())
+      val delNope = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/jobs/nope")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(delNope.statusCode() == 404)
     } finally { door.stop(); jobs.shutdown() }
   }
 

@@ -137,6 +137,24 @@ class TxnTableSpec extends AnyFunSuite {
       "optimize must not change contents")
   }
 
+  test("schema evolution: an upsert can add a column without rewriting history") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).toDF("k").withColumn("payload", col("k") * 2),
+      numFiles = 2)
+    // the new commit carries a column the v1 files lack
+    val widened = Seq((50L, 100L, "hello"), (200L, 400L, "new"))
+      .toDF("k", "payload", "note")
+    TxnTable.upsert(spark, dir, "k", widened, numFiles = 1)
+    val after = TxnTable.read(spark, dir)
+    assert(after.columns.toSet == Set("k", "payload", "note"))
+    assert(after.count() == 101)
+    assert(after.filter(col("note").isNotNull).count() == 2,
+      "pre-evolution rows must read the new column as null")
+    assert(after.filter(col("k") === 50L && col("note") === "hello").count() == 1)
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
