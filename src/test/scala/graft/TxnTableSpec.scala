@@ -155,6 +155,45 @@ class TxnTableSpec extends AnyFunSuite {
     assert(after.filter(col("k") === 50L && col("note") === "hello").count() == 1)
   }
 
+  test("a cube served from a TxnTable view reflects mutations immediately") {
+    import graft.semantic.model._
+    import graft.analyzer.{request, RequestModel}
+    // the semantic layer's FactDef.view hook makes the mutable table a
+    // first-class fact source: every request re-reads the manifest, so
+    // a committed delete is visible to the NEXT served request with no
+    // registry or cache ceremony (plans are built per request; the
+    // manifest read is the snapshot pin)
+    val dir = freshTable()
+    val cube = CubeDef(
+      name = "orders_live",
+      variants = Seq(FactDef(
+        name = "orders_live_base",
+        table = "unused",
+        dimCols = Seq(PubCol("Order Status", "o_orderstatus")),
+        metrics = Seq(PubMetric("Order Count", CountRollup, _ => lit(1))),
+        cost = 1,
+        view = Some((s, _) => TxnTable.read(s, dir)))),
+      dims = Nil)
+    val reg = Registry(cube)
+    def served(): Long = {
+      val json =
+        """{"cube": "orders_live",
+          | "selectFields": [{"field": "Order Count"}]}""".stripMargin
+      (for {
+        req <- request.parse(json)
+        m <- RequestModel.from(req, reg)
+        p <- graft.planner.Planner.plan(m, spark, sf)
+      } yield p.df).toOption.get
+        .agg(sum(col("Order Count"))).first().getLong(0)
+    }
+    val before = served()
+    val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    TxnTable.deleteKeys(spark, dir, "o_orderkey", keys)
+    assert(served() == before - 7,
+      "the next request must serve the post-delete snapshot")
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
