@@ -30,6 +30,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"missing pushed filter:\n$plan")
   }
 
+  test("q41: the 2-D box reaches the z-ordered scan as pushed range filters") {
+    // the layout's row-group pruning only engages if BOTH range
+    // predicates are pushed to the parquet reader — a post-scan filter
+    // would read every row group and the clustering would be pointless
+    val df = Relational.q41(spark, sf)
+    val scan = PlanInspect.scans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("zorder")))
+      .getOrElse(fail("no scan over the z-ordered copy"))
+    // the plan's toString truncates PushedFilters — read the scan's
+    // dataFilters (what the reader receives) directly
+    val pushed = scan.dataFilters.map(_.toString.toLowerCase).mkString(";")
+    for (c <- Seq("l_partkey", "l_suppkey"); op <- Seq(">=", "<="))
+      assert(pushed.split(';').exists(f => f.contains(c) && f.contains(op)),
+        s"missing pushed $c $op bound:\n$pushed")
+  }
+
   test("q01: column pruning — scan reads only referenced lineitem columns") {
     val plan = physical(Relational.q01(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
