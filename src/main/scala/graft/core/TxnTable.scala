@@ -178,6 +178,27 @@ object TxnTable {
       commitFiles(s, dir, clustered, numFiles = 0))
   }
 
+  /** Incremental compaction: bin-pack ONLY the live files smaller
+    * than `minBytes` into `numFiles` fresh files; files already at
+    * target size carry over by reference. This is the compaction a
+    * streaming ingest actually schedules — each trigger lands small
+    * commits, and rewriting the whole table per sweep ([[optimize]])
+    * would be O(table) per trigger interval; this sweep is O(recent
+    * small files). Returns how many small files were packed. */
+  def compactSmall(s: SparkSession, dir: String, minBytes: Long,
+      numFiles: Int = 1): Int = {
+    val live = liveFiles(dir)
+    val (small, big) = live.partition(rel =>
+      new java.io.File(dir, rel).length() < minBytes)
+    if (small.size <= numFiles) return 0 // nothing worth packing
+    val packed = commitFiles(s, dir,
+      s.read.option("mergeSchema", "true")
+        .parquet(small.map(rel => s"$dir/$rel"): _*),
+      numFiles)
+    writeManifest(dir, version(dir) + 1, big ++ packed)
+    small.size
+  }
+
   /** Physically delete files referenced by NO manifest ≥
     * `keepSince` and drop the older manifests — the retention sweep
     * that bounds storage after many copy-on-write commits. */

@@ -194,6 +194,32 @@ class TxnTableSpec extends AnyFunSuite {
       "the next request must serve the post-delete snapshot")
   }
 
+  test("compactSmall packs only the small files; big files carry by reference") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    // one big clustered commit + 5 tiny streaming-style commits
+    TxnTable.init(spark, dir,
+      (0L until 50000L).toDF("k").withColumn("payload", col("k")),
+      numFiles = 1)
+    (0 until 5).foreach { i =>
+      TxnTable.upsert(spark, dir, "k",
+        Seq((100000L + i, 1L)).toDF("k", "payload"), numFiles = 1)
+    }
+    val before = TxnTable.liveFiles(dir)
+    val bigFiles = before.filter(rel =>
+      new java.io.File(dir, rel).length() >= 100000)
+    assert(bigFiles.nonEmpty && before.size >= 6)
+    val rows = TxnTable.read(spark, dir).count()
+    val packed = TxnTable.compactSmall(spark, dir, minBytes = 100000)
+    assert(packed >= 5, s"expected the small commits packed, got $packed")
+    val after = TxnTable.liveFiles(dir)
+    assert(bigFiles.forall(after.contains),
+      "files at target size must carry over by reference")
+    assert(after.size < before.size, s"${before.size} -> ${after.size}")
+    assert(TxnTable.read(spark, dir).count() == rows,
+      "compaction must not change contents")
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
