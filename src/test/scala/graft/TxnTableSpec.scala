@@ -220,6 +220,43 @@ class TxnTableSpec extends AnyFunSuite {
       "compaction must not change contents")
   }
 
+  test("a torn write (commit files, no manifest) is invisible and vacuumable") {
+    val dir = freshTable()
+    import spark.implicits._
+    val rows = TxnTable.read(spark, dir).count()
+    // simulate a writer crash AFTER the commit dir landed but BEFORE
+    // the manifest rename: data files exist, no manifest references
+    // them — the atomic rename is the commit point
+    val orphan = new java.io.File(dir, "files/dead-commit")
+    orphan.mkdirs()
+    (0L until 10L).toDF("k").write.mode("overwrite")
+      .parquet(orphan.getAbsolutePath)
+    assert(TxnTable.read(spark, dir).count() == rows,
+      "readers must never see an uncommitted write")
+    assert(TxnTable.version(dir) == 1)
+    TxnTable.vacuum(dir, keepSince = 1)
+    assert(!orphan.exists(),
+      "vacuum must clean up the crashed writer's orphans")
+    assert(TxnTable.read(spark, dir).count() == rows)
+  }
+
+  test("a planned read pins its snapshot across later mutations") {
+    val dir = freshTable()
+    // the manifest is resolved at DataFrame construction, so a reader
+    // holding a plan keeps its version even while writers commit —
+    // snapshot isolation without locks (files live until vacuum, the
+    // same reader-vs-retention contract every manifest table has)
+    val pinned = TxnTable.read(spark, dir)
+    val before = pinned.count()
+    val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    TxnTable.deleteKeys(spark, dir, "o_orderkey", keys)
+    assert(pinned.count() == before,
+      "an already-planned reader must keep its snapshot")
+    assert(TxnTable.read(spark, dir).count() == before - 5,
+      "a new reader sees the mutation")
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
