@@ -88,6 +88,33 @@ class LayoutSpec extends AnyFunSuite {
       s"partkey-box: linear $linP zorder $zP")
   }
 
+  test("interleaveBits is a bijection on 16-bit pairs (property)") {
+    // injectivity is what makes the Z-value a lossless clustering key:
+    // two distinct (x, y) cells can never share a file boundary
+    // decision by accident. Check engine-side (the same codegen'd
+    // expression the writer uses), driver-replicated.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+    def zDriver(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }
+    val pairGen = for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y)
+    val prop = Prop.forAll(pairGen, pairGen) { (a, b) =>
+      (zDriver(a._1, a._2) == zDriver(b._1, b._2)) == (a == b)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"injectivity property failed: ${res.status}")
+    // the engine expression agrees with the driver replica on a batch
+    val pairs = Gen.listOfN(200, pairGen).sample.get
+    val got = pairs.toDF("x", "y")
+      .select(Layout.interleaveBits(Seq(col("x"), col("y"))).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (x, y) => zDriver(x, y) })
+  }
+
   test("string z-columns cluster by hash bucket: equality groups co-locate") {
     // documents clustered on (lang, doc_id): every (file, lang) slice
     // must cover far fewer doc_ids than the whole table — i.e. equal
