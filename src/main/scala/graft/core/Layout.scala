@@ -118,6 +118,11 @@ object Layout {
       .map { case (p, lo, hi) => (new Path(p).getName, lo, hi) }
   }
 
+  /** Footer opens performed by [[statsForFiles]] since JVM start —
+    * lets tests prove a path is served from manifest-carried stats
+    * (the counter must NOT move) rather than a per-file footer walk. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** [[fileStats]] over an explicit file list (full paths kept). */
   def statsForFiles(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], column: String): Seq[(String, Long, Long)] = {
@@ -127,6 +132,7 @@ object Layout {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     paths.map { p =>
+      footerReads.incrementAndGet()
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(p), conf))
       try {
@@ -136,6 +142,42 @@ object Layout {
         val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
         val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
         (p, los.min, his.max)
+      } finally reader.close()
+    }
+  }
+
+  /** One footer open per file, [min,max] extracted for EVERY column in
+    * `columns` that the footer has integer-comparable stats for — the
+    * commit-time stats pass of [[TxnTable]] (stats computed once when a
+    * file is written, then carried in the manifest; columns without
+    * usable footer stats are simply absent from the map). */
+  def multiStatsForFiles(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], columns: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)])] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val want = columns.toSet
+    paths.map { p =>
+      footerReads.incrementAndGet()
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val byCol = blocks.flatMap(_.getColumns.asScala)
+          .filter(c => want.contains(c.getPath.toDotString))
+          .groupBy(_.getPath.toDotString)
+        val stats = byCol.flatMap { case (c, chunks) =>
+          try {
+            val ss = chunks.map(_.getStatistics)
+            val los = ss.map(_.genericGetMin.asInstanceOf[Number].longValue)
+            val his = ss.map(_.genericGetMax.asInstanceOf[Number].longValue)
+            Some(c -> (los.min, his.max))
+          } catch { case _: Throwable => None } // non-numeric / no stats
+        }.toMap
+        (p, stats)
       } finally reader.close()
     }
   }

@@ -15,29 +15,43 @@ import org.apache.spark.sql.functions._
   *  - data lives in immutable commit directories
   *    (`files/<commit-uuid>/part-*.parquet`) — nothing is ever
   *    modified in place;
-  *  - each version is a `manifest-v<N>.json` listing its live files;
-  *    the manifest write is atomic (temp + rename), so readers see
+  *  - each version is a `manifest-v<N>.json` listing its live files
+  *    WITH their byte size and per-column [min,max] stats (the
+  *    Delta-style stats channel): stats are computed ONCE, from the
+  *    footers of the files a commit just wrote, and every later
+  *    mutation plans its rewrite set from a single manifest read —
+  *    O(1) metadata I/O instead of an O(files) footer walk (on an
+  *    object store each footer open is a round trip; at production
+  *    file counts the walk, not the rewrite, dominated the measured
+  *    delete cost — see SCALE_SLOPE.md cow_delete_16x);
+  *  - the manifest write is atomic (temp + rename), so readers see
   *    version N or N+1, never a torn state — SNAPSHOT ISOLATION, and
   *    reading an older manifest is TIME TRAVEL for free;
-  *  - a mutation rewrites ONLY the files whose footer [min,max] on
-  *    the key column can contain an affected key
-  *    ([[Layout.statsForFiles]] — the same stats scans prune by), so
-  *    a delete of k keys touches O(files-containing-k), not O(table);
-  *    untouched files carry over into the new manifest BY REFERENCE;
+  *  - a mutation rewrites ONLY the files whose [min,max] on the key
+  *    column can contain an affected key, so a delete of k keys
+  *    touches O(files-containing-k), not O(table); untouched files
+  *    carry over into the new manifest BY REFERENCE, stats included
+  *    (never recomputed);
+  *  - legacy manifests (bare path lines, no stats) stay readable:
+  *    entries missing the needed column's stats fall back to a footer
+  *    read for exactly those files;
   *  - [[vacuum]] physically deletes files no live manifest references.
   *
   * The key set rides the driver (a takedown batch is thousands of ids
   * — request metadata, not data). A key set too large for the driver
-  * would flip the pruning to a broadcast semi-join against per-file
-  * ranges; same plan shape, different carrier. At production file
-  * counts the per-file stats would be written INTO the manifest at
-  * commit time (the Delta-style stats channel) instead of re-read
-  * from footers on every mutation — same numbers, O(1) manifest read
-  * instead of an O(files) footer walk. Concurrent WRITERS are out of
-  * scope (single-writer, like the reference's ingestion pipelines);
-  * readers are isolated by the manifest.
+  * would flip the pruning to a broadcast semi-join against the
+  * manifest's per-file ranges; same plan shape, different carrier.
+  * Concurrent WRITERS are out of scope (single-writer, like the
+  * reference's ingestion pipelines); readers are isolated by the
+  * manifest.
   */
 object TxnTable {
+
+  /** One live file of a table version: relative path, byte size, and
+    * per-column [min,max] carried from its commit's footer pass.
+    * `bytes < 0` / empty stats = legacy entry (pre-stats manifest). */
+  final case class FileEntry(path: String, bytes: Long,
+      stats: Map[String, (Long, Long)])
 
   private def fileOf(dir: String, name: String) = new java.io.File(dir, name)
 
@@ -55,21 +69,42 @@ object TxnTable {
     manifests(dir).lastOption.map(_._1).getOrElse(
       sys.error(s"no manifest under $dir"))
 
-  /** Live file list (relative paths) of `v` (default: latest). */
-  def liveFiles(dir: String, v: Int = -1): Seq[String] = {
+  private val entryPat =
+    """\{"path":"([^"]+)","bytes":(-?\d+),"stats":\{(.*)\}\}""".r
+  private val statPat = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+
+  /** Live file entries of `v` (default: latest). One entry per line;
+    * bare-string lines (legacy manifests) parse as stats-less
+    * entries. */
+  def liveEntries(dir: String, v: Int = -1): Seq[FileEntry] = {
     val ms = manifests(dir)
     val f = (if (v < 0) ms.lastOption
              else ms.find(_._1 == v)).getOrElse(
       sys.error(s"no manifest v$v under $dir"))._2
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    // one relative path per line between the brackets
-    txt.split('\n').map(_.trim.stripPrefix("\"").stripSuffix(",")
-        .stripSuffix("\"")).filter(s => s.nonEmpty && s != "[" && s != "]")
-      .toSeq
+    txt.split('\n').map(_.trim.stripSuffix(",")).flatMap {
+      case "" | "[" | "]" => None
+      case entryPat(path, bytes, statsBody) =>
+        val stats = statPat.findAllMatchIn(statsBody).map(m =>
+          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+        Some(FileEntry(path, bytes.toLong, stats))
+      case line => // legacy format: a quoted bare path per line
+        Some(FileEntry(line.stripPrefix("\"").stripSuffix("\""), -1L,
+          Map.empty))
+    }.toSeq
   }
 
-  private def writeManifest(dir: String, v: Int, files: Seq[String]): Unit = {
-    val body = files.map("\"" + _ + "\"").mkString("[\n", ",\n", "\n]")
+  /** Live file list (relative paths) of `v` (default: latest). */
+  def liveFiles(dir: String, v: Int = -1): Seq[String] =
+    liveEntries(dir, v).map(_.path)
+
+  private def writeManifest(dir: String, v: Int,
+      entries: Seq[FileEntry]): Unit = {
+    val body = entries.map { e =>
+      val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""$c":[$lo,$hi]""" }.mkString(",")
+      s"""{"path":"${e.path}","bytes":${e.bytes},"stats":{$stats}}"""
+    }.mkString("[\n", ",\n", "\n]")
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
@@ -77,25 +112,53 @@ object TxnTable {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Write `df` as one immutable commit dir; returns its files'
-    * RELATIVE paths. `numFiles <= 0` keeps the frame's own
-    * partitioning (a caller-supplied range/Z layout — repartitioning
-    * would scatter the clustering the stats pruning depends on). */
+  /** Columns whose stats every commit records into the manifest —
+    * declared once at [[init]] (`table.json`), extended automatically
+    * by the key column of any mutation (so the first delete on a new
+    * key column upgrades the table for all later ones). */
+  def statsCols(dir: String): Seq[String] = {
+    val f = fileOf(dir, "table.json")
+    if (!f.exists()) Nil
+    else """"([^"]+)"""".r
+      .findAllMatchIn(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .dropWhile(_ != '[')).map(_.group(1)).toSeq
+  }
+
+  private def writeStatsCols(dir: String, cols: Seq[String]): Unit =
+    java.nio.file.Files.write(fileOf(dir, "table.json").toPath,
+      cols.distinct.map("\"" + _ + "\"")
+        .mkString("{\"statsCols\":[", ",", "]}").getBytes("UTF-8"))
+
+  /** Write `df` as one immutable commit dir and read the fresh files'
+    * footers ONCE for `cols` stats + byte sizes; returns manifest
+    * entries. `numFiles <= 0` keeps the frame's own partitioning (a
+    * caller-supplied range/Z layout — repartitioning would scatter the
+    * clustering the stats pruning depends on). */
   private def commitFiles(s: SparkSession, dir: String, df: DataFrame,
-      numFiles: Int): Seq[String] = {
+      numFiles: Int, cols: Seq[String]): Seq[FileEntry] = {
     val commit = java.util.UUID.randomUUID().toString
     val out = s"$dir/files/$commit"
     (if (numFiles > 0) df.repartition(numFiles) else df).write.parquet(out)
-    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty).toSeq
+    val files = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).toSeq
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"files/$commit/${f.getName}")
+    val stats: Map[String, Map[String, (Long, Long)]] =
+      if (cols.isEmpty) Map.empty
+      else Layout.multiStatsForFiles(s, files.map(_.getPath), cols)
+        .map { case (p, st) => (p, st) }.toMap
+    files.map(f => FileEntry(s"files/$commit/${f.getName}", f.length(),
+      stats.getOrElse(f.getPath, Map.empty)))
   }
 
-  /** Create the table at `dir` from `df` as version 1. */
+  /** Create the table at `dir` from `df` as version 1, recording
+    * [min,max] manifest stats for `statsCols` (typically the mutation
+    * key and the clustering columns) on this and every later commit. */
   def init(s: SparkSession, dir: String, df: DataFrame,
-      numFiles: Int = 8): Unit = {
+      numFiles: Int = 8, statsCols: Seq[String] = Nil): Unit = {
     new java.io.File(dir).mkdirs()
-    writeManifest(dir, 1, commitFiles(s, dir, df, numFiles))
+    writeStatsCols(dir, statsCols)
+    writeManifest(dir, 1, commitFiles(s, dir, df, numFiles, statsCols))
   }
 
   /** Snapshot read of `v` (default: latest). mergeSchema unions the
@@ -106,21 +169,38 @@ object TxnTable {
     s.read.option("mergeSchema", "true")
       .parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
 
-  /** Which live files can contain any of `keys` on `keyCol`, by
-    * footer stats — the rewrite set. */
-  private def matchedFiles(s: SparkSession, dir: String, keyCol: String,
-      keys: Seq[Long]): (Seq[String], Seq[String]) = {
+  /** Which live entries can contain any of `keys` on `keyCol` — the
+    * rewrite set — planned from the manifest's carried stats; only
+    * entries MISSING `keyCol` stats (legacy manifests) pay a footer
+    * read, and only for themselves. */
+  private def matchedEntries(s: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long]): (Seq[FileEntry], Seq[FileEntry]) = {
     val sorted = keys.sorted.toArray
     def anyKeyIn(lo: Long, hi: Long): Boolean = {
       val i = java.util.Arrays.binarySearch(sorted, lo)
       val from = if (i >= 0) i else -i - 1
       from < sorted.length && sorted(from) <= hi
     }
-    val live = liveFiles(dir)
-    val stats = Layout.statsForFiles(s, live.map(rel => s"$dir/$rel"), keyCol)
-    val matchedAbs = stats.filter { case (_, lo, hi) => anyKeyIn(lo, hi) }
-      .map(_._1).toSet
-    live.partition(rel => matchedAbs.contains(s"$dir/$rel"))
+    val live = liveEntries(dir)
+    val (carried, legacy) = live.partition(_.stats.contains(keyCol))
+    val legacyStats: Map[String, (Long, Long)] =
+      if (legacy.isEmpty) Map.empty
+      else Layout.statsForFiles(s, legacy.map(e => s"$dir/${e.path}"), keyCol)
+        .map { case (p, lo, hi) => (p, (lo, hi)) }.toMap
+    live.partition { e =>
+      val (lo, hi) = e.stats.getOrElse(keyCol,
+        legacyStats(s"$dir/${e.path}"))
+      anyKeyIn(lo, hi)
+    }
+  }
+
+  /** The stats set later commits should carry: the declared table
+    * columns plus this mutation's key column (persisted, so the table
+    * self-upgrades on first use of a new key). */
+  private def colsWith(dir: String, keyCol: String): Seq[String] = {
+    val cols = (statsCols(dir) :+ keyCol).distinct
+    writeStatsCols(dir, cols)
+    cols
   }
 
   /** Delete every row whose `keyCol` is in `keys`: rewrite only the
@@ -128,11 +208,13 @@ object TxnTable {
     * manifest version. Returns the number of files rewritten. */
   def deleteKeys(s: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], numFiles: Int = 4): Int = {
-    val (matched, untouched) = matchedFiles(s, dir, keyCol, keys)
+    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys)
     if (matched.isEmpty) return 0
-    val kept = s.read.parquet(matched.map(rel => s"$dir/$rel"): _*)
+    val cols = colsWith(dir, keyCol)
+    val kept = s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
       .filter(!col(keyCol).isin(keys: _*))
-    val fresh = commitFiles(s, dir, kept, math.min(numFiles, matched.size))
+    val fresh = commitFiles(s, dir, kept,
+      math.min(numFiles, matched.size), cols)
     writeManifest(dir, version(dir) + 1, untouched ++ fresh)
     matched.size
   }
@@ -143,14 +225,15 @@ object TxnTable {
       updates: DataFrame, numFiles: Int = 4): Unit = {
     val keys = updates.select(col(keyCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val (matched, untouched) = matchedFiles(s, dir, keyCol, keys)
+    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys)
+    val cols = colsWith(dir, keyCol)
     val survivors =
       if (matched.isEmpty) Nil
       else commitFiles(s, dir,
-        s.read.parquet(matched.map(rel => s"$dir/$rel"): _*)
+        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
           .filter(!col(keyCol).isin(keys: _*)),
-        math.min(numFiles, matched.size))
-    val inserted = commitFiles(s, dir, updates, numFiles)
+        math.min(numFiles, matched.size), cols)
+    val inserted = commitFiles(s, dir, updates, numFiles, cols)
     writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
   }
 
@@ -175,7 +258,7 @@ object TxnTable {
           .sortWithinPartitions("__z")
           .drop("__z")
     writeManifest(dir, version(dir) + 1,
-      commitFiles(s, dir, clustered, numFiles = 0))
+      commitFiles(s, dir, clustered, numFiles = 0, statsCols(dir)))
   }
 
   /** Incremental compaction: bin-pack ONLY the live files smaller
@@ -184,17 +267,21 @@ object TxnTable {
     * streaming ingest actually schedules — each trigger lands small
     * commits, and rewriting the whole table per sweep ([[optimize]])
     * would be O(table) per trigger interval; this sweep is O(recent
-    * small files). Returns how many small files were packed. */
+    * small files). Sizes come from the manifest (legacy entries fall
+    * back to a stat call). Returns how many small files were packed. */
   def compactSmall(s: SparkSession, dir: String, minBytes: Long,
       numFiles: Int = 1): Int = {
-    val live = liveFiles(dir)
-    val (small, big) = live.partition(rel =>
-      new java.io.File(dir, rel).length() < minBytes)
+    val live = liveEntries(dir)
+    val (small, big) = live.partition { e =>
+      val sz = if (e.bytes >= 0) e.bytes
+               else new java.io.File(dir, e.path).length()
+      sz < minBytes
+    }
     if (small.size <= numFiles) return 0 // nothing worth packing
     val packed = commitFiles(s, dir,
       s.read.option("mergeSchema", "true")
-        .parquet(small.map(rel => s"$dir/$rel"): _*),
-      numFiles)
+        .parquet(small.map(e => s"$dir/${e.path}"): _*),
+      numFiles, statsCols(dir))
     writeManifest(dir, version(dir) + 1, big ++ packed)
     small.size
   }

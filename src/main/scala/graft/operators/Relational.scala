@@ -658,7 +658,8 @@ object Relational {
         orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
           .repartitionByRange(16, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey"),
-        numFiles = 0) // keep the range clustering — it IS the point
+        numFiles = 0, // keep the range clustering — it IS the point
+        statsCols = Seq("o_orderkey")) // manifest-carried rewrite pruning
       graft.core.TxnTable.deleteKeys(s, path, "o_orderkey",
         Seq(1L, 3L, 5L, 7L))
       import s.implicits._

@@ -384,7 +384,11 @@ object ScaleSlope {
     // files rewritten + wall time. Both must stay ~FLAT as the table
     // grows 16x.
     if (only("cow")) {
-      for (mult <- Seq(1, 4, 16)) {
+      // two planning modes per scale: "footer" = legacy manifest (the
+      // mutation walks O(files) footers to find the rewrite set) vs
+      // "manifest" = stats carried in the manifest at commit time
+      // (one manifest read). The rewrite itself is identical.
+      for (mult <- Seq(1, 4, 16); mode <- Seq("footer", "manifest")) {
         val nFiles = 16 * mult
         val rowsPerFile = 10000L
         val dir = graft.core.TempDirs.scratchShared("ss-cow")
@@ -394,12 +398,23 @@ object ScaleSlope {
               (col("id") * 2).as("payload"))
             .repartitionByRange(nFiles, col("k"))
             .sortWithinPartitions("k"),
-          numFiles = 0)
+          numFiles = 0,
+          statsCols = if (mode == "manifest") Seq("k") else Nil)
+        if (mode == "footer") {
+          // strip to the legacy bare-path manifest format
+          val legacy = graft.core.TxnTable.liveFiles(dir)
+            .map("\"" + _ + "\"").mkString("[\n", ",\n", "\n]")
+          java.nio.file.Files.write(
+            new java.io.File(dir, "manifest-v1.json").toPath,
+            legacy.getBytes("UTF-8"))
+        }
+        val f0 = graft.core.Layout.footerReads.get()
         val t0 = System.nanoTime()
         val rewrote = graft.core.TxnTable.deleteKeys(spark, dir, "k",
           (5000L until 5010L).toSeq)
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"op":"cow_delete_${mult}x","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"sec_delete":$sec%.2f}""")
+        val reads = graft.core.Layout.footerReads.get() - f0
+        println(f"""{"op":"cow_delete_${mult}x_$mode","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"footer_reads":$reads,"sec_delete":$sec%.2f}""")
       }
     }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {

@@ -220,6 +220,61 @@ class TxnTableSpec extends AnyFunSuite {
       "compaction must not change contents")
   }
 
+  test("mutations plan the rewrite set from manifest stats — no footer walk") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 8000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // every live entry must carry [min,max] for k from the commit pass
+    assert(TxnTable.liveEntries(dir).forall(_.stats.contains("k")))
+    val before = graft.core.Layout.footerReads.get()
+    val rewrote = TxnTable.deleteKeys(spark, dir, "k", Seq(3000L, 3005L))
+    val reads = graft.core.Layout.footerReads.get() - before
+    // the ONLY footer opens allowed are the commit-time stats of the
+    // files this delete itself wrote — planning the rewrite set reads
+    // the manifest, not O(live files) footers
+    assert(rewrote >= 1 && rewrote <= 2, s"range pruning broke: $rewrote")
+    assert(reads <= rewrote,
+      s"expected <= $rewrote commit-stat footer reads, saw $reads — " +
+        "the mutation is footer-walking the live set")
+    assert(TxnTable.read(spark, dir).count() == 7998)
+    // carried-over entries keep their stats BY REFERENCE (no recompute)
+    assert(TxnTable.liveEntries(dir).forall(_.stats.contains("k")))
+  }
+
+  test("legacy bare-path manifests fall back to footers, then self-upgrade") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 4000L).toDF("k").withColumn("payload", col("k"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // rewrite v1 as the PRE-STATS format: one quoted bare path per line
+    val legacy = TxnTable.liveFiles(dir)
+      .map("\"" + _ + "\"").mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "manifest-v1.json").toPath,
+      legacy.getBytes("UTF-8"))
+    assert(TxnTable.liveEntries(dir).forall(_.stats.isEmpty))
+    // first delete: footer fallback finds the rewrite set correctly
+    val rewrote = TxnTable.deleteKeys(spark, dir, "k", Seq(1000L, 1001L))
+    assert(rewrote >= 1 && TxnTable.read(spark, dir).count() == 3998)
+    // ...and the commit it wrote carries stats, so the NEXT mutation on
+    // the same file is manifest-served (the table self-upgrades)
+    val fresh = TxnTable.liveEntries(dir).filter(_.stats.contains("k"))
+    assert(fresh.nonEmpty, "the rewrite commit must carry stats")
+    val before = graft.core.Layout.footerReads.get()
+    TxnTable.deleteKeys(spark, dir, "k", Seq(1002L))
+    val reads = graft.core.Layout.footerReads.get() - before
+    // only the still-legacy carried files (3 of 4) + this delete's own
+    // fresh commit may be footer-read — never the upgraded entries
+    assert(reads <= TxnTable.liveEntries(dir).count(_.stats.isEmpty) + 2,
+      s"unexpected footer reads: $reads")
+    assert(TxnTable.read(spark, dir).count() == 3997)
+  }
+
   test("a torn write (commit files, no manifest) is invisible and vacuumable") {
     val dir = freshTable()
     import spark.implicits._
