@@ -169,6 +169,47 @@ object TxnTable {
     s.read.option("mergeSchema", "true")
       .parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
 
+  /** CDC read — net row-level changes between two committed versions
+    * (the lakehouse `table_changes` surface), computed from the
+    * MANIFEST FILE DIFF: only files added or removed between the two
+    * versions are read; files carried by reference — the overwhelming
+    * majority under copy-on-write — are never opened, so the cost is
+    * O(commit delta), not O(table). Within the diff, rows identical on
+    * both sides (the untouched rows of a rewritten file) cancel via
+    * multiset difference (`exceptAll` — a hash aggregate over the
+    * delta, no join), leaving exactly the net inserts and deletes;
+    * an upsert therefore reads back as delete(old row) + insert(new
+    * row). Result carries every data column plus `_change_type`
+    * ('insert' | 'delete'). Schema evolution is handled by aligning
+    * both sides to the target version's columns (dropped-column
+    * history reads as null, same as [[read]]). This is how a
+    * downstream consumer (index refresh, sync to a serving store,
+    * incremental re-dedup) follows a mutating 100 TB table without
+    * rescanning it. */
+  def changes(s: SparkSession, dir: String, fromV: Int,
+      toV: Int = -1): DataFrame = {
+    val fromSet = liveFiles(dir, fromV).toSet
+    val toSet = liveFiles(dir, toV).toSet
+    val removed = (fromSet -- toSet).toSeq.sorted
+    val added = (toSet -- fromSet).toSeq.sorted
+    val schemaCarrier = read(s, dir, toV).limit(0)
+    def side(ps: Seq[String]): DataFrame =
+      if (ps.isEmpty) schemaCarrier
+      else {
+        val df = s.read.option("mergeSchema", "true")
+          .parquet(ps.map(rel => s"$dir/$rel"): _*)
+        val have = df.columns.toSet
+        df.select(schemaCarrier.schema.map(f =>
+          (if (have(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+      }
+    val rem = side(removed)
+    val add = side(added)
+    add.exceptAll(rem).withColumn("_change_type", lit("insert"))
+      .unionByName(rem.exceptAll(add).withColumn("_change_type",
+        lit("delete")))
+  }
+
   /** Which live entries can contain any of `keys` on `keyCol` — the
     * rewrite set — planned from the manifest's carried stats; only
     * entries MISSING `keyCol` stats (legacy manifests) pay a footer

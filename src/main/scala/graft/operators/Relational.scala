@@ -651,8 +651,11 @@ object Relational {
     * at 100 TB a delete of k keys rewrites O(files-containing-k)
     * range-clustered files, never the table (TxnTableSpec pins the
     * strict-subset rewrite + by-reference carry-over). */
-  def q42(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.core.Caches.memoObj(s, s"cow|$d") {
+  /** The mutated copy-on-write table q42/q43 share: init (v1) →
+    * GDPR-style key delete (v2) → upsert of two replacements + one
+    * insert (v3). Built once per (session, dir). */
+  private def cowTable(s: SparkSession, d: String): String =
+    graft.core.Caches.memoObj(s, s"cow|$d") {
       val path = graft.core.TempDirs.scratchShared("cow")
       graft.core.TxnTable.init(s, path,
         orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -668,6 +671,9 @@ object Relational {
           .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
       path
     }
+
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val dir = cowTable(s, d)
     graft.core.TxnTable.read(s, dir)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -676,7 +682,30 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC read over the mutated table (`TxnTable.changes`, the
+    * lakehouse `table_changes` surface): net row-level changes between
+    * v1 (pre-mutation) and the latest snapshot, computed from the
+    * MANIFEST FILE DIFF — only files added/removed across the commits
+    * are opened, carried-by-reference files never are, and identical
+    * rows inside rewritten files cancel via multiset difference (one
+    * hash aggregate over the delta, no join). Net result: the four
+    * deleted keys + the two replaced keys' old rows as 'delete', the
+    * three upserted rows as 'insert'. The oracle replays the same
+    * mutations relationally. At 100 TB this is how a downstream
+    * consumer (serving-store sync, incremental index refresh) follows
+    * a mutating table at O(commit delta), never O(table). */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val dir = cowTable(s, d)
+    graft.core.TxnTable.changes(s, dir, fromV = 1)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("_change_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_table_changes" -> (q43 _),
     "q42_cow_mutations" -> (q42 _),
     "q41_zorder_layout" -> (q41 _),
     "q38_cube_grouping" -> (q38 _),
@@ -1009,6 +1038,26 @@ object Relational {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q43's oracle replays the NET change set of the q42 mutations:
+    // deletes = the four removed keys + the two replaced keys' OLD
+    // rows (only where those keys exist in the base table — matching
+    // the engine, which can only delete rows that were present);
+    // inserts = the three upserted rows
+    "q43_table_changes" ->
+      """WITH del AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'delete' AS _change_type
+        |  FROM orders WHERE o_orderkey IN (1, 3, 5, 7, 2, 4)),
+        |ins AS (SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), 'X', 100.0, 'insert'),
+        |  (CAST(4 AS BIGINT), 'X', 200.0, 'insert'),
+        |  (CAST(10000000 AS BIGINT), 'X', 300.0, 'insert'))
+        |  t(o_orderkey, o_orderstatus, o_totalprice, _change_type)),
+        |ch AS (SELECT * FROM del UNION ALL SELECT * FROM ins)
+        |SELECT _change_type, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
     // q41 reads a Z-ordered COPY of lineitem; the oracle reads the
     // original — the layout op must be result-invisible
     "q41_zorder_layout" ->

@@ -275,6 +275,60 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, dir).count() == 3997)
   }
 
+  test("changes() yields net row-level CDC and reads only the file diff") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 8000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    TxnTable.deleteKeys(spark, dir, "k", Seq(3000L, 3001L)) // v2
+    TxnTable.upsert(spark, dir, "k", // v3: replace 100, insert 99999
+      Seq((100L, -1L), (99999L, -2L)).toDF("k", "payload"))
+    // v1 -> v3 NET: deletes 3000,3001 and the OLD row of 100;
+    // inserts the new 100 and 99999. Untouched rows of the rewritten
+    // files must cancel; carried files must not even be read.
+    val ch = TxnTable.changes(spark, dir, fromV = 1)
+    val rows = ch.select("_change_type", "k", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rows == Set(
+      ("delete", 3000L, 6000L), ("delete", 3001L, 6002L),
+      ("delete", 100L, 200L),
+      ("insert", 100L, -1L), ("insert", 99999L, -2L)))
+    // file-diff economy: the plan's inputs are exactly the added ∪
+    // removed files — no carried-by-reference file is opened
+    val carried = (TxnTable.liveFiles(dir, 1).toSet &
+      TxnTable.liveFiles(dir).toSet).map(rel => s"$dir/$rel")
+    val inputs = ch.inputFiles.map(_.stripPrefix("file:")).toSet
+    assert(carried.nonEmpty, "fixture must carry files by reference")
+    assert((inputs & carried).isEmpty,
+      s"CDC read carried files: ${inputs & carried}")
+    // incremental consumption: v2 -> v3 sees only the upsert
+    val tail = TxnTable.changes(spark, dir, fromV = 2)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tail == Set(("delete", 100L), ("insert", 100L),
+      ("insert", 99999L)))
+  }
+
+  test("changes() aligns schemas across column evolution") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).toDF("k").withColumn("payload", col("k")),
+      numFiles = 1)
+    TxnTable.upsert(spark, dir, "k",
+      Seq((50L, 500L, "note")).toDF("k", "payload", "note"), numFiles = 1)
+    val ch = TxnTable.changes(spark, dir, fromV = 1)
+    assert(ch.columns.toSet == Set("k", "payload", "note", "_change_type"))
+    val byType = ch.collect().map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Any]("note"))).toSet
+    // the old row reads the evolved column as null on the delete side
+    assert(byType == Set(("delete", 50L, null), ("insert", 50L, "note")))
+  }
+
   test("a torn write (commit files, no manifest) is invisible and vacuumable") {
     val dir = freshTable()
     import spark.implicits._
