@@ -57,4 +57,47 @@ object Skew {
         joinType)
       .drop(SaltCol)
   }
+
+  /** Salt ONLY the hot keys — the production form when the dim side is
+    * too large to replicate wholesale. [[saltedEquiJoin]] replicates
+    * the ENTIRE small side `buckets`×, which the skew probe measured
+    * as a net LOSS on a 1M-row dim (15.4 s vs 9.8 s plain at 20M rows
+    * — the replication shuffle swamps the straggler win,
+    * SCALE_SLOPE.md). Here the big side splits on membership in
+    * `hotKeys` (request metadata — a handful of ids, rides the plan as
+    * a literal IN): the cold partition joins plain (its keys are
+    * uniform by construction), and only the hot partition is salted,
+    * with ONLY the hot keys' dim rows — |hotKeys| × buckets rows, not
+    * |dim| × buckets — replicated. One union of two shuffle joins;
+    * each output row is produced by exactly one branch, so any
+    * big-side-preserving join type is safe. */
+  def saltedHotKeyJoin(big: DataFrame, bigKey: String,
+      saltSource: Seq[String], small: DataFrame, smallKey: String,
+      hotKeys: Seq[Long], buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(hotKeys.nonEmpty, "no hot keys — use a plain join")
+    require(safeJoinTypes(joinType.toLowerCase),
+      s"join type '$joinType' is unsafe under salt replication")
+    val hot = big.filter(col(bigKey).isin(hotKeys: _*))
+    val cold = big.filter(!col(bigKey).isin(hotKeys: _*) ||
+      col(bigKey).isNull)
+    val smallHot = small.filter(col(smallKey).isin(hotKeys: _*))
+    saltedEquiJoin(hot, bigKey, saltSource, smallHot, smallKey, buckets,
+        joinType)
+      .unionByName(cold.join(small, cold(bigKey) === small(smallKey),
+        joinType))
+  }
+
+  /** The hot keys of `df.key`: keys owning more than `frac` of an
+    * n-row uniform partition's fair share, found on a `sampleFrac`
+    * sample (one cheap aggregate of index metadata — at 100 TB this is
+    * the stats pass that decides whether to salt at all). */
+  def findHotKeys(df: DataFrame, key: String, sampleFrac: Double = 0.01,
+      frac: Double = 0.1): Seq[Long] = {
+    val sampled = df.sample(sampleFrac).groupBy(col(key))
+      .agg(count(lit(1)).as("c"))
+    val total = sampled.agg(sum("c")).first().getLong(0).max(1L)
+    sampled.filter(col("c") > lit(total * frac))
+      .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
+  }
 }

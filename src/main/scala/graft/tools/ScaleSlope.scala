@@ -383,6 +383,46 @@ object ScaleSlope {
     // delete the same 10-key contiguous range from each and measure
     // files rewritten + wall time. Both must stay ~FLAT as the table
     // grows 16x.
+    // SS_ONLY=skew — skewed shuffle join: one key owns half the big
+    // side, so a plain hash join funnels 50% of the rows through ONE
+    // reducer (the straggler that sets wall-clock at 1000 executors).
+    // Measure three plans on the same data: plain with AQE off (the
+    // straggler), Skew.saltedEquiJoin with AQE off (explicit spread),
+    // and plain with AQE's runtime skew split. All three must agree on
+    // the checksum; the deltas are the mitigation's measured value.
+    if (only("skew")) {
+      val n = 20000000L
+      val dimN = 1000000L
+      val big = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(1L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(dimN))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(dimN).select(col("id").as("dk"),
+        (col("id") * 7L).as("payload"))
+      def run(name: String, aqe: Boolean)(join: => DataFrame): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        // keep the dim side out of broadcast range so the probe
+        // actually exercises the shuffle-join skew path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (sec, rows) = timed {
+          join.agg(sum(col("v") + col("payload"))).first(); n
+        }
+        println(f"""{"op":"skew_join_$name","rows":$rows,"sec":$sec%.2f}""")
+      }
+      run("plain_noaqe", aqe = false) {
+        big.join(dim, big("k") === dim("dk")) }
+      run("salted_full_noaqe", aqe = false) {
+        graft.operators.Skew.saltedEquiJoin(
+          big, "k", Seq("v"), dim, "dk", buckets = 32) }
+      run("salted_hotkey_noaqe", aqe = false) {
+        graft.operators.Skew.saltedHotKeyJoin(
+          big, "k", Seq("v"), dim, "dk", hotKeys = Seq(1L), buckets = 32) }
+      run("plain_aqe_skewsplit", aqe = true) {
+        big.join(dim, big("k") === dim("dk")) }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     if (only("cow")) {
       // two planning modes per scale: "footer" = legacy manifest (the
       // mutation walks O(files) footers to find the rewrite set) vs

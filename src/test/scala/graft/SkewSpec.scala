@@ -64,4 +64,33 @@ class SkewSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("duplicate"))
   }
+
+  test("hot-key salted join equals the plain join, incl. unmatched rows") {
+    import spark.implicits._
+    // key 1 is hot (and present in dim), key 7 is cold-with-match,
+    // key 99 is cold-unmatched, key 5 is HOT-unmatched (no dim row)
+    val big = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => (5L, 1000L + i)) ++
+      Seq((7L, 2000L), (99L, 3000L))).toDF("k", "v")
+    val small = Seq((1L, "one"), (5L, "five"), (7L, "seven"))
+      .toDF("sk", "name")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = big.join(small, big("k") === small("sk"), jt)
+        .select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      val salted = Skew.saltedHotKeyJoin(big, "k", Seq("v"), small, "sk",
+          hotKeys = Seq(1L, 5L), buckets = 8, joinType = jt)
+        .select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(plain.toSeq == salted.toSeq, s"mismatch under $jt")
+    }
+  }
+
+  test("findHotKeys surfaces the dominating key and nothing uniform") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(i => (42L, i.toLong)) ++
+      (1 to 5000).map(i => (i.toLong % 997, i.toLong))).toDF("k", "v")
+    val hot = Skew.findHotKeys(df, "k", sampleFrac = 0.5, frac = 0.2)
+    assert(hot == Seq(42L), s"expected Seq(42), got $hot")
+  }
 }
