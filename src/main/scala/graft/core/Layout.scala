@@ -139,9 +139,16 @@ object Layout {
         val blocks = reader.getFooter.getBlocks.asScala
         val stats = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == column).map(_.getStatistics))
-        val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
-        val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
-        (p, los.min, his.max)
+        if (stats.isEmpty)
+          // zero-row file (or the column is absent from this file's
+          // schema): the EMPTY range — intersects nothing, so pruning
+          // correctly never selects it
+          (p, Long.MaxValue, Long.MinValue)
+        else {
+          val los = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+          val his = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+          (p, los.min, his.max)
+        }
       } finally reader.close()
     }
   }
@@ -166,18 +173,25 @@ object Layout {
         HadoopInputFile.fromPath(new Path(p), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        val byCol = blocks.flatMap(_.getColumns.asScala)
-          .filter(c => want.contains(c.getPath.toDotString))
-          .groupBy(_.getPath.toDotString)
-        val stats = byCol.flatMap { case (c, chunks) =>
-          try {
-            val ss = chunks.map(_.getStatistics)
-            val los = ss.map(_.genericGetMin.asInstanceOf[Number].longValue)
-            val his = ss.map(_.genericGetMax.asInstanceOf[Number].longValue)
-            Some(c -> (los.min, his.max))
-          } catch { case _: Throwable => None } // non-numeric / no stats
-        }.toMap
-        (p, stats)
+        if (blocks.isEmpty)
+          // zero-row file: record the EMPTY range for every requested
+          // column so later mutations prune it from the manifest
+          // instead of re-reading its footer forever
+          (p, columns.map(_ -> (Long.MaxValue, Long.MinValue)).toMap)
+        else {
+          val byCol = blocks.flatMap(_.getColumns.asScala)
+            .filter(c => want.contains(c.getPath.toDotString))
+            .groupBy(_.getPath.toDotString)
+          val stats = byCol.flatMap { case (c, chunks) =>
+            try {
+              val ss = chunks.map(_.getStatistics)
+              val los = ss.map(_.genericGetMin.asInstanceOf[Number].longValue)
+              val his = ss.map(_.genericGetMax.asInstanceOf[Number].longValue)
+              Some(c -> (los.min, his.max))
+            } catch { case _: Throwable => None } // non-numeric / no stats
+          }.toMap
+          (p, stats)
+        }
       } finally reader.close()
     }
   }

@@ -210,6 +210,48 @@ object TxnTable {
         lit("delete")))
   }
 
+  /** An additive rollup of `df`: row count `n` plus exact
+    * DECIMAL(30,6) sums of `sumCols` (named `sum_<col>`) per `keys`
+    * group. Decimal, not double, so [[applyCdcDelta]] is EXACTLY equal
+    * to a full recompute regardless of merge order — the property that
+    * lets a maintained rollup be trusted like a recomputed one. */
+  def rollupOf(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      sumCols.map(c => sum(col(c).cast(DecimalType(30, 6)))
+        .cast(DecimalType(30, 6)).as(s"sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental view maintenance from CDC: fold a [[changes]] frame
+    * into a [[rollupOf]]-shaped rollup — inserts add, deletes
+    * subtract, groups whose count reaches zero disappear. The work is
+    * O(commit delta) + a merge keyed on the (small) rollup, never a
+    * rescan of the table: the downstream cube follows a mutating
+    * 100 TB source at the cost of the mutation, which is the entire
+    * point of emitting CDC. Exactness: decimal arithmetic makes
+    * delta-application ≡ full recompute (spec-pinned), so the
+    * maintained rollup never drifts. */
+  def applyCdcDelta(prior: DataFrame, ch: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = sum(sign).cast("long").as("n") +:
+      sumCols.map(c => sum(sign * col(c).cast(DecimalType(30, 6)))
+        .cast(DecimalType(30, 6)).as(s"sum_$c"))
+    val delta = ch.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mergedAggs = sum(col("n")).cast("long").as("n") +:
+      sumCols.map(c => sum(col(s"sum_$c")).cast(DecimalType(30, 6))
+        .as(s"sum_$c"))
+    prior.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(mergedAggs.head, mergedAggs.tail: _*)
+      .filter(col("n") > 0)
+  }
+
   /** Which live entries can contain any of `keys` on `keyCol` — the
     * rewrite set — planned from the manifest's carried stats; only
     * entries MISSING `keyCol` stats (legacy manifests) pay a footer

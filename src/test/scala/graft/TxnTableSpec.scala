@@ -312,6 +312,51 @@ class TxnTableSpec extends AnyFunSuite {
       ("insert", 99999L)))
   }
 
+  test("CDC deltas maintain a rollup exactly equal to a full recompute") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      graft.core.Tables.orders(spark, sf)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      numFiles = 0, statsCols = Seq("o_orderkey"))
+    val keys = Seq("o_orderstatus")
+    val sums = Seq("o_totalprice")
+    def snap(v: Int = -1) =
+      TxnTable.rollupOf(TxnTable.read(spark, dir, v), keys, sums)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2))).toSet
+    val v1Rollup = snap(1)
+    TxnTable.deleteKeys(spark, dir, "o_orderkey", Seq(1L, 3L, 5L)) // v2
+    TxnTable.upsert(spark, dir, "o_orderkey",
+      Seq((2L, "Z", 42.5), (7777777L, "Z", 17.25))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")) // v3
+    // one-shot: fold v1->v3 changes into the v1 rollup
+    val oneShot = TxnTable.applyCdcDelta(v1Rollup,
+      TxnTable.changes(spark, dir, fromV = 1), keys, sums)
+    assert(rows(oneShot) == rows(snap()),
+      "delta-maintained rollup must equal the full recompute exactly")
+    // chained: v1->v2 then v2->v3 lands in the same place
+    val chained = TxnTable.applyCdcDelta(
+      TxnTable.applyCdcDelta(v1Rollup,
+        TxnTable.changes(spark, dir, 1, 2), keys, sums),
+      TxnTable.changes(spark, dir, 2, 3), keys, sums)
+    assert(rows(chained) == rows(snap()),
+      "per-commit incremental application must converge identically")
+    // a fully-deleted group disappears from the maintained rollup
+    val zKeys = TxnTable.read(spark, dir)
+      .filter(col("o_orderstatus") === "Z")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    TxnTable.deleteKeys(spark, dir, "o_orderkey", zKeys) // v4
+    val afterDrop = TxnTable.applyCdcDelta(oneShot,
+      TxnTable.changes(spark, dir, 3, 4), keys, sums)
+    assert(rows(afterDrop) == rows(snap()))
+    assert(!afterDrop.collect().exists(_.getString(0) == "Z"),
+      "a group whose rows are all deleted must vanish")
+  }
+
   test("changes() aligns schemas across column evolution") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
