@@ -704,7 +704,54 @@ object Relational {
       .orderBy("_change_type")
   }
 
+  /** CDC FOLLOWER (`TxnTable.changes` + `applyCdcDelta`): a downstream
+    * rollup follows a mutating table across THREE commits by applying
+    * per-version change sets — never rescanning the table. The
+    * version number is the stream offset (exactly the Delta CDF
+    * consumer contract): the follower holds (lastApplied, rollup),
+    * and each poll folds `changes(lastApplied, v)` into the rollup;
+    * in production the pair is persisted together (the st05
+    * `v<N>-b<bid>` sink discipline) so recovery is a manifest read.
+    * Work per poll is O(commit delta) + a merge keyed on the small
+    * rollup. The oracle replays all three mutations relationally and
+    * aggregates the final state — so the row pins the whole follower
+    * loop (delete, upsert-with-replacement, delete-of-an-upserted-row)
+    * against an independent engine, while TxnTableSpec separately pins
+    * delta-application ≡ recompute exactness. */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Caches.memoObj(s, s"cdcfollow|$d") {
+      val path = graft.core.TempDirs.scratchShared("cdcfollow")
+      graft.core.TxnTable.init(s, path,
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        numFiles = 0, statsCols = Seq("o_orderkey"))
+      graft.core.TxnTable.deleteKeys(s, path, "o_orderkey",
+        Seq(11L, 13L, 17L, 19L)) // v2
+      import s.implicits._
+      graft.core.TxnTable.upsert(s, path, "o_orderkey",
+        Seq((12L, "Y", 55.5), (14L, "Y", 66.25), (20000000L, "Y", 77.75))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")) // v3
+      graft.core.TxnTable.deleteKeys(s, path, "o_orderkey",
+        Seq(12L, 23L)) // v4 — removes an upserted row and a base row
+      path
+    }
+    val keys = Seq("o_orderstatus")
+    val sums = Seq("o_totalprice")
+    val follower = (2 to graft.core.TxnTable.version(dir))
+      .foldLeft(graft.core.TxnTable.rollupOf(
+        graft.core.TxnTable.read(s, dir, v = 1), keys, sums)) { (roll, v) =>
+        graft.core.TxnTable.applyCdcDelta(roll,
+          graft.core.TxnTable.changes(s, dir, v - 1, v), keys, sums)
+      }
+    follower
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_o_totalprice").cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_cdc_follow" -> (q44 _),
     "q43_table_changes" -> (q43 _),
     "q42_cow_mutations" -> (q42 _),
     "q41_zorder_layout" -> (q41 _),
@@ -1038,6 +1085,24 @@ object Relational {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q44's oracle replays the three-commit mutation history and
+    // aggregates the FINAL state — the follower's delta-maintained
+    // rollup must land exactly there
+    "q44_cdc_follow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (11, 13, 17, 19)
+        |    AND o_orderkey NOT IN (12, 14)),
+        |up AS (SELECT * FROM (VALUES
+        |  (CAST(12 AS BIGINT), 'Y', 55.5),
+        |  (CAST(14 AS BIGINT), 'Y', 66.25),
+        |  (CAST(20000000 AS BIGINT), 'Y', 77.75))
+        |  t(o_orderkey, o_orderstatus, o_totalprice)),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM up),
+        |final AS (SELECT * FROM merged WHERE o_orderkey NOT IN (12, 23))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // q43's oracle replays the NET change set of the q42 mutations:
     // deletes = the four removed keys + the two replaced keys' OLD
     // rows (only where those keys exist in the base table — matching
