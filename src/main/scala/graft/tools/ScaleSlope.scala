@@ -383,6 +383,52 @@ object ScaleSlope {
     // delete the same 10-key contiguous range from each and measure
     // files rewritten + wall time. Both must stay ~FLAT as the table
     // grows 16x.
+    // SS_ONLY=bucket — co-located (bucketed) join: pay the bucketing
+    // shuffle ONCE at write time, then every fact-fact join on the
+    // bucket key plans shuffle-free SMJ. Measures the per-query win
+    // (join with vs without the two exchanges) AND the honest one-time
+    // write cost; BucketingSpec pins the no-Exchange plan shape.
+    if (only("bucket")) {
+      val n = 20000000L
+      val warehouse = graft.core.TempDirs.scratchShared("ss-bucket")
+      val a = spark.range(n).select(
+        pmod(col("id") * 2654435761L, lit(n / 2)).as("k"),
+        col("id").as("va"))
+      val b = spark.range(n).select(
+        pmod(col("id") * 1099511627L, lit(n / 2)).as("k"),
+        col("id").as("vb"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (secPlain, _) = timed {
+        a.join(b, "k").agg(sum(col("va") + col("vb"))).first(); n
+      }
+      println(f"""{"op":"bucket_join_plain","rows":$n,"sec":$secPlain%.2f}""")
+      val (secWrite, _) = timed {
+        spark.sql("DROP TABLE IF EXISTS ss_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS ss_bucket_b")
+        // repartition on the SAME hash the bucketing uses → each task
+        // holds exactly one bucket → one file per bucket → the sortBy
+        // guarantee holds at read time and the SMJ skips its sorts
+        a.repartition(32, col("k")).write.bucketBy(32, "k").sortBy("k")
+          .option("path", s"$warehouse/a").saveAsTable("ss_bucket_a")
+        b.repartition(32, col("k")).write.bucketBy(32, "k").sortBy("k")
+          .option("path", s"$warehouse/b").saveAsTable("ss_bucket_b")
+        n
+      }
+      println(f"""{"op":"bucket_write_once","rows":$n,"sec":$secWrite%.2f}""")
+      val (secBucketed, _) = timed {
+        spark.table("ss_bucket_a").join(spark.table("ss_bucket_b"), "k")
+          .agg(sum(col("va") + col("vb"))).first(); n
+      }
+      val plan = spark.table("ss_bucket_a")
+        .join(spark.table("ss_bucket_b"), "k")
+        .agg(sum(col("va") + col("vb")))
+        .queryExecution.executedPlan.toString
+      val shuffleFree = !plan.split('\n')
+        .exists(l => l.contains("Exchange hashpartitioning(k"))
+      println(f"""{"op":"bucket_join_colocated","rows":$n,"sec":$secBucketed%.2f,"join_shuffle_free":$shuffleFree}""")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     // SS_ONLY=skew — skewed shuffle join: one key owns half the big
     // side, so a plain hash join funnels 50% of the rows through ONE
     // reducer (the straggler that sets wall-clock at 1000 executors).
