@@ -98,7 +98,17 @@ object TxnTable {
   def liveFiles(dir: String, v: Int = -1): Seq[String] =
     liveEntries(dir, v).map(_.path)
 
-  private def writeManifest(dir: String, v: Int,
+  /** Commit `v` atomically — and EXCLUSIVELY: the publish step is a
+    * hard-link creation, which (unlike rename, whose POSIX semantics
+    * silently replace) fails if the target exists. Two writers racing
+    * to commit the same next version therefore cannot lose an update:
+    * exactly one wins, the other gets ConcurrentModificationException
+    * and must re-plan its mutation against the winner's manifest (its
+    * orphaned commit dir is [[vacuum]]-collected, like any torn
+    * write). This is optimistic concurrency control, the protocol
+    * every manifest-log table format uses; on an object store the
+    * same contract comes from a put-if-absent on the manifest key. */
+  private[graft] def writeManifest(dir: String, v: Int,
       entries: Seq[FileEntry]): Unit = {
     val body = entries.map { e =>
       val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
@@ -108,8 +118,14 @@ object TxnTable {
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, fileOf(dir, s"manifest-v$v.json").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try java.nio.file.Files.createLink(
+      fileOf(dir, s"manifest-v$v.json").toPath, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"manifest v$v already committed under $dir — a concurrent " +
+            "writer won; re-read the latest version and re-plan")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Columns whose stats every commit records into the manifest —

@@ -374,6 +374,27 @@ class TxnTableSpec extends AnyFunSuite {
     assert(byType == Set(("delete", 50L, null), ("insert", 50L, "note")))
   }
 
+  test("racing commits to the same version: one wins, the other fails loudly") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).toDF("k").withColumn("payload", col("k")),
+      numFiles = 1)
+    val entries = TxnTable.liveEntries(dir)
+    TxnTable.writeManifest(dir, 2, entries) // writer A commits v2
+    // writer B planned against v1 and tries to publish its own v2:
+    // the exclusive hard-link publish must refuse, never last-wins
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TxnTable.writeManifest(dir, 2, entries.take(0))
+    }
+    assert(ex.getMessage.contains("re-plan"))
+    assert(TxnTable.liveFiles(dir, 2) == entries.map(_.path),
+      "the winner's manifest must be untouched by the loser's attempt")
+    // the loser re-plans against the winner and lands as v3
+    TxnTable.writeManifest(dir, 3, entries)
+    assert(TxnTable.version(dir) == 3)
+  }
+
   test("a torn write (commit files, no manifest) is invisible and vacuumable") {
     val dir = freshTable()
     import spark.implicits._
