@@ -75,23 +75,30 @@ object Bench {
     // it still cannot fit the tail budget, per-FAMILY sums are printed
     // instead; the full-name full-precision map always goes to
     // BENCH_LOCAL.json below.
-    def r2(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def rN(n: Int)(v: Double): String = {
+      val s = s"%.${n}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".") match { case "" => "0"; case t => t }
       else s
     }
+    val r2 = rN(2) _
+    // stdout line carries ONLY the driver-contract fields (metric/
+    // value/unit/queries/sf) — passes+agg live in BENCH_LOCAL.json,
+    // and sf is the directory BASENAME; at 153 queries those extra
+    // ~38 chars were exactly what pushed the per-query form past the
+    // tail budget into the family fallback
     def lineWith(qmap: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$nPasses,"agg":"min","queries":$qmap,"sf":"$sfDir"}"""
-    val qShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
-    }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qmap,"sf":"${new java.io.File(sfDir).getName}"}"""
+    def perQueryLine(prec: Int) = lineWith(results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + rN(prec)(v)
+    }.mkString("{", ",", "}"))
     val line = {
-      val perQuery = lineWith(qShort)
-      // 2000-char tail minus sbt's ~80-char "[success] …" suffix
-      if (perQuery.length <= 1900) perQuery
-      else {
-        // per-family sums: q/sem/dd/sim/tx/sp/st/ev/mm/sk/cur/sql/pp
+      // 2000-char tail minus sbt's ~80-char "[success] …" suffix;
+      // degrade gracefully: 2-decimal per-query → 1-decimal per-query
+      // (±0.05 s, well inside this host's documented noise band) →
+      // per-family sums (q/sem/dd/sim/tx/sp/st/ev/mm/sk/cur/sql/pp)
+      val candidates = Iterator(perQueryLine(2), perQueryLine(1))
+      candidates.find(_.length <= 1900).getOrElse {
         val fams = results.groupBy(_._1.takeWhile(!_.isDigit))
           .toSeq.sortBy(_._1)
           .map { case (f, vs) => "\"" + f + "\":" + r2(vs.map(_._2).sum) }
