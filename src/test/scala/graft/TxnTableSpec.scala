@@ -374,6 +374,53 @@ class TxnTableSpec extends AnyFunSuite {
     assert(byType == Set(("delete", 50L, null), ("insert", 50L, "note")))
   }
 
+  test("randomized mutation histories: snapshot ≡ model, CDC-maintained rollup ≡ recompute") {
+    import spark.implicits._
+    // three seeded random histories of deletes/upserts against a
+    // driver-side model map — pins snapshot semantics AND the
+    // changes()/applyCdcDelta loop on histories nobody hand-picked
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = graft.core.TempDirs.scratchShared(s"txnprop$seed")
+      var model: Map[Long, (String, Long)] = (0L until 200L)
+        .map(k => k -> (s"g${k % 5}", k * 10)).toMap
+      TxnTable.init(spark, dir,
+        model.toSeq.map { case (k, (g, v)) => (k, g, v) }
+          .toDF("k", "g", "v")
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        numFiles = 0, statsCols = Seq("k"))
+      for (_ <- 1 to 4) {
+        if (rnd.nextBoolean()) {
+          val ks = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong(260L)).distinct
+          TxnTable.deleteKeys(spark, dir, "k", ks)
+          model = model -- ks
+        } else {
+          val rows = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(260L))
+            .distinct.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L)))
+          TxnTable.upsert(spark, dir, "k",
+            rows.toDF("k", "g", "v"), numFiles = 2)
+          model = model ++ rows.map { case (k, g, v) => k -> (g, v) }
+        }
+      }
+      val got = TxnTable.read(spark, dir).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSet
+      assert(got == model.toSet, s"seed $seed: snapshot != model")
+      // follower: fold every per-version change set into the v1 rollup
+      val keys = Seq("g"); val sums = Seq("v")
+      val maintained = (2 to TxnTable.version(dir))
+        .foldLeft(TxnTable.rollupOf(
+          TxnTable.read(spark, dir, v = 1), keys, sums)) { (roll, v) =>
+          TxnTable.applyCdcDelta(roll,
+            TxnTable.changes(spark, dir, v - 1, v), keys, sums)
+        }
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      assert(canon(maintained) ==
+        canon(TxnTable.rollupOf(TxnTable.read(spark, dir), keys, sums)),
+        s"seed $seed: maintained rollup != recompute")
+    }
+  }
+
   test("racing commits to the same version: one wins, the other fails loudly") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
