@@ -500,7 +500,15 @@ object ScaleSlope {
           (5000L until 5010L).toSeq)
         val sec = (System.nanoTime() - t0) / 1e9
         val reads = graft.core.Layout.footerReads.get() - f0
-        println(f"""{"op":"cow_delete_${mult}x_$mode","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"footer_reads":$reads,"sec_delete":$sec%.2f}""")
+        // CDC read of the same mutation: must be O(commit delta) —
+        // flat wall time and a flat input-file count as the TABLE
+        // grows 16x under the identical 10-key delete
+        val t1 = System.nanoTime()
+        val ch = graft.core.TxnTable.changes(spark, dir, fromV = 1)
+        val chRows = ch.count()
+        val chSec = (System.nanoTime() - t1) / 1e9
+        val chFiles = ch.inputFiles.length
+        println(f"""{"op":"cow_delete_${mult}x_$mode","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"footer_reads":$reads,"sec_delete":$sec%.2f,"cdc_rows":$chRows,"cdc_input_files":$chFiles,"sec_cdc":$chSec%.2f}""")
       }
     }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
