@@ -632,7 +632,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd13 — fuzzy string self-join via symmetric-delete blocking (the
+    * SymSpell / FastSS construction, public domain since Bocek et al.
+    * 2007 "Fast Similarity Search in Large Dictionaries"): every name
+    * emits itself plus its |name| delete-one-char variants as join
+    * keys; two strings within edit distance 1 PROVABLY share a key
+    * (substitution → both delete position i; insertion/deletion → the
+    * longer's delete equals the shorter itself), so the equi-join on
+    * variants has COMPLETE recall at d ≤ 1 with zero all-pairs work —
+    * entity-resolution blocking for name/title/URL matching in a
+    * curation pipeline, where an n² levenshtein over 10⁹ strings is
+    * unthinkable but O(n·L) candidate keys shuffle fine. Candidates
+    * then verify with the exact codegen'd `levenshtein` and dedupe.
+    * Block sizes are bounded by construction (a delete variant is
+    * shared only by strings within one edit of each other at equal-ish
+    * length); the reference has no fuzzy matching at all — its DECODE/
+    * lookup joins are exact-key only. The oracle replays the identical
+    * variant generation + verification in SQL. */
+  def ddFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = graft.core.Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("id"), lower(col("c_name")).as("name"))
+    // keys = the name itself ∪ its delete-1 variants (pure codegen:
+    // transform over sequence, no UDF)
+    val variants = expr(
+      """transform(sequence(1, length(name)),
+        |  i -> concat(substring(name, 1, i - 1),
+        |              substring(name, i + 1, length(name))))""".stripMargin)
+    val keys = names.select(col("id"), col("name"),
+      explode(concat(array(col("name")), variants)).as("key"))
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("a.name").as("a_name"),
+        col("b.id").as("b_id"), col("b.name").as("b_name"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a_id"), col("b_id"), col("dist").cast("bigint").as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_fuzzy_join" -> (ddFuzzyJoin _),
     "dd02_ngram_jaccard" -> (ddNgramJaccard _),
     "dd10_containment" -> (ddContainment _),
     "dd03_minhash_lsh" -> (ddMinhashLsh _),
@@ -688,6 +731,29 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    // dd13 replays the symmetric-delete blocking + exact levenshtein
+    // verification; the idx series is constant (names are bounded),
+    // filtered to each name's true length
+    "dd13_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT c_custkey AS id, lower(c_name) AS name FROM customer
+        |  WHERE c_custkey <= 300),
+        |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+        |keys AS (
+        |  SELECT id, name, name AS key FROM names
+        |  UNION ALL
+        |  SELECT id, name,
+        |    substr(name, 1, CAST(i - 1 AS INTEGER)) ||
+        |    substr(name, CAST(i + 1 AS INTEGER)) AS key
+        |  FROM names CROSS JOIN idx WHERE i <= length(name)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, a.name AS a_name,
+        |    b.id AS b_id, b.name AS b_name
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id)
+        |SELECT a_id, b_id,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(a_name, b_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     "dd06_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
         |pas AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks) - 1) // 32 + 1),

@@ -265,6 +265,54 @@ class DedupSpec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("dd13 symmetric-delete blocking: complete recall at d<=1, equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, lower, expr,
+      explode, concat, array, lit}
+    // planted neighborhood around "throttle valve": one substitution,
+    // one insertion, one deletion (all d=1), one d=2, one unrelated
+    val rows = Seq(
+      (1L, "throttle valve"),
+      (2L, "throttle velve"),  // substitution      d=1
+      (3L, "throttle valves"), // insertion         d=1
+      (4L, "throttl valve"),   // deletion          d=1
+      (5L, "thrott1e v4lve"),  // two substitutions d=2 — must NOT match 1
+      (6L, "completely other"))
+    val names = rows.toDF("id", "name")
+    val variants = expr(
+      """transform(sequence(1, length(name)),
+        |  i -> concat(substring(name, 1, i - 1),
+        |              substring(name, i + 1, length(name))))""".stripMargin)
+    val keys = names.select(col("id"), col("name"),
+      explode(concat(array(col("name")), variants)).as("key"))
+    val blocked = keys.as("a").join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("x"), col("a.name").as("nx"),
+        col("b.id").as("y"), col("b.name").as("ny"))
+      .distinct()
+      .filter(levenshtein(col("nx"), col("ny")) <= 1)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over ALL pairs is the ground truth the blocking must equal
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      if levenshteinDriver(a, b) <= 1
+    } yield (i, j)).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)), "all three d=1 edit kinds must be found")
+    assert(!blocked.exists(p => p == ((1L, 5L))), "d=2 must not match")
+  }
+
+  /** Classic DP levenshtein, driver-side ground truth for dd13. */
+  private def levenshteinDriver(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("default cap exceeds the test corpus's max shingle df") {
     // guards the dd02 oracle: with the default cap the result set on
     // the driver's test data must be identical to the uncapped run
