@@ -232,6 +232,12 @@ object Similarity {
   private def nearestCidCol(centers: Seq[Ctr], v: Column): Column =
     probeCol(centers, v, nprobe = 1).getItem(0)
 
+  /** Test hook: [[nearestCidCol]] over bare (cid, embedding) pairs, so
+    * specs can replicate an index build's assignment exactly. */
+  private[graft] def nearestCidColForTest(
+      centers: Seq[(Int, Seq[Float])], v: Column): Column =
+    nearestCidCol(centers.map { case (cid, e) => ctr(cid, e) }, v)
+
   /** Train k centroids: hash-seeded picks refined by `iters` Lloyd
     * steps. Means are exact decimal sums cast back to float, so the
     * centroids (and everything downstream) are run-order independent.
@@ -386,6 +392,66 @@ object Similarity {
       .transform(explodeRanked(_, "cosine"))
       .orderBy("qid", "rank")
     ServeIndex(df, dir)
+  }
+
+  /** INCREMENTAL ANN ingest over the persisted index — the rolling-
+    * append production shape (and the ANN counterpart of dd12's
+    * delta-vs-index dedup): the coarse quantizer is FROZEN at
+    * index-build time, a daily delta batch is assigned to the
+    * existing lists with that same quantizer (map-only — O(delta·k)
+    * work, the history is never re-read, never re-clustered) and
+    * APPENDED into the cid-partitioned layout; the serve path is
+    * unchanged and sees old and new vectors in one scan, so a vector
+    * is searchable the moment its batch lands. Retraining is a
+    * separate, scheduled OPTIMIZE-style event precisely because
+    * assignment must stay deterministic between retrains — the
+    * contract that makes appended ≡ rebuilt-from-scratch EXACTLY
+    * (spec-pinned), not approximately. Queries here deliberately span
+    * base AND delta ids; the oracle replays flat-quantizer IVF over
+    * the full corpus, which the incremental build must equal. */
+  def simIncrementalIngest(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val nprobe = 3
+    val v = withNorm(s, d)
+    // the last ~20% of ids are the "daily delta"; the split point is
+    // index metadata (one max aggregate) and does NOT affect results —
+    // appended ≡ rebuilt is the whole contract — so the oracle replays
+    // over the full corpus without knowing it
+    val maxId = v.agg(max("vec_id")).first().getLong(0)
+    val deltaFrom = (maxId + 1) * 4 / 5
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val dir = graft.core.Caches.memoObj(s, s"ivfinc|$d|k$k") {
+      val path = graft.core.TempDirs.scratchShared("ivfinc")
+      def slice(pred: org.apache.spark.sql.Column) =
+        v.filter(pred).select(
+          nearestCidCol(cents, col("embedding")).as("cid"),
+          col("vec_id"), col("embedding"), col("nrm"))
+          .repartition(col("cid"))
+      // day 0: the base index
+      slice(col("vec_id") < deltaFrom)
+        .write.partitionBy("cid").mode("overwrite").parquet(path)
+      // day 1: the delta, assigned by the SAME frozen quantizer and
+      // appended — history files untouched (spec-pinned)
+      slice(col("vec_id") >= deltaFrom)
+        .write.partitionBy("cid").mode("append").parquet(path)
+      path
+    }
+    val postings = s.read.parquet(dir)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = v.filter(col("vec_id") < 4 || col("vec_id") >= maxId - 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCol(cents, col("embedding"), nprobe)).as("cid"))
+    postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .groupBy("qid")
+      .agg(topKAgg(5)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
+      .orderBy("qid", "rank")
   }
 
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the
@@ -825,6 +891,7 @@ object Similarity {
     "sim06_ivf_flat" -> (simIvfFlat _),
     "sim07_int8_topk" -> (simInt8TopK _),
     "sim11_persisted_index" -> (simPersistedIndex _),
+    "sim12_incremental_ingest" -> (simIncrementalIngest _),
   )
 
   /** Shared oracle CTEs: per-vector norms (`v`) and per-(vec, band)
@@ -1236,6 +1303,53 @@ object Similarity {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // sim12: appended-index serve ≡ flat-quantizer IVF over the FULL
+    // corpus (the oracle never sees the base/delta split — appended ≡
+    // rebuilt IS the contract); nprobe=3, top-5, queries span base ids
+    // (< 4) and the freshest delta ids (max-2..max)
+    "sim12_incremental_ingest" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT v.vec_id qid, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c
+        |    WHERE v.vec_id < 4
+        |       OR v.vec_id >= (SELECT MAX(vec_id) - 2 FROM embeddings)
+        |  ) t WHERE rn <= 3),
+        |p AS (
+        |  SELECT q.vec_id qid, n.vec_id nid,
+        |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM probes pr
+        |  JOIN v q ON q.vec_id = pr.qid
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  WHERE q.vec_id <> n.vec_id)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // sim11: the persisted-index serve path is semantically sim06's
     // flat-quantizer IVF at k=16/nprobe=2/nq=5 — the parquet
     // round-trip (float arrays, IEEE doubles) is exact, so the same

@@ -284,4 +284,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(read <= 10 && read >= 1,
       s"expected <= 10 probed partitions of 16, scan read $read")
   }
+
+  test("sim12: appended index equals a from-scratch rebuild; history files untouched") {
+    import org.apache.spark.sql.functions._
+    val v = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // replicate the build: base (vec_id < 400) then appended delta,
+    // under the same frozen first-16 flat quantizer
+    val cents = v.filter(col("vec_id") < 16)
+      .orderBy("vec_id").collect().toSeq
+      .map(r => (r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    def assigned(pred: org.apache.spark.sql.Column) = {
+      val frame = v.filter(pred)
+      frame.select(Similarity.nearestCidColForTest(cents, col("embedding"))
+        .as("cid"), col("vec_id"))
+    }
+    val incDir = graft.core.TempDirs.scratchShared("sim12spec")
+    assigned(col("vec_id") < 400).repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(incDir)
+    def fileState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(incDir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = fileState()
+    assigned(col("vec_id") >= 400).repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(incDir)
+    val after = fileState()
+    // append-only: every base file survives byte-identical
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      "append must not rewrite or resize history files")
+    assert(after.size > before.size, "the delta must land as new files")
+    // appended ≡ rebuilt: same (cid, vec_id) assignment set
+    val scratchDir = graft.core.TempDirs.scratchShared("sim12scratch")
+    assigned(lit(true)).repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(scratchDir)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows(incDir) == rows(scratchDir),
+      "incremental index must equal the from-scratch build exactly")
+  }
 }
