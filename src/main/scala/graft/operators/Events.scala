@@ -63,6 +63,54 @@ object Events {
       .orderBy("step")
   }
 
+  /** ev09 — TIME-CONSTRAINED funnel: view → click within 24 h of the
+    * user's first view → purchase within 24 h of the first qualifying
+    * click. "Within T of the first qualifying previous step" is the
+    * well-defined greedy semantics product analytics ships (Amplitude/
+    * Mixpanel "conversion window" shape): each stage anchors on ONE
+    * deterministic timestamp, so the whole funnel stays ev01's
+    * join-free plan — k conditional running-min windows over a single
+    * per-user shuffle, no self-joins, no per-pair search — and the
+    * constraint is one extra predicate per stage. At 100 TB the plan
+    * is unchanged from ev01: one exchange on user_id, windows stream
+    * per user in time order. */
+  def evFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val T = 86400000000L // 24 h in µs
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("t"))
+      .withColumn("prio",
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(3))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("prio"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("click_t",
+        when(col("event_type") === "click" && col("first_view") <= col("t")
+          && col("t") <= col("first_view") + T, col("t")))
+      .withColumn("first_click", min(col("click_t")).over(w))
+      .withColumn("purchase_ok",
+        col("event_type") === "purchase" && col("first_click") <= col("t")
+          && col("t") <= col("first_click") + T)
+    val perUser = staged.groupBy("user_id")
+      .agg(max(col("first_view").isNotNull).as("s1"),
+        max(col("first_click").isNotNull).as("s2"),
+        max(col("purchase_ok")).as("s3"))
+    perUser.select(
+      explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"), col("s1").as("reached")),
+        struct(lit(2).as("step"), lit("click_24h").as("step_name"), col("s2").as("reached")),
+        struct(lit(3).as("step"), lit("purchase_24h").as("step_name"), col("s3").as("reached"))))
+        .as("f"))
+      .groupBy(col("f.step").as("step"), col("f.step_name").as("step_name"))
+      .agg(sum(when(col("f.reached"), 1L).otherwise(0L)).as("n_users"))
+      .orderBy("step")
+  }
+
   /** Cohort retention: users grouped by first-activity day; for each
     * (cohort day, day offset) the distinct users active that day.
     * Cohorts via one keyed aggregation, the activity join shuffles on
@@ -275,6 +323,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev08_conversion_lag" -> (evConversionLag _),
     "ev01_funnel" -> (evFunnel _),
+    "ev09_funnel_windowed" -> (evFunnelWindowed _),
     "ev02_retention" -> (evRetention _),
     "ev03_path_transitions" -> (evPaths _),
     "ev04_attribution_window" -> (evAttribution _),
@@ -351,6 +400,41 @@ object Events {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical running-min window formulation; epoch_us(ts) matches
     // Spark's ns→µs floor truncation
+    // ev09 = ev01 with the 24 h conversion-window constraint on each
+    // stage anchor (86400000000 µs)
+    "ev09_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t,
+        |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |       WHEN 'purchase' THEN 2 ELSE 3 END AS prio
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, t, prio,
+        |    min(CASE WHEN event_type = 'view' THEN t END) OVER w AS first_view
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, prio, event_type
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT user_id, event_type, t, first_view,
+        |    min(CASE WHEN event_type = 'click' AND first_view <= t
+        |             AND t <= first_view + 86400000000 THEN t END)
+        |      OVER w AS first_click
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, prio, event_type
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(first_view IS NOT NULL) AS r1,
+        |    max(first_click IS NOT NULL) AS r2,
+        |    max(event_type = 'purchase' AND first_click <= t
+        |        AND t <= first_click + 86400000000) AS r3
+        |  FROM s2 GROUP BY user_id),
+        |sel AS (
+        |  SELECT 1 AS step, 'view' AS step_name, r1 AS reached FROM per_user
+        |  UNION ALL SELECT 2, 'click_24h', r2 FROM per_user
+        |  UNION ALL SELECT 3, 'purchase_24h', r3 FROM per_user)
+        |SELECT step, step_name,
+        |  CAST(SUM(CASE WHEN reached THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        |FROM sel GROUP BY step, step_name ORDER BY step""".stripMargin,
     "ev01_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t,
         |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
