@@ -336,6 +336,33 @@ object TxnTable {
     writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
   }
 
+  /** MERGE: deletes and upserts applied together in ONE committed
+    * version — the `MERGE INTO` shape (matched update-rows replaced,
+    * `deletes` keys removed, unmatched update-rows inserted). A
+    * correction batch is usually mixed, and applying it as
+    * deleteKeys + upsert would publish an intermediate version in
+    * which the deletes have happened but the corrections have not —
+    * a state no one ever intended to exist (and one a concurrent
+    * reader or CDC follower would observe). One rewrite pass over the
+    * union of affected keys also touches each matched file once
+    * instead of up to twice. */
+  def merge(s: SparkSession, dir: String, keyCol: String,
+      updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit = {
+    val upKeys = updates.select(col(keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val affected = (upKeys ++ deletes).distinct
+    val (matched, untouched) = matchedEntries(s, dir, keyCol, affected)
+    val cols = colsWith(dir, keyCol)
+    val survivors =
+      if (matched.isEmpty) Nil
+      else commitFiles(s, dir,
+        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
+          .filter(!col(keyCol).isin(affected: _*)),
+        math.min(numFiles, matched.size), cols)
+    val inserted = commitFiles(s, dir, updates, numFiles, cols)
+    writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
+  }
+
   /** OPTIMIZE: rewrite the whole live set as one freshly clustered
     * commit — range-clustered on `zcols.head` when one column is
     * given, Z-ordered ([[Layout]]) for several — and commit it as a

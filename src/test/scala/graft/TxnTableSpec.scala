@@ -426,6 +426,39 @@ class TxnTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge applies deletes + upserts in ONE atomic version") {
+    import spark.implicits._
+    def build(): String = {
+      val dir = graft.core.TempDirs.scratchShared("txnmerge")
+      TxnTable.init(spark, dir,
+        (0L until 1000L).toDF("k").withColumn("payload", col("k") * 2)
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        numFiles = 0, statsCols = Seq("k"))
+      dir
+    }
+    val updates = Seq((10L, -1L), (2000L, -2L)).toDF("k", "payload")
+    // reference behavior: the same batch as two sequential commits
+    val seqDir = build()
+    TxnTable.deleteKeys(spark, seqDir, "k", Seq(5L, 6L))
+    TxnTable.upsert(spark, seqDir, "k", updates)
+    // merge: one commit, one version
+    val mDir = build()
+    TxnTable.merge(spark, mDir, "k", updates, deletes = Seq(5L, 6L))
+    assert(TxnTable.version(mDir) == 2,
+      "a mixed batch must publish exactly one new version")
+    assert(TxnTable.version(seqDir) == 3)
+    def rows(dir: String) = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(mDir) == rows(seqDir),
+      "merge must land exactly where delete-then-upsert lands")
+    // the CDC of the merge is the whole batch as one change set
+    val ch = TxnTable.changes(spark, mDir, fromV = 1)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == Set(("delete", 5L), ("delete", 6L), ("delete", 10L),
+      ("insert", 10L), ("insert", 2000L)))
+  }
+
   test("racing commits to the same version: one wins, the other fails loudly") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
