@@ -86,6 +86,34 @@ object Udafs {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
+  /** One (score, string key) candidate for [[topKByScoreKey]]. */
+  case class ScoredKey(score: Double, key: String)
+
+  /** [[topKByScore]] for STRING-keyed candidates (tokens, domains,
+    * hostnames) — same bounded sorted buffer and map-side combining,
+    * total order (score DESC, key ASC lexicographic). */
+  def topKByScoreKey(k: Int)
+      : Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] =
+    new Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
+      private def lt(a: ScoredKey, b: ScoredKey): Boolean =
+        a.score > b.score || (a.score == b.score && a.key < b.key)
+      override def zero: Seq[ScoredKey] = Vector.empty
+      override def reduce(b: Seq[ScoredKey], a: ScoredKey): Seq[ScoredKey] = {
+        if (b.size >= k && !lt(a, b.last)) b
+        else {
+          val (before, after) = b.span(lt(_, a))
+          (before :+ a) ++ after.take(k - before.size - 1)
+        }
+      }
+      override def merge(x: Seq[ScoredKey], y: Seq[ScoredKey]): Seq[ScoredKey] =
+        y.foldLeft(x)(reduce)
+      override def finish(r: Seq[ScoredKey]): Seq[ScoredKey] = r
+      override def bufferEncoder: Encoder[Seq[ScoredKey]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredKey]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
   /** [[topKByScore]] candidate carrying one extra integer column the
     * output needs but the ordering ignores (a PQ code, a quantized
     * dot, a routing list id) — saves a join-back after the top-k. */

@@ -71,6 +71,33 @@ object TextOps {
       .orderBy(desc("n"), col("token"))
       .limit(20)
 
+  /** tx16 — per-source top terms: the per-GROUP top-k that corpus QA
+    * runs per source/domain/language. Two map-side-combining
+    * aggregates, no window: shuffle 1 reduces the corpus to (source,
+    * token, n) counts with partial aggregation; shuffle 2 carries at
+    * most k×partitions candidates per source through the string-keyed
+    * bounded top-k aggregate ([[graft.functions.Udafs.topKByScoreKey]]).
+    * A `row_number OVER (PARTITION BY source)` window would instead
+    * sort the whole (source × vocab) table per source through one
+    * task per source — the measured 8× rank-stage gap in
+    * SCALE_SLOPE.md's window-vs-aggregate section, growing with vocab
+    * size. */
+  def txSourceTopTerms(s: SparkSession, d: String): DataFrame = {
+    val topAgg = udaf(graft.functions.Udafs.topKByScoreKey(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.Udafs.ScoredKey]())
+    documents(s, d)
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(topAgg(col("n").cast("double"), col("token")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("t.key").as("token"), col("t.score").cast("bigint").as("n"))
+      .orderBy("source", "rank")
+  }
+
   /** Document fingerprint: md5 over the normalized text (lowercase,
     * alnum+space only, collapsed whitespace) — the basis for
     * normalized exact dedup. */
@@ -463,6 +490,7 @@ object TextOps {
     "tx01_text_quality" -> (txQuality _),
     "tx02_lang_id" -> (txLangId _),
     "tx03_token_topk" -> (txTokenTopK _),
+    "tx16_source_top_terms" -> (txSourceTopTerms _),
     "tx04_fingerprint" -> (txFingerprint _),
     "tx06_repetition" -> (txRepetition _),
     "tx07_pii_scrub" -> (txPiiScrub _),
@@ -534,6 +562,20 @@ object TextOps {
       """SELECT t AS token, COUNT(*) AS n
         |FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS u(t)
         |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // tx16: the per-source top-5 the bounded aggregate computes,
+    // replayed as a rank window over the counts (fine at oracle scale)
+    "tx16_source_top_terms" ->
+      """WITH cnt AS (
+        |  SELECT source, t AS token, COUNT(*) AS n
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) t
+        |        FROM documents)
+        |  GROUP BY source, t)
+        |SELECT source, rank, token, n FROM (
+        |  SELECT source, token, CAST(n AS BIGINT) n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, token) AS rank
+        |  FROM cnt) r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "tx04_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
