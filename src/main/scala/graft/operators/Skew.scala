@@ -93,8 +93,9 @@ object Skew {
     * sample (one cheap aggregate of index metadata — at 100 TB this is
     * the stats pass that decides whether to salt at all). */
   def findHotKeys(df: DataFrame, key: String, sampleFrac: Double = 0.01,
-      frac: Double = 0.1): Seq[Long] = {
-    val sampled = df.sample(sampleFrac).groupBy(col(key))
+      frac: Double = 0.1, seed: Long = 42L): Seq[Long] = {
+    val sampled = df.sample(withReplacement = false, sampleFrac, seed)
+      .groupBy(col(key))
       .agg(count(lit(1)).as("c"))
     val total = sampled.agg(sum("c")).first().getLong(0).max(1L)
     sampled.filter(col("c") > lit(total * frac))
