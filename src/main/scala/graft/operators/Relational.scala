@@ -750,7 +750,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** TIME TRAVEL: read version 1 of the q42 table — the PRE-mutation
+    * snapshot — after the delete and upsert have committed. The oracle
+    * aggregates the ORIGINAL orders table: a versioned read must see
+    * exactly the data as of its manifest, no matter what later
+    * commits did (the audit/reproducibility read every manifest-log
+    * table format sells; a training run pins its data version this
+    * way). Cost: the v1 manifest read + a scan of v1's files — old
+    * versions stay readable at zero storage cost until [[vacuum]]
+    * because copy-on-write never modifies a committed file. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val dir = cowTable(s, d) // builds v1..v3; we read v1
+    graft.core.TxnTable.read(s, dir, v = 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_time_travel" -> (q45 _),
     "q44_cdc_follow" -> (q44 _),
     "q43_table_changes" -> (q43 _),
     "q42_cow_mutations" -> (q42 _),
@@ -1085,6 +1105,14 @@ object Relational {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q45 reads the PRE-mutation version of the mutated table: the
+    // oracle is simply the original data — later commits must be
+    // invisible to a versioned read
+    "q45_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // q44's oracle replays the three-commit mutation history and
     // aggregates the FINAL state — the follower's delta-maintained
     // rollup must land exactly there

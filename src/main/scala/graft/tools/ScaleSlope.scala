@@ -383,6 +383,35 @@ object ScaleSlope {
     // delete the same 10-key contiguous range from each and measure
     // files rewritten + wall time. Both must stay ~FLAT as the table
     // grows 16x.
+    // SS_ONLY=fuzzy — dd13 symmetric-delete fuzzy join at 1x/10x/50x
+    // names: candidate keys are O(n·L) and true d<=1 pairs grow
+    // linearly in this id-structured corpus, so wall time should stay
+    // ~linear — a superlinear jump would expose a hot delete-variant
+    // block
+    if (only("fuzzy")) {
+      for (bound <- Seq(300L, 3000L, 15000L)) {
+        val names = graft.core.Tables.customer(spark, d)
+          .filter(col("c_custkey") <= bound)
+          .select(col("c_custkey").as("id"), lower(col("c_name")).as("name"))
+        val variants = expr(
+          """transform(sequence(1, length(name)),
+            |  i -> concat(substring(name, 1, i - 1),
+            |              substring(name, i + 1, length(name))))""".stripMargin)
+        val keys = names.select(col("id"), col("name"),
+          explode(concat(array(col("name")), variants)).as("key"))
+        val (sec, pairs) = timed {
+          keys.as("a").join(keys.as("b"),
+              col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("x"), col("a.name").as("nx"),
+              col("b.id").as("y"), col("b.name").as("ny"))
+            .distinct()
+            .filter(levenshtein(col("nx"), col("ny")) <= 1)
+            .count()
+        }
+        println(f"""{"op":"fuzzy_join_${bound}","names":$bound,"pairs":$pairs,"sec":$sec%.2f}""")
+      }
+    }
+
     // SS_ONLY=bucket — co-located (bucketed) join: pay the bucketing
     // shuffle ONCE at write time, then every fact-fact join on the
     // bucket key plans shuffle-free SMJ. Measures the per-query win
