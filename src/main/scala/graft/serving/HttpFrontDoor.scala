@@ -32,6 +32,19 @@ import graft.semantic.model.Registry
   *                           without restart (druid-lookups refresh
   *                           cadence, exposed as the wire hook an
   *                           ingestion job calls)
+  *   POST /maintenance/{table}?op=optimize|compact|vacuum
+  *                           storage-maintenance surface over the
+  *                           REGISTERED TxnTables passed at
+  *                           construction (never arbitrary paths) —
+  *                           the operational role druid-manager plays
+  *                           for the reference's Druid cluster, here
+  *                           against the engine's own table layer:
+  *                           optimize re-clusters (zcols=a,b comma
+  *                           list; defaults to the table's statsCols),
+  *                           compact bin-packs sub-minBytes files,
+  *                           vacuum drops versions below keepSince.
+  *                           Mutations commit a new version; readers
+  *                           stay snapshot-isolated throughout
   *
   * The request id comes from the X-Request-Id header (generated when
   * absent) and is echoed back; a completion-time request-log envelope
@@ -41,7 +54,8 @@ import graft.semantic.model.Registry
   */
 final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     jobs: JobQueue, port: Int = 0,
-    monitor: ServiceMonitor = ServiceMonitor.NoOp) {
+    monitor: ServiceMonitor = ServiceMonitor.NoOp,
+    maintainable: Map[String, String] = Map.empty) {
 
   /** begin/complete bracket around one served request: `begin` before
     * planning, `complete` exactly once with outcome + wall millis; a
@@ -145,6 +159,51 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       else monitored(reqId, "refresh") {
         Freshness.refresh(s, dir)
         (200, s"""{"refreshed":${Domain.jStr(dir)}}""", reqId)
+      }
+    })
+    server.createContext("/maintenance", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      val name = ex.getRequestURI.getPath
+        .stripPrefix("/maintenance").stripPrefix("/")
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split('&').filter(_.contains('='))
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toMap
+      if (ex.getRequestMethod != "POST")
+        (405, """{"error":"POST only"}""", reqId)
+      else maintainable.get(name) match {
+        case None => (404, s"""{"error":"unknown table"}""", reqId)
+        case Some(tdir) => monitored(reqId, "maintenance") {
+          import graft.core.TxnTable
+          q.getOrElse("op", "") match {
+            case "optimize" =>
+              val zcols = q.get("zcols").map(_.split(',').toSeq)
+                .getOrElse(TxnTable.statsCols(tdir))
+              if (zcols.isEmpty)
+                (400, """{"error":"no zcols and no declared statsCols"}""",
+                  reqId)
+              else {
+                TxnTable.optimize(s, tdir, zcols)
+                Freshness.refresh(s, tdir) // served cubes see the new version
+                (200, s"""{"op":"optimize","version":${TxnTable.version(tdir)}}""",
+                  reqId)
+              }
+            case "compact" =>
+              val minBytes = q.get("minBytes").map(_.toLong)
+                .getOrElse(1L << 20)
+              val packed = TxnTable.compactSmall(s, tdir, minBytes)
+              Freshness.refresh(s, tdir)
+              (200, s"""{"op":"compact","packed":$packed,"version":${TxnTable.version(tdir)}}""",
+                reqId)
+            case "vacuum" =>
+              val keep = q.get("keepSince").map(_.toInt)
+                .getOrElse(TxnTable.version(tdir))
+              TxnTable.vacuum(tdir, keep)
+              (200, s"""{"op":"vacuum","keptSince":$keep}""", reqId)
+            case other =>
+              (400, s"""{"error":${Domain.jStr(s"unknown op '$other'")}}""",
+                reqId)
+          }
+        }
       }
     })
     server.start()

@@ -200,4 +200,44 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(mon.succeeded("refresh") == 1L)
     } finally { door.stop(); jobs.shutdown() }
   }
+
+  test("POST /maintenance compacts and vacuums a REGISTERED table only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.TxnTable
+    val tdir = graft.core.TempDirs.scratchShared("httpmaint")
+    TxnTable.init(spark, tdir,
+      (0L until 50000L).toDF("k").withColumn("payload", col("k")),
+      numFiles = 1, statsCols = Seq("k"))
+    (0 until 5).foreach { i => // tiny streaming-style commits
+      TxnTable.upsert(spark, tdir, "k",
+        Seq((100000L + i, 1L)).toDF("k", "payload"), numFiles = 1)
+    }
+    val rows = TxnTable.read(spark, tdir).count()
+    val filesBefore = TxnTable.liveFiles(tdir).size
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("httpjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainable = Map("events_live" -> tdir))
+    val port = door.start()
+    try {
+      // unregistered table name → 404, no path traversal surface
+      assert(post(port, s"/maintenance/other?op=compact", "")
+        .statusCode() == 404)
+      assert(post(port, s"/maintenance/events_live?op=nope", "")
+        .statusCode() == 400)
+      val c = post(port,
+        s"/maintenance/events_live?op=compact&minBytes=100000", "")
+      assert(c.statusCode() == 200 && c.body().contains("\"packed\":"),
+        c.body())
+      assert(TxnTable.liveFiles(tdir).size < filesBefore)
+      assert(TxnTable.read(spark, tdir).count() == rows,
+        "maintenance must not change contents")
+      val v = post(port, s"/maintenance/events_live?op=vacuum", "")
+      assert(v.statusCode() == 200, v.body())
+      // pre-compaction versions are gone, the live one reads intact
+      intercept[RuntimeException](TxnTable.read(spark, tdir, v = 1))
+      assert(TxnTable.read(spark, tdir).count() == rows)
+    } finally { door.stop(); jobs.shutdown() }
+  }
 }
