@@ -174,7 +174,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
         case None => (404, s"""{"error":"unknown table"}""", reqId)
         case Some(tdir) => monitored(reqId, "maintenance") {
           import graft.core.TxnTable
-          q.getOrElse("op", "") match {
+          try q.getOrElse("op", "") match {
             case "optimize" =>
               val zcols = q.get("zcols").map(_.split(',').toSeq)
                 .getOrElse(TxnTable.statsCols(tdir))
@@ -202,6 +202,12 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case other =>
               (400, s"""{"error":${Domain.jStr(s"unknown op '$other'")}}""",
                 reqId)
+          } catch {
+            // optimistic-concurrency loser (another maintenance or
+            // ingest commit won the version): a CONFLICT the caller
+            // retries, not a server error
+            case e: java.util.ConcurrentModificationException =>
+              (409, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
           }
         }
       }
