@@ -484,7 +484,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** tx17 — per-language quality buckets (the CCNet head/middle/tail
+    * split, Wenzek et al. 2020 arXiv:1911.00359: bucket a corpus by
+    * LM score per language, then keep/downsample per bucket): docs
+    * score with tx15's exact-integer bigram fluency, per-language
+    * [25%, 75%] boundaries come from ONE percentile aggregate (two
+    * boundary doubles per language — index metadata), and bucketing
+    * is a broadcast join back + a map-only CASE. Quartile fractions
+    * are chosen over CCNet's terciles deliberately: 0.25/0.75 are
+    * exactly representable doubles, so the interpolated boundary —
+    * and therefore every boundary-adjacent bucket decision — is
+    * bit-identical cross-engine (1/3 rounds differently as a literal
+    * vs a division, one ulp apart — enough to flip a tie). At 100 TB
+    * the exact percentile (per-language sort) swaps for the mergeable
+    * approx_percentile sketch tx13 pins; the bucketing join and CASE
+    * are unchanged. */
+  def txQualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = txBigramFluencyFrom(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val bounds = scored.groupBy("lang")
+      .agg(percentile(col("fluency"),
+        array(lit(0.25), lit(0.75))).as("b"))
+      .select(col("lang"), col("b").getItem(0).as("b_lo"),
+        col("b").getItem(1).as("b_hi"))
+    scored.join(broadcast(bounds), "lang")
+      .withColumn("bucket",
+        when(col("fluency") > col("b_hi"), "head")
+          .when(col("fluency") > col("b_lo"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("fluency")).as("min_fluency"),
+        max(col("fluency")).as("max_fluency"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx17_quality_buckets" -> (txQualityBuckets _),
     "tx15_bigram_fluency" -> (txBigramFluency _),
     "mm05_chunk_dedup" -> (mmChunkDedup _),
     "tx01_text_quality" -> (txQuality _),
@@ -506,6 +543,35 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // tx17: tx15's fluency + per-language quantile_cont quartile
+    // boundaries (0.25/0.75 — exactly representable, so interpolation
+    // is bit-identical) + the same strict-greater bucketing CASE
+    "tx17_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) bg
+        |       FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT bg, COUNT(*) c FROM bi GROUP BY bg),
+        |per AS (SELECT doc_id, COUNT(*) n_bigrams,
+        |          SUM(length(format('{:b}', c))) lb
+        |        FROM bi JOIN cnt USING (bg) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.lang, CAST(p.lb AS DOUBLE) / p.n_bigrams AS fluency
+        |  FROM per p JOIN documents d USING (doc_id)),
+        |bounds AS (
+        |  SELECT lang, quantile_cont(fluency, 0.25) b_lo,
+        |         quantile_cont(fluency, 0.75) b_hi
+        |  FROM scored GROUP BY lang),
+        |bucketed AS (
+        |  SELECT s.lang,
+        |    CASE WHEN s.fluency > b.b_hi THEN 'head'
+        |         WHEN s.fluency > b.b_lo THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    s.fluency
+        |  FROM scored s JOIN bounds b USING (lang))
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  MIN(fluency) AS min_fluency, MAX(fluency) AS max_fluency
+        |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "tx15_bigram_fluency" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
