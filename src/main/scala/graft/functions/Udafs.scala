@@ -114,6 +114,48 @@ object Udafs {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
+  /** Mergeable Misra-Gries heavy-hitters summary (Misra & Gries 1982;
+    * mergeability per Agarwal et al. 2012 "Mergeable Summaries",
+    * PODS): at most `k` (token → lower-bound count) counters. reduce:
+    * increment a present key, insert while capacity remains,
+    * otherwise decrement ALL counters (amortized O(1) — decrements
+    * are charged against prior increments). merge: add counterparts,
+    * then subtract the (k+1)-th largest count from everything and
+    * drop non-positives. THE GUARANTEE (survives any merge order /
+    * parallelism): every item with true frequency > n/(k+1) is
+    * present in the summary — counts are approximate, MEMBERSHIP of
+    * heavy items is certain, which is why sk08 uses the summary only
+    * to nominate candidates and verifies them exactly. O(k) memory
+    * per partition, the bounded path when the full (group, item)
+    * count table is itself too big at 100 TB. */
+  def misraGries(k: Int): Aggregator[String, Map[String, Long], Map[String, Long]] =
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      override def zero: Map[String, Long] = Map.empty
+      override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+        b.get(t) match {
+          case Some(c) => b.updated(t, c + 1)
+          case None if b.size < k => b.updated(t, 1L)
+          case None => // decrement-all, dropping exhausted counters
+            b.flatMap { case (s, c) => if (c > 1) Some(s -> (c - 1)) else None }
+        }
+      override def merge(x: Map[String, Long], y: Map[String, Long])
+          : Map[String, Long] = {
+        val sum = y.foldLeft(x) { case (m, (s, c)) =>
+          m.updated(s, m.getOrElse(s, 0L) + c) }
+        if (sum.size <= k) sum
+        else {
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.flatMap { case (s, c) =>
+            if (c > cut) Some(s -> (c - cut)) else None }
+        }
+      }
+      override def finish(r: Map[String, Long]): Map[String, Long] = r
+      override def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
   /** [[topKByScore]] candidate carrying one extra integer column the
     * output needs but the ordering ignores (a PQ code, a quantized
     * dot, a routing list id) — saves a join-back after the top-k. */

@@ -230,7 +230,42 @@ object SketchQueries {
         "rows_exact", "false_pos_rows", "false_neg_rows", "bloom_selectivity")
   }
 
+  /** sk08 — heavy hitters via a mergeable Misra-Gries summary
+    * ([[graft.functions.Udafs.misraGries]]): the FREQUENT-ITEMS member
+    * of the sketch family (theta = set ops, HLL = distinct, CMS =
+    * point counts, GK = quantiles). The sketch pass reduces the whole
+    * token stream to ≤ k=256 counters per partition with map-side
+    * combining — O(k) memory regardless of vocabulary size, the
+    * bounded path when even the (token, count) table is too big to
+    * shuffle at 100 TB. Its one HARD guarantee (membership of every
+    * item with true count > n/(k+1), under any merge order) makes it
+    * a CANDIDATE GENERATOR: the ≤ 256 nominated tokens (driver-side
+    * index metadata) are then counted EXACTLY in one
+    * literal-IN-pruned pass and thresholded at count·64 ≥ n. Since
+    * n/257 < n/64, no true heavy hitter can be missing from the
+    * candidates, so the exact-verified output is BIT-DETERMINISTIC at
+    * any parallelism even though the sketch's internal counts are
+    * not — the same nominate-then-verify discipline every dedup
+    * family query uses, applied to a frequency sketch. */
+  def sk08(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextOps
+    val mg = udaf(graft.functions.Udafs.misraGries(256),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val toks = documents(s, d)
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+    val candidates = toks.agg(mg(col("token")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("token"))
+      .collect().map(_.getString(0)).toSeq // ≤ k strings of metadata
+    val nTotal = toks.count()
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * 64 >= nTotal)
+      .orderBy(desc("n"), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk08_heavy_hitters" -> (sk08 _),
     "sk07_bloom_filter" -> (sk07 _),
     "sk06_count_min" -> (sk06 _),
     "sk05_approx_distinct" -> (sk05 _),
@@ -241,6 +276,15 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // sk08's output is EXACT (the sketch only nominates candidates and
+    // its membership guarantee covers every count*64 >= n token), so
+    // the oracle is the plain exact heavy-hitters query
+    "sk08_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) token
+        |           FROM documents)
+        |SELECT token, COUNT(*) AS n FROM tk GROUP BY token
+        |HAVING COUNT(*) * 64 >= (SELECT COUNT(*) FROM tk)
+        |ORDER BY n DESC, token""".stripMargin,
     // sk07: full value-for-value Bloom replica — md5-derived bit
     // positions and 60-bit words are computed identically by both
     // engines, and bit_or is order-independent, so unlike HLL/CMS the

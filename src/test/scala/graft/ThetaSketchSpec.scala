@@ -79,4 +79,31 @@ class ThetaSketchSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(est == exact)
   }
+
+  test("Misra-Gries: heavy-hitter membership survives every parallelism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, udaf}
+    // planted skew: two heavy items (30% + 20%) in a 5k-item stream of
+    // 1k distinct tail tokens — k=64 counters, guarantee n/(k+1)≈77
+    val rnd = new scala.util.Random(7)
+    val items = new scala.util.Random(11).shuffle(
+      (Seq.fill(1500)("alpha") ++ Seq.fill(1000)("beta") ++
+        (0 until 2500).map(i => s"tail${rnd.nextInt(1000)}")).toList)
+      .toDF("token")
+    val k = 64
+    val mg = udaf(graft.functions.Udafs.misraGries(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val n = items.count()
+    val trueHeavy = items.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") > n / (k + 1L))
+      .collect().map(_.getString(0)).toSet
+    assert(trueHeavy.contains("alpha") && trueHeavy.contains("beta"))
+    for (p <- Seq(1, 4, 16)) {
+      val cands = items.repartition(p).agg(mg(col("token")))
+        .collect()(0).getMap[String, Long](0).keySet
+      assert(cands.size <= k, s"p=$p: summary exceeded k")
+      assert(trueHeavy.subsetOf(cands.toSet),
+        s"p=$p: guarantee broken — missing ${trueHeavy -- cands.toSet}")
+    }
+  }
 }
