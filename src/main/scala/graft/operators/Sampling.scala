@@ -368,7 +368,38 @@ object Sampling {
       .orderBy("bucket")
   }
 
+  /** sp12 — bucket-aware curation (the decision step CCNet bolts onto
+    * its head/middle/tail split, Wenzek et al. 2020: keep the head,
+    * sample the middle, drop most of the tail): tx17's per-doc quality
+    * buckets ([[TextOps.qualityBucketedFrom]]) join a 3-row broadcast
+    * rate table (head 100% / middle 50% / tail 10%), each doc draws
+    * its deterministic salted-md5 uniform (sp02's replayable-draw
+    * discipline — same doc, same verdict, on any cluster and in any
+    * engine), and the manifest reports per-(lang, bucket) kept docs
+    * and kept tokens. Plan shape: the bucket frame's aggregates +
+    * broadcast joins + ONE map-only filter and rollup — no new
+    * shuffle beyond tx17's own. */
+  def spQualityCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("head", 100), ("middle", 50), ("tail", 10))
+      .toDF("bucket", "rate")
+    val docs = documents(s, d)
+    TextOps.qualityBucketedFrom(docs)
+      .join(docs.select(col("doc_id"),
+        size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok")), "doc_id")
+      .join(broadcast(rates), "bucket")
+      .withColumn("kept",
+        saltedBucket("curate:", col("doc_id"), 100) < col("rate"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp12_quality_curate" -> (spQualityCurate _),
     "sp11_padding_manifest" -> (spPaddingManifest _),
     "sp10_priority_sample" -> (spPrioritySample _),
     "sp08_source_budget" -> (spSourceBudget _),
@@ -383,6 +414,43 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    // sp12: tx17's bucket chain + the 3-row rate table + sp02's
+    // salted-md5 deterministic draw + the rollup
+    "sp12_quality_curate" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) bg
+        |       FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT bg, COUNT(*) c FROM bi GROUP BY bg),
+        |per AS (SELECT doc_id, COUNT(*) n_bigrams,
+        |          SUM(length(format('{:b}', c))) lb
+        |        FROM bi JOIN cnt USING (bg) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(p.lb AS DOUBLE) / p.n_bigrams AS fluency
+        |  FROM per p JOIN documents d USING (doc_id)),
+        |bounds AS (
+        |  SELECT lang, quantile_cont(fluency, 0.25) b_lo,
+        |         quantile_cont(fluency, 0.75) b_hi
+        |  FROM scored GROUP BY lang),
+        |bucketed AS (
+        |  SELECT s.doc_id, s.lang,
+        |    CASE WHEN s.fluency > b.b_hi THEN 'head'
+        |         WHEN s.fluency > b.b_lo THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored s JOIN bounds b USING (lang)),
+        |rates(bucket, rate) AS (VALUES ('head', 100), ('middle', 50), ('tail', 10)),
+        |drawn AS (
+        |  SELECT bk.lang, bk.bucket,
+        |    CAST(len(t.t) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5('curate:' || bk.doc_id), 1, 15)) AS BIGINT) % 100 < r.rate AS kept
+        |  FROM bucketed bk
+        |  JOIN tok t USING (doc_id)
+        |  JOIN rates r USING (bucket))
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM drawn GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "sp11_padding_manifest" ->
       """WITH tok AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
         |  FROM documents),

@@ -499,8 +499,17 @@ object TextOps {
     * the exact percentile (per-language sort) swaps for the mergeable
     * approx_percentile sketch tx13 pins; the bucketing join and CASE
     * are unchanged. */
-  def txQualityBuckets(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def txQualityBuckets(s: SparkSession, d: String): DataFrame =
+    qualityBucketedFrom(documents(s, d))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("fluency")).as("min_fluency"),
+        max(col("fluency")).as("max_fluency"))
+      .orderBy("lang", "bucket")
+
+  /** Per-doc quality-bucket frame (doc_id, lang, fluency, bucket) —
+    * tx17's rollup input, reused by sp12's bucket-aware curation. */
+  private[operators] def qualityBucketedFrom(docs: DataFrame): DataFrame = {
     val scored = txBigramFluencyFrom(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
     val bounds = scored.groupBy("lang")
@@ -513,11 +522,7 @@ object TextOps {
         when(col("fluency") > col("b_hi"), "head")
           .when(col("fluency") > col("b_lo"), "middle")
           .otherwise("tail"))
-      .groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("fluency")).as("min_fluency"),
-        max(col("fluency")).as("max_fluency"))
-      .orderBy("lang", "bucket")
+      .select("doc_id", "lang", "fluency", "bucket")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
