@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Copy-on-write table with a versioned manifest — the lakehouse
   * transaction-log pattern in miniature, built for the two mutations a
@@ -24,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    object store each footer open is a round trip; at production
   *    file counts the walk, not the rewrite, dominated the measured
   *    delete cost — see SCALE_SLOPE.md cow_delete_16x);
-  *  - the manifest write is atomic (temp + rename), so readers see
+  *  - the manifest publish is exclusive-create, so readers see
   *    version N or N+1, never a torn state — SNAPSHOT ISOLATION, and
   *    reading an older manifest is TIME TRAVEL for free;
   *  - a mutation rewrites ONLY the files whose [min,max] on the key
@@ -37,13 +38,27 @@ import org.apache.spark.sql.functions._
   *    read for exactly those files;
   *  - [[vacuum]] physically deletes files no live manifest references.
   *
-  * The key set rides the driver (a takedown batch is thousands of ids
-  * — request metadata, not data). A key set too large for the driver
-  * would flip the pruning to a broadcast semi-join against the
-  * manifest's per-file ranges; same plan shape, different carrier.
-  * Concurrent WRITERS are out of scope (single-writer, like the
-  * reference's ingestion pipelines); readers are isolated by the
-  * manifest.
+  * CONCURRENCY (optimistic, serialized by the manifest log): every
+  * mutation captures the manifest version it PLANNED against and
+  * publishes at exactly `planned + 1`. If another writer committed in
+  * between — even if the slower writer's Spark rewrite took minutes —
+  * the publish collides on the already-taken version number and raises
+  * `ConcurrentModificationException`; the mutation then RE-PLANS from
+  * the winner's manifest and retries (bounded), so no committed file
+  * list is ever built from a stale snapshot and no update can be lost.
+  * A losing attempt's commit directory is orphaned (referenced by no
+  * manifest) and reclaimed by [[vacuum]], like any torn write.
+  *
+  * KEY CARRIERS: [[deleteKeys]] takes a `Seq[Long]` — a takedown batch
+  * IS request metadata (thousands of ids) and rides the driver as a
+  * literal predicate. [[upsert]]/[[merge]] take an arbitrary DataFrame
+  * whose key set may be 10⁷⁺, so their keys NEVER land on the driver:
+  * the rewrite set is planned by joining the update frame against the
+  * manifest's per-file [min,max] ranges (only file PATHS — bounded by
+  * file count, not key count — come back), and matched files are
+  * rewritten with a `left_anti` join against the update keys. The
+  * anti-join also gives correct SQL NULL semantics for free: a
+  * NULL-key row matches nothing and survives every rewrite.
   */
 object TxnTable {
 
@@ -72,10 +87,15 @@ object TxnTable {
   private val entryPat =
     """\{"path":"([^"]+)","bytes":(-?\d+),"stats":\{(.*)\}\}""".r
   private val statPat = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  // legacy pre-stats format: one QUOTED BARE PATH per line — anything
+  // else is a parse error, never a guessed file path (a corrupted or
+  // future-format line must fail loudly here, not as a confusing read
+  // error later, and must never make vacuum misjudge what's referenced)
+  private val legacyPat = """"([^"]+)"""".r
 
   /** Live file entries of `v` (default: latest). One entry per line;
     * bare-string lines (legacy manifests) parse as stats-less
-    * entries. */
+    * entries; unrecognized lines are a loud error. */
   def liveEntries(dir: String, v: Int = -1): Seq[FileEntry] = {
     val ms = manifests(dir)
     val f = (if (v < 0) ms.lastOption
@@ -88,9 +108,10 @@ object TxnTable {
         val stats = statPat.findAllMatchIn(statsBody).map(m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
         Some(FileEntry(path, bytes.toLong, stats))
-      case line => // legacy format: a quoted bare path per line
-        Some(FileEntry(line.stripPrefix("\"").stripSuffix("\""), -1L,
-          Map.empty))
+      case legacyPat(path) =>
+        Some(FileEntry(path, -1L, Map.empty))
+      case line => sys.error(
+        s"unparseable manifest line in ${f.getPath}: '$line'")
     }.toSeq
   }
 
@@ -101,13 +122,16 @@ object TxnTable {
   /** Commit `v` atomically — and EXCLUSIVELY: the publish step is a
     * hard-link creation, which (unlike rename, whose POSIX semantics
     * silently replace) fails if the target exists. Two writers racing
-    * to commit the same next version therefore cannot lose an update:
-    * exactly one wins, the other gets ConcurrentModificationException
-    * and must re-plan its mutation against the winner's manifest (its
-    * orphaned commit dir is [[vacuum]]-collected, like any torn
-    * write). This is optimistic concurrency control, the protocol
-    * every manifest-log table format uses; on an object store the
-    * same contract comes from a put-if-absent on the manifest key. */
+    * to publish the same version therefore cannot both land: exactly
+    * one wins, the other gets ConcurrentModificationException and must
+    * re-plan against the winner's manifest. This is optimistic
+    * concurrency control, the protocol every manifest-log table format
+    * uses; on an object store the same contract comes from a
+    * put-if-absent on the manifest key. On filesystems without
+    * hard-link support (overlayfs, some FUSE mounts, FAT) the publish
+    * falls back to refuse-if-exists + atomic move — a slightly wider
+    * race window than the link's true test-and-set, documented here
+    * rather than a hard UnsupportedOperationException. */
   private[graft] def writeManifest(dir: String, v: Int,
       entries: Seq[FileEntry]): Unit = {
     val body = entries.map { e =>
@@ -118,14 +142,44 @@ object TxnTable {
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    try java.nio.file.Files.createLink(
-      fileOf(dir, s"manifest-v$v.json").toPath, tmp)
+    val target = fileOf(dir, s"manifest-v$v.json").toPath
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"manifest v$v already committed under $dir — a concurrent " +
+        "writer won; re-read the latest version and re-plan")
+    try java.nio.file.Files.createLink(target, tmp)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"manifest v$v already committed under $dir — a concurrent " +
-            "writer won; re-read the latest version and re-plan")
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+      case _: java.nio.file.FileAlreadyExistsException => lost()
+      case _: UnsupportedOperationException =>
+        if (java.nio.file.Files.exists(target)) lost()
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** Test hook: runs after a mutation has planned + rewritten but
+    * BEFORE it publishes its manifest — the window in which a
+    * concurrent writer's commit must force this one to re-plan. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** Run `body(plannedVersion)` with bounded optimistic-concurrency
+    * retry: the body must plan from `plannedVersion`'s manifest and
+    * publish at `plannedVersion + 1`; on a publish collision it is
+    * re-invoked against the new latest version. Each losing attempt
+    * orphans its commit dir (vacuum-collected). */
+  private[graft] def withOcc[T](dir: String, maxRetries: Int = 4)(
+      body: Int => T): T = {
+    var last: java.util.ConcurrentModificationException = null
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val planned = version(dir)
+      try return body(planned)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
   }
 
   /** Columns whose stats every commit records into the manifest —
@@ -268,30 +322,87 @@ object TxnTable {
       .filter(col("n") > 0)
   }
 
+  /** [min,max] of `keyCol` per live entry of version `v`, from the
+    * manifest's carried stats; only entries MISSING `keyCol` stats
+    * (legacy manifests) pay a footer read, and only for themselves. */
+  private def entryRanges(s: SparkSession, dir: String, keyCol: String,
+      v: Int): (Seq[FileEntry], FileEntry => (Long, Long)) = {
+    val live = liveEntries(dir, v)
+    val legacy = live.filterNot(_.stats.contains(keyCol))
+    val legacyStats: Map[String, (Long, Long)] =
+      if (legacy.isEmpty) Map.empty
+      else Layout.statsForFiles(s, legacy.map(e => s"$dir/${e.path}"), keyCol)
+        .map { case (p, lo, hi) => (p, (lo, hi)) }.toMap
+    (live, e => e.stats.getOrElse(keyCol, legacyStats(s"$dir/${e.path}")))
+  }
+
   /** Which live entries can contain any of `keys` on `keyCol` — the
-    * rewrite set — planned from the manifest's carried stats; only
-    * entries MISSING `keyCol` stats (legacy manifests) pay a footer
-    * read, and only for themselves. */
+    * rewrite set — planned from the manifest's carried stats.
+    * Driver-side key list; for a DataFrame of keys see
+    * [[matchedEntriesByFrame]]. */
   private def matchedEntries(s: SparkSession, dir: String, keyCol: String,
-      keys: Seq[Long]): (Seq[FileEntry], Seq[FileEntry]) = {
+      keys: Seq[Long], v: Int): (Seq[FileEntry], Seq[FileEntry]) = {
     val sorted = keys.sorted.toArray
     def anyKeyIn(lo: Long, hi: Long): Boolean = {
       val i = java.util.Arrays.binarySearch(sorted, lo)
       val from = if (i >= 0) i else -i - 1
       from < sorted.length && sorted(from) <= hi
     }
-    val live = liveEntries(dir)
-    val (carried, legacy) = live.partition(_.stats.contains(keyCol))
-    val legacyStats: Map[String, (Long, Long)] =
-      if (legacy.isEmpty) Map.empty
-      else Layout.statsForFiles(s, legacy.map(e => s"$dir/${e.path}"), keyCol)
-        .map { case (p, lo, hi) => (p, (lo, hi)) }.toMap
-    live.partition { e =>
-      val (lo, hi) = e.stats.getOrElse(keyCol,
-        legacyStats(s"$dir/${e.path}"))
-      anyKeyIn(lo, hi)
-    }
+    val (live, rangeOf) = entryRanges(s, dir, keyCol, v)
+    live.partition { e => val (lo, hi) = rangeOf(e); anyKeyIn(lo, hi) }
   }
+
+  /** `updates`' key set as a one-column frame `__k` (long, non-null,
+    * distinct) — the DISTRIBUTED key carrier: the keys themselves
+    * never leave the cluster. */
+  private def keyFrame(updates: DataFrame, keyCol: String): DataFrame =
+    updates.select(col(keyCol).cast("long").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+
+  /** The rewrite set for a DataFrame of keys, with NO driver-side key
+    * materialization: (1) the key frame's global [min,max] — two
+    * longs, a sketch of the set, not the set — prunes the manifest's
+    * per-file ranges to candidates; (2) an exact any-key-in-range
+    * check runs as a distributed join of the key frame against the
+    * BROADCAST candidate range list (bounded by file count). Only
+    * matched file PATHS return to the driver — metadata, O(files). */
+  private def matchedEntriesByFrame(s: SparkSession, dir: String,
+      keyCol: String, keys: DataFrame, v: Int)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val (live, rangeOf) = entryRanges(s, dir, keyCol, v)
+    val ext = keys.agg(min(col("__k")), max(col("__k"))).head()
+    if (ext.isNullAt(0)) return (Nil, live) // empty key set
+    val (kmin, kmax) = (ext.getLong(0), ext.getLong(1))
+    val cand = live.map(e => (e, rangeOf(e)))
+      .filter { case (_, (lo, hi)) => hi >= kmin && lo <= kmax }
+    if (cand.isEmpty) return (Nil, live)
+    val rangesDf = s.createDataFrame(
+      cand.map { case (e, (lo, hi)) =>
+        org.apache.spark.sql.Row(e.path, lo, hi) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__hi",
+          org.apache.spark.sql.types.LongType))))
+    val matchedPaths = keys.join(broadcast(rangesDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__path").distinct()
+      .collect().map(_.getString(0)).toSet
+    live.partition(e => matchedPaths(e.path))
+  }
+
+  /** Rows of `matched` files that survive a mutation keyed by the
+    * `keys` frame: a `left_anti` join — distributed (no literal IN
+    * tree, no driver key set) and NULL-correct (a NULL-key row equals
+    * nothing, so it survives, matching SQL DELETE semantics).
+    * Visible for testing: specs assert the anti-join plan shape. */
+  private[graft] def survivorsFrame(s: SparkSession, dir: String,
+      matched: Seq[FileEntry], keyCol: String, keys: DataFrame)
+      : DataFrame =
+    s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
+      .join(keys, col(keyCol).cast("long") === col("__k"), "left_anti")
 
   /** The stats set later commits should carry: the declared table
     * columns plus this mutation's key column (persisted, so the table
@@ -304,36 +415,44 @@ object TxnTable {
 
   /** Delete every row whose `keyCol` is in `keys`: rewrite only the
     * stat-matched files, carry the rest by reference, commit one new
-    * manifest version. Returns the number of files rewritten. */
+    * manifest version (retrying with a fresh plan on a concurrent
+    * writer's collision). NULL-key rows are never deleted (SQL
+    * three-valued semantics). Returns the number of files rewritten
+    * by the winning attempt. */
   def deleteKeys(s: SparkSession, dir: String, keyCol: String,
-      keys: Seq[Long], numFiles: Int = 4): Int = {
-    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys)
-    if (matched.isEmpty) return 0
-    val cols = colsWith(dir, keyCol)
-    val kept = s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
-      .filter(!col(keyCol).isin(keys: _*))
-    val fresh = commitFiles(s, dir, kept,
-      math.min(numFiles, matched.size), cols)
-    writeManifest(dir, version(dir) + 1, untouched ++ fresh)
-    matched.size
+      keys: Seq[Long], numFiles: Int = 4): Int = withOcc(dir) { planned =>
+    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys, planned)
+    if (matched.isEmpty) 0
+    else {
+      val cols = colsWith(dir, keyCol)
+      val kept = s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
+        .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+      val fresh = commitFiles(s, dir, kept,
+        math.min(numFiles, matched.size), cols)
+      onBeforeCommit()
+      writeManifest(dir, planned + 1, untouched ++ fresh)
+      matched.size
+    }
   }
 
   /** Upsert: rows of `updates` replace same-key rows (delete + insert
-    * in ONE committed version — readers never see the gap). */
+    * in ONE committed version — readers never see the gap). The key
+    * set stays distributed end-to-end: manifest-range pruning by
+    * join, rewrite by `left_anti` — a 10⁷-key correction batch never
+    * touches the driver. */
   def upsert(s: SparkSession, dir: String, keyCol: String,
-      updates: DataFrame, numFiles: Int = 4): Unit = {
-    val keys = updates.select(col(keyCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys)
+      updates: DataFrame, numFiles: Int = 4): Unit = withOcc(dir) { planned =>
+    val keys = keyFrame(updates, keyCol)
+    val (matched, untouched) =
+      matchedEntriesByFrame(s, dir, keyCol, keys, planned)
     val cols = colsWith(dir, keyCol)
     val survivors =
       if (matched.isEmpty) Nil
-      else commitFiles(s, dir,
-        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
-          .filter(!col(keyCol).isin(keys: _*)),
+      else commitFiles(s, dir, survivorsFrame(s, dir, matched, keyCol, keys),
         math.min(numFiles, matched.size), cols)
     val inserted = commitFiles(s, dir, updates, numFiles, cols)
-    writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
+    onBeforeCommit()
+    writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
   }
 
   /** MERGE: deletes and upserts applied together in ONE committed
@@ -345,23 +464,29 @@ object TxnTable {
     * a state no one ever intended to exist (and one a concurrent
     * reader or CDC follower would observe). One rewrite pass over the
     * union of affected keys also touches each matched file once
-    * instead of up to twice. */
+    * instead of up to twice. Update keys stay distributed (the
+    * `deletes` list is request metadata and may ride the driver). */
   def merge(s: SparkSession, dir: String, keyCol: String,
-      updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit = {
-    val upKeys = updates.select(col(keyCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val affected = (upKeys ++ deletes).distinct
-    val (matched, untouched) = matchedEntries(s, dir, keyCol, affected)
-    val cols = colsWith(dir, keyCol)
-    val survivors =
-      if (matched.isEmpty) Nil
-      else commitFiles(s, dir,
-        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
-          .filter(!col(keyCol).isin(affected: _*)),
-        math.min(numFiles, matched.size), cols)
-    val inserted = commitFiles(s, dir, updates, numFiles, cols)
-    writeManifest(dir, version(dir) + 1, untouched ++ survivors ++ inserted)
-  }
+      updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit =
+    withOcc(dir) { planned =>
+      val delFrame = s.createDataFrame(
+        deletes.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__k",
+            org.apache.spark.sql.types.LongType))))
+      val affected = keyFrame(updates, keyCol).union(delFrame).distinct()
+      val (matched, untouched) =
+        matchedEntriesByFrame(s, dir, keyCol, affected, planned)
+      val cols = colsWith(dir, keyCol)
+      val survivors =
+        if (matched.isEmpty) Nil
+        else commitFiles(s, dir,
+          survivorsFrame(s, dir, matched, keyCol, affected),
+          math.min(numFiles, matched.size), cols)
+      val inserted = commitFiles(s, dir, updates, numFiles, cols)
+      onBeforeCommit()
+      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+    }
 
   /** OPTIMIZE: rewrite the whole live set as one freshly clustered
     * commit — range-clustered on `zcols.head` when one column is
@@ -372,8 +497,8 @@ object TxnTable {
     * lakehouse `OPTIMIZE [ZORDER BY]`). Old files stay until
     * [[vacuum]]; readers on the prior version are unaffected. */
   def optimize(s: SparkSession, dir: String, zcols: Seq[String],
-      numFiles: Int = 8): Unit = {
-    val live = read(s, dir)
+      numFiles: Int = 8): Unit = withOcc(dir) { planned =>
+    val live = read(s, dir, planned)
     val clustered =
       if (zcols.size == 1)
         live.repartitionByRange(numFiles, col(zcols.head))
@@ -383,8 +508,9 @@ object TxnTable {
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-    writeManifest(dir, version(dir) + 1,
-      commitFiles(s, dir, clustered, numFiles = 0, statsCols(dir)))
+    val fresh = commitFiles(s, dir, clustered, numFiles = 0, statsCols(dir))
+    onBeforeCommit()
+    writeManifest(dir, planned + 1, fresh)
   }
 
   /** Incremental compaction: bin-pack ONLY the live files smaller
@@ -396,25 +522,29 @@ object TxnTable {
     * small files). Sizes come from the manifest (legacy entries fall
     * back to a stat call). Returns how many small files were packed. */
   def compactSmall(s: SparkSession, dir: String, minBytes: Long,
-      numFiles: Int = 1): Int = {
-    val live = liveEntries(dir)
+      numFiles: Int = 1): Int = withOcc(dir) { planned =>
+    val live = liveEntries(dir, planned)
     val (small, big) = live.partition { e =>
       val sz = if (e.bytes >= 0) e.bytes
                else new java.io.File(dir, e.path).length()
       sz < minBytes
     }
-    if (small.size <= numFiles) return 0 // nothing worth packing
-    val packed = commitFiles(s, dir,
-      s.read.option("mergeSchema", "true")
-        .parquet(small.map(e => s"$dir/${e.path}"): _*),
-      numFiles, statsCols(dir))
-    writeManifest(dir, version(dir) + 1, big ++ packed)
-    small.size
+    if (small.size <= numFiles) 0 // nothing worth packing
+    else {
+      val packed = commitFiles(s, dir,
+        s.read.option("mergeSchema", "true")
+          .parquet(small.map(e => s"$dir/${e.path}"): _*),
+        numFiles, statsCols(dir))
+      onBeforeCommit()
+      writeManifest(dir, planned + 1, big ++ packed)
+      small.size
+    }
   }
 
   /** Physically delete files referenced by NO manifest ≥
     * `keepSince` and drop the older manifests — the retention sweep
-    * that bounds storage after many copy-on-write commits. */
+    * that bounds storage after many copy-on-write commits (including
+    * the orphaned commit dirs of OCC-losing mutation attempts). */
   def vacuum(dir: String, keepSince: Int): Unit = {
     val ms = manifests(dir)
     val (drop, keep) = ms.partition(_._1 < keepSince)

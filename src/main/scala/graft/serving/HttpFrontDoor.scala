@@ -208,6 +208,15 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             // retries, not a server error
             case e: java.util.ConcurrentModificationException =>
               (409, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
+            // malformed numeric params (minBytes=junk, keepSince=junk)
+            // and out-of-range requests (vacuum past the latest
+            // manifest) are CLIENT errors, not 500s
+            case e: NumberFormatException =>
+              (400, s"""{"error":${Domain.jStr(
+                s"malformed numeric parameter: ${e.getMessage}")}}""", reqId)
+            case e: IllegalArgumentException =>
+              (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+                reqId)
           }
         }
       }

@@ -233,6 +233,17 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(TxnTable.liveFiles(tdir).size < filesBefore)
       assert(TxnTable.read(spark, tdir).count() == rows,
         "maintenance must not change contents")
+      // malformed numeric params and out-of-range requests are the
+      // CALLER's fault: 400, never a 500
+      assert(post(port,
+        s"/maintenance/events_live?op=compact&minBytes=junk", "")
+        .statusCode() == 400)
+      val tooFar = post(port,
+        s"/maintenance/events_live?op=vacuum&keepSince=999", "")
+      assert(tooFar.statusCode() == 400, s"${tooFar.statusCode()}: ${tooFar.body()}")
+      assert(post(port,
+        s"/maintenance/events_live?op=vacuum&keepSince=x", "")
+        .statusCode() == 400)
       val v = post(port, s"/maintenance/events_live?op=vacuum", "")
       assert(v.statusCode() == 200, v.body())
       // pre-compaction versions are gone, the live one reads intact

@@ -517,6 +517,138 @@ class TxnTableSpec extends AnyFunSuite {
       "a new reader sees the mutation")
   }
 
+  test("a slow writer overlapped by a fast one re-plans — no lost update") {
+    // THE lost-update scenario: writer A plans against v1 and spends
+    // seconds rewriting; writer B commits v2 meanwhile. A publishes at
+    // its PLANNED version + 1 (= B's v2) → collides → re-plans against
+    // B's manifest and lands as v3 carrying BOTH mutations. Publishing
+    // at latest-at-commit-time + 1 (the bug this pins) would have
+    // silently dropped B's files from A's higher manifest.
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 1000L).toDF("k").withColumn("payload", col("k"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // B's commit fires in A's plan→publish window, exactly once
+    var fired = false
+    TxnTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxnTable.deleteKeys(spark, dir, "k", Seq(900L)) // writer B
+      }
+    }
+    try TxnTable.upsert(spark, dir, "k", // writer A
+      Seq((100L, -1L), (2000L, -2L)).toDF("k", "payload"))
+    finally TxnTable.onBeforeCommit = () => ()
+    assert(fired)
+    // init=v1, B=v2, A's losing attempt burned nothing, A retried=v3
+    assert(TxnTable.version(dir) == 3,
+      "both writers must land, serialized by the manifest log")
+    val after = TxnTable.read(spark, dir)
+    assert(after.filter(col("k") === 900L).count() == 0,
+      "writer B's delete must survive writer A's overlapping commit")
+    assert(after.filter(col("k") === 100L && col("payload") === -1L)
+      .count() == 1 &&
+      after.filter(col("k") === 2000L).count() == 1,
+      "writer A's upsert must land after its re-plan")
+    assert(after.count() == 1000 - 1 + 1)
+    // A's losing attempt orphaned its commit dirs; vacuum reclaims
+    // them and every live version still reads
+    val orphanable = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      val referenced = (1 to 3)
+        .flatMap(v => TxnTable.liveFiles(dir, v)).toSet
+      walk(new java.io.File(dir, "files"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath.stripPrefix(dir + "/"))
+        .filterNot(referenced)
+    }
+    assert(orphanable.nonEmpty,
+      "the losing attempt must have left orphaned commit files")
+    TxnTable.vacuum(dir, keepSince = 3)
+    assert(TxnTable.read(spark, dir).count() == 1000)
+  }
+
+  test("NULL-key rows survive delete/upsert/merge rewrites of their file") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    // one file holding keys 0-99 AND two NULL-key rows: any mutation
+    // in that key range rewrites the file, and SQL three-valued logic
+    // says NULL ∉ {keys} is UNKNOWN → the rows must be KEPT (the old
+    // !isin filter evaluated to NULL and silently dropped them)
+    val src = (0L until 100L).map(k => (Option(k), k * 2)) ++
+      Seq((Option.empty[Long], -1L), (Option.empty[Long], -2L))
+    TxnTable.init(spark, dir, src.toDF("k", "payload"), numFiles = 1)
+    def nullRows() = TxnTable.read(spark, dir)
+      .filter(col("k").isNull).count()
+    assert(nullRows() == 2)
+    TxnTable.deleteKeys(spark, dir, "k", Seq(10L))
+    assert(nullRows() == 2, "deleteKeys must not drop NULL-key rows")
+    TxnTable.upsert(spark, dir, "k", Seq((20L, 999L)).toDF("k", "payload"))
+    assert(nullRows() == 2, "upsert must not drop NULL-key rows")
+    TxnTable.merge(spark, dir, "k",
+      Seq((30L, 888L)).toDF("k", "payload"), deletes = Seq(40L))
+    assert(nullRows() == 2, "merge must not drop NULL-key rows")
+    assert(TxnTable.read(spark, dir).count() == 100 + 2 - 2,
+      "only keys 10 and 40 disappear; 20/30 replaced in place")
+  }
+
+  test("a 10^6-key upsert stays distributed: anti-join rewrite, no key collect") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 2000000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // a million-key correction batch confined to the lower half of the
+    // key space: as a driver-side isin literal this would be a 10^6-
+    // node expression tree (minutes to even construct); as a frame it
+    // is ordinary distributed data
+    val updates = (0L until 1000000L).toDF("k")
+      .withColumn("payload", -col("k"))
+    // plan shape: the survivors frame must rewrite via LEFT ANTI join
+    // — never a literal IN tree
+    val keys = updates.select(col("k").cast("long").as("__k")).distinct()
+    val matched = TxnTable.liveEntries(dir)
+    val plan = TxnTable.survivorsFrame(spark, dir, matched, "k", keys)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join plan:\n$plan")
+    assert(!plan.contains(" IN ("), "no literal IN tree at any key scale")
+    TxnTable.upsert(spark, dir, "k", updates, numFiles = 8)
+    val after = TxnTable.read(spark, dir)
+    assert(after.count() == 2000000L)
+    assert(after.filter(col("k") < 1000000L && col("payload") =!= -col("k"))
+      .count() == 0, "every matched key must carry the corrected row")
+    assert(after.filter(col("k") >= 1000000L && col("payload") =!= col("k") * 2)
+      .count() == 0, "unmatched rows must be untouched")
+    // file economy still holds at this key scale: upper-half files
+    // carry over by reference
+    val carried = TxnTable.liveFiles(dir, 1).toSet &
+      TxnTable.liveFiles(dir).toSet
+    assert(carried.nonEmpty,
+      "range pruning must carry the unmatched half by reference")
+  }
+
+  test("a corrupted manifest line fails loudly, never parses as a path") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir, (0L until 10L).toDF("k"), numFiles = 1)
+    val mf = new java.io.File(dir, "manifest-v1.json")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      (txt.stripSuffix("]") +
+        """{"path":"files/x.parquet","bytes":BROKEN,"stats":{}},""" +
+        "\n]").getBytes("UTF-8"))
+    val ex = intercept[RuntimeException](TxnTable.liveEntries(dir))
+    assert(ex.getMessage.contains("unparseable manifest line"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("vacuum deletes unreferenced files and keeps live versions readable") {
     val dir = freshTable()
     val keys = TxnTable.read(spark, dir).orderBy("o_orderkey").limit(3)
