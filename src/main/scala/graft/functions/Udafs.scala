@@ -128,29 +128,114 @@ object Udafs {
     * to nominate candidates and verifies them exactly. O(k) memory
     * per partition, the bounded path when the full (group, item)
     * count table is itself too big at 100 TB. */
-  def misraGries(k: Int): Aggregator[String, Map[String, Long], Map[String, Long]] =
-    new Aggregator[String, Map[String, Long], Map[String, Long]] {
-      override def zero: Map[String, Long] = Map.empty
-      override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-        b.get(t) match {
-          case Some(c) => b.updated(t, c + 1)
-          case None if b.size < k => b.updated(t, 1L)
-          case None => // decrement-all, dropping exhausted counters
-            b.flatMap { case (s, c) => if (c > 1) Some(s -> (c - 1)) else None }
-        }
-      override def merge(x: Map[String, Long], y: Map[String, Long])
-          : Map[String, Long] = {
-        val sum = y.foldLeft(x) { case (m, (s, c)) =>
-          m.updated(s, m.getOrElse(s, 0L) + c) }
-        if (sum.size <= k) sum
-        else {
-          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          sum.flatMap { case (s, c) =>
-            if (c > cut) Some(s -> (c - cut)) else None }
-        }
+  /** [[misraGries]]'s aggregation buffer: an open-addressing hash
+    * table in flat arrays (linear probing; `keys(i) == null` = empty
+    * slot; live-entry count in `meta(0)`), mutated IN PLACE across
+    * reduce/merge calls — the hot path is one probe + one counter
+    * bump with zero allocation, vs the immutable-Map version's
+    * per-token HAMT rebuild (O(log k) node churn per op; the measured
+    * gap is recorded in BENCH_NOTES.md). Arrays round-trip the
+    * shuffle through the ordinary case-class encoder. */
+  case class MgBuf(keys: Array[String], counts: Array[Long],
+      meta: Array[Int])
+
+  def misraGries(k: Int): Aggregator[String, MgBuf, Map[String, Long]] =
+    new Aggregator[String, MgBuf, Map[String, Long]] {
+      // capacity = smallest power of two >= 4k: load factor stays
+      // <= 0.5 even mid-merge, when a buffer briefly holds 2k entries
+      private val cap = {
+        var c = 4
+        while (c < k * 4) c <<= 1
+        c
       }
-      override def finish(r: Map[String, Long]): Map[String, Long] = r
-      override def bufferEncoder: Encoder[Map[String, Long]] =
+      private def slotOf(b: MgBuf, t: String): Int = {
+        var i = t.hashCode & (cap - 1)
+        while (b.keys(i) != null && b.keys(i) != t) i = (i + 1) & (cap - 1)
+        i
+      }
+      // removal under linear probing needs cluster repair, and every
+      // caller is already on an O(k) pass — rebuild instead
+      private def rebuild(b: MgBuf, ks: Array[String], cs: Array[Long],
+          n: Int): Unit = {
+        java.util.Arrays.fill(b.keys.asInstanceOf[Array[AnyRef]], null)
+        var j = 0
+        while (j < n) {
+          val i = slotOf(b, ks(j))
+          b.keys(i) = ks(j); b.counts(i) = cs(j)
+          j += 1
+        }
+        b.meta(0) = n
+      }
+      override def zero: MgBuf = // fresh arrays per group — buffers mutate
+        MgBuf(new Array[String](cap), new Array[Long](cap), new Array[Int](1))
+      override def reduce(b: MgBuf, t: String): MgBuf = {
+        val i = slotOf(b, t)
+        if (b.keys(i) != null) b.counts(i) += 1
+        else if (b.meta(0) < k) {
+          b.keys(i) = t; b.counts(i) = 1L; b.meta(0) += 1
+        } else {
+          // decrement-all, dropping exhausted counters (amortized
+          // O(1) — each decrement is charged against an increment)
+          val ks = new Array[String](b.meta(0))
+          val cs = new Array[Long](b.meta(0))
+          var n = 0; var j = 0
+          while (j < cap) {
+            if (b.keys(j) != null && b.counts(j) > 1) {
+              ks(n) = b.keys(j); cs(n) = b.counts(j) - 1; n += 1
+            }
+            j += 1
+          }
+          rebuild(b, ks, cs, n)
+        }
+        b
+      }
+      override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+        var j = 0
+        while (j < cap) { // add counterparts (x may grow to 2k)
+          if (y.keys(j) != null) {
+            val i = slotOf(x, y.keys(j))
+            if (x.keys(i) == null) {
+              x.keys(i) = y.keys(j); x.counts(i) = y.counts(j)
+              x.meta(0) += 1
+            } else x.counts(i) += y.counts(j)
+          }
+          j += 1
+        }
+        if (x.meta(0) > k) {
+          // subtract the (k+1)-th largest count from everything and
+          // drop non-positives (Agarwal et al. 2012 merge rule)
+          val m = x.meta(0)
+          val all = new Array[Long](m)
+          var n = 0; var i = 0
+          while (i < cap) {
+            if (x.keys(i) != null) { all(n) = x.counts(i); n += 1 }
+            i += 1
+          }
+          java.util.Arrays.sort(all)
+          val cut = all(m - 1 - k)
+          val ks = new Array[String](m)
+          val cs = new Array[Long](m)
+          n = 0; i = 0
+          while (i < cap) {
+            if (x.keys(i) != null && x.counts(i) > cut) {
+              ks(n) = x.keys(i); cs(n) = x.counts(i) - cut; n += 1
+            }
+            i += 1
+          }
+          rebuild(x, ks, cs, n)
+        }
+        x
+      }
+      override def finish(r: MgBuf): Map[String, Long] = {
+        val bld = Map.newBuilder[String, Long]
+        var i = 0
+        while (i < cap) {
+          if (r.keys(i) != null) bld += (r.keys(i) -> r.counts(i))
+          i += 1
+        }
+        bld.result()
+      }
+      override def bufferEncoder: Encoder[MgBuf] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
       override def outputEncoder: Encoder[Map[String, Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -379,12 +379,20 @@ object Sampling {
     * and kept tokens. Plan shape: the bucket frame's aggregates +
     * broadcast joins + ONE map-only filter and rollup — no new
     * shuffle beyond tx17's own. */
-  def spQualityCurate(s: SparkSession, d: String): DataFrame = {
+  def spQualityCurate(s: SparkSession, d: String): DataFrame =
+    spQualityCurateWith(s, d, boundsExact = true)
+
+  /** sp12 with tx17's boundary estimator selectable — `boundsExact =
+    * false` swaps the per-language sort for the mergeable percentile
+    * sketch (the 100 TB path); the curation chain downstream is
+    * identical. */
+  def spQualityCurateWith(s: SparkSession, d: String,
+      boundsExact: Boolean): DataFrame = {
     import s.implicits._
     val rates = Seq(("head", 100), ("middle", 50), ("tail", 10))
       .toDF("bucket", "rate")
     val docs = documents(s, d)
-    TextOps.qualityBucketedFrom(docs)
+    TextOps.qualityBucketedFrom(docs, boundsExact)
       .join(docs.select(col("doc_id"),
         size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok")), "doc_id")
       .join(broadcast(rates), "bucket")

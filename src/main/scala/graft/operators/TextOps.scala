@@ -500,7 +500,15 @@ object TextOps {
     * approx_percentile sketch tx13 pins; the bucketing join and CASE
     * are unchanged. */
   def txQualityBuckets(s: SparkSession, d: String): DataFrame =
-    qualityBucketedFrom(documents(s, d))
+    txQualityBucketsWith(s, d, boundsExact = true)
+
+  /** tx17 with the boundary estimator selectable — `boundsExact =
+    * false` is the production path at 100 TB (sketched boundaries, no
+    * per-language sort); the oracle-checked query keeps the exact
+    * form. */
+  def txQualityBucketsWith(s: SparkSession, d: String,
+      boundsExact: Boolean): DataFrame =
+    qualityBucketedFrom(documents(s, d), boundsExact)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("fluency")).as("min_fluency"),
@@ -508,13 +516,28 @@ object TextOps {
       .orderBy("lang", "bucket")
 
   /** Per-doc quality-bucket frame (doc_id, lang, fluency, bucket) —
-    * tx17's rollup input, reused by sp12's bucket-aware curation. */
-  private[operators] def qualityBucketedFrom(docs: DataFrame): DataFrame = {
+    * tx17's rollup input, reused by sp12's bucket-aware curation.
+    *
+    * `boundsExact = true` (the oracle path) computes the quartile
+    * boundaries with the exact `percentile` — a per-language sort,
+    * bit-reproducible against any engine but O(n log n) per language.
+    * `boundsExact = false` is the 100 TB path: `percentile_approx`
+    * (the same mergeable Greenwald-Khanna-style sketch tx13 pins)
+    * replaces the sort with a map-side-merging summary whose rank
+    * error is bounded by n/accuracy — at accuracy 10⁴ a boundary can
+    * sit at most 0.01% of ranks away from the true quartile, so at
+    * most that fraction of boundary-adjacent docs can flip bucket
+    * (PipelineOpsSpec pins the A/B agreement). Everything downstream —
+    * the broadcast bounds join, the CASE, sp12's curation — is
+    * byte-identical between the two paths. */
+  private[operators] def qualityBucketedFrom(docs: DataFrame,
+      boundsExact: Boolean = true): DataFrame = {
     val scored = txBigramFluencyFrom(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
+    val qs = array(lit(0.25), lit(0.75))
     val bounds = scored.groupBy("lang")
-      .agg(percentile(col("fluency"),
-        array(lit(0.25), lit(0.75))).as("b"))
+      .agg((if (boundsExact) percentile(col("fluency"), qs)
+            else percentile_approx(col("fluency"), qs, lit(10000))).as("b"))
       .select(col("lang"), col("b").getItem(0).as("b_lo"),
         col("b").getItem(1).as("b_hi"))
     scored.join(broadcast(bounds), "lang")

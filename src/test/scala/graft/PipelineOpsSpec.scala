@@ -280,4 +280,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       } else assert(rate == 1.0 && exp == nTok.toDouble)
     }
   }
+
+  test("tx17: sketched quartile bounds bucket within sketch tolerance of exact") {
+    // the 100 TB path (percentile_approx, no per-language sort) vs
+    // the oracle path (exact percentile): at accuracy 10^4 the
+    // boundary rank error is <= n/10^4, so per-bucket counts may
+    // differ by at most that many boundary-adjacent docs — in
+    // practice far fewer; 1% of the language's docs is a generous
+    // ceiling that still fails on any real estimator bug. Run at
+    // sf0.01 so every language has thousands of docs.
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.01"
+    def counts(exact: Boolean): Map[(String, String), Long] =
+      TextOps.txQualityBucketsWith(spark, d, boundsExact = exact)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ex = counts(exact = true)
+    val ap = counts(exact = false)
+    assert(ex.keySet == ap.keySet,
+      "both paths must produce the same (lang, bucket) cells")
+    val perLang = ex.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    ex.foreach { case (cell @ (lang, _), n) =>
+      val tol = math.max(2L, perLang(lang) / 100)
+      assert(math.abs(ap(cell) - n) <= tol,
+        s"$cell: exact=$n approx=${ap(cell)} tol=$tol")
+    }
+    // and the whole corpus is conserved either way
+    assert(ex.values.sum == ap.values.sum)
+  }
 }
