@@ -627,7 +627,102 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** One micro-batch of the st11 follower: catch the persisted
+    * (lastApplied, rollup) pair up to the table's CURRENT latest
+    * version via `changes` + `applyCdcDelta` — O(commit delta) work,
+    * never a table rescan. Persistence uses the st05 sink discipline
+    * (`v<lastAppliedVersion>-b<batchId>` dir, _SUCCESS = the swap):
+    * a redelivered batch (bid ≤ last committed) is a no-op, recovery
+    * is a directory listing ([[rollupState]]), and a crash between
+    * write and checkpoint commit can only replay — never double-apply
+    * — a delta. A batch that finds no new version writes nothing. */
+  private[graft] def st11ApplyBatch(s: SparkSession, tableDir: String,
+      root: String, bid: Long, keys: Seq[String],
+      sums: Seq[String]): Unit = {
+    val cur = rollupState(root)
+    if (cur.exists(_._3 >= bid)) return // redelivery after crash: skip
+    val latest = graft.core.TxnTable.version(tableDir)
+    val (prior, from) = cur match {
+      case Some((dir, applied, _)) => (s.read.parquet(dir), applied)
+      case None => // bootstrap: the initial snapshot rollup of v1
+        (graft.core.TxnTable.rollupOf(
+          graft.core.TxnTable.read(s, tableDir, v = 1), keys, sums), 1)
+    }
+    if (latest == from && cur.nonEmpty) return // already caught up
+    val next =
+      if (latest > from)
+        graft.core.TxnTable.applyCdcDelta(prior,
+          graft.core.TxnTable.changes(s, tableDir, from, latest),
+          keys, sums)
+      else prior
+    next.write.mode("overwrite").parquet(s"$root/v$latest-b$bid")
+  }
+
+  /** st11 — STREAMING CDC FOLLOWER: tails a mutating copy-on-write
+    * table ([[graft.core.TxnTable]]) continuously. The manifest
+    * directory itself is the file stream: every committed mutation
+    * lands exactly one new `manifest-v<N>.json`, so the transaction
+    * log IS the wake-up signal — no polling interval to tune, no
+    * commit ever missed, and the file source's tracked-files offset
+    * is the stream cursor (the Delta CDF consumer contract, driven
+    * by Structured Streaming instead of q44's batch loop). Each
+    * micro-batch folds the net change set since the last applied
+    * version into the persisted rollup ([[st11ApplyBatch]] —
+    * exactly-once in the sink via the st05 versioned-_SUCCESS
+    * discipline; StreamingSpec pins crash recovery and redelivery).
+    * At 100 TB the per-trigger cost is O(commit delta) + a merge on
+    * the small rollup — the whole point of following CDC instead of
+    * rescanning. Oracle: the mutation history replayed relationally
+    * over `orders`, aggregated to the final state. */
+  def st11(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    import s.implicits._
+    import graft.core.TxnTable
+    // a four-commit mutation history: init, takedown, correction
+    // batch, takedown-of-a-correction (the shapes a real table sees)
+    val tableDir = graft.core.TempDirs.scratchShared("st11cdc")
+    TxnTable.init(s, tableDir,
+      graft.core.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      numFiles = 0, statsCols = Seq("o_orderkey"))
+    TxnTable.deleteKeys(s, tableDir, "o_orderkey",
+      Seq(25L, 27L, 29L)) // v2
+    TxnTable.upsert(s, tableDir, "o_orderkey",
+      Seq((26L, "W", 11.5), (28L, "W", 22.25), (30000000L, "W", 33.75))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")) // v3
+    TxnTable.deleteKeys(s, tableDir, "o_orderkey",
+      Seq(26L, 35L)) // v4 — removes an upserted row and a base row
+    val root = java.nio.file.Files.createTempDirectory("graft-st11")
+      .toString
+    sys.addShutdownHook(
+      graft.core.TempDirs.rmTree(new java.io.File(root)))
+    val keys = Seq("o_orderstatus")
+    val sums = Seq("o_totalprice")
+    val q = s.readStream.format("text")
+      .option("maxFilesPerTrigger", 1) // one micro-batch per commit
+      .load(s"$tableDir/manifest-v*.json")
+      .writeStream
+      .option("checkpointLocation", ckptDir("st11"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, bid: Long) =>
+        // content unused: the manifest file is the wake-up signal;
+        // the follower reads its own cursor + the table's log
+        st11ApplyBatch(s, tableDir, root, bid, keys, sums)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    rollupState(root).fold(s.emptyDataFrame) { case (dir, _, _) =>
+      s.read.parquet(dir)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderstatus")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_cdc_follow_stream" -> (st11 _),
     "st10_compacted_ingest" -> (st10 _),
     "st09_trending_topk" -> (st09 _),
     "st06_stream_enrich" -> (st06 _),
@@ -641,6 +736,24 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // st11's oracle replays the four-commit mutation history
+    // relationally and aggregates the FINAL state — the streaming
+    // follower's delta-maintained rollup must land exactly there
+    "st11_cdc_follow_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (25, 27, 29)
+        |    AND o_orderkey NOT IN (26, 28)),
+        |up AS (SELECT * FROM (VALUES
+        |  (CAST(26 AS BIGINT), 'W', 11.5),
+        |  (CAST(28 AS BIGINT), 'W', 22.25),
+        |  (CAST(30000000 AS BIGINT), 'W', 33.75))
+        |  t(o_orderkey, o_orderstatus, o_totalprice)),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM up),
+        |final AS (SELECT * FROM merged WHERE o_orderkey NOT IN (26, 35))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // st10 reads a compacted Z-ordered copy built from streamed
     // micro-batches; the oracle reads the original table — the ingest
     // path and the layout must be result-invisible

@@ -305,4 +305,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(zN * 2 <= n,
       s"compacted layout should prune the off-axis box: $zN of $n files")
   }
+
+  test("st11 follower recovers from the persisted (lastApplied, rollup) pair") {
+    import spark.implicits._
+    import graft.core.TxnTable
+    import graft.streaming.Streaming
+    val tableDir = graft.core.TempDirs.scratchShared("st11rec")
+    val root = java.nio.file.Files.createTempDirectory("st11rec-state")
+      .toString
+    TxnTable.init(spark, tableDir,
+      (0L until 1000L).map(k => (k, s"g${k % 4}", k.toDouble))
+        .toDF("k", "g", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    TxnTable.deleteKeys(spark, tableDir, "k", Seq(10L, 20L, 30L)) // v2
+    val keys = Seq("g"); val sums = Seq("v")
+    def stateRows(): Set[(String, Long, java.math.BigDecimal)] = {
+      val (dir, _, _) = Streaming.rollupState(root).get
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    }
+    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+      TxnTable.rollupOf(TxnTable.read(spark, tableDir), keys, sums)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    // batch 0: bootstrap (v1 snapshot) + catch-up to v2, persisted
+    Streaming.st11ApplyBatch(spark, tableDir, root, 0L, keys, sums)
+    assert(Streaming.rollupState(root).exists(s => s._2 == 2 && s._3 == 0))
+    assert(stateRows() == recompute())
+    // REDELIVERY of batch 0 (crash between sink write and checkpoint
+    // commit): must be a no-op — same committed state dir
+    val dirBefore = Streaming.rollupState(root).get._1
+    Streaming.st11ApplyBatch(spark, tableDir, root, 0L, keys, sums)
+    assert(Streaming.rollupState(root).get._1 == dirBefore,
+      "a redelivered batch must not re-apply its delta")
+    // the table mutates on; a RESTARTED follower (fresh call, no
+    // driver memory — only the persisted pair) catches up exactly
+    TxnTable.upsert(spark, tableDir, "k",
+      Seq((5L, "g9", 500.0), (2000L, "g9", 999.0)).toDF("k", "g", "v")) // v3
+    TxnTable.deleteKeys(spark, tableDir, "k", Seq(2000L, 40L)) // v4
+    Streaming.st11ApplyBatch(spark, tableDir, root, 1L, keys, sums)
+    assert(Streaming.rollupState(root).exists(s => s._2 == 4 && s._3 == 1))
+    assert(stateRows() == recompute(),
+      "recovered follower must land exactly on the full recompute")
+    // a batch with nothing new writes nothing (no state churn)
+    val v = Streaming.rollupState(root).get
+    Streaming.st11ApplyBatch(spark, tableDir, root, 2L, keys, sums)
+    assert(Streaming.rollupState(root).get == v,
+      "an already-caught-up batch must not rewrite state")
+  }
 }
