@@ -90,14 +90,71 @@ object Layout {
     })
   }
 
+  /** Equi-DEPTH (rank/quantile-boundary) bucket expression: bucket of
+    * `c` = number of `bounds` ≤ c, computed by an UNROLLED BINARY
+    * SEARCH when-tree — log₂(buckets) comparisons per row, pure
+    * codegen'd column arithmetic, no UDF and no per-row array scan.
+    * `bounds` must be sorted ascending (duplicates fine: equal
+    * boundaries make their empty bucket unreachable, which is exactly
+    * the degenerate-distribution behavior wanted). */
+  def rankBucket(c: Column, bounds: Array[Double]): Column = {
+    def go(lo: Int, hi: Int): Column = // final bucket in [lo, hi]
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(c.cast("double") >= lit(bounds(mid)), go(mid + 1, hi))
+          .otherwise(go(lo, mid))
+      }
+    go(0, bounds.length)
+  }
+
+  /** Z-value with equi-depth buckets — the SKEWED-COLUMN variant of
+    * [[zValueFor]]. Uniform min-max buckets collapse under skew: a
+    * heavy-tailed column squeezes most rows into a handful of
+    * buckets, the interleave loses its discrimination in the dense
+    * region, and files there span wide value ranges — pruning decays
+    * exactly where the queries land. Rank buckets put ~equal ROW
+    * COUNTS in every bucket by construction (boundaries from one
+    * `approxQuantile` pass — 2^bits−1 doubles of driver-side index
+    * metadata, the same sampled-boundary move `repartitionByRange`
+    * makes internally), so the dense region gets proportionally more
+    * buckets and per-file value ranges stay tight where the data is.
+    * 8-bit lanes (vs uniform's 16) keep the when-tree small — 256
+    * equi-depth buckets discriminate better on skew than 65536
+    * uniform ones. Strings keep their hash lane. Layout choice never
+    * changes results; ZRankProbe + SCALE_SLOPE measure the pruning
+    * delta. */
+  def zValueForRanked(df: DataFrame, zcols: Seq[String],
+      bits: Int = 8): Column = {
+    import org.apache.spark.sql.types.StringType
+    val nb = 1 << bits
+    val isStr = zcols.map(c => df.schema(c).dataType == StringType)
+    val numeric = zcols.zip(isStr).filter(!_._2).map(_._1)
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val bounds: Map[String, Array[Double]] =
+      if (numeric.isEmpty) Map.empty
+      else numeric.zip(
+        df.select(numeric.map(c => col(c).cast("double").as(c)): _*)
+          .stat.approxQuantile(numeric.toArray, probs, 0.001))
+        .map { case (c, bs) => c -> bs }.toMap
+    interleaveBits(zcols.zip(isStr).map {
+      case (c, true) => pmod(hash(col(c)), lit(nb)).cast("long")
+      case (c, false) => rankBucket(col(c), bounds(c))
+    }, bits)
+  }
+
   /** Write `df` to `path` as parquet Z-ordered on `zcols` across
     * `numFiles` range partitions. Every output file covers one
     * contiguous Z range = one small hyper-rectangle per dimension, so
     * a selective predicate on ANY clustered column prunes most files
-    * (and row groups within them) from their footer stats alone. */
+    * (and row groups within them) from their footer stats alone.
+    * `ranked = true` swaps uniform buckets for equi-depth ones
+    * ([[zValueForRanked]]) — the right layout when a clustered
+    * column is heavily skewed. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int): Unit =
-    df.withColumn("__z", zValueFor(df, zcols))
+      numFiles: Int, ranked: Boolean = false): Unit =
+    df.withColumn("__z",
+        if (ranked) zValueForRanked(df, zcols) else zValueFor(df, zcols))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

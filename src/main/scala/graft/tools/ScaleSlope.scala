@@ -540,6 +540,34 @@ object ScaleSlope {
         println(f"""{"op":"cow_delete_${mult}x_$mode","rows":$n,"files":$nFiles,"files_rewritten":$rewrote,"footer_reads":$reads,"sec_delete":$sec%.2f,"cdc_rows":$chRows,"cdc_input_files":$chFiles,"sec_cdc":$chSec%.2f}""")
       }
     }
+    if (only("upsert")) {
+      // round-10 distributed key carrier: a 10^6-key upsert batch
+      // confined to a FIXED key range while the table grows 16x.
+      // The keys never land on the driver (frame-planned rewrite set
+      // + left_anti rewrite), so the cost must track the MATCHED
+      // files (constant 4 here), not the table.
+      for (mult <- Seq(1, 4, 16)) {
+        val nFiles = 16 * mult
+        val rowsPerFile = 250000L
+        val dir = graft.core.TempDirs.scratchShared("ss-upsert")
+        val n = nFiles * rowsPerFile
+        graft.core.TxnTable.init(spark, dir,
+          spark.range(n).select(col("id").as("k"),
+              (col("id") * 2).as("payload"))
+            .repartitionByRange(nFiles, col("k"))
+            .sortWithinPartitions("k"),
+          numFiles = 0, statsCols = Seq("k"))
+        val updates = spark.range(1000000L)
+          .select(col("id").as("k"), (-col("id")).as("payload"))
+        val before = graft.core.TxnTable.liveFiles(dir).toSet
+        val t0 = System.nanoTime()
+        graft.core.TxnTable.upsert(spark, dir, "k", updates, numFiles = 4)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = graft.core.TxnTable.liveFiles(dir).toSet
+        val rewritten = before.size - (before & after).size
+        println(f"""{"op":"cow_upsert1m_${mult}x","rows":$n,"files":$nFiles,"files_rewritten":$rewritten,"sec_upsert":$sec%.2f}""")
+      }
+    }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""

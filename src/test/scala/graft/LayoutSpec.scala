@@ -88,6 +88,49 @@ class LayoutSpec extends AnyFunSuite {
       s"partkey-box: linear $linP zorder $zP")
   }
 
+  test("rankBucket: unrolled binary search = count of boundaries <= value") {
+    import spark.implicits._
+    val bounds = Array(10.0, 20.0, 30.0)
+    val got = Seq(5L, 10L, 15L, 20L, 25L, 30L, 35L).toDF("x")
+      .select(col("x"), Layout.rankBucket(col("x"), bounds).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 0L, 10L -> 1L, 15L -> 1L, 20L -> 2L,
+      25L -> 2L, 30L -> 3L, 35L -> 3L))
+  }
+
+  test("equi-depth z-buckets keep pruning on a skewed column; uniform collapse") {
+    // 95% of rows live in [0, 1000) of a [0, 1e9) domain: uniform
+    // 16-bit buckets map the whole dense region to bucket 0, the
+    // interleave loses its a-lane there, and a selective dense-region
+    // predicate reads ~every file. Equi-depth buckets give the dense
+    // region ~243 of 256 buckets, so the same predicate prunes.
+    val root = java.nio.file.Files.createTempDirectory("layout-rank").toString
+    val base = spark.range(200000).toDF("id")
+      .withColumn("a",
+        when(pmod(hash(col("id")), lit(100)) < 95,
+          pmod(hash(col("id") + 1), lit(1000)).cast("long"))
+          .otherwise(pmod(hash(col("id") + 2), lit(1000000000)).cast("long")))
+      .withColumn("a", abs(col("a")))
+      .withColumn("b", abs(pmod(hash(col("id") + 3), lit(65536))).cast("long"))
+    Layout.writeZOrdered(base, s"$root/uniform", Seq("a", "b"),
+      numFiles = 32)
+    Layout.writeZOrdered(base, s"$root/ranked", Seq("a", "b"),
+      numFiles = 32, ranked = true)
+    // result invariance: the layout is invisible to query semantics
+    def sig(p: String) = spark.read.parquet(p)
+      .agg(count(lit(1)), sum(col("a")), sum(col("b")), sum(col("id")))
+      .first().toSeq
+    assert(sig(s"$root/uniform") == sig(s"$root/ranked"))
+    // a 20%-of-dense-mass box: [100, 300) of the [0, 1000) region
+    val uN = Layout.filesIntersecting(spark, s"$root/uniform", "a", 100, 299)
+    val rN = Layout.filesIntersecting(spark, s"$root/ranked", "a", 100, 299)
+    assert(uN >= 24,
+      s"fixture should collapse the uniform layout's a-lane: $uN of 32")
+    assert(rN * 2 <= uN,
+      s"equi-depth buckets should prune the dense box: $rN vs uniform $uN")
+    println(s"[layout] skewed dense box: uniform $uN ranked $rN of 32 files")
+  }
+
   test("interleaveBits is a bijection on 16-bit pairs (property)") {
     // injectivity is what makes the Z-value a lossless clustering key:
     // two distinct (x, y) cells can never share a file boundary
