@@ -769,7 +769,29 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** OVERSIZED IN-list ship ([[KeyShip.semiShip]]): q22's semi-join
+    * semantics, but the key list (every order over 150k — thousands
+    * of keys at sf0.01) is past the literal threshold, so the carrier
+    * decision flips to the broadcast Bloom bitset probe fused into
+    * the fact scan + the exact semi-join on the survivors (the
+    * reference's MultiEngineQuery IN-list ship at the scale where a
+    * literal tree stops being shippable). The oracle is the plain IN
+    * subquery — the bitset's false positives must be invisible in the
+    * result, pinning that the pre-filter is an optimization, never a
+    * semantics change. PlanShapeSpec pins both carrier plan shapes. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select("o_orderkey")
+    KeyShip.semiShip(lineitem(s, d), "l_orderkey", bigOrders,
+      "o_orderkey", maxLiterals = 100)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_bloom_keyship" -> (q46 _),
     "q45_time_travel" -> (q45 _),
     "q44_cdc_follow" -> (q44 _),
     "q43_table_changes" -> (q43 _),
@@ -1022,6 +1044,15 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q46: same IN-subquery semantics at an OVERSIZED key count — the
+    // engine's Bloom pre-filter + exact semi-join must be result-
+    // identical to the plain subquery (false positives invisible)
+    "q46_bloom_keyship" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q23_dim_driven_right_join" ->
       """SELECT c_custkey, c_name,

@@ -257,4 +257,54 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physical(df)
     assert(plan.contains("*("), s"no WholeStageCodegen spans:\n$plan")
   }
+
+  test("KeyShip.semiShip: literal carrier below the threshold, Bloom probe above") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.KeyShip
+    val fact = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    val keysSmall = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val keysBig = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 100000).select("o_orderkey")
+
+    // SMALL key set: ships as literals — a pushed In(...) at the
+    // parquet scan, no bitset machinery anywhere in the plan
+    val small = KeyShip.semiShip(fact, "l_orderkey", keysSmall,
+      "o_orderkey", maxLiterals = 1000)
+    val pSmall = physical(small)
+    assert(pSmall.contains("In(l_orderkey"),
+      s"literal carrier must reach the scan as a pushed In:\n$pSmall")
+    assert(!pSmall.contains("shiftright") && !pSmall.contains("LeftSemi"),
+      s"small key set must not build a bitset or a join:\n$pSmall")
+
+    // OVERSIZED key set: the bitset probe is FUSED INTO THE FACT SCAN
+    // — a map-side literal-bitset filter (shiftright bit test) BELOW
+    // the exact LeftSemi join; no literal IN tree
+    val big = KeyShip.semiShip(fact, "l_orderkey", keysBig,
+      "o_orderkey", maxLiterals = 100)
+    val pBig = physical(big)
+    assert(pBig.contains("LeftSemi"), s"exact semi-join missing:\n$pBig")
+    assert(pBig.contains("shiftright"),
+      s"bitset probe missing from the fact side:\n$pBig")
+    assert(!pBig.contains("In(l_orderkey"),
+      s"oversized key set must not ship literals:\n$pBig")
+    val filterIdx = pBig.indexOf("shiftright")
+    val joinIdx = pBig.indexOf("LeftSemi")
+    assert(filterIdx > joinIdx, // plan prints top-down: probe BELOW join
+      s"bloom probe must sit under (before) the semi-join:\n$pBig")
+
+    // and the optimization is invisible in the result: both carriers
+    // equal the plain semi-join
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactBig = fact.join(keysBig,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(agg(big) == agg(exactBig),
+      "bloom-shipped semi-join must equal the plain semi-join")
+    val exactSmall = fact.join(keysSmall,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(agg(small) == agg(exactSmall))
+  }
 }
