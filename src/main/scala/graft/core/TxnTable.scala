@@ -52,13 +52,16 @@ import scala.jdk.CollectionConverters._
   * KEY CARRIERS: [[deleteKeys]] takes a `Seq[Long]` — a takedown batch
   * IS request metadata (thousands of ids) and rides the driver as a
   * literal predicate. [[upsert]]/[[merge]] take an arbitrary DataFrame
-  * whose key set may be 10⁷⁺, so their keys NEVER land on the driver:
+  * and pick the carrier BY SIZE ([[planKeyedMutation]]): at or below
+  * 10⁴ distinct keys the set collects and ships as a literal (one
+  * job, scan-pushable — the everyday correction batch pays exactly
+  * the small-batch cost); above it the keys NEVER land on the driver:
   * the rewrite set is planned by joining the update frame against the
   * manifest's per-file [min,max] ranges (only file PATHS — bounded by
   * file count, not key count — come back), and matched files are
-  * rewritten with a `left_anti` join against the update keys. The
-  * anti-join also gives correct SQL NULL semantics for free: a
-  * NULL-key row matches nothing and survives every rewrite.
+  * rewritten with a `left_anti` join against the update keys. Both
+  * carriers keep SQL NULL semantics: a NULL-key row matches nothing
+  * and survives every rewrite.
   */
 object TxnTable {
 
@@ -359,6 +362,41 @@ object TxnTable {
     updates.select(col(keyCol).cast("long").as("__k"))
       .filter(col("__k").isNotNull).distinct()
 
+  /** Key sets at or below this size are request-metadata-sized: they
+    * ship as a driver literal (one collect, a binary-searched rewrite
+    * plan, a scan-pushable predicate — the cheapest carrier). Above
+    * it the frame carrier takes over and the keys never leave the
+    * cluster. */
+  private val literalKeyMax = 10000
+
+  /** Plan a mutation keyed by the `keys` frame: returns (matched,
+    * untouched, survivorsOf) where `survivorsOf(matchedRows)` filters
+    * out the keyed rows with NULL-correct semantics. THE CARRIER
+    * DECISION lives here: one `limit(max+1).collect()` probe — the
+    * same single job the literal path needs anyway — either yields
+    * the complete key set (≤ max: literal carrier, zero extra jobs,
+    * exactly the pre-round-10 cost for small correction batches) or
+    * proves the set oversized (frame carrier: manifest-range join +
+    * left_anti rewrite; the keys never land on the driver). */
+  private def planKeyedMutation(s: SparkSession, dir: String,
+      keyCol: String, keys: DataFrame, planned: Int)
+      : (Seq[FileEntry], Seq[FileEntry], DataFrame => DataFrame) = {
+    val probe = keys.limit(literalKeyMax + 1).collect().map(_.getLong(0))
+    if (probe.isEmpty)
+      (Nil, liveEntries(dir, planned), identity)
+    else if (probe.length <= literalKeyMax) {
+      val lits = probe.toSeq
+      val (m, u) = matchedEntries(s, dir, keyCol, lits, planned)
+      (m, u, df => df.filter(col(keyCol).isNull ||
+        !col(keyCol).isin(lits: _*)))
+    } else {
+      val (m, u) = matchedEntriesByFrame(s, dir, keyCol, keys, planned)
+      (m, u,
+        df => df.join(keys, col(keyCol).cast("long") === col("__k"),
+          "left_anti"))
+    }
+  }
+
   /** The rewrite set for a DataFrame of keys, with NO driver-side key
     * materialization: (1) the key frame's global [min,max] — two
     * longs, a sketch of the set, not the set — prunes the manifest's
@@ -436,19 +474,18 @@ object TxnTable {
   }
 
   /** Upsert: rows of `updates` replace same-key rows (delete + insert
-    * in ONE committed version — readers never see the gap). The key
-    * set stays distributed end-to-end: manifest-range pruning by
-    * join, rewrite by `left_anti` — a 10⁷-key correction batch never
-    * touches the driver. */
+    * in ONE committed version — readers never see the gap). Carrier
+    * by size ([[planKeyedMutation]]): small batches ship literals, a
+    * 10⁷-key correction batch stays distributed end-to-end. */
   def upsert(s: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, numFiles: Int = 4): Unit = withOcc(dir) { planned =>
-    val keys = keyFrame(updates, keyCol)
-    val (matched, untouched) =
-      matchedEntriesByFrame(s, dir, keyCol, keys, planned)
+    val (matched, untouched, survivorsOf) =
+      planKeyedMutation(s, dir, keyCol, keyFrame(updates, keyCol), planned)
     val cols = colsWith(dir, keyCol)
     val survivors =
       if (matched.isEmpty) Nil
-      else commitFiles(s, dir, survivorsFrame(s, dir, matched, keyCol, keys),
+      else commitFiles(s, dir, survivorsOf(
+        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
         math.min(numFiles, matched.size), cols)
     val inserted = commitFiles(s, dir, updates, numFiles, cols)
     onBeforeCommit()
@@ -475,13 +512,13 @@ object TxnTable {
           org.apache.spark.sql.types.StructField("__k",
             org.apache.spark.sql.types.LongType))))
       val affected = keyFrame(updates, keyCol).union(delFrame).distinct()
-      val (matched, untouched) =
-        matchedEntriesByFrame(s, dir, keyCol, affected, planned)
+      val (matched, untouched, survivorsOf) =
+        planKeyedMutation(s, dir, keyCol, affected, planned)
       val cols = colsWith(dir, keyCol)
       val survivors =
         if (matched.isEmpty) Nil
-        else commitFiles(s, dir,
-          survivorsFrame(s, dir, matched, keyCol, affected),
+        else commitFiles(s, dir, survivorsOf(
+          s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
           math.min(numFiles, matched.size), cols)
       val inserted = commitFiles(s, dir, updates, numFiles, cols)
       onBeforeCommit()

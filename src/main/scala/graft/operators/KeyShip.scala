@@ -36,25 +36,43 @@ object KeyShip {
     pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))),
       1, 15), 16, 10).cast("bigint"), lit(m))
 
-  /** One-row bitset frame (`w0..w{words-1}`, 60 bits per word — the
-    * BIGINT sign bit is never touched) of the distinct keys. */
-  private[graft] def bloomBitset(keys: DataFrame, keyCol: String,
-      m: Int, hashes: Int): DataFrame = {
+  /** The bitset words (60 bits per word — the BIGINT sign bit is
+    * never touched) of the distinct keys, built as a GROUPED
+    * aggregate over (word, bit) rows: one shuffle of ≤ `words` rows,
+    * one `bit_or` per group. (A one-row aggregate with a column per
+    * word — sk07's shape at its fixed 4 words — explodes at real
+    * sizes: 10⁴ aggregate expressions stall planning and codegen;
+    * this was caught live when q46's first sf0.1 bench pass hung in
+    * exactly that plan.) The collected array is O(m/8) bytes of
+    * sketch metadata. */
+  private[graft] def bloomWords(keys: DataFrame, keyCol: String,
+      m: Int, hashes: Int): Array[Long] = {
     val words = (m + 59) / 60
     val posD = keys.select(explode(array(
       (0 until hashes).map(i => pos(col(keyCol), i, m)): _*)).as("p"))
-    val wordCols = (0 until words).map(w => expr(
-      s"bit_or(CASE WHEN p div 60 = $w THEN " +
-        s"shiftleft(1L, cast(p % 60 as int)) ELSE 0L END)").as(s"__w$w"))
-    posD.agg(wordCols.head, wordCols.tail: _*)
+    val rows = posD
+      .groupBy(expr("cast(p div 60 as int)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 60 as int)))").as("bits"))
+      .collect()
+    val arr = new Array[Long](words)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
   }
 
-  /** Map-side membership test of the position column `pCol` against
-    * the bitset array column `__bs` — pure column arithmetic,
-    * codegen-friendly. */
-  private def bitPass(pCol: String): Column =
-    expr(s"shiftright(element_at(__bs, cast($pCol div 60 as int) + 1), " +
-      s"cast($pCol % 60 as int)) % 2 = 1")
+  /** Map-side membership test of `key` (hash lane `i`) against the
+    * bitset LITERAL `bs` — the array literal is referenced INSIDE the
+    * expression, never projected into a column: a `withColumn` array
+    * would be copied into every row by the Project's unsafe
+    * projection (measured: a 10⁴-word bitset column cost ~80 KB of
+    * array copying PER ROW), while a Literal is one shared object in
+    * the codegen stage. `call_function` carries the column-typed
+    * shift distance the Scala `shiftright` wrapper cannot. */
+  private def bitPass(key: Column, i: Int, m: Int, bs: Column): Column = {
+    val p = pos(key, i, m)
+    pmod(call_function("shiftright",
+      call_function("element_at", bs, floor(p / lit(60)).cast("int") + lit(1)),
+      pmod(p, lit(60)).cast("int")), lit(2)) === lit(1)
+  }
 
   /** Semi-join `fact` to the distinct keys of `keys(keyCol)` on
     * `fact(factKey)`, choosing the carrier by key count:
@@ -74,7 +92,6 @@ object KeyShip {
     } else {
       val hashes = 2
       val m = math.max(240L, n * bitsPerKey).min(60L * 200000).toInt
-      val words = (m + 59) / 60
       // the bitset rides the plan as ONE array literal: O(m/8) bytes
       // of driver-held sketch metadata (the Skew.findHotKeys /
       // centroid discipline — never O(keys)), capped at ~1.5 MB.
@@ -84,20 +101,53 @@ object KeyShip {
       // rows the join already processed — useless); a literal filter
       // sits under the join and fuses into the scan's codegen stage,
       // which is the entire point of the probe.
-      val row = bloomBitset(keyF, "__sk", m, hashes).first()
-      val wordVals = (0 until words).map(w =>
-        if (row.isNullAt(w)) 0L else row.getLong(w)).toArray
-      val probed = (0 until hashes).foldLeft(
-        fact.withColumn("__bs", typedlit(wordVals))) { (d, i) =>
-        d.withColumn(s"__p$i", pos(col(factKey), i, m))
-      }
-      (0 until hashes).map(i => bitPass(s"__p$i"))
-        .foldLeft(probed)((d, c) => d.filter(c))
-        .drop("__bs" +: (0 until hashes).map(i => s"__p$i"): _*)
+      val bs = typedlit(bloomWords(keyF, "__sk", m, hashes))
+      fact
+        .filter((0 until hashes)
+          .map(i => bitPass(col(factKey), i, m, bs)).reduce(_ && _))
         // unhinted: AQE broadcasts a small key frame at runtime; a
         // 10^7-key frame correctly falls back to a shuffled semi-join
         // over the (bloom-pruned) survivors
         .join(keyF, col(factKey) === col("__sk"), "left_semi")
+    }
+  }
+
+  /** ANTI-join complement of [[semiShip]]: keep the fact rows whose
+    * key is NOT in the key set. The Bloom pays differently here — a
+    * bitset MISS is a PROOF of non-membership (Bloom has no false
+    * negatives), so every miss row is emitted directly without ever
+    * touching the join; only the ~(selectivity + fpp) fraction that
+    * passes the bitset needs the exact anti-join to separate true
+    * members (dropped) from false positives (kept). For a selective
+    * key set against a huge fact that routes almost the whole scan
+    * around the join's shuffle. NULL keys follow SQL anti-join
+    * semantics (kept): NULL hashes to some bit pattern; if it misses
+    * it is correctly kept outright, if it passes, the left_anti's
+    * null-safe non-match keeps it. Result is exactly the plain
+    * left_anti either way (PlanShapeSpec pins it). */
+  def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
+      keyCol: String, maxLiterals: Int = 1000,
+      bitsPerKey: Int = 8): DataFrame = {
+    val keyF = keys.select(col(keyCol).as("__sk")).distinct()
+    val n = keyF.count()
+    if (n <= maxLiterals) {
+      val lits = keyF.collect().map(_.get(0))
+      // literal NOT IN with SQL three-valued semantics: NULL keys kept
+      fact.filter(col(factKey).isNull || !col(factKey).isin(lits.toSeq: _*))
+    } else {
+      val hashes = 2
+      val m = math.max(240L, n * bitsPerKey).min(60L * 200000).toInt
+      val bs = typedlit(bloomWords(keyF, "__sk", m, hashes))
+      val pass = (0 until hashes)
+        .map(i => bitPass(col(factKey), i, m, bs)).reduce(_ && _)
+      // misses bypass the join outright; passes pay the exact anti.
+      // NULL keys make the bit test NULL (three-valued), which a bare
+      // filter pair would drop from BOTH branches — route them into
+      // the miss branch explicitly (anti-join semantics: NULL is kept)
+      val misses = fact.filter(col(factKey).isNull || !pass)
+      val passes = fact.filter(col(factKey).isNotNull && pass)
+        .join(keyF, col(factKey) === col("__sk"), "left_anti")
+      misses.unionByName(passes)
     }
   }
 }

@@ -307,4 +307,44 @@ class PlanShapeSpec extends AnyFunSuite {
       col("l_orderkey") === col("o_orderkey"), "left_semi")
     assert(agg(small) == agg(exactSmall))
   }
+
+  test("KeyShip.antiShip: bitset misses bypass the join; result = plain anti") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.KeyShip
+    val fact = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag")
+    val keysBig = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 100000).select("o_orderkey")
+    val anti = KeyShip.antiShip(fact, "l_orderkey", keysBig,
+      "o_orderkey", maxLiterals = 100)
+    val p = physical(anti)
+    // the union of (bit-miss rows, join-checked bit-pass rows): the
+    // anti-join must sit on only ONE union branch — the other branch
+    // is scan+filter straight through
+    assert(p.contains("LeftAnti") && p.contains("Union"),
+      s"miss-bypass union shape missing:\n$p")
+    assert(p.contains("shiftright"), s"bitset probe missing:\n$p")
+    val exact = fact.join(keysBig,
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(anti) == agg(exact),
+      "bloom-shipped anti-join must equal the plain anti-join")
+    // NULL keys are KEPT (SQL anti semantics), through both carriers
+    import spark.implicits._
+    val withNulls = Seq(Some(1L), None, Some(999999999L))
+      .toDF("k")
+    val keys3 = Seq(1L).toDF("o_orderkey")
+    val small = KeyShip.antiShip(withNulls, "k", keys3, "o_orderkey",
+      maxLiterals = 10)
+    assert(small.collect().map(_.isNullAt(0)).count(identity) == 1 &&
+      small.count() == 2)
+    val manyKeys = spark.range(500).toDF("o_orderkey")
+    val big = KeyShip.antiShip(withNulls, "k", manyKeys, "o_orderkey",
+      maxLiterals = 10)
+    assert(big.collect().map(_.isNullAt(0)).count(identity) == 1,
+      "NULL-key rows must survive the bloom anti path")
+    assert(big.count() == 2) // null + 999999999 kept; 1 dropped
+  }
 }

@@ -573,6 +573,43 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, dir).count() == 1000)
   }
 
+  test("two concurrent writer THREADS both land under OCC retry") {
+    // the hook-based race above pins the deterministic interleave;
+    // this one runs two real writers concurrently — whatever the
+    // actual overlap turns out to be (full collision + retry, or
+    // accidental serialization), both mutations must commit and the
+    // final state must reflect both
+    val dir = graft.core.TempDirs.scratchShared("txnrace")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 2000L).toDF("k").withColumn("payload", col("k"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val a = Future {
+        TxnTable.deleteKeys(spark, dir, "k", Seq(100L, 101L)) }
+      val b = Future {
+        TxnTable.upsert(spark, dir, "k",
+          Seq((200L, -5L), (5000L, -6L)).toDF("k", "payload")) }
+      Await.result(Future.sequence(Seq(a.map(_ => ()), b.map(_ => ()))),
+        180.seconds)
+    } finally pool.shutdown()
+    assert(TxnTable.version(dir) == 3,
+      "both writers must commit, serialized by the manifest log")
+    val after = TxnTable.read(spark, dir)
+    assert(after.filter(col("k").isin(100L, 101L)).count() == 0,
+      "the delete must survive")
+    assert(after.filter(col("k") === 200L && col("payload") === -5L)
+      .count() == 1 && after.filter(col("k") === 5000L).count() == 1,
+      "the upsert must survive")
+    assert(after.count() == 2000 - 2 + 1)
+  }
+
   test("NULL-key rows survive delete/upsert/merge rewrites of their file") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
