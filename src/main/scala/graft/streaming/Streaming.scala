@@ -721,7 +721,76 @@ object Streaming {
     }
   }
 
+  /** st12 — STREAMING MERGE SINK (the CDC-IN direction; st11 is
+    * CDC-out): a stream of correction batches — rows tagged
+    * `_op ∈ {upsert, delete}`, the Debezium/CDC-feed shape — applies
+    * to a copy-on-write [[graft.core.TxnTable]] via `MERGE` in
+    * foreachBatch: each micro-batch lands as ONE committed version
+    * (deletes + replacements + inserts atomically; readers never see
+    * a half-applied batch), under the table's own OCC retry if a
+    * maintenance job commits concurrently. Delivery: foreachBatch is
+    * at-least-once; a redelivered batch re-merges the same rows,
+    * which CONVERGES — same final state, and the duplicate version's
+    * net CDC is EMPTY (the rewrite's removed and added rows are
+    * identical multisets, so `changes()` cancels them) — so even a
+    * downstream st11 follower sees a no-op. StreamingSpec pins both.
+    * Batches here touch disjoint keys (commutative), so the result
+    * is independent of file-arrival order. Oracle: the three
+    * correction batches replayed relationally over `orders`. */
+  def st12(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    import s.implicits._
+    import graft.core.TxnTable
+    val tableDir = graft.core.TempDirs.scratchShared("st12merge")
+    TxnTable.init(s, tableDir,
+      graft.core.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      numFiles = 0, statsCols = Seq("o_orderkey"))
+    // the correction feed: one parquet file per batch, disjoint keys
+    val src = java.nio.file.Files.createTempDirectory("graft-st12")
+      .toString
+    sys.addShutdownHook(
+      graft.core.TempDirs.rmTree(new java.io.File(src)))
+    val batches = Seq(
+      Seq((41L, "", 0.0, "delete"), (43L, "", 0.0, "delete"),
+        (42L, "S", 11.11, "upsert")),
+      Seq((44L, "S", 22.22, "upsert"), (40000001L, "S", 33.33, "upsert")),
+      Seq((45L, "", 0.0, "delete"), (40000002L, "S", 44.44, "upsert")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "_op")
+        .coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val q = s.readStream
+      .schema("o_orderkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, _op STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+      .writeStream
+      .option("checkpointLocation", ckptDir("st12"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // deletes are request metadata (bounded per batch); updates
+        // ride the frame carrier
+        val dels = batch.filter(col("_op") === "delete")
+          .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+        val ups = batch.filter(col("_op") === "upsert").drop("_op")
+        if (dels.nonEmpty || !ups.isEmpty)
+          TxnTable.merge(s, tableDir, "o_orderkey", ups, dels)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    TxnTable.read(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec6(col("o_totalprice"))).cast("double")
+          .as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_merge_sink" -> (st12 _),
     "st11_cdc_follow_stream" -> (st11 _),
     "st10_compacted_ingest" -> (st10 _),
     "st09_trending_topk" -> (st09 _),
@@ -736,6 +805,23 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    // st12's oracle replays the three streamed correction batches
+    // (disjoint keys — commutative) over the base table
+    "st12_stream_merge_sink" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (41, 43, 45)
+        |    AND o_orderkey NOT IN (42, 44)),
+        |up AS (SELECT * FROM (VALUES
+        |  (CAST(42 AS BIGINT), 'S', 11.11),
+        |  (CAST(44 AS BIGINT), 'S', 22.22),
+        |  (CAST(40000001 AS BIGINT), 'S', 33.33),
+        |  (CAST(40000002 AS BIGINT), 'S', 44.44))
+        |  t(o_orderkey, o_orderstatus, o_totalprice)),
+        |final AS (SELECT * FROM base UNION ALL SELECT * FROM up)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // st11's oracle replays the four-commit mutation history
     // relationally and aggregates the FINAL state — the streaming
     // follower's delta-maintained rollup must land exactly there

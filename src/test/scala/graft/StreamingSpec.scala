@@ -306,6 +306,35 @@ class StreamingSpec extends AnyFunSuite {
       s"compacted layout should prune the off-axis box: $zN of $n files")
   }
 
+  test("st12 redelivered merge batch converges: same state, EMPTY net CDC") {
+    import spark.implicits._
+    import graft.core.TxnTable
+    val dir = graft.core.TempDirs.scratchShared("st12redeliver")
+    TxnTable.init(spark, dir,
+      (0L until 1000L).map(k => (k, s"g${k % 3}", k.toDouble))
+        .toDF("k", "g", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    val batch = Seq((10L, "gX", -1.0), (2000L, "gX", -2.0))
+      .toDF("k", "g", "v")
+    TxnTable.merge(spark, dir, "k", batch, deletes = Seq(20L)) // applied
+    val v1 = TxnTable.version(dir)
+    val state1 = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // the at-least-once sink redelivers the SAME batch after a crash
+    TxnTable.merge(spark, dir, "k", batch, deletes = Seq(20L)) // replay
+    assert(TxnTable.version(dir) == v1 + 1,
+      "the replay commits (at-least-once), but...")
+    val state2 = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(state2 == state1, "...the state must converge (idempotent)")
+    // and the duplicate version's NET change set is empty — a
+    // downstream CDC follower (st11) sees a no-op, not churn
+    assert(TxnTable.changes(spark, dir, v1, v1 + 1).count() == 0,
+      "identical removed/added rows must cancel in the CDC read")
+  }
+
   test("st11 follower recovers from the persisted (lastApplied, rollup) pair") {
     import spark.implicits._
     import graft.core.TxnTable
