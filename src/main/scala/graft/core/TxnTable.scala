@@ -532,16 +532,22 @@ object TxnTable {
     * commits, so pruning quality decays with every delete/upsert;
     * this is the scheduled re-clustering pass that restores it (the
     * lakehouse `OPTIMIZE [ZORDER BY]`). Old files stay until
-    * [[vacuum]]; readers on the prior version are unaffected. */
+    * [[vacuum]]; readers on the prior version are unaffected.
+    * `ranked = true` uses equi-depth Z buckets
+    * ([[Layout.zValueForRanked]]) — the right clustering when a
+    * z-column is heavily skewed. */
   def optimize(s: SparkSession, dir: String, zcols: Seq[String],
-      numFiles: Int = 8): Unit = withOcc(dir) { planned =>
+      numFiles: Int = 8, ranked: Boolean = false): Unit =
+    withOcc(dir) { planned =>
     val live = read(s, dir, planned)
     val clustered =
-      if (zcols.size == 1)
+      if (zcols.size == 1 && !ranked)
         live.repartitionByRange(numFiles, col(zcols.head))
           .sortWithinPartitions(zcols.head)
       else
-        live.withColumn("__z", Layout.zValueFor(live, zcols))
+        live.withColumn("__z",
+            if (ranked) Layout.zValueForRanked(live, zcols)
+            else Layout.zValueFor(live, zcols))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")

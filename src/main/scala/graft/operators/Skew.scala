@@ -101,4 +101,30 @@ object Skew {
     sampled.filter(col("c") > lit(total * frac))
       .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
   }
+
+  /** THE PLAN DECISION, automated: one sampled stats pass
+    * ([[findHotKeys]]) picks the join plan the round-9 head-to-head
+    * measurements ranked (SCALE_SLOPE.md skew section):
+    *  - no key above the hot threshold → PLAIN shuffle join — the
+    *    measurements showed salting a uniform key is a net loss (the
+    *    full-dim salt's replication shuffle cost 1.6× plain), so the
+    *    default must be to NOT salt;
+    *  - hot keys found → HOT-KEY-ONLY salt (the measured 3.3-4.6×
+    *    win over plain at one-key-owns-half skew), which replicates
+    *    only the hot keys' dim rows.
+    * Returns the joined frame plus the decision taken, so specs and
+    * operators can assert WHICH plan was chosen, not just that some
+    * join ran. */
+  def autoJoin(big: DataFrame, bigKey: String, saltSource: Seq[String],
+      small: DataFrame, smallKey: String, buckets: Int = 16,
+      joinType: String = "inner", sampleFrac: Double = 0.01,
+      frac: Double = 0.1): (DataFrame, String) = {
+    val hot = findHotKeys(big, bigKey, sampleFrac, frac)
+    if (hot.isEmpty)
+      (big.join(small, big.col(bigKey) === small.col(smallKey), joinType),
+        "plain")
+    else
+      (saltedHotKeyJoin(big, bigKey, saltSource, small, smallKey, hot,
+        buckets, joinType), s"hotkey_salt:${hot.size}")
+  }
 }

@@ -178,13 +178,15 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case "optimize" =>
               val zcols = q.get("zcols").map(_.split(',').toSeq)
                 .getOrElse(TxnTable.statsCols(tdir))
+              // ranked=true → equi-depth Z buckets for skewed columns
+              val ranked = q.get("ranked").exists(_.toBoolean)
               if (zcols.isEmpty)
                 (400, """{"error":"no zcols and no declared statsCols"}""",
                   reqId)
               else {
-                TxnTable.optimize(s, tdir, zcols)
+                TxnTable.optimize(s, tdir, zcols, ranked = ranked)
                 Freshness.refresh(s, tdir) // served cubes see the new version
-                (200, s"""{"op":"optimize","version":${TxnTable.version(tdir)}}""",
+                (200, s"""{"op":"optimize","version":${TxnTable.version(tdir)},"ranked":$ranked}""",
                   reqId)
               }
             case "compact" =>

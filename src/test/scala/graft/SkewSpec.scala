@@ -93,4 +93,26 @@ class SkewSpec extends AnyFunSuite {
     val hot = Skew.findHotKeys(df, "k", sampleFrac = 0.5, frac = 0.2)
     assert(hot == Seq(42L), s"expected Seq(42), got $hot")
   }
+
+  test("autoJoin picks plain on uniform keys, hot-key salt on skew — same result") {
+    import spark.implicits._
+    val dim = (0L until 997L).map(k => (k, s"d$k")).toDF("sk", "name")
+    // uniform keys: the decision must be NOT to salt (salting a
+    // uniform key measurably loses — the r9 probe's whole point)
+    val uniform = (1 to 8000).map(i => (i.toLong % 997, i.toLong))
+      .toDF("k", "v")
+    val (ju, du) = Skew.autoJoin(uniform, "k", Seq("v"), dim, "sk",
+      sampleFrac = 0.5, frac = 0.2)
+    assert(du == "plain", s"uniform keys must join plain, got $du")
+    assert(ju.count() == 8000)
+    // one key owns half the rows: the decision flips to hot-key salt
+    val skewed = ((1 to 8000).map(i => (42L, i.toLong)) ++
+      (1 to 8000).map(i => (i.toLong % 997, i.toLong))).toDF("k", "v")
+    val (js, ds) = Skew.autoJoin(skewed, "k", Seq("v"), dim, "sk",
+      sampleFrac = 0.5, frac = 0.2)
+    assert(ds.startsWith("hotkey_salt:"), s"skew must salt, got $ds")
+    val plain = skewed.join(dim, skewed("k") === dim("sk"))
+    assert(js.count() == plain.count(),
+      "the chosen plan must not change the result")
+  }
 }
