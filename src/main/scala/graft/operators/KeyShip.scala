@@ -15,46 +15,53 @@ import org.apache.spark.sql.functions._
   * (the same cliff TxnTable's mutations had, closed in round 10 by
   * the frame carrier). Past the threshold the right plan is the one
   * Spark's own `InjectRuntimeFilter` builds for selective joins:
-  *  1. aggregate the key frame into an m-bit BLOOM BITSET (sk07's
-  *     md5-derived deterministic replica — O(m) bytes of metadata);
-  *  2. ship the bitset into the fact side as one array literal and
-  *     test every row MAP-SIDE, inside the scan's whole-stage-codegen
-  *     stage, before any shuffle — the probe prunes ~(1 − fpp) of
-  *     non-matching rows at scan cost;
-  *  3. run the exact semi-join on the survivors (false positives are
-  *     eliminated here, so the result is exactly the semi-join — the
-  *     bitset only cuts the rows that pay the join's shuffle).
-  * [[semiShip]] makes the size-based choice; PlanShapeSpec pins both
-  * plan shapes and the equality of their results.
+  *  1. aggregate the key side into an m-bit BLOOM BITSET — O(m/8)
+  *     bytes of sketch metadata (the Skew.findHotKeys / centroid
+  *     collect discipline — never O(keys));
+  *  2. probe every fact row MAP-SIDE with the native
+  *     [[graft.functions.BloomMightContain]] expression (one xxhash +
+  *     k bit tests per row, inside the scan's whole-stage-codegen
+  *     stage, the bitset riding as a referenced object) — pruning
+  *     ~(1 − fpp) of non-matching rows before any shuffle;
+  *  3. run the exact semi-join on the survivors (false positives die
+  *     here, so the result is exactly the semi-join — the bitset only
+  *     cuts the rows that pay the join's shuffle).
+  * Two carrier designs were tried and REJECTED on measurement, both
+  * recorded in SCALE_SLOPE r10: a broadcast 1-row bitset frame
+  * (Catalyst's PushDownLeftSemiAntiJoin reorders the exact join below
+  * the probe, making it useless) and an ArrayType Literal (~3.5 s of
+  * driver-side plan churn per query at 2·10⁵ words).
+  * [[semiShip]]/[[antiShip]] make the size-based choice; PlanShapeSpec
+  * pins the plan shapes and result equality.
   */
 object KeyShip {
 
-  /** `i`-th Bloom bit position of `key` in [0, m). Unlike sk07 —
-    * whose RAW bitset is oracle-checked and therefore pays the
-    * engine-portable md5-prefix hash — the bitset here is internal
-    * plan machinery (only the exact join's result is observable), so
-    * the position hash is the native codegen'd xxhash64: measured
-    * ~6× cheaper per probe row than the md5→substring→conv chain,
-    * and the probe runs once per fact row, which is exactly where a
-    * 100 TB scan spends its time. The lane index rides as an extra
-    * hashed column, giving independent functions per lane. */
-  private def pos(key: Column, i: Int, m: Int): Column =
-    pmod(xxhash64(lit(i), key), lit(m.toLong))
+  /** Builder-side position columns — Kirsch-Mitzenmacher from one
+    * xxhash64, BIT-IDENTICAL to [[graft.functions.BloomProbe.test]]
+    * by construction (same hash, same derived lanes): `pmod` ≡
+    * floorMod, `shiftrightunsigned` ≡ `>>>`. */
+  private def posCols(key: Column, m: Long, hashes: Int): Seq[Column] = {
+    val h = xxhash64(key) // LongType child → XXH64.hashLong(v, 42)
+    val h1 = pmod(h, lit(m))
+    val h2 = pmod(shiftrightunsigned(h, 32), lit(m)).bitwiseOR(lit(1L))
+    (0 until hashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m)))
+  }
 
   /** The bitset words (60 bits per word — the BIGINT sign bit is
-    * never touched) of the distinct keys, built as a GROUPED
-    * aggregate over (word, bit) rows: one shuffle of ≤ `words` rows,
+    * never touched) of the key column, built as a GROUPED aggregate
+    * over (word, bit) rows: map-side-combined into ≤ `words` groups,
     * one `bit_or` per group. (A one-row aggregate with a column per
     * word — sk07's shape at its fixed 4 words — explodes at real
     * sizes: 10⁴ aggregate expressions stall planning and codegen;
-    * this was caught live when q46's first sf0.1 bench pass hung in
-    * exactly that plan.) The collected array is O(m/8) bytes of
-    * sketch metadata. */
+    * caught live when q46's first sf0.1 bench pass hung in exactly
+    * that plan.) Duplicate keys just re-set the same bits, so the
+    * input needs NO distinct. */
   private[graft] def bloomWords(keys: DataFrame, keyCol: String,
-      m: Int, hashes: Int): Array[Long] = {
-    val words = (m + 59) / 60
-    val posD = keys.select(explode(array(
-      (0 until hashes).map(i => pos(col(keyCol), i, m)): _*)).as("p"))
+      m: Long, hashes: Int): Array[Long] = {
+    val words = ((m + 59) / 60).toInt
+    val key = col(keyCol).cast("long")
+    val posD = keys.filter(key.isNotNull)
+      .select(explode(array(posCols(key, m, hashes): _*)).as("p"))
     val rows = posD
       .groupBy(expr("cast(p div 60 as int)").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(p % 60 as int)))").as("bits"))
@@ -64,28 +71,25 @@ object KeyShip {
     arr
   }
 
-  /** Map-side membership test of `key` (hash lane `i`) against the
-    * bitset LITERAL `bs` — the array literal is referenced INSIDE the
-    * expression, never projected into a column: a `withColumn` array
-    * would be copied into every row by the Project's unsafe
-    * projection (measured: a 10⁴-word bitset column cost ~80 KB of
-    * array copying PER ROW), while a Literal is one shared object in
-    * the codegen stage. `call_function` carries the column-typed
-    * shift distance the Scala `shiftright` wrapper cannot. */
-  private def bitPass(key: Column, i: Int, m: Int, bs: Column): Column = {
-    val p = pos(key, i, m)
-    pmod(call_function("shiftright",
-      call_function("element_at", bs, floor(p / lit(60)).cast("int") + lit(1)),
-      pmod(p, lit(60)).cast("int")), lit(2)) === lit(1)
+  /** Size the filter and build it: (m, probe column). `bitsPerKey=8`
+    * at 2 lanes ⇒ fpp ≈ 2%; m is capped at 12M bits (1.5 MB — sketch
+    * metadata, with fpp degrading gracefully past 1.5M keys). */
+  private def buildProbe(keyF: DataFrame, factKey: Column,
+      bitsPerKey: Int): Column = {
+    val n = keyF.agg(approx_count_distinct(col("__sk")))
+      .first().getLong(0)
+    val hashes = 2
+    val m = math.max(240L, n * bitsPerKey).min(60L * 200000)
+    graft.functions.BloomProbe.mightContain(factKey,
+      bloomWords(keyF, "__sk", m, hashes), m, hashes)
   }
 
-  /** Semi-join `fact` to the distinct keys of `keys(keyCol)` on
+  /** Semi-join `fact` to the keys of `keys(keyCol)` on
     * `fact(factKey)`, choosing the carrier by key count:
     * `<= maxLiterals` ships literals (pushed `In` at the scan);
-    * above it, a broadcast Bloom bitset probe fused into the fact
-    * scan pre-filters map-side, then the exact semi-join removes the
-    * false positives. Result is the exact semi-join either way.
-    * `bitsPerKey = 8` ⇒ fpp ≈ 2% at `hashes = 2`. */
+    * above it, the Bloom probe pre-filters map-side, then the exact
+    * semi-join removes the false positives. Result is the exact
+    * semi-join either way. */
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8): DataFrame = {
@@ -97,28 +101,12 @@ object KeyShip {
     if (probe.length <= maxLiterals) {
       fact.filter(col(factKey).isin(probe.map(_.get(0)).toSeq: _*))
     } else {
-      // materialize the distinct key frame ONCE (block-backed local
-      // checkpoint, lineage truncated): the count, the bitset build,
-      // and the exact join all reuse the same blocks instead of each
-      // re-running the scan + distinct shuffle
-      val keyF = keys.select(col(keyCol).as("__sk")).distinct()
-        .localCheckpoint()
-      val n = keyF.count()
-      val hashes = 2
-      val m = math.max(240L, n * bitsPerKey).min(60L * 200000).toInt
-      // the bitset rides the plan as ONE array literal: O(m/8) bytes
-      // of driver-held sketch metadata (the Skew.findHotKeys /
-      // centroid discipline — never O(keys)), capped at ~1.5 MB.
-      // A broadcast 1-row frame would be the no-collect alternative,
-      // but Catalyst's PushDownLeftSemiAntiJoin pushes the exact
-      // semi-join BELOW a bitset cross-join (the probe then filters
-      // rows the join already processed — useless); a literal filter
-      // sits under the join and fuses into the scan's codegen stage,
-      // which is the entire point of the probe.
-      val bs = typedlit(bloomWords(keyF, "__sk", m, hashes))
+      // NO distinct on the big path: bit-OR dedups by construction
+      // and a semi-join ignores key multiplicity — the key side is
+      // never shuffled except as ≤`words` map-combined bit groups
+      val keyF = keys.select(col(keyCol).as("__sk"))
       fact
-        .filter((0 until hashes)
-          .map(i => bitPass(col(factKey), i, m, bs)).reduce(_ && _))
+        .filter(buildProbe(keyF, col(factKey), bitsPerKey))
         // unhinted: AQE broadcasts a small key frame at runtime; a
         // 10^7-key frame correctly falls back to a shuffled semi-join
         // over the (bloom-pruned) survivors
@@ -135,10 +123,8 @@ object KeyShip {
     * members (dropped) from false positives (kept). For a selective
     * key set against a huge fact that routes almost the whole scan
     * around the join's shuffle. NULL keys follow SQL anti-join
-    * semantics (kept): NULL hashes to some bit pattern; if it misses
-    * it is correctly kept outright, if it passes, the left_anti's
-    * null-safe non-match keeps it. Result is exactly the plain
-    * left_anti either way (PlanShapeSpec pins it). */
+    * semantics (kept). Result is exactly the plain left_anti either
+    * way (PlanShapeSpec pins it). */
   def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8): DataFrame = {
@@ -149,16 +135,10 @@ object KeyShip {
       fact.filter(col(factKey).isNull ||
         !col(factKey).isin(probe.map(_.get(0)).toSeq: _*))
     } else {
-      val keyF = keys.select(col(keyCol).as("__sk")).distinct()
-        .localCheckpoint()
-      val n = keyF.count()
-      val hashes = 2
-      val m = math.max(240L, n * bitsPerKey).min(60L * 200000).toInt
-      val bs = typedlit(bloomWords(keyF, "__sk", m, hashes))
-      val pass = (0 until hashes)
-        .map(i => bitPass(col(factKey), i, m, bs)).reduce(_ && _)
+      val keyF = keys.select(col(keyCol).as("__sk"))
+      val pass = buildProbe(keyF, col(factKey), bitsPerKey)
       // misses bypass the join outright; passes pay the exact anti.
-      // NULL keys make the bit test NULL (three-valued), which a bare
+      // NULL keys make the probe NULL (three-valued), which a bare
       // filter pair would drop from BOTH branches — route them into
       // the miss branch explicitly (anti-join semantics: NULL is kept)
       val misses = fact.filter(col(factKey).isNull || !pass)

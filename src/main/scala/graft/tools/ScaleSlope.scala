@@ -568,6 +568,44 @@ object ScaleSlope {
         println(f"""{"op":"cow_upsert1m_${mult}x","rows":$n,"files":$nFiles,"files_rewritten":$rewritten,"sec_upsert":$sec%.2f}""")
       }
     }
+    if (only("bloomship")) {
+      // where the Bloom ship pays: a key set too big to broadcast
+      // forces the plain semi-join to SHUFFLE the whole fact; the
+      // bitset probe (an array-literal filter in the scan's codegen
+      // stage) cuts the shuffled rows to ~selectivity + fpp. Sweep
+      // fact size at a fixed 2M-key set, 1% true selectivity.
+      val nKeys = 2000000L
+      // keys 0..2M-1 but only every 100th key appears in the fact →
+      // 1% of fact rows are members
+      for (mult <- Seq(10, 50)) {
+        val nFact = 1000000L * mult
+        val keys = spark.range(nKeys).select(col("id").as("o_orderkey"))
+        val fact = spark.range(nFact).select(
+          (when(pmod(col("id"), lit(100)) === 0,
+            pmod(xxhash64(col("id")), lit(nKeys)))
+            .otherwise(pmod(xxhash64(col("id")), lit(1000000L))
+              + lit(10000000L))).as("k"),
+          col("id").as("v"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def run(name: String)(body: => Long): (String, Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = body
+          (name, (System.nanoTime() - t0) / 1e9, n)
+        }
+        try {
+          val plain = run("plain")(
+            fact.join(keys, col("k") === col("o_orderkey"), "left_semi")
+              .count())
+          val bloom = run("bloom")(
+            graft.operators.KeyShip.semiShip(fact, "k", keys,
+              "o_orderkey", maxLiterals = 100).count())
+          assert(plain._3 == bloom._3,
+            s"result mismatch: ${plain._3} vs ${bloom._3}")
+          println(f"""{"op":"bloomship_${mult}x","fact_rows":$nFact,"keys":$nKeys,"matched":${plain._3},"sec_plain_shuffle_semi":${plain._2}%.2f,"sec_bloom_ship":${bloom._2}%.2f,"bloom_over_plain":${plain._2 / bloom._2}%.2f}""")
+        } finally
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     for (op <- Seq("dd02", "dd04", "dd05", "dd11") if only(op)) {
       val cells = points.map { case (c, m) =>
         val (t, n) = m(op); f""""sec_${c}x":$t%.2f,"rows_${c}x":$n"""

@@ -275,21 +275,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val pSmall = physical(small)
     assert(pSmall.contains("In(l_orderkey"),
       s"literal carrier must reach the scan as a pushed In:\n$pSmall")
-    assert(!pSmall.contains("shiftright") && !pSmall.contains("LeftSemi"),
+    assert(!pSmall.contains("bloom_might_contain") && !pSmall.contains("LeftSemi"),
       s"small key set must not build a bitset or a join:\n$pSmall")
 
     // OVERSIZED key set: the bitset probe is FUSED INTO THE FACT SCAN
-    // — a map-side literal-bitset filter (shiftright bit test) BELOW
+    // — a map-side native bloom_might_contain filter BELOW
     // the exact LeftSemi join; no literal IN tree
     val big = KeyShip.semiShip(fact, "l_orderkey", keysBig,
       "o_orderkey", maxLiterals = 100)
     val pBig = physical(big)
     assert(pBig.contains("LeftSemi"), s"exact semi-join missing:\n$pBig")
-    assert(pBig.contains("shiftright"),
+    assert(pBig.contains("bloom_might_contain"),
       s"bitset probe missing from the fact side:\n$pBig")
     assert(!pBig.contains("In(l_orderkey"),
       s"oversized key set must not ship literals:\n$pBig")
-    val filterIdx = pBig.indexOf("shiftright")
+    val filterIdx = pBig.indexOf("bloom_might_contain")
     val joinIdx = pBig.indexOf("LeftSemi")
     assert(filterIdx > joinIdx, // plan prints top-down: probe BELOW join
       s"bloom probe must sit under (before) the semi-join:\n$pBig")
@@ -323,7 +323,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // is scan+filter straight through
     assert(p.contains("LeftAnti") && p.contains("Union"),
       s"miss-bypass union shape missing:\n$p")
-    assert(p.contains("shiftright"), s"bitset probe missing:\n$p")
+    assert(p.contains("bloom_might_contain"), s"bitset probe missing:\n$p")
     val exact = fact.join(keysBig,
       col("l_orderkey") === col("o_orderkey"), "left_anti")
     def agg(df: org.apache.spark.sql.DataFrame) =
