@@ -790,7 +790,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** OVERSIZED NOT-IN ship ([[KeyShip.antiShip]]): q33's anti-join
+    * complement at a key count past the literal threshold. The Bloom
+    * pays differently here — a bitset MISS is a PROOF of
+    * non-membership, so ~the whole fact bypasses the join; only the
+    * pass fraction (true members + false positives) pays the exact
+    * anti. The oracle is the plain NOT-IN subquery: the miss-bypass
+    * union and the FP handling must be result-invisible. */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select("o_orderkey")
+    KeyShip.antiShip(lineitem(s, d), "l_orderkey", bigOrders,
+      "o_orderkey", maxLiterals = 100)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_bloom_antiship" -> (q47 _),
     "q46_bloom_keyship" -> (q46 _),
     "q45_time_travel" -> (q45 _),
     "q44_cdc_follow" -> (q44 _),
@@ -1053,6 +1072,14 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q47: the NOT-IN complement — miss rows bypassed the anti-join
+    // entirely, and the result must still be the plain subquery's
+    "q47_bloom_antiship" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q23_dim_driven_right_join" ->
       """SELECT c_custkey, c_name,
