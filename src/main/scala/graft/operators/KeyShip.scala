@@ -93,10 +93,15 @@ object KeyShip {
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8): DataFrame = {
+    // NULL keys leave the set up front: an equi-(semi|anti)-join
+    // matches NULL against nothing, and a NULL inside an isin literal
+    // would poison the NOT-IN complement with three-valued UNKNOWNs
+    // (dropping every row — join semantics keep them all)
     // carrier decision by a LIMIT probe (partial distinct, early
     // exit): one cheap job either yields the complete literal set or
     // proves the set oversized
-    val probe = keys.select(col(keyCol).as("__sk")).distinct()
+    val probe = keys.select(col(keyCol).as("__sk"))
+      .filter(col("__sk").isNotNull).distinct()
       .limit(maxLiterals + 1).collect()
     if (probe.length <= maxLiterals) {
       fact.filter(col(factKey).isin(probe.map(_.get(0)).toSeq: _*))
@@ -105,6 +110,7 @@ object KeyShip {
       // and a semi-join ignores key multiplicity — the key side is
       // never shuffled except as ≤`words` map-combined bit groups
       val keyF = keys.select(col(keyCol).as("__sk"))
+        .filter(col("__sk").isNotNull)
       fact
         .filter(buildProbe(keyF, col(factKey), bitsPerKey))
         // unhinted: AQE broadcasts a small key frame at runtime; a
@@ -128,14 +134,18 @@ object KeyShip {
   def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8): DataFrame = {
-    val probe = keys.select(col(keyCol).as("__sk")).distinct()
+    val probe = keys.select(col(keyCol).as("__sk"))
+      .filter(col("__sk").isNotNull).distinct()
       .limit(maxLiterals + 1).collect()
     if (probe.length <= maxLiterals) {
-      // literal NOT IN with SQL three-valued semantics: NULL keys kept
+      // literal NOT IN with anti-JOIN null semantics: NULL fact keys
+      // kept (key-set NULLs were dropped above, so the isin literal
+      // list can never be NULL-poisoned)
       fact.filter(col(factKey).isNull ||
         !col(factKey).isin(probe.map(_.get(0)).toSeq: _*))
     } else {
       val keyF = keys.select(col(keyCol).as("__sk"))
+        .filter(col("__sk").isNotNull)
       val pass = buildProbe(keyF, col(factKey), bitsPerKey)
       // misses bypass the join outright; passes pay the exact anti.
       // NULL keys make the probe NULL (three-valued), which a bare

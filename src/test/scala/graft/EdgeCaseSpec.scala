@@ -104,4 +104,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       (None, 7L, 1)),      // grand total — subtotal, not data
       s"CUBE/GROUPING semantics broken: $df")
   }
+
+  test("KeyShip: empty and all-NULL key sets degrade to the correct constants") {
+    import spark.implicits._
+    import graft.operators.KeyShip
+    val fact = Seq(Some(1L), Some(2L), None).toDF("k")
+    val empty = Seq.empty[Long].toDF("sk")
+    // semi against nothing = nothing; anti against nothing = everything
+    assert(KeyShip.semiShip(fact, "k", empty, "sk").count() == 0)
+    assert(KeyShip.antiShip(fact, "k", empty, "sk").count() == 3,
+      "NOT IN (empty) keeps every row, NULL keys included")
+    // a key set of only NULLs is empty under join equality: a NULL
+    // key matches nothing — the semi finds nothing, the anti keeps
+    // everything (a NULL-poisoned isin literal would drop every row)
+    val nulls = Seq(Option.empty[Long], Option.empty[Long]).toDF("sk")
+    assert(KeyShip.semiShip(fact, "k", nulls, "sk").count() == 0,
+      "NULL keys match nothing in a semi-join")
+    assert(KeyShip.antiShip(fact, "k", nulls, "sk").count() == 3,
+      "anti-join against only-NULL keys keeps every row")
+  }
 }
