@@ -556,6 +556,36 @@ object TxnTable {
     writeManifest(dir, planned + 1, fresh)
   }
 
+  /** Incremental OPTIMIZE: re-cluster ONLY the live files whose
+    * `keyCol` range intersects [lo, hi] — copy-on-write churn is
+    * usually LOCALIZED (hot users, recent days), so clustering decay
+    * is localized too, and a full [[optimize]] pays O(table) to fix
+    * an O(region) problem. Matched files rewrite as one range-
+    * clustered commit; everything outside the box carries by
+    * reference, stats included. The box is planned from the
+    * manifest's carried stats (one metadata read, same as the
+    * mutations). Returns how many files were re-clustered. */
+  def optimizeRange(s: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long, numFiles: Int = 4): Int =
+    withOcc(dir) { planned =>
+      val (live, rangeOf) = entryRanges(s, dir, keyCol, planned)
+      val (matched, untouched) = live.partition { e =>
+        val (l, h) = rangeOf(e); h >= lo && l <= hi
+      }
+      if (matched.size <= 1) 0 // a single file is already "clustered"
+      else {
+        val clustered = s.read.option("mergeSchema", "true")
+          .parquet(matched.map(e => s"$dir/${e.path}"): _*)
+          .repartitionByRange(numFiles, col(keyCol))
+          .sortWithinPartitions(keyCol)
+        val fresh = commitFiles(s, dir, clustered, numFiles = 0,
+          statsCols(dir))
+        onBeforeCommit()
+        writeManifest(dir, planned + 1, untouched ++ fresh)
+        matched.size
+      }
+    }
+
   /** Incremental compaction: bin-pack ONLY the live files smaller
     * than `minBytes` into `numFiles` fresh files; files already at
     * target size carry over by reference. This is the compaction a

@@ -189,6 +189,18 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 (200, s"""{"op":"optimize","version":${TxnTable.version(tdir)},"ranked":$ranked}""",
                   reqId)
               }
+            case "optimizeRange" =>
+              (q.get("keyCol"), q.get("lo").map(_.toLong),
+                q.get("hi").map(_.toLong)) match {
+                case (Some(kc), Some(lo), Some(hi)) =>
+                  val n = TxnTable.optimizeRange(s, tdir, kc, lo, hi)
+                  Freshness.refresh(s, tdir)
+                  (200, s"""{"op":"optimizeRange","reclustered":$n,"version":${TxnTable.version(tdir)}}""",
+                    reqId)
+                case _ =>
+                  (400, """{"error":"optimizeRange requires keyCol, lo, hi"}""",
+                    reqId)
+              }
             case "compact" =>
               val minBytes = q.get("minBytes").map(_.toLong)
                 .getOrElse(1L << 20)

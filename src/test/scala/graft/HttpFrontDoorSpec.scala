@@ -233,6 +233,16 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(TxnTable.liveFiles(tdir).size < filesBefore)
       assert(TxnTable.read(spark, tdir).count() == rows,
         "maintenance must not change contents")
+      // region-scoped re-clustering over the wire (params validated)
+      assert(post(port,
+        s"/maintenance/events_live?op=optimizeRange&keyCol=k", "")
+        .statusCode() == 400)
+      val orr = post(port,
+        s"/maintenance/events_live?op=optimizeRange&keyCol=k&lo=0&hi=99999", "")
+      assert(orr.statusCode() == 200 &&
+        orr.body().contains("\"reclustered\":"), orr.body())
+      assert(TxnTable.read(spark, tdir).count() == rows,
+        "optimizeRange must not change contents")
       // malformed numeric params and out-of-range requests are the
       // CALLER's fault: 400, never a 500
       assert(post(port,

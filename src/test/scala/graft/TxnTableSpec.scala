@@ -142,6 +142,49 @@ class TxnTableSpec extends AnyFunSuite {
       "optimize must not change contents")
   }
 
+  test("optimizeRange re-clusters only the decayed region; the bulk carries by reference") {
+    val dir = graft.core.TempDirs.scratchShared("txnoptrange")
+    import spark.implicits._
+    // well-clustered table over [0, 16000): 8 tight range files
+    TxnTable.init(spark, dir,
+      (0L until 16000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // churn CONFINED to [0, 2000): scattered upserts decay only the
+    // low region's clustering
+    (0 until 3).foreach { i =>
+      TxnTable.upsert(spark, dir, "k",
+        (0L until 2000L by 7L).map(_ + i).filter(_ < 2000L)
+          .toDF("k").withColumn("payload", col("k") * 3),
+        numFiles = 3)
+    }
+    val rows = TxnTable.read(spark, dir).count()
+    def filesFor(lo: Long, hi: Long): Int = {
+      val live = TxnTable.liveFiles(dir).map(rel => s"$dir/$rel")
+      graft.core.Layout.statsForFiles(spark, live, "k")
+        .count { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
+    }
+    val decayedLow = filesFor(500, 699) // a 10% box of the churned region
+    assert(decayedLow >= 4,
+      s"fixture must decay the low region: $decayedLow files for a 10% box")
+    val before = TxnTable.liveFiles(dir).toSet
+    val highBefore = filesFor(9000, 9999)
+    val rewrote = TxnTable.optimizeRange(spark, dir, "k",
+      lo = 0L, hi = 1999L, numFiles = 3)
+    assert(rewrote >= 4, s"expected the churned files re-clustered: $rewrote")
+    val after = TxnTable.liveFiles(dir).toSet
+    // the well-clustered bulk (files strictly above the box) carried
+    val carried = before & after
+    assert(carried.nonEmpty && carried.size == before.size - rewrote,
+      "files outside the box must carry by reference")
+    assert(filesFor(500, 699) <= 2,
+      s"the box must be re-clustered: ${filesFor(500, 699)} files for the 10% box")
+    assert(filesFor(9000, 9999) == highBefore,
+      "the untouched region's pruning must be unchanged")
+    assert(TxnTable.read(spark, dir).count() == rows,
+      "optimizeRange must not change contents")
+  }
+
   test("schema evolution: an upsert can add a column without rewriting history") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
