@@ -614,6 +614,17 @@ object TxnTable {
     }
   }
 
+  /** Table history — one row per committed version: (version, live
+    * file count, total live bytes where the manifest carries sizes;
+    * legacy entries count as size 0). Pure manifest metadata (no data
+    * file touched) — the audit surface behind `op=history`, the
+    * lakehouse DESCRIBE HISTORY analogue. */
+  def history(dir: String): Seq[(Int, Int, Long)] =
+    manifests(dir).map { case (v, _) =>
+      val es = liveEntries(dir, v)
+      (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum)
+    }
+
   /** Physically delete files referenced by NO manifest ≥
     * `keepSince` and drop the older manifests — the retention sweep
     * that bounds storage after many copy-on-write commits (including

@@ -189,6 +189,11 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 (200, s"""{"op":"optimize","version":${TxnTable.version(tdir)},"ranked":$ranked}""",
                   reqId)
               }
+            case "history" =>
+              val rows = TxnTable.history(tdir).map { case (v, n, b) =>
+                s"""{"version":$v,"files":$n,"bytes":$b}""" }
+              (200, rows.mkString("""{"op":"history","versions":[""",
+                ",", "]}"), reqId)
             case "optimizeRange" =>
               (q.get("keyCol"), q.get("lo").map(_.toLong),
                 q.get("hi").map(_.toLong)) match {

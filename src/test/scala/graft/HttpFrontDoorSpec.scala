@@ -233,6 +233,12 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(TxnTable.liveFiles(tdir).size < filesBefore)
       assert(TxnTable.read(spark, tdir).count() == rows,
         "maintenance must not change contents")
+      // the audit surface: one row per committed version, metadata only
+      val h = post(port, s"/maintenance/events_live?op=history", "")
+      assert(h.statusCode() == 200, h.body())
+      assert(h.body().contains("\"version\":1") &&
+        h.body().contains(s""""version":${TxnTable.version(tdir)}"""),
+        h.body())
       // region-scoped re-clustering over the wire (params validated)
       assert(post(port,
         s"/maintenance/events_live?op=optimizeRange&keyCol=k", "")
