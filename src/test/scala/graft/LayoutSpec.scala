@@ -131,6 +131,26 @@ class LayoutSpec extends AnyFunSuite {
     println(s"[layout] skewed dense box: uniform $uN ranked $rN of 32 files")
   }
 
+  test("writeZOrderedAuto picks uniform on even data, equi-depth under skew") {
+    val root = java.nio.file.Files.createTempDirectory("layout-auto").toString
+    val uniform = spark.range(50000).toDF("id")
+      .withColumn("a", abs(pmod(hash(col("id")), lit(1000000))).cast("long"))
+      .withColumn("b", abs(pmod(hash(col("id") + 1), lit(65536))).cast("long"))
+    assert(!Layout.writeZOrderedAuto(uniform, s"$root/u", Seq("a", "b"), 8),
+      "even data must keep uniform buckets (ranked costs a quantile pass)")
+    val skewed = spark.range(50000).toDF("id")
+      .withColumn("a",
+        when(pmod(hash(col("id")), lit(100)) < 95,
+          abs(pmod(hash(col("id") + 1), lit(1000))).cast("long"))
+          .otherwise(abs(pmod(hash(col("id") + 2), lit(1000000000))).cast("long")))
+      .withColumn("b", abs(pmod(hash(col("id") + 3), lit(65536))).cast("long"))
+    assert(Layout.writeZOrderedAuto(skewed, s"$root/s", Seq("a", "b"), 8),
+      "a heavy-tailed column must flip the layout to equi-depth buckets")
+    // either way the write is a real z-ordered table
+    assert(spark.read.parquet(s"$root/u").count() == 50000)
+    assert(spark.read.parquet(s"$root/s").count() == 50000)
+  }
+
   test("interleaveBits is a bijection on 16-bit pairs (property)") {
     // injectivity is what makes the Z-value a lossless clustering key:
     // two distinct (x, y) cells can never share a file boundary
