@@ -71,17 +71,24 @@ object KeyShip {
     arr
   }
 
-  /** Size the filter and build it: (m, probe column). `bitsPerKey=8`
-    * at 2 lanes ⇒ fpp ≈ 2%; m is capped at 12M bits (1.5 MB — sketch
-    * metadata, with fpp degrading gracefully past 1.5M keys). */
+  /** Size the filter and build it — or decline: `bitsPerKey=8` at 2
+    * lanes ⇒ fpp ≈ 2%; m is capped at 12M bits (1.5 MB of sketch
+    * metadata), so past ~1.5M keys the fpp climbs, and once the
+    * PREDICTED fpp (1−e^(−kn/m))^k exceeds 25% the probe can no
+    * longer pay for its per-row cost — the third carrier decision is
+    * to ship NO filter and let the plain shuffle join run (a filter
+    * that passes most rows is pure overhead). Returns None in that
+    * regime. */
   private def buildProbe(keyF: DataFrame, factKey: Column,
-      bitsPerKey: Int): Column = {
+      bitsPerKey: Int): Option[Column] = {
     val n = keyF.agg(approx_count_distinct(col("__sk")))
       .first().getLong(0)
     val hashes = 2
     val m = math.max(240L, n * bitsPerKey).min(60L * 200000)
-    graft.functions.BloomProbe.mightContain(factKey,
-      bloomWords(keyF, "__sk", m, hashes), m, hashes)
+    val fpp = math.pow(1 - math.exp(-hashes.toDouble * n / m), hashes)
+    if (fpp > 0.25) None
+    else Some(graft.functions.BloomProbe.mightContain(factKey,
+      bloomWords(keyF, "__sk", m, hashes), m, hashes))
   }
 
   /** Semi-join `fact` to the keys of `keys(keyCol)` on
@@ -111,8 +118,8 @@ object KeyShip {
       // never shuffled except as ≤`words` map-combined bit groups
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
-      fact
-        .filter(buildProbe(keyF, col(factKey), bitsPerKey))
+      buildProbe(keyF, col(factKey), bitsPerKey)
+        .fold(fact)(fact.filter)
         // unhinted: AQE broadcasts a small key frame at runtime; a
         // 10^7-key frame correctly falls back to a shuffled semi-join
         // over the (bloom-pruned) survivors
@@ -146,15 +153,20 @@ object KeyShip {
     } else {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
-      val pass = buildProbe(keyF, col(factKey), bitsPerKey)
-      // misses bypass the join outright; passes pay the exact anti.
-      // NULL keys make the probe NULL (three-valued), which a bare
-      // filter pair would drop from BOTH branches — route them into
-      // the miss branch explicitly (anti-join semantics: NULL is kept)
-      val misses = fact.filter(col(factKey).isNull || !pass)
-      val passes = fact.filter(col(factKey).isNotNull && pass)
-        .join(keyF, col(factKey) === col("__sk"), "left_anti")
-      misses.unionByName(passes)
+      buildProbe(keyF, col(factKey), bitsPerKey) match {
+        case None => // fpp regime: no useful filter — plain anti-join
+          fact.join(keyF, col(factKey) === col("__sk"), "left_anti")
+        case Some(pass) =>
+          // misses bypass the join outright; passes pay the exact
+          // anti. NULL keys make the probe NULL (three-valued), which
+          // a bare filter pair would drop from BOTH branches — route
+          // them into the miss branch explicitly (anti-join
+          // semantics: NULL is kept)
+          val misses = fact.filter(col(factKey).isNull || !pass)
+          val passes = fact.filter(col(factKey).isNotNull && pass)
+            .join(keyF, col(factKey) === col("__sk"), "left_anti")
+          misses.unionByName(passes)
+      }
     }
   }
 }

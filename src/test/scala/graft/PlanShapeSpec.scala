@@ -308,6 +308,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(agg(small) == agg(exactSmall))
   }
 
+  test("KeyShip: past the fpp regime the probe is declined, not shipped") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.KeyShip
+    // ~4.3M distinct keys against the capped 12M-bit bitset predicts
+    // fpp > 25%: a filter that passes most rows is pure per-row
+    // overhead, so the third carrier decision is NO filter at all —
+    // the plan must be the plain shuffle semi-join
+    val keys = spark.range(4300000L).toDF("o_orderkey")
+    val fact = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag")
+    val p = physical(KeyShip.semiShip(fact, "l_orderkey", keys,
+      "o_orderkey", maxLiterals = 100))
+    assert(p.contains("LeftSemi"), s"exact join missing:\n$p")
+    assert(!p.contains("bloom_might_contain"),
+      s"a >25%-fpp bitset must not ship:\n$p")
+  }
+
   test("KeyShip.antiShip: bitset misses bypass the join; result = plain anti") {
     import org.apache.spark.sql.functions._
     import graft.operators.KeyShip
