@@ -59,6 +59,27 @@ class PlanAuditSpec extends AnyFunSuite {
     "sp11_padding_manifest" -> "global max over ≤ |buckets| rows",
   )
 
+  /** Queries allowed a BroadcastNestedLoopJoin, each with the
+    * boundedness argument (a BNLJ is only sane when one side is a
+    * broadcast HANDFUL of rows — a 1-row total, a query batch, a
+    * codebook — so the "loop" is a constant factor on the scan, never
+    * an all-pairs blowup). */
+  private val bnljOk: Map[String, String] = Map(
+    "q07_paginate_totalrows" -> "crossJoin of the ONE-row grand count",
+    "cur05_parallel_merge" -> "crossJoin of 1-row curator totals",
+    "sk07_bloom_filter" -> "crossJoin of the 1-row bitset + 1-row count",
+    "sp04_mixture_weights" -> "crossJoin of the 1-row corpus total",
+    "sp07_temperature_mix" -> "crossJoin of the 1-row normalizer",
+    "sp11_padding_manifest" -> "crossJoin of the 1-row global max",
+    "sim01_cosine_topk" -> ("brute-force baseline BY DESIGN: the " +
+      "broadcast query batch (a handful of rows) loops over the " +
+      "corpus scan once — the bucketed sim variants are the scale path"),
+    "sim07_int8_topk" -> "broadcast query batch × corpus, as sim01",
+    "sim08_pq_adc" -> ("broadcast query batch builds its ≤256-entry " +
+      "LUT, then loops the code scan once"),
+    "sim10_mrl_rerank" -> "broadcast query batch × prefix scan, as sim01",
+  )
+
   private def audit(name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -68,10 +89,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name funnels through Exchange SinglePartition without a " +
           s"whitelist justification:\n${plan.take(4000)}")
+    if (!bnljOk.contains(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin without a whitelist " +
+          s"justification:\n${plan.take(4000)}")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1)
-    .filterNot { case (name, _) => name.startsWith("st0") }
+    // st* (two-digit ids included) execute stateful streaming runs at
+    // plan-build time; their shapes are pinned by StreamingSpec + the
+    // st oracles instead
+    .filterNot { case (name, _) => name.startsWith("st") }
     .foreach { case (name, fn) =>
       test(s"plan audit: $name") { audit(name, fn) }
     }
