@@ -71,6 +71,8 @@ object RequestModel {
     case _: NotLikeFilter => NotLikeOp
     case _: IsNullFilter => IsNullOp
     case _: IsNotNullFilter => IsNotNullOp
+    case boolean => // And/Or/Outer recurse before reaching here
+      sys.error(s"opOf is leaf-only, got boolean node $boolean")
   }
 
   def from(req: ReportingRequest, registry: Registry): Either[String, Model] =

@@ -363,7 +363,7 @@ object Dedup {
       }
     def checksum(e: DataFrame): (Long, Long) = {
       // xor, not sum: order-insensitive and can't overflow under ANSI
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var sig = checksum(edges)

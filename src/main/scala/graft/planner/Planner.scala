@@ -523,6 +523,8 @@ object Planner {
       case NotLikeFilter(_, v) => !base.like(v)
       case IsNullFilter(_)     => base.isNull
       case IsNotNullFilter(_)  => base.isNotNull
+      case boolean => // And/Or/Outer handled by predicate() above
+        sys.error(s"filterToColumn is leaf-only, got boolean node $boolean")
     }
   }
 
