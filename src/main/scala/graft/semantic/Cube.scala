@@ -208,6 +208,15 @@ object model {
   /** `uniqueCols`: aliases unique per dim row (candidate keys) — lets
     * the planner prove a result grain equals dim-row grain (e.g. for
     * dim-side pagination). */
+  /** `hotFactKeys`: DECLARED skew — fact FK values known to dominate
+    * (whale advertisers/users; the reference's config-driven style,
+    * like forced filters). A fact-level join to a NON-small dim with
+    * declared hot keys routes through the hot-key salted join
+    * (`Skew.saltedHotKeyJoin`: only the hot keys' fact rows salt
+    * across buckets, only their dim rows replicate) instead of a
+    * straight shuffle join whose hot reducer would straggle. Ignored
+    * for broadcast (small) dims — a broadcast join has no skewed
+    * shuffle to fix — and for right-outer joins (salt-unsafe). */
   final case class DimDef(
       name: String,
       table: String,
@@ -216,7 +225,8 @@ object model {
       parent: Option[String],
       cols: Seq[PubCol],
       small: Boolean = true,
-      uniqueCols: Set[String] = Set.empty)
+      uniqueCols: Set[String] = Set.empty,
+      hotFactKeys: Seq[Long] = Nil)
 
   /** A post-result derived metric (PostResultColumn / DerivedColumn
     * analogue, reference Column.scala:99-140): computed AFTER the final

@@ -1012,4 +1012,50 @@ class SemanticLayerSpec extends AnyFunSuite {
       math.round(r.getDouble(2) * 100))).toSet
     assert(a == b)
   }
+
+  test("DimDef.hotFactKeys routes the big-dim join through the hot-key salt") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // the reference's config-driven style: declared whale keys on a
+    // non-broadcastable dim flip the fact⋈dim join to the salted
+    // hot/cold union — result must be identical to the plain plan
+    val hotKeys = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().orderBy(desc("count"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    def cube(hot: Seq[Long]) = CubeDef(
+      name = "orders_skew",
+      variants = Seq(FactDef(
+        name = "orders_skew_base",
+        table = "orders",
+        dimCols = Seq(PubCol("Customer Key", "o_custkey")),
+        metrics = Seq(PubMetric("Order Count", CountRollup, _ => lit(1))),
+        cost = 1)),
+      dims = Seq(DimDef("customer", "customer", "c_custkey", "o_custkey",
+        None, Seq(PubCol("Market Segment", "c_mktsegment")),
+        small = false, hotFactKeys = hot)))
+    def served(hot: Seq[Long]) = {
+      val json =
+        """{"cube": "orders_skew",
+          | "selectFields": [{"field": "Market Segment"},
+          |                  {"field": "Order Count"}],
+          | "sortBy": [{"field": "Market Segment", "order": "ASC"}]}"""
+          .stripMargin
+      (for {
+        req <- request.parse(json)
+        m <- RequestModel.from(req, Registry(cube(hot)))
+        p <- graft.planner.Planner.plan(m, spark, sf)
+      } yield p.df).fold(e => fail(e), identity)
+    }
+    val plain = served(Nil)
+    val salted = served(hotKeys)
+    val saltedPlan = salted.queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("Union"),
+      s"declared hot keys must split the join hot/cold:\n${saltedPlan.take(3000)}")
+    assert(!plain.queryExecution.executedPlan.toString.contains("Union"),
+      "the undeclared cube must keep the plain single join")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(salted) == rows(plain),
+      "the salted route must not change results")
+  }
 }
