@@ -117,4 +117,27 @@ class FunctionsSpec extends AnyFunSuite {
         s"trial $trial: merge order changed the result")
     }
   }
+
+  test("Bloom builder (Column math) and prober (JVM math) agree: zero false negatives") {
+    // the builder computes positions in Column arithmetic (xxhash64 +
+    // shiftrightunsigned + pmod), the prober in JVM arithmetic inside
+    // BloomMightContain — if either side's Kirsch-Mitzenmacher math
+    // drifts (signed vs unsigned shift, floorMod vs %), members start
+    // missing SILENTLY (a Bloom has no false-negative alarm). Random
+    // key sets, including negatives and Long extremes, must all pass.
+    import spark.implicits._
+    import graft.operators.KeyShip
+    import graft.functions.BloomProbe
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val keys = (Seq(Long.MaxValue, Long.MinValue + 1, -1L, 0L) ++
+        Seq.fill(300)(rnd.nextLong())).distinct
+      val m = 4096L
+      val words = KeyShip.bloomWords(keys.toDF("k"), "k", m, hashes = 2)
+      val misses = keys.filterNot(k => BloomProbe.test(words, m, 2, k))
+      assert(misses.isEmpty,
+        s"trial $trial: builder/prober hash mismatch — members missing: " +
+          misses.take(5).mkString(", "))
+    }
+  }
 }
