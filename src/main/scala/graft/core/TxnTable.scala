@@ -132,9 +132,15 @@ object TxnTable {
     * uses; on an object store the same contract comes from a
     * put-if-absent on the manifest key. On filesystems without
     * hard-link support (overlayfs, some FUSE mounts, FAT) the publish
-    * falls back to refuse-if-exists + atomic move — a slightly wider
-    * race window than the link's true test-and-set, documented here
-    * rather than a hard UnsupportedOperationException. */
+    * falls back to claiming the version with `Files.createFile` on a
+    * `manifest-v$v.lock` — createFile is O_CREAT|O_EXCL, a true
+    * test-and-set — and only the claim winner moves its manifest into
+    * place, so the fallback keeps atomic-claim semantics (an
+    * exists-then-move pair would be a TOCTOU window in which two
+    * writers both "succeed" and one commit's file list is silently
+    * replaced). The lock file persists as the claim token (deleting
+    * it would reopen the race for a late third writer); vacuum sweeps
+    * locks of expired versions. */
   private[graft] def writeManifest(dir: String, v: Int,
       entries: Seq[FileEntry]): Unit = {
     val body = entries.map { e =>
@@ -153,11 +159,31 @@ object TxnTable {
     catch {
       case _: java.nio.file.FileAlreadyExistsException => lost()
       case _: UnsupportedOperationException =>
-        if (java.nio.file.Files.exists(target)) lost()
-        try java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+        publishWithoutLinks(dir, v, tmp)
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** The no-hard-link publish path: claim the version with an
+    * EXCLUSIVE CREATE of `manifest-v$v.lock` (O_CREAT|O_EXCL — a true
+    * put-if-absent) BEFORE moving the manifest into place, so the
+    * move can never replace a concurrent winner's committed manifest.
+    * Exactly one of any number of racers owns the lock; the rest get
+    * ConcurrentModificationException and re-plan. Split out of
+    * [[writeManifest]] so the race can be unit-tested on filesystems
+    * where createLink itself succeeds. */
+  private[graft] def publishWithoutLinks(dir: String, v: Int,
+      tmp: java.nio.file.Path): Unit = {
+    val lock = fileOf(dir, s"manifest-v$v.lock").toPath
+    try java.nio.file.Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"manifest v$v already claimed under $dir — a concurrent " +
+            "writer won; re-read the latest version and re-plan")
+    }
+    java.nio.file.Files.move(tmp, fileOf(dir, s"manifest-v$v.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** Test hook: runs after a mutation has planned + rewritten but
@@ -644,6 +670,13 @@ object TxnTable {
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(c => Option(c.listFiles()).forall(_.forall(!_.getName.endsWith(".parquet"))))
       .foreach(c => TempDirs.rmTree(c))
-    drop.foreach(_._2.delete())
+    drop.foreach { case (v, f) =>
+      f.delete()
+      // fallback-publish claim tokens (see writeManifest) of expired
+      // versions go with their manifests; live versions keep theirs —
+      // deleting a live lock would reopen the publish race
+      fileOf(dir, s"manifest-v$v.lock").delete()
+      ()
+    }
   }
 }

@@ -32,12 +32,13 @@ object BloomProbe {
     true
   }
 
-  /** The probe as a Column (key auto-cast to LONG to match the
-    * builder's hash input width). */
+  /** The probe as a Column (key TRY_CAST to LONG to match the
+    * builder's hash input width — try, not cast: under ANSI mode a
+    * malformed string must probe as NULL, not throw). */
   def mightContain(key: Column, words: Array[Long], m: Long,
       hashes: Int): Column =
     GraftBridge.column(BloomMightContain(
-      GraftBridge.expression(key.cast("long")), words, m, hashes))
+      GraftBridge.expression(key.try_cast("long")), words, m, hashes))
 }
 
 /** Native Catalyst expression: Bloom membership probe against a

@@ -169,6 +169,9 @@ object Udafs {
       override def zero: MgBuf = // fresh arrays per group — buffers mutate
         MgBuf(new Array[String](cap), new Array[Long](cap), new Array[Int](1))
       override def reduce(b: MgBuf, t: String): MgBuf = {
+        // a null token carries no frequency information — and would
+        // NPE in slotOf / collide with the empty-slot sentinel
+        if (t == null) return b
         val i = slotOf(b, t)
         if (b.keys(i) != null) b.counts(i) += 1
         else if (b.meta(0) < k) {

@@ -59,7 +59,7 @@ object KeyShip {
   private[graft] def bloomWords(keys: DataFrame, keyCol: String,
       m: Long, hashes: Int): Array[Long] = {
     val words = ((m + 59) / 60).toInt
-    val key = col(keyCol).cast("long")
+    val key = col(keyCol).try_cast("long")
     val posD = keys.filter(key.isNotNull)
       .select(explode(array(posCols(key, m, hashes): _*)).as("p"))
     val rows = posD
@@ -97,6 +97,18 @@ object KeyShip {
     * above it, the Bloom probe pre-filters map-side, then the exact
     * semi-join removes the false positives. Result is the exact
     * semi-join either way. */
+  /** A fact key the Bloom carrier cannot judge: non-NULL raw value
+    * whose LONG cast is NULL (non-numeric string, out-of-range
+    * decimal). The probe hashes the CAST value, so such rows evaluate
+    * the probe to NULL — a bare `filter(probe)` would silently drop
+    * rows the exact raw-equality join keeps. They must bypass the
+    * probe and take the exact join, where raw equality decides.
+    * (Key-SIDE cast-null values are excluded from the bitset but stay
+    * in the exact-join frame; equality implies equal casts, so any
+    * fact row matching them is itself cast-null and routed here.) */
+  private def castNull(factKey: Column): Column =
+    factKey.isNotNull && factKey.try_cast("long").isNull
+
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8): DataFrame = {
@@ -119,7 +131,9 @@ object KeyShip {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
       buildProbe(keyF, col(factKey), bitsPerKey)
-        .fold(fact)(fact.filter)
+        // cast-null fact rows bypass the probe (it can't judge them)
+        // and fall through to the exact join below
+        .fold(fact)(pass => fact.filter(castNull(col(factKey)) || pass))
         // unhinted: AQE broadcasts a small key frame at runtime; a
         // 10^7-key frame correctly falls back to a shuffled semi-join
         // over the (bloom-pruned) survivors
@@ -161,9 +175,14 @@ object KeyShip {
           // anti. NULL keys make the probe NULL (three-valued), which
           // a bare filter pair would drop from BOTH branches — route
           // them into the miss branch explicitly (anti-join
-          // semantics: NULL is kept)
-          val misses = fact.filter(col(factKey).isNull || !pass)
-          val passes = fact.filter(col(factKey).isNotNull && pass)
+          // semantics: NULL is kept). CAST-null keys (non-NULL raw,
+          // NULL as LONG) also evaluate the probe to NULL, but a
+          // Bloom miss is only a proof for hashed values — they must
+          // take the exact anti-join, so they route into the passes
+          // branch, not the miss shortcut.
+          val cn = castNull(col(factKey))
+          val misses = fact.filter(col(factKey).isNull || (!cn && !pass))
+          val passes = fact.filter(cn || (col(factKey).isNotNull && pass))
             .join(keyF, col(factKey) === col("__sk"), "left_anti")
           misses.unionByName(passes)
       }

@@ -39,20 +39,31 @@ object Skew {
     * replica. */
   def saltedEquiJoin(big: DataFrame, bigKey: String, saltSource: Seq[String],
       small: DataFrame, smallKey: String, buckets: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    saltedEquiJoin(big, big.col(bigKey), saltSource.map(big.col), small,
+      smallKey, buckets, joinType)
+
+  /** Column-resolved variant: `bigKey`/`saltSource` arrive as ALREADY
+    * RESOLVED columns (e.g. `parentDf.col(fk)` threaded through an
+    * accumulated multi-join frame). Bare-name resolution on a frame
+    * built by earlier joins is ambiguous the moment two inputs share a
+    * column name — resolved attributes survive `withColumn`/`join`
+    * lineage and dodge that entirely. */
+  def saltedEquiJoin(big: DataFrame, bigKey: Column, saltSource: Seq[Column],
+      small: DataFrame, smallKey: String, buckets: Int,
+      joinType: String): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(safeJoinTypes(joinType.toLowerCase),
       s"join type '$joinType' would duplicate unmatched small-side rows " +
         s"across the $buckets salt replicas; use ${safeJoinTypes.mkString("/")}")
     require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
       s"inputs must not already contain a '$SaltCol' column")
-    val saltedBig = big.withColumn(SaltCol,
-      saltExpr(saltSource.map(big.col), buckets))
+    val saltedBig = big.withColumn(SaltCol, saltExpr(saltSource, buckets))
     val replicatedSmall = small
       .withColumn(SaltCol, explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig
       .join(replicatedSmall,
-        saltedBig.col(bigKey) === replicatedSmall.col(smallKey)
+        bigKey === replicatedSmall.col(smallKey)
           && saltedBig.col(SaltCol) === replicatedSmall.col(SaltCol),
         joinType)
       .drop(SaltCol)
@@ -74,18 +85,31 @@ object Skew {
   def saltedHotKeyJoin(big: DataFrame, bigKey: String,
       saltSource: Seq[String], small: DataFrame, smallKey: String,
       hotKeys: Seq[Long], buckets: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    saltedHotKeyJoin(big, big.col(bigKey), saltSource.map(big.col), small,
+      smallKey, hotKeys, buckets, joinType)
+
+  /** Column-resolved variant — see [[saltedEquiJoin]]'s Column
+    * overload for why resolved attributes, not bare names, are the
+    * safe currency on an accumulated join frame. */
+  def saltedHotKeyJoin(big: DataFrame, bigKey: Column,
+      saltSource: Seq[Column], small: DataFrame, smallKey: String,
+      hotKeys: Seq[Long], buckets: Int,
+      joinType: String): DataFrame = {
     require(hotKeys.nonEmpty, "no hot keys — use a plain join")
     require(safeJoinTypes(joinType.toLowerCase),
       s"join type '$joinType' is unsafe under salt replication")
-    val hot = big.filter(col(bigKey).isin(hotKeys: _*))
-    val cold = big.filter(!col(bigKey).isin(hotKeys: _*) ||
-      col(bigKey).isNull)
+    val hot = big.filter(bigKey.isin(hotKeys: _*))
+    val cold = big.filter(!bigKey.isin(hotKeys: _*) || bigKey.isNull)
     val smallHot = small.filter(col(smallKey).isin(hotKeys: _*))
+    // positional union, NOT unionByName: both branches emit big's
+    // columns then small's, in declaration order, by construction —
+    // and an accumulated multi-join frame may legitimately carry
+    // DUPLICATE column names, which ResolveUnion's by-name matching
+    // rejects outright
     saltedEquiJoin(hot, bigKey, saltSource, smallHot, smallKey, buckets,
         joinType)
-      .unionByName(cold.join(small, cold(bigKey) === small(smallKey),
-        joinType))
+      .union(cold.join(small, bigKey === small(smallKey), joinType))
   }
 
   /** The hot keys of `df.key`: keys owning more than `frac` of an

@@ -326,11 +326,15 @@ object Planner {
             // fact rows salt across buckets, their dim rows replicate,
             // everything else joins plain — the measured 3.3-4.6×
             // straggler win over a skewed shuffle join. Salt source =
-            // every fact-side column: deterministic (no rand — safe
-            // under retries/speculation) and varying within a key.
+            // every FACT-side column, resolved through factSide (and
+            // the key through parentDf): bare names on the accumulated
+            // frame turn ambiguous as soon as an earlier dim shares a
+            // column name. Deterministic (no rand — safe under
+            // retries/speculation) and varying within a key.
             graft.operators.Skew.saltedHotKeyJoin(
-              joined, fk, joined.columns.toSeq, dimDf, d.key,
-              d.hotFactKeys, buckets = 16, joinType = how)
+              joined, parentDf.col(fk),
+              factSide.columns.distinct.toSeq.map(factSide.col),
+              dimDf, d.key, d.hotFactKeys, buckets = 16, joinType = how)
           else joined.join(dimSide, cond, how)
       }
       dimDfs += (dname -> dimDf)

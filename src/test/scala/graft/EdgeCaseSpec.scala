@@ -123,4 +123,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(KeyShip.antiShip(fact, "k", nulls, "sk").count() == 3,
       "anti-join against only-NULL keys keeps every row")
   }
+
+  test("KeyShip: fact keys that cast to NULL as LONG survive both bloom carriers") {
+    import spark.implicits._
+    import graft.operators.KeyShip
+    // non-numeric strings cast to NULL as LONG: the bloom probe
+    // (hashing the cast) cannot judge them, so they must route to the
+    // exact join, not vanish — the result must equal the plain
+    // raw-equality semi/anti either way
+    val fact = (Seq("abc", "zzz", "7") ++ (100 to 110).map(_.toString))
+      .toDF("k")
+    // 502 distinct keys >> maxLiterals=10 forces the bloom carrier
+    val keys = ((0 to 500).map(_.toString) :+ "abc").toDF("sk")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    val semi = KeyShip.semiShip(fact, "k", keys, "sk", maxLiterals = 10)
+    val exactSemi = fact.join(keys,
+      org.apache.spark.sql.functions.col("k") ===
+        org.apache.spark.sql.functions.col("sk"), "left_semi")
+    assert(names(semi) == names(exactSemi) && names(semi).contains("abc"),
+      s"cast-NULL fact key lost on the bloom semi path: ${names(semi)}")
+    val anti = KeyShip.antiShip(fact, "k", keys, "sk", maxLiterals = 10)
+    assert(names(anti) == Set("zzz"),
+      s"bloom anti path diverged on cast-NULL keys: ${names(anti)}")
+  }
 }

@@ -1058,4 +1058,52 @@ class SemanticLayerSpec extends AnyFunSuite {
     assert(rows(salted) == rows(plain),
       "the salted route must not change results")
   }
+
+  test("hotFactKeys salt survives duplicate column names from an earlier dim join") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions._
+    // dim A is a self-lookup on the ORDERS table itself: after its
+    // join the accumulated frame carries every orders column TWICE
+    // (o_custkey included), so bare-name resolution of the fact fk /
+    // salt-source columns throws an ambiguous-reference
+    // AnalysisException — the salted route must resolve the key
+    // through the fact side instead
+    val hotKeys = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().orderBy(desc("count"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    def cube(hot: Seq[Long]) = CubeDef(
+      name = "orders_selfref",
+      variants = Seq(FactDef(
+        name = "orders_selfref_base",
+        table = "orders",
+        dimCols = Seq(PubCol("Customer Key", "o_custkey")),
+        metrics = Seq(PubMetric("Order Count", CountRollup, _ => lit(1))),
+        cost = 1)),
+      dims = Seq(
+        DimDef("selfref", "orders", "o_orderkey", "o_orderkey", None,
+          Seq(PubCol("Self Status", "o_orderstatus")), small = true),
+        DimDef("customer", "customer", "c_custkey", "o_custkey", None,
+          Seq(PubCol("Market Segment", "c_mktsegment")),
+          small = false, hotFactKeys = hot)))
+    def served(hot: Seq[Long]) = {
+      val json =
+        """{"cube": "orders_selfref",
+          | "selectFields": [{"field": "Self Status"},
+          |                  {"field": "Market Segment"},
+          |                  {"field": "Order Count"}]}""".stripMargin
+      (for {
+        req <- request.parse(json)
+        m <- RequestModel.from(req, Registry(cube(hot)))
+        p <- graft.planner.Planner.plan(m, spark, sf)
+      } yield p.df).fold(e => fail(e), identity)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val salted = served(hotKeys) // threw AnalysisException pre-fix
+    assert(salted.queryExecution.executedPlan.toString.contains("Union"),
+      "declared hot keys must still take the salted route")
+    assert(rows(salted) == rows(served(Nil)),
+      "the salted route must not change results under duplicate names")
+  }
 }

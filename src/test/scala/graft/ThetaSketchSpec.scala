@@ -106,4 +106,17 @@ class ThetaSketchSpec extends AnyFunSuite {
         s"p=$p: guarantee broken — missing ${trueHeavy -- cands.toSet}")
     }
   }
+
+  test("Misra-Gries: null tokens are ignored, not an NPE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val mg = udaf(graft.functions.Udafs.misraGries(4),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val items = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("token")
+    val m = items.agg(mg(col("token")))
+      .collect()(0).getMap[String, Long](0)
+    assert(m("a") == 2L && m("b") == 1L && m.size == 2,
+      s"null tokens must carry no frequency: $m")
+  }
 }

@@ -523,6 +523,46 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.version(dir) == 3)
   }
 
+  test("no-hardlink publish fallback is a true test-and-set under a thread race") {
+    // the link-less path (overlayfs/FUSE/FAT) claims the version with
+    // an exclusive lock-file create before moving — N racers through
+    // publishWithoutLinks must yield exactly ONE committed manifest,
+    // with the winner's bytes intact (an exists-then-move pair would
+    // let two racers both "succeed" and silently lose one commit)
+    val dir = graft.core.TempDirs.scratchShared("txnlock")
+    new java.io.File(dir).mkdirs()
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        val tmp = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(dir), s".race$i", ".tmp")
+        java.nio.file.Files.write(tmp, s"writer-$i".getBytes("UTF-8"))
+        gate.await()
+        try { TxnTable.publishWithoutLinks(dir, 2, tmp); results.add(Right(i)) }
+        catch { case e: Throwable => results.add(Left(e)) }
+        ()
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join())
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      results.asScala.toSeq.partition(_.isLeft)
+    }
+    assert(winners.size == 1, s"exactly one racer must claim v2: $results")
+    assert(losers.size == n - 1 && losers.forall(_.left.exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException])),
+      s"every loser must fail loudly with CME: $losers")
+    val winner = winners.head.toOption.get
+    val body = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "manifest-v2.json").toPath), "UTF-8")
+    assert(body == s"writer-$winner",
+      s"committed manifest must be the claim winner's bytes: $body vs writer-$winner")
+  }
+
   test("a torn write (commit files, no manifest) is invisible and vacuumable") {
     val dir = freshTable()
     import spark.implicits._
