@@ -551,6 +551,41 @@ object TxnTable {
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
 
+  /** MERGE from ONE `_op`-tagged DataFrame (the Debezium/CDC-feed
+    * shape a streaming merge sink already holds): rows whose `opCol`
+    * equals `deleteOp` are deletions, every other row an upsert. The
+    * point over [[merge]]'s `deletes: Seq[Long]` arm: the DELETE keys
+    * stay in the frame end-to-end — affected keys ride
+    * [[planKeyedMutation]]'s carrier decision (literal below
+    * `literalKeyMax`, manifest-range join + left_anti above), so a
+    * 10⁶-delete CDC correction batch never materializes its keys on
+    * the driver. [[merge]] remains for genuinely request-metadata
+    * delete lists. Semantics are identical: deletes + replacements +
+    * inserts land in ONE committed version under OCC retry. */
+  def mergeFrame(s: SparkSession, dir: String, keyCol: String,
+      changes: DataFrame, opCol: String = "_op",
+      deleteOp: String = "delete", numFiles: Int = 4): Unit =
+    withOcc(dir) { planned =>
+      // untagged (NULL-op) rows upsert — three-valued `=!=` would
+      // silently drop them from BOTH arms
+      val updates = changes.filter(col(opCol).isNull ||
+        col(opCol) =!= deleteOp).drop(opCol)
+      // delete + upsert keys together: every affected row leaves its
+      // file in one rewrite pass, then upsert rows re-insert
+      val affected = keyFrame(changes, keyCol)
+      val (matched, untouched, survivorsOf) =
+        planKeyedMutation(s, dir, keyCol, affected, planned)
+      val cols = colsWith(dir, keyCol)
+      val survivors =
+        if (matched.isEmpty) Nil
+        else commitFiles(s, dir, survivorsOf(
+          s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
+          math.min(numFiles, matched.size), cols)
+      val inserted = commitFiles(s, dir, updates, numFiles, cols)
+      onBeforeCommit()
+      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+    }
+
   /** OPTIMIZE: rewrite the whole live set as one freshly clustered
     * commit — range-clustered on `zcols.head` when one column is
     * given, Z-ordered ([[Layout]]) for several — and commit it as a

@@ -770,13 +770,11 @@ object Streaming {
       .option("checkpointLocation", ckptDir("st12"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // deletes are request metadata (bounded per batch); updates
-        // ride the frame carrier
-        val dels = batch.filter(col("_op") === "delete")
-          .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
-        val ups = batch.filter(col("_op") === "upsert").drop("_op")
-        if (dels.nonEmpty || !ups.isEmpty)
-          TxnTable.merge(s, tableDir, "o_orderkey", ups, dels)
+        // the whole tagged batch rides the frame carrier — delete
+        // keys included: a CDC correction feed is exactly where a
+        // 10⁶-delete batch shows up, so nothing here may collect
+        if (!batch.isEmpty)
+          TxnTable.mergeFrame(s, tableDir, "o_orderkey", batch)
         ()
       }
       .start()

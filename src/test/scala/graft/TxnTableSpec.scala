@@ -753,6 +753,45 @@ class TxnTableSpec extends AnyFunSuite {
       "range pruning must carry the unmatched half by reference")
   }
 
+  test("mergeFrame: a 10^6-DELETE CDC batch stays distributed end-to-end") {
+    val dir = graft.core.TempDirs.scratchShared("txntable")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 2000000L).toDF("k").withColumn("payload", col("k") * 2)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    // the round-10 gap: merge's delete arm was Seq[Long]-only, so a
+    // CDC correction feed had to collect() its delete keys per batch.
+    // mergeFrame takes the _op-tagged Debezium shape whole — a
+    // million deletes + a handful of upserts ride the same frame
+    // carrier as updates, and the rewrite plans as a LEFT ANTI join
+    val changes = (0L until 1000000L)
+      .toDF("k").withColumn("payload", lit(0L))
+      .withColumn("_op", lit("delete"))
+      .unionByName(Seq((1500000L, -7L, "upsert"), (2500000L, -8L, "upsert"))
+        .toDF("k", "payload", "_op"))
+    // plan shape on the survivor rewrite: anti-join, no literal IN
+    val keys = changes.select(col("k").cast("long").as("__k")).distinct()
+    val plan = TxnTable.survivorsFrame(spark, dir,
+      TxnTable.liveEntries(dir), "k", keys)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join plan:\n$plan")
+    assert(!plan.contains(" IN ("), "no literal IN tree at any key scale")
+    TxnTable.mergeFrame(spark, dir, "k", changes, numFiles = 8)
+    val after = TxnTable.read(spark, dir)
+    assert(after.count() == 2000000L - 1000000L + 1,
+      "1M deleted, one replaced in place, one inserted")
+    assert(after.filter(col("k") < 1000000L).count() == 0,
+      "every delete-tagged key must be gone")
+    assert(after.filter(col("k") === 1500000L).collect()
+      .map(_.getLong(1)).toSeq == Seq(-7L),
+      "the matched upsert must replace its row in the same version")
+    assert(after.filter(col("k") === 2500000L).count() == 1,
+      "the unmatched upsert must insert")
+    assert(TxnTable.version(dir) == 2,
+      "deletes + upserts must land in ONE committed version")
+  }
+
   test("a corrupted manifest line fails loudly, never parses as a path") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
