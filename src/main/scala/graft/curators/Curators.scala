@@ -194,8 +194,13 @@ object Curators {
     val req = parsed(json)
     val baseMets = metricAliases(reg, req.cube)
     val parentDims = req.selectFields.filterNot(baseMets)
+    // materialize the page ONCE (topN rows — bounded by the page
+    // size at any corpus scale): the key-ship below evaluates the
+    // parent set up to three times (size probe, bloom build, exact
+    // join), and each evaluation would otherwise re-run the whole
+    // base request's plan
     val parents = planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
-      reg, s, dir).select(parentDims.map(col): _*)
+      reg, s, dir).select(parentDims.map(col): _*).localCheckpoint(true)
     val cube = if (cfg.cube.nonEmpty) cfg.cube else req.cube
     val pubs = pubCols(reg, req.cube)
     val baseFacts = req.selectFields.filter(baseMets)
@@ -234,8 +239,14 @@ object Curators {
       selectFields = (parentDims ++ cfg.dimensions).distinct ++ facts,
       filters = keptFilters ++ cfg.filters,
       sortBy = Nil, paginationStartIndex = 0, rowsPerPage = -1, async = true)
-    val drilled = planned(drillReq, reg, s, dir)
-      .join(broadcast(parents), parentDims, "left_semi")
+    // the reference ships the parent keys as an injected IN filter
+    // (DrilldownCurator.insertValuesIntoDrilldownRequestFilter) — here
+    // the carrier is KeyShip's size-based decision: a page-sized
+    // parent set broadcasts into the exact semi, an oversized one
+    // (maxRows uncapped) ships as a Bloom tuple-hash probe + exact
+    // semi instead of a multi-megabyte broadcast literal
+    val drilled = graft.operators.KeyShip.semiShipCols(
+      planned(drillReq, reg, s, dir), parentDims, parents, parentDims)
     val ordered =
       if (cfg.ordering.isEmpty)
         drilled.orderBy((parentDims ++ cfg.dimensions).distinct.map(col): _*)

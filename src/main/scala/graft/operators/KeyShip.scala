@@ -57,9 +57,12 @@ object KeyShip {
     * that plan.) Duplicate keys just re-set the same bits, so the
     * input needs NO distinct. */
   private[graft] def bloomWords(keys: DataFrame, keyCol: String,
+      m: Long, hashes: Int): Array[Long] =
+    bloomWordsExpr(keys, col(keyCol).try_cast("long"), m, hashes)
+
+  private[graft] def bloomWordsExpr(keys: DataFrame, key: Column,
       m: Long, hashes: Int): Array[Long] = {
     val words = ((m + 59) / 60).toInt
-    val key = col(keyCol).try_cast("long")
     val posD = keys.filter(key.isNotNull)
       .select(explode(array(posCols(key, m, hashes): _*)).as("p"))
     val rows = posD
@@ -186,6 +189,48 @@ object KeyShip {
             .join(keyF, col(factKey) === col("__sk"), "left_anti")
           misses.unionByName(passes)
       }
+    }
+  }
+
+  /** Multi-column (and any-type) key ship — the shape the served
+    * engine's curators need (a drilldown's parent set is a TUPLE of
+    * display values, not one LONG id). The Bloom key is
+    * `xxhash64(cols...)` computed identically on both sides: a LONG
+    * by construction and NEVER NULL (xxhash64 folds a NULL input into
+    * the running seed), so the single-column carrier's cast-NULL
+    * routing has no analogue here — every fact row gets a definite
+    * probe verdict, and rows with NULL key parts that survive the
+    * probe die in the exact join (`===` matches NULL against
+    * nothing, the same semantics as the plain semi-join).
+    * Carrier decision as in [[semiShip]]: a `limit` probe either
+    * proves the tuple set small (≤ `maxLiterals` → broadcast-hinted
+    * exact semi — the probe already proved the side tiny, so the
+    * hint states a fact AQE would otherwise have to rediscover) or
+    * oversized (Bloom pre-filter on the tuple hash, then the exact
+    * semi). Result is exactly `fact ⋉ keys` either way. */
+  def semiShipCols(fact: DataFrame, factKeys: Seq[String],
+      keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
+      bitsPerKey: Int = 8): DataFrame = {
+    require(factKeys.nonEmpty && factKeys.length == keyCols.length,
+      s"key column lists must be non-empty and aligned: $factKeys vs $keyCols")
+    // key side renamed positionally: the exact join condition must
+    // never resolve bare names against both sides (a drilldown's key
+    // columns CARRY the fact side's names)
+    val renamed = keys.select(keyCols.zipWithIndex.map {
+      case (c, i) => col(c).as(s"__sk$i") }: _*)
+    val cond = factKeys.zipWithIndex.map {
+      case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
+      .reduce(_ && _)
+    val probe = renamed.distinct().limit(maxLiterals + 1).collect()
+    if (probe.length <= maxLiterals)
+      fact.join(broadcast(renamed), cond, "left_semi")
+    else {
+      val tupleHash = xxhash64(factKeys.map(fact.col): _*)
+      val keyH = renamed.select(xxhash64(
+        keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
+      buildProbe(keyH, tupleHash, bitsPerKey)
+        .fold(fact)(fact.filter)
+        .join(renamed, cond, "left_semi")
     }
   }
 }

@@ -323,13 +323,15 @@ object Relational {
       .orderBy("day", "event_type")
 
   /** IN-subquery / semi-join — maha's MultiEngineQuery IN-list shipping
-    * (QueryPipeline.scala:921-932) expressed as a broadcast left-semi
-    * join inside one plan. */
+    * (QueryPipeline.scala:921-932), routed through [[KeyShip]]'s
+    * size-based carrier decision: below the literal threshold the key
+    * set ships as a pushed `In` at the scan, above it as the Bloom
+    * probe + exact semi — the oversized regime is automatic wherever
+    * the engine ships keys, not just in q46's dedicated query. */
   def q22(s: SparkSession, d: String): DataFrame = {
     val bigOrders = orders(s, d).filter(col("o_totalprice") > 300000)
       .select("o_orderkey")
-    lineitem(s, d)
-      .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    KeyShip.semiShip(lineitem(s, d), "l_orderkey", bigOrders, "o_orderkey")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))

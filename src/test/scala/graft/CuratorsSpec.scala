@@ -113,6 +113,47 @@ class CuratorsSpec extends AnyFunSuite {
     assert(n == customers)
   }
 
+  test("oversized drilldown parent set ships as a Bloom tuple probe, results exact") {
+    import graft.curators.RequestCoordinator
+    // at sf0.01 the parent page is 2870 (Customer Key, Order Status)
+    // TUPLES, past KeyShip's literal threshold, and
+    // multi-column: the injected parent restriction must plan as the
+    // bloom_might_contain tuple-hash probe + exact semi, never a
+    // 2000-tuple broadcast literal — and stay exact
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Customer Key"}, {"field": "Order Status"}, {"field": "Total Spend"}],
+        | "filterExpressions": [{"field": "Order Date", "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}],
+        | "sortBy": [{"field": "Total Spend", "order": "Desc"}]}""".stripMargin
+    val sf01 = "/root/testdata/sf0.01"
+    val drill = Curators.drillDown(json, "Order Priority", 50000, registry)(spark, sf01)
+    val plan = drill.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"oversized parent set must ship as the bloom probe:\n${plan.take(4000)}")
+    // topN covers every parent, so the parent restriction is a no-op:
+    // the result must equal the plain (key, status, priority) agg
+    // (Order Status renders through its display mapping)
+    val disp = Map("O" -> "Open", "F" -> "Fulfilled", "P" -> "Pending")
+    val expected = graft.core.Tables.orders(spark, sf01)
+      .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+      .groupBy(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(graft.core.Tables.dec2(col("o_totalprice")))
+        .cast("double").as("ts"))
+      .collect().map(r => (r.getLong(0), disp(r.getString(1)), r.getString(2),
+        math.round(r.getDouble(3) * 100))).toSet
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        math.round(r.getDouble(3) * 100))).toSet
+    assert(asSet(drill.collect()) == expected,
+      s"bloom-shipped drilldown diverged (${expected.size} expected rows)")
+    // and through the front-door coordinator: same result set
+    val res = RequestCoordinator.run(json, registry,
+      Seq(RequestCoordinator.DrillDown("Order Priority", 50000)), spark, sf01)
+    val viaCoord = asSet(res("drilldown").toOption.get.collect())
+    RequestCoordinator.release(res)
+    assert(viaCoord == expected, "coordinator drilldown must match")
+  }
+
   test("drilldown with topN larger than the parent set keeps all parents") {
     val df = Curators.drillDown(cur04Json, "Order Status", 100, registry)(spark, sf)
     val parents = df.select("Order Priority").distinct().count()

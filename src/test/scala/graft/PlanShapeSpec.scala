@@ -110,10 +110,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"capped-size aggregate not map-side combined:\n$plan")
   }
 
-  test("q22: IN-subquery semi join broadcasts the key set") {
+  test("q22: IN-subquery key ship takes the literal carrier at this scale") {
+    // the served semi rides KeyShip's size decision: at sf0.001 the
+    // key set is under the literal threshold, so it ships as a pushed
+    // In/INSET at the scan — no join operator at all, which beats the
+    // broadcast semi the pre-r11 plan used (the oversized regime is
+    // PlanShapeSpec's dedicated KeyShip tests)
     val plan = physical(Relational.q22(spark, sf))
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"semi join not broadcast:\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"literal key carrier not pushed into the scan:\n$plan")
+    assert(!plan.contains("Join"), s"small key set must not plan a join:\n$plan")
   }
 
   test("q35: correlated scalar subquery decorrelates to one aggregate + join") {
