@@ -20,7 +20,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B seam: SPARK_GRAFT_BENCH_SKIP=name1,name2 removes queries
+    // from the battery (exact names or unique short prefixes) — used
+    // to run the current code on a PRIOR round's query set, isolating
+    // suite-ambient cost of newly added queries from code cost
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        skip.contains(n) || skip.contains(n.takeWhile(_ != '_')) }
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }

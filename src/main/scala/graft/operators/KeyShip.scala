@@ -74,24 +74,64 @@ object KeyShip {
     arr
   }
 
-  /** Size the filter and build it — or decline: `bitsPerKey=8` at 2
-    * lanes ⇒ fpp ≈ 2%; m is capped at 12M bits (1.5 MB of sketch
-    * metadata), so past ~1.5M keys the fpp climbs, and once the
-    * PREDICTED fpp (1−e^(−kn/m))^k exceeds 25% the probe can no
-    * longer pay for its per-row cost — the third carrier decision is
-    * to ship NO filter and let the plain shuffle join run (a filter
-    * that passes most rows is pure overhead). Returns None in that
-    * regime. */
-  private def buildProbe(keyF: DataFrame, factKey: Column,
-      bitsPerKey: Int): Option[Column] = {
-    val n = keyF.agg(approx_count_distinct(col("__sk")))
-      .first().getLong(0)
+  /** The Bloom sizing/decline decision, PURE (unit-tested in
+    * PlanShapeSpec; measured against the real crossover by
+    * tools/BloomCross → SCALE_SLOPE r11). Inputs: `n` distinct keys,
+    * and — when the caller has one (a manifest row count, a CostModel
+    * estimate) — the fact-side row count the probe would run over.
+    *
+    *  - BITSET SIZE `m`: n·bitsPerKey bits, floored at 240. The CAP
+    *    scales with the fact: pruning an F-row scan is worth a bitset
+    *    of ~4F bits (still ≤ F/15 bytes of metadata), floored at the
+    *    12M-bit estimate-free default and hard-capped at 96M bits
+    *    (12 MB — driver/broadcast budget). A FIXED 12M cap was r10's
+    *    constant: right for the measured sf0.1 battery, needlessly
+    *    tight for a 10⁹-row fact where a 10⁷-key set still prunes
+    *    well (the verdict-r10 #5 item).
+    *  - DECLINE on n ≤ `bloomMinKeys` (default 10⁶ ≈ 8 MB of longs,
+    *    Spark's broadcast budget): a key side that small BROADCASTS
+    *    into the exact hash semi-join, whose per-row probe costs the
+    *    same as the Bloom test — the bitset build and its driver
+    *    round-trips are then pure overhead at ANY fact size
+    *    (measured: q22 at sf0.1, 15k keys, broadcast semi 0.37 s vs
+    *    forced bloom 0.98 s). The bloom carrier's regime is keys TOO
+    *    BIG to broadcast but sharp enough to prune.
+    *  - DECLINE on fpp > 25%: a filter that passes most rows charges
+    *    every fact row a probe and saves almost nothing downstream.
+    *  - DECLINE on n > F·(1−fpp): building the bitset costs a pass
+    *    over n keys; the best case saves the shuffle of F·(1−fpp)
+    *    fact rows — when the key side is bigger than the savings the
+    *    probe cannot pay for its own build, no matter how sharp. (No
+    *    F estimate → this term is skipped, preserving r10 behavior.)
+    */
+  private[graft] final case class BloomPlan(m: Long, hashes: Int,
+      fpp: Double)
+  private[graft] def bloomDecision(n: Long, bitsPerKey: Int,
+      factRows: Option[Long],
+      bloomMinKeys: Long = 1000000L): Option[BloomPlan] = {
+    if (n <= bloomMinKeys) return None
     val hashes = 2
-    val m = math.max(240L, n * bitsPerKey).min(60L * 200000)
+    val mCap = factRows.map(f => math.max(60L * 200000, f * 4))
+      .getOrElse(60L * 200000).min(60L * 1600000)
+    val m = math.max(240L, n * bitsPerKey).min(mCap)
     val fpp = math.pow(1 - math.exp(-hashes.toDouble * n / m), hashes)
     if (fpp > 0.25) None
-    else Some(graft.functions.BloomProbe.mightContain(factKey,
-      bloomWords(keyF, "__sk", m, hashes), m, hashes))
+    else if (factRows.exists(f => n > (f * (1 - fpp)).toLong)) None
+    else Some(BloomPlan(m, hashes, fpp))
+  }
+
+  /** Count the key side, size the filter via [[bloomDecision]], and
+    * build it — or return None in the decline regime (ship NO filter;
+    * the plain shuffle join runs). */
+  private def buildProbe(keyF: DataFrame, factKey: Column,
+      bitsPerKey: Int, factRows: Option[Long],
+      bloomMinKeys: Long): Option[Column] = {
+    val n = keyF.agg(approx_count_distinct(col("__sk")))
+      .first().getLong(0)
+    bloomDecision(n, bitsPerKey, factRows, bloomMinKeys).map { p =>
+      graft.functions.BloomProbe.mightContain(factKey,
+        bloomWords(keyF, "__sk", p.m, p.hashes), p.m, p.hashes)
+    }
   }
 
   /** Semi-join `fact` to the keys of `keys(keyCol)` on
@@ -114,7 +154,8 @@ object KeyShip {
 
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
-      bitsPerKey: Int = 8): DataFrame = {
+      bitsPerKey: Int = 8, factRows: Option[Long] = None,
+      bloomMinKeys: Long = 1000000L): DataFrame = {
     // NULL keys leave the set up front: an equi-(semi|anti)-join
     // matches NULL against nothing, and a NULL inside an isin literal
     // would poison the NOT-IN complement with three-valued UNKNOWNs
@@ -133,7 +174,7 @@ object KeyShip {
       // never shuffled except as ≤`words` map-combined bit groups
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
-      buildProbe(keyF, col(factKey), bitsPerKey)
+      buildProbe(keyF, col(factKey), bitsPerKey, factRows, bloomMinKeys)
         // cast-null fact rows bypass the probe (it can't judge them)
         // and fall through to the exact join below
         .fold(fact)(pass => fact.filter(castNull(col(factKey)) || pass))
@@ -157,7 +198,8 @@ object KeyShip {
     * way (PlanShapeSpec pins it). */
   def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
-      bitsPerKey: Int = 8): DataFrame = {
+      bitsPerKey: Int = 8, factRows: Option[Long] = None,
+      bloomMinKeys: Long = 1000000L): DataFrame = {
     val probe = keys.select(col(keyCol).as("__sk"))
       .filter(col("__sk").isNotNull).distinct()
       .limit(maxLiterals + 1).collect()
@@ -170,7 +212,8 @@ object KeyShip {
     } else {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
-      buildProbe(keyF, col(factKey), bitsPerKey) match {
+      buildProbe(keyF, col(factKey), bitsPerKey, factRows,
+          bloomMinKeys) match {
         case None => // fpp regime: no useful filter — plain anti-join
           fact.join(keyF, col(factKey) === col("__sk"), "left_anti")
         case Some(pass) =>
@@ -210,7 +253,8 @@ object KeyShip {
     * semi). Result is exactly `fact ⋉ keys` either way. */
   def semiShipCols(fact: DataFrame, factKeys: Seq[String],
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
-      bitsPerKey: Int = 8): DataFrame = {
+      bitsPerKey: Int = 8, factRows: Option[Long] = None,
+      bloomMinKeys: Long = 1000000L): DataFrame = {
     require(factKeys.nonEmpty && factKeys.length == keyCols.length,
       s"key column lists must be non-empty and aligned: $factKeys vs $keyCols")
     // key side renamed positionally: the exact join condition must
@@ -228,7 +272,7 @@ object KeyShip {
       val tupleHash = xxhash64(factKeys.map(fact.col): _*)
       val keyH = renamed.select(xxhash64(
         keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
-      buildProbe(keyH, tupleHash, bitsPerKey)
+      buildProbe(keyH, tupleHash, bitsPerKey, factRows, bloomMinKeys)
         .fold(fact)(fact.filter)
         .join(renamed, cond, "left_semi")
     }

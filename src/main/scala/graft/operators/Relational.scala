@@ -785,7 +785,7 @@ object Relational {
     val bigOrders = orders(s, d).filter(col("o_totalprice") > 150000)
       .select("o_orderkey")
     KeyShip.semiShip(lineitem(s, d), "l_orderkey", bigOrders,
-      "o_orderkey", maxLiterals = 100)
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
@@ -803,7 +803,7 @@ object Relational {
     val bigOrders = orders(s, d).filter(col("o_totalprice") > 150000)
       .select("o_orderkey")
     KeyShip.antiShip(lineitem(s, d), "l_orderkey", bigOrders,
-      "o_orderkey", maxLiterals = 100)
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))

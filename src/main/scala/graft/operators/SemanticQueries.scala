@@ -188,13 +188,14 @@ object SemanticQueries {
     * time stamps PLAN completion — execution is lazy; a serving layer
     * that materializes the result logs a second, completion-time
     * envelope (see [[graft.serving]]). */
-  def runLogged(json: String, requestId: String)(s: SparkSession, dir: String): DataFrame = {
+  def runLogged(json: String, requestId: String,
+      reg: Registry = registry)(s: SparkSession, dir: String): DataFrame = {
     import graft.serving.RequestLog
     val start = System.currentTimeMillis()
     val parsed = request.parse(json)
     val planned = for {
       req <- parsed
-      model <- RequestModel.from(req, registry)
+      model <- RequestModel.from(req, reg)
       p <- Planner.plan(model, s, dir)
     } yield (model, p)
     planned match {

@@ -454,6 +454,58 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** DRIFT STATISTIC for a frozen-quantizer cid-partitioned index
+    * ([[simIncrementalIngest]]'s production shape): `factor` = max
+    * list share × k — 1.0 at perfect balance, k when one list owns
+    * everything. The production failure mode of freezing the coarse
+    * quantizer is exactly this: as the ingest distribution drifts
+    * from the training distribution, appended vectors pile into a
+    * few lists, and probe cost for a hot list decays toward a corpus
+    * scan (nprobe·n/k stops being the per-query bound). The check is
+    * one count-by-cid aggregate — O(k) rows of metadata — cheap
+    * enough to run on every append, like `DESCRIBE HISTORY`. */
+  private[graft] case class IvfBalance(k: Int, total: Long,
+      maxCid: Int, maxShare: Double) {
+    def factor: Double = maxShare * k
+    /** The retrain trigger: past 4× the fair share, probing the hot
+      * list costs what probing 4 lists should. */
+    def drifted: Boolean = factor > 4.0
+  }
+
+  private[graft] def ivfBalance(s: SparkSession, dir: String,
+      k: Int): IvfBalance = {
+    val counts = s.read.parquet(dir)
+      .groupBy(col("cid").cast("int").as("c")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val total = counts.map(_._2).sum
+    val (mc, mn) = counts.maxBy(_._2)
+    IvfBalance(k, total, mc, mn.toDouble / math.max(total, 1L))
+  }
+
+  /** RETRAIN maintenance op — what [[ivfBalance]]'s trigger schedules
+    * (verdict r10 #4): re-train the coarse quantizer on the CURRENT
+    * corpus with the sim05 trainer and rewrite the cid-partitioned
+    * layout into a fresh directory; returns (new layout path, new
+    * quantizer as (cid, center) pairs). The swap to serving is the
+    * caller's atomic-publish step — same discipline as TxnTable's
+    * manifest swap — which is precisely why retraining is a separate
+    * scheduled event and never part of the append path: between
+    * retrains assignment must stay deterministic so that
+    * appended ≡ rebuilt holds exactly. Cost is O(iters) distributed
+    * passes over the corpus (measured in SCALE_SLOPE r11). */
+  private[graft] def ivfRetrain(s: SparkSession, dir: String, k: Int,
+      iters: Int = 4): (String, Seq[(Int, Seq[Float])]) = {
+    val corpus = s.read.parquet(dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cents = trainCentroids(corpus, k, iters)
+    val path = graft.core.TempDirs.scratchShared("ivfretrain")
+    corpus.select(nearestCidCol(cents, col("embedding")).as("cid"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(path)
+    (path, cents.map(c => (c.cid, c.cemb)))
+  }
+
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the
     * memory-bandwidth scale path for 100 TB embedding search — a
     * symmetric per-vector quantization (scale = 127/max|x|, round

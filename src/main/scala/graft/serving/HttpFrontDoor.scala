@@ -82,7 +82,10 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val start = System.currentTimeMillis()
       try {
-        val df = SemanticQueries.runLogged(body, reqId)(s, dir)
+        // plan against the INJECTED registry — /sql and /domain already
+        // do; a custom-registry front door must not silently serve
+        // /report from the default demo registry (caught by the soak)
+        val df = SemanticQueries.runLogged(body, reqId, reg)(s, dir)
         val env = Serving.jsonEnvelope(df) // materializes the page
         val cube = graft.analyzer.request.parse(body).map(_.cube).getOrElse("")
         SemanticQueries.requestLogWriter.write(RequestLog.served(

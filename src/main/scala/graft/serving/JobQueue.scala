@@ -23,7 +23,9 @@ import graft.operators.SemanticQueries
   */
 final class JobQueue(s: SparkSession, dir: String,
     resultDir: java.nio.file.Path, workers: Int = 2,
-    monitor: ServiceMonitor = ServiceMonitor.NoOp) {
+    monitor: ServiceMonitor = ServiceMonitor.NoOp,
+    reg: graft.semantic.model.Registry =
+      graft.operators.SemanticQueries.registry) {
 
   import JobQueue._
 
@@ -61,7 +63,7 @@ final class JobQueue(s: SparkSession, dir: String,
       s.sparkContext.setJobGroup(jobGroup(jobId),
         s"async job $jobId", interruptOnCancel = true)
       if (state.get(jobId) == Cancelled) return // cancelled at begin()
-      val df = SemanticQueries.runLogged(json, s"job-$jobId")(s, dir)
+      val df = SemanticQueries.runLogged(json, s"job-$jobId", reg)(s, dir)
       val out = resultDir.resolve(jobId).toString
       df.write.mode("overwrite").parquet(out)
       val rows = s.read.parquet(out).count()

@@ -128,8 +128,15 @@ class CuratorsSpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val drill = Curators.drillDown(json, "Order Priority", 50000, registry)(spark, sf01)
     val plan = drill.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"),
-      s"oversized parent set must ship as the bloom probe:\n${plan.take(4000)}")
+    // 2870 tuples are past the LITERAL threshold but inside the
+    // broadcast budget: the decision ships a broadcast exact semi —
+    // no bloom overhead, no multi-thousand-node literal tree. (The
+    // bloom regime needs a key side too big to broadcast; its tuple
+    // plan shape is pinned below with the threshold forced.)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"oversized-literal parent set must broadcast the exact semi:\n${plan.take(4000)}")
+    assert(!plan.contains("bloom_might_contain"),
+      "a broadcastable parent set must not pay the bloom build")
     // topN covers every parent, so the parent restriction is a no-op:
     // the result must equal the plain (key, status, priority) agg
     // (Order Status renders through its display mapping)
@@ -152,6 +159,20 @@ class CuratorsSpec extends AnyFunSuite {
     val viaCoord = asSet(res("drilldown").toOption.get.collect())
     RequestCoordinator.release(res)
     assert(viaCoord == expected, "coordinator drilldown must match")
+    // the past-broadcast regime, forced (bloomMinKeys=0): the tuple
+    // carrier plans the xxhash bloom probe + exact semi, results equal
+    val facts = graft.core.Tables.orders(spark, sf01)
+      .select("o_custkey", "o_orderstatus", "o_orderpriority")
+    val parents = facts.select("o_custkey", "o_orderstatus").distinct()
+    val shipped = graft.operators.KeyShip.semiShipCols(
+      facts, Seq("o_custkey", "o_orderstatus"),
+      parents, Seq("o_custkey", "o_orderstatus"),
+      maxLiterals = 100, bloomMinKeys = 0)
+    val p2 = shipped.queryExecution.executedPlan.toString
+    assert(p2.contains("bloom_might_contain") && p2.contains("LeftSemi"),
+      s"forced tuple bloom shape missing:\n${p2.take(3000)}")
+    assert(shipped.count() == facts.count(),
+      "self-parent tuple semi must keep every fact row")
   }
 
   test("drilldown with topN larger than the parent set keeps all parents") {

@@ -137,13 +137,13 @@ class EdgeCaseSpec extends AnyFunSuite {
     val keys = ((0 to 500).map(_.toString) :+ "abc").toDF("sk")
     def names(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getString(0)).toSet
-    val semi = KeyShip.semiShip(fact, "k", keys, "sk", maxLiterals = 10)
+    val semi = KeyShip.semiShip(fact, "k", keys, "sk", maxLiterals = 10, bloomMinKeys = 0)
     val exactSemi = fact.join(keys,
       org.apache.spark.sql.functions.col("k") ===
         org.apache.spark.sql.functions.col("sk"), "left_semi")
     assert(names(semi) == names(exactSemi) && names(semi).contains("abc"),
       s"cast-NULL fact key lost on the bloom semi path: ${names(semi)}")
-    val anti = KeyShip.antiShip(fact, "k", keys, "sk", maxLiterals = 10)
+    val anti = KeyShip.antiShip(fact, "k", keys, "sk", maxLiterals = 10, bloomMinKeys = 0)
     assert(names(anti) == Set("zzz"),
       s"bloom anti path diverged on cast-NULL keys: ${names(anti)}")
   }

@@ -267,4 +267,104 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(TxnTable.read(spark, tdir).count() == rows)
     } finally { door.stop(); jobs.shutdown() }
   }
+
+  test("soak: /report traffic races maintenance + merges, snapshot-consistent, zero 500s") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    import graft.core.TxnTable
+    import graft.semantic.model._
+    // the long-lived-service race the per-component specs never run
+    // together: concurrent /report reads over a cube SERVED FROM a
+    // TxnTable while writers commit merges and /maintenance
+    // re-clusters it. Every served total must equal SOME committed
+    // version's total (snapshot isolation end-to-end), and nothing
+    // may 500. Each writer commit moves key 0's payload to a fresh
+    // value, so every content version has a DISTINCT total — a torn
+    // read (mixing files of two versions) would produce a sum outside
+    // the committed set.
+    val tdir = graft.core.TempDirs.scratchShared("soak")
+    TxnTable.init(spark, tdir,
+      (0L until 20000L).toDF("k").withColumn("payload", col("k"))
+        .withColumn("grp", lit("all"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    val soakCube = CubeDef(
+      name = "soak_stats",
+      variants = Seq(FactDef(
+        name = "soak_base", table = "orders",
+        dimCols = Seq(PubCol("Group", "grp")),
+        metrics = Seq(PubMetric("Total Payload", SumRollup,
+          df => df.col("payload"))),
+        cost = 1,
+        view = Some((s, _) => TxnTable.read(s, tdir)))),
+      dims = Nil)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("soakjobs"))
+    val door = new HttpFrontDoor(spark, sf, Registry(soakCube), jobs,
+      maintainable = Map("soak" -> tdir))
+    val port = door.start()
+    val reportJson =
+      """{"cube":"soak_stats","selectFields":[{"field":"Group"},{"field":"Total Payload"}]}"""
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val totalRe = """"all",(-?\d+)""".r
+    def reporter(): Unit = (1 to 25).foreach { _ =>
+      val r = post(port, "/report", reportJson)
+      statuses.add(("report", r.statusCode(), r.body().take(200)))
+      totalRe.findFirstMatchIn(r.body())
+        .foreach(m => served.add(m.group(1).toLong))
+    }
+    def writer(): Unit = (1 to 12).foreach { i =>
+      // bounded outer retry on top of withOcc: a real writer replans
+      // on sustained contention rather than dying
+      var done = false; var attempts = 0
+      while (!done && attempts < 10) {
+        try {
+          TxnTable.upsert(spark, tdir, "k",
+            Seq((0L, 1000000L * i, "all")).toDF("k", "payload", "grp"),
+            numFiles = 1)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => attempts += 1
+        }
+      }
+      assert(done, s"writer starved out after $attempts OCC rounds")
+    }
+    def maintainer(): Unit = while (!stop.get()) {
+      for (op <- Seq("op=compact&minBytes=4096",
+          "op=optimizeRange&keyCol=k&lo=0&hi=30000", "op=history")) {
+        val r = post(port, s"/maintenance/soak?$op", "")
+        statuses.add(("maint", r.statusCode(), r.body().take(200)))
+      }
+      val rf = post(port, "/refresh", "")
+      statuses.add(("refresh", rf.statusCode(), rf.body().take(200)))
+    }
+    val threads =
+      (1 to 4).map(_ => new Thread(() => reporter())) ++
+        Seq(new Thread(() => writer()), new Thread(() => maintainer()))
+    try {
+      threads.foreach(_.start())
+      // join reporters + writer, then stop the maintenance loop
+      threads.take(5).foreach(_.join(300000))
+      stop.set(true)
+      threads.last.join(300000)
+      import scala.jdk.CollectionConverters._
+      val bad = statuses.asScala.filter(_._2 >= 500)
+      assert(bad.isEmpty, s"soak produced 5xx responses: ${bad.take(3)}")
+      assert(statuses.asScala.count(s => s._1 == "report" && s._2 == 200) == 100,
+        s"every /report must have served; sample: ${
+          statuses.asScala.filter(_._1 == "report").take(2)}")
+      // snapshot consistency: each served total equals some committed
+      // version's total (no vacuum ran, so every version is readable)
+      val committed = (1 to TxnTable.version(tdir)).map { v =>
+        TxnTable.read(spark, tdir, v).agg(sum(col("payload")))
+          .first().getLong(0)
+      }.toSet
+      val outside = served.asScala.toSeq.filterNot(committed)
+      assert(outside.isEmpty,
+        s"served totals outside the committed set: ${outside.take(3)} " +
+          s"(committed: ${committed.toSeq.sorted.take(5)}...)")
+    } finally { stop.set(true); door.stop(); jobs.shutdown() }
+  }
 }

@@ -288,7 +288,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // — a map-side native bloom_might_contain filter BELOW
     // the exact LeftSemi join; no literal IN tree
     val big = KeyShip.semiShip(fact, "l_orderkey", keysBig,
-      "o_orderkey", maxLiterals = 100)
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0)
     val pBig = physical(big)
     assert(pBig.contains("LeftSemi"), s"exact semi-join missing:\n$pBig")
     assert(pBig.contains("bloom_might_contain"),
@@ -325,7 +325,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val fact = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag")
     val p = physical(KeyShip.semiShip(fact, "l_orderkey", keys,
-      "o_orderkey", maxLiterals = 100))
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0))
     assert(p.contains("LeftSemi"), s"exact join missing:\n$p")
     assert(!p.contains("bloom_might_contain"),
       s"a >25%-fpp bitset must not ship:\n$p")
@@ -339,7 +339,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val keysBig = graft.core.Tables.orders(spark, sf)
       .filter(col("o_totalprice") > 100000).select("o_orderkey")
     val anti = KeyShip.antiShip(fact, "l_orderkey", keysBig,
-      "o_orderkey", maxLiterals = 100)
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0)
     val p = physical(anti)
     // the union of (bit-miss rows, join-checked bit-pass rows): the
     // anti-join must sit on only ONE union branch — the other branch
@@ -369,5 +369,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(big.collect().map(_.isNullAt(0)).count(identity) == 1,
       "NULL-key rows must survive the bloom anti path")
     assert(big.count() == 2) // null + 999999999 kept; 1 dropped
+  }
+
+  test("bloomDecision: sizing scales with the fact estimate; decline moves with it") {
+    import graft.operators.KeyShip.bloomDecision
+    // broadcastable key sides never bloom: a broadcast hash semi
+    // already pays one probe per fact row, so the bitset build is
+    // pure overhead (measured on q22: 0.37 s broadcast vs 0.98 s
+    // forced bloom at sf0.1)
+    assert(bloomDecision(10000, 8, None).isEmpty &&
+      bloomDecision(1000000, 8, Some(1000000000L)).isEmpty,
+      "key sides inside the broadcast budget must decline the bloom")
+    // forced past the broadcast term: the r10 sizing — 12M-bit cap
+    val small = bloomDecision(10000, 8, None, bloomMinKeys = 0)
+    assert(small.exists(p => p.m == 80000 && p.fpp < 0.05), s"$small")
+    assert(bloomDecision(5000000, 8, None).isEmpty,
+      "5M keys at the estimate-free 12M-bit cap predict fpp 32% — decline")
+    // the same 5M keys against a declared 10^9-row fact: the cap
+    // scales up, fpp collapses, the probe ships
+    val big = bloomDecision(5000000, 8, Some(1000000000L))
+    assert(big.exists(p => p.m == 40000000L && p.fpp < 0.05), s"$big")
+    // build-vs-savings: a key side larger than the fact's best-case
+    // pruning cannot pay for its own bitset build — decline even at
+    // razor fpp
+    assert(bloomDecision(2000000, 8, Some(1000000L)).isEmpty &&
+      bloomDecision(2000000, 8, Some(100000000L)).nonEmpty,
+      "2M keys (fpp 8%) pay against a 10^8-row fact but not a 10^6-row one")
   }
 }

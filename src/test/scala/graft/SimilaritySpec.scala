@@ -329,4 +329,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(incDir) == rows(scratchDir),
       "incremental index must equal the from-scratch build exactly")
   }
+
+  test("IVF drift statistic trips on planted drift; retrain restores balance") {
+    import spark.implicits._
+    // the production failure mode of sim12's frozen coarse quantizer:
+    // the ingest distribution drifts, appends pile into one list, and
+    // a probed hot list costs a corpus scan. ivfBalance is the cheap
+    // per-append detector (count-by-cid metadata); ivfRetrain is the
+    // scheduled repair (re-train + rewrite, atomic swap by caller).
+    val k = 8
+    val rnd = new scala.util.Random(5)
+    def jitter(): Float = (rnd.nextDouble() * 0.1 - 0.05).toFloat
+    val centers = (0 until k).map { i =>
+      val a = 2 * math.Pi * i / k
+      Seq(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    def near(c: Seq[Float]) = c.map(x => x + jitter())
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.map { case (id, e) =>
+      (id, e, math.sqrt(e.map(x => x.toDouble * x).sum)) }
+      .toDF("vec_id", "embedding", "nrm")
+    val cts = centers.zipWithIndex.map { case (c, i) => (i + 1, c) }
+    def assign(rows: org.apache.spark.sql.DataFrame) = rows.select(
+      Similarity.nearestCidColForTest(cts, col("embedding")).as("cid"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val dir = graft.core.TempDirs.scratchShared("ivfdrift")
+    // day 0: 400 vectors spread evenly over the 8 true clusters
+    val base = (0 until 400).map(i => (i.toLong, near(centers(i % k))))
+    assign(df(base)).repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+    val b0 = Similarity.ivfBalance(spark, dir, k)
+    assert(!b0.drifted && b0.factor < 2.0,
+      s"pre-drift balance must be healthy: $b0")
+    // drift: 400 appended vectors all in cluster 3's neighborhood —
+    // the frozen quantizer piles every one into list cid=4
+    val drift = (0 until 400).map(i => (1000L + i, near(centers(3))))
+    assign(df(drift)).repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(dir)
+    val b1 = Similarity.ivfBalance(spark, dir, k)
+    assert(b1.drifted && b1.maxCid == 4 && b1.total == 800,
+      s"planted drift must trip the stat: $b1") // (50+400)/800·8 = 4.5
+    // retrain: new quantizer over the current corpus splits the hot
+    // region across several lists
+    val (dir2, cents2) = Similarity.ivfRetrain(spark, dir, k)
+    assert(cents2.size == k)
+    val b2 = Similarity.ivfBalance(spark, dir2, k)
+    assert(!b2.drifted && b2.factor < b1.factor,
+      s"retrain must restore balance: $b1 -> $b2")
+    assert(b2.total == b1.total, "retrain must preserve every vector")
+  }
 }
