@@ -98,11 +98,17 @@ object KeyShip {
     *    BIG to broadcast but sharp enough to prune.
     *  - DECLINE on fpp > 25%: a filter that passes most rows charges
     *    every fact row a probe and saves almost nothing downstream.
-    *  - DECLINE on n > F·(1−fpp): building the bitset costs a pass
-    *    over n keys; the best case saves the shuffle of F·(1−fpp)
-    *    fact rows — when the key side is bigger than the savings the
-    *    probe cannot pay for its own build, no matter how sharp. (No
-    *    F estimate → this term is skipped, preserving r10 behavior.)
+    *  - DECLINE on 8·n > F·(1−fpp): building the bitset costs a
+    *    distributed pass + grouped aggregate over n keys, which the
+    *    tools/BloomCross sweep measured at ~8× the per-row cost of
+    *    the fact shuffle it saves (local[32]): forced bloom LOSES at
+    *    F/n = 5 (F=50M, n=10M: 0.83×) and F/n = 2 (F=5M, n=2.5M:
+    *    0.46×) even at fpp 5%, and WINS at F/n = 25 (r10 BloomProf,
+    *    1.14-1.32×) — so the carrier needs the savings to outrun the
+    *    build by that margin, not merely exceed it. On a
+    *    network-shuffle cluster the saved bytes are real I/O and the
+    *    true ratio is smaller; 8 is the conservative local floor.
+    *    (No F estimate → this term is skipped.)
     */
   private[graft] final case class BloomPlan(m: Long, hashes: Int,
       fpp: Double)
@@ -116,7 +122,7 @@ object KeyShip {
     val m = math.max(240L, n * bitsPerKey).min(mCap)
     val fpp = math.pow(1 - math.exp(-hashes.toDouble * n / m), hashes)
     if (fpp > 0.25) None
-    else if (factRows.exists(f => n > (f * (1 - fpp)).toLong)) None
+    else if (factRows.exists(f => 8 * n > (f * (1 - fpp)).toLong)) None
     else Some(BloomPlan(m, hashes, fpp))
   }
 

@@ -25,7 +25,8 @@ object BloomCross {
     }
     val cases = Seq(
       5000000L -> Seq(100000L, 1000000L, 2500000L, 5000000L, 10000000L),
-      50000000L -> Seq(1000000L, 10000000L, 30000000L, 60000000L))
+      50000000L -> Seq(1000000L, 2000000L, 5000000L, 8000000L,
+        10000000L, 30000000L, 60000000L))
     for ((bigF, ns) <- cases; n <- ns; pass <- 1 to 2) {
       // 1% of fact rows hit the key set; the rest live far outside it
       val fact = spark.range(bigF).select(
