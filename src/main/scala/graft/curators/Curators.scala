@@ -31,6 +31,28 @@ object Curators {
       p <- Planner.plan(m, s, dir)
     } yield p.df).fold(e => throw new IllegalArgumentException(e), identity)
 
+  /** Like [[planned]], but also surfaces the winning variant's
+    * request-aware ROW estimate when that variant declares a
+    * CostModel (static costs are abstract rank units, not rows — they
+    * never leave the ranking). This is the fact-size signal KeyShip's
+    * bloom decision consumes: with it, an oversized parent restriction
+    * sizes its bitset against the actual drill scan. */
+  private def plannedWithEstimate(req: ReportingRequest, reg: Registry,
+      s: SparkSession, dir: String): (DataFrame, Option[Long]) =
+    (for {
+      m <- RequestModel.from(req, reg)
+      r <- Planner.explain(m, s, dir)
+    } yield {
+      val (choices, p) = r
+      val est = for {
+        w <- choices.find(_.chosen)
+        cube <- reg.cube(req.cube).toOption
+        v <- cube.variants.find(_.name == w.name)
+        if v.costModel.isDefined
+      } yield w.estCost
+      (p.df, est)
+    }).fold(e => throw new IllegalArgumentException(e), identity)
+
   private def parsed(json: String): ReportingRequest =
     request.parse(json).fold(e => throw new IllegalArgumentException(e), identity)
 
@@ -242,11 +264,14 @@ object Curators {
     // the reference ships the parent keys as an injected IN filter
     // (DrilldownCurator.insertValuesIntoDrilldownRequestFilter) — here
     // the carrier is KeyShip's size-based decision: a page-sized
-    // parent set broadcasts into the exact semi, an oversized one
-    // (maxRows uncapped) ships as a Bloom tuple-hash probe + exact
-    // semi instead of a multi-megabyte broadcast literal
+    // parent set broadcasts into the exact semi, a past-broadcast one
+    // ships as the Bloom tuple-hash probe + exact semi instead of a
+    // multi-megabyte broadcast literal. The drill variant's CostModel
+    // row estimate (when declared) feeds the bitset sizing and the
+    // build-vs-savings decline.
+    val (drillDf, drillRows) = plannedWithEstimate(drillReq, reg, s, dir)
     val drilled = graft.operators.KeyShip.semiShipCols(
-      planned(drillReq, reg, s, dir), parentDims, parents, parentDims)
+      drillDf, parentDims, parents, parentDims, factRows = drillRows)
     val ordered =
       if (cfg.ordering.isEmpty)
         drilled.orderBy((parentDims ++ cfg.dimensions).distinct.map(col): _*)

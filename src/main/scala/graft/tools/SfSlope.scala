@@ -25,9 +25,21 @@ object SfSlope {
   private def build(s: SparkSession, src: String, dst: String): Unit = {
     def reps(f: Int => DataFrame): DataFrame =
       (0 until K).map(f).reduce(_ unionByName _)
+    // the driver's layout is ONE FILE per table named <t>.parquet —
+    // and the streaming queries depend on it (pathGlobFilter
+    // "events.parquet" matches leaf FILES; a directory of part files
+    // yields an empty stream, caught when st04/07/09 read 0 rows at
+    // sf1) — so write a single part and move it into place
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"SFBUILD $name rows=${s.read.parquet(s"$dst/$name.parquet").count()}")
+      val tmp = s"$dst/.build-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dst/$name.parquet")
+      graft.core.TempDirs.rmTree(target) // may be a dir from an old build
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      graft.core.TempDirs.rmTree(new java.io.File(tmp))
+      println(s"SFBUILD $name rows=${s.read.parquet(target.getPath).count()}")
     }
     val li = s.read.parquet(s"$src/lineitem.parquet")
     write("lineitem", reps(i => li.withColumn("l_orderkey",
