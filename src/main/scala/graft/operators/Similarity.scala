@@ -506,6 +506,82 @@ object Similarity {
     (path, cents.map(c => (c.cid, c.cemb)))
   }
 
+  /** Atomic serve pointer for an IVF index (completes [[ivfRetrain]]'s
+    * "the swap is the caller's publish step"): generation files
+    * `gen-<N>.json` under a root, claimed with an EXCLUSIVE CREATE —
+    * the same put-if-absent discipline as TxnTable's manifest publish,
+    * so two concurrent retrains racing to publish the same generation
+    * cannot both land; the loser re-reads and re-publishes at the
+    * winner's successor. Readers resolve the MAX generation — one
+    * directory listing, no lock — and old layouts stay on disk until
+    * swept, so an in-flight query over the previous generation is
+    * never broken (snapshot isolation for the index). */
+  private[graft] def ivfPublish(root: String, layoutPath: String,
+      k: Int): Int = {
+    val gen = ivfCurrent(root).map(_._1).getOrElse(0) + 1
+    ivfPublishAs(root, gen, layoutPath, k)
+    gen
+  }
+
+  /** The claim itself, at an explicit generation — what a retrain
+    * that PLANNED against generation g must publish as g+1 (planning
+    * and publishing bracket real work, so the slot can be taken by
+    * the time the claim runs; the exclusive create is what makes the
+    * collision loud instead of a lost index). */
+  private[graft] def ivfPublishAs(root: String, gen: Int,
+      layoutPath: String, k: Int): Unit = {
+    new java.io.File(root).mkdirs()
+    val f = java.nio.file.Paths.get(root, s"gen-$gen.json")
+    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
+    try {
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"index generation $gen already published under $root — " +
+            "re-read the current pointer and re-publish")
+    }
+  }
+
+  private def jq(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The live (max-generation) serve pointer: (gen, layout path, k). */
+  private[graft] def ivfCurrent(root: String): Option[(Int, String, Int)] =
+    ivfHistory(root).lastOption
+
+  /** Every published generation, ascending — the index's DESCRIBE
+    * HISTORY. */
+  private[graft] def ivfHistory(root: String): Seq[(Int, String, Int)] = {
+    val pat = """gen-(\d+)\.json""".r
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case pat(n) =>
+          val body = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val path = """"path":"((?:[^"\\]|\\.)*)"""".r
+            .findFirstMatchIn(body).get.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+          val k = """"k":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+          Some((n.toInt, path, k))
+        case _ => None
+      }).sortBy(_._1).toSeq
+  }
+
+  /** The scheduled maintenance event end-to-end: read the CURRENT
+    * generation, retrain on its corpus, publish the fresh layout as
+    * the next generation (exclusive-create claim). Returns the new
+    * (gen, path). */
+  private[graft] def ivfRetrainPublish(s: SparkSession, root: String,
+      iters: Int = 4): (Int, String) = {
+    val (_, path, k) = ivfCurrent(root).getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    val (fresh, _) = ivfRetrain(s, path, k, iters)
+    (ivfPublish(root, fresh, k), fresh)
+  }
+
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the
     * memory-bandwidth scale path for 100 TB embedding search — a
     * symmetric per-vector quantization (scale = 127/max|x|, round

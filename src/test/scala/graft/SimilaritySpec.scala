@@ -376,5 +376,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!b2.drifted && b2.factor < b1.factor,
       s"retrain must restore balance: $b1 -> $b2")
     assert(b2.total == b1.total, "retrain must preserve every vector")
+    // generation pointer: publish the drifted layout as gen 1, then
+    // the retrain event publishes its successor atomically
+    val root = graft.core.TempDirs.scratchShared("ivfgen")
+    assert(Similarity.ivfPublish(root, dir, k) == 1)
+    assert(Similarity.ivfCurrent(root).exists(c => c._1 == 1 && c._2 == dir))
+    // the publish race: a retrain that planned against gen 1 races a
+    // faster writer into the gen-2 slot — the exclusive-create claim
+    // makes the loser fail loudly, never last-wins-overwrite
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "gen-2.json"),
+      s"""{"gen":2,"path":"racer","k":$k}""".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      Similarity.ivfPublishAs(root, 2, dir2, k)
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "gen-2.json"))
+    val (g2, fresh) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    assert(g2 == 2 && Similarity.ivfCurrent(root).exists(_._2 == fresh))
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(1, 2))
+    // the superseded generation's layout is untouched — in-flight
+    // readers keep their snapshot
+    assert(spark.read.parquet(dir).count() == 800)
+    assert(!Similarity.ivfBalance(spark, fresh, k).drifted,
+      "the published retrain must serve a balanced index")
   }
 }
