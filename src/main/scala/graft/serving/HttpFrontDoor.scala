@@ -32,6 +32,16 @@ import graft.semantic.model.Registry
   *                           without restart (druid-lookups refresh
   *                           cadence, exposed as the wire hook an
   *                           ingestion job calls)
+  *   POST /index/{name}?op=balance|retrain|history
+  *                           ANN-index maintenance over the REGISTERED
+  *                           generation roots: `balance` runs the
+  *                           drift statistic against the live
+  *                           generation (the cheap per-append check an
+  *                           operator schedules), `retrain` runs the
+  *                           scheduled repair end-to-end (re-train on
+  *                           the current corpus, publish the successor
+  *                           generation under the exclusive-create
+  *                           claim), `history` lists generations
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
   *                           storage-maintenance surface over the
   *                           REGISTERED TxnTables passed at
@@ -55,7 +65,8 @@ import graft.semantic.model.Registry
 final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     jobs: JobQueue, port: Int = 0,
     monitor: ServiceMonitor = ServiceMonitor.NoOp,
-    maintainable: Map[String, String] = Map.empty) {
+    maintainable: Map[String, String] = Map.empty,
+    maintainableIndexes: Map[String, String] = Map.empty) {
 
   /** begin/complete bracket around one served request: `begin` before
     * planning, `complete` exactly once with outcome + wall millis; a
@@ -162,6 +173,61 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       else monitored(reqId, "refresh") {
         Freshness.refresh(s, dir)
         (200, s"""{"refreshed":${Domain.jStr(dir)}}""", reqId)
+      }
+    })
+    server.createContext("/index", (ex: HttpExchange) => handle(ex) {
+      val reqId = requestId(ex)
+      val name = ex.getRequestURI.getPath
+        .stripPrefix("/index").stripPrefix("/")
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split('&').filter(_.contains('='))
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toMap
+      if (ex.getRequestMethod != "POST")
+        (405, """{"error":"POST only"}""", reqId)
+      else maintainableIndexes.get(name) match {
+        case None => (404, s"""{"error":"unknown index"}""", reqId)
+        case Some(root) => monitored(reqId, "index") {
+          import graft.operators.Similarity
+          try q.getOrElse("op", "") match {
+            case "balance" =>
+              Similarity.ivfCurrent(root) match {
+                case None =>
+                  (400, """{"error":"no published generation"}""", reqId)
+                case Some((gen, path, k)) =>
+                  val b = Similarity.ivfBalance(s, path, k)
+                  (200, s"""{"op":"balance","gen":$gen,"k":$k,""" +
+                    s""""factor":${b.factor},"maxCid":${b.maxCid},""" +
+                    s""""total":${b.total},"drifted":${b.drifted}}""", reqId)
+              }
+            case "retrain" =>
+              val iters = q.get("iters").map(_.toInt).getOrElse(4)
+              val (gen, path) = Similarity.ivfRetrainPublish(s, root, iters)
+              (200, s"""{"op":"retrain","gen":$gen,""" +
+                s""""path":${Domain.jStr(path)}}""", reqId)
+            case "history" =>
+              val rows = Similarity.ivfHistory(root).map { case (g, p, k) =>
+                s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k}""" }
+              (200, rows.mkString("""{"op":"history","generations":[""",
+                ",", "]}"), reqId)
+            case other =>
+              (400, s"""{"error":${Domain.jStr(s"unknown op '$other'")}}""",
+                reqId)
+          } catch {
+            // a faster retrain won the generation slot: CONFLICT,
+            // re-read and retry — not a server error
+            case e: java.util.ConcurrentModificationException =>
+              (409, s"""{"error":${Domain.jStr(e.getMessage)}}""", reqId)
+            case e: NumberFormatException =>
+              (400, s"""{"error":${Domain.jStr(
+                s"malformed numeric parameter: ${e.getMessage}")}}""", reqId)
+            case e: IllegalStateException =>
+              (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+                reqId)
+            case e: IllegalArgumentException =>
+              (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+                reqId)
+          }
+        }
       }
     })
     server.createContext("/maintenance", (ex: HttpExchange) => handle(ex) {

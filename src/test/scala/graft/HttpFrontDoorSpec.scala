@@ -268,6 +268,46 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     } finally { door.stop(); jobs.shutdown() }
   }
 
+  test("POST /index: balance detects drift, retrain publishes the repair, history lists generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Similarity
+    // a deliberately DRIFTED layout published as gen 1: everything in
+    // one list — the operational loop is: schedule `balance`, see
+    // drifted=true, run `retrain`, serve the successor generation
+    val k = 8
+    val layout = graft.core.TempDirs.scratchShared("httpivf")
+    (0L until 400L).map { i =>
+      val e = Seq((math.cos(i * 0.01)).toFloat, (math.sin(i * 0.01)).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout)
+    val root = graft.core.TempDirs.scratchShared("httpivfroot")
+    assert(Similarity.ivfPublish(root, layout, k) == 1)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("ivfjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainableIndexes = Map("docs_ann" -> root))
+    val port = door.start()
+    try {
+      assert(post(port, "/index/nope?op=balance", "").statusCode() == 404)
+      assert(post(port, "/index/docs_ann?op=wat", "").statusCode() == 400)
+      val b1 = post(port, "/index/docs_ann?op=balance", "")
+      assert(b1.statusCode() == 200 && b1.body().contains("\"drifted\":true"),
+        b1.body())
+      val rt = post(port, "/index/docs_ann?op=retrain&iters=2", "")
+      assert(rt.statusCode() == 200 && rt.body().contains("\"gen\":2"),
+        rt.body())
+      val b2 = post(port, "/index/docs_ann?op=balance", "")
+      assert(b2.statusCode() == 200 && b2.body().contains("\"gen\":2") &&
+        b2.body().contains("\"drifted\":false"), b2.body())
+      val h = post(port, "/index/docs_ann?op=history", "")
+      assert(h.statusCode() == 200 && h.body().contains("\"gen\":1") &&
+        h.body().contains("\"gen\":2"), h.body())
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("soak: /report traffic races maintenance + merges, snapshot-consistent, zero 500s") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, sum}
