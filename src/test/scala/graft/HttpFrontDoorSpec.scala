@@ -356,13 +356,16 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         .foreach(m => served.add(m.group(1).toLong))
     }
     def writer(): Unit = (1 to 12).foreach { i =>
-      // bounded outer retry on top of withOcc: a real writer replans
+      // the streaming-MERGE commit shape (st12's foreachBatch body):
+      // one _op-tagged correction frame per batch through mergeFrame.
+      // Bounded outer retry on top of withOcc: a real writer replans
       // on sustained contention rather than dying
       var done = false; var attempts = 0
       while (!done && attempts < 10) {
         try {
-          TxnTable.upsert(spark, tdir, "k",
-            Seq((0L, 1000000L * i, "all")).toDF("k", "payload", "grp"),
+          TxnTable.mergeFrame(spark, tdir, "k",
+            Seq((0L, 1000000L * i, "all", "upsert"))
+              .toDF("k", "payload", "grp", "_op"),
             numFiles = 1)
           done = true
         } catch {

@@ -438,16 +438,30 @@ class TxnTableSpec extends AnyFunSuite {
           .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
         numFiles = 0, statsCols = Seq("k"))
       for (_ <- 1 to 4) {
-        if (rnd.nextBoolean()) {
-          val ks = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong(260L)).distinct
-          TxnTable.deleteKeys(spark, dir, "k", ks)
-          model = model -- ks
-        } else {
-          val rows = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(260L))
-            .distinct.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L)))
-          TxnTable.upsert(spark, dir, "k",
-            rows.toDF("k", "g", "v"), numFiles = 2)
-          model = model ++ rows.map { case (k, g, v) => k -> (g, v) }
+        rnd.nextInt(3) match {
+          case 0 =>
+            val ks = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong(260L)).distinct
+            TxnTable.deleteKeys(spark, dir, "k", ks)
+            model = model -- ks
+          case 1 =>
+            val rows = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(260L))
+              .distinct.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L)))
+            TxnTable.upsert(spark, dir, "k",
+              rows.toDF("k", "g", "v"), numFiles = 2)
+            model = model ++ rows.map { case (k, g, v) => k -> (g, v) }
+          case _ =>
+            // the _op-tagged CDC batch shape through mergeFrame: one
+            // frame, mixed deletes + upserts, disjoint keys
+            val ks = Seq.fill(rnd.nextInt(8) + 2)(rnd.nextLong(260L)).distinct
+            val (delK, upK) = ks.splitAt(ks.length / 2)
+            val rows =
+              delK.map(k => (k, "", 0L, "delete")) ++
+                upK.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L),
+                  "upsert"))
+            TxnTable.mergeFrame(spark, dir, "k",
+              rows.toDF("k", "g", "v", "_op"), numFiles = 2)
+            model = model -- delK ++
+              rows.collect { case (k, g, v, "upsert") => k -> (g, v) }
         }
       }
       val got = TxnTable.read(spark, dir).collect()
