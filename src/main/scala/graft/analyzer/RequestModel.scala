@@ -10,6 +10,11 @@ import graft.analyzer.request._
   */
 object RequestModel {
 
+  /** Upper bound on IN/NOT-IN filter value-list size: past this a key
+    * set is data, not request metadata (see the validation message). */
+  val MaxInFilterValues = 100000
+
+
   sealed trait ColKind
   case object FactDimCol extends ColKind
   final case class DimAttrCol(dim: String) extends ColKind
@@ -123,6 +128,25 @@ object RequestModel {
                 Some(s"'${f.field}' is a passthrough column and cannot be filtered")
               else Some(s"operator ${opOf(f)} not allowed on '${f.field}'")
           }
+        } ++ allLeaves.flatMap {
+          // IN/NOT-IN value lists are DRIVER-SIDE request metadata:
+          // each value becomes a literal in the plan, so an unbounded
+          // list is an unbounded expression tree (minutes of plan
+          // churn at 10⁶ values — the exact cliff KeyShip's frame
+          // carrier exists to avoid). A key set that size is DATA,
+          // not a filter: it should arrive as a table and ship via
+          // the semi-join, so the request is rejected loudly with
+          // that steer (the reference's engines impose the same kind
+          // of bound, e.g. Oracle's IN-list limits).
+          case InFilter(fld, vs) if vs.size > MaxInFilterValues =>
+            Some(s"'$fld' IN list has ${vs.size} values (max " +
+              s"$MaxInFilterValues): ship key sets this large as data " +
+              "via a semi-join, not as request literals")
+          case NotInFilter(fld, vs) if vs.size > MaxInFilterValues =>
+            Some(s"'$fld' NOT IN list has ${vs.size} values (max " +
+              s"$MaxInFilterValues): ship key sets this large as data " +
+              "via an anti-join, not as request literals")
+          case _ => None
         } ++ req.filters.collect {
           // boolean trees must not mix metric and non-metric leaves
           case f if {

@@ -1059,6 +1059,42 @@ class SemanticLayerSpec extends AnyFunSuite {
       "the salted route must not change results")
   }
 
+  test("oversized IN-list requests are rejected with a steer, not planned") {
+    // a 10⁶-value IN list would become a 10⁶-literal expression tree
+    // on the driver — KeyShip's cliff, arriving through the front
+    // door. The analyzer must reject it BEFORE any planning, with the
+    // steer (ship key sets that large as data via a semi-join)
+    val vals = (0 until RequestModel.MaxInFilterValues + 1)
+      .map(i => s""""$i"""").mkString(",")
+    val json =
+      s"""{"cube": "order_stats",
+         | "selectFields": [{"field": "Order Priority"}, {"field": "Total Spend"}],
+         | "filterExpressions": [{"field": "Customer Key", "operator": "in", "values": [$vals]}]}"""
+        .stripMargin
+    val res = for {
+      req <- request.parse(json)
+      m <- RequestModel.from(req, SemanticQueries.registry)
+    } yield m
+    assert(res.isLeft, "an oversized IN list must be rejected")
+    val msg = res.swap.toOption.get
+    assert(msg.contains("IN list has 100001 values") &&
+      msg.contains("semi-join"), msg)
+    // the complement arm too
+    val notJson = json.replace("\"operator\": \"in\"", "\"operator\": \"not in\"")
+    val notRes = for {
+      req <- request.parse(notJson)
+      m <- RequestModel.from(req, SemanticQueries.registry)
+    } yield m
+    assert(notRes.swap.toOption.exists(_.contains("anti-join")), s"$notRes")
+    // one under the bound still plans
+    val okJson = json.replace(s""","100000"]""", "]")
+    val ok = for {
+      req <- request.parse(okJson)
+      m <- RequestModel.from(req, SemanticQueries.registry)
+    } yield m
+    assert(ok.isRight, s"at-bound IN list must still plan: $ok")
+  }
+
   test("hotFactKeys salt survives duplicate column names from an earlier dim join") {
     import graft.semantic.model._
     import org.apache.spark.sql.functions._
