@@ -1059,6 +1059,39 @@ class SemanticLayerSpec extends AnyFunSuite {
       "the salted route must not change results")
   }
 
+  test("fuzzed request JSON: parse + analyze return Left, never throw raw") {
+    // the front door feeds arbitrary bytes into parse; anything short
+    // of a clean Left is a 500 in production. 600 seeded mutations of
+    // three valid requests: truncations, char flips, slice splices —
+    // plus a pathological deep-nesting body
+    val rnd = new scala.util.Random(2026)
+    val seeds = Seq(SemanticQueries.sem01Json, SemanticQueries.cur04Json,
+      SemanticQueries.sem08Json)
+    var parsedOk = 0
+    for (base <- seeds; _ <- 1 to 200) {
+      val mutated = rnd.nextInt(3) match {
+        case 0 => base.substring(0, rnd.nextInt(base.length))
+        case 1 =>
+          val b = base.toCharArray
+          b(rnd.nextInt(b.length)) = "\"{}[]:,x".charAt(rnd.nextInt(8))
+          new String(b)
+        case _ =>
+          val cut = rnd.nextInt(base.length)
+          base.take(cut) + base.drop(rnd.nextInt(base.length))
+      }
+      val res = request.parse(mutated) // must not throw
+      res.foreach { req =>
+        RequestModel.from(req, SemanticQueries.registry) // must not throw
+        parsedOk += 1
+      }
+    }
+    // most mutations should break parsing; some survive — both paths
+    // must have been exercised for the test to mean anything
+    assert(parsedOk > 0, "no mutation survived — fuzz too destructive")
+    val deep = """{"cube":""" + "[" * 5000
+    assert(request.parse(deep).isLeft, "deep nesting must fail cleanly")
+  }
+
   test("oversized IN-list requests are rejected with a steer, not planned") {
     // a 10⁶-value IN list would become a 10⁶-literal expression tree
     // on the driver — KeyShip's cliff, arriving through the front
