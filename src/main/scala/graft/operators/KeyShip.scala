@@ -88,8 +88,14 @@ object KeyShip {
     *    constant: right for the measured sf0.1 battery, needlessly
     *    tight for a 10⁹-row fact where a 10⁷-key set still prunes
     *    well (the verdict-r10 #5 item).
-    *  - DECLINE on n ≤ `bloomMinKeys` (default 10⁶ ≈ 8 MB of longs,
-    *    Spark's broadcast budget): a key side that small BROADCASTS
+    *  - DECLINE on n ≤ `bloomMinKeys` (default: DERIVED from the
+    *    session's `spark.sql.autoBroadcastJoinThreshold` as bytes/8 —
+    *    ≈1.3M keys at the stock 10 MB — floored at the literal
+    *    threshold's order; a deployment that raises its broadcast
+    *    budget automatically moves the bloom regime out with it, and
+    *    one that disables broadcast (−1) gets the bloom from the
+    *    literal threshold up, since every exact join then shuffles):
+    *    a key side that small BROADCASTS
     *    into the exact hash semi-join, whose per-row probe costs the
     *    same as the Bloom test — the bitset build and its driver
     *    round-trips are then pure overhead at ANY fact size
@@ -112,6 +118,15 @@ object KeyShip {
     */
   private[graft] final case class BloomPlan(m: Long, hashes: Int,
       fpp: Double)
+  /** `bloomMinKeys` for a live session: broadcast-threshold bytes /
+    * 8 bytes-per-long-key (what the exact join would broadcast),
+    * floored at 1000; 0 when broadcast is disabled. */
+  private def sessionMinKeys(df: DataFrame): Long = {
+    val thr = org.apache.spark.sql.GraftBridge
+      .autoBroadcastBytes(df.sparkSession)
+    if (thr <= 0) 0L else math.max(1000L, thr / 8)
+  }
+
   private[graft] def bloomDecision(n: Long, bitsPerKey: Int,
       factRows: Option[Long],
       bloomMinKeys: Long = 1000000L): Option[BloomPlan] = {
@@ -161,7 +176,7 @@ object KeyShip {
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = 1000000L): DataFrame = {
+      bloomMinKeys: Long = -1): DataFrame = {
     // NULL keys leave the set up front: an equi-(semi|anti)-join
     // matches NULL against nothing, and a NULL inside an isin literal
     // would poison the NOT-IN complement with three-valued UNKNOWNs
@@ -180,7 +195,8 @@ object KeyShip {
       // never shuffled except as ≤`words` map-combined bit groups
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
-      buildProbe(keyF, col(factKey), bitsPerKey, factRows, bloomMinKeys)
+      buildProbe(keyF, col(factKey), bitsPerKey, factRows,
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
         // cast-null fact rows bypass the probe (it can't judge them)
         // and fall through to the exact join below
         .fold(fact)(pass => fact.filter(castNull(col(factKey)) || pass))
@@ -205,7 +221,7 @@ object KeyShip {
   def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = 1000000L): DataFrame = {
+      bloomMinKeys: Long = -1): DataFrame = {
     val probe = keys.select(col(keyCol).as("__sk"))
       .filter(col("__sk").isNotNull).distinct()
       .limit(maxLiterals + 1).collect()
@@ -219,7 +235,8 @@ object KeyShip {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
       buildProbe(keyF, col(factKey), bitsPerKey, factRows,
-          bloomMinKeys) match {
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
+          match {
         case None => // fpp regime: no useful filter — plain anti-join
           fact.join(keyF, col(factKey) === col("__sk"), "left_anti")
         case Some(pass) =>
@@ -260,7 +277,7 @@ object KeyShip {
   def semiShipCols(fact: DataFrame, factKeys: Seq[String],
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = 1000000L): DataFrame = {
+      bloomMinKeys: Long = -1): DataFrame = {
     require(factKeys.nonEmpty && factKeys.length == keyCols.length,
       s"key column lists must be non-empty and aligned: $factKeys vs $keyCols")
     // key side renamed positionally: the exact join condition must
@@ -278,7 +295,8 @@ object KeyShip {
       val tupleHash = xxhash64(factKeys.map(fact.col): _*)
       val keyH = renamed.select(xxhash64(
         keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
-      buildProbe(keyH, tupleHash, bitsPerKey, factRows, bloomMinKeys)
+      buildProbe(keyH, tupleHash, bitsPerKey, factRows,
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
         .fold(fact)(fact.filter)
         .join(renamed, cond, "left_semi")
     }

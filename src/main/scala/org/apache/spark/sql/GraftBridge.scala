@@ -22,4 +22,11 @@ object GraftBridge {
   def parseSql(spark: SparkSession,
       sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
+
+  /** The session's resolved broadcast threshold in BYTES (the SQLConf
+    * accessor is private[sql]; the raw conf string may be a byte-size
+    * form like "10MB"). −1 = broadcast disabled. */
+  def autoBroadcastBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf
+      .autoBroadcastJoinThreshold
 }
