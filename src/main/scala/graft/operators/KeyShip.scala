@@ -278,13 +278,7 @@ object KeyShip {
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
       bloomMinKeys: Long = -1): DataFrame = {
-    require(factKeys.nonEmpty && factKeys.length == keyCols.length,
-      s"key column lists must be non-empty and aligned: $factKeys vs $keyCols")
-    // key side renamed positionally: the exact join condition must
-    // never resolve bare names against both sides (a drilldown's key
-    // columns CARRY the fact side's names)
-    val renamed = keys.select(keyCols.zipWithIndex.map {
-      case (c, i) => col(c).as(s"__sk$i") }: _*)
+    val renamed = shipColsPrep(fact, factKeys, keys, keyCols)
     val cond = factKeys.zipWithIndex.map {
       case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
       .reduce(_ && _)
@@ -299,6 +293,64 @@ object KeyShip {
           if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
         .fold(fact)(fact.filter)
         .join(renamed, cond, "left_semi")
+    }
+  }
+
+  /** Validate a tuple ship and rename the key side positionally: the
+    * exact join condition must never resolve bare names against both
+    * sides (a drilldown's key columns CARRY the fact side's names).
+    * The TYPE check is a correctness requirement, not pedantry:
+    * xxhash64 hashes by physical width, so equal VALUES of different
+    * types (INT 7 vs BIGINT 7) hash differently — with mismatched
+    * sides the bloom would produce FALSE NEGATIVES (rows pruned that
+    * the coercing exact join keeps), which no downstream join can
+    * repair. The single-column carriers normalize through a LONG cast
+    * on both sides and are immune. */
+  private def shipColsPrep(fact: DataFrame, factKeys: Seq[String],
+      keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(factKeys.nonEmpty && factKeys.length == keyCols.length,
+      s"key column lists must be non-empty and aligned: $factKeys vs $keyCols")
+    val factTypes = factKeys.map(f => fact.schema(f).dataType)
+    val keyTypes = keyCols.map(k => keys.schema(k).dataType)
+    require(factTypes == keyTypes,
+      s"tuple key ship requires identical column types on both sides " +
+        s"(xxhash64 is type-sensitive — a mismatch makes the bloom drop " +
+        s"true matches): fact=$factTypes vs keys=$keyTypes")
+    keys.select(keyCols.zipWithIndex.map {
+      case (c, i) => col(c).as(s"__sk$i") }: _*)
+  }
+
+  /** ANTI complement of [[semiShipCols]]: keep fact rows whose key
+    * TUPLE is absent from the key set (the exclusion-list shape —
+    * e.g. drop (source, fingerprint) pairs named by a takedown
+    * table). The tuple hash is never NULL, so every row gets a
+    * definite probe verdict: misses bypass the join outright (no
+    * false negatives), passes pay the exact anti, and rows with NULL
+    * tuple parts behave as in the plain anti either way (NULL matches
+    * nothing → kept — by the miss bypass or by the exact join). */
+  def antiShipCols(fact: DataFrame, factKeys: Seq[String],
+      keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
+      bitsPerKey: Int = 8, factRows: Option[Long] = None,
+      bloomMinKeys: Long = -1): DataFrame = {
+    val renamed = shipColsPrep(fact, factKeys, keys, keyCols)
+    val cond = factKeys.zipWithIndex.map {
+      case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
+      .reduce(_ && _)
+    val probe = renamed.distinct().limit(maxLiterals + 1).collect()
+    if (probe.length <= maxLiterals)
+      fact.join(broadcast(renamed), cond, "left_anti")
+    else {
+      val tupleHash = xxhash64(factKeys.map(fact.col): _*)
+      val keyH = renamed.select(xxhash64(
+        keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
+      buildProbe(keyH, tupleHash, bitsPerKey, factRows,
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
+          match {
+        case None => fact.join(renamed, cond, "left_anti")
+        case Some(pass) =>
+          fact.filter(!pass)
+            .union(fact.filter(pass).join(renamed, cond, "left_anti"))
+      }
     }
   }
 }

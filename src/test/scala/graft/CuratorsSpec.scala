@@ -173,6 +173,35 @@ class CuratorsSpec extends AnyFunSuite {
       s"forced tuple bloom shape missing:\n${p2.take(3000)}")
     assert(shipped.count() == facts.count(),
       "self-parent tuple semi must keep every fact row")
+    // ANTI complement (the exclusion-list shape): drop every
+    // (custkey, status) pair of urgent orders; miss-bypass result
+    // must equal the plain anti-join exactly
+    val exclude = facts.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey", "o_orderstatus").distinct()
+    val anti = graft.operators.KeyShip.antiShipCols(
+      facts, Seq("o_custkey", "o_orderstatus"),
+      exclude, Seq("o_custkey", "o_orderstatus"),
+      maxLiterals = 50, bloomMinKeys = 0)
+    val p3 = anti.queryExecution.executedPlan.toString
+    assert(p3.contains("bloom_might_contain") && p3.contains("LeftAnti") &&
+      p3.contains("Union"), s"tuple anti miss-bypass shape:\n${p3.take(3000)}")
+    val exactAnti = facts.join(
+      exclude.withColumnRenamed("o_custkey", "xk")
+        .withColumnRenamed("o_orderstatus", "xs"),
+      col("o_custkey") === col("xk") && col("o_orderstatus") === col("xs"),
+      "left_anti")
+    assert(anti.count() == exactAnti.count() && anti.count() > 0,
+      s"tuple anti diverged: ${anti.count()} vs ${exactAnti.count()}")
+    // the TYPE guard: xxhash64 is type-sensitive, so mismatched sides
+    // would silently drop true matches — rejected up front instead
+    val intKeys = exclude.select(col("o_custkey").cast("int").as("o_custkey"),
+      col("o_orderstatus"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.KeyShip.semiShipCols(
+        facts, Seq("o_custkey", "o_orderstatus"),
+        intKeys, Seq("o_custkey", "o_orderstatus"))
+    }
+    assert(ex.getMessage.contains("type"), ex.getMessage)
   }
 
   test("drilldown with topN larger than the parent set keeps all parents") {
