@@ -255,7 +255,17 @@ object Layout {
     * usable footer stats are simply absent from the map). */
   def multiStatsForFiles(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], columns: Seq[String])
-      : Seq[(String, Map[String, (Long, Long)])] = {
+      : Seq[(String, Map[String, (Long, Long)])] =
+    multiStatsWithRows(spark, paths, columns)
+      .map { case (p, _, st) => (p, st) }
+
+  /** One footer read per file yields BOTH the per-column [min,max]
+    * stats and the exact ROW COUNT (the footer carries it for free) —
+    * rows ride the manifest so `COUNT(*)`-grade questions become a
+    * manifest read, never a scan. */
+  def multiStatsWithRows(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], columns: Seq[String])
+      : Seq[(String, Long, Map[String, (Long, Long)])] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -268,11 +278,12 @@ object Layout {
         HadoopInputFile.fromPath(new Path(p), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
         if (blocks.isEmpty)
           // zero-row file: record the EMPTY range for every requested
           // column so later mutations prune it from the manifest
           // instead of re-reading its footer forever
-          (p, columns.map(_ -> (Long.MaxValue, Long.MinValue)).toMap)
+          (p, 0L, columns.map(_ -> (Long.MaxValue, Long.MinValue)).toMap)
         else {
           val byCol = blocks.flatMap(_.getColumns.asScala)
             .filter(c => want.contains(c.getPath.toDotString))
@@ -285,7 +296,7 @@ object Layout {
               Some(c -> (los.min, his.max))
             } catch { case _: Throwable => None } // non-numeric / no stats
           }.toMap
-          (p, stats)
+          (p, rows, stats)
         }
       } finally reader.close()
     }

@@ -65,11 +65,12 @@ import scala.jdk.CollectionConverters._
   */
 object TxnTable {
 
-  /** One live file of a table version: relative path, byte size, and
-    * per-column [min,max] carried from its commit's footer pass.
-    * `bytes < 0` / empty stats = legacy entry (pre-stats manifest). */
+  /** One live file of a table version: relative path, byte size,
+    * per-column [min,max], and exact row count — all carried from its
+    * commit's footer pass. `bytes < 0` / empty stats / `rows < 0` =
+    * legacy entry (pre-stats or pre-rows manifest). */
   final case class FileEntry(path: String, bytes: Long,
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)], rows: Long = -1L)
 
   private def fileOf(dir: String, name: String) = new java.io.File(dir, name)
 
@@ -88,7 +89,7 @@ object TxnTable {
       sys.error(s"no manifest under $dir"))
 
   private val entryPat =
-    """\{"path":"([^"]+)","bytes":(-?\d+),"stats":\{(.*)\}\}""".r
+    """\{"path":"([^"]+)","bytes":(-?\d+)(?:,"rows":(-?\d+))?,"stats":\{(.*)\}\}""".r
   private val statPat = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   // legacy pre-stats format: one QUOTED BARE PATH per line — anything
   // else is a parse error, never a guessed file path (a corrupted or
@@ -107,10 +108,11 @@ object TxnTable {
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     txt.split('\n').map(_.trim.stripSuffix(",")).flatMap {
       case "" | "[" | "]" => None
-      case entryPat(path, bytes, statsBody) =>
+      case entryPat(path, bytes, rowsOrNull, statsBody) =>
         val stats = statPat.findAllMatchIn(statsBody).map(m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-        Some(FileEntry(path, bytes.toLong, stats))
+        Some(FileEntry(path, bytes.toLong, stats,
+          Option(rowsOrNull).map(_.toLong).getOrElse(-1L)))
       case legacyPat(path) =>
         Some(FileEntry(path, -1L, Map.empty))
       case line => sys.error(
@@ -121,6 +123,18 @@ object TxnTable {
   /** Live file list (relative paths) of `v` (default: latest). */
   def liveFiles(dir: String, v: Int = -1): Seq[String] =
     liveEntries(dir, v).map(_.path)
+
+  /** Exact row count of version `v` from manifest METADATA alone —
+    * O(manifest), no scan (footers recorded the count at commit
+    * time). None when any live entry predates the rows channel
+    * (legacy manifest) or was committed without a footer pass: an
+    * unknown must surface as unknown, never as a number. Feeds
+    * COUNT(*)-grade questions and the key-ship/cost-model fact-row
+    * estimate for TxnTable-served cubes. */
+  def rowCount(dir: String, v: Int = -1): Option[Long] = {
+    val es = liveEntries(dir, v)
+    if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum)
+  }
 
   /** Commit `v` atomically — and EXCLUSIVELY: the publish step is a
     * hard-link creation, which (unlike rename, whose POSIX semantics
@@ -146,7 +160,7 @@ object TxnTable {
     val body = entries.map { e =>
       val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""$c":[$lo,$hi]""" }.mkString(",")
-      s"""{"path":"${e.path}","bytes":${e.bytes},"stats":{$stats}}"""
+      s"""{"path":"${e.path}","bytes":${e.bytes},"rows":${e.rows},"stats":{$stats}}"""
     }.mkString("[\n", ",\n", "\n]")
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
@@ -242,12 +256,18 @@ object TxnTable {
     val files = Option(new java.io.File(out).listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(_.getName.endsWith(".parquet"))
-    val stats: Map[String, Map[String, (Long, Long)]] =
+    // one footer pass yields stats AND exact row counts; a table
+    // with no declared stats columns skips the pass (legacy cost
+    // profile) and records rows as unknown
+    val byPath: Map[String, (Long, Map[String, (Long, Long)])] =
       if (cols.isEmpty) Map.empty
-      else Layout.multiStatsForFiles(s, files.map(_.getPath), cols)
-        .map { case (p, st) => (p, st) }.toMap
-    files.map(f => FileEntry(s"files/$commit/${f.getName}", f.length(),
-      stats.getOrElse(f.getPath, Map.empty)))
+      else Layout.multiStatsWithRows(s, files.map(_.getPath), cols)
+        .map { case (p, r, st) => (p, (r, st)) }.toMap
+    files.map { f =>
+      val (rows, st) = byPath.getOrElse(f.getPath,
+        (-1L, Map.empty[String, (Long, Long)]))
+      FileEntry(s"files/$commit/${f.getName}", f.length(), st, rows)
+    }
   }
 
   /** Create the table at `dir` from `df` as version 1, recording

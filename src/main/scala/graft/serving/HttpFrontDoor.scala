@@ -260,7 +260,9 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               }
             case "history" =>
               val rows = TxnTable.history(tdir).map { case (v, n, b) =>
-                s"""{"version":$v,"files":$n,"bytes":$b}""" }
+                val rc = TxnTable.rowCount(tdir, v)
+                  .map(r => s""","rows":$r""").getOrElse("")
+                s"""{"version":$v,"files":$n,"bytes":$b$rc}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
             case "optimizeRange" =>

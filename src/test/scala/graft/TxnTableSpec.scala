@@ -767,6 +767,47 @@ class TxnTableSpec extends AnyFunSuite {
       "range pruning must carry the unmatched half by reference")
   }
 
+  test("manifest-carried row counts: COUNT(*) is a metadata read across mutations") {
+    val dir = graft.core.TempDirs.scratchShared("txnrows")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 1000L).toDF("k").withColumn("payload", col("k"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    def check(tag: String): Unit = {
+      val meta = TxnTable.rowCount(dir)
+      val scan = TxnTable.read(spark, dir).count()
+      assert(meta.contains(scan), s"$tag: manifest rows $meta != scan $scan")
+    }
+    check("init")
+    TxnTable.deleteKeys(spark, dir, "k", Seq(10L, 20L, 30L))
+    check("delete")
+    TxnTable.upsert(spark, dir, "k",
+      Seq((40L, -1L), (5000L, -2L)).toDF("k", "payload"))
+    check("upsert (replace + insert)")
+    TxnTable.mergeFrame(spark, dir, "k",
+      Seq((50L, 0L, "delete"), (5001L, -3L, "upsert"))
+        .toDF("k", "payload", "_op"))
+    check("mergeFrame")
+    // time travel: each version's count is its own metadata
+    assert(TxnTable.rowCount(dir, v = 1).contains(1000L))
+    // rows survive carry-by-reference (untouched files keep their
+    // counts without any footer re-read)
+    assert(TxnTable.liveEntries(dir).forall(_.rows >= 0))
+    // a legacy bare-path manifest has no rows channel: unknown must
+    // surface as None, never as a number
+    val legacyDir = graft.core.TempDirs.scratchShared("txnrowslegacy")
+    TxnTable.init(spark, legacyDir, (0L until 10L).toDF("k"), numFiles = 1)
+    val mf = new java.io.File(legacyDir, "manifest-v1.json")
+    val paths = TxnTable.liveFiles(legacyDir)
+    java.nio.file.Files.write(mf.toPath,
+      paths.map(p => s""""$p"""").mkString("[\n", ",\n", "\n]")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    assert(TxnTable.rowCount(legacyDir).isEmpty,
+      "legacy manifests must report unknown, not a guessed count")
+  }
+
   test("mergeFrame: a 10^6-DELETE CDC batch stays distributed end-to-end") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
