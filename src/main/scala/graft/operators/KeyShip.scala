@@ -155,12 +155,6 @@ object KeyShip {
     }
   }
 
-  /** Semi-join `fact` to the keys of `keys(keyCol)` on
-    * `fact(factKey)`, choosing the carrier by key count:
-    * `<= maxLiterals` ships literals (pushed `In` at the scan);
-    * above it, the Bloom probe pre-filters map-side, then the exact
-    * semi-join removes the false positives. Result is the exact
-    * semi-join either way. */
   /** A fact key the Bloom carrier cannot judge: non-NULL raw value
     * whose LONG cast is NULL (non-numeric string, out-of-range
     * decimal). The probe hashes the CAST value, so such rows evaluate
@@ -173,6 +167,13 @@ object KeyShip {
   private def castNull(factKey: Column): Column =
     factKey.isNotNull && factKey.try_cast("long").isNull
 
+  /** Semi-join `fact` to the keys of `keys(keyCol)` on
+    * `fact(factKey)`, carrier chosen by [[bloomDecision]]:
+    * `<= maxLiterals` ships literals (pushed `In` at the scan); a
+    * broadcastable key side ships nothing (the exact semi broadcasts
+    * under AQE); past the broadcast budget the Bloom probe
+    * pre-filters map-side, then the exact semi-join removes the
+    * false positives. Result is the exact semi-join in every regime. */
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
