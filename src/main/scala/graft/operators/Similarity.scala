@@ -454,6 +454,87 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** st13 — STREAMING VECTOR INGEST (the continuous-arrival form of
+    * [[simIncrementalIngest]], and the ANN counterpart of st10's
+    * streaming table ingest): delta vectors arrive as a FILE STREAM;
+    * each micro-batch is assigned to the existing lists with the
+    * FROZEN coarse quantizer (map-only — O(batch·k), the history is
+    * never re-read) and appended into the cid-partitioned layout
+    * inside `foreachBatch`, so a vector is searchable the moment its
+    * batch commits. Retraining stays a separate scheduled event
+    * ([[ivfRetrain]] + the generation pointer) — exactly because
+    * per-batch assignment must be deterministic, which is what makes
+    * STREAMED-APPENDED ≡ REBUILT exact. Oracle: flat-quantizer IVF
+    * over the full corpus — the oracle cannot see how the index was
+    * built, which IS the contract (sim12's argument, now across the
+    * streaming boundary). */
+  def st13StreamIngest(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val nprobe = 2
+    val v = withNorm(s, d)
+    val maxId = v.agg(max("vec_id")).first().getLong(0)
+    val deltaFrom = (maxId + 1) * 4 / 5
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val dir = graft.core.Caches.memoObj(s, s"ivfstream|$d|k$k") {
+      val path = graft.core.TempDirs.scratchShared("ivfstream")
+      // day 0: the base index (batch build, frozen quantizer)
+      v.filter(col("vec_id") < deltaFrom)
+        .select(nearestCidCol(cents, col("embedding")).as("cid"),
+          col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(path)
+      // the arrival stream: the delta lands as two files, one per
+      // micro-batch (maxFilesPerTrigger=1)
+      val src = java.nio.file.Files.createTempDirectory("graft-st13")
+        .toString
+      sys.addShutdownHook(
+        graft.core.TempDirs.rmTree(new java.io.File(src)))
+      val delta = v.filter(col("vec_id") >= deltaFrom)
+      delta.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$src/b0")
+      delta.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$src/b1")
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/b*")
+        .writeStream
+        .option("checkpointLocation",
+          graft.core.TempDirs.scratch("st13ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .withColumn("nrm", sqrt(graft.functions.GraftFunctions
+              .fixdotD(col("embedding"), col("embedding"))))
+            .select(nearestCidCol(cents, col("embedding")).as("cid"),
+              col("vec_id"), col("embedding"), col("nrm"))
+            .repartition(col("cid"))
+            .write.partitionBy("cid").mode("append").parquet(path)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      path
+    }
+    // serve over old + new in one scan — the plan sim11/sim12 pinned
+    val postings = s.read.parquet(dir)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = v.filter(col("vec_id") < 6 || col("vec_id") >= maxId - 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCol(cents, col("embedding"), nprobe)).as("cid"))
+    postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .groupBy("qid")
+      .agg(topKAgg(4)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** DRIFT STATISTIC for a frozen-quantizer cid-partitioned index
     * ([[simIncrementalIngest]]'s production shape): `factor` = max
     * list share × k — 1.0 at perfect balance, k when one list owns
@@ -1020,6 +1101,7 @@ object Similarity {
     "sim07_int8_topk" -> (simInt8TopK _),
     "sim11_persisted_index" -> (simPersistedIndex _),
     "sim12_incremental_ingest" -> (simIncrementalIngest _),
+    "st13_stream_vector_ingest" -> (st13StreamIngest _),
   )
 
   /** Shared oracle CTEs: per-vector norms (`v`) and per-(vec, band)
@@ -1478,6 +1560,53 @@ object Similarity {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // st13: streamed-appended serve ≡ flat-quantizer IVF over the
+    // FULL corpus — same contract as sim12, across the streaming
+    // boundary; nprobe=2, top-4, queries span base ids (< 6) and the
+    // freshest streamed ids (max-1..max)
+    "st13_stream_vector_ingest" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT v.vec_id qid, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c
+        |    WHERE v.vec_id < 6
+        |       OR v.vec_id >= (SELECT MAX(vec_id) - 1 FROM embeddings)
+        |  ) t WHERE rn <= 2),
+        |p AS (
+        |  SELECT q.vec_id qid, n.vec_id nid,
+        |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM probes pr
+        |  JOIN v q ON q.vec_id = pr.qid
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  WHERE q.vec_id <> n.vec_id)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 4 ORDER BY qid, rank""".stripMargin,
     // sim11: the persisted-index serve path is semantically sim06's
     // flat-quantizer IVF at k=16/nprobe=2/nq=5 — the parquet
     // round-trip (float arrays, IEEE doubles) is exact, so the same
