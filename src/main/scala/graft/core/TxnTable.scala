@@ -581,18 +581,42 @@ object TxnTable {
     * 10⁶-delete CDC correction batch never materializes its keys on
     * the driver. [[merge]] remains for genuinely request-metadata
     * delete lists. Semantics are identical: deletes + replacements +
-    * inserts land in ONE committed version under OCC retry. */
+    * inserts land in ONE committed version under OCC retry.
+    *
+    * MULTIPLE OPS PER KEY: with no `seqCol`, a batch is assumed
+    * key-disjoint (the st12 contract) — a key tagged both delete and
+    * upsert nets out as the upsert (its row re-inserts after the
+    * rewrite), and two upserts of one key insert BOTH rows. A real
+    * CDC feed orders its events (Debezium LSN / binlog position):
+    * pass that column as `seqCol` and the batch is COMPACTED first —
+    * the highest-sequence op per key wins, the standard CDC apply
+    * rule — via a map-side-combining `max_by` aggregate (never a
+    * per-key window shuffle of the raw batch). NULL-key rows bypass
+    * compaction (each is its own event; collapsing them would merge
+    * unrelated rows). Sequence ties are the feed's bug, not resolved
+    * here. */
   def mergeFrame(s: SparkSession, dir: String, keyCol: String,
       changes: DataFrame, opCol: String = "_op",
-      deleteOp: String = "delete", numFiles: Int = 4): Unit =
+      deleteOp: String = "delete", numFiles: Int = 4,
+      seqCol: Option[String] = None): Unit =
     withOcc(dir) { planned =>
+      val compacted = seqCol.fold(changes) { sc =>
+        val cs = changes.columns
+        val keyed = changes.filter(col(keyCol).isNotNull)
+          .groupBy(col(keyCol).as("__ck"))
+          .agg(max_by(struct(cs.map(col): _*), col(sc)).as("__row"))
+          .select(cs.map(c => col(s"__row.`$c`").as(c)): _*)
+        keyed.unionByName(changes.filter(col(keyCol).isNull))
+      }
       // untagged (NULL-op) rows upsert — three-valued `=!=` would
       // silently drop them from BOTH arms
-      val updates = changes.filter(col(opCol).isNull ||
-        col(opCol) =!= deleteOp).drop(opCol)
+      // the op tag and the sequence column are APPLY metadata, not
+      // table columns — both leave before the insert
+      val updates = compacted.filter(col(opCol).isNull ||
+        col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
       // delete + upsert keys together: every affected row leaves its
       // file in one rewrite pass, then upsert rows re-insert
-      val affected = keyFrame(changes, keyCol)
+      val affected = keyFrame(compacted, keyCol)
       val (matched, untouched, survivorsOf) =
         planKeyedMutation(s, dir, keyCol, affected, planned)
       val cols = colsWith(dir, keyCol)

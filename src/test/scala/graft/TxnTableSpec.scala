@@ -767,6 +767,39 @@ class TxnTableSpec extends AnyFunSuite {
       "range pruning must carry the unmatched half by reference")
   }
 
+  test("mergeFrame seqCol: the highest-sequence op per key wins, NULL keys bypass") {
+    val dir = graft.core.TempDirs.scratchShared("txnseq")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).map(k => (Option(k), k * 10))
+        .toDF("k", "v"), numFiles = 1, statsCols = Seq("k"))
+    // one batch, multiple ops per key, deliberately out of order:
+    //  k=1: upsert@2 then delete@5  -> key gone
+    //  k=2: delete@1 then upsert@4  -> survives with the upsert value
+    //  k=3: upsert@1 then upsert@7  -> exactly ONE row, the later value
+    //  two NULL-key upserts         -> BOTH insert (no collapsing)
+    val batch = Seq(
+      (Option(1L), 111L, "upsert", 2L), (Option(1L), 0L, "delete", 5L),
+      (Option(2L), 0L, "delete", 1L), (Option(2L), 222L, "upsert", 4L),
+      (Option(3L), 300L, "upsert", 1L), (Option(3L), 333L, "upsert", 7L),
+      (Option.empty[Long], -1L, "upsert", 1L),
+      (Option.empty[Long], -2L, "upsert", 2L))
+      .toDF("k", "v", "_op", "seq")
+    TxnTable.mergeFrame(spark, dir, "k", batch, seqCol = Some("seq"))
+    val after = TxnTable.read(spark, dir)
+    assert(after.columns.toSeq == Seq("k", "v"),
+      s"op/seq metadata must not leak into the table: ${after.columns.toSeq}")
+    assert(after.filter(col("k") === 1L).count() == 0, "delete@5 wins")
+    assert(after.filter(col("k") === 2L).collect().map(_.getLong(1)).toSeq
+      == Seq(222L), "upsert@4 wins over delete@1")
+    assert(after.filter(col("k") === 3L).collect().map(_.getLong(1)).toSeq
+      == Seq(333L), "later upsert wins, exactly one row")
+    assert(after.filter(col("k").isNull).collect().map(_.getLong(1)).toSet
+      == Set(-1L, -2L), "NULL-key events must not collapse")
+    assert(after.count() == 100 - 1 + 2,
+      "k=1 deleted; k=2,3 replaced in place; two null-key inserts")
+  }
+
   test("manifest-carried row counts: COUNT(*) is a metadata read across mutations") {
     val dir = graft.core.TempDirs.scratchShared("txnrows")
     import spark.implicits._
