@@ -243,6 +243,83 @@ object TxnTable {
       cols.distinct.map("\"" + _ + "\"")
         .mkString("{\"statsCols\":[", ",", "]}").getBytes("UTF-8"))
 
+  /** CHECK constraints (the lakehouse expectations channel): declared
+    * SQL predicates every incoming row of every future commit must
+    * satisfy — the operational guard against a malformed CDC batch
+    * landing in the table. Semantics follow SQL CHECK: a row violates
+    * only when the predicate is FALSE (NULL passes). Enforcement runs
+    * BEFORE any file is written, so a rejected batch leaves no
+    * version, no orphan files, and nothing to vacuum; the cost is one
+    * short-circuit job over the incoming frame per mutation, and zero
+    * when no constraints are declared. Stored one-per-line in
+    * `constraints.json` (separate from table.json — its legacy parser
+    * scans every quoted string). */
+  def addConstraint(s: SparkSession, dir: String, name: String,
+      predicate: String): Unit = {
+    require(!name.exists(c => c == '"' || c == '\n') &&
+      !predicate.exists(c => c == '"' || c == '\n'),
+      "constraint names and predicates must not contain quotes or newlines")
+    require(constraints(dir).forall(_._1 != name),
+      s"constraint '$name' already exists on $dir")
+    // must hold on the CURRENT snapshot: a constraint the table
+    // already violates would poison every future mutation
+    val bad = read(s, dir).filter(s"NOT ($predicate)").limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"constraint '$name' ($predicate) is violated by existing rows — " +
+        "clean the table first, then declare it")
+    val f = fileOf(dir, "constraints.json")
+    val line = s"""{"name":"$name","predicate":"$predicate"}""" + "\n"
+    java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  def dropConstraint(dir: String, name: String): Unit = {
+    val kept = constraints(dir).filterNot(_._1 == name)
+    val f = fileOf(dir, "constraints.json")
+    java.nio.file.Files.write(f.toPath,
+      kept.map { case (n, p) =>
+        s"""{"name":"$n","predicate":"$p"}""" }
+        .mkString("", "\n", if (kept.isEmpty) "" else "\n")
+        .getBytes("UTF-8"))
+    ()
+  }
+
+  /** Declared constraints, in declaration order. */
+  def constraints(dir: String): Seq[(String, String)] = {
+    val f = fileOf(dir, "constraints.json")
+    if (!f.exists()) Nil
+    else {
+      val pat = """\{"name":"([^"]+)","predicate":"([^"]+)"\}""".r
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map {
+          case pat(n, p) => (n, p)
+          case line => sys.error(
+            s"unparseable constraint line in ${f.getPath}: '$line'")
+        }
+    }
+  }
+
+  /** Reject `incoming` if any declared constraint is FALSE on any of
+    * its rows — one short-circuit (limit-1) job, run before anything
+    * is written. The error names the first violated constraint. */
+  private def enforceConstraints(s: SparkSession, dir: String,
+      incoming: DataFrame): Unit = {
+    val cs = constraints(dir)
+    if (cs.nonEmpty) {
+      val combined = cs.map { case (_, p) => s"NOT ($p)" }.mkString(" OR ")
+      if (incoming.filter(combined).limit(1).count() > 0) {
+        val guilty = cs.find { case (_, p) =>
+          incoming.filter(s"NOT ($p)").limit(1).count() > 0 }
+        throw new IllegalArgumentException(
+          s"constraint '${guilty.map(_._1).getOrElse("?")}' " +
+            s"(${guilty.map(_._2).getOrElse("?")}) rejected the batch — " +
+            "no version was committed")
+      }
+    }
+  }
+
   /** Write `df` as one immutable commit dir and read the fresh files'
     * footers ONCE for `cols` stats + byte sizes; returns manifest
     * entries. `numFiles <= 0` keeps the frame's own partitioning (a
@@ -524,7 +601,9 @@ object TxnTable {
     * by size ([[planKeyedMutation]]): small batches ship literals, a
     * 10⁷-key correction batch stays distributed end-to-end. */
   def upsert(s: SparkSession, dir: String, keyCol: String,
-      updates: DataFrame, numFiles: Int = 4): Unit = withOcc(dir) { planned =>
+      updates: DataFrame, numFiles: Int = 4): Unit = {
+    enforceConstraints(s, dir, updates)
+    withOcc(dir) { planned =>
     val (matched, untouched, survivorsOf) =
       planKeyedMutation(s, dir, keyCol, keyFrame(updates, keyCol), planned)
     val cols = colsWith(dir, keyCol)
@@ -536,6 +615,7 @@ object TxnTable {
     val inserted = commitFiles(s, dir, updates, numFiles, cols)
     onBeforeCommit()
     writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+    }
   }
 
   /** MERGE: deletes and upserts applied together in ONE committed
@@ -550,7 +630,8 @@ object TxnTable {
     * instead of up to twice. Update keys stay distributed (the
     * `deletes` list is request metadata and may ride the driver). */
   def merge(s: SparkSession, dir: String, keyCol: String,
-      updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit =
+      updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit = {
+    enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
       val delFrame = s.createDataFrame(
         deletes.map(org.apache.spark.sql.Row(_)).asJava,
@@ -570,6 +651,7 @@ object TxnTable {
       onBeforeCommit()
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
+  }
 
   /** MERGE from ONE `_op`-tagged DataFrame (the Debezium/CDC-feed
     * shape a streaming merge sink already holds): rows whose `opCol`
@@ -598,7 +680,10 @@ object TxnTable {
   def mergeFrame(s: SparkSession, dir: String, keyCol: String,
       changes: DataFrame, opCol: String = "_op",
       deleteOp: String = "delete", numFiles: Int = 4,
-      seqCol: Option[String] = None): Unit =
+      seqCol: Option[String] = None): Unit = {
+    // constraints judge what can LAND: upsert rows only (a delete
+    // event's payload columns are feed filler, not table rows), and
+    // only the post-compaction winners
     withOcc(dir) { planned =>
       val compacted = seqCol.fold(changes) { sc =>
         val cs = changes.columns
@@ -614,6 +699,7 @@ object TxnTable {
       // table columns — both leave before the insert
       val updates = compacted.filter(col(opCol).isNull ||
         col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
+      enforceConstraints(s, dir, updates)
       // delete + upsert keys together: every affected row leaves its
       // file in one rewrite pass, then upsert rows re-insert
       val affected = keyFrame(compacted, keyCol)
@@ -629,6 +715,7 @@ object TxnTable {
       onBeforeCommit()
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
+  }
 
   /** OPTIMIZE: rewrite the whole live set as one freshly clustered
     * commit — range-clustered on `zcols.head` when one column is

@@ -767,6 +767,51 @@ class TxnTableSpec extends AnyFunSuite {
       "range pruning must carry the unmatched half by reference")
   }
 
+  test("CHECK constraints reject bad batches atomically; NULL passes; drop lifts") {
+    val dir = graft.core.TempDirs.scratchShared("txncheck")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).map(k => (k, k * 10)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    // a constraint the table already violates is refused up front
+    val bad = intercept[IllegalArgumentException] {
+      TxnTable.addConstraint(spark, dir, "v_small", "v < 100")
+    }
+    assert(bad.getMessage.contains("existing rows"), bad.getMessage)
+    TxnTable.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+    TxnTable.addConstraint(spark, dir, "k_bounded", "k < 100000")
+    assert(TxnTable.constraints(dir).map(_._1) ==
+      Seq("v_nonneg", "k_bounded"))
+    val v0 = TxnTable.version(dir)
+    // a violating upsert is rejected BEFORE anything lands: same
+    // version, no orphan commit dirs beyond the initial one
+    val rej = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((5L, -1L)).toDF("k", "v"))
+    }
+    assert(rej.getMessage.contains("v_nonneg") &&
+      rej.getMessage.contains("no version was committed"), rej.getMessage)
+    assert(TxnTable.version(dir) == v0, "rejected batch must not commit")
+    assert(Option(new java.io.File(dir, "files").listFiles())
+      .get.length == 1, "rejected batch must leave no orphan commit dir")
+    // mergeFrame: only the post-compaction UPSERT winners are judged —
+    // a delete event's filler payload violating the constraint is fine
+    TxnTable.mergeFrame(spark, dir, "k",
+      Seq((7L, -999L, "delete", 1L), (8L, 888L, "upsert", 1L))
+        .toDF("k", "v", "_op", "seq"), seqCol = Some("seq"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 7L).count() == 0)
+    // NULL predicate result passes (SQL CHECK semantics)
+    TxnTable.upsert(spark, dir, "k",
+      Seq((Option(9L), Option.empty[Long])).toDF("k", "v"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 9L)
+      .first().isNullAt(1))
+    // drop lifts the guard
+    TxnTable.dropConstraint(dir, "v_nonneg")
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("k_bounded"))
+    TxnTable.upsert(spark, dir, "k", Seq((5L, -1L)).toDF("k", "v"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 5L)
+      .first().getLong(1) == -1L)
+  }
+
   test("mergeFrame seqCol: the highest-sequence op per key wins, NULL keys bypass") {
     val dir = graft.core.TempDirs.scratchShared("txnseq")
     import spark.implicits._
