@@ -43,6 +43,10 @@ import graft.semantic.model.Registry
   *                           generation under the exclusive-create
   *                           claim), `history` lists generations
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
+  *                                 |constraints|addConstraint|dropConstraint
+  *                           (CHECK-constraint management rides the
+  *                           same registered-table surface; predicates
+  *                           arrive URL-encoded)
   *                           storage-maintenance surface over the
   *                           REGISTERED TxnTables passed at
   *                           construction (never arbitrary paths) —
@@ -284,6 +288,31 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               Freshness.refresh(s, tdir)
               (200, s"""{"op":"compact","packed":$packed,"version":${TxnTable.version(tdir)}}""",
                 reqId)
+            case "constraints" =>
+              val rows = TxnTable.constraints(tdir).map { case (n, pr) =>
+                s"""{"name":${Domain.jStr(n)},"predicate":${Domain.jStr(pr)}}""" }
+              (200, rows.mkString("""{"op":"constraints","constraints":[""",
+                ",", "]}"), reqId)
+            case "addConstraint" =>
+              (q.get("name"), q.get("predicate").map(
+                java.net.URLDecoder.decode(_, UTF_8))) match {
+                case (Some(n), Some(pr)) =>
+                  TxnTable.addConstraint(s, tdir, n, pr)
+                  (200, s"""{"op":"addConstraint","name":${Domain.jStr(n)}}""",
+                    reqId)
+                case _ =>
+                  (400, """{"error":"addConstraint requires name, predicate"}""",
+                    reqId)
+              }
+            case "dropConstraint" =>
+              q.get("name") match {
+                case Some(n) =>
+                  TxnTable.dropConstraint(tdir, n)
+                  (200, s"""{"op":"dropConstraint","name":${Domain.jStr(n)}}""",
+                    reqId)
+                case None =>
+                  (400, """{"error":"dropConstraint requires name"}""", reqId)
+              }
             case "vacuum" =>
               val keep = q.get("keepSince").map(_.toInt)
                 .getOrElse(TxnTable.version(tdir))

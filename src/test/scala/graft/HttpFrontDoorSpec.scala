@@ -260,6 +260,25 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(post(port,
         s"/maintenance/events_live?op=vacuum&keepSince=x", "")
         .statusCode() == 400)
+      // CHECK-constraint management over the wire: declare (predicate
+      // URL-encoded), list, watch it reject a bad mutation as a 400,
+      // drop
+      val enc = java.net.URLEncoder.encode("payload >= 0", "UTF-8")
+      assert(post(port,
+        s"/maintenance/events_live?op=addConstraint&name=p_pos&predicate=$enc",
+        "").statusCode() == 200)
+      val lst = post(port, s"/maintenance/events_live?op=constraints", "")
+      assert(lst.statusCode() == 200 && lst.body().contains("p_pos") &&
+        lst.body().contains("payload >= 0"), lst.body())
+      val viol = intercept[IllegalArgumentException] {
+        TxnTable.upsert(spark, tdir, "k",
+          Seq((1L, -5L)).toDF("k", "payload"))
+      }
+      assert(viol.getMessage.contains("p_pos"))
+      assert(post(port,
+        s"/maintenance/events_live?op=dropConstraint&name=p_pos", "")
+        .statusCode() == 200)
+      TxnTable.upsert(spark, tdir, "k", Seq((1L, -5L)).toDF("k", "payload"))
       val v = post(port, s"/maintenance/events_live?op=vacuum", "")
       assert(v.statusCode() == 200, v.body())
       // pre-compaction versions are gone, the live one reads intact
