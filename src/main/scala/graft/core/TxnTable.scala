@@ -177,27 +177,37 @@ object TxnTable {
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 
-  /** The no-hard-link publish path: claim the version with an
-    * EXCLUSIVE CREATE of `manifest-v$v.lock` (O_CREAT|O_EXCL — a true
-    * put-if-absent) BEFORE moving the manifest into place, so the
-    * move can never replace a concurrent winner's committed manifest.
-    * Exactly one of any number of racers owns the lock; the rest get
-    * ConcurrentModificationException and re-plan. Split out of
-    * [[writeManifest]] so the race can be unit-tested on filesystems
-    * where createLink itself succeeds. */
+  /** The no-hard-link publish path: a TRANSIENT `manifest-v$v.lock`
+    * (O_CREAT|O_EXCL — a true put-if-absent) serializes the
+    * exists-check + move critical section, so the move can never
+    * replace a concurrent winner's committed manifest. The lock is
+    * RELEASED after the move: holding it forever would be a
+    * wedged-table hazard (a writer that dies between claim and move
+    * would block version v for good), and releasing it is safe
+    * precisely because the exists-check runs INSIDE the lock — a late
+    * racer that acquires the freed lock sees the committed manifest
+    * and loses loudly. The only wedge window left is a crash between
+    * claim and move (microseconds, no Spark work inside); the CME
+    * message names the stale lock so an operator can clear it. */
   private[graft] def publishWithoutLinks(dir: String, v: Int,
       tmp: java.nio.file.Path): Unit = {
+    val target = fileOf(dir, s"manifest-v$v.json").toPath
     val lock = fileOf(dir, s"manifest-v$v.lock").toPath
+    def lost(why: String) =
+      throw new java.util.ConcurrentModificationException(
+        s"manifest v$v $why under $dir — a concurrent writer won (or " +
+          s"crashed mid-publish leaving $lock; delete it to recover); " +
+          "re-read the latest version and re-plan")
     try java.nio.file.Files.createFile(lock)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"manifest v$v already claimed under $dir — a concurrent " +
-            "writer won; re-read the latest version and re-plan")
+        lost("already claimed")
     }
-    java.nio.file.Files.move(tmp, fileOf(dir, s"manifest-v$v.json").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    try {
+      if (java.nio.file.Files.exists(target)) lost("already committed")
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally { java.nio.file.Files.deleteIfExists(lock); () }
   }
 
   /** Test hook: runs after a mutation has planned + rewritten but
@@ -681,25 +691,34 @@ object TxnTable {
       changes: DataFrame, opCol: String = "_op",
       deleteOp: String = "delete", numFiles: Int = 4,
       seqCol: Option[String] = None): Unit = {
-    // constraints judge what can LAND: upsert rows only (a delete
-    // event's payload columns are feed filler, not table rows), and
-    // only the post-compaction winners
+    // compaction + constraint checks are invariant across OCC retries
+    // (the batch doesn't change when the publish loses a race), so
+    // they run ONCE, before the retry loop — like upsert/merge
+    val compacted = seqCol.fold(changes) { sc =>
+      // a feed that claims ordering must provide it: max_by skips
+      // NULL orderings, so a NULL-seq event would silently collapse
+      // its key to an all-NULL row — reject the batch loudly instead
+      if (changes.filter(col(sc).isNull).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"mergeFrame seqCol='$sc': batch contains NULL sequence " +
+            "values — every event must carry its order")
+      val cs = changes.columns
+      val keyed = changes.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("__ck"))
+        .agg(max_by(struct(cs.map(col): _*), col(sc)).as("__row"))
+        .select(cs.map(c => col(s"__row.`$c`").as(c)): _*)
+      keyed.unionByName(changes.filter(col(keyCol).isNull))
+    }
+    // untagged (NULL-op) rows upsert — three-valued `=!=` would
+    // silently drop them from BOTH arms. The op tag and the sequence
+    // column are APPLY metadata, not table columns — both leave
+    // before the insert. Constraints judge what can LAND: upsert rows
+    // only (a delete event's payload columns are feed filler, not
+    // table rows), and only the post-compaction winners.
+    val updates = compacted.filter(col(opCol).isNull ||
+      col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
+    enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
-      val compacted = seqCol.fold(changes) { sc =>
-        val cs = changes.columns
-        val keyed = changes.filter(col(keyCol).isNotNull)
-          .groupBy(col(keyCol).as("__ck"))
-          .agg(max_by(struct(cs.map(col): _*), col(sc)).as("__row"))
-          .select(cs.map(c => col(s"__row.`$c`").as(c)): _*)
-        keyed.unionByName(changes.filter(col(keyCol).isNull))
-      }
-      // untagged (NULL-op) rows upsert — three-valued `=!=` would
-      // silently drop them from BOTH arms
-      // the op tag and the sequence column are APPLY metadata, not
-      // table columns — both leave before the insert
-      val updates = compacted.filter(col(opCol).isNull ||
-        col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
-      enforceConstraints(s, dir, updates)
       // delete + upsert keys together: every affected row leaves its
       // file in one rewrite pass, then upsert rows re-insert
       val affected = keyFrame(compacted, keyCol)
@@ -811,10 +830,11 @@ object TxnTable {
     * legacy entries count as size 0). Pure manifest metadata (no data
     * file touched) — the audit surface behind `op=history`, the
     * lakehouse DESCRIBE HISTORY analogue. */
-  def history(dir: String): Seq[(Int, Int, Long)] =
+  def history(dir: String): Seq[(Int, Int, Long, Option[Long])] =
     manifests(dir).map { case (v, _) =>
       val es = liveEntries(dir, v)
-      (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum)
+      (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum,
+        if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum))
     }
 
   /** Physically delete files referenced by NO manifest ≥
@@ -838,9 +858,8 @@ object TxnTable {
       .foreach(c => TempDirs.rmTree(c))
     drop.foreach { case (v, f) =>
       f.delete()
-      // fallback-publish claim tokens (see writeManifest) of expired
-      // versions go with their manifests; live versions keep theirs —
-      // deleting a live lock would reopen the publish race
+      // a stale fallback-publish claim token (crash between claim and
+      // move) goes with its expired manifest slot
       fileOf(dir, s"manifest-v$v.lock").delete()
       ()
     }

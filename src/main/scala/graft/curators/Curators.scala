@@ -270,8 +270,18 @@ object Curators {
     // row estimate (when declared) feeds the bitset sizing and the
     // build-vs-savings decline.
     val (drillDf, drillRows) = plannedWithEstimate(drillReq, reg, s, dir)
-    val drilled = graft.operators.KeyShip.semiShipCols(
-      drillDf, parentDims, parents, parentDims, factRows = drillRows)
+    // a cube OVERRIDE may publish a shared parent dim under a
+    // different physical type; the tuple carrier refuses mismatched
+    // types (xxhash64 is type-sensitive — see KeyShip.shipColsPrep),
+    // so that case keeps the coercing broadcast semi the page-sized
+    // parent set is fine with
+    val typesMatch = parentDims.forall(a =>
+      drillDf.schema(a).dataType == parents.schema(a).dataType)
+    val drilled =
+      if (typesMatch)
+        graft.operators.KeyShip.semiShipCols(
+          drillDf, parentDims, parents, parentDims, factRows = drillRows)
+      else drillDf.join(broadcast(parents), parentDims, "left_semi")
     val ordered =
       if (cfg.ordering.isEmpty)
         drilled.orderBy((parentDims ++ cfg.dimensions).distinct.map(col): _*)

@@ -657,10 +657,17 @@ object Similarity {
     * (gen, path). */
   private[graft] def ivfRetrainPublish(s: SparkSession, root: String,
       iters: Int = 4): (Int, String) = {
-    val (_, path, k) = ivfCurrent(root).getOrElse(
+    val (planned, path, k) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
     val (fresh, _) = ivfRetrain(s, path, k, iters)
-    (ivfPublish(root, fresh, k), fresh)
+    // publish at EXACTLY planned+1 — never re-read the pointer after
+    // training: a concurrent retrain (or an ingest that bumped the
+    // generation) may have moved it, and re-reading would let a STALE
+    // index (trained on the pre-bump corpus) land as the newest
+    // generation with no conflict raised. The exclusive-create claim
+    // turns that race into a loud CME/409 the caller re-plans from.
+    ivfPublishAs(root, planned + 1, fresh, k)
+    (planned + 1, fresh)
   }
 
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the

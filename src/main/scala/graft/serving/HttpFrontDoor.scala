@@ -183,9 +183,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       val reqId = requestId(ex)
       val name = ex.getRequestURI.getPath
         .stripPrefix("/index").stripPrefix("/")
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        .split('&').filter(_.contains('='))
-        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toMap
+      val q = queryParams(ex)
       if (ex.getRequestMethod != "POST")
         (405, """{"error":"POST only"}""", reqId)
       else maintainableIndexes.get(name) match {
@@ -238,9 +236,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       val reqId = requestId(ex)
       val name = ex.getRequestURI.getPath
         .stripPrefix("/maintenance").stripPrefix("/")
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        .split('&').filter(_.contains('='))
-        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toMap
+      val q = queryParams(ex)
       if (ex.getRequestMethod != "POST")
         (405, """{"error":"POST only"}""", reqId)
       else maintainable.get(name) match {
@@ -263,10 +259,11 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   reqId)
               }
             case "history" =>
-              val rows = TxnTable.history(tdir).map { case (v, n, b) =>
-                val rc = TxnTable.rowCount(tdir, v)
-                  .map(r => s""","rows":$r""").getOrElse("")
-                s"""{"version":$v,"files":$n,"bytes":$b$rc}""" }
+              // rows come from the entries history() already parsed —
+              // one manifest pass per version, not two
+              val rows = TxnTable.history(tdir).map { case (v, n, b, rc) =>
+                val rs = rc.map(r => s""","rows":$r""").getOrElse("")
+                s"""{"version":$v,"files":$n,"bytes":$b$rs}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
             case "optimizeRange" =>
@@ -294,8 +291,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               (200, rows.mkString("""{"op":"constraints","constraints":[""",
                 ",", "]}"), reqId)
             case "addConstraint" =>
-              (q.get("name"), q.get("predicate").map(
-                java.net.URLDecoder.decode(_, UTF_8))) match {
+              (q.get("name"), q.get("predicate")) match {
                 case (Some(n), Some(pr)) =>
                   TxnTable.addConstraint(s, tdir, n, pr)
                   (200, s"""{"op":"addConstraint","name":${Domain.jStr(n)}}""",
@@ -333,6 +329,11 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case e: NumberFormatException =>
               (400, s"""{"error":${Domain.jStr(
                 s"malformed numeric parameter: ${e.getMessage}")}}""", reqId)
+            // a constraint predicate that fails SQL analysis (unknown
+            // column, parse error) is the CALLER's mistake
+            case e: org.apache.spark.sql.AnalysisException =>
+              (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+                reqId)
             case e: IllegalArgumentException =>
               (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
                 reqId)
@@ -343,6 +344,21 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     server.start()
     server.getAddress.getPort
   }
+
+  /** Query params decoded EXACTLY ONCE: parse the RAW query so that
+    * a value containing an encoded '&' or '=' survives the split, and
+    * decode each component here — `URI.getQuery` already percent-
+    * decodes, so decoding again would corrupt '+' into space and
+    * throw on a literal '%' (e.g. a SQL LIKE pattern in a constraint
+    * predicate). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (java.net.URLDecoder.decode(k, UTF_8),
+          java.net.URLDecoder.decode(v, UTF_8))
+      }.toMap
 
   private def requestId(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("X-Request-Id"))

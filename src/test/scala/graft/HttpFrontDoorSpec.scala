@@ -275,6 +275,23 @@ class HttpFrontDoorSpec extends AnyFunSuite {
           Seq((1L, -5L)).toDF("k", "payload"))
       }
       assert(viol.getMessage.contains("p_pos"))
+      // a predicate containing a literal '%' (SQL modulo / LIKE) must
+      // survive the wire: params decode EXACTLY once (double-decoding
+      // the already-decoded query threw on '%' and ate '+')
+      val encMod = java.net.URLEncoder.encode("k % 2 >= 0", "UTF-8")
+      assert(post(port,
+        s"/maintenance/events_live?op=addConstraint&name=kmod&predicate=$encMod",
+        "").statusCode() == 200)
+      val lst2 = post(port, s"/maintenance/events_live?op=constraints", "")
+      assert(lst2.body().contains("k % 2 >= 0"), lst2.body())
+      assert(post(port,
+        s"/maintenance/events_live?op=dropConstraint&name=kmod", "")
+        .statusCode() == 200)
+      // an unanalyzable predicate is the CALLER's mistake: 400, not 500
+      val encBad = java.net.URLEncoder.encode("nosuchcol > 0", "UTF-8")
+      val badPred = post(port,
+        s"/maintenance/events_live?op=addConstraint&name=b&predicate=$encBad", "")
+      assert(badPred.statusCode() == 400, s"${badPred.statusCode()}: ${badPred.body()}")
       assert(post(port,
         s"/maintenance/events_live?op=dropConstraint&name=p_pos", "")
         .statusCode() == 200)

@@ -843,6 +843,14 @@ class TxnTableSpec extends AnyFunSuite {
       == Set(-1L, -2L), "NULL-key events must not collapse")
     assert(after.count() == 100 - 1 + 2,
       "k=1 deleted; k=2,3 replaced in place; two null-key inserts")
+    // a NULL sequence value is a feed bug: max_by would silently
+    // collapse that key to an all-NULL row — rejected loudly instead
+    val nullSeq = intercept[IllegalArgumentException] {
+      TxnTable.mergeFrame(spark, dir, "k",
+        Seq((Option(4L), Option(44L), "upsert", Option.empty[Long]))
+          .toDF("k", "v", "_op", "seq"), seqCol = Some("seq"))
+    }
+    assert(nullSeq.getMessage.contains("NULL sequence"), nullSeq.getMessage)
   }
 
   test("manifest-carried row counts: COUNT(*) is a metadata read across mutations") {
