@@ -128,9 +128,12 @@ object TxnTable {
     * O(manifest), no scan (footers recorded the count at commit
     * time). None when any live entry predates the rows channel
     * (legacy manifest) or was committed without a footer pass: an
-    * unknown must surface as unknown, never as a number. Feeds
-    * COUNT(*)-grade questions and the key-ship/cost-model fact-row
-    * estimate for TxnTable-served cubes. */
+    * unknown must surface as unknown, never as a number. Serves
+    * COUNT(*)-grade questions (also over the maintenance history
+    * endpoint); a cube registered over a TxnTable can feed it into
+    * `CostModel(fixedRows = ...)` at registry build to make variant
+    * ranking and key-ship sizing data-driven — that wiring is the
+    * registry author's choice, not automatic. */
   def rowCount(dir: String, v: Int = -1): Option[Long] = {
     val es = liveEntries(dir, v)
     if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum)
@@ -266,13 +269,20 @@ object TxnTable {
     * scans every quoted string). */
   def addConstraint(s: SparkSession, dir: String, name: String,
       predicate: String): Unit = {
+    require(name.nonEmpty && predicate.nonEmpty,
+      "constraint name and predicate must be non-empty")
     require(!name.exists(c => c == '"' || c == '\n') &&
       !predicate.exists(c => c == '"' || c == '\n'),
       "constraint names and predicates must not contain quotes or newlines")
     require(constraints(dir).forall(_._1 != name),
       s"constraint '$name' already exists on $dir")
-    // must hold on the CURRENT snapshot: a constraint the table
-    // already violates would poison every future mutation
+    // must hold on the CURRENT COMMITTED snapshot: a constraint the
+    // table already violates would poison every future mutation.
+    // (A mutation already past its own enforceConstraints check when
+    // this declaration lands can still commit unchecked rows — the
+    // declare-vs-in-flight-writer window. Closing it would need the
+    // constraint set to ride the manifest log itself; declare
+    // constraints on a quiet table, or re-validate after.)
     val bad = read(s, dir).filter(s"NOT ($predicate)").limit(1).count()
     if (bad > 0) throw new IllegalArgumentException(
       s"constraint '$name' ($predicate) is violated by existing rows — " +
@@ -288,11 +298,19 @@ object TxnTable {
   def dropConstraint(dir: String, name: String): Unit = {
     val kept = constraints(dir).filterNot(_._1 == name)
     val f = fileOf(dir, "constraints.json")
-    java.nio.file.Files.write(f.toPath,
+    // tmp + atomic move, the same discipline as the manifest write: a
+    // truncating in-place rewrite killed mid-way would leave a partial
+    // line that wedges every constraints() parse
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), ".constraints", ".tmp")
+    java.nio.file.Files.write(tmp,
       kept.map { case (n, p) =>
         s"""{"name":"$n","predicate":"$p"}""" }
         .mkString("", "\n", if (kept.isEmpty) "" else "\n")
         .getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -313,15 +331,22 @@ object TxnTable {
 
   /** Reject `incoming` if any declared constraint is FALSE on any of
     * its rows — one short-circuit (limit-1) job, run before anything
-    * is written. The error names the first violated constraint. */
+    * is written. The error names the first violated constraint.
+    * A constraint whose columns the batch OMITS entirely passes: the
+    * schema-evolution contract reads those rows back with the column
+    * NULL, and SQL CHECK semantics pass NULL (the predicate analyzed
+    * fine against the full table at declare time, so a
+    * does-not-resolve here means a narrower batch, not a typo). */
   private def enforceConstraints(s: SparkSession, dir: String,
       incoming: DataFrame): Unit = {
-    val cs = constraints(dir)
+    val cs = constraints(dir).flatMap { case (n, p) =>
+      scala.util.Try(incoming.filter(s"NOT ($p)")).toOption.map((n, p, _))
+    }
     if (cs.nonEmpty) {
-      val combined = cs.map { case (_, p) => s"NOT ($p)" }.mkString(" OR ")
+      val combined = cs.map { case (_, p, _) => s"NOT ($p)" }.mkString(" OR ")
       if (incoming.filter(combined).limit(1).count() > 0) {
-        val guilty = cs.find { case (_, p) =>
-          incoming.filter(s"NOT ($p)").limit(1).count() > 0 }
+        val guilty = cs.find { case (_, _, viol) =>
+          viol.limit(1).count() > 0 }
         throw new IllegalArgumentException(
           s"constraint '${guilty.map(_._1).getOrElse("?")}' " +
             s"(${guilty.map(_._2).getOrElse("?")}) rejected the batch — " +
@@ -707,7 +732,12 @@ object TxnTable {
         .groupBy(col(keyCol).as("__ck"))
         .agg(max_by(struct(cs.map(col): _*), col(sc)).as("__row"))
         .select(cs.map(c => col(s"__row.`$c`").as(c)): _*)
+      // materialize ONCE: the compacted frame feeds the NULL-probe's
+      // sibling checks, the key carrier, the rewrite anti-join, and
+      // the insert — and with tied sequences max_by is only
+      // deterministic if all of them see the SAME evaluation
       keyed.unionByName(changes.filter(col(keyCol).isNull))
+        .localCheckpoint(true)
     }
     // untagged (NULL-op) rows upsert — three-valued `=!=` would
     // silently drop them from BOTH arms. The op tag and the sequence

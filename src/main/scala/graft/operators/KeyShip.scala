@@ -279,21 +279,38 @@ object KeyShip {
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
       bloomMinKeys: Long = -1): DataFrame = {
+    val t = prepTupleShip(fact, factKeys, keys, keyCols, maxLiterals,
+      bitsPerKey, factRows, bloomMinKeys)
+    if (t.literal) fact.join(broadcast(t.renamed), t.cond, "left_semi")
+    else t.probe.fold(fact)(fact.filter)
+      .join(t.renamed, t.cond, "left_semi")
+  }
+
+  /** Shared tuple-carrier preparation: validated/renamed key side,
+    * exact join condition, the literal-vs-oversized probe, and — in
+    * the oversized regime — the tuple-hash bloom probe (None = the
+    * decision declined; ship no filter). Factored so the semi and
+    * anti carriers cannot drift apart on the hash/probe mechanics. */
+  private final case class TupleShip(renamed: DataFrame, cond: Column,
+      literal: Boolean, probe: Option[Column])
+  private def prepTupleShip(fact: DataFrame, factKeys: Seq[String],
+      keys: DataFrame, keyCols: Seq[String], maxLiterals: Int,
+      bitsPerKey: Int, factRows: Option[Long],
+      bloomMinKeys: Long): TupleShip = {
     val renamed = shipColsPrep(fact, factKeys, keys, keyCols)
     val cond = factKeys.zipWithIndex.map {
       case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
       .reduce(_ && _)
     val probe = renamed.distinct().limit(maxLiterals + 1).collect()
     if (probe.length <= maxLiterals)
-      fact.join(broadcast(renamed), cond, "left_semi")
+      TupleShip(renamed, cond, literal = true, None)
     else {
       val tupleHash = xxhash64(factKeys.map(fact.col): _*)
       val keyH = renamed.select(xxhash64(
         keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
-      buildProbe(keyH, tupleHash, bitsPerKey, factRows,
-          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
-        .fold(fact)(fact.filter)
-        .join(renamed, cond, "left_semi")
+      TupleShip(renamed, cond, literal = false,
+        buildProbe(keyH, tupleHash, bitsPerKey, factRows,
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact)))
     }
   }
 
@@ -333,25 +350,14 @@ object KeyShip {
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
       bloomMinKeys: Long = -1): DataFrame = {
-    val renamed = shipColsPrep(fact, factKeys, keys, keyCols)
-    val cond = factKeys.zipWithIndex.map {
-      case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
-      .reduce(_ && _)
-    val probe = renamed.distinct().limit(maxLiterals + 1).collect()
-    if (probe.length <= maxLiterals)
-      fact.join(broadcast(renamed), cond, "left_anti")
-    else {
-      val tupleHash = xxhash64(factKeys.map(fact.col): _*)
-      val keyH = renamed.select(xxhash64(
-        keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
-      buildProbe(keyH, tupleHash, bitsPerKey, factRows,
-          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
-          match {
-        case None => fact.join(renamed, cond, "left_anti")
-        case Some(pass) =>
-          fact.filter(!pass)
-            .union(fact.filter(pass).join(renamed, cond, "left_anti"))
-      }
+    val t = prepTupleShip(fact, factKeys, keys, keyCols, maxLiterals,
+      bitsPerKey, factRows, bloomMinKeys)
+    if (t.literal) fact.join(broadcast(t.renamed), t.cond, "left_anti")
+    else t.probe match {
+      case None => fact.join(t.renamed, t.cond, "left_anti")
+      case Some(pass) =>
+        fact.filter(!pass)
+          .union(fact.filter(pass).join(t.renamed, t.cond, "left_anti"))
     }
   }
 }

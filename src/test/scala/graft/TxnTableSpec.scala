@@ -804,6 +804,20 @@ class TxnTableSpec extends AnyFunSuite {
       Seq((Option(9L), Option.empty[Long])).toDF("k", "v"))
     assert(TxnTable.read(spark, dir).filter(col("k") === 9L)
       .first().isNullAt(1))
+    // empty names/predicates would write a line the parser can never
+    // read back (wedging every future mutation) — rejected up front
+    intercept[IllegalArgumentException] {
+      TxnTable.addConstraint(spark, dir, "", "v >= 0")
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.addConstraint(spark, dir, "x", "")
+    }
+    // a batch that OMITS a constrained column passes: those rows read
+    // back with the column NULL, and SQL CHECK passes NULL — the
+    // schema-evolution contract must not be vetoed by the guard
+    TxnTable.upsert(spark, dir, "k", Seq(Tuple1(11L)).toDF("k"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 11L)
+      .first().isNullAt(1), "narrow batch must land with v = NULL")
     // drop lifts the guard
     TxnTable.dropConstraint(dir, "v_nonneg")
     assert(TxnTable.constraints(dir).map(_._1) == Seq("k_bounded"))
