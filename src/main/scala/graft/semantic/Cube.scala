@@ -271,6 +271,17 @@ object model {
     /** Assumed history depth (days) when a request carries no time
       * window. */
     val UnboundedHorizonDays = 3650
+
+    /** A fixed-rows model from a TxnTable's manifest-carried row
+      * count (one metadata read, no scan) — the registry-build hook
+      * that makes variant ranking and key-ship sizing data-driven for
+      * a cube served over a mutable table. None when the manifest
+      * predates the rows channel; ranking then falls back to the
+      * static cost. Snapshot-at-registry-build semantics: re-resolve
+      * (or re-register) after heavy mutations, like any cached stat. */
+    def fromTxnTable(dir: String): Option[CostModel] =
+      graft.core.TxnTable.rowCount(dir)
+        .map(r => CostModel(rowsPerDay = 0L, fixedRows = Some(r)))
   }
 
   /** A physical fact variant. `view` replaces the raw scan for

@@ -1059,6 +1059,46 @@ class SemanticLayerSpec extends AnyFunSuite {
       "the salted route must not change results")
   }
 
+  test("CostModel.fromTxnTable: manifest row count drives the variant ranking") {
+    import graft.semantic.model._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.core.TxnTable
+    // a cube served over a mutable TxnTable gets its request-aware
+    // cost from the manifest's row channel — one metadata read at
+    // registry build, no scan — so Planner.explain ranks with the
+    // table's ACTUAL size
+    val tdir = graft.core.TempDirs.scratchShared("costrows")
+    TxnTable.init(spark, tdir,
+      graft.core.Tables.orders(spark, sf)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      numFiles = 2, statsCols = Seq("o_orderkey"))
+    val expected = TxnTable.rowCount(tdir)
+    assert(expected.nonEmpty, "fresh table must carry manifest rows")
+    val cube = CubeDef(
+      name = "served_live",
+      variants = Seq(FactDef(
+        name = "served_live_base", table = "orders",
+        dimCols = Seq(PubCol("Order Priority", "o_orderpriority")),
+        metrics = Seq(PubMetric("Order Count", CountRollup, _ => lit(1))),
+        cost = 999999,
+        view = Some((s, _) => TxnTable.read(s, tdir)),
+        costModel = CostModel.fromTxnTable(tdir))),
+      dims = Nil)
+    val out = for {
+      req <- request.parse(
+        """{"cube":"served_live","selectFields":[{"field":"Order Priority"},{"field":"Order Count"}]}""")
+      m <- RequestModel.from(req, Registry(cube))
+      r <- graft.planner.Planner.explain(m, spark, sf)
+    } yield r
+    val (choices, p) = out.fold(e => fail(e), identity)
+    assert(choices.exists(c => c.chosen &&
+      expected.contains(c.estCost)),
+      s"estCost must equal the manifest row count: $choices vs $expected")
+    assert(p.df.agg(org.apache.spark.sql.functions.sum(col("Order Count")))
+      .first().getLong(0) == expected.get,
+      "the served cube must still read the live snapshot")
+  }
+
   test("fuzzed request JSON: parse + analyze return Left, never throw raw") {
     // the front door feeds arbitrary bytes into parse; anything short
     // of a clean Left is a 500 in production. 600 seeded mutations of
