@@ -287,31 +287,34 @@ object TxnTable {
     if (bad > 0) throw new IllegalArgumentException(
       s"constraint '$name' ($predicate) is violated by existing rows — " +
         "clean the table first, then declare it")
-    val f = fileOf(dir, "constraints.json")
-    val line = s"""{"name":"$name","predicate":"$predicate"}""" + "\n"
-    java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    ()
+    writeConstraints(dir,
+      constraints(dir) :+ (name, predicate))
   }
 
-  def dropConstraint(dir: String, name: String): Unit = {
-    val kept = constraints(dir).filterNot(_._1 == name)
+  def dropConstraint(dir: String, name: String): Unit =
+    writeConstraints(dir, constraints(dir).filterNot(_._1 == name))
+
+  /** The ONLY writer of constraints.json — full rewrite via tmp +
+    * atomic move (the manifest-write discipline): both an append and
+    * a truncating rewrite killed mid-way would leave a partial line
+    * that wedges every constraints() parse, and every mutation calls
+    * constraints() through enforceConstraints. */
+  private def writeConstraints(dir: String,
+      cs: Seq[(String, String)]): Unit = {
     val f = fileOf(dir, "constraints.json")
-    // tmp + atomic move, the same discipline as the manifest write: a
-    // truncating in-place rewrite killed mid-way would leave a partial
-    // line that wedges every constraints() parse
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), ".constraints", ".tmp")
-    java.nio.file.Files.write(tmp,
-      kept.map { case (n, p) =>
-        s"""{"name":"$n","predicate":"$p"}""" }
-        .mkString("", "\n", if (kept.isEmpty) "" else "\n")
-        .getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    try {
+      java.nio.file.Files.write(tmp,
+        cs.map { case (n, p) =>
+          s"""{"name":"$n","predicate":"$p"}""" }
+          .mkString("", "\n", if (cs.isEmpty) "" else "\n")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 
   /** Declared constraints, in declaration order. */
@@ -332,21 +335,27 @@ object TxnTable {
   /** Reject `incoming` if any declared constraint is FALSE on any of
     * its rows — one short-circuit (limit-1) job, run before anything
     * is written. The error names the first violated constraint.
-    * A constraint whose columns the batch OMITS entirely passes: the
-    * schema-evolution contract reads those rows back with the column
-    * NULL, and SQL CHECK semantics pass NULL (the predicate analyzed
-    * fine against the full table at declare time, so a
-    * does-not-resolve here means a narrower batch, not a typo). */
+    * Constraints are judged against the batch AS IT WILL READ BACK:
+    * columns the batch omits are aligned in as typed NULLs (the
+    * schema-evolution contract), so `v >= 0` passes a v-less batch
+    * (NULL passes, SQL CHECK) while `v IS NOT NULL` correctly rejects
+    * it — a skip-on-unresolved shortcut would silently wave the
+    * latter through. A predicate that STILL fails analysis after
+    * alignment (e.g. the batch redeclares the column with an
+    * incompatible type) fails loudly, never silently passes. */
   private def enforceConstraints(s: SparkSession, dir: String,
       incoming: DataFrame): Unit = {
-    val cs = constraints(dir).flatMap { case (n, p) =>
-      scala.util.Try(incoming.filter(s"NOT ($p)")).toOption.map((n, p, _))
-    }
+    val cs = constraints(dir)
     if (cs.nonEmpty) {
-      val combined = cs.map { case (_, p, _) => s"NOT ($p)" }.mkString(" OR ")
-      if (incoming.filter(combined).limit(1).count() > 0) {
-        val guilty = cs.find { case (_, _, viol) =>
-          viol.limit(1).count() > 0 }
+      val tableCols = read(s, dir).schema
+      val aligned = tableCols.fields.foldLeft(incoming) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      val combined = cs.map { case (_, p) => s"NOT ($p)" }.mkString(" OR ")
+      if (aligned.filter(combined).limit(1).count() > 0) {
+        val guilty = cs.find { case (_, p) =>
+          aligned.filter(s"NOT ($p)").limit(1).count() > 0 }
         throw new IllegalArgumentException(
           s"constraint '${guilty.map(_._1).getOrElse("?")}' " +
             s"(${guilty.map(_._2).getOrElse("?")}) rejected the batch — " +
@@ -732,12 +741,12 @@ object TxnTable {
         .groupBy(col(keyCol).as("__ck"))
         .agg(max_by(struct(cs.map(col): _*), col(sc)).as("__row"))
         .select(cs.map(c => col(s"__row.`$c`").as(c)): _*)
-      // materialize ONCE: the compacted frame feeds the NULL-probe's
-      // sibling checks, the key carrier, the rewrite anti-join, and
-      // the insert — and with tied sequences max_by is only
-      // deterministic if all of them see the SAME evaluation
-      keyed.unionByName(changes.filter(col(keyCol).isNull))
-        .localCheckpoint(true)
+      // cache ONCE (released in the finally below): the compacted
+      // frame feeds the key carrier, the rewrite anti-join, and the
+      // insert — a persist keeps lineage (recomputable on block
+      // loss, unlike a localCheckpoint) while sparing the max_by
+      // aggregate a re-run per consumer
+      keyed.unionByName(changes.filter(col(keyCol).isNull)).persist()
     }
     // untagged (NULL-op) rows upsert — three-valued `=!=` would
     // silently drop them from BOTH arms. The op tag and the sequence
@@ -747,6 +756,7 @@ object TxnTable {
     // table rows), and only the post-compaction winners.
     val updates = compacted.filter(col(opCol).isNull ||
       col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
+    try {
     enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
       // delete + upsert keys together: every affected row leaves its
@@ -764,6 +774,7 @@ object TxnTable {
       onBeforeCommit()
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
+    } finally { if (seqCol.isDefined) { compacted.unpersist(); () } }
   }
 
   /** OPTIMIZE: rewrite the whole live set as one freshly clustered

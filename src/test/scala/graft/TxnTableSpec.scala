@@ -818,6 +818,17 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.upsert(spark, dir, "k", Seq(Tuple1(11L)).toDF("k"))
     assert(TxnTable.read(spark, dir).filter(col("k") === 11L)
       .first().isNullAt(1), "narrow batch must land with v = NULL")
+    // a null-REJECTING constraint must see omitted columns as the
+    // typed NULLs they will read back as — and reject the batch (a
+    // skip-on-unresolved shortcut would wave it through silently)
+    val dir2 = graft.core.TempDirs.scratchShared("txncheck2")
+    TxnTable.init(spark, dir2, Seq((1L, 5L)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    TxnTable.addConstraint(spark, dir2, "v_req", "v IS NOT NULL")
+    val nr = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir2, "k", Seq(Tuple1(2L)).toDF("k"))
+    }
+    assert(nr.getMessage.contains("v_req"), nr.getMessage)
     // drop lifts the guard
     TxnTable.dropConstraint(dir, "v_nonneg")
     assert(TxnTable.constraints(dir).map(_._1) == Seq("k_bounded"))
