@@ -197,7 +197,7 @@ object Similarity {
     * and its fixed-point squared norm (the constant term of the
     * distance). Centers are O(k·dim) index METADATA — the MLlib
     * KMeans representation — not data. */
-  private case class Ctr(cid: Int, cemb: Seq[Float], cn2: Double)
+  private[graft] case class Ctr(cid: Int, cemb: Seq[Float], cn2: Double)
 
   /** Driver-side replica of [[graft.functions.FixedPointDot]] —
     * identical arithmetic (per-element double product, ×1e12, floor,
@@ -213,7 +213,7 @@ object Similarity {
     acc
   }
 
-  private def ctr(cid: Int, emb: Seq[Float]): Ctr =
+  private[graft] def ctr(cid: Int, emb: Seq[Float]): Ctr =
     Ctr(cid, emb, fixdotDriver(emb, emb).toDouble / 1e12)
 
   /** The fused [[graft.functions.CentroidProbe]] kernel against the
@@ -468,6 +468,49 @@ object Similarity {
     * over the full corpus — the oracle cannot see how the index was
     * built, which IS the contract (sim12's argument, now across the
     * streaming boundary). */
+  /** EXACTLY-ONCE append of one streamed micro-batch into a
+    * frozen-quantizer IVF layout. foreachBatch is at-least-once: a
+    * crash between the index write and the checkpoint commit means
+    * the restarted query REDELIVERS the batch, and a raw
+    * `mode("append")` would land the same vectors twice — duplicated
+    * vec_ids then surface twice in served top-k. So each batch
+    * commits as its own `seg=b<bid>` partition directory (the base
+    * build is `seg=base`), written with mode=overwrite so the job's
+    * `_SUCCESS` marker IS the commit: a redelivered bid whose marker
+    * exists is a no-op, an interrupted write leaves no marker and is
+    * simply overwritten clean on redelivery, and readers
+    * ([[ivfReadCommitted]]) scan only marked segments. This is the
+    * st05/st11 applied-bid discipline (`Streaming.scala` rollupState)
+    * transplanted to the ANN index sink. */
+  private[graft] def ivfStreamAppend(cents: Seq[Ctr], path: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val seg = new java.io.File(path, s"seg=b$bid")
+    if (new java.io.File(seg, "_SUCCESS").exists()) return // redelivered
+    batch
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions
+        .fixdotD(col("embedding"), col("embedding"))))
+      .select(nearestCidCol(cents, col("embedding")).as("cid"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(seg.getAbsolutePath)
+  }
+
+  /** Read a segment-committed IVF layout: only `_SUCCESS`-marked
+    * `seg=*` directories participate, so a crash-orphaned partial
+    * segment is invisible to serving. `basePath` keeps `seg` and
+    * `cid` as partition columns of one unified scan — partition
+    * pruning on `cid` still applies across all segments. */
+  private[graft] def ivfReadCommitted(s: SparkSession, root: String): DataFrame = {
+    val segs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.getName.startsWith("seg=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getAbsolutePath).sorted
+    require(segs.nonEmpty, s"no committed segments under $root")
+    s.read.option("basePath", root).parquet(segs: _*)
+  }
+
   def st13StreamIngest(s: SparkSession, d: String): DataFrame = {
     val k = 16; val nprobe = 2
     val v = withNorm(s, d)
@@ -479,12 +522,14 @@ object Similarity {
       .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
     val dir = graft.core.Caches.memoObj(s, s"ivfstream|$d|k$k") {
       val path = graft.core.TempDirs.scratchShared("ivfstream")
-      // day 0: the base index (batch build, frozen quantizer)
+      // day 0: the base index (batch build, frozen quantizer), committed
+      // as its own segment — same _SUCCESS-marked unit as each batch
       v.filter(col("vec_id") < deltaFrom)
         .select(nearestCidCol(cents, col("embedding")).as("cid"),
           col("vec_id"), col("embedding"), col("nrm"))
         .repartition(col("cid"))
-        .write.partitionBy("cid").mode("overwrite").parquet(path)
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$path/seg=base")
       // the arrival stream: the delta lands as two files, one per
       // micro-batch (maxFilesPerTrigger=1)
       val src = java.nio.file.Files.createTempDirectory("graft-st13")
@@ -504,22 +549,16 @@ object Similarity {
         .option("checkpointLocation",
           graft.core.TempDirs.scratch("st13ckpt"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch
-            .withColumn("nrm", sqrt(graft.functions.GraftFunctions
-              .fixdotD(col("embedding"), col("embedding"))))
-            .select(nearestCidCol(cents, col("embedding")).as("cid"),
-              col("vec_id"), col("embedding"), col("nrm"))
-            .repartition(col("cid"))
-            .write.partitionBy("cid").mode("append").parquet(path)
-          ()
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          ivfStreamAppend(cents, path, batch, bid)
         }
         .start()
       q.awaitTermination()
       path
     }
-    // serve over old + new in one scan — the plan sim11/sim12 pinned
-    val postings = s.read.parquet(dir)
+    // serve over old + new in one scan (committed segments only) —
+    // the plan sim11/sim12 pinned
+    val postings = ivfReadCommitted(s, dir)
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
     val probes = v.filter(col("vec_id") < 6 || col("vec_id") >= maxId - 1)

@@ -399,4 +399,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!Similarity.ivfBalance(spark, fresh, k).drifted,
       "the published retrain must serve a balanced index")
   }
+
+  test("st13 streamed append is exactly-once under foreachBatch redelivery") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val cents = (1 to 4).map(c => Similarity.ctr(c, vec().toSeq))
+    val root = graft.core.TempDirs.scratchShared("st13replay")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).map(_.getAbsolutePath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val b0 = (0L until 20L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    Similarity.ivfStreamAppend(cents, root, b0, bid = 0L)
+    val after0 = files()
+    assert(after0.nonEmpty)
+    // crash-then-redeliver: the same bid arrives again (at-least-once
+    // foreachBatch). The _SUCCESS-marked segment makes it a no-op:
+    // no new files, no duplicate vec_ids in the served scan.
+    Similarity.ivfStreamAppend(cents, root,
+      (0L until 20L).map(i => (i, vec())).toDF("vec_id", "embedding"), bid = 0L)
+    assert(files() == after0, "redelivered bid must not write")
+    val served = Similarity.ivfReadCommitted(spark, root)
+    assert(served.count() == 20)
+    assert(served.select("vec_id").distinct().count() == 20,
+      "no duplicate vec_ids after replay")
+    // the NEXT bid applies normally
+    val b1 = (20L until 30L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    Similarity.ivfStreamAppend(cents, root, b1, bid = 1L)
+    assert(Similarity.ivfReadCommitted(spark, root).count() == 30)
+    // a crash-orphaned partial segment (no _SUCCESS) is invisible to
+    // serving and is overwritten clean when its bid is redelivered
+    val orphan = new java.io.File(root, "seg=b2")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      orphan.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    assert(Similarity.ivfReadCommitted(spark, root).count() == 30,
+      "uncommitted segment must not be served")
+    val b2 = (30L until 35L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    Similarity.ivfStreamAppend(cents, root, b2, bid = 2L)
+    val s2 = Similarity.ivfReadCommitted(spark, root)
+    assert(s2.count() == 35 && s2.select("vec_id").distinct().count() == 35)
+  }
 }
