@@ -155,9 +155,10 @@ object TxnTable {
     * place, so the fallback keeps atomic-claim semantics (an
     * exists-then-move pair would be a TOCTOU window in which two
     * writers both "succeed" and one commit's file list is silently
-    * replaced). The lock file persists as the claim token (deleting
-    * it would reopen the race for a late third writer); vacuum sweeps
-    * locks of expired versions. */
+    * replaced). The lock is TRANSIENT — released after the move
+    * (safe because the exists-check runs inside the lock; see
+    * [[publishWithoutLinks]]); only a crash between claim and move
+    * leaves one behind, and vacuum sweeps those crash leftovers. */
   private[graft] def writeManifest(dir: String, v: Int,
       entries: Seq[FileEntry]): Unit = {
     val body = entries.map { e =>
@@ -267,6 +268,21 @@ object TxnTable {
     * when no constraints are declared. Stored one-per-line in
     * `constraints.json` (separate from table.json — its legacy parser
     * scans every quoted string). */
+  /** Declare a constraint. The constraint set RIDES THE MANIFEST LOG:
+    * a declaration commits a new table version (same file entries,
+    * new constraint epoch), so it is serialized against every
+    * mutation by the same OCC publish that serializes mutations
+    * against each other. That closes the declare-vs-in-flight-writer
+    * window structurally: if a mutation that validated the OLD set
+    * commits the version slot first, THIS declare loses the publish,
+    * retries, and re-validates the snapshot INCLUDING the mutation's
+    * rows (failing loudly if they violate); if the declare commits
+    * first, the mutation's publish loses and its OCC retry re-runs
+    * enforcement against the NEW set. Either way no committed row
+    * ever violates a declared constraint. It also makes concurrent
+    * declarations lost-update-free (each epoch slot is claimed
+    * exclusively) and gives time travel the constraint set that was
+    * in force at any version ([[constraintsAt]]). */
   def addConstraint(s: SparkSession, dir: String, name: String,
       predicate: String): Unit = {
     require(name.nonEmpty && predicate.nonEmpty,
@@ -274,61 +290,144 @@ object TxnTable {
     require(!name.exists(c => c == '"' || c == '\n') &&
       !predicate.exists(c => c == '"' || c == '\n'),
       "constraint names and predicates must not contain quotes or newlines")
-    require(constraints(dir).forall(_._1 != name),
-      s"constraint '$name' already exists on $dir")
-    // must hold on the CURRENT COMMITTED snapshot: a constraint the
-    // table already violates would poison every future mutation.
-    // (A mutation already past its own enforceConstraints check when
-    // this declaration lands can still commit unchecked rows — the
-    // declare-vs-in-flight-writer window. Closing it would need the
-    // constraint set to ride the manifest log itself; declare
-    // constraints on a quiet table, or re-validate after.)
-    val bad = read(s, dir).filter(s"NOT ($predicate)").limit(1).count()
-    if (bad > 0) throw new IllegalArgumentException(
-      s"constraint '$name' ($predicate) is violated by existing rows — " +
-        "clean the table first, then declare it")
-    writeConstraints(dir,
-      constraints(dir) :+ (name, predicate))
+    withOcc(dir) { planned =>
+      val cur = constraintsAt(dir, planned)
+      require(cur.forall(_._1 != name),
+        s"constraint '$name' already exists on $dir")
+      // must hold on the snapshot this declaration commits against: a
+      // constraint the table already violates would poison every
+      // future mutation
+      val bad = read(s, dir, planned).filter(s"NOT ($predicate)")
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"constraint '$name' ($predicate) is violated by existing rows — " +
+          "clean the table first, then declare it")
+      commitConstraintEpoch(dir, planned, cur :+ (name, predicate))
+    }
   }
 
   def dropConstraint(dir: String, name: String): Unit =
-    writeConstraints(dir, constraints(dir).filterNot(_._1 == name))
+    withOcc(dir) { planned =>
+      commitConstraintEpoch(dir, planned,
+        constraintsAt(dir, planned).filterNot(_._1 == name))
+    }
 
-  /** The ONLY writer of constraints.json — full rewrite via tmp +
-    * atomic move (the manifest-write discipline): both an append and
-    * a truncating rewrite killed mid-way would leave a partial line
-    * that wedges every constraints() parse, and every mutation calls
-    * constraints() through enforceConstraints. */
-  private def writeConstraints(dir: String,
+  /** Publish `cs` as the constraint set effective from version
+    * `planned + 1`: claim the epoch file exclusively, then commit
+    * manifest `planned + 1` carrying the previous version's file
+    * entries unchanged. The epoch file must exist BEFORE the manifest
+    * that activates it (readers gate on the committed manifest, so
+    * the pre-commit file is invisible); if the manifest publish loses
+    * to a concurrent writer the claim is rolled back — it must not
+    * outlive the lost commit, or a later mutation committing that
+    * version number would activate an orphaned set. */
+  private def commitConstraintEpoch(dir: String, planned: Int,
       cs: Seq[(String, String)]): Unit = {
-    val f = fileOf(dir, "constraints.json")
+    val k = planned + 1
+    publishConstraintEpoch(dir, k, cs)
+    onBeforeCommit()
+    try writeManifest(dir, k, liveEntries(dir, planned))
+    catch { case e: java.util.ConcurrentModificationException =>
+      java.nio.file.Files.deleteIfExists(
+        fileOf(dir, s"constraints-v$k.json").toPath)
+      throw e
+    }
+  }
+
+  /** Exclusive claim + fill of `constraints-v<k>.json` (full set, one
+    * header + one line per constraint). Hard-link claim = the file
+    * appears complete or not at all; the no-link fallback claims with
+    * O_CREAT|O_EXCL then fills — its empty-file window is invisible
+    * because epoch k only becomes readable once manifest v<k> commits,
+    * and the mandatory header line makes a crash-orphaned empty file
+    * a LOUD parse error, never a silently-vanished constraint set. */
+  private def publishConstraintEpoch(dir: String, k: Int,
+      cs: Seq[(String, String)]): Unit = {
+    val body = (s"""{"epoch":$k}""" +: cs.map { case (n, p) =>
+      s"""{"name":"$n","predicate":"$p"}""" })
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    val target = fileOf(dir, s"constraints-v$k.json").toPath
     val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(dir), ".constraints", ".tmp")
+      java.nio.file.Paths.get(dir), s".constraints-v$k", ".tmp")
     try {
-      java.nio.file.Files.write(tmp,
-        cs.map { case (n, p) =>
-          s"""{"name":"$n","predicate":"$p"}""" }
-          .mkString("", "\n", if (cs.isEmpty) "" else "\n")
-          .getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      java.nio.file.Files.write(tmp, body)
+      try java.nio.file.Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          lostConstraintSlot(dir, k)
+        case _: UnsupportedOperationException =>
+          try java.nio.file.Files.createFile(target)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            lostConstraintSlot(dir, k) }
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 
-  /** Declared constraints, in declaration order. */
-  def constraints(dir: String): Seq[(String, String)] = {
-    val f = fileOf(dir, "constraints.json")
-    if (!f.exists()) Nil
-    else {
-      val pat = """\{"name":"([^"]+)","predicate":"([^"]+)"\}""".r
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map {
-          case pat(n, p) => (n, p)
-          case line => sys.error(
-            s"unparseable constraint line in ${f.getPath}: '$line'")
-        }
+  /** A concurrent declaration holds this epoch slot. Wait briefly for
+    * its manifest to land (so the withOcc retry re-plans against a
+    * NEW version instead of spinning its bounded retries against the
+    * same one), then signal the collision. */
+  private def lostConstraintSlot(dir: String, k: Int): Nothing = {
+    val deadline = System.nanoTime() + 2000000000L
+    while (version(dir) < k && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    throw new java.util.ConcurrentModificationException(
+      s"constraint epoch v$k under $dir already claimed by a concurrent " +
+        "declaration" +
+        (if (version(dir) < k)
+          s" that has not committed (crashed? delete constraints-v$k.json" +
+            " to recover)" else "") + "; re-planning")
+  }
+
+  private val cEpochPat = """constraints-v(\d+)\.json""".r
+
+  /** The constraint set in force at committed version `v`: the
+    * highest committed epoch file with k <= v; tables predating the
+    * epoch channel fall back to the legacy flat `constraints.json`
+    * (effective at every version). An epoch file whose manifest never
+    * committed (a lost-then-crashed declare) is ignored. */
+  def constraintsAt(dir: String, v: Int): Seq[(String, String)] = {
+    val committed = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap(f => f.getName match {
+        case cEpochPat(k) => Some((k.toInt, f))
+        case _ => None
+      })
+      .filter { case (k, _) =>
+        k <= v && fileOf(dir, s"manifest-v$k.json").exists() }
+      .sortBy(_._1)
+    committed.lastOption match {
+      case Some((k, f)) => parseConstraintFile(f, Some(k))
+      case None =>
+        val legacy = fileOf(dir, "constraints.json")
+        if (legacy.exists()) parseConstraintFile(legacy, None) else Nil
+    }
+  }
+
+  /** Declared constraints in force at the latest committed version,
+    * in declaration order. */
+  def constraints(dir: String): Seq[(String, String)] =
+    constraintsAt(dir, version(dir))
+
+  private def parseConstraintFile(f: java.io.File,
+      epoch: Option[Int]): Seq[(String, String)] = {
+    val pat = """\{"name":"([^"]+)","predicate":"([^"]+)"\}""".r
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    epoch.foreach { k =>
+      if (lines.headOption.exists(_ == s"""{"epoch":$k}""")) ()
+      else sys.error(s"corrupt constraint epoch file ${f.getPath} " +
+        s"(missing header) — delete it to recover")
+    }
+    lines.drop(if (epoch.isDefined) 1 else 0).map {
+      case pat(n, p) => (n, p)
+      case line => sys.error(
+        s"unparseable constraint line in ${f.getPath}: '$line'")
     }
   }
 
@@ -342,12 +441,17 @@ object TxnTable {
     * it — a skip-on-unresolved shortcut would silently wave the
     * latter through. A predicate that STILL fails analysis after
     * alignment (e.g. the batch redeclares the column with an
-    * incompatible type) fails loudly, never silently passes. */
+    * incompatible type) fails loudly, never silently passes.
+    * Runs INSIDE the mutation's OCC body against the set committed as
+    * of `planned`: when a concurrent [[addConstraint]] wins the
+    * version slot, the mutation's publish collides and the retry
+    * re-enforces against the new set — the structural closure of the
+    * declare-vs-in-flight-writer window. */
   private def enforceConstraints(s: SparkSession, dir: String,
-      incoming: DataFrame): Unit = {
-    val cs = constraints(dir)
+      incoming: DataFrame, planned: Int): Unit = {
+    val cs = constraintsAt(dir, planned)
     if (cs.nonEmpty) {
-      val tableCols = read(s, dir).schema
+      val tableCols = read(s, dir, planned).schema
       val aligned = tableCols.fields.foldLeft(incoming) { (df, f) =>
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
@@ -646,8 +750,8 @@ object TxnTable {
     * 10⁷-key correction batch stays distributed end-to-end. */
   def upsert(s: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, numFiles: Int = 4): Unit = {
-    enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
+    enforceConstraints(s, dir, updates, planned)
     val (matched, untouched, survivorsOf) =
       planKeyedMutation(s, dir, keyCol, keyFrame(updates, keyCol), planned)
     val cols = colsWith(dir, keyCol)
@@ -675,8 +779,8 @@ object TxnTable {
     * `deletes` list is request metadata and may ride the driver). */
   def merge(s: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, deletes: Seq[Long], numFiles: Int = 4): Unit = {
-    enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
+      enforceConstraints(s, dir, updates, planned)
       val delFrame = s.createDataFrame(
         deletes.map(org.apache.spark.sql.Row(_)).asJava,
         org.apache.spark.sql.types.StructType(Seq(
@@ -725,9 +829,10 @@ object TxnTable {
       changes: DataFrame, opCol: String = "_op",
       deleteOp: String = "delete", numFiles: Int = 4,
       seqCol: Option[String] = None): Unit = {
-    // compaction + constraint checks are invariant across OCC retries
-    // (the batch doesn't change when the publish loses a race), so
-    // they run ONCE, before the retry loop — like upsert/merge
+    // compaction is invariant across OCC retries (the batch doesn't
+    // change when the publish loses a race), so it runs ONCE before
+    // the retry loop; constraint enforcement runs INSIDE it, because
+    // a retry may be re-planning against a newly-declared set
     val compacted = seqCol.fold(changes) { sc =>
       // a feed that claims ordering must provide it: max_by skips
       // NULL orderings, so a NULL-seq event would silently collapse
@@ -757,8 +862,8 @@ object TxnTable {
     val updates = compacted.filter(col(opCol).isNull ||
       col(opCol) =!= deleteOp).drop(seqCol.toSeq :+ opCol: _*)
     try {
-    enforceConstraints(s, dir, updates)
     withOcc(dir) { planned =>
+      enforceConstraints(s, dir, updates, planned)
       // delete + upsert keys together: every affected row leaves its
       // file in one rewrite pass, then upsert rows re-insert
       val affected = keyFrame(compacted, keyCol)

@@ -837,6 +837,88 @@ class TxnTableSpec extends AnyFunSuite {
       .first().getLong(1) == -1L)
   }
 
+  test("constraint set rides the manifest log: declare-vs-writer races serialize") {
+    val dir = graft.core.TempDirs.scratchShared("txnrace1")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 50L).map(k => (k, k * 10)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    // RACE A — declare wins the version slot: a mutation carrying a
+    // violating row is past enforcement (old, empty set) when the
+    // declaration commits. The mutation's publish collides, its OCC
+    // retry re-enforces against the NEW set, and the batch is
+    // rejected — the declared constraint is never violated.
+    var fired = false
+    TxnTable.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxnTable.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+      }
+    }
+    val rej = try intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((5L, -1L)).toDF("k", "v"))
+    } finally TxnTable.onBeforeCommit = () => ()
+    assert(fired)
+    assert(rej.getMessage.contains("v_nonneg"), rej.getMessage)
+    assert(TxnTable.read(spark, dir).filter(col("v") < 0).count() == 0,
+      "no committed row may violate the declared constraint")
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("v_nonneg"))
+    // RACE B — the mutation wins the slot: a declare that validated
+    // the pre-mutation snapshot loses its publish, retries, and
+    // re-validates INCLUDING the freshly-committed violating rows —
+    // the declare fails loudly instead of landing a lie.
+    TxnTable.dropConstraint(dir, "v_nonneg")
+    var fired2 = false
+    TxnTable.onBeforeCommit = () => {
+      if (!fired2) {
+        fired2 = true
+        TxnTable.upsert(spark, dir, "k", Seq((7L, -7L)).toDF("k", "v"))
+      }
+    }
+    val lost = try intercept[IllegalArgumentException] {
+      TxnTable.addConstraint(spark, dir, "v_nonneg2", "v >= 0")
+    } finally TxnTable.onBeforeCommit = () => ()
+    assert(fired2)
+    assert(lost.getMessage.contains("existing rows"), lost.getMessage)
+    assert(TxnTable.constraints(dir).isEmpty,
+      "the failed declare must leave no constraint behind")
+    assert(TxnTable.read(spark, dir)
+      .filter(col("k") === 7L && col("v") === -7L).count() == 1,
+      "the winning mutation's rows stay committed")
+  }
+
+  test("concurrent declarations: both land, neither lost, epochs time-travel") {
+    val dir = graft.core.TempDirs.scratchShared("txnrace2")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    val v1 = TxnTable.version(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the old flat-file read-modify-write silently dropped one of two
+    // racing declares; the epoch claim + OCC retry serializes them
+    val fs = Seq("c_a" -> "v >= 0", "c_b" -> "k >= 0").map { case (n, p) =>
+      Future(TxnTable.addConstraint(spark, dir, n, p))
+    }
+    fs.foreach(Await.result(_, 60.seconds))
+    assert(TxnTable.constraints(dir).map(_._1).toSet == Set("c_a", "c_b"),
+      "both concurrent declarations must survive")
+    assert(TxnTable.version(dir) == v1 + 2,
+      "each declaration commits its own serialized version")
+    // time travel sees the set in force at each version
+    assert(TxnTable.constraintsAt(dir, v1).isEmpty)
+    assert(TxnTable.constraintsAt(dir, v1 + 1).size == 1)
+    assert(TxnTable.constraintsAt(dir, v1 + 2).size == 2)
+    // dropConstraint is a serialized epoch too
+    TxnTable.dropConstraint(dir, "c_a")
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("c_b"))
+    assert(TxnTable.constraintsAt(dir, v1 + 2).size == 2,
+      "the drop must not rewrite history")
+  }
+
   test("mergeFrame seqCol: the highest-sequence op per key wins, NULL keys bypass") {
     val dir = graft.core.TempDirs.scratchShared("txnseq")
     import spark.implicits._
