@@ -24,6 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
+
+  /** Exact row count of a raw parquet table from its FOOTERS — one
+    * driver-side metadata read per file, memoized per session, no
+    * Spark job. The raw-table analogue of [[TxnTable.rowCount]]'s
+    * manifest channel: it feeds cardinality-aware decisions
+    * ([[graft.operators.KeyShip]]'s `keyRows`, CostModel fixedRows)
+    * for tables that are plain directories rather than manifest
+    * logs. */
+  def tableRows(s: SparkSession, dir: String, name: String): Long =
+    Caches.memoObj(s, s"tablerows|$dir|$name") {
+      val f = new java.io.File(s"$dir/$name.parquet")
+      val paths =
+        if (f.isDirectory)
+          f.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.getPath).toSeq
+        else Seq(f.getPath)
+      java.lang.Long.valueOf(
+        Layout.multiStatsWithRows(s, paths, Nil).map(_._2).sum)
+    }.longValue()
   /** events.ts arrives in either of two parquet encodings depending on
     * the data generation: TIMESTAMP(MICROS) (native Spark TimestampType
     * — nothing to do, time predicates push down as-is) or

@@ -44,12 +44,15 @@ object Curators {
       r <- Planner.explain(m, s, dir)
     } yield {
       val (choices, p) = r
+      // rowEstimate, NOT estCost: the ranking figure carries the
+      // multiplier penalty, which is not a row count — feeding it to
+      // KeyShip would size the bitset for rows the scan never reads
       val est = for {
         w <- choices.find(_.chosen)
         cube <- reg.cube(req.cube).toOption
         v <- cube.variants.find(_.name == w.name)
-        if v.costModel.isDefined
-      } yield w.estCost
+        cm <- v.costModel
+      } yield cm.rowEstimate(m.numDays)
       (p.df, est)
     }).fold(e => throw new IllegalArgumentException(e), identity)
 
@@ -216,13 +219,20 @@ object Curators {
     val req = parsed(json)
     val baseMets = metricAliases(reg, req.cube)
     val parentDims = req.selectFields.filterNot(baseMets)
-    // materialize the page ONCE (topN rows — bounded by the page
-    // size at any corpus scale): the key-ship below evaluates the
-    // parent set up to three times (size probe, bloom build, exact
-    // join), and each evaluation would otherwise re-run the whole
-    // base request's plan
-    val parents = planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
-      reg, s, dir).select(parentDims.map(col): _*).localCheckpoint(true)
+    // cache the page ONCE (topN rows — bounded by the page size at
+    // any corpus scale): the key-ship below evaluates the parent set
+    // up to three times (size probe, bloom build, exact join), and
+    // each evaluation would otherwise re-run the whole base request's
+    // plan. persist(), NOT localCheckpoint: a checkpoint truncates
+    // lineage, so a lost executor/cached block on a cluster would
+    // FAIL the drilldown instead of recomputing the page (the same
+    // tradeoff mergeFrame's compaction cache documents). The entry
+    // rides the session cache registry so the normal release
+    // lifecycle (and re-drills of the same request) own its
+    // unpersist instead of stacking page caches forever.
+    val parents = graft.core.Caches.track(s, s"drill|$dir|${json.hashCode}",
+      planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
+        reg, s, dir).select(parentDims.map(col): _*).persist())
     val cube = if (cfg.cube.nonEmpty) cfg.cube else req.cube
     val pubs = pubCols(reg, req.cube)
     val baseFacts = req.selectFields.filter(baseMets)

@@ -141,14 +141,16 @@ object KeyShip {
     else Some(BloomPlan(m, hashes, fpp))
   }
 
-  /** Count the key side, size the filter via [[bloomDecision]], and
-    * build it — or return None in the decline regime (ship NO filter;
-    * the plain shuffle join runs). */
+  /** Count the key side (or take the caller's `knownN` — a manifest
+    * row count / CostModel estimate — and skip the counting job),
+    * size the filter via [[bloomDecision]], and build it — or return
+    * None in the decline regime (ship NO filter; the plain shuffle
+    * join runs). */
   private def buildProbe(keyF: DataFrame, factKey: Column,
       bitsPerKey: Int, factRows: Option[Long],
-      bloomMinKeys: Long): Option[Column] = {
-    val n = keyF.agg(approx_count_distinct(col("__sk")))
-      .first().getLong(0)
+      bloomMinKeys: Long, knownN: Option[Long] = None): Option[Column] = {
+    val n = knownN.getOrElse(
+      keyF.agg(approx_count_distinct(col("__sk"))).first().getLong(0))
     bloomDecision(n, bitsPerKey, factRows, bloomMinKeys).map { p =>
       graft.functions.BloomProbe.mightContain(factKey,
         bloomWords(keyF, "__sk", p.m, p.hashes), p.m, p.hashes)
@@ -167,28 +169,57 @@ object KeyShip {
   private def castNull(factKey: Column): Column =
     factKey.isNotNull && factKey.try_cast("long").isNull
 
+  /** How far above `maxLiterals` a `keyRows` estimate must sit before
+    * the limit-probe is skipped. The estimate is usually an UPPER
+    * bound (a table count standing in for a filtered/deduped side),
+    * so near the threshold the true distinct count may still be
+    * literal-eligible — and the probe over a side that small costs
+    * almost nothing. Far above it, the probe can only prove what the
+    * estimate already says, so it is pure per-request overhead. */
+  private val probeWorthFactor = 4L
+
   /** Semi-join `fact` to the keys of `keys(keyCol)` on
     * `fact(factKey)`, carrier chosen by [[bloomDecision]]:
     * `<= maxLiterals` ships literals (pushed `In` at the scan); a
     * broadcastable key side ships nothing (the exact semi broadcasts
     * under AQE); past the broadcast budget the Bloom probe
     * pre-filters map-side, then the exact semi-join removes the
-    * false positives. Result is the exact semi-join in every regime. */
+    * false positives. Result is the exact semi-join in every regime.
+    *
+    * `keyRows` is the AMORTIZED-DECISION channel: when the caller
+    * already knows the key side's cardinality (a TxnTable manifest
+    * row count, a CostModel estimate, a dim table's footer count),
+    * an estimate above `maxLiterals` decides the carrier with ZERO
+    * driver jobs — the limit-probe and the distinct-count sizing job
+    * are both skipped and [[bloomDecision]] runs on the estimate.
+    * A dashboard's dim-driven page then pays no per-request decision
+    * overhead. The estimate may safely be an over-count (a table
+    * count standing in for a filtered side): the only possible drift
+    * is carrier choice (e.g. broadcast-semi where a literal push was
+    * eligible), never semantics — every regime returns the exact
+    * semi-join. Absent — or within [[probeWorthFactor]]× of the
+    * literal threshold, where a filter/dedup on the key side could
+    * still land the set under `maxLiterals` and the probe over so
+    * small a side is cheap — the probing path runs as before. */
   def semiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = -1): DataFrame = {
+      bloomMinKeys: Long = -1, keyRows: Option[Long] = None): DataFrame = {
     // NULL keys leave the set up front: an equi-(semi|anti)-join
     // matches NULL against nothing, and a NULL inside an isin literal
     // would poison the NOT-IN complement with three-valued UNKNOWNs
     // (dropping every row — join semantics keep them all)
+    val est = keyRows.filter(_ > probeWorthFactor * maxLiterals)
     // carrier decision by a LIMIT probe (partial distinct, early
-    // exit): one cheap job either yields the complete literal set or
+    // exit) unless the estimate already proves the set oversized:
+    // one cheap job either yields the complete literal set or
     // proves the set oversized
-    val probe = keys.select(col(keyCol).as("__sk"))
-      .filter(col("__sk").isNotNull).distinct()
-      .limit(maxLiterals + 1).collect()
-    if (probe.length <= maxLiterals) {
+    val probe =
+      if (est.isDefined) Array.empty[org.apache.spark.sql.Row]
+      else keys.select(col(keyCol).as("__sk"))
+        .filter(col("__sk").isNotNull).distinct()
+        .limit(maxLiterals + 1).collect()
+    if (est.isEmpty && probe.length <= maxLiterals) {
       fact.filter(col(factKey).isin(probe.map(_.get(0)).toSeq: _*))
     } else {
       // NO distinct on the big path: bit-OR dedups by construction
@@ -197,7 +228,8 @@ object KeyShip {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
       buildProbe(keyF, col(factKey), bitsPerKey, factRows,
-          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact),
+          knownN = est)
         // cast-null fact rows bypass the probe (it can't judge them)
         // and fall through to the exact join below
         .fold(fact)(pass => fact.filter(castNull(col(factKey)) || pass))
@@ -222,11 +254,14 @@ object KeyShip {
   def antiShip(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = -1): DataFrame = {
-    val probe = keys.select(col(keyCol).as("__sk"))
-      .filter(col("__sk").isNotNull).distinct()
-      .limit(maxLiterals + 1).collect()
-    if (probe.length <= maxLiterals) {
+      bloomMinKeys: Long = -1, keyRows: Option[Long] = None): DataFrame = {
+    val est = keyRows.filter(_ > probeWorthFactor * maxLiterals)
+    val probe =
+      if (est.isDefined) Array.empty[org.apache.spark.sql.Row]
+      else keys.select(col(keyCol).as("__sk"))
+        .filter(col("__sk").isNotNull).distinct()
+        .limit(maxLiterals + 1).collect()
+    if (est.isEmpty && probe.length <= maxLiterals) {
       // literal NOT IN with anti-JOIN null semantics: NULL fact keys
       // kept (key-set NULLs were dropped above, so the isin literal
       // list can never be NULL-poisoned)
@@ -236,7 +271,8 @@ object KeyShip {
       val keyF = keys.select(col(keyCol).as("__sk"))
         .filter(col("__sk").isNotNull)
       buildProbe(keyF, col(factKey), bitsPerKey, factRows,
-          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact))
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact),
+          knownN = est)
           match {
         case None => // fpp regime: no useful filter — plain anti-join
           fact.join(keyF, col(factKey) === col("__sk"), "left_anti")
@@ -278,9 +314,9 @@ object KeyShip {
   def semiShipCols(fact: DataFrame, factKeys: Seq[String],
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = -1): DataFrame = {
+      bloomMinKeys: Long = -1, keyRows: Option[Long] = None): DataFrame = {
     val t = prepTupleShip(fact, factKeys, keys, keyCols, maxLiterals,
-      bitsPerKey, factRows, bloomMinKeys)
+      bitsPerKey, factRows, bloomMinKeys, keyRows)
     if (t.literal) fact.join(broadcast(t.renamed), t.cond, "left_semi")
     else t.probe.fold(fact)(fact.filter)
       .join(t.renamed, t.cond, "left_semi")
@@ -296,13 +332,16 @@ object KeyShip {
   private def prepTupleShip(fact: DataFrame, factKeys: Seq[String],
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int,
       bitsPerKey: Int, factRows: Option[Long],
-      bloomMinKeys: Long): TupleShip = {
+      bloomMinKeys: Long, keyRows: Option[Long] = None): TupleShip = {
     val renamed = shipColsPrep(fact, factKeys, keys, keyCols)
     val cond = factKeys.zipWithIndex.map {
       case (f, i) => fact.col(f) === renamed.col(s"__sk$i") }
       .reduce(_ && _)
-    val probe = renamed.distinct().limit(maxLiterals + 1).collect()
-    if (probe.length <= maxLiterals)
+    val est = keyRows.filter(_ > probeWorthFactor * maxLiterals)
+    val probe =
+      if (est.isDefined) Array.empty[org.apache.spark.sql.Row]
+      else renamed.distinct().limit(maxLiterals + 1).collect()
+    if (est.isEmpty && probe.length <= maxLiterals)
       TupleShip(renamed, cond, literal = true, None)
     else {
       val tupleHash = xxhash64(factKeys.map(fact.col): _*)
@@ -310,7 +349,8 @@ object KeyShip {
         keyCols.indices.map(i => col(s"__sk$i")): _*).as("__sk"))
       TupleShip(renamed, cond, literal = false,
         buildProbe(keyH, tupleHash, bitsPerKey, factRows,
-          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact)))
+          if (bloomMinKeys >= 0) bloomMinKeys else sessionMinKeys(fact),
+          knownN = est))
     }
   }
 
@@ -349,9 +389,9 @@ object KeyShip {
   def antiShipCols(fact: DataFrame, factKeys: Seq[String],
       keys: DataFrame, keyCols: Seq[String], maxLiterals: Int = 1000,
       bitsPerKey: Int = 8, factRows: Option[Long] = None,
-      bloomMinKeys: Long = -1): DataFrame = {
+      bloomMinKeys: Long = -1, keyRows: Option[Long] = None): DataFrame = {
     val t = prepTupleShip(fact, factKeys, keys, keyCols, maxLiterals,
-      bitsPerKey, factRows, bloomMinKeys)
+      bitsPerKey, factRows, bloomMinKeys, keyRows)
     if (t.literal) fact.join(broadcast(t.renamed), t.cond, "left_anti")
     else t.probe match {
       case None => fact.join(t.renamed, t.cond, "left_anti")

@@ -331,7 +331,13 @@ object Relational {
   def q22(s: SparkSession, d: String): DataFrame = {
     val bigOrders = orders(s, d).filter(col("o_totalprice") > 300000)
       .select("o_orderkey")
-    KeyShip.semiShip(lineitem(s, d), "l_orderkey", bigOrders, "o_orderkey")
+    // the served-engine shape: the key side's table cardinality is
+    // already known (footer/manifest metadata), so the carrier
+    // decision costs ZERO driver jobs — no limit-probe, no
+    // distinct-count — and lands directly on the broadcast-semi /
+    // bloom choice bloomDecision makes from the estimate
+    KeyShip.semiShip(lineitem(s, d), "l_orderkey", bigOrders, "o_orderkey",
+      keyRows = Some(graft.core.Tables.tableRows(s, d, "orders")))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))

@@ -651,18 +651,32 @@ object Similarity {
   private[graft] def ivfPublishAs(root: String, gen: Int,
       layoutPath: String, k: Int): Unit = {
     new java.io.File(root).mkdirs()
-    val f = java.nio.file.Paths.get(root, s"gen-$gen.json")
+    val target = java.nio.file.Paths.get(root, s"gen-$gen.json")
     val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
+    // tmp + exclusive hard link (the TxnTable manifest discipline):
+    // the pointer file appears COMPLETE or not at all — a raw
+    // CREATE_NEW write could crash half-written, and the /index
+    // endpoints read these files on every balance/history call
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(root), s".gen-$gen", ".tmp")
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"index generation $gen already published under $root — " +
+        "re-read the current pointer and re-publish")
     try {
-      java.nio.file.Files.write(f, body.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      ()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"index generation $gen already published under $root — " +
-            "re-read the current pointer and re-publish")
-    }
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => lost()
+        case _: UnsupportedOperationException =>
+          try java.nio.file.Files.createFile(target)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            lost() }
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 
   private def jq(s: String): String =
@@ -679,12 +693,21 @@ object Similarity {
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case pat(n) =>
+          // descriptive failure, never a bare NoSuchElementException:
+          // a truncated/corrupt pointer file must surface as a named
+          // operational error (the HTTP layer maps it deliberately),
+          // not wedge /index balance/history/retrain in a 500
           val body = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          def corrupt(what: String) = throw new IllegalStateException(
+            s"corrupt index generation file ${f.getPath} (missing " +
+              s"$what) — delete or restore it to recover")
           val path = """"path":"((?:[^"\\]|\\.)*)"""".r
-            .findFirstMatchIn(body).get.group(1)
+            .findFirstMatchIn(body)
+            .fold(corrupt("path"))(_.group(1))
             .replace("\\\"", "\"").replace("\\\\", "\\")
-          val k = """"k":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+          val k = """"k":(\d+)""".r.findFirstMatchIn(body)
+            .fold(corrupt("k"))(_.group(1)).toInt
           Some((n.toInt, path, k))
         case _ => None
       }).sortBy(_._1).toSeq

@@ -259,12 +259,21 @@ object model {
       * as one day would pick the full-history scan over the rollup
       * built precisely for that case). */
     def estimate(numDays: Option[Int]): Long = {
-      val nd = numDays.getOrElse(CostModel.UnboundedHorizonDays)
-      val rows = fixedRows.getOrElse(rowsPerDay * (nd + 1L))
+      val rows = rowEstimate(numDays)
       val mult = multiplier.collectFirst {
         case (ub, m) if rows <= ub => m
       }.getOrElse(1.0)
       math.max(1L, (rows * mult).toLong)
+    }
+
+    /** The RAW row estimate — no multiplier. The multiplier is a
+      * RANKING penalty (abstract preference units), not a row count:
+      * consumers that feed a physical-size decision (KeyShip's bloom
+      * sizing, bitset caps) must use this, or a 10× penalized variant
+      * would size its bitset for 10× the rows it actually scans. */
+    def rowEstimate(numDays: Option[Int]): Long = {
+      val nd = numDays.getOrElse(CostModel.UnboundedHorizonDays)
+      math.max(1L, fixedRows.getOrElse(rowsPerDay * (nd + 1L)))
     }
   }
   object CostModel {

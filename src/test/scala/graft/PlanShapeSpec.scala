@@ -314,6 +314,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(agg(small) == agg(exactSmall))
   }
 
+  test("KeyShip keyRows estimate: zero-job decision matches the probed one") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.KeyShip
+    val fact = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag")
+    val keys = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 100000).select("o_orderkey")
+    // oversized regime, bloom forced on both paths: the estimate-fed
+    // decision must produce the same carrier SHAPE as the probed one
+    val probed = KeyShip.semiShip(fact, "l_orderkey", keys,
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0)
+    val est = KeyShip.semiShip(fact, "l_orderkey", keys,
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0,
+      keyRows = Some(graft.core.Tables.tableRows(spark, sf, "orders")))
+    val pE = physical(est)
+    assert(pE.contains("LeftSemi") && pE.contains("bloom_might_contain"),
+      s"estimate-driven oversized carrier must keep the probed shape:\n$pE")
+    assert(!pE.contains("In(l_orderkey"),
+      s"estimate past the threshold must not collect literals:\n$pE")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(est) == agg(probed),
+      "estimate-driven and probed carriers must agree on the result")
+    // decline regime (session bloomMinKeys): estimate-fed decision
+    // ships NO filter — the broadcastable exact semi, no bitset, no
+    // literal — the q22-at-serve shape with zero decision jobs
+    val declined = KeyShip.semiShip(fact, "l_orderkey", keys,
+      "o_orderkey", keyRows = Some(
+        graft.core.Tables.tableRows(spark, sf, "orders")))
+    val pD = physical(declined)
+    assert(pD.contains("LeftSemi") && !pD.contains("bloom_might_contain")
+      && !pD.contains("In(l_orderkey"), s"decline regime shape:\n$pD")
+    // an estimate NEAR the literal threshold still probes (the side
+    // may dedup/filter under it — and the probe there is cheap)
+    val near = KeyShip.semiShip(fact, "l_orderkey",
+      keys.limit(50), "o_orderkey", maxLiterals = 1000,
+      keyRows = Some(2000L))
+    val pN = physical(near)
+    assert(pN.contains("In(l_orderkey"),
+      s"near-threshold estimate must fall back to the probe:\n$pN")
+    // anti carrier: estimate path equals the plain anti
+    val antiE = KeyShip.antiShip(fact, "l_orderkey", keys,
+      "o_orderkey", maxLiterals = 100, bloomMinKeys = 0,
+      keyRows = Some(graft.core.Tables.tableRows(spark, sf, "orders")))
+    val plainAnti = fact.join(keys,
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    assert(agg(antiE) == agg(plainAnti),
+      "estimate-driven anti carrier must equal the plain anti-join")
+  }
+
   test("KeyShip: past the fpp regime the probe is declined, not shipped") {
     import org.apache.spark.sql.functions._
     import graft.operators.KeyShip
