@@ -322,43 +322,54 @@ object TxnTable {
     * outlive the lost commit, or a later mutation committing that
     * version number would activate an orphaned set. */
   private def commitConstraintEpoch(dir: String, planned: Int,
-      cs: Seq[(String, String)]): Unit = {
+      cs: Seq[(String, String)]): Unit =
+    commitMetaEpoch(dir, planned, "constraints",
+      cs.map { case (n, p) => s"""{"name":"$n","predicate":"$p"}""" })
+
+  /** Commit versioned table METADATA (a constraint set, a column
+    * mapping) as its own manifest version: claim the epoch file
+    * exclusively, then commit manifest `planned + 1` carrying the
+    * previous version's file entries unchanged. On a lost manifest
+    * publish the claim is rolled back — it must not outlive the lost
+    * commit, or a later writer committing that version number would
+    * activate an orphaned set. */
+  private def commitMetaEpoch(dir: String, planned: Int, base: String,
+      lines: Seq[String]): Unit = {
     val k = planned + 1
-    publishConstraintEpoch(dir, k, cs)
+    publishEpochFile(dir, base, k, lines)
     onBeforeCommit()
     try writeManifest(dir, k, liveEntries(dir, planned))
     catch { case e: java.util.ConcurrentModificationException =>
       java.nio.file.Files.deleteIfExists(
-        fileOf(dir, s"constraints-v$k.json").toPath)
+        fileOf(dir, s"$base-v$k.json").toPath)
       throw e
     }
   }
 
-  /** Exclusive claim + fill of `constraints-v<k>.json` (full set, one
-    * header + one line per constraint). Hard-link claim = the file
+  /** Exclusive claim + fill of `<base>-v<k>.json` (full set, one
+    * header + one line per entry). Hard-link claim = the file
     * appears complete or not at all; the no-link fallback claims with
     * O_CREAT|O_EXCL then fills — its empty-file window is invisible
     * because epoch k only becomes readable once manifest v<k> commits,
     * and the mandatory header line makes a crash-orphaned empty file
-    * a LOUD parse error, never a silently-vanished constraint set. */
-  private def publishConstraintEpoch(dir: String, k: Int,
-      cs: Seq[(String, String)]): Unit = {
-    val body = (s"""{"epoch":$k}""" +: cs.map { case (n, p) =>
-      s"""{"name":"$n","predicate":"$p"}""" })
+    * a LOUD parse error, never a silently-vanished metadata set. */
+  private def publishEpochFile(dir: String, base: String, k: Int,
+      lines: Seq[String]): Unit = {
+    val body = (s"""{"epoch":$k}""" +: lines)
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    val target = fileOf(dir, s"constraints-v$k.json").toPath
+    val target = fileOf(dir, s"$base-v$k.json").toPath
     val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(dir), s".constraints-v$k", ".tmp")
+      java.nio.file.Paths.get(dir), s".$base-v$k", ".tmp")
     try {
       java.nio.file.Files.write(tmp, body)
       try java.nio.file.Files.createLink(target, tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          lostConstraintSlot(dir, k)
+          lostEpochSlot(dir, base, k)
         case _: UnsupportedOperationException =>
           try java.nio.file.Files.createFile(target)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
-            lostConstraintSlot(dir, k) }
+            lostEpochSlot(dir, base, k) }
           java.nio.file.Files.move(tmp, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -371,40 +382,64 @@ object TxnTable {
     * its manifest to land (so the withOcc retry re-plans against a
     * NEW version instead of spinning its bounded retries against the
     * same one), then signal the collision. */
-  private def lostConstraintSlot(dir: String, k: Int): Nothing = {
+  private def lostEpochSlot(dir: String, base: String, k: Int): Nothing = {
     val deadline = System.nanoTime() + 2000000000L
     while (version(dir) < k && System.nanoTime() < deadline)
       Thread.sleep(10)
     throw new java.util.ConcurrentModificationException(
-      s"constraint epoch v$k under $dir already claimed by a concurrent " +
+      s"$base epoch v$k under $dir already claimed by a concurrent " +
         "declaration" +
         (if (version(dir) < k)
-          s" that has not committed (crashed? delete constraints-v$k.json" +
+          s" that has not committed (crashed? delete $base-v$k.json" +
             " to recover)" else "") + "; re-planning")
   }
 
-  private val cEpochPat = """constraints-v(\d+)\.json""".r
-
-  /** The constraint set in force at committed version `v`: the
-    * highest committed epoch file with k <= v; tables predating the
-    * epoch channel fall back to the legacy flat `constraints.json`
-    * (effective at every version). An epoch file whose manifest never
-    * committed (a lost-then-crashed declare) is ignored. */
-  def constraintsAt(dir: String, v: Int): Seq[(String, String)] = {
-    val committed = Option(new java.io.File(dir).listFiles())
+  /** The committed `<base>-v<k>.json` lines (header stripped) in
+    * force at version `v`: the highest committed epoch with k <= v.
+    * An epoch file whose manifest never committed (a lost-then-
+    * crashed declare) is ignored. None = no epoch declared yet. */
+  private def epochLinesAt(dir: String, base: String,
+      v: Int): Option[Seq[String]] = {
+    val pat = (java.util.regex.Pattern.quote(base) +
+      """-v(\d+)\.json""").r
+    Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
       .flatMap(f => f.getName match {
-        case cEpochPat(k) => Some((k.toInt, f))
+        case pat(k) => Some((k.toInt, f))
         case _ => None
       })
       .filter { case (k, _) =>
         k <= v && fileOf(dir, s"manifest-v$k.json").exists() }
-      .sortBy(_._1)
-    committed.lastOption match {
-      case Some((k, f)) => parseConstraintFile(f, Some(k))
+      .sortBy(_._1).lastOption
+      .map { case (k, f) =>
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+        if (!lines.headOption.contains(s"""{"epoch":$k}"""))
+          sys.error(s"corrupt $base epoch file ${f.getPath} " +
+            s"(missing header) — delete it to recover")
+        lines.drop(1)
+      }
+  }
+
+  /** The constraint set in force at committed version `v`; tables
+    * predating the epoch channel fall back to the legacy flat
+    * `constraints.json` (effective at every version). */
+  def constraintsAt(dir: String, v: Int): Seq[(String, String)] = {
+    val pat = """\{"name":"([^"]+)","predicate":"([^"]+)"\}""".r
+    def parse(lines: Seq[String], where: String) = lines.map {
+      case pat(n, p) => (n, p)
+      case line => sys.error(
+        s"unparseable constraint line in $where: '$line'")
+    }
+    epochLinesAt(dir, "constraints", v) match {
+      case Some(lines) => parse(lines, s"$dir constraints epoch")
       case None =>
         val legacy = fileOf(dir, "constraints.json")
-        if (legacy.exists()) parseConstraintFile(legacy, None) else Nil
+        if (!legacy.exists()) Nil
+        else parse(new String(java.nio.file.Files.readAllBytes(
+          legacy.toPath), "UTF-8").split('\n').toSeq
+          .map(_.trim).filter(_.nonEmpty), legacy.getPath)
     }
   }
 
@@ -413,23 +448,157 @@ object TxnTable {
   def constraints(dir: String): Seq[(String, String)] =
     constraintsAt(dir, version(dir))
 
-  private def parseConstraintFile(f: java.io.File,
-      epoch: Option[Int]): Seq[(String, String)] = {
-    val pat = """\{"name":"([^"]+)","predicate":"([^"]+)"\}""".r
-    val lines = new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-    epoch.foreach { k =>
-      if (lines.headOption.exists(_ == s"""{"epoch":$k}""")) ()
-      else sys.error(s"corrupt constraint epoch file ${f.getPath} " +
-        s"(missing header) — delete it to recover")
-    }
-    lines.drop(if (epoch.isDefined) 1 else 0).map {
-      case pat(n, p) => (n, p)
+  // ---- COLUMN MAPPING (rename / drop without rewriting history) ----
+  //
+  // Files always carry their column's PHYSICAL name — the name the
+  // column had when it first landed — forever ([[optimize]] and
+  // compaction rewrite through the physical reader, so the invariant
+  // survives every maintenance pass). A rename or drop is pure
+  // metadata: a colmap epoch (same manifest-log discipline as the
+  // constraint channel) records physical → logical (or physical →
+  // dropped), [[read]] projects through the mapping in force at the
+  // requested version — so time travel before the rename reads the
+  // OLD name — and mutations translate incoming logical columns back
+  // to physical before any file is written. This is Delta's column
+  // mapping idea re-expressed over the manifest log; it is what lets
+  // a CDC feed rename a field without breaking a 100 TB table's
+  // readers or rewriting one byte of data.
+
+  /** physical → Some(logical) (renamed) | None (dropped), at
+    * committed version `v`. Physicals absent from the map are their
+    * own logical name. */
+  def colMapAt(dir: String, v: Int): Seq[(String, Option[String])] = {
+    val ren = """\{"physical":"([^"]+)","logical":"([^"]+)"\}""".r
+    val drp = """\{"physical":"([^"]+)","dropped":true\}""".r
+    epochLinesAt(dir, "colmap", v).getOrElse(Nil).map {
+      case ren(p, l) => (p, Some(l))
+      case drp(p) => (p, None)
       case line => sys.error(
-        s"unparseable constraint line in ${f.getPath}: '$line'")
+        s"unparseable colmap line under $dir: '$line'")
     }
   }
+
+  private def renderColMap(cm: Seq[(String, Option[String])]): Seq[String] =
+    cm.map {
+      case (p, Some(l)) => s"""{"physical":"$p","logical":"$l"}"""
+      case (p, None) => s"""{"physical":"$p","dropped":true}"""
+    }
+
+  /** Logical column names visible at version `v`, in physical order. */
+  def logicalColumns(s: SparkSession, dir: String, v: Int = -1): Seq[String] = {
+    val rv = if (v < 0) version(dir) else v
+    read(s, dir, rv).schema.map(_.name).toSeq
+  }
+
+  /** Rename a column — one committed metadata version, no data file
+    * touched. Serialized against mutations and other declarations by
+    * the same OCC publish as everything else. Rejected when the old
+    * name does not exist, the new name is taken, or an active CHECK
+    * constraint would stop analyzing post-rename (drop the constraint
+    * first — a constraint that silently stops binding is worse than a
+    * refused rename). */
+  def renameColumn(s: SparkSession, dir: String, from: String,
+      to: String): Unit = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      "rename needs two distinct non-empty names")
+    require(!to.exists(c => c == '"' || c == '\n'),
+      "column names must not contain quotes or newlines")
+    withOcc(dir) { planned =>
+      val cm = colMapAt(dir, planned)
+      val phys = readPhysical(s, dir, planned).schema.map(_.name).toSeq
+      def logicalOf(p: String): Option[String] =
+        cm.collectFirst { case (pp, l) if pp == p => l }.getOrElse(Some(p))
+      val logicals = phys.flatMap(logicalOf)
+      require(logicals.contains(from), s"column '$from' does not exist " +
+        s"(visible columns: ${logicals.mkString(", ")})")
+      require(!logicals.contains(to), s"column '$to' already exists")
+      val p = phys.find(pp => logicalOf(pp).contains(from)).get
+      val next = cm.filterNot(_._1 == p) :+ (p -> Some(to))
+      validateConstraintsUnder(s, dir, planned, next,
+        s"rename '$from' -> '$to'")
+      commitMetaEpoch(dir, planned, "colmap", renderColMap(next))
+    }
+  }
+
+  /** Drop a column — metadata only; history (and time travel before
+    * the drop) keeps the data. Same constraint guard as rename. */
+  def dropColumn(s: SparkSession, dir: String, name: String): Unit =
+    withOcc(dir) { planned =>
+      val cm = colMapAt(dir, planned)
+      val phys = readPhysical(s, dir, planned).schema.map(_.name).toSeq
+      def logicalOf(p: String): Option[String] =
+        cm.collectFirst { case (pp, l) if pp == p => l }.getOrElse(Some(p))
+      val p = phys.find(pp => logicalOf(pp).contains(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' does not exist"))
+      val next = cm.filterNot(_._1 == p) :+ (p -> None)
+      validateConstraintsUnder(s, dir, planned, next, s"drop '$name'")
+      commitMetaEpoch(dir, planned, "colmap", renderColMap(next))
+    }
+
+  /** Every active constraint must still ANALYZE against the post-
+    * change logical schema — an analysis-only check (limit-0 frame,
+    * no job). */
+  private def validateConstraintsUnder(s: SparkSession, dir: String,
+      planned: Int, cm: Seq[(String, Option[String])],
+      change: String): Unit = {
+    val post = applyColMap(readPhysical(s, dir, planned).limit(0), cm)
+    constraintsAt(dir, planned).foreach { case (n, pred) =>
+      try { post.filter(pred).queryExecution.analyzed; () }
+      catch { case _: Exception =>
+        throw new IllegalArgumentException(
+          s"$change would break CHECK constraint '$n' ($pred) — " +
+            "drop the constraint first")
+      }
+    }
+  }
+
+  /** Project a physical-named frame through a column mapping:
+    * dropped physicals disappear, renamed ones alias to their
+    * logical name, unmapped ones pass through. A plain select —
+    * column pruning and filter pushdown run through it untouched. */
+  private def applyColMap(df: DataFrame,
+      cm: Seq[(String, Option[String])]): DataFrame =
+    if (cm.isEmpty) df
+    else {
+      val m = cm.toMap
+      df.select(df.schema.fields.toSeq.flatMap { f =>
+        m.get(f.name) match {
+          case Some(None) => None
+          case Some(Some(l)) => Some(col(f.name).as(l))
+          case None => Some(col(f.name))
+        }
+      }: _*)
+    }
+
+  /** Translate an incoming LOGICAL-named mutation frame to physical
+    * names for the write path. Columns that collide with a renamed-
+    * away or dropped physical name are rejected loudly: silently
+    * accepting them would resurrect dropped data (mergeSchema would
+    * merge the new column into the tombstoned physical) or write two
+    * physical spellings of one logical column. */
+  private def toPhysical(df: DataFrame,
+      cm: Seq[(String, Option[String])]): DataFrame =
+    if (cm.isEmpty) df
+    else {
+      val gone = cm.collect {
+        case (p, None) => p
+        case (p, Some(l)) if l != p => p
+      }.toSet
+      df.columns.find(gone).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column '$c' no longer exists under that name (renamed or " +
+            "dropped) — write the current logical name"))
+      val l2p = cm.collect { case (p, Some(l)) => l -> p }.toMap
+      df.columns.foldLeft(df)((d, c) =>
+        l2p.get(c).filter(_ != c).fold(d)(p => d.withColumnRenamed(c, p)))
+    }
+
+  /** The physical spelling of a logical column name. */
+  private def physicalName(cm: Seq[(String, Option[String])],
+      logical: String): String =
+    cm.collectFirst { case (p, Some(l)) if l == logical => p }
+      .getOrElse(logical)
 
   /** Reject `incoming` if any declared constraint is FALSE on any of
     * its rows — one short-circuit (limit-1) job, run before anything
@@ -508,8 +677,22 @@ object TxnTable {
   /** Snapshot read of `v` (default: latest). mergeSchema unions the
     * commit schemas — SCHEMA EVOLUTION: an upsert may carry columns
     * the older commits lack (rows from before the column existed read
-    * as null), so a table can grow columns without rewriting history. */
-  def read(s: SparkSession, dir: String, v: Int = -1): DataFrame =
+    * as null), so a table can grow columns without rewriting history.
+    * The result projects through the COLUMN MAPPING in force at `v`
+    * ([[colMapAt]]): renamed columns surface under their logical name
+    * as of that version — time travel before a rename reads the old
+    * name — and dropped columns disappear. */
+  def read(s: SparkSession, dir: String, v: Int = -1): DataFrame = {
+    val rv = if (v < 0) version(dir) else v
+    applyColMap(readPhysical(s, dir, rv), colMapAt(dir, rv))
+  }
+
+  /** The raw physical-named scan of `v` — what maintenance rewrites
+    * ([[optimize]]) and mutation internals read, so files keep their
+    * physical column names forever (the invariant the mapping
+    * depends on). */
+  private def readPhysical(s: SparkSession, dir: String,
+      v: Int): DataFrame =
     s.read.option("mergeSchema", "true")
       .parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
 
@@ -533,15 +716,21 @@ object TxnTable {
   def changes(s: SparkSession, dir: String, fromV: Int,
       toV: Int = -1): DataFrame = {
     val fromSet = liveFiles(dir, fromV).toSet
-    val toSet = liveFiles(dir, toV).toSet
+    val rvTo = if (toV < 0) version(dir) else toV
+    val toSet = liveFiles(dir, rvTo).toSet
     val removed = (fromSet -- toSet).toSeq.sorted
     val added = (toSet -- fromSet).toSeq.sorted
-    val schemaCarrier = read(s, dir, toV).limit(0)
+    val schemaCarrier = read(s, dir, rvTo).limit(0)
+    val cmTo = colMapAt(dir, rvTo)
     def side(ps: Seq[String]): DataFrame =
       if (ps.isEmpty) schemaCarrier
       else {
-        val df = s.read.option("mergeSchema", "true")
-          .parquet(ps.map(rel => s"$dir/$rel"): _*)
+        // files carry physical names; surface them under the TARGET
+        // version's logical names before aligning, so a rename is
+        // transparent to CDC followers (renamed data matches by
+        // logical name instead of reading as spurious null deltas)
+        val df = applyColMap(s.read.option("mergeSchema", "true")
+          .parquet(ps.map(rel => s"$dir/$rel"): _*), cmTo)
         val have = df.columns.toSet
         df.select(schemaCarrier.schema.map(f =>
           (if (have(f.name)) col(f.name)
@@ -730,12 +919,13 @@ object TxnTable {
     * by the winning attempt. */
   def deleteKeys(s: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], numFiles: Int = 4): Int = withOcc(dir) { planned =>
-    val (matched, untouched) = matchedEntries(s, dir, keyCol, keys, planned)
+    val pKey = physicalName(colMapAt(dir, planned), keyCol)
+    val (matched, untouched) = matchedEntries(s, dir, pKey, keys, planned)
     if (matched.isEmpty) 0
     else {
-      val cols = colsWith(dir, keyCol)
+      val cols = colsWith(dir, pKey)
       val kept = s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
-        .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+        .filter(col(pKey).isNull || !col(pKey).isin(keys: _*))
       val fresh = commitFiles(s, dir, kept,
         math.min(numFiles, matched.size), cols)
       onBeforeCommit()
@@ -751,16 +941,20 @@ object TxnTable {
   def upsert(s: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, numFiles: Int = 4): Unit = {
     withOcc(dir) { planned =>
-    enforceConstraints(s, dir, updates, planned)
+    enforceConstraints(s, dir, updates, planned) // LOGICAL space
+    // translate to the files' physical names for the write path
+    val cm = colMapAt(dir, planned)
+    val phys = toPhysical(updates, cm)
+    val pKey = physicalName(cm, keyCol)
     val (matched, untouched, survivorsOf) =
-      planKeyedMutation(s, dir, keyCol, keyFrame(updates, keyCol), planned)
-    val cols = colsWith(dir, keyCol)
+      planKeyedMutation(s, dir, pKey, keyFrame(phys, pKey), planned)
+    val cols = colsWith(dir, pKey)
     val survivors =
       if (matched.isEmpty) Nil
       else commitFiles(s, dir, survivorsOf(
         s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
         math.min(numFiles, matched.size), cols)
-    val inserted = commitFiles(s, dir, updates, numFiles, cols)
+    val inserted = commitFiles(s, dir, phys, numFiles, cols)
     onBeforeCommit()
     writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
@@ -786,16 +980,19 @@ object TxnTable {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("__k",
             org.apache.spark.sql.types.LongType))))
-      val affected = keyFrame(updates, keyCol).union(delFrame).distinct()
+      val cm = colMapAt(dir, planned)
+      val phys = toPhysical(updates, cm)
+      val pKey = physicalName(cm, keyCol)
+      val affected = keyFrame(phys, pKey).union(delFrame).distinct()
       val (matched, untouched, survivorsOf) =
-        planKeyedMutation(s, dir, keyCol, affected, planned)
-      val cols = colsWith(dir, keyCol)
+        planKeyedMutation(s, dir, pKey, affected, planned)
+      val cols = colsWith(dir, pKey)
       val survivors =
         if (matched.isEmpty) Nil
         else commitFiles(s, dir, survivorsOf(
           s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
           math.min(numFiles, matched.size), cols)
-      val inserted = commitFiles(s, dir, updates, numFiles, cols)
+      val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
@@ -864,18 +1061,23 @@ object TxnTable {
     try {
     withOcc(dir) { planned =>
       enforceConstraints(s, dir, updates, planned)
+      val cm = colMapAt(dir, planned)
+      val phys = toPhysical(updates, cm)
+      val pKey = physicalName(cm, keyCol)
       // delete + upsert keys together: every affected row leaves its
-      // file in one rewrite pass, then upsert rows re-insert
+      // file in one rewrite pass, then upsert rows re-insert. The key
+      // frame comes off the LOGICAL compacted batch (keyCol is its
+      // spelling there); the rewrite plan runs in physical space.
       val affected = keyFrame(compacted, keyCol)
       val (matched, untouched, survivorsOf) =
-        planKeyedMutation(s, dir, keyCol, affected, planned)
-      val cols = colsWith(dir, keyCol)
+        planKeyedMutation(s, dir, pKey, affected, planned)
+      val cols = colsWith(dir, pKey)
       val survivors =
         if (matched.isEmpty) Nil
         else commitFiles(s, dir, survivorsOf(
           s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
           math.min(numFiles, matched.size), cols)
-      val inserted = commitFiles(s, dir, updates, numFiles, cols)
+      val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
       writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
     }
@@ -896,7 +1098,11 @@ object TxnTable {
   def optimize(s: SparkSession, dir: String, zcols: Seq[String],
       numFiles: Int = 8, ranked: Boolean = false): Unit =
     withOcc(dir) { planned =>
-    val live = read(s, dir, planned)
+    // the PHYSICAL reader: a rewrite must preserve physical column
+    // names, or the colmap channel's files-are-physical invariant
+    // (and the manifest stats keyed on physical names) would break.
+    // zcols are physical too — maintenance addresses storage layout.
+    val live = readPhysical(s, dir, planned)
     val clustered =
       if (zcols.size == 1 && !ranked)
         live.repartitionByRange(numFiles, col(zcols.head))

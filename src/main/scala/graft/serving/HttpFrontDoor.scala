@@ -44,7 +44,9 @@ import graft.semantic.model.Registry
   *                           claim), `history` lists generations
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
   *                                 |constraints|addConstraint|dropConstraint
-  *                           (CHECK-constraint management rides the
+  *                                 |renameColumn|dropColumn
+  *                           (CHECK-constraint management and
+  *                           column-mapping schema evolution ride the
   *                           same registered-table surface; predicates
   *                           arrive URL-encoded)
   *                           storage-maintenance surface over the
@@ -308,6 +310,27 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                     reqId)
                 case None =>
                   (400, """{"error":"dropConstraint requires name"}""", reqId)
+              }
+            case "renameColumn" =>
+              (q.get("from"), q.get("to")) match {
+                case (Some(from), Some(to)) =>
+                  TxnTable.renameColumn(s, tdir, from, to)
+                  Freshness.refresh(s, tdir)
+                  (200, s"""{"op":"renameColumn","from":${Domain.jStr(from)},"to":${Domain.jStr(to)},"version":${TxnTable.version(tdir)}}""",
+                    reqId)
+                case _ =>
+                  (400, """{"error":"renameColumn requires from, to"}""",
+                    reqId)
+              }
+            case "dropColumn" =>
+              q.get("name") match {
+                case Some(n) =>
+                  TxnTable.dropColumn(s, tdir, n)
+                  Freshness.refresh(s, tdir)
+                  (200, s"""{"op":"dropColumn","name":${Domain.jStr(n)},"version":${TxnTable.version(tdir)}}""",
+                    reqId)
+                case None =>
+                  (400, """{"error":"dropColumn requires name"}""", reqId)
               }
             case "vacuum" =>
               val keep = q.get("keepSince").map(_.toInt)

@@ -919,6 +919,83 @@ class TxnTableSpec extends AnyFunSuite {
       "the drop must not rewrite history")
   }
 
+  test("column mapping: rename/drop are metadata versions; time travel keeps old names") {
+    val dir = graft.core.TempDirs.scratchShared("txncolmap")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 100L).map(k => (k, k * 10)).toDF("k", "v"),
+      numFiles = 2, statsCols = Seq("k"))
+    val v1 = TxnTable.version(dir)
+    // rename lands as ONE committed version, no data file rewritten
+    val filesBefore = TxnTable.liveFiles(dir).toSet
+    TxnTable.renameColumn(spark, dir, "v", "score")
+    assert(TxnTable.version(dir) == v1 + 1)
+    assert(TxnTable.liveFiles(dir).toSet == filesBefore,
+      "a rename must not touch one data file")
+    // post-rename reads the new name; values intact
+    val now = TxnTable.read(spark, dir)
+    assert(now.columns.toSeq == Seq("k", "score"))
+    assert(now.filter(col("k") === 7L).first().getLong(1) == 70L)
+    // time travel BEFORE the rename reads the old name
+    val old = TxnTable.read(spark, dir, v1)
+    assert(old.columns.toSeq == Seq("k", "v"))
+    // mutations write the NEW logical name (translated to the stable
+    // physical name under the hood)...
+    TxnTable.upsert(spark, dir, "k", Seq((7L, 777L)).toDF("k", "score"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 7L)
+      .first().getLong(1) == 777L)
+    // ...and REJECT the renamed-away spelling loudly
+    val stale = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((8L, 1L)).toDF("k", "v"))
+    }
+    assert(stale.getMessage.contains("renamed or dropped"), stale.getMessage)
+    // CDC across the rename surfaces the target version's logical
+    // names — the upsert reads as delete(old)+insert(new) on `score`
+    val ch = TxnTable.changes(spark, dir, v1)
+    assert(ch.columns.contains("score") && !ch.columns.contains("v"))
+    val chRows = ch.filter(col("k") === 7L)
+      .select("_change_type", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(chRows == Set(("delete", 70L), ("insert", 777L)), chRows)
+    // an active constraint on the column blocks the change (it would
+    // silently stop binding); dropping it unblocks
+    TxnTable.addConstraint(spark, dir, "score_pos", "score >= 0")
+    val blocked = intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, dir, "score", "points")
+    }
+    assert(blocked.getMessage.contains("score_pos"), blocked.getMessage)
+    TxnTable.dropConstraint(dir, "score_pos")
+    TxnTable.renameColumn(spark, dir, "score", "points")
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("k", "points"))
+    // maintenance preserves the physical invariant: optimize rewrites
+    // files, reads still surface logical names, key pruning survives
+    TxnTable.optimize(spark, dir, Seq("k"), numFiles = 2)
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("k", "points"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 7L)
+      .first().getLong(1) == 777L)
+    TxnTable.deleteKeys(spark, dir, "k", Seq(7L))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 7L).count() == 0)
+    // drop: metadata-only disappearance; pre-drop time travel keeps it
+    val vPreDrop = TxnTable.version(dir)
+    TxnTable.dropColumn(spark, dir, "points")
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("k"))
+    assert(TxnTable.read(spark, dir, vPreDrop).columns.toSeq ==
+      Seq("k", "points"))
+    // resurrecting the dropped physical name is rejected (mergeSchema
+    // would silently merge new data into the tombstoned column)
+    val res = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((9L, 5L)).toDF("k", "v"))
+    }
+    assert(res.getMessage.contains("renamed or dropped"), res.getMessage)
+    // unknown / taken names fail loudly
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, dir, "k", "k")
+    }
+  }
+
   test("mergeFrame seqCol: the highest-sequence op per key wins, NULL keys bypass") {
     val dir = graft.core.TempDirs.scratchShared("txnseq")
     import spark.implicits._
