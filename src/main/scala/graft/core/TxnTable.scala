@@ -1189,14 +1189,46 @@ object TxnTable {
         if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum))
     }
 
+  /** Minimum age a version must have been SUPERSEDED for before
+    * [[vacuum]] will drop it (7 days — the lakehouse default): a
+    * snapshot reader pins its file list at plan time, so deleting
+    * files of a freshly superseded version can fail a scan that is
+    * still running. Supersession time = the successor manifest's
+    * mtime (the moment the version stopped being latest — no reader
+    * can PIN a version after that). */
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 3600 * 1000
+
   /** Physically delete files referenced by NO manifest ≥
     * `keepSince` and drop the older manifests — the retention sweep
     * that bounds storage after many copy-on-write commits (including
-    * the orphaned commit dirs of OCC-losing mutation attempts). */
-  def vacuum(dir: String, keepSince: Int): Unit = {
+    * the orphaned commit dirs of OCC-losing mutation attempts).
+    *
+    * CONCURRENT-READER GUARD: refuses (loudly, as a conflict) to drop
+    * any version superseded less than `retainMillis` ago — a reader
+    * that planned against it may still be mid-scan, and deleting its
+    * files would fail the scan at an arbitrary point. `force = true`
+    * overrides for operators who know no reader is pinned (tests,
+    * single-writer pipelines). */
+  def vacuum(dir: String, keepSince: Int,
+      retainMillis: Long = DefaultVacuumRetainMillis,
+      force: Boolean = false): Unit = {
     val ms = manifests(dir)
     val (drop, keep) = ms.partition(_._1 < keepSince)
     require(keep.nonEmpty, s"vacuum would drop every manifest in $dir")
+    if (!force && drop.nonEmpty) {
+      val now = System.currentTimeMillis()
+      val byV = ms.map { case (v, f) => v -> f }.toMap
+      val young = drop.filter { case (v, _) =>
+        byV.get(v + 1).exists(f => now - f.lastModified() < retainMillis) }
+      if (young.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"vacuum refused under $dir: version(s) " +
+            young.map(_._1).mkString(", ") +
+            s" were superseded less than ${retainMillis} ms ago and a " +
+            "reader pinned on them may still be scanning — wait out the " +
+            "retention window, raise keepSince selectivity, or pass " +
+            "force=true")
+    }
     val referenced = keep.flatMap { case (v, _) => liveFiles(dir, v) }.toSet
     val root = new java.io.File(dir, "files")
     for {

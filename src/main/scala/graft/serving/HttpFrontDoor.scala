@@ -335,7 +335,14 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case "vacuum" =>
               val keep = q.get("keepSince").map(_.toInt)
                 .getOrElse(TxnTable.version(tdir))
-              TxnTable.vacuum(tdir, keep)
+              // the retention guard is ON over the wire: a refused
+              // sweep (recently superseded versions — a pinned reader
+              // may still be scanning) surfaces as 409; force=true is
+              // the operator's explicit override
+              TxnTable.vacuum(tdir, keep,
+                retainMillis = q.get("retainMs").map(_.toLong)
+                  .getOrElse(TxnTable.DefaultVacuumRetainMillis),
+                force = q.get("force").contains("true"))
               (200, s"""{"op":"vacuum","keptSince":$keep}""", reqId)
             case other =>
               (400, s"""{"error":${Domain.jStr(s"unknown op '$other'")}}""",

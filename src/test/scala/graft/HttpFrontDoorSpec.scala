@@ -296,7 +296,13 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         s"/maintenance/events_live?op=dropConstraint&name=p_pos", "")
         .statusCode() == 200)
       TxnTable.upsert(spark, tdir, "k", Seq((1L, -5L)).toDF("k", "payload"))
-      val v = post(port, s"/maintenance/events_live?op=vacuum", "")
+      // the retention guard is ON over the wire: the freshly
+      // superseded versions refuse as a 409 conflict (a pinned reader
+      // may still be scanning), and force=true is the explicit
+      // operator override
+      val refused = post(port, s"/maintenance/events_live?op=vacuum", "")
+      assert(refused.statusCode() == 409, s"${refused.statusCode()}: ${refused.body()}")
+      val v = post(port, s"/maintenance/events_live?op=vacuum&force=true", "")
       assert(v.statusCode() == 200, v.body())
       // pre-compaction versions are gone, the live one reads intact
       intercept[RuntimeException](TxnTable.read(spark, tdir, v = 1))

@@ -591,7 +591,7 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, dir).count() == rows,
       "readers must never see an uncommitted write")
     assert(TxnTable.version(dir) == 1)
-    TxnTable.vacuum(dir, keepSince = 1)
+    TxnTable.vacuum(dir, keepSince = 1, force = true)
     assert(!orphan.exists(),
       "vacuum must clean up the crashed writer's orphans")
     assert(TxnTable.read(spark, dir).count() == rows)
@@ -666,7 +666,7 @@ class TxnTableSpec extends AnyFunSuite {
     }
     assert(orphanable.nonEmpty,
       "the losing attempt must have left orphaned commit files")
-    TxnTable.vacuum(dir, keepSince = 3)
+    TxnTable.vacuum(dir, keepSince = 3, force = true)
     assert(TxnTable.read(spark, dir).count() == 1000)
   }
 
@@ -996,6 +996,32 @@ class TxnTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum retention guard: a freshly superseded version's reader survives") {
+    val dir = graft.core.TempDirs.scratchShared("txnretain")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 200L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 2, statsCols = Seq("k"))
+    // a reader pins v1's snapshot (plan built, not yet executed)...
+    val pinned = TxnTable.read(spark, dir, v = 1)
+    // ...then a mutation supersedes it and a vacuum runs immediately
+    TxnTable.upsert(spark, dir, "k", Seq((5L, -5L)).toDF("k", "v"))
+    val refused = intercept[java.util.ConcurrentModificationException] {
+      TxnTable.vacuum(dir, keepSince = 2)
+    }
+    assert(refused.getMessage.contains("superseded less than"),
+      refused.getMessage)
+    // the refusal is what keeps the pinned reader's files alive
+    assert(pinned.count() == 200,
+      "the pinned snapshot must still read after the refused vacuum")
+    // past the horizon the same sweep proceeds (simulate by shrinking
+    // the window to zero) — and the dropped version's reads fail
+    // loudly afterwards, the documented contract
+    TxnTable.vacuum(dir, keepSince = 2, retainMillis = 0L)
+    intercept[RuntimeException] { TxnTable.read(spark, dir, v = 1).count() }
+    assert(TxnTable.read(spark, dir).count() == 200)
+  }
+
   test("mergeFrame seqCol: the highest-sequence op per key wins, NULL keys bypass") {
     val dir = graft.core.TempDirs.scratchShared("txnseq")
     import spark.implicits._
@@ -1146,7 +1172,7 @@ class TxnTableSpec extends AnyFunSuite {
       walk(new java.io.File(dir, "files"))
     }
     val before = allParquet()
-    TxnTable.vacuum(dir, keepSince = 2)
+    TxnTable.vacuum(dir, keepSince = 2, force = true)
     assert(allParquet() < before,
       "vacuum must physically remove the rewritten-away files")
     assert(TxnTable.read(spark, dir).count() == liveCount,
