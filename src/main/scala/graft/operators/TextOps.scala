@@ -342,6 +342,94 @@ object TextOps {
       .select("pair_rank", "left_tok", "right_tok", "cnt")
       .orderBy("pair_rank")
 
+  /** tx18 — BPE APPLY, the ENCODE half of the tokenizer loop that
+    * [[txBpeMergeRank]] (tx11) is the training statistic for: run k
+    * full merge rounds of a real BPE trainer — corpus-wide adjacent-
+    * pair count, argmax with a deterministic tie-break, merge EVERY
+    * non-overlapping occurrence, repeat — and report each round's
+    * chosen merge plus the corpus piece count after applying it.
+    * Applying the learned table to the corpus it was trained on is
+    * exactly this loop, so the output doubles as the encode trace.
+    *
+    * Mechanics: a document rides as ONE string of '<tok>'-wrapped
+    * pieces joined by single spaces; a merge is a plain (non-regex)
+    * `replace` of '<a> <b>' with '<ab>' — the wrapping makes a pair
+    * pattern unable to match across piece boundaries, and replace's
+    * left-to-right non-overlapping scan IS the BPE apply rule
+    * (identical in Spark and the DuckDB oracle, which replays the
+    * same k rounds unrolled). Shape at 100 TB: per round one
+    * map-side-combined pair count (argmax = a 1-row TakeOrdered — a
+    * bounded-metadata collect, the trained artifact itself) and one
+    * map-only replace; k rounds = k passes, no joins, no windows.
+    * Decode-equals-input conservation is spec-pinned (TextOpsSpec). */
+  def txBpeApply(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    // each round's corpus PERSISTS (released as soon as its successor
+    // materializes): round r runs one pair-count job and one piece
+    // count over the cached round-(r-1) strings instead of replaying
+    // the whole parse+replace chain per action — the in-session form
+    // of the per-round intermediate table a 100 TB trainer would
+    // checkpoint between merge rounds anyway
+    var df = documents(s, d).select(
+      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+        .as("seq")).persist()
+    val rows = Seq.newBuilder[(Long, String, String, Long, Long)]
+    try {
+      for (r <- 1 to k) {
+        val best = bpePairCounts(df)
+          .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
+        val (l, rr, cnt) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        val merged = "<" + l.substring(1, l.length - 1) +
+          rr.substring(1, rr.length - 1) + ">"
+        val next = df.select(
+          replace(col("seq"), lit(l + " " + rr), lit(merged)).as("seq"))
+          .persist()
+        val pieces = next.agg(sum(size(split(col("seq"), " "))))
+          .first().getLong(0)
+        df.unpersist()
+        df = next
+        rows += ((r.toLong, l.substring(1, l.length - 1),
+          rr.substring(1, rr.length - 1), cnt, pieces))
+      }
+    } finally { df.unpersist(); () }
+    import s.implicits._
+    rows.result()
+      .toDF("round", "left_tok", "right_tok", "cnt", "pieces_after")
+      .orderBy("round")
+  }
+
+  /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —
+    * the per-round trainer aggregation (map-only pair zip, map-side
+    * partial count, one shuffle on the pair key). */
+  private def bpePairCounts(df: DataFrame): DataFrame =
+    df.select(explode(expr(
+      """zip_with(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),
+        |  slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1),
+        |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+
+  /** Test hook: the final encoded corpus after `k` trained merges,
+    * one row per document (doc_id, seq) — what the conservation spec
+    * decodes back against the raw tokens. */
+  private[graft] def bpeEncoded(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    var df = documents(s, d).select(col("doc_id"),
+      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+        .as("seq"))
+    for (_ <- 1 to k) {
+      val best = bpePairCounts(df)
+        .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
+      val (l, rr) = (best.getString(0), best.getString(1))
+      val merged = "<" + l.substring(1, l.length - 1) +
+        rr.substring(1, rr.length - 1) + ">"
+      df = df.select(col("doc_id"),
+        replace(col("seq"), lit(l + " " + rr), lit(merged)).as("seq"))
+    }
+    df
+  }
+
   /** Vocabulary statistics per source (corpus QA: synthetic or
     * template-generated slices show up as tiny vocabularies and
     * near-zero hapax rates; natural text keeps a long hapax tail —
@@ -563,6 +651,7 @@ object TextOps {
     "tx09_length_quantiles" -> (txLengthQuantiles _),
     "tx10_zipf_rank" -> (txZipfRank _),
     "tx11_bpe_merge_rank" -> (txBpeMergeRank _),
+    "tx18_bpe_apply" -> (txBpeApply _),
     "tx12_vocab_stats" -> (txVocabStats _),
     "tx13_quantile_sketch" -> (txQuantileSketch _),
     "tx14_quality_model" -> (txQualityModel _),
@@ -774,6 +863,30 @@ object TextOps {
         |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_frac
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // tx18: the same k merge rounds, unrolled — each round counts
+    // adjacent pairs of the wrapped corpus, picks (cnt DESC, l, r)
+    // argmax, and replays the merge with the same non-overlapping
+    // left-to-right replace() Spark applies
+    "tx18_bpe_apply" -> {
+      def round(r: Int) = s"""
+        |p$r AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p
+        |  FROM (SELECT string_split(seq, ' ') t FROM s${r - 1}) WHERE len(t) >= 2),
+        |b$r AS (SELECT p[1] l, p[2] r, COUNT(*) cnt FROM p$r GROUP BY 1, 2
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |s$r AS (SELECT replace(seq, (SELECT l || ' ' || r FROM b$r),
+        |    (SELECT '<' || l[2:-2] || r[2:-2] || '>' FROM b$r)) seq FROM s${r - 1}),
+        |t$r AS (SELECT CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) tot FROM s$r)"""
+          .stripMargin
+      def row(r: Int) =
+        s"""SELECT CAST($r AS BIGINT) round, (SELECT l[2:-2] FROM b$r) left_tok,
+           | (SELECT r[2:-2] FROM b$r) right_tok, (SELECT cnt FROM b$r) cnt,
+           | (SELECT tot FROM t$r) pieces_after""".stripMargin
+      """WITH s0 AS (SELECT array_to_string(list_transform(
+        |  string_split_regex(trim(text), '\s+'), x -> '<' || x || '>'), ' ') seq
+        |  FROM documents),""".stripMargin +
+        (1 to 4).map(round).mkString(",") + "\n" +
+        (1 to 4).map(row).mkString("\nUNION ALL ") + "\nORDER BY round"
+    },
     "tx11_bpe_merge_rank" ->
       """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),
         |pairs AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p FROM tok WHERE len(t) >= 2),

@@ -26,6 +26,48 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("tx18 BPE apply: decode == input, pieces conserve vs tx05's token counts") {
+    import org.apache.spark.sql.functions._
+    val k = 4
+    // decode(encode(x)) conservation: a merge welds two pieces'
+    // CONTENT ('<a> <b>' -> '<ab>'), so the character stream of the
+    // pieces — brackets stripped, concatenated — must equal the
+    // character stream of the raw tokens for EVERY document: no
+    // character lost, duplicated, or reordered by any merge round
+    val enc = graft.operators.TextOps.bpeEncoded(spark, sf, k)
+    val decoded = enc.select(col("doc_id"), expr(
+      """array_join(transform(split(seq, ' '),
+        |  p -> substring(p, 2, length(p) - 2)), '')""".stripMargin)
+      .as("dec"))
+    val raw = graft.core.Tables.documents(spark, sf).select(col("doc_id"),
+      expr("array_join(split(trim(text), '\\\\s+'), '')").as("orig"))
+    assert(decoded.join(raw, "doc_id")
+      .filter(col("dec") =!= col("orig")).count() == 0,
+      "piece contents must concatenate back to the original tokens")
+    // piece-count conservation: total pieces = total raw tokens minus
+    // the merges actually applied (each replace removes exactly one
+    // piece per non-overlapping occurrence); tx18's final
+    // pieces_after must equal the encoded corpus's own piece count,
+    // and every merge round must strictly shrink the corpus
+    val report = graft.operators.TextOps.txBpeApply(spark, sf).collect()
+    assert(report.length == k)
+    val piecesAfter = report.map(_.getLong(4))
+    val totalRaw = graft.core.Tables.documents(spark, sf)
+      .agg(sum(size(expr("split(trim(text), '\\\\s+')")))).first().getLong(0)
+    assert(piecesAfter.head < totalRaw && piecesAfter.toSeq ==
+      piecesAfter.sorted(Ordering[Long].reverse).toSeq,
+      s"each merge must shrink the corpus: raw=$totalRaw after=$piecesAfter")
+    val encPieces = enc.agg(sum(size(split(col("seq"), " "))))
+      .first().getLong(0)
+    assert(piecesAfter.last == encPieces,
+      "tx18's reported pieces must equal the encoded corpus")
+    // the first trained merge is tx11's rank-1 pair — the apply loop
+    // and the training statistic cannot drift apart
+    val top = graft.operators.TextOps.txBpeMergeRank(spark, sf).first()
+    assert((report.head.getString(1), report.head.getString(2)) ==
+      (top.getString(1), top.getString(2)))
+  }
+
   test("Verify.dump writes a loud error marker for a crashing query") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-verify-err").toString
