@@ -602,6 +602,61 @@ object Similarity {
     IvfBalance(k, total, mc, mn.toDouble / math.max(total, 1L))
   }
 
+  /** Serve-side list centroids ESTIMATED from the layout itself (the
+    * per-cid element-wise mean — k×dim rows of metadata from one
+    * aggregate, memoized per layout): a published generation records
+    * its layout path and k but not the trained quantizer, and the
+    * list mean is the k-means centroid the lists converge to anyway.
+    * Shape: posexplode to (cid, pos) partial means — map-side
+    * combined, k·dim groups — never a whole-vector collect. */
+  private[graft] def layoutCentroids(s: SparkSession,
+      dir: String): Seq[Ctr] =
+    graft.core.Caches.memoObj(s, s"ivfcents|$dir") {
+      s.read.parquet(dir)
+        .select(col("cid").cast("int").as("c"),
+          posexplode(col("embedding")))
+        .groupBy("c", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("c").agg(sort_array(collect_list(
+          struct(col("pos"), col("m")))).as("ps"))
+        .collect().toSeq
+        .map(r => ctr(r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getDouble(1).toFloat)))
+        .sortBy(_.cid)
+    }
+
+  /** SERVE a published cid-partitioned layout with a runtime `nprobe`
+    * KNOB — the recall/latency dial every IVF deployment exposes:
+    * route each query (looked up by vec_id) to its nprobe nearest
+    * list centroids, scan only those lists (the broadcast-probe join
+    * dynamically prunes the partition scan, sim11's plan), rank with
+    * the map-side-combining top-k aggregate. nprobe=k degenerates to
+    * exact flat search; nprobe=1 is the fastest/lowest-recall point.
+    * The measured trade curve at 8M vectors is recorded in
+    * SCALE_SLOPE (tools/IvfRecallProbe). */
+  private[graft] def ivfServe(s: SparkSession, layout: String,
+      queryIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(topK >= 1, s"k must be >= 1, got $topK")
+    require(queryIds.nonEmpty, "at least one query vec_id required")
+    val cents = layoutCentroids(s, layout)
+    val np = math.min(nprobe, cents.size)
+    val post = s.read.parquet(layout)
+    val postings = post.select(col("cid"), col("vec_id").as("nid"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = post.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCol(cents, col("embedding"), np)).as("cid"))
+    postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .groupBy("qid")
+      .agg(topKAgg(topK)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** RETRAIN maintenance op — what [[ivfBalance]]'s trigger schedules
     * (verdict r10 #4): re-train the coarse quantizer on the CURRENT
     * corpus with the sim05 trainer and rewrite the cid-partitioned

@@ -32,7 +32,10 @@ import graft.semantic.model.Registry
   *                           without restart (druid-lookups refresh
   *                           cadence, exposed as the wire hook an
   *                           ingestion job calls)
-  *   POST /index/{name}?op=balance|retrain|history
+  *   POST /index/{name}?op=balance|retrain|history|search
+  *                           search serves top-k over the published
+  *                           generation with the nprobe recall/latency
+  *                           knob (vecId=…[,…]&k=…&nprobe=…)
   *                           ANN-index maintenance over the REGISTERED
   *                           generation roots: `balance` runs the
   *                           drift statistic against the live
@@ -213,6 +216,33 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k}""" }
               (200, rows.mkString("""{"op":"history","generations":[""",
                 ",", "]}"), reqId)
+            case "search" =>
+              // the recall/latency dial: nprobe lists scanned per
+              // query (1 = fastest, k = exact); the measured trade
+              // curve at 8M vectors lives in SCALE_SLOPE
+              Similarity.ivfCurrent(root) match {
+                case None =>
+                  (400, """{"error":"no published generation"}""", reqId)
+                case Some((gen, path, _)) =>
+                  val ids = q.get("vecId")
+                    .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                      .map(_.toLong))
+                    .getOrElse(Seq.empty)
+                  if (ids.isEmpty)
+                    (400, """{"error":"search requires vecId=<id>[,<id>...]"}""",
+                      reqId)
+                  else {
+                    val topK = q.get("k").map(_.toInt).getOrElse(5)
+                    val np = q.get("nprobe").map(_.toInt).getOrElse(4)
+                    val rows = Similarity.ivfServe(s, path, ids, np, topK)
+                      .collect().map(r =>
+                        s"""{"qid":${r.getLong(0)},"nid":${r.getLong(1)},""" +
+                          s""""rank":${r.getLong(2)},"cosine":${r.getDouble(3)}}""")
+                    (200, rows.mkString(
+                      s"""{"op":"search","gen":$gen,"nprobe":$np,"results":[""",
+                      ",", "]}"), reqId)
+                  }
+              }
             case other =>
               (400, s"""{"error":${Domain.jStr(s"unknown op '$other'")}}""",
                 reqId)

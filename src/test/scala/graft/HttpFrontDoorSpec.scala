@@ -347,6 +347,30 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       val h = post(port, "/index/docs_ann?op=history", "")
       assert(h.statusCode() == 200 && h.body().contains("\"gen\":1") &&
         h.body().contains("\"gen\":2"), h.body())
+      // SEARCH with the nprobe knob, over the retrained generation:
+      // k results per query, ranks 1..k, served from gen 2
+      val sr = post(port,
+        "/index/docs_ann?op=search&vecId=10,390&k=3&nprobe=2", "")
+      assert(sr.statusCode() == 200 && sr.body().contains("\"gen\":2") &&
+        sr.body().contains("\"nprobe\":2"), sr.body())
+      assert("\"qid\":10,".r.findAllIn(sr.body()).size == 3 &&
+        "\"qid\":390,".r.findAllIn(sr.body()).size == 3, sr.body())
+      // nprobe=k = exact flat search: for this smooth 2-D circle
+      // corpus the true nearest neighbors of id 10 are ids 9 and 11 —
+      // full-probe search must find them
+      val ex = post(port,
+        s"/index/docs_ann?op=search&vecId=10&k=2&nprobe=$k", "")
+      assert(ex.statusCode() == 200 &&
+        ex.body().contains("\"nid\":9") && ex.body().contains("\"nid\":11"),
+        ex.body())
+      // knob validation: nprobe/k/vecId are the caller's problem
+      assert(post(port, "/index/docs_ann?op=search&vecId=10&nprobe=0", "")
+        .statusCode() == 400)
+      assert(post(port, "/index/docs_ann?op=search&vecId=10&k=0", "")
+        .statusCode() == 400)
+      assert(post(port, "/index/docs_ann?op=search", "").statusCode() == 400)
+      assert(post(port, "/index/docs_ann?op=search&vecId=x", "")
+        .statusCode() == 400)
     } finally { door.stop(); jobs.shutdown() }
   }
 
@@ -451,5 +475,146 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         s"served totals outside the committed set: ${outside.take(3)} " +
           s"(committed: ${committed.toSeq.sorted.take(5)}...)")
     } finally { stop.set(true); door.stop(); jobs.shutdown() }
+  }
+
+  test("soak 2: live CDC follower tracks mutations + optimize; racing retrains -> one winner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+    import graft.core.TxnTable
+    import graft.operators.Similarity
+    // PART 1 — a LIVE st11 follower (a running Structured Streaming
+    // query tailing the manifest log) while writers commit and a
+    // maintenance loop re-clusters: the follower must apply every
+    // commit exactly once — optimize's identical-content versions as
+    // empty deltas — so its final rollup EXACTLY equals a recompute.
+    val tdir = graft.core.TempDirs.scratchShared("soak2")
+    TxnTable.init(spark, tdir,
+      (0L until 20000L).toDF("k").withColumn("payload", col("k"))
+        .withColumn("grp", lit("all"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    val rollupRoot = graft.core.TempDirs.scratchShared("soak2rollup")
+    val follower = spark.readStream.format("text")
+      .load(s"$tdir/manifest-v*.json")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("soak2ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.streaming.Streaming.st11ApplyBatch(
+          spark, tdir, rollupRoot, bid, Seq("grp"), Seq("payload"))
+        ()
+      }
+      .start()
+    // PART 2 — two retrainers race the SAME index root while a reader
+    // hammers balance/history/search over the wire: every generation
+    // slot gets exactly one winner (losers see a conflict, never a
+    // lost index), and the read path never 5xxes mid-publish.
+    val k = 8
+    val layout0 = graft.core.TempDirs.scratchShared("soak2ivf")
+    (0L until 400L).map { i =>
+      val e = Seq(math.cos(i * 0.01).toFloat, math.sin(i * 0.01).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout0)
+    val ivfRoot = graft.core.TempDirs.scratchShared("soak2ivfroot")
+    assert(Similarity.ivfPublish(ivfRoot, layout0, k) == 1)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("soak2jobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainable = Map("soak2" -> tdir),
+      maintainableIndexes = Map("soak2_ann" -> ivfRoot))
+    val port = door.start()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(): Unit = (1 to 8).foreach { i =>
+      var done = false; var attempts = 0
+      while (!done && attempts < 10) {
+        try {
+          TxnTable.mergeFrame(spark, tdir, "k",
+            Seq((0L, 1000000L * i, "all", "upsert"))
+              .toDF("k", "payload", "grp", "_op"), numFiles = 1)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => attempts += 1
+        }
+      }
+      assert(done, s"writer starved out after $attempts OCC rounds")
+    }
+    def optimizer(): Unit = while (!stop.get()) {
+      try { TxnTable.optimize(spark, tdir, Seq("k"), numFiles = 2) }
+      catch { case _: java.util.ConcurrentModificationException => () }
+      try { TxnTable.compactSmall(spark, tdir, minBytes = 4096) }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    def retrainer(): Unit = (1 to 3).foreach { _ =>
+      try {
+        Similarity.ivfRetrainPublish(spark, ivfRoot, iters = 1)
+        wins.incrementAndGet(); ()
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          conflicts.incrementAndGet(); ()
+      }
+    }
+    def ivfReader(): Unit = while (!stop.get()) {
+      for (op <- Seq("op=balance", "op=history",
+          "op=search&vecId=7&k=2&nprobe=2")) {
+        val r = post(port, s"/index/soak2_ann?$op", "")
+        statuses.add(("index", r.statusCode(), r.body().take(200)))
+      }
+    }
+    val threads = Seq(new Thread(() => writer()),
+      new Thread(() => retrainer()), new Thread(() => retrainer())) ++
+      Seq(new Thread(() => optimizer()), new Thread(() => ivfReader()))
+    try {
+      threads.foreach(_.start())
+      threads.take(3).foreach(_.join(300000)) // writer + retrainers
+      stop.set(true)
+      threads.drop(3).foreach(_.join(300000))
+      // drain the follower to the final committed version, then stop
+      follower.processAllAvailable()
+      follower.stop()
+      import scala.jdk.CollectionConverters._
+      // read path never 5xxes mid-publish
+      val bad = statuses.asScala.filter(_._2 >= 500)
+      assert(bad.isEmpty, s"index reads produced 5xx: ${bad.take(3)}")
+      assert(statuses.asScala.nonEmpty)
+      // the follower applied every commit exactly once: its rollup
+      // EXACTLY equals a full recompute of the final table (a missed
+      // or double-applied delta breaks the exact sum), and its cursor
+      // sits at the final version
+      val st = graft.streaming.Streaming.rollupState(rollupRoot)
+      assert(st.nonEmpty, "follower never committed a rollup")
+      val (rdir, applied, _) = st.get
+      assert(applied == TxnTable.version(tdir),
+        s"follower cursor $applied != table version ${TxnTable.version(tdir)}")
+      val followed = spark.read.parquet(rdir)
+        .select(col("grp"), col("n"),
+          col("sum_payload").cast("decimal(30,6)").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).longValueExact())).toSet
+      val truth = TxnTable.rollupOf(TxnTable.read(spark, tdir),
+          Seq("grp"), Seq("payload"))
+        .select(col("grp"), col("n"),
+          col("sum_payload").cast("decimal(30,6)").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).longValueExact())).toSet
+      assert(followed == truth,
+        s"follower rollup diverged: $followed vs $truth")
+      // every generation slot has exactly one winner, consecutively
+      val gens = Similarity.ivfHistory(ivfRoot).map(_._1)
+      assert(gens == (1 to (1 + wins.get())).toSeq,
+        s"generations must be consecutive single-winner slots: $gens " +
+          s"(wins=${wins.get()}, conflicts=${conflicts.get()})")
+      assert(wins.get() >= 2, "both retrainers together must land retrains")
+    } finally {
+      stop.set(true)
+      try follower.stop() catch { case _: Throwable => () }
+      door.stop(); jobs.shutdown()
+    }
   }
 }
