@@ -394,22 +394,44 @@ object TxnTable {
             " to recover)" else "") + "; re-planning")
   }
 
+  /** Epoch sets are IMMUTABLE once their version is committed: a new
+    * epoch can only claim a slot ABOVE the current latest version, so
+    * the "highest epoch <= v" answer for a committed v never changes
+    * — cached per (dir, base, v) to keep mutation-heavy paths (a
+    * streaming sink committing per trigger) from re-listing and
+    * re-parsing the table root on every read. Bounded: cleared
+    * wholesale past 10k entries (a restart-grade event, not a
+    * correctness one). */
+  private val epochCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), Option[Seq[String]]]()
+
   /** The committed `<base>-v<k>.json` lines (header stripped) in
     * force at version `v`: the highest committed epoch with k <= v.
     * An epoch file whose manifest never committed (a lost-then-
-    * crashed declare) is ignored. None = no epoch declared yet. */
+    * crashed declare) is ignored. COMMITTED means the anchor manifest
+    * exists — or predates the oldest surviving manifest: vacuum drops
+    * old manifests, and an epoch whose anchor was swept MUST stay in
+    * force (versions are consecutive, so an epoch below the vacuum
+    * horizon necessarily committed; treating it as uncommitted would
+    * silently revert the table's constraints/column mapping after a
+    * routine vacuum). None = no epoch declared yet. */
   private def epochLinesAt(dir: String, base: String,
       v: Int): Option[Seq[String]] = {
+    val key = (dir, base, v)
+    val hit = epochCache.get(key)
+    if (hit != null) return hit
     val pat = (java.util.regex.Pattern.quote(base) +
       """-v(\d+)\.json""").r
-    Option(new java.io.File(dir).listFiles())
+    val minManifest = manifests(dir).headOption.map(_._1).getOrElse(1)
+    val r = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
       .flatMap(f => f.getName match {
         case pat(k) => Some((k.toInt, f))
         case _ => None
       })
       .filter { case (k, _) =>
-        k <= v && fileOf(dir, s"manifest-v$k.json").exists() }
+        k <= v && (k < minManifest ||
+          fileOf(dir, s"manifest-v$k.json").exists()) }
       .sortBy(_._1).lastOption
       .map { case (k, f) =>
         val lines = new String(
@@ -420,6 +442,9 @@ object TxnTable {
             s"(missing header) — delete it to recover")
         lines.drop(1)
       }
+    if (epochCache.size > 10000) epochCache.clear()
+    epochCache.put(key, r)
+    r
   }
 
   /** The constraint set in force at committed version `v`; tables

@@ -996,6 +996,30 @@ class TxnTableSpec extends AnyFunSuite {
     }
   }
 
+  test("constraint/colmap epochs survive a vacuum that sweeps their anchor manifest") {
+    val dir = graft.core.TempDirs.scratchShared("txnepochvac")
+    import spark.implicits._
+    TxnTable.init(spark, dir,
+      (0L until 50L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                      // v1
+    TxnTable.renameColumn(spark, dir, "v", "score")            // v2
+    TxnTable.addConstraint(spark, dir, "v_nonneg", "score >= 0") // v3
+    (1 to 3).foreach(i => TxnTable.upsert(spark, dir, "k",
+      Seq((i.toLong, i.toLong * 10)).toDF("k", "score")))      // v4-v6
+    // vacuum sweeps manifests v1-v4 — the epochs' anchor manifests go
+    // with them; the declared metadata must STAY IN FORCE (an epoch
+    // below the vacuum horizon necessarily committed)
+    TxnTable.vacuum(dir, keepSince = 5, force = true)
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("v_nonneg"),
+      "a routine vacuum must not silently drop declared constraints")
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("k", "score"),
+      "a routine vacuum must not revert the column mapping")
+    val rej = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((9L, -1L)).toDF("k", "score"))
+    }
+    assert(rej.getMessage.contains("v_nonneg"), rej.getMessage)
+  }
+
   test("vacuum retention guard: a freshly superseded version's reader survives") {
     val dir = graft.core.TempDirs.scratchShared("txnretain")
     import spark.implicits._
