@@ -363,41 +363,52 @@ object TextOps {
     * map-only replace; k rounds = k passes, no joins, no windows.
     * Decode-equals-input conservation is spec-pinned (TextOpsSpec). */
   def txBpeApply(s: SparkSession, d: String): DataFrame = {
-    val k = 4
-    // each round's corpus PERSISTS (released as soon as its successor
-    // materializes): round r runs one pair-count job and one piece
-    // count over the cached round-(r-1) strings instead of replaying
-    // the whole parse+replace chain per action — the in-session form
-    // of the per-round intermediate table a 100 TB trainer would
-    // checkpoint between merge rounds anyway
-    var df = documents(s, d).select(
-      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
-        .as("seq")).persist()
-    val rows = Seq.newBuilder[(Long, String, String, Long, Long)]
-    try {
-      for (r <- 1 to k) {
-        val best = bpePairCounts(df)
-          .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
-        val (l, rr, cnt) = (best.getString(0), best.getString(1),
-          best.getLong(2))
-        val merged = "<" + l.substring(1, l.length - 1) +
-          rr.substring(1, rr.length - 1) + ">"
-        val next = df.select(
-          replace(col("seq"), lit(l + " " + rr), lit(merged)).as("seq"))
-          .persist()
-        val pieces = next.agg(sum(size(split(col("seq"), " "))))
-          .first().getLong(0)
-        df.unpersist()
-        df = next
-        rows += ((r.toLong, l.substring(1, l.length - 1),
-          rr.substring(1, rr.length - 1), cnt, pieces))
-      }
-    } finally { df.unpersist(); () }
     import s.implicits._
-    rows.result()
-      .toDF("round", "left_tok", "right_tok", "cnt", "pieces_after")
+    bpeMerges(s, d, 4).zipWithIndex.map { case ((l, r, cnt, pieces), i) =>
+      ((i + 1).toLong, l.substring(1, l.length - 1),
+        r.substring(1, r.length - 1), cnt, pieces)
+    }.toDF("round", "left_tok", "right_tok", "cnt", "pieces_after")
       .orderBy("round")
   }
+
+  /** The trained merge table — k rounds of (wrapped left, wrapped
+    * right, pair count, corpus pieces after the merge) — memoized per
+    * (corpus, k): the trained ARTIFACT both the report (tx18) and the
+    * id encoder (tx19) consume, trained once per session. Each
+    * round's corpus PERSISTS (released as soon as its successor
+    * materializes): round r runs one pair-count job and one piece
+    * count over the cached round-(r-1) strings instead of replaying
+    * the whole parse+replace chain per action — the in-session form
+    * of the per-round intermediate table a 100 TB trainer would
+    * checkpoint between merge rounds anyway. */
+  private def bpeMerges(s: SparkSession, d: String,
+      k: Int): Seq[(String, String, Long, Long)] =
+    graft.core.Caches.memoObj(s, s"bpemerge|$d|$k") {
+      var df = documents(s, d).select(
+        expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+          .as("seq")).persist()
+      val rows = Seq.newBuilder[(String, String, Long, Long)]
+      try {
+        for (_ <- 1 to k) {
+          val best = bpePairCounts(df)
+            .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
+          val (l, rr, cnt) = (best.getString(0), best.getString(1),
+            best.getLong(2))
+          val next = df.select(replace(col("seq"),
+              lit(l + " " + rr), lit(bpeMergedTok(l, rr))).as("seq"))
+            .persist()
+          val pieces = next.agg(sum(size(split(col("seq"), " "))))
+            .first().getLong(0)
+          df.unpersist()
+          df = next
+          rows += ((l, rr, cnt, pieces))
+        }
+      } finally { df.unpersist(); () }
+      rows.result()
+    }
+
+  private def bpeMergedTok(l: String, r: String): String =
+    "<" + l.substring(1, l.length - 1) + r.substring(1, r.length - 1) + ">"
 
   /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —
     * the per-round trainer aggregation (map-only pair zip, map-side
@@ -410,24 +421,42 @@ object TextOps {
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
 
-  /** Test hook: the final encoded corpus after `k` trained merges,
-    * one row per document (doc_id, seq) — what the conservation spec
-    * decodes back against the raw tokens. */
+  /** The final encoded corpus after `k` trained merges, one row per
+    * document (doc_id, seq): applying an ALREADY-TRAINED merge table
+    * is a chain of k map-only replaces — no aggregation, no shuffle,
+    * the shape that lets a 100 TB corpus re-encode as a single pass
+    * once the (tiny) merge table is trained. */
   private[graft] def bpeEncoded(s: SparkSession, d: String,
-      k: Int): DataFrame = {
-    var df = documents(s, d).select(col("doc_id"),
-      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
-        .as("seq"))
-    for (_ <- 1 to k) {
-      val best = bpePairCounts(df)
-        .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
-      val (l, rr) = (best.getString(0), best.getString(1))
-      val merged = "<" + l.substring(1, l.length - 1) +
-        rr.substring(1, rr.length - 1) + ">"
-      df = df.select(col("doc_id"),
-        replace(col("seq"), lit(l + " " + rr), lit(merged)).as("seq"))
+      k: Int): DataFrame =
+    bpeMerges(s, d, k).foldLeft(
+      documents(s, d).select(col("doc_id"),
+        expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+          .as("seq"))) { case (df, (l, r, _, _)) =>
+      df.select(col("doc_id"), replace(col("seq"),
+        lit(l + " " + r), lit(bpeMergedTok(l, r))).as("seq"))
     }
-    df
+
+  /** tx19 — TOKEN-ID ENCODING with the trained tokenizer: every piece
+    * of the k-merge-encoded corpus gets a vocabulary id (dense rank
+    * by corpus frequency, deterministic tie-break on the piece), and
+    * each document reads back as its (position, token_id) sequence —
+    * the exact artifact a training-data pipeline materializes before
+    * sequence packing (sp03). The rank is the distributed two-phase
+    * [[globalRowNumber]] (per-partition ranks + a cumulative offset
+    * join — never a single-partition window over the vocabulary). */
+  def txTokenIds(s: SparkSession, d: String): DataFrame = {
+    val pieces = bpeEncoded(s, d, 4)
+      .select(col("doc_id"),
+        posexplode(split(col("seq"), " ")).as(Seq("pos", "piece")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        expr("substring(piece, 2, length(piece) - 2)").as("piece"))
+    val vocab = globalRowNumber(
+      pieces.groupBy("piece").agg(count(lit(1)).as("cnt")),
+      "token_id", desc("cnt"), col("piece"))
+      .select(col("piece"), col("token_id").cast("bigint").as("token_id"))
+    pieces.join(vocab, "piece")
+      .select("doc_id", "pos", "token_id")
+      .orderBy("doc_id", "pos")
   }
 
   /** Vocabulary statistics per source (corpus QA: synthetic or
@@ -652,6 +681,7 @@ object TextOps {
     "tx10_zipf_rank" -> (txZipfRank _),
     "tx11_bpe_merge_rank" -> (txBpeMergeRank _),
     "tx18_bpe_apply" -> (txBpeApply _),
+    "tx19_token_ids" -> (txTokenIds _),
     "tx12_vocab_stats" -> (txVocabStats _),
     "tx13_quantile_sketch" -> (txQuantileSketch _),
     "tx14_quality_model" -> (txQualityModel _),
@@ -886,6 +916,32 @@ object TextOps {
         |  FROM documents),""".stripMargin +
         (1 to 4).map(round).mkString(",") + "\n" +
         (1 to 4).map(row).mkString("\nUNION ALL ") + "\nORDER BY round"
+    },
+    // tx19: the same trained tokenizer applied to ids — replay the 4
+    // merge rounds (doc_id carried through), then rank the final
+    // vocabulary by (frequency DESC, piece) and emit each document's
+    // (position, token_id) sequence
+    "tx19_token_ids" -> {
+      def round(r: Int) = s"""
+        |p$r AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p
+        |  FROM (SELECT string_split(seq, ' ') t FROM s${r - 1}) WHERE len(t) >= 2),
+        |b$r AS (SELECT p[1] l, p[2] r, COUNT(*) cnt FROM p$r GROUP BY 1, 2
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |s$r AS (SELECT doc_id, replace(seq, (SELECT l || ' ' || r FROM b$r),
+        |    (SELECT '<' || l[2:-2] || r[2:-2] || '>' FROM b$r)) seq FROM s${r - 1})"""
+          .stripMargin
+      """WITH s0 AS (SELECT doc_id, array_to_string(list_transform(
+        |  string_split_regex(trim(text), '\s+'), x -> '<' || x || '>'), ' ') seq
+        |  FROM documents),""".stripMargin +
+        (1 to 4).map(round).mkString(",") + """,
+        |pp AS (SELECT doc_id, CAST(pos AS BIGINT) pos, t[pos][2:-2] piece
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(t))) pos, t
+        |        FROM (SELECT doc_id, string_split(seq, ' ') t FROM s4))),
+        |vocab AS (SELECT piece,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) token_id
+        |  FROM (SELECT piece, COUNT(*) cnt FROM pp GROUP BY piece))
+        |SELECT doc_id, pos, token_id FROM pp JOIN vocab USING (piece)
+        |ORDER BY doc_id, pos""".stripMargin
     },
     "tx11_bpe_merge_rank" ->
       """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),

@@ -66,6 +66,19 @@ class OperatorSmokeSpec extends AnyFunSuite {
     val top = graft.operators.TextOps.txBpeMergeRank(spark, sf).first()
     assert((report.head.getString(1), report.head.getString(2)) ==
       (top.getString(1), top.getString(2)))
+    // tx19 emits exactly one (pos, token_id) row per final piece, ids
+    // are a dense 1..|vocab| range, and every document's positions
+    // are gapless from 1 — the artifact sequence packing consumes
+    val ids = graft.operators.TextOps.txTokenIds(spark, sf)
+    assert(ids.count() == piecesAfter.last,
+      "token-id rows must equal the encoded corpus piece count")
+    val vocabIds = ids.select("token_id").distinct().count()
+    val maxId = ids.agg(max(col("token_id"))).first().getLong(0)
+    assert(maxId == vocabIds, s"ids must be dense 1..$vocabIds, max=$maxId")
+    assert(ids.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .filter(col("n") =!= col("mx")).count() == 0,
+      "per-document positions must be gapless from 1")
   }
 
   test("Verify.dump writes a loud error marker for a crashing query") {
