@@ -625,6 +625,15 @@ object TxnTable {
     cm.collectFirst { case (p, Some(l)) if l == logical => p }
       .getOrElse(logical)
 
+  /** What a committed version DID: 'constraints' / 'colmap' for
+    * metadata epochs (same file entries as their predecessor — no
+    * data touched), 'data' otherwise. Fills the operation column of
+    * DESCRIBE HISTORY. */
+  def versionKind(dir: String, v: Int): String =
+    if (fileOf(dir, s"constraints-v$v.json").exists()) "constraints"
+    else if (fileOf(dir, s"colmap-v$v.json").exists()) "colmap"
+    else "data"
+
   /** Reject `incoming` if any declared constraint is FALSE on any of
     * its rows — one short-circuit (limit-1) job, run before anything
     * is written. The error names the first violated constraint.

@@ -47,7 +47,7 @@ import graft.semantic.model.Registry
   *                           claim), `history` lists generations
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
   *                                 |constraints|addConstraint|dropConstraint
-  *                                 |renameColumn|dropColumn
+  *                                 |renameColumn|dropColumn|schema|history
   *                           (CHECK-constraint management and
   *                           column-mapping schema evolution ride the
   *                           same registered-table surface; predicates
@@ -292,12 +292,33 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               }
             case "history" =>
               // rows come from the entries history() already parsed —
-              // one manifest pass per version, not two
+              // one manifest pass per version, not two; `kind` labels
+              // metadata epochs (constraints/colmap) vs data commits
               val rows = TxnTable.history(tdir).map { case (v, n, b, rc) =>
                 val rs = rc.map(r => s""","rows":$r""").getOrElse("")
-                s"""{"version":$v,"files":$n,"bytes":$b$rs}""" }
+                val kind = TxnTable.versionKind(tdir, v)
+                s"""{"version":$v,"kind":"$kind","files":$n,"bytes":$b$rs}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
+            case "schema" =>
+              // DESCRIBE: the logical schema through the live column
+              // mapping, the active constraints, and the mapping rows
+              val v = TxnTable.version(tdir)
+              val cols = TxnTable.read(s, tdir).schema.map(f =>
+                s"""{"name":${Domain.jStr(f.name)},"type":${
+                  Domain.jStr(f.dataType.simpleString)}}""")
+              val cs = TxnTable.constraints(tdir).map { case (n, pr) =>
+                s"""{"name":${Domain.jStr(n)},"predicate":${Domain.jStr(pr)}}""" }
+              val cm = TxnTable.colMapAt(tdir, v).map {
+                case (p, Some(l)) =>
+                  s"""{"physical":${Domain.jStr(p)},"logical":${Domain.jStr(l)}}"""
+                case (p, None) =>
+                  s"""{"physical":${Domain.jStr(p)},"dropped":true}"""
+              }
+              (200, s"""{"op":"schema","version":$v,""" +
+                s""""columns":[${cols.mkString(",")}],""" +
+                s""""constraints":[${cs.mkString(",")}],""" +
+                s""""columnMapping":[${cm.mkString(",")}]}""", reqId)
             case "optimizeRange" =>
               (q.get("keyCol"), q.get("lo").map(_.toLong),
                 q.get("hi").map(_.toLong)) match {

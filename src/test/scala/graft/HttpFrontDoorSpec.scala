@@ -477,6 +477,42 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     } finally { stop.set(true); door.stop(); jobs.shutdown() }
   }
 
+  test("op=schema describes the logical surface; history labels metadata epochs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.TxnTable
+    val tdir = graft.core.TempDirs.scratchShared("httpdesc")
+    TxnTable.init(spark, tdir,
+      (0L until 20L).map(i => (i, i * 2)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                   // v1 data
+    TxnTable.renameColumn(spark, tdir, "v", "score")        // v2 colmap
+    TxnTable.addConstraint(spark, tdir, "s_pos", "score >= 0") // v3 constraints
+    TxnTable.upsert(spark, tdir, "k", Seq((1L, 5L)).toDF("k", "score")) // v4 data
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("descjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainable = Map("t" -> tdir))
+    val port = door.start()
+    try {
+      val sc = post(port, "/maintenance/t?op=schema", "")
+      assert(sc.statusCode() == 200, sc.body())
+      assert(sc.body().contains(""""name":"score","type":"bigint""""),
+        sc.body())
+      assert(!sc.body().contains(""""name":"v""""),
+        "renamed-away spelling must not describe: " + sc.body())
+      assert(sc.body().contains(""""predicate":"score >= 0""""), sc.body())
+      assert(sc.body().contains(""""physical":"v","logical":"score""""),
+        sc.body())
+      val h = post(port, "/maintenance/t?op=history", "")
+      assert(h.statusCode() == 200, h.body())
+      for (frag <- Seq(""""version":1,"kind":"data"""",
+          """"version":2,"kind":"colmap"""",
+          """"version":3,"kind":"constraints"""",
+          """"version":4,"kind":"data""""))
+        assert(h.body().contains(frag), s"missing $frag in ${h.body()}")
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("soak 2: live CDC follower tracks mutations + optimize; racing retrains -> one winner") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, sum => fsum}
