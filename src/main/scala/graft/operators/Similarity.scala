@@ -768,6 +768,50 @@ object Similarity {
       }).sortBy(_._1).toSeq
   }
 
+  /** Sweep superseded index generations — the retention op that
+    * bounds storage after repeated retrains (each publishes a FULL
+    * fresh layout; without a sweep the root accumulates one corpus
+    * copy per generation). Keeps the newest `keepGens` generations
+    * unconditionally; an older generation is dropped only once its
+    * SUCCESSOR's pointer is older than `retainMillis` — an in-flight
+    * query over the superseded layout pinned its snapshot when that
+    * generation was still current, so the successor's age bounds how
+    * stale any live reader can be (the TxnTable vacuum contract).
+    * A too-young drop set refuses loudly as a conflict; `force`
+    * overrides. Returns the generations dropped. Layouts outside the
+    * root (shared scratch dirs) are deleted recursively; the pointer
+    * file goes last, so a crash mid-sweep leaves a pointer whose
+    * layout is partially gone — re-running the sweep completes it,
+    * and readers resolve the MAX generation, which is never swept. */
+  private[graft] def ivfVacuum(root: String, keepGens: Int = 2,
+      retainMillis: Long = 7L * 24 * 3600 * 1000,
+      force: Boolean = false): Seq[Int] = {
+    require(keepGens >= 1, "must keep at least the current generation")
+    val hist = ivfHistory(root)
+    val drop = hist.dropRight(keepGens)
+    if (drop.isEmpty) return Nil
+    if (!force) {
+      val now = System.currentTimeMillis()
+      def pointerAge(gen: Int): Long = now - java.nio.file.Paths
+        .get(root, s"gen-$gen.json").toFile.lastModified()
+      val young = drop.filter { case (g, _, _) =>
+        hist.find(_._1 == g + 1).exists(_ => pointerAge(g + 1) < retainMillis) }
+      if (young.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"index vacuum refused under $root: generation(s) " +
+            young.map(_._1).mkString(", ") +
+            s" were superseded less than ${retainMillis} ms ago and an " +
+            "in-flight query may still be scanning their layout — wait " +
+            "out the retention window or pass force=true")
+    }
+    drop.map { case (g, path, _) =>
+      graft.core.TempDirs.rmTree(new java.io.File(path))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, s"gen-$g.json"))
+      g
+    }
+  }
+
   /** The scheduled maintenance event end-to-end: read the CURRENT
     * generation, retrain on its corpus, publish the fresh layout as
     * the next generation (exclusive-create claim). Returns the new

@@ -32,7 +32,7 @@ import graft.semantic.model.Registry
   *                           without restart (druid-lookups refresh
   *                           cadence, exposed as the wire hook an
   *                           ingestion job calls)
-  *   POST /index/{name}?op=balance|retrain|history|search
+  *   POST /index/{name}?op=balance|retrain|history|search|vacuum
   *                           search serves top-k over the published
   *                           generation with the nprobe recall/latency
   *                           knob (vecId=…[,…]&k=…&nprobe=…)
@@ -216,6 +216,16 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k}""" }
               (200, rows.mkString("""{"op":"history","generations":[""",
                 ",", "]}"), reqId)
+            case "vacuum" =>
+              // retention sweep of superseded generations; the guard
+              // is ON over the wire (refusal = 409), force overrides
+              val dropped = Similarity.ivfVacuum(root,
+                keepGens = q.get("keepGens").map(_.toInt).getOrElse(2),
+                retainMillis = q.get("retainMs").map(_.toLong)
+                  .getOrElse(7L * 24 * 3600 * 1000),
+                force = q.get("force").contains("true"))
+              (200, s"""{"op":"vacuum","dropped":[${dropped.mkString(",")}]}""",
+                reqId)
             case "search" =>
               // the recall/latency dial: nprobe lists scanned per
               // query (1 = fastest, k = exact); the measured trade

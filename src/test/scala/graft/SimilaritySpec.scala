@@ -398,6 +398,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 800)
     assert(!Similarity.ivfBalance(spark, fresh, k).drifted,
       "the published retrain must serve a balanced index")
+    // generation VACUUM: gen 1 was just superseded — the retention
+    // guard refuses (an in-flight query may still scan its layout)
+    val refused = intercept[java.util.ConcurrentModificationException] {
+      Similarity.ivfVacuum(root, keepGens = 1)
+    }
+    assert(refused.getMessage.contains("superseded less than"),
+      refused.getMessage)
+    assert(spark.read.parquet(dir).count() == 800,
+      "the refused sweep must leave the superseded layout intact")
+    // past the horizon (window=0) the sweep drops gen 1 — layout AND
+    // pointer — and the current generation still serves
+    assert(Similarity.ivfVacuum(root, keepGens = 1, retainMillis = 0L)
+      == Seq(1))
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(2))
+    assert(!new java.io.File(dir).exists(),
+      "the swept generation's layout must be deleted")
+    assert(Similarity.ivfCurrent(root).exists(_._2 == fresh) &&
+      spark.read.parquet(fresh).count() == 800,
+      "the current generation must survive the sweep and keep serving")
+    assert(Similarity.ivfVacuum(root, keepGens = 1, retainMillis = 0L)
+      .isEmpty, "an already-clean root sweeps nothing")
   }
 
   test("st13 streamed append is exactly-once under foreachBatch redelivery") {
