@@ -509,12 +509,6 @@ object TxnTable {
       case (p, None) => s"""{"physical":"$p","dropped":true}"""
     }
 
-  /** Logical column names visible at version `v`, in physical order. */
-  def logicalColumns(s: SparkSession, dir: String, v: Int = -1): Seq[String] = {
-    val rv = if (v < 0) version(dir) else v
-    read(s, dir, rv).schema.map(_.name).toSeq
-  }
-
   /** Rename a column — one committed metadata version, no data file
     * touched. Serialized against mutations and other declarations by
     * the same OCC publish as everything else. Rejected when the old

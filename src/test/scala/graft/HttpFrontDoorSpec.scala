@@ -371,6 +371,19 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(post(port, "/index/docs_ann?op=search", "").statusCode() == 400)
       assert(post(port, "/index/docs_ann?op=search&vecId=x", "")
         .statusCode() == 400)
+      // generation vacuum over the wire: the retention guard refuses
+      // the freshly superseded gen 1 as a 409; force sweeps it and
+      // the current generation keeps serving
+      val rv = post(port, "/index/docs_ann?op=vacuum&keepGens=1", "")
+      assert(rv.statusCode() == 409, s"${rv.statusCode()}: ${rv.body()}")
+      val fv = post(port, "/index/docs_ann?op=vacuum&keepGens=1&force=true", "")
+      assert(fv.statusCode() == 200 && fv.body().contains("[1]"), fv.body())
+      val h2 = post(port, "/index/docs_ann?op=history", "")
+      assert(!h2.body().contains("\"gen\":1") && h2.body().contains("\"gen\":2"),
+        h2.body())
+      assert(post(port,
+        s"/index/docs_ann?op=search&vecId=10&k=2&nprobe=$k", "")
+        .statusCode() == 200, "the surviving generation must keep serving")
     } finally { door.stop(); jobs.shutdown() }
   }
 
