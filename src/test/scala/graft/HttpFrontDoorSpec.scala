@@ -526,6 +526,63 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     } finally { door.stop(); jobs.shutdown() }
   }
 
+  test("fuzzed maintenance/index params: every malformed request is a 4xx, never a 5xx") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val tdir = graft.core.TempDirs.scratchShared("httpfuzz")
+    graft.core.TxnTable.init(spark, tdir,
+      (0L until 20L).map(i => (i, i)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    val layout = graft.core.TempDirs.scratchShared("httpfuzzivf")
+    (0L until 50L).map { i =>
+      val e = Seq(i.toFloat, (i * 2).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout)
+    val root = graft.core.TempDirs.scratchShared("httpfuzzroot")
+    graft.operators.Similarity.ivfPublish(root, layout, 4)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("fuzzjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainable = Map("t" -> tdir),
+      maintainableIndexes = Map("ix" -> root))
+    val port = door.start()
+    try {
+      val junkVals = Seq("", "x", "-1", "0", "999999999999999999999999",
+        "1e9", "NaN", "%00", "..%2F..", "true", "a,b,c", " 1 ")
+      val maintOps = Seq("optimize", "compact", "vacuum", "constraints",
+        "addConstraint", "dropConstraint", "renameColumn", "dropColumn",
+        "schema", "history", "optimizeRange", "bogus")
+      val maintParams = Seq("zcols", "minBytes", "keepSince", "retainMs",
+        "force", "name", "predicate", "from", "to", "keyCol", "lo", "hi")
+      val ixOps = Seq("balance", "retrain", "history", "search", "vacuum",
+        "bogus")
+      val ixParams = Seq("iters", "vecId", "k", "nprobe", "keepGens",
+        "retainMs", "force")
+      val rnd = new scala.util.Random(4242)
+      var checked = 0
+      for (_ <- 1 to 150) {
+        val (path, ops, params) =
+          if (rnd.nextBoolean()) ("/maintenance/t", maintOps, maintParams)
+          else ("/index/ix", ixOps, ixParams)
+        val op = ops(rnd.nextInt(ops.size))
+        val extra = (0 to rnd.nextInt(3)).map(_ =>
+          s"${params(rnd.nextInt(params.size))}=${
+            java.net.URLEncoder.encode(junkVals(rnd.nextInt(junkVals.size)),
+              "UTF-8")}").mkString("&", "&", "")
+        val r = post(port, s"$path?op=$op$extra", "")
+        assert(r.statusCode() < 500,
+          s"5xx for $path?op=$op$extra -> ${r.statusCode()}: ${r.body().take(300)}")
+        checked += 1
+      }
+      assert(checked == 150)
+      // the table and index remain healthy after the storm
+      assert(graft.core.TxnTable.read(spark, tdir).count() == 20)
+      assert(post(port, "/index/ix?op=history", "").statusCode() == 200)
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("soak 2: live CDC follower tracks mutations + optimize; racing retrains -> one winner") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, sum => fsum}
