@@ -484,6 +484,15 @@ object Similarity {
     * transplanted to the ANN index sink. */
   private[graft] def ivfStreamAppend(cents: Seq[Ctr], path: String,
       batch: DataFrame, bid: Long): Unit = {
+    // a streamed append only composes with a SEGMENT-committed layout:
+    // mixing seg=* dirs into a bare cid=* build would make the two
+    // partition shapes unreadable together, and the seg-only reader
+    // would silently drop the bare base
+    require(!Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .exists(_.getName.startsWith("cid=")),
+      s"layout $path is a bare cid build — streamed appends need a " +
+        "segment-committed layout (seg=base; ivfRetrain produces one)")
     val seg = new java.io.File(path, s"seg=b$bid")
     if (new java.io.File(seg, "_SUCCESS").exists()) return // redelivered
     batch
@@ -502,14 +511,28 @@ object Similarity {
     * `cid` as partition columns of one unified scan — partition
     * pruning on `cid` still applies across all segments. */
   private[graft] def ivfReadCommitted(s: SparkSession, root: String): DataFrame = {
-    val segs = Option(new java.io.File(root).listFiles())
+    val segs = ivfCommittedSegs(root)
+    require(segs.nonEmpty, s"no committed segments under $root")
+    s.read.option("basePath", root)
+      .parquet(segs.map(_._2.getAbsolutePath): _*)
+  }
+
+  private def ivfCommittedSegs(root: String): Seq[(String, java.io.File)] =
+    Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
       .filter(f => f.getName.startsWith("seg=") &&
         new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getAbsolutePath).sorted
-    require(segs.nonEmpty, s"no committed segments under $root")
-    s.read.option("basePath", root).parquet(segs: _*)
-  }
+      .map(f => (f.getName.stripPrefix("seg="), f))
+      .sortBy(_._1)
+
+  /** Layout reader that serves BOTH shapes: a segment-committed
+    * layout (streamed ingest — committed segs only) and a plain
+    * cid-partitioned one (batch builds). Every maintenance/serve
+    * entry point reads through this, so the two shapes are
+    * interchangeable everywhere. */
+  private[graft] def ivfReadLayout(s: SparkSession, dir: String): DataFrame =
+    if (ivfCommittedSegs(dir).nonEmpty) ivfReadCommitted(s, dir)
+    else s.read.parquet(dir)
 
   def st13StreamIngest(s: SparkSession, d: String): DataFrame = {
     val k = 16; val nprobe = 2
@@ -594,7 +617,7 @@ object Similarity {
 
   private[graft] def ivfBalance(s: SparkSession, dir: String,
       k: Int): IvfBalance = {
-    val counts = s.read.parquet(dir)
+    val counts = ivfReadLayout(s, dir)
       .groupBy(col("cid").cast("int").as("c")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val total = counts.map(_._2).sum
@@ -612,7 +635,7 @@ object Similarity {
   private[graft] def layoutCentroids(s: SparkSession,
       dir: String): Seq[Ctr] =
     graft.core.Caches.memoObj(s, s"ivfcents|$dir") {
-      s.read.parquet(dir)
+      ivfReadLayout(s, dir)
         .select(col("cid").cast("int").as("c"),
           posexplode(col("embedding")))
         .groupBy("c", "pos").agg(avg(col("col")).as("m"))
@@ -641,7 +664,7 @@ object Similarity {
     require(queryIds.nonEmpty, "at least one query vec_id required")
     val cents = layoutCentroids(s, layout)
     val np = math.min(nprobe, cents.size)
-    val post = s.read.parquet(layout)
+    val post = ivfReadLayout(s, layout)
     val postings = post.select(col("cid"), col("vec_id").as("nid"),
       col("embedding").as("ce"), col("nrm").as("cn"))
     val probes = post.filter(col("vec_id").isin(queryIds: _*))
@@ -670,15 +693,48 @@ object Similarity {
     * passes over the corpus (measured in SCALE_SLOPE r11). */
   private[graft] def ivfRetrain(s: SparkSession, dir: String, k: Int,
       iters: Int = 4): (String, Seq[(Int, Seq[Float])]) = {
-    val corpus = s.read.parquet(dir)
+    val corpus = ivfReadLayout(s, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val cents = trainCentroids(corpus, k, iters)
     val path = graft.core.TempDirs.scratchShared("ivfretrain")
     corpus.select(nearestCidCol(cents, col("embedding")).as("cid"),
         col("vec_id"), col("embedding"), col("nrm"))
       .repartition(col("cid"))
-      .write.partitionBy("cid").mode("overwrite").parquet(path)
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/seg=base")
+    // CARRY THE APPLIED-BID LEDGER FORWARD: the retrain just folded
+    // every committed streamed batch of the source layout into its
+    // fresh base, so a batch redelivered AFTER the generation swap
+    // (crash between the old layout's append and the checkpoint
+    // commit) must be a no-op against the NEW layout too — an empty
+    // `seg=b<bid>` marker (a `_SUCCESS` and no data files) makes
+    // [[ivfStreamAppend]]'s redelivery check hold across generations
+    // while contributing zero rows to any scan.
+    ivfCommittedSegs(dir).map(_._1).filter(_.matches("b\\d+"))
+      .foreach { bid =>
+        val m = new java.io.File(path, s"seg=$bid")
+        m.mkdirs()
+        java.nio.file.Files.createFile(m.toPath.resolve("_SUCCESS"))
+        ()
+      }
     (path, cents.map(c => (c.cid, c.cemb)))
+  }
+
+  /** Streamed ingest against the PUBLISHED index: resolve the current
+    * generation per batch, route the batch with that generation's
+    * (layout-derived) quantizer, and commit it exactly-once into its
+    * layout — so a scheduled [[ivfRetrainPublish]] transparently
+    * redirects subsequent appends to the fresh generation, and the
+    * carried bid ledger keeps redelivery across the swap a no-op.
+    * This is the production composition of st13's ingest and the
+    * generation pointer: vectors are searchable the moment their
+    * batch commits, retrains repair drift without pausing ingest, and
+    * no vector is ever served twice. */
+  private[graft] def ivfStreamAppendCurrent(s: SparkSession, root: String,
+      batch: DataFrame, bid: Long): Unit = {
+    val (_, path, _) = ivfCurrent(root).getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    ivfStreamAppend(layoutCentroids(s, path), path, batch, bid)
   }
 
   /** Atomic serve pointer for an IVF index (completes [[ivfRetrain]]'s

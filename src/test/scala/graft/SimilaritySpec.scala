@@ -421,6 +421,57 @@ class SimilaritySpec extends AnyFunSuite {
       .isEmpty, "an already-clean root sweeps nothing")
   }
 
+  test("streamed ingest composes with retrain: exactly-once ACROSS the generation swap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def batch(ids: Range) = ids.map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    // gen 1: a segmented base + two streamed batches, published
+    val lay1 = graft.core.TempDirs.scratchShared("xgen1")
+    val cents = (1 to k).map(c => Similarity.ctr(c, vec().toSeq))
+    batch(0 until 40)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay1/seg=base")
+    val root = graft.core.TempDirs.scratchShared("xgenroot")
+    Similarity.ivfPublish(root, lay1, k)
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(40 until 50), bid = 0L)
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(50 until 60), bid = 1L)
+    assert(Similarity.ivfReadLayout(spark, lay1).count() == 60)
+    // the scheduled retrain folds the streamed batches into gen 2 and
+    // CARRIES THE APPLIED-BID LEDGER forward
+    val (g2, lay2) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    assert(g2 == 2)
+    assert(Similarity.ivfReadLayout(spark, lay2).count() == 60,
+      "the retrain must fold every committed streamed vector in")
+    // the crash case: batch 1 is REDELIVERED after the swap (append
+    // to gen 1 committed, checkpoint did not) — the carried marker
+    // makes it a no-op against gen 2; no vector is ever served twice
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(50 until 60), bid = 1L)
+    val served = Similarity.ivfReadLayout(spark, lay2)
+    assert(served.count() == 60 &&
+      served.select("vec_id").distinct().count() == 60,
+      "a redelivered pre-swap batch must be a no-op against the new generation")
+    // ingest continues uninterrupted into the fresh generation
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(60 until 70), bid = 2L)
+    assert(Similarity.ivfReadLayout(spark, lay2).count() == 70)
+    assert(Similarity.ivfReadLayout(spark, lay1).count() == 60,
+      "the superseded generation is untouched (snapshot isolation)")
+    // a bare cid layout refuses streamed appends loudly (mixing the
+    // two partition shapes would silently drop the base from serving)
+    val bare = graft.core.TempDirs.scratchShared("xgenbare")
+    batch(0 until 5)
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"))
+      .write.partitionBy("cid").mode("overwrite").parquet(bare)
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.ivfStreamAppend(cents, bare, batch(5 until 6), bid = 0L)
+    }
+    assert(boom.getMessage.contains("segment-committed"), boom.getMessage)
+  }
+
   test("st13 streamed append is exactly-once under foreachBatch redelivery") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
