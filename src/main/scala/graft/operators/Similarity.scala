@@ -659,25 +659,60 @@ object Similarity {
     * SCALE_SLOPE (tools/IvfRecallProbe). */
   private[graft] def ivfServe(s: SparkSession, layout: String,
       queryIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
+    require(queryIds.nonEmpty, "at least one query vec_id required")
+    val post = ivfReadLayout(s, layout)
+    val queries = post.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    // a corpus query must not count ITSELF among its neighbors — the
+    // exclusion runs before the top-k so it never burns a slot
+    ivfServeFrame(s, layout, queries, nprobe, topK, excludeSelf = true)
+      .orderBy("qid", "rank")
+  }
+
+  /** Serve top-k for EXTERNAL query vectors (the real serve contract —
+    * a caller's embedding, not a corpus id): the queries arrive as a
+    * driver-local list, ride as a broadcast probe frame, and take the
+    * exact same routed scan as the by-id path. */
+  private[graft] def ivfServeVecs(s: SparkSession, layout: String,
+      vecs: Seq[Seq[Float]], nprobe: Int, topK: Int): DataFrame = {
+    require(vecs.nonEmpty, "at least one query vector required")
+    val dims = ivfReadLayout(s, layout)
+      .select(size(col("embedding"))).first().getInt(0)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      require(v.size == dims,
+        s"query $i has ${v.size} dims; the index stores $dims")
+      require(v.forall(f => !f.isNaN && !f.isInfinite),
+        s"query $i contains a non-finite component") }
+    import s.implicits._
+    val queries = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("qid", "qe")
+      .withColumn("qn", sqrt(graft.functions.GraftFunctions
+        .fixdotD(col("qe"), col("qe"))))
+    ivfServeFrame(s, layout, queries, nprobe, topK)
+      .orderBy("qid", "rank")
+  }
+
+  /** The shared routed-scan serve: (qid, qe, qn) probe frame →
+    * nprobe-routed postings join → map-side-combining top-k. */
+  private def ivfServeFrame(s: SparkSession, layout: String,
+      queries: DataFrame, nprobe: Int, topK: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(topK >= 1, s"k must be >= 1, got $topK")
-    require(queryIds.nonEmpty, "at least one query vec_id required")
     val cents = layoutCentroids(s, layout)
     val np = math.min(nprobe, cents.size)
-    val post = ivfReadLayout(s, layout)
-    val postings = post.select(col("cid"), col("vec_id").as("nid"),
-      col("embedding").as("ce"), col("nrm").as("cn"))
-    val probes = post.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"),
-        explode(probeCol(cents, col("embedding"), np)).as("cid"))
-    postings.join(broadcast(probes), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
+    val postings = ivfReadLayout(s, layout)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = queries.select(col("qid"), col("qe"), col("qn"),
+      explode(probeCol(cents, col("qe"), np)).as("cid"))
+    val joined = postings.join(broadcast(probes), Seq("cid"))
+    (if (excludeSelf) joined.filter(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
       .groupBy("qid")
       .agg(topKAgg(topK)(col("cosine"), col("nid")).as("top"))
       .transform(explodeRanked(_, "cosine"))
-      .orderBy("qid", "rank")
   }
 
   /** RETRAIN maintenance op — what [[ivfBalance]]'s trigger schedules

@@ -238,16 +238,25 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                     .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
                       .map(_.toLong))
                     .getOrElse(Seq.empty)
-                  if (ids.isEmpty)
-                    (400, """{"error":"search requires vecId=<id>[,<id>...]"}""",
+                  // query-by-external-vector: vec=0.1,0.2,... (one
+                  // query; the caller's embedding, not a corpus id)
+                  val vec = q.get("vec")
+                    .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                      .map(_.toFloat))
+                    .getOrElse(Seq.empty)
+                  if (ids.isEmpty && vec.isEmpty)
+                    (400, """{"error":"search requires vecId=<id>[,...] or vec=<f>[,...]"}""",
                       reqId)
                   else {
                     val topK = q.get("k").map(_.toInt).getOrElse(5)
                     val np = q.get("nprobe").map(_.toInt).getOrElse(4)
-                    val rows = Similarity.ivfServe(s, path, ids, np, topK)
-                      .collect().map(r =>
-                        s"""{"qid":${r.getLong(0)},"nid":${r.getLong(1)},""" +
-                          s""""rank":${r.getLong(2)},"cosine":${r.getDouble(3)}}""")
+                    val res =
+                      if (vec.nonEmpty)
+                        Similarity.ivfServeVecs(s, path, Seq(vec), np, topK)
+                      else Similarity.ivfServe(s, path, ids, np, topK)
+                    val rows = res.collect().map(r =>
+                      s"""{"qid":${r.getLong(0)},"nid":${r.getLong(1)},""" +
+                        s""""rank":${r.getLong(2)},"cosine":${r.getDouble(3)}}""")
                     (200, rows.mkString(
                       s"""{"op":"search","gen":$gen,"nprobe":$np,"results":[""",
                       ",", "]}"), reqId)

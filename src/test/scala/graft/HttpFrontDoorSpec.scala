@@ -371,6 +371,21 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(post(port, "/index/docs_ann?op=search", "").statusCode() == 400)
       assert(post(port, "/index/docs_ann?op=search&vecId=x", "")
         .statusCode() == 400)
+      // query-by-EXTERNAL-vector: serve the caller's embedding (not a
+      // corpus id) — the nearest corpus vector to id 10's own
+      // coordinates is id 10 itself (cosine 1), then its ring
+      // neighbors; dim/NaN garbage is the caller's problem
+      val v10 = Seq(math.cos(10 * 0.01), math.sin(10 * 0.01))
+        .map(_.toFloat).mkString(",")
+      val vq = post(port,
+        s"/index/docs_ann?op=search&vec=$v10&k=3&nprobe=$k", "")
+      assert(vq.statusCode() == 200, vq.body())
+      assert(vq.body().contains("\"nid\":10") &&
+        vq.body().contains("\"rank\":1"), vq.body())
+      assert(post(port, "/index/docs_ann?op=search&vec=1.0", "")
+        .statusCode() == 400, "dim mismatch must 400")
+      assert(post(port, "/index/docs_ann?op=search&vec=NaN,1.0", "")
+        .statusCode() == 400, "non-finite components must 400")
       // generation vacuum over the wire: the retention guard refuses
       // the freshly superseded gen 1 as a 409; force sweeps it and
       // the current generation keeps serving
