@@ -338,10 +338,24 @@ object TxnTable {
     val k = planned + 1
     publishEpochFile(dir, base, k, lines)
     onBeforeCommit()
+    // roll the claim back on ANY failed manifest commit (not just a
+    // lost race): an orphaned epoch file would be silently ACTIVATED
+    // by the next ordinary mutation committing version k — a
+    // constraint/mapping that never passed through a successful
+    // declare. (A hard crash between claim and commit is the same
+    // micro-window the manifest publish itself documents — no Spark
+    // work in between — and the recovery message names the file.)
     try writeManifest(dir, k, liveEntries(dir, planned))
-    catch { case e: java.util.ConcurrentModificationException =>
+    catch { case e: Throwable =>
       java.nio.file.Files.deleteIfExists(
         fileOf(dir, s"$base-v$k.json").toPath)
+      // heal any reader that resolved the claim in the lost-publish
+      // window (claim visible + winner's manifest committed, before
+      // this rollback): their cached answer names a set that was
+      // never declared, and a poisoned entry would wedge later
+      // declares with phantom 'already exists' failures
+      epochCache.keySet.removeIf(key =>
+        key._1 == dir && key._2 == base && key._3 >= k)
       throw e
     }
   }
@@ -354,29 +368,11 @@ object TxnTable {
     * and the mandatory header line makes a crash-orphaned empty file
     * a LOUD parse error, never a silently-vanished metadata set. */
   private def publishEpochFile(dir: String, base: String, k: Int,
-      lines: Seq[String]): Unit = {
-    val body = (s"""{"epoch":$k}""" +: lines)
-      .mkString("", "\n", "\n").getBytes("UTF-8")
-    val target = fileOf(dir, s"$base-v$k.json").toPath
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(dir), s".$base-v$k", ".tmp")
-    try {
-      java.nio.file.Files.write(tmp, body)
-      try java.nio.file.Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          lostEpochSlot(dir, base, k)
-        case _: UnsupportedOperationException =>
-          try java.nio.file.Files.createFile(target)
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            lostEpochSlot(dir, base, k) }
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
-      }
-    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
-  }
+      lines: Seq[String]): Unit =
+    AtomicFiles.publishExclusive(dir, s"$base-v$k.json",
+      (s"""{"epoch":$k}""" +: lines)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))(
+      lostEpochSlot(dir, base, k))
 
   /** A concurrent declaration holds this epoch slot. Wait briefly for
     * its manifest to land (so the withOcc retry re-plans against a
@@ -600,10 +596,16 @@ object TxnTable {
       cm: Seq[(String, Option[String])]): DataFrame =
     if (cm.isEmpty) df
     else {
+      // a renamed-away or dropped PHYSICAL spelling is rejected —
+      // unless that spelling is currently some OTHER column's LOGICAL
+      // name (rename chains like b->c then a->b re-issue old
+      // spellings legitimately; the l2p translation below routes them
+      // to the right physical)
+      val logicalNow = cm.collect { case (_, Some(l)) => l }.toSet
       val gone = cm.collect {
         case (p, None) => p
         case (p, Some(l)) if l != p => p
-      }.toSet
+      }.toSet -- logicalNow
       df.columns.find(gone).foreach(c =>
         throw new IllegalArgumentException(
           s"column '$c' no longer exists under that name (renamed or " +

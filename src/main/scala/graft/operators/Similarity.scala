@@ -475,13 +475,14 @@ object Similarity {
     * `mode("append")` would land the same vectors twice — duplicated
     * vec_ids then surface twice in served top-k. So each batch
     * commits as its own `seg=b<bid>` partition directory (the base
-    * build is `seg=base`), written with mode=overwrite so the job's
-    * `_SUCCESS` marker IS the commit: a redelivered bid whose marker
-    * exists is a no-op, an interrupted write leaves no marker and is
-    * simply overwritten clean on redelivery, and readers
-    * ([[ivfReadCommitted]]) scan only marked segments. This is the
-    * st05/st11 applied-bid discipline (`Streaming.scala` rollupState)
-    * transplanted to the ANN index sink. */
+    * build is `seg=base`), staged into a dot-dir and claimed with one
+    * ATOMIC RENAME — the `_SUCCESS`-marked directory appears complete
+    * or not at all: a redelivered bid whose marker exists is a no-op,
+    * an interrupted write leaves only an invisible staging dir, two
+    * writers racing one bid resolve to exactly one winner, and
+    * readers ([[ivfReadCommitted]]) scan only marked segments. This
+    * is the st05/st11 applied-bid discipline (`Streaming.scala`
+    * rollupState) transplanted to the ANN index sink. */
   private[graft] def ivfStreamAppend(cents: Seq[Ctr], path: String,
       batch: DataFrame, bid: Long): Unit = {
     // a streamed append only composes with a SEGMENT-committed layout:
@@ -495,6 +496,17 @@ object Similarity {
         "segment-committed layout (seg=base; ivfRetrain produces one)")
     val seg = new java.io.File(path, s"seg=b$bid")
     if (new java.io.File(seg, "_SUCCESS").exists()) return // redelivered
+    // an unmarked seg dir is a crash orphan (pre-atomic-rename junk or
+    // a hand-placed partial) — clear it so the rename below can land
+    if (seg.exists()) graft.core.TempDirs.rmTree(seg)
+    // stage into a dot-dir (invisible to segment listing), then claim
+    // the slot with ONE atomic rename: two writers racing the same bid
+    // (the retrain catch-up sweep vs the appender's post-swap
+    // re-apply — both carrying the same batch) cannot interleave
+    // half-written files into one directory; exactly one rename wins,
+    // the loser sees the winner's marker and drops its staging dir
+    val tmp = new java.io.File(path,
+      s".seg-b$bid-${java.util.UUID.randomUUID()}")
     batch
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions
         .fixdotD(col("embedding"), col("embedding"))))
@@ -502,7 +514,16 @@ object Similarity {
         col("vec_id"), col("embedding"), col("nrm"))
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite")
-      .parquet(seg.getAbsolutePath)
+      .parquet(tmp.getAbsolutePath)
+    try {
+      java.nio.file.Files.move(tmp.toPath, seg.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case e: java.nio.file.FileSystemException =>
+        graft.core.TempDirs.rmTree(tmp)
+        if (!new java.io.File(seg, "_SUCCESS").exists()) throw e
+    }
   }
 
   /** Read a segment-committed IVF layout: only `_SUCCESS`-marked
@@ -677,13 +698,17 @@ object Similarity {
   private[graft] def ivfServeVecs(s: SparkSession, layout: String,
       vecs: Seq[Seq[Float]], nprobe: Int, topK: Int): DataFrame = {
     require(vecs.nonEmpty, "at least one query vector required")
-    val dims = ivfReadLayout(s, layout)
-      .select(size(col("embedding"))).first().getInt(0)
+    // dimension from the (memoized) serve centroids — no per-request
+    // Spark job just to learn the width
+    val dims = layoutCentroids(s, layout).head.cemb.size
     vecs.zipWithIndex.foreach { case (v, i) =>
       require(v.size == dims,
         s"query $i has ${v.size} dims; the index stores $dims")
       require(v.forall(f => !f.isNaN && !f.isInfinite),
-        s"query $i contains a non-finite component") }
+        s"query $i contains a non-finite component")
+      // a zero vector has no direction: cosine would be 0/0 = NaN,
+      // which would also corrupt the JSON serve response
+      require(v.exists(_ != 0f), s"query $i is the zero vector") }
     import s.implicits._
     val queries = vecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("qid", "qe")
@@ -728,7 +753,18 @@ object Similarity {
     * passes over the corpus (measured in SCALE_SLOPE r11). */
   private[graft] def ivfRetrain(s: SparkSession, dir: String, k: Int,
       iters: Int = 4): (String, Seq[(Int, Seq[Float])]) = {
-    val corpus = ivfReadLayout(s, dir)
+    // SNAPSHOT the committed segment list ONCE: the corpus read and
+    // the carried ledger must describe the same instant — listing
+    // segments again after training would mark a batch as applied
+    // whose vectors the snapshot never saw (permanent loss once the
+    // old generation is vacuumed). Batches that commit AFTER this
+    // snapshot are the publisher's catch-up sweep's problem
+    // ([[ivfRetrainPublish]]).
+    val segs = ivfCommittedSegs(dir)
+    val corpus = (if (segs.nonEmpty)
+        s.read.option("basePath", dir)
+          .parquet(segs.map(_._2.getAbsolutePath): _*)
+      else s.read.parquet(dir))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val cents = trainCentroids(corpus, k, iters)
     val path = graft.core.TempDirs.scratchShared("ivfretrain")
@@ -737,15 +773,15 @@ object Similarity {
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite")
       .parquet(s"$path/seg=base")
-    // CARRY THE APPLIED-BID LEDGER FORWARD: the retrain just folded
-    // every committed streamed batch of the source layout into its
-    // fresh base, so a batch redelivered AFTER the generation swap
-    // (crash between the old layout's append and the checkpoint
-    // commit) must be a no-op against the NEW layout too — an empty
-    // `seg=b<bid>` marker (a `_SUCCESS` and no data files) makes
+    // CARRY THE APPLIED-BID LEDGER FORWARD — exactly the snapshot's
+    // bids, no more: the retrain folded those batches into its fresh
+    // base, so a batch redelivered AFTER the generation swap (crash
+    // between the old layout's append and the checkpoint commit) is
+    // a no-op against the NEW layout too — an empty `seg=b<bid>`
+    // marker (a `_SUCCESS` and no data files) makes
     // [[ivfStreamAppend]]'s redelivery check hold across generations
     // while contributing zero rows to any scan.
-    ivfCommittedSegs(dir).map(_._1).filter(_.matches("b\\d+"))
+    segs.map(_._1).filter(_.matches("b\\d+"))
       .foreach { bid =>
         val m = new java.io.File(path, s"seg=$bid")
         m.mkdirs()
@@ -767,9 +803,23 @@ object Similarity {
     * no vector is ever served twice. */
   private[graft] def ivfStreamAppendCurrent(s: SparkSession, root: String,
       batch: DataFrame, bid: Long): Unit = {
-    val (_, path, _) = ivfCurrent(root).getOrElse(
+    var (gen, path, _) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
     ivfStreamAppend(layoutCentroids(s, path), path, batch, bid)
+    // POST-COMMIT POINTER RE-CHECK: a retrain whose snapshot predates
+    // this batch may publish its successor while we were writing —
+    // its catch-up sweep covers batches committed before the sweep
+    // LISTS the old layout, and this re-apply covers the rest (the
+    // two overlap rather than leave a gap). Each apply is guarded by
+    // the bid marker, so the convergence loop never double-lands a
+    // vector no matter how the orderings interleave.
+    var cur = ivfCurrent(root)
+    while (cur.exists(_._1 != gen)) {
+      val (g2, p2, _) = cur.get
+      gen = g2; path = p2
+      ivfStreamAppend(layoutCentroids(s, p2), p2, batch, bid)
+      cur = ivfCurrent(root)
+    }
   }
 
   /** Atomic serve pointer for an IVF index (completes [[ivfRetrain]]'s
@@ -797,32 +847,16 @@ object Similarity {
   private[graft] def ivfPublishAs(root: String, gen: Int,
       layoutPath: String, k: Int): Unit = {
     new java.io.File(root).mkdirs()
-    val target = java.nio.file.Paths.get(root, s"gen-$gen.json")
-    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
-    // tmp + exclusive hard link (the TxnTable manifest discipline):
-    // the pointer file appears COMPLETE or not at all — a raw
-    // CREATE_NEW write could crash half-written, and the /index
-    // endpoints read these files on every balance/history call
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(root), s".gen-$gen", ".tmp")
-    def lost() = throw new java.util.ConcurrentModificationException(
-      s"index generation $gen already published under $root — " +
-        "re-read the current pointer and re-publish")
-    try {
-      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => lost()
-        case _: UnsupportedOperationException =>
-          try java.nio.file.Files.createFile(target)
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            lost() }
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
-      }
-    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    // exclusive tmp+link publish (core.AtomicFiles — the shared
+    // put-if-absent discipline): the pointer file appears COMPLETE or
+    // not at all, and a racing publisher of the same generation loses
+    // loudly instead of last-wins-overwriting the index
+    graft.core.AtomicFiles.publishExclusive(root, s"gen-$gen.json",
+      s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
+        .getBytes("UTF-8"))(
+      throw new java.util.ConcurrentModificationException(
+        s"index generation $gen already published under $root — " +
+          "re-read the current pointer and re-publish"))
   }
 
   private def jq(s: String): String =
@@ -907,11 +941,17 @@ object Similarity {
     * generation, retrain on its corpus, publish the fresh layout as
     * the next generation (exclusive-create claim). Returns the new
     * (gen, path). */
+  /** Test seam: runs between training and the pointer publish —
+    * the window in which a live ingest can commit batches the
+    * retrain's snapshot never saw. */
+  private[graft] var onBeforeIvfPublish: () => Unit = () => ()
+
   private[graft] def ivfRetrainPublish(s: SparkSession, root: String,
       iters: Int = 4): (Int, String) = {
     val (planned, path, k) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
-    val (fresh, _) = ivfRetrain(s, path, k, iters)
+    val (fresh, cents) = ivfRetrain(s, path, k, iters)
+    onBeforeIvfPublish()
     // publish at EXACTLY planned+1 — never re-read the pointer after
     // training: a concurrent retrain (or an ingest that bumped the
     // generation) may have moved it, and re-reading would let a STALE
@@ -919,6 +959,27 @@ object Similarity {
     // generation with no conflict raised. The exclusive-create claim
     // turns that race into a loud CME/409 the caller re-plans from.
     ivfPublishAs(root, planned + 1, fresh, k)
+    // CATCH-UP SWEEP: training brackets real work, so a live ingest
+    // can commit batches into the OLD layout between the retrain's
+    // snapshot and this publish — unmarked in the fresh layout and,
+    // with their checkpoints committed, never to be redelivered.
+    // Re-assign each such batch into the fresh layout with the NEW
+    // quantizer (idempotent — the bid marker guards each). Together
+    // with [[ivfStreamAppendCurrent]]'s post-commit pointer re-check
+    // this covers EVERY ordering: a batch committing before this
+    // sweep runs is listed here; one committing after it necessarily
+    // re-checks the pointer after the publish above and re-applies
+    // itself.
+    val ctrs = cents.map { case (cid, e) => ctr(cid, e) }
+    ivfCommittedSegs(path).map(_._1).filter(_.matches("b\\d+"))
+      .filterNot(b => new java.io.File(fresh,
+        s"seg=$b/_SUCCESS").exists())
+      .foreach { b =>
+        val rows = s.read.option("basePath", path)
+          .parquet(s"$path/seg=$b")
+          .select("vec_id", "embedding")
+        ivfStreamAppend(ctrs, fresh, rows, b.stripPrefix("b").toLong)
+      }
     (planned + 1, fresh)
   }
 

@@ -389,9 +389,13 @@ object TextOps {
           .as("seq")).persist()
       val rows = Seq.newBuilder[(String, String, Long, Long)]
       try {
-        for (_ <- 1 to k) {
+        for (round <- 1 to k) {
           val best = bpePairCounts(df)
-            .orderBy(desc("cnt"), col("l"), col("r")).limit(1).first()
+            .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
+            .collect().headOption.getOrElse(
+              throw new IllegalStateException(
+                s"BPE training exhausted adjacent pairs after ${round - 1}" +
+                  s" merges (every document is a single piece) — lower k"))
           val (l, rr, cnt) = (best.getString(0), best.getString(1),
             best.getLong(2))
           val next = df.select(replace(col("seq"),

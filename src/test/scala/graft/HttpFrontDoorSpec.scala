@@ -386,6 +386,9 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         .statusCode() == 400, "dim mismatch must 400")
       assert(post(port, "/index/docs_ann?op=search&vec=NaN,1.0", "")
         .statusCode() == 400, "non-finite components must 400")
+      assert(post(port, "/index/docs_ann?op=search&vec=0.0,0.0", "")
+        .statusCode() == 400,
+        "a zero vector must 400 (NaN cosine would corrupt the JSON)")
       // generation vacuum over the wire: the retention guard refuses
       // the freshly superseded gen 1 as a 409; force sweeps it and
       // the current generation keeps serving

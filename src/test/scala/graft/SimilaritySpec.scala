@@ -460,6 +460,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfReadLayout(spark, lay2).count() == 70)
     assert(Similarity.ivfReadLayout(spark, lay1).count() == 60,
       "the superseded generation is untouched (snapshot isolation)")
+    // THE SNAPSHOT GAP: a batch commits into the live layout AFTER
+    // the next retrain's corpus snapshot but BEFORE its publish — its
+    // checkpoint is committed, so it will never be redelivered. The
+    // publisher's catch-up sweep must fold it into the fresh
+    // generation (with a marker), or it would vanish on vacuum.
+    Similarity.onBeforeIvfPublish = () => {
+      Similarity.onBeforeIvfPublish = () => ()
+      Similarity.ivfStreamAppendCurrent(spark, root,
+        batch(70 until 80), bid = 3L)
+    }
+    val (g3, lay3) = try Similarity.ivfRetrainPublish(spark, root, iters = 1)
+      finally Similarity.onBeforeIvfPublish = () => ()
+    assert(g3 == 3)
+    val s3 = Similarity.ivfReadLayout(spark, lay3)
+    assert(s3.count() == 80 && s3.select("vec_id").distinct().count() == 80,
+      "the catch-up sweep must fold the snapshot-gap batch in, once")
+    // and a (hypothetical) redelivery of the gap batch still no-ops
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(70 until 80), bid = 3L)
+    assert(Similarity.ivfReadLayout(spark, lay3).count() == 80)
     // a bare cid layout refuses streamed appends loudly (mixing the
     // two partition shapes would silently drop the base from serving)
     val bare = graft.core.TempDirs.scratchShared("xgenbare")

@@ -994,6 +994,22 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TxnTable.renameColumn(spark, dir, "k", "k")
     }
+    // RENAME CHAIN re-issuing an old spelling: b->c then a->b makes
+    // "b" a LIVE logical name again (now naming physical a) — writes
+    // of "b" must route to physical a, not be rejected as stale
+    val dir3 = graft.core.TempDirs.scratchShared("txnchain")
+    TxnTable.init(spark, dir3,
+      (0L until 10L).map(i => (i, i * 2, i * 3)).toDF("k", "a", "b"),
+      numFiles = 1, statsCols = Seq("k"))
+    TxnTable.renameColumn(spark, dir3, "b", "c")
+    TxnTable.renameColumn(spark, dir3, "a", "b")
+    assert(TxnTable.read(spark, dir3).columns.toSeq == Seq("k", "b", "c"))
+    TxnTable.upsert(spark, dir3, "k", Seq((3L, 100L)).toDF("k", "b"))
+    val row3 = TxnTable.read(spark, dir3).filter(col("k") === 3L).first()
+    assert(row3.getLong(row3.fieldIndex("b")) == 100L,
+      "the re-issued logical spelling must write its CURRENT physical")
+    assert(row3.isNullAt(row3.fieldIndex("c")),
+      "the chained rename's other column must stay independent")
   }
 
   test("constraint/colmap epochs survive a vacuum that sweeps their anchor manifest") {
