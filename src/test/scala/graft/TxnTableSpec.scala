@@ -837,6 +837,86 @@ class TxnTableSpec extends AnyFunSuite {
       .first().getLong(1) == -1L)
   }
 
+  test("randomized histories WITH renames: snapshot ≡ model under live schema evolution") {
+    import spark.implicits._
+    // the colmap channel under histories nobody hand-picked: renames
+    // interleave with deletes/upserts/CDC batches, every mutation
+    // writes the THEN-CURRENT logical spelling, and the final
+    // snapshot, per-version time travel, and a one-shot CDC fold must
+    // all agree with the driver-side model
+    var totalRenames = 0
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = graft.core.TempDirs.scratchShared(s"txnren$seed")
+      var model: Map[Long, (String, Long)] = (0L until 150L)
+        .map(k => k -> (s"g${k % 5}", k * 10)).toMap
+      var vName = "v"
+      val nameAt = scala.collection.mutable.Map(1 -> vName)
+      TxnTable.init(spark, dir,
+        model.toSeq.map { case (k, (g, v)) => (k, g, v) }
+          .toDF("k", "g", vName)
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        numFiles = 0, statsCols = Seq("k"))
+      for (step <- 1 to 6) {
+        rnd.nextInt(4) match {
+          case 0 =>
+            val ks = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong(200L)).distinct
+            TxnTable.deleteKeys(spark, dir, "k", ks)
+            model = model -- ks
+          case 1 =>
+            val rows = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(200L))
+              .distinct.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L)))
+            TxnTable.upsert(spark, dir, "k",
+              rows.toDF("k", "g", vName), numFiles = 2)
+            model = model ++ rows.map { case (k, g, v) => k -> (g, v) }
+          case 2 =>
+            val ks = Seq.fill(rnd.nextInt(8) + 2)(rnd.nextLong(200L)).distinct
+            val (delK, upK) = ks.splitAt(ks.length / 2)
+            val rows =
+              delK.map(k => (k, "", 0L, "delete")) ++
+                upK.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L),
+                  "upsert"))
+            TxnTable.mergeFrame(spark, dir, "k",
+              rows.toDF("k", "g", vName, "_op"), numFiles = 2)
+            model = model -- delK ++
+              rows.collect { case (k, g, v, "upsert") => k -> (g, v) }
+          case _ =>
+            val next = s"v$step"
+            TxnTable.renameColumn(spark, dir, vName, next)
+            vName = next
+            totalRenames += 1
+        }
+        nameAt(TxnTable.version(dir)) = vName
+      }
+      // final snapshot: current logical name, model-exact contents
+      val now = TxnTable.read(spark, dir)
+      assert(now.columns.toSeq == Seq("k", "g", vName),
+        s"seed $seed: final logical schema")
+      val got = now.collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSet
+      assert(got == model.toSet, s"seed $seed: snapshot != model")
+      // time travel surfaces the name in force at EVERY version
+      nameAt.foreach { case (ver, n) =>
+        assert(TxnTable.read(spark, dir, ver).columns.toSeq ==
+          Seq("k", "g", n), s"seed $seed v$ver: time-travel schema")
+      }
+      // one-shot CDC fold across the whole (rename-bearing) history
+      // aligns to the FINAL logical names and lands on the recompute
+      val keys = Seq("g"); val sums = Seq(vName)
+      val base = TxnTable.rollupOf(TxnTable.read(spark, dir, v = 1)
+        .withColumnRenamed(nameAt(1), vName), keys, sums)
+      val folded = TxnTable.applyCdcDelta(base,
+        TxnTable.changes(spark, dir, 1), keys, sums)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      assert(canon(folded) ==
+        canon(TxnTable.rollupOf(now, keys, sums)),
+        s"seed $seed: CDC fold across renames != recompute")
+    }
+    assert(totalRenames >= 2,
+      s"seeds exercised only $totalRenames renames — pick richer seeds")
+  }
+
   test("constraint set rides the manifest log: declare-vs-writer races serialize") {
     val dir = graft.core.TempDirs.scratchShared("txnrace1")
     import spark.implicits._
