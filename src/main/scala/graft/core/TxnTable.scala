@@ -353,7 +353,10 @@ object TxnTable {
       // window (claim visible + winner's manifest committed, before
       // this rollback): their cached answer names a set that was
       // never declared, and a poisoned entry would wedge later
-      // declares with phantom 'already exists' failures
+      // declares with phantom 'already exists' failures. The stamp
+      // bump fences readers mid-computation: one that listed the
+      // orphan before this delete cannot re-insert after the purge.
+      epochStamp.incrementAndGet()
       epochCache.keySet.removeIf(key =>
         key._1 == dir && key._2 == base && key._3 >= k)
       throw e
@@ -400,6 +403,11 @@ object TxnTable {
     * correctness one). */
   private val epochCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Option[Seq[String]]]()
+  /** Bumped by every cache heal: an epochLinesAt computation that
+    * STARTED before a heal must not re-insert its (possibly poisoned)
+    * answer after the heal ran — the put is gated on the stamp it
+    * read before computing. */
+  private val epochStamp = new java.util.concurrent.atomic.AtomicLong()
 
   /** The committed `<base>-v<k>.json` lines (header stripped) in
     * force at version `v`: the highest committed epoch with k <= v.
@@ -416,6 +424,7 @@ object TxnTable {
     val key = (dir, base, v)
     val hit = epochCache.get(key)
     if (hit != null) return hit
+    val stamp = epochStamp.get()
     val pat = (java.util.regex.Pattern.quote(base) +
       """-v(\d+)\.json""").r
     val minManifest = manifests(dir).headOption.map(_._1).getOrElse(1)
@@ -439,7 +448,7 @@ object TxnTable {
         lines.drop(1)
       }
     if (epochCache.size > 10000) epochCache.clear()
-    epochCache.put(key, r)
+    if (epochStamp.get() == stamp) epochCache.put(key, r)
     r
   }
 
@@ -610,9 +619,15 @@ object TxnTable {
         throw new IllegalArgumentException(
           s"column '$c' no longer exists under that name (renamed or " +
             "dropped) — write the current logical name"))
+      // ONE simultaneous projection, never a sequential rename fold:
+      // under a rename chain (b->c, a->b) a frame ordered (…, c, b)
+      // would have the fold's first step (c->b) collide with the
+      // still-present b before its own step (b->a) ran, yielding
+      // duplicate names the write rejects — order-dependently. A
+      // select maps every column in the same instant.
       val l2p = cm.collect { case (p, Some(l)) => l -> p }.toMap
-      df.columns.foldLeft(df)((d, c) =>
-        l2p.get(c).filter(_ != c).fold(d)(p => d.withColumnRenamed(c, p)))
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(l2p.getOrElse(c, c))): _*)
     }
 
   /** The physical spelling of a logical column name. */

@@ -495,10 +495,10 @@ object Similarity {
       s"layout $path is a bare cid build — streamed appends need a " +
         "segment-committed layout (seg=base; ivfRetrain produces one)")
     val seg = new java.io.File(path, s"seg=b$bid")
-    if (new java.io.File(seg, "_SUCCESS").exists()) return // redelivered
-    // an unmarked seg dir is a crash orphan (pre-atomic-rename junk or
-    // a hand-placed partial) — clear it so the rename below can land
-    if (seg.exists()) graft.core.TempDirs.rmTree(seg)
+    if (new java.io.File(seg, "_SUCCESS").exists()) {
+      sweepStaging(path, bid) // the bid is committed: staging is junk
+      return                  // redelivered
+    }
     // stage into a dot-dir (invisible to segment listing), then claim
     // the slot with ONE atomic rename: two writers racing the same bid
     // (the retrain catch-up sweep vs the appender's post-swap
@@ -515,16 +515,50 @@ object Similarity {
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite")
       .parquet(tmp.getAbsolutePath)
-    try {
-      java.nio.file.Files.move(tmp.toPath, seg.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } catch {
-      case e: java.nio.file.FileSystemException =>
-        graft.core.TempDirs.rmTree(tmp)
-        if (!new java.io.File(seg, "_SUCCESS").exists()) throw e
+    // orphan handling lives INSIDE the failure path, never as an
+    // entry-time delete: a pre-write exists/rmTree pair would race a
+    // concurrent committer (check sees no marker, the other writer's
+    // rename lands, our delete destroys a COMMITTED segment). Here
+    // the marker check runs only after our own rename refuses, so a
+    // committed winner is always observed, and only a genuinely
+    // unmarked leftover is cleared before one bounded retry.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        java.nio.file.Files.move(tmp.toPath, seg.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        done = true
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (new java.io.File(seg, "_SUCCESS").exists()) {
+            graft.core.TempDirs.rmTree(tmp) // lost to a committed twin
+            done = true
+          } else if (attempts == 0) {
+            attempts = 1
+            graft.core.TempDirs.rmTree(seg) // unmarked crash orphan
+          } else {
+            graft.core.TempDirs.rmTree(tmp)
+            throw e
+          }
+      }
     }
+    sweepStaging(path, bid)
   }
+
+  /** Best-effort cleanup of crash-orphaned staging dirs for a bid
+    * whose segment is committed (or just became so): each crashed
+    * attempt leaves a fresh `.seg-b<bid>-<uuid>` with full batch
+    * data, and nothing else ever lists dot-dirs. Safe because any
+    * LIVE same-bid writer either already renamed (its staging is
+    * gone) or will observe the committed marker and no-op; a mid-
+    * write victim surfaces a transient job error whose redelivery
+    * no-ops against the marker. */
+  private def sweepStaging(path: String, bid: Long): Unit =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(s".seg-b$bid-"))
+      .foreach(graft.core.TempDirs.rmTree)
 
   /** Read a segment-committed IVF layout: only `_SUCCESS`-marked
     * `seg=*` directories participate, so a crash-orphaned partial
@@ -803,7 +837,7 @@ object Similarity {
     * no vector is ever served twice. */
   private[graft] def ivfStreamAppendCurrent(s: SparkSession, root: String,
       batch: DataFrame, bid: Long): Unit = {
-    var (gen, path, _) = ivfCurrent(root).getOrElse(
+    val (gen0, path, _) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
     ivfStreamAppend(layoutCentroids(s, path), path, batch, bid)
     // POST-COMMIT POINTER RE-CHECK: a retrain whose snapshot predates
@@ -813,10 +847,11 @@ object Similarity {
     // two overlap rather than leave a gap). Each apply is guarded by
     // the bid marker, so the convergence loop never double-lands a
     // vector no matter how the orderings interleave.
+    var gen = gen0
     var cur = ivfCurrent(root)
     while (cur.exists(_._1 != gen)) {
       val (g2, p2, _) = cur.get
-      gen = g2; path = p2
+      gen = g2
       ivfStreamAppend(layoutCentroids(s, p2), p2, batch, bid)
       cur = ivfCurrent(root)
     }
@@ -907,8 +942,18 @@ object Similarity {
     * root (shared scratch dirs) are deleted recursively; the pointer
     * file goes last, so a crash mid-sweep leaves a pointer whose
     * layout is partially gone — re-running the sweep completes it,
-    * and readers resolve the MAX generation, which is never swept. */
-  private[graft] def ivfVacuum(root: String, keepGens: Int = 2,
+    * and readers resolve the MAX generation, which is never swept.
+    *
+    * BEFORE any drop, each doomed generation's unmarked streamed
+    * batches FOLD FORWARD into its successor ([[ivfFoldForward]],
+    * ascending so chains propagate transitively): a retrain publisher
+    * that crashed between its pointer publish and its catch-up sweep
+    * leaves gap batches only the superseded layout holds, and vacuum
+    * is the single operation that could destroy them — so it
+    * completes the fold first, making the crash window a durability
+    * no-op. */
+  private[graft] def ivfVacuum(s: SparkSession, root: String,
+      keepGens: Int = 2,
       retainMillis: Long = 7L * 24 * 3600 * 1000,
       force: Boolean = false): Seq[Int] = {
     require(keepGens >= 1, "must keep at least the current generation")
@@ -930,6 +975,9 @@ object Similarity {
             "out the retention window or pass force=true")
     }
     drop.map { case (g, path, _) =>
+      hist.find(_._1 == g + 1).foreach { case (_, succ, _) =>
+        ivfFoldForward(s, path, succ); ()
+      }
       graft.core.TempDirs.rmTree(new java.io.File(path))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, s"gen-$g.json"))
@@ -950,7 +998,7 @@ object Similarity {
       iters: Int = 4): (Int, String) = {
     val (planned, path, k) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
-    val (fresh, cents) = ivfRetrain(s, path, k, iters)
+    val (fresh, _) = ivfRetrain(s, path, k, iters)
     onBeforeIvfPublish()
     // publish at EXACTLY planned+1 — never re-read the pointer after
     // training: a concurrent retrain (or an ingest that bumped the
@@ -963,24 +1011,39 @@ object Similarity {
     // can commit batches into the OLD layout between the retrain's
     // snapshot and this publish — unmarked in the fresh layout and,
     // with their checkpoints committed, never to be redelivered.
-    // Re-assign each such batch into the fresh layout with the NEW
-    // quantizer (idempotent — the bid marker guards each). Together
-    // with [[ivfStreamAppendCurrent]]'s post-commit pointer re-check
-    // this covers EVERY ordering: a batch committing before this
-    // sweep runs is listed here; one committing after it necessarily
-    // re-checks the pointer after the publish above and re-applies
-    // itself.
-    val ctrs = cents.map { case (cid, e) => ctr(cid, e) }
-    ivfCommittedSegs(path).map(_._1).filter(_.matches("b\\d+"))
-      .filterNot(b => new java.io.File(fresh,
-        s"seg=$b/_SUCCESS").exists())
-      .foreach { b =>
-        val rows = s.read.option("basePath", path)
-          .parquet(s"$path/seg=$b")
-          .select("vec_id", "embedding")
-        ivfStreamAppend(ctrs, fresh, rows, b.stripPrefix("b").toLong)
-      }
+    // Re-assign each such batch into the fresh layout (idempotent —
+    // the bid marker guards each). Together with
+    // [[ivfStreamAppendCurrent]]'s post-commit pointer re-check this
+    // covers every CRASH-FREE ordering: a batch committing before
+    // this sweep runs is listed here; one committing after it
+    // necessarily re-checks the pointer after the publish above and
+    // re-applies itself. A publisher crashing MID-sweep is also
+    // covered — the fold is re-runnable, and [[ivfVacuum]] re-runs it
+    // against each generation's successor before any drop, so the
+    // only operation that can destroy the old layout first completes
+    // the fold.
+    ivfFoldForward(s, path, fresh)
     (planned + 1, fresh)
+  }
+
+  /** Fold every committed streamed batch of `from` whose applied-bid
+    * marker is absent in `to` into `to`, re-assigned with `to`'s
+    * (layout-derived) quantizer. Idempotent and RE-RUNNABLE — the
+    * crash-recovery form of the retrain catch-up sweep. Returns the
+    * folded bids. */
+  private[graft] def ivfFoldForward(s: SparkSession, from: String,
+      to: String): Seq[Long] = {
+    val cents = layoutCentroids(s, to)
+    ivfCommittedSegs(from).map(_._1).filter(_.matches("b\\d+"))
+      .filterNot(b => new java.io.File(to, s"seg=$b/_SUCCESS").exists())
+      .map { b =>
+        val rows = s.read.option("basePath", from)
+          .parquet(s"$from/seg=$b")
+          .select("vec_id", "embedding")
+        val bid = b.stripPrefix("b").toLong
+        ivfStreamAppend(cents, to, rows, bid)
+        bid
+      }
   }
 
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the

@@ -219,7 +219,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case "vacuum" =>
               // retention sweep of superseded generations; the guard
               // is ON over the wire (refusal = 409), force overrides
-              val dropped = Similarity.ivfVacuum(root,
+              val dropped = Similarity.ivfVacuum(s, root,
                 keepGens = q.get("keepGens").map(_.toInt).getOrElse(2),
                 retainMillis = q.get("retainMs").map(_.toLong)
                   .getOrElse(7L * 24 * 3600 * 1000),

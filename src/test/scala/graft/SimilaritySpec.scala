@@ -401,7 +401,7 @@ class SimilaritySpec extends AnyFunSuite {
     // generation VACUUM: gen 1 was just superseded — the retention
     // guard refuses (an in-flight query may still scan its layout)
     val refused = intercept[java.util.ConcurrentModificationException] {
-      Similarity.ivfVacuum(root, keepGens = 1)
+      Similarity.ivfVacuum(spark, root, keepGens = 1)
     }
     assert(refused.getMessage.contains("superseded less than"),
       refused.getMessage)
@@ -409,7 +409,7 @@ class SimilaritySpec extends AnyFunSuite {
       "the refused sweep must leave the superseded layout intact")
     // past the horizon (window=0) the sweep drops gen 1 — layout AND
     // pointer — and the current generation still serves
-    assert(Similarity.ivfVacuum(root, keepGens = 1, retainMillis = 0L)
+    assert(Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
       == Seq(1))
     assert(Similarity.ivfHistory(root).map(_._1) == Seq(2))
     assert(!new java.io.File(dir).exists(),
@@ -417,7 +417,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfCurrent(root).exists(_._2 == fresh) &&
       spark.read.parquet(fresh).count() == 800,
       "the current generation must survive the sweep and keep serving")
-    assert(Similarity.ivfVacuum(root, keepGens = 1, retainMillis = 0L)
+    assert(Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
       .isEmpty, "an already-clean root sweeps nothing")
   }
 
@@ -479,6 +479,21 @@ class SimilaritySpec extends AnyFunSuite {
     // and a (hypothetical) redelivery of the gap batch still no-ops
     Similarity.ivfStreamAppendCurrent(spark, root, batch(70 until 80), bid = 3L)
     assert(Similarity.ivfReadLayout(spark, lay3).count() == 80)
+    // CRASH-SAFE DURABILITY: simulate a publisher that died between
+    // its pointer publish and its catch-up sweep — strip the swept
+    // gap segment (b3 data + marker) from gen 3, reconstructing the
+    // state where only gen 2 holds that batch. Vacuum, the only
+    // operation that can destroy gen 2, must FOLD the gap batch
+    // forward before dropping it.
+    graft.core.TempDirs.rmTree(new java.io.File(lay3, "seg=b3"))
+    assert(Similarity.ivfReadLayout(spark, lay3).count() == 70,
+      "crash reconstruction: gen 3 is missing batch b2")
+    Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(3))
+    val rescued = Similarity.ivfReadLayout(spark, lay3)
+    assert(rescued.count() == 80 &&
+      rescued.select("vec_id").distinct().count() == 80,
+      "vacuum must fold the gap batch forward before destroying it")
     // a bare cid layout refuses streamed appends loudly (mixing the
     // two partition shapes would silently drop the base from serving)
     val bare = graft.core.TempDirs.scratchShared("xgenbare")

@@ -1090,6 +1090,16 @@ class TxnTableSpec extends AnyFunSuite {
       "the re-issued logical spelling must write its CURRENT physical")
     assert(row3.isNullAt(row3.fieldIndex("c")),
       "the chained rename's other column must stay independent")
+    // a FULL-ROW frame in the adversarial column order (c before b):
+    // a sequential rename fold would collide c->b into the live b and
+    // then rename both to a — the simultaneous projection must land
+    // both values regardless of order
+    TxnTable.upsert(spark, dir3, "k",
+      Seq((4L, 444L, 40L)).toDF("k", "c", "b"))
+    val row4 = TxnTable.read(spark, dir3).filter(col("k") === 4L).first()
+    assert(row4.getLong(row4.fieldIndex("b")) == 40L &&
+      row4.getLong(row4.fieldIndex("c")) == 444L,
+      s"order-adversarial chained write mangled: $row4")
   }
 
   test("constraint/colmap epochs survive a vacuum that sweeps their anchor manifest") {
