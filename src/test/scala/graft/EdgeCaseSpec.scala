@@ -147,4 +147,49 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(names(anti) == Set("zzz"),
       s"bloom anti path diverged on cast-NULL keys: ${names(anti)}")
   }
+
+  test("epoch channels on a virgin table: empty sets, identity mapping, clean first declare") {
+    import spark.implicits._
+    import graft.core.TxnTable
+    val dir = graft.core.TempDirs.scratchShared("edgeepoch")
+    TxnTable.init(spark, dir, Seq((1L, 2L)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    // no epochs declared: empty constraint set, identity column map,
+    // version kind 'data', mutations unaffected
+    assert(TxnTable.constraints(dir).isEmpty)
+    assert(TxnTable.colMapAt(dir, TxnTable.version(dir)).isEmpty)
+    assert(TxnTable.versionKind(dir, 1) == "data")
+    TxnTable.upsert(spark, dir, "k", Seq((2L, 4L)).toDF("k", "v"))
+    assert(TxnTable.read(spark, dir).count() == 2)
+    // dropping a nonexistent constraint is a harmless no-op version
+    TxnTable.dropConstraint(dir, "ghost")
+    assert(TxnTable.constraints(dir).isEmpty)
+    // the first real declare lands as the next epoch
+    TxnTable.addConstraint(spark, dir, "v_pos", "v > 0")
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("v_pos"))
+  }
+
+  test("ivfServe: unknown query ids yield empty results, not errors; nprobe clamps at k") {
+    import spark.implicits._
+    val lay = graft.core.TempDirs.scratchShared("edgeivf")
+    (0L until 30L).map { i =>
+      val e = Seq(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)
+      (i % 4 + 1, i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("cid", "vec_id", "embedding", "nrm")
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay/seg=base")
+    // a vec_id absent from the corpus: the probe side is empty — the
+    // serve returns zero rows rather than failing
+    assert(Similarity.ivfServe(spark, lay, Seq(9999L), nprobe = 2,
+      topK = 3).count() == 0)
+    // nprobe far beyond the list count clamps to k = full scan
+    val full = Similarity.ivfServe(spark, lay, Seq(5L), nprobe = 1000,
+      topK = 3).collect()
+    assert(full.length == 3 && full.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // topK beyond the corpus returns every neighbor once, ranked
+    val all = Similarity.ivfServe(spark, lay, Seq(5L), nprobe = 4,
+      topK = 100).collect()
+    assert(all.length == 29 &&
+      all.map(_.getLong(1)).distinct.length == 29,
+      s"expected all 29 non-self neighbors, got ${all.length}")
+  }
 }
