@@ -308,8 +308,11 @@ object TxnTable {
 
   def dropConstraint(dir: String, name: String): Unit =
     withOcc(dir) { planned =>
-      commitConstraintEpoch(dir, planned,
-        constraintsAt(dir, planned).filterNot(_._1 == name))
+      val cur = constraintsAt(dir, planned)
+      // dropping an undeclared name commits NOTHING — a no-op must
+      // not burn a version slot (and a pointless epoch file)
+      if (cur.exists(_._1 == name))
+        commitConstraintEpoch(dir, planned, cur.filterNot(_._1 == name))
     }
 
   /** Publish `cs` as the constraint set effective from version

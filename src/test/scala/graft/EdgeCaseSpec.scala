@@ -161,9 +161,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TxnTable.versionKind(dir, 1) == "data")
     TxnTable.upsert(spark, dir, "k", Seq((2L, 4L)).toDF("k", "v"))
     assert(TxnTable.read(spark, dir).count() == 2)
-    // dropping a nonexistent constraint is a harmless no-op version
+    // dropping a nonexistent constraint is a TRUE no-op: no version
+    // burned, no epoch file written
+    val vBefore = TxnTable.version(dir)
     TxnTable.dropConstraint(dir, "ghost")
-    assert(TxnTable.constraints(dir).isEmpty)
+    assert(TxnTable.constraints(dir).isEmpty &&
+      TxnTable.version(dir) == vBefore)
     // the first real declare lands as the next epoch
     TxnTable.addConstraint(spark, dir, "v_pos", "v > 0")
     assert(TxnTable.constraints(dir).map(_._1) == Seq("v_pos"))
