@@ -494,6 +494,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rescued.count() == 80 &&
       rescued.select("vec_id").distinct().count() == 80,
       "vacuum must fold the gap batch forward before destroying it")
+    // the fold is idempotent and re-runnable (the crash-recovery
+    // property ivfVacuum relies on): a second pass folds nothing
+    assert(Similarity.ivfFoldForward(spark,
+      Similarity.ivfCurrent(root).get._2,
+      Similarity.ivfCurrent(root).get._2).isEmpty)
+    // external-vector serve over the surviving generation: a corpus
+    // point's own coordinates rank it first at cosine ~1, and a
+    // multi-query batch keeps per-query ranks independent
+    val corpus = Similarity.ivfReadLayout(spark, lay3)
+      .filter(col("vec_id").isin(12L, 34L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val extServed = Similarity.ivfServeVecs(spark, lay3,
+      Seq(corpus(12L), corpus(34L)), nprobe = k, topK = 2).collect()
+    assert(extServed.length == 4)
+    val top = extServed.filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top == Map(0L -> 12L, 1L -> 34L),
+      s"each external query's own corpus point must rank first: $top")
     // a bare cid layout refuses streamed appends loudly (mixing the
     // two partition shapes would silently drop the base from serving)
     val bare = graft.core.TempDirs.scratchShared("xgenbare")
