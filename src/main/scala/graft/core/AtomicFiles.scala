@@ -6,15 +6,23 @@ package graft.core
   * file, then claim the target with a HARD LINK — the target appears
   * complete or not at all, and a second publisher of the same name
   * fails rather than silently replacing the winner. On link-less
-  * filesystems the fallback claims with `Files.createFile`
-  * (O_CREAT|O_EXCL — a true test-and-set) and fills via atomic move;
-  * its momentary empty-target window is each caller's documented
-  * concern (epochs gate on a committed manifest; generation pointers
-  * resolve MAX, and a crash mid-fill is a named recovery).
-  * `TxnTable.writeManifest` keeps its own specialized variant (the
-  * lock-file protocol with re-plan semantics that TxnTableSpec pins
-  * under an 8-racer thread storm). */
+  * filesystems the fallback uses the same lock-file protocol as
+  * `TxnTable.publishWithoutLinks`: claim a transient side lock
+  * (O_CREAT|O_EXCL — a true test-and-set), exists-check the target
+  * INSIDE the lock, then atomic-move the COMPLETE temp file into
+  * place — the target name only ever appears fully written, so a
+  * concurrent reader can never observe an empty/torn file under the
+  * published name. Only a crash between claim and move leaves a
+  * stale `.<name>.lock` behind (microseconds, no Spark work inside);
+  * the collision error a later publisher raises names it.
+  * `TxnTable.writeManifest` keeps its own specialized variant (with
+  * re-plan semantics that TxnTableSpec pins under an 8-racer thread
+  * storm). */
 object AtomicFiles {
+
+  /** Test seam: pretend the filesystem has no hard links, so specs
+    * can pin the fallback protocol's no-torn-read guarantee. */
+  @volatile private[graft] var disableLinksForTest: Boolean = false
 
   /** Publish `body` at `dir/targetName` exactly once; invokes `lost`
     * (which must throw) when the name is already claimed. */
@@ -25,17 +33,24 @@ object AtomicFiles {
       java.nio.file.Paths.get(dir), s".$targetName", ".tmp")
     try {
       java.nio.file.Files.write(tmp, body)
-      try java.nio.file.Files.createLink(target, tmp)
+      try {
+        if (disableLinksForTest) throw new UnsupportedOperationException(
+          "hard links disabled for test")
+        java.nio.file.Files.createLink(target, tmp); ()
+      }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => lost
         case _: UnsupportedOperationException =>
-          try java.nio.file.Files.createFile(target)
+          val lock = java.nio.file.Paths.get(dir, s".$targetName.lock")
+          try java.nio.file.Files.createFile(lock)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
             lost }
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
+          try {
+            if (java.nio.file.Files.exists(target)) lost
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            ()
+          } finally { java.nio.file.Files.deleteIfExists(lock); () }
       }
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }

@@ -680,28 +680,91 @@ object Similarity {
     IvfBalance(k, total, mc, mn.toDouble / math.max(total, 1L))
   }
 
-  /** Serve-side list centroids ESTIMATED from the layout itself (the
-    * per-cid element-wise mean — k×dim rows of metadata from one
-    * aggregate, memoized per layout): a published generation records
-    * its layout path and k but not the trained quantizer, and the
-    * list mean is the k-means centroid the lists converge to anyway.
-    * Shape: posexplode to (cid, pos) partial means — map-side
-    * combined, k·dim groups — never a whole-vector collect. */
+  /** A generation's quantizer, PINNED: the trained centroids persist
+    * as `quantizer.json` inside the layout directory ([[ivfRetrain]]
+    * writes it before the layout is ever published), so every process
+    * at any time assigns and routes with the EXACT quantizer the
+    * generation was built with — the session memo is an optimization,
+    * never the source of truth. Without pinning, a restart would
+    * re-estimate centroids over a layout that has since grown and
+    * batch N+1 would be assigned with a different quantizer than
+    * batch N, silently eroding the streamed-≡-rebuilt contract.
+    *
+    * Layouts predating the sidecar (hand-built spec layouts, bare cid
+    * builds) fall back to an estimate — the per-cid element-wise mean
+    * — taken from the IMMUTABLE `seg=base` only (never the growing
+    * streamed segments, which would make the estimate time-dependent)
+    * with an exact decimal sum, so the fallback too is identical
+    * across processes and partitionings. Shape: posexplode to
+    * (cid, pos) partial means — map-side combined, k·dim groups —
+    * never a whole-vector collect. */
   private[graft] def layoutCentroids(s: SparkSession,
       dir: String): Seq[Ctr] =
     graft.core.Caches.memoObj(s, s"ivfcents|$dir") {
-      ivfReadLayout(s, dir)
-        .select(col("cid").cast("int").as("c"),
-          posexplode(col("embedding")))
-        .groupBy("c", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("c").agg(sort_array(collect_list(
-          struct(col("pos"), col("m")))).as("ps"))
-        .collect().toSeq
-        .map(r => ctr(r.getInt(0),
-          r.getSeq[org.apache.spark.sql.Row](1)
-            .map(_.getDouble(1).toFloat)))
-        .sortBy(_.cid)
+      readQuantizer(dir).getOrElse {
+        val base = new java.io.File(dir, "seg=base")
+        val src =
+          if (new java.io.File(base, "_SUCCESS").exists())
+            s.read.option("basePath", dir)
+              .parquet(base.getAbsolutePath)
+          else ivfReadLayout(s, dir)
+        src
+          .select(col("cid").cast("int").as("c"),
+            posexplode(col("embedding")))
+          .groupBy("c", "pos")
+          .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .groupBy("c").agg(sort_array(collect_list(
+            struct(col("pos"), col("m")))).as("ps"))
+          .collect().toSeq
+          .map(r => ctr(r.getInt(0),
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(_.getDouble(1).toFloat)))
+          .sortBy(_.cid)
+      }
     }
+
+  /** Persist a layout's trained quantizer — one header line plus one
+    * `{"cid":…,"emb":[…]}` line per centroid. Written ONCE, before
+    * the layout publishes (the dir is still private scratch), via
+    * tmp+atomic-move so no reader ever parses a torn file. Floats
+    * round-trip exactly through toString/toFloat. */
+  private[graft] def writeQuantizer(dir: String, cents: Seq[Ctr]): Unit = {
+    val body = (s"""{"k":${cents.size}}""" +: cents.map(c =>
+      s"""{"cid":${c.cid},"emb":[${c.cemb.mkString(",")}]}"""))
+      .mkString("", "\n", "\n")
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val tmp = java.nio.file.Files.createTempFile(d, "._quantizer", ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve("_quantizer.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def readQuantizer(dir: String): Option[Seq[Ctr]] = {
+    val f = new java.io.File(dir, "_quantizer.json")
+    if (!f.exists()) return None
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val head = """\{"k":(\d+)\}""".r
+    val cent = """\{"cid":(\d+),"emb":\[([^\]]*)\]\}""".r
+    def corrupt(why: String) = sys.error(
+      s"corrupt quantizer file ${f.getPath} ($why) — delete it to " +
+        "fall back to the seg=base estimate")
+    val k = lines.headOption match {
+      case Some(head(n)) => n.toInt
+      case _ => corrupt("missing header")
+    }
+    val cs = lines.drop(1).map {
+      case cent(cid, emb) => ctr(cid.toInt,
+        emb.split(',').toSeq.filter(_.nonEmpty).map(_.toFloat))
+      case l => corrupt(s"unparseable line '$l'")
+    }.sortBy((c: Ctr) => c.cid)
+    if (cs.size != k) corrupt(s"expected $k centroids, found ${cs.size}")
+    Some(cs)
+  }
 
   /** SERVE a published cid-partitioned layout with a runtime `nprobe`
     * KNOB — the recall/latency dial every IVF deployment exposes:
@@ -761,11 +824,20 @@ object Similarity {
     require(topK >= 1, s"k must be >= 1, got $topK")
     val cents = layoutCentroids(s, layout)
     val np = math.min(nprobe, cents.size)
+    // a zero-norm corpus vector has no direction: its cosine is 0/0 =
+    // NaN, which would rank arbitrarily AND break the JSON serve
+    // envelope (bare NaN is invalid JSON). Ingest validates QUERY
+    // vectors but appended batches are unvetted — drop degenerate
+    // postings here, inside codegen, at zero extra jobs. Same guard
+    // on the query side for the by-id path (a zero corpus vector used
+    // as a query would NaN every one of its results).
     val postings = ivfReadLayout(s, layout)
+      .filter(col("nrm") > 0d)
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
-    val probes = queries.select(col("qid"), col("qe"), col("qn"),
-      explode(probeCol(cents, col("qe"), np)).as("cid"))
+    val probes = queries.filter(col("qn") > 0d)
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(probeCol(cents, col("qe"), np)).as("cid"))
     val joined = postings.join(broadcast(probes), Seq("cid"))
     (if (excludeSelf) joined.filter(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotFix / (col("qn") * col("cn")))
@@ -822,6 +894,12 @@ object Similarity {
         java.nio.file.Files.createFile(m.toPath.resolve("_SUCCESS"))
         ()
       }
+    // PIN the trained quantizer to the layout (verdict r12 #1): every
+    // later append/serve/fold — in this process or any other — reads
+    // these exact centroids back instead of re-estimating them over a
+    // layout that keeps growing, so assignment and routing stay
+    // deterministic for the generation's whole life
+    writeQuantizer(path, cents)
     (path, cents.map(c => (c.cid, c.cemb)))
   }
 
@@ -914,16 +992,23 @@ object Similarity {
           // not wedge /index balance/history/retrain in a 500
           val body = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          def corrupt(what: String) = throw new IllegalStateException(
-            s"corrupt index generation file ${f.getPath} (missing " +
-              s"$what) — delete or restore it to recover")
-          val path = """"path":"((?:[^"\\]|\\.)*)"""".r
-            .findFirstMatchIn(body)
-            .fold(corrupt("path"))(_.group(1))
-            .replace("\\\"", "\"").replace("\\\\", "\\")
-          val k = """"k":(\d+)""".r.findFirstMatchIn(body)
-            .fold(corrupt("k"))(_.group(1)).toInt
-          Some((n.toInt, path, k))
+          // a ZERO-LENGTH pointer is not corruption — it is a crash
+          // leftover of the pre-lock fallback protocol (claim file
+          // created, fill never ran): treat it as not-yet-published
+          // rather than wedging every /index op until manual deletion
+          if (body.isEmpty) None
+          else {
+            def corrupt(what: String) = throw new IllegalStateException(
+              s"corrupt index generation file ${f.getPath} (missing " +
+                s"$what) — delete or restore it to recover")
+            val path = """"path":"((?:[^"\\]|\\.)*)"""".r
+              .findFirstMatchIn(body)
+              .fold(corrupt("path"))(_.group(1))
+              .replace("\\\"", "\"").replace("\\\\", "\\")
+            val k = """"k":(\d+)""".r.findFirstMatchIn(body)
+              .fold(corrupt("k"))(_.group(1)).toInt
+            Some((n.toInt, path, k))
+          }
         case _ => None
       }).sortBy(_._1).toSeq
   }

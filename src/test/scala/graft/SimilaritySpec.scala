@@ -568,4 +568,129 @@ class SimilaritySpec extends AnyFunSuite {
     val s2 = Similarity.ivfReadCommitted(spark, root)
     assert(s2.count() == 35 && s2.select("vec_id").distinct().count() == 35)
   }
+
+  test("generation quantizer is PINNED: a fresh session (process restart) " +
+      "assigns, routes and serves identically mid-stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def batch(ids: Range) = ids.map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("qpin0")
+    batch(0 until 40)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("qpinroot")
+    Similarity.ivfPublish(root, lay0, k)
+    // the retrain persists the TRAINED quantizer inside the layout —
+    // the generation's pinned source of truth
+    val (_, lay2) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    assert(new java.io.File(lay2, "_quantizer.json").exists(),
+      "retrain must pin its trained quantizer to the layout")
+    // batch N lands in this process...
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(40 until 50), 0L)
+    // ...then the process "restarts": a fresh session has an empty
+    // memo and must resolve the SAME quantizer from disk
+    val fresh = spark.newSession()
+    assert(Similarity.layoutCentroids(spark, lay2) ==
+      Similarity.layoutCentroids(fresh, lay2),
+      "two processes must resolve bit-identical generation centroids")
+    // batch N+1 lands from the restarted process
+    Similarity.ivfStreamAppendCurrent(fresh, root, batch(50 until 60), 1L)
+    // ASSIGNMENT PARITY: re-assigning every stored vector with the
+    // restarted process's quantizer moves NOTHING — routing and
+    // storage agree across the restart, so streamed ≡ rebuilt holds
+    val cents2 = Similarity.layoutCentroids(fresh, lay2)
+      .map(c => (c.cid, c.cemb))
+    val moved = Similarity.ivfReadLayout(fresh, lay2)
+      .withColumn("re",
+        Similarity.nearestCidColForTest(cents2, col("embedding")))
+      .filter(col("re") =!= col("cid").cast("int")).count()
+    assert(moved == 0,
+      s"$moved vectors would change lists under the restarted quantizer")
+    // SERVED PARITY: the same external query gets the identical top-k
+    // from both processes
+    val q = Similarity.ivfReadLayout(spark, lay2)
+      .filter(col("vec_id") === 44L).select("embedding")
+      .head().getSeq[Float](0)
+    def serve(s: org.apache.spark.sql.SparkSession) =
+      Similarity.ivfServeVecs(s, lay2, Seq(q), nprobe = 2, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    assert(serve(spark) == serve(fresh),
+      "served top-k must be identical across a process restart")
+    // legacy layouts (no quantizer sidecar) estimate from the
+    // IMMUTABLE seg=base only — also restart-stable: the estimate
+    // ignores segments streamed after publish
+    val est0 = Similarity.layoutCentroids(fresh, lay0)
+    Similarity.ivfStreamAppend(est0.map(c =>
+      Similarity.ctr(c.cid, c.cemb)), lay0, batch(90 until 95), 7L)
+    assert(Similarity.layoutCentroids(spark.newSession(), lay0) == est0,
+      "the fallback estimate must not drift as streamed segments land")
+  }
+
+  test("zero-norm corpus vectors never surface in serve results (no NaN " +
+      "cosine on the wire)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(555)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val lay = graft.core.TempDirs.scratchShared("znorm")
+    (0L until 20L).map(i => (i, vec())).toDF("vec_id", "embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay/seg=base")
+    // an unvetted appended batch carries a ZERO vector (vec_id 99)
+    val cents = Similarity.layoutCentroids(spark, lay)
+    Similarity.ivfStreamAppend(cents, lay,
+      Seq((99L, Array.fill(8)(0f)), (98L, vec()))
+        .toDF("vec_id", "embedding"), bid = 0L)
+    val res = Similarity.ivfServe(spark, lay, Seq(3L), nprobe = 1,
+      topK = 25).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite),
+      "every served cosine must be finite (JSON-safe)")
+    assert(!res.exists(_.getLong(1) == 99L),
+      "a direction-less zero vector must never rank as a neighbor")
+  }
+
+  test("generation pointer publish under the no-hardlink fallback: " +
+      "readers never see a torn pointer, racers get exactly one winner") {
+    val root = graft.core.TempDirs.scratchShared("qfall")
+    graft.core.AtomicFiles.disableLinksForTest = true
+    try {
+      @volatile var stop = false
+      @volatile var readerErr: Option[Throwable] = None
+      // a reader hammering the pointer directory for the whole storm:
+      // any half-published file would throw ivfHistory's corrupt-file
+      // error and fail the spec
+      val reader = new Thread(() => while (!stop) {
+        try { Similarity.ivfHistory(root); () }
+        catch { case t: Throwable => readerErr = Some(t); stop = true }
+      })
+      reader.start()
+      (1 to 12).foreach { g =>
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val racers = (1 to 8).map { i => new Thread(() =>
+          try { Similarity.ivfPublishAs(root, g, s"/lay-$g-$i", 4); wins.incrementAndGet(); () }
+          catch {
+            case _: java.util.ConcurrentModificationException => ()
+            case t: Throwable => errs.add(t); ()
+          }) }
+        racers.foreach(_.start()); racers.foreach(_.join())
+        assert(errs.isEmpty, s"unexpected racer failure: ${errs.peek()}")
+        assert(wins.get() == 1,
+          s"generation $g must have exactly one publish winner, got ${wins.get()}")
+      }
+      stop = true
+      reader.join()
+      assert(readerErr.isEmpty, s"reader observed a torn pointer: $readerErr")
+      assert(Similarity.ivfHistory(root).map(_._1) == (1 to 12),
+        "every generation resolved complete")
+    } finally { graft.core.AtomicFiles.disableLinksForTest = false }
+  }
 }
