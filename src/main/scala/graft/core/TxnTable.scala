@@ -96,6 +96,108 @@ object TxnTable {
   // future-format line must fail loudly here, not as a confusing read
   // error later, and must never make vacuum misjudge what's referenced)
   private val legacyPat = """"([^"]+)"""".r
+  // manifest METADATA header lines (both optional — legacy manifests
+  // have neither): the table's physical schema and the epoch anchors
+  private val schemaLinePrefix = """{"schema":"""
+  private val epochsLinePrefix = """{"epochs":"""
+
+  /** The metadata header of one committed manifest:
+    *  - `schema`: the table's full PHYSICAL schema as of that version
+    *    (recorded at commit — the write-time union of the prior
+    *    version's schema and the new data's columns), so reads plan
+    *    with an explicit schema instead of a mergeSchema footer walk
+    *    over every live file (O(files) round trips on an object
+    *    store, per read — the same class of walk the stats channel
+    *    killed for mutation planning);
+    *  - `epochs`: base → epoch version ANCHORS — which
+    *    constraints/colmap epoch is in force at this version. Folding
+    *    the anchor into the manifest makes epoch ACTIVATION atomic
+    *    with the commit: an orphaned epoch file (a declare that lost
+    *    its version slot and crashed before rollback) is referenced
+    *    by no committed manifest and therefore can never be silently
+    *    activated by a later writer taking that version number —
+    *    closing the lost-publish phantom window structurally.
+    * Committed manifests are immutable, so both parse once per
+    * (dir, version) and cache. */
+  private final case class ManifestMeta(schema: Option[
+      org.apache.spark.sql.types.StructType], epochs: Option[Map[String, Int]])
+
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), ManifestMeta]()
+
+  private def manifestMeta(dir: String, v: Int): ManifestMeta = {
+    val key = (dir, v)
+    val hit = metaCache.get(key)
+    if (hit != null) return hit
+    val f = fileOf(dir, s"manifest-v$v.json")
+    // absence is NOT cached: an in-flight version's manifest may
+    // appear a moment later
+    if (!f.exists()) return ManifestMeta(None, None)
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').toSeq.map(_.trim.stripSuffix(","))
+    val schema = lines.find(_.startsWith(schemaLinePrefix)).map { l =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix(schemaLinePrefix).dropRight(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType] }
+    val epochs = lines.find(_.startsWith(epochsLinePrefix)).map { l =>
+      """"([A-Za-z]+)":(\d+)""".r
+        .findAllMatchIn(l.stripPrefix(epochsLinePrefix))
+        .map(m => m.group(1) -> m.group(2).toInt).toMap }
+    val r = ManifestMeta(schema, epochs)
+    if (metaCache.size > 10000) metaCache.clear()
+    metaCache.put(key, r)
+    r
+  }
+
+  /** The table's recorded PHYSICAL schema at version `v` (None for
+    * manifests predating the schema channel). */
+  private[graft] def physSchemaAt(dir: String, v: Int): Option[
+      org.apache.spark.sql.types.StructType] = manifestMeta(dir, v).schema
+
+  /** Union for schema evolution at commit time: keeps the base
+    * column order (and spellings — matching is case-insensitive, like
+    * Spark's resolver), appends genuinely new columns, and refuses a
+    * type change loudly — silently re-typing a column would corrupt
+    * every older file's reads. Everything is nullable: rows from
+    * before a column existed read as null. */
+  private[graft] def unionSchema(
+      base: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byLower = base.fields.map(f => f.name.toLowerCase -> f).toMap
+    add.fields.foreach { f =>
+      byLower.get(f.name.toLowerCase).foreach { b =>
+        // catalogString ignores nullability — the comparison SQL's
+        // type system actually cares about
+        require(b.dataType.catalogString == f.dataType.catalogString,
+          s"schema evolution cannot change column '${b.name}' from " +
+            s"${b.dataType.catalogString} to ${f.dataType.catalogString}")
+      }
+    }
+    val extra = add.fields.filterNot(f => byLower.contains(f.name.toLowerCase))
+    org.apache.spark.sql.types.StructType(
+      (base.fields ++ extra).map(_.copy(nullable = true)))
+  }
+
+  /** The physical schema a commit at `planned + 1` should record: the
+    * schema carried by `planned`'s manifest — a legacy table resolves
+    * it ONCE via a mergeSchema footer union, the last such walk it
+    * ever pays — unioned with the newly written data's columns. */
+  private def nextSchema(s: SparkSession, dir: String, planned: Int,
+      newData: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val prior = physSchemaAt(dir, planned).orElse {
+      val paths = liveFiles(dir, planned).map(rel => s"$dir/$rel")
+      if (paths.isEmpty) None
+      else Some(s.read.option("mergeSchema", "true")
+        .parquet(paths: _*).schema)
+    }
+    (prior, newData) match {
+      case (Some(p), Some(n)) => Some(unionSchema(p, n))
+      case (p, n) => p.orElse(n)
+    }
+  }
 
   /** Live file entries of `v` (default: latest). One entry per line;
     * bare-string lines (legacy manifests) parse as stats-less
@@ -108,6 +210,8 @@ object TxnTable {
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     txt.split('\n').map(_.trim.stripSuffix(",")).flatMap {
       case "" | "[" | "]" => None
+      case l if l.startsWith(schemaLinePrefix) ||
+        l.startsWith(epochsLinePrefix) => None // metadata header
       case entryPat(path, bytes, rowsOrNull, statsBody) =>
         val stats = statPat.findAllMatchIn(statsBody).map(m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
@@ -160,12 +264,32 @@ object TxnTable {
     * [[publishWithoutLinks]]); only a crash between claim and move
     * leaves one behind, and vacuum sweeps those crash leftovers. */
   private[graft] def writeManifest(dir: String, v: Int,
-      entries: Seq[FileEntry]): Unit = {
-    val body = entries.map { e =>
+      entries: Seq[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      epochUpdate: Option[(String, Int)] = None): Unit = {
+    // metadata header: schema (explicit, or carried from v-1) and the
+    // epoch anchors (carried from v-1 — a table predating the anchor
+    // channel folds its legacy-resolved anchors in on its first new
+    // commit — overlaid with this commit's own epoch, if any). The
+    // anchors line is ALWAYS written, even empty: only a manifest
+    // that explicitly says "no epoch in force" keeps an orphaned
+    // epoch file from being resolved by the legacy directory scan.
+    val prior =
+      if (v > 1) manifestMeta(dir, v - 1) else ManifestMeta(None, None)
+    val schemaOut = schema.orElse(prior.schema)
+    val anchors = prior.epochs.getOrElse(
+      Seq("constraints", "colmap").flatMap(b =>
+        legacyEpochAnchorAt(dir, b, v - 1).map(b -> _)).toMap) ++ epochUpdate
+    val header = schemaOut.map(sch =>
+      s"""{"schema":${sch.json}}""").toSeq :+
+      anchors.toSeq.sortBy(_._1)
+        .map { case (b, k) => s""""$b":$k""" }
+        .mkString("""{"epochs":{""", ",", "}}")
+    val body = (header ++ entries.map { e =>
       val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""$c":[$lo,$hi]""" }.mkString(",")
       s"""{"path":"${e.path}","bytes":${e.bytes},"rows":${e.rows},"stats":{$stats}}"""
-    }.mkString("[\n", ",\n", "\n]")
+    }).mkString("[\n", ",\n", "\n]")
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
@@ -348,7 +472,10 @@ object TxnTable {
     // declare. (A hard crash between claim and commit is the same
     // micro-window the manifest publish itself documents — no Spark
     // work in between — and the recovery message names the file.)
-    try writeManifest(dir, k, liveEntries(dir, planned))
+    // the manifest ANCHORS the epoch it activates — readers resolve
+    // the set through the committed manifest, never the bare file
+    try writeManifest(dir, k, liveEntries(dir, planned),
+      epochUpdate = Some(base -> k))
     catch { case e: Throwable =>
       java.nio.file.Files.deleteIfExists(
         fileOf(dir, s"$base-v$k.json").toPath)
@@ -428,31 +555,66 @@ object TxnTable {
     val hit = epochCache.get(key)
     if (hit != null) return hit
     val stamp = epochStamp.get()
+    val ms = manifests(dir)
+    val maxCommitted = ms.lastOption.map(_._1).getOrElse(0)
+    // ANCHOR CHANNEL: the highest committed manifest <= v names the
+    // epoch in force — activation rides the committed manifest, so an
+    // orphaned epoch file can never be resolved. An in-flight v
+    // (planned + 1, mid-declare) resolves through the latest COMMITTED
+    // manifest — the pre-declare answer, by construction. Manifests
+    // predating the anchor line fall back to the directory scan.
+    val anchored = ms.filter(_._1 <= v).lastOption
+      .map { case (mv, _) => manifestMeta(dir, mv).epochs }
+    val r = anchored match {
+      case Some(Some(m)) => m.get(base).map(k => epochFileLines(dir, base, k))
+      case _ => legacyEpochAnchorAt(dir, base, v)
+        .map(k => epochFileLines(dir, base, k))
+    }
+    if (epochCache.size > 10000) epochCache.clear()
+    // only a COMMITTED version's answer is immutable: caching an
+    // in-flight v would pin the pre-declare answer for the version a
+    // racing declare is about to commit
+    if (epochStamp.get() == stamp && v <= maxCommitted)
+      epochCache.put(key, r)
+    r
+  }
+
+  /** The legacy (pre-anchor) resolution: highest epoch file with
+    * k <= v whose anchor manifest committed — or predates the oldest
+    * surviving manifest (versions are consecutive, so an epoch below
+    * the vacuum horizon necessarily committed). */
+  private def legacyEpochAnchorAt(dir: String, base: String,
+      v: Int): Option[Int] = {
     val pat = (java.util.regex.Pattern.quote(base) +
       """-v(\d+)\.json""").r
     val minManifest = manifests(dir).headOption.map(_._1).getOrElse(1)
-    val r = Option(new java.io.File(dir).listFiles())
+    Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
       .flatMap(f => f.getName match {
-        case pat(k) => Some((k.toInt, f))
+        case pat(k) => Some(k.toInt)
         case _ => None
       })
-      .filter { case (k, _) =>
-        k <= v && (k < minManifest ||
-          fileOf(dir, s"manifest-v$k.json").exists()) }
-      .sortBy(_._1).lastOption
-      .map { case (k, f) =>
-        val lines = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-        if (!lines.headOption.contains(s"""{"epoch":$k}"""))
-          sys.error(s"corrupt $base epoch file ${f.getPath} " +
-            s"(missing header) — delete it to recover")
-        lines.drop(1)
-      }
-    if (epochCache.size > 10000) epochCache.clear()
-    if (epochStamp.get() == stamp) epochCache.put(key, r)
-    r
+      .filter(k => k <= v && (k < minManifest ||
+        fileOf(dir, s"manifest-v$k.json").exists()))
+      .sorted.lastOption
+  }
+
+  /** Read committed epoch `k`'s lines (header verified + stripped).
+    * An ANCHORED epoch file that is missing is a loud error — vacuum
+    * never deletes epoch files, so absence means external damage. */
+  private def epochFileLines(dir: String, base: String,
+      k: Int): Seq[String] = {
+    val f = fileOf(dir, s"$base-v$k.json")
+    if (!f.exists()) sys.error(
+      s"missing $base epoch file ${f.getPath} referenced by a " +
+        "committed manifest — restore it to recover")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (!lines.headOption.contains(s"""{"epoch":$k}"""))
+      sys.error(s"corrupt $base epoch file ${f.getPath} " +
+        s"(missing header) — delete it to recover")
+    lines.drop(1)
   }
 
   /** The constraint set in force at committed version `v`; tables
@@ -633,11 +795,24 @@ object TxnTable {
         col(c).as(l2p.getOrElse(c, c))): _*)
     }
 
-  /** The physical spelling of a logical column name. */
+  /** The physical spelling of a logical column name — STRICT: a
+    * renamed-away or dropped spelling is rejected loudly (unless that
+    * spelling is currently some other column's logical name, the
+    * rename-chain case), because silently addressing the stale
+    * physical would delete/cluster/rewrite the WRONG column. */
   private def physicalName(cm: Seq[(String, Option[String])],
       logical: String): String =
     cm.collectFirst { case (p, Some(l)) if l == logical => p }
-      .getOrElse(logical)
+      .getOrElse {
+        cm.collectFirst { case (p, lo) if p == logical => lo } match {
+          case Some(None) => throw new IllegalArgumentException(
+            s"column '$logical' was dropped — it cannot be addressed")
+          case Some(Some(l)) => throw new IllegalArgumentException(
+            s"column '$logical' was renamed to '$l' — address it by " +
+              "its current name")
+          case None => logical
+        }
+      }
 
   /** What a committed version DID: 'constraints' / 'colmap' for
     * metadata epochs (same file entries as their predecessor — no
@@ -719,7 +894,8 @@ object TxnTable {
       numFiles: Int = 8, statsCols: Seq[String] = Nil): Unit = {
     new java.io.File(dir).mkdirs()
     writeStatsCols(dir, statsCols)
-    writeManifest(dir, 1, commitFiles(s, dir, df, numFiles, statsCols))
+    writeManifest(dir, 1, commitFiles(s, dir, df, numFiles, statsCols),
+      schema = Some(df.schema))
   }
 
   /** Snapshot read of `v` (default: latest). mergeSchema unions the
@@ -738,11 +914,26 @@ object TxnTable {
   /** The raw physical-named scan of `v` — what maintenance rewrites
     * ([[optimize]]) and mutation internals read, so files keep their
     * physical column names forever (the invariant the mapping
-    * depends on). */
+    * depends on). Plans with the manifest-recorded schema — ZERO
+    * footer I/O; only manifests predating the schema channel pay the
+    * mergeSchema footer union (and every commit records the schema
+    * from then on). */
   private def readPhysical(s: SparkSession, dir: String,
-      v: Int): DataFrame =
-    s.read.option("mergeSchema", "true")
-      .parquet(liveFiles(dir, v).map(rel => s"$dir/$rel"): _*)
+      v: Int): DataFrame = readSubset(s, dir, v, liveFiles(dir, v))
+
+  /** Read a subset of version `v`'s live files WITH `v`'s recorded
+    * schema: columns a pre-evolution file lacks surface as typed
+    * nulls, exactly as the full mergeSchema read would yield them,
+    * without opening a single footer. */
+  private def readSubset(s: SparkSession, dir: String, v: Int,
+      rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => s"$dir/$rel")
+    physSchemaAt(dir, v) match {
+      case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+      case None =>
+        s.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
 
   /** CDC read — net row-level changes between two committed versions
     * (the lakehouse `table_changes` surface), computed from the
@@ -776,9 +967,11 @@ object TxnTable {
         // files carry physical names; surface them under the TARGET
         // version's logical names before aligning, so a rename is
         // transparent to CDC followers (renamed data matches by
-        // logical name instead of reading as spurious null deltas)
-        val df = applyColMap(s.read.option("mergeSchema", "true")
-          .parquet(ps.map(rel => s"$dir/$rel"): _*), cmTo)
+        // logical name instead of reading as spurious null deltas).
+        // The read plans with rvTo's recorded schema — the physical
+        // schema only grows, so it covers every file live at fromV —
+        // keeping the diff footer-free.
+        val df = applyColMap(readSubset(s, dir, rvTo, ps), cmTo)
         val have = df.columns.toSet
         df.select(schemaCarrier.schema.map(f =>
           (if (have(f.name)) col(f.name)
@@ -972,12 +1165,13 @@ object TxnTable {
     if (matched.isEmpty) 0
     else {
       val cols = colsWith(dir, pKey)
-      val kept = s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)
+      val kept = readSubset(s, dir, planned, matched.map(_.path))
         .filter(col(pKey).isNull || !col(pKey).isin(keys: _*))
       val fresh = commitFiles(s, dir, kept,
         math.min(numFiles, matched.size), cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ fresh)
+      writeManifest(dir, planned + 1, untouched ++ fresh,
+        schema = nextSchema(s, dir, planned, None))
       matched.size
     }
   }
@@ -1000,11 +1194,12 @@ object TxnTable {
     val survivors =
       if (matched.isEmpty) Nil
       else commitFiles(s, dir, survivorsOf(
-        s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
+        readSubset(s, dir, planned, matched.map(_.path))),
         math.min(numFiles, matched.size), cols)
     val inserted = commitFiles(s, dir, phys, numFiles, cols)
     onBeforeCommit()
-    writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+    writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+      schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
   }
 
@@ -1038,11 +1233,12 @@ object TxnTable {
       val survivors =
         if (matched.isEmpty) Nil
         else commitFiles(s, dir, survivorsOf(
-          s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
+          readSubset(s, dir, planned, matched.map(_.path))),
           math.min(numFiles, matched.size), cols)
       val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+        schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
   }
 
@@ -1123,11 +1319,12 @@ object TxnTable {
       val survivors =
         if (matched.isEmpty) Nil
         else commitFiles(s, dir, survivorsOf(
-          s.read.parquet(matched.map(e => s"$dir/${e.path}"): _*)),
+          readSubset(s, dir, planned, matched.map(_.path))),
           math.min(numFiles, matched.size), cols)
       val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted)
+      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+        schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
     } finally { if (seqCol.isDefined) { compacted.unpersist(); () } }
   }
@@ -1146,25 +1343,33 @@ object TxnTable {
   def optimize(s: SparkSession, dir: String, zcols: Seq[String],
       numFiles: Int = 8, ranked: Boolean = false): Unit =
     withOcc(dir) { planned =>
-    // the PHYSICAL reader: a rewrite must preserve physical column
-    // names, or the colmap channel's files-are-physical invariant
-    // (and the manifest stats keyed on physical names) would break.
-    // zcols are physical too — maintenance addresses storage layout.
+    // zcols arrive LOGICAL — the spelling every other API speaks —
+    // and translate to physical here (a renamed-away spelling is
+    // rejected loudly): silently clustering the stale physical would
+    // Z-order the WRONG column and defeat the pruning the operator
+    // asked for. The rewrite itself runs through the PHYSICAL reader:
+    // files must keep physical column names forever, or the colmap
+    // channel (and the manifest stats keyed on physical names) breaks.
+    val pZcols = {
+      val cm = colMapAt(dir, planned)
+      zcols.map(physicalName(cm, _))
+    }
     val live = readPhysical(s, dir, planned)
     val clustered =
-      if (zcols.size == 1 && !ranked)
-        live.repartitionByRange(numFiles, col(zcols.head))
-          .sortWithinPartitions(zcols.head)
+      if (pZcols.size == 1 && !ranked)
+        live.repartitionByRange(numFiles, col(pZcols.head))
+          .sortWithinPartitions(pZcols.head)
       else
         live.withColumn("__z",
-            if (ranked) Layout.zValueForRanked(live, zcols)
-            else Layout.zValueFor(live, zcols))
+            if (ranked) Layout.zValueForRanked(live, pZcols)
+            else Layout.zValueFor(live, pZcols))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
     val fresh = commitFiles(s, dir, clustered, numFiles = 0, statsCols(dir))
     onBeforeCommit()
-    writeManifest(dir, planned + 1, fresh)
+    writeManifest(dir, planned + 1, fresh,
+      schema = nextSchema(s, dir, planned, None))
   }
 
   /** Incremental OPTIMIZE: re-cluster ONLY the live files whose
@@ -1179,20 +1384,23 @@ object TxnTable {
   def optimizeRange(s: SparkSession, dir: String, keyCol: String,
       lo: Long, hi: Long, numFiles: Int = 4): Int =
     withOcc(dir) { planned =>
-      val (live, rangeOf) = entryRanges(s, dir, keyCol, planned)
+      // keyCol is LOGICAL (loud reject of renamed-away spellings) —
+      // the stats channel and the files speak physical
+      val pKey = physicalName(colMapAt(dir, planned), keyCol)
+      val (live, rangeOf) = entryRanges(s, dir, pKey, planned)
       val (matched, untouched) = live.partition { e =>
         val (l, h) = rangeOf(e); h >= lo && l <= hi
       }
       if (matched.size <= 1) 0 // a single file is already "clustered"
       else {
-        val clustered = s.read.option("mergeSchema", "true")
-          .parquet(matched.map(e => s"$dir/${e.path}"): _*)
-          .repartitionByRange(numFiles, col(keyCol))
-          .sortWithinPartitions(keyCol)
+        val clustered = readSubset(s, dir, planned, matched.map(_.path))
+          .repartitionByRange(numFiles, col(pKey))
+          .sortWithinPartitions(pKey)
         val fresh = commitFiles(s, dir, clustered, numFiles = 0,
           statsCols(dir))
         onBeforeCommit()
-        writeManifest(dir, planned + 1, untouched ++ fresh)
+        writeManifest(dir, planned + 1, untouched ++ fresh,
+          schema = nextSchema(s, dir, planned, None))
         matched.size
       }
     }
@@ -1216,11 +1424,11 @@ object TxnTable {
     if (small.size <= numFiles) 0 // nothing worth packing
     else {
       val packed = commitFiles(s, dir,
-        s.read.option("mergeSchema", "true")
-          .parquet(small.map(e => s"$dir/${e.path}"): _*),
+        readSubset(s, dir, planned, small.map(_.path)),
         numFiles, statsCols(dir))
       onBeforeCommit()
-      writeManifest(dir, planned + 1, big ++ packed)
+      writeManifest(dir, planned + 1, big ++ packed,
+        schema = nextSchema(s, dir, planned, None))
       small.size
     }
   }

@@ -1309,4 +1309,141 @@ class TxnTableSpec extends AnyFunSuite {
       "latest version must survive vacuum intact")
     intercept[RuntimeException](TxnTable.read(spark, dir, v = 1))
   }
+
+  test("manifest-carried schema: recorded at init, grows under evolution, " +
+      "refuses type changes; legacy tables upgrade on first mutation") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnschema")
+    TxnTable.init(spark, dir,
+      (0L until 50L).map(k => (k, k * 2)).toDF("k", "v"),
+      numFiles = 2, statsCols = Seq("k"))
+    assert(TxnTable.physSchemaAt(dir, 1).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v")), "init must record the schema")
+    // schema evolution: the upsert's new column folds into the
+    // recorded schema; pre-evolution rows read as typed nulls
+    TxnTable.upsert(spark, dir, "k",
+      Seq((1L, 10L, "x")).toDF("k", "v", "tag"))
+    val v2 = TxnTable.version(dir)
+    assert(TxnTable.physSchemaAt(dir, v2)
+      .exists(_.fieldNames.toSeq == Seq("k", "v", "tag")))
+    val now = TxnTable.read(spark, dir)
+    assert(now.filter(col("k") === 2L).select("tag").first().isNullAt(0))
+    assert(now.filter(col("k") === 1L).select("tag").first()
+      .getString(0) == "x")
+    // the read plans with the RECORDED schema — no footer union
+    assert(now.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    // time travel reads the schema AT the version
+    assert(TxnTable.read(spark, dir, 1).columns.toSeq == Seq("k", "v"))
+    // a type change is refused loudly, and atomically: no version
+    // lands, the table stays intact
+    val boom = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k",
+        Seq((3L, "oops", "y")).toDF("k", "v", "tag"))
+    }
+    assert(boom.getMessage.contains("schema evolution"), boom.getMessage)
+    assert(TxnTable.version(dir) == v2 &&
+      TxnTable.read(spark, dir).count() == 50)
+    // LEGACY manifests (no schema header) still read via the footer
+    // union and upgrade on their first mutation
+    val leg = graft.core.TempDirs.scratchShared("txnlegacy")
+    TxnTable.init(spark, leg,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 2, statsCols = Seq("k"))
+    val m1 = new java.io.File(leg, "manifest-v1.json").toPath
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .split('\n')
+      .filterNot(l => l.contains("\"schema\":") || l.contains("\"epochs\":"))
+      .mkString("\n")
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    assert(TxnTable.physSchemaAt(leg, 1).isEmpty)
+    assert(TxnTable.read(spark, leg).count() == 20,
+      "legacy manifests read through the mergeSchema fallback")
+    TxnTable.deleteKeys(spark, leg, "k", Seq(1L))
+    assert(TxnTable.physSchemaAt(leg, 2)
+      .exists(_.fieldNames.toSeq == Seq("k", "v")),
+      "the first mutation must upgrade a legacy table to the schema channel")
+  }
+
+  test("epoch anchors: an orphaned epoch file (crashed lost declare) is " +
+      "never activated by a later commit taking its version") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnphantom")
+    TxnTable.init(spark, dir,
+      (0L until 10L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))
+    TxnTable.addConstraint(spark, dir, "v_small", "v < 1000")
+    val planned = TxnTable.version(dir)
+    val slot = planned + 1
+    // forge the crash: a dropConstraint claimed epoch `slot`, lost the
+    // manifest race, and died before its rollback delete — its epoch
+    // file (the EMPTY constraint set) sits orphaned on disk
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"constraints-v$slot.json").toPath,
+      s"""{"epoch":$slot}\n""".getBytes("UTF-8"))
+    // a data writer takes version `slot`; its manifest anchors the set
+    // in force at `planned` — NOT the orphan
+    TxnTable.upsert(spark, dir, "k", Seq((1L, 5L)).toDF("k", "v"))
+    assert(TxnTable.version(dir) == slot)
+    assert(TxnTable.constraintsAt(dir, slot).map(_._1) == Seq("v_small"),
+      "the orphaned epoch must stay inert — activation rides the manifest")
+    // and the still-active constraint really enforces
+    val rejected = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((2L, 5000L)).toDF("k", "v"))
+    }
+    assert(rejected.getMessage.contains("v_small"), rejected.getMessage)
+    // a real declaration later proceeds unobstructed
+    TxnTable.dropConstraint(dir, "v_small")
+    assert(TxnTable.constraintsAt(dir, TxnTable.version(dir)).isEmpty)
+    TxnTable.upsert(spark, dir, "k", Seq((2L, 5000L)).toDF("k", "v"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 2L)
+      .first().getLong(1) == 5000L)
+  }
+
+  test("maintenance speaks LOGICAL names: optimize after a rename chain " +
+      "clusters the intended column; stale spellings reject loudly") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnoptlog")
+    // values chosen so the two columns cluster DIFFERENTLY: a is
+    // sequential, b is bit-reversed (clustering on one scatters the other)
+    def rev(x: Long): Long = java.lang.Long.reverse(x) >>> 48
+    TxnTable.init(spark, dir,
+      (0L until 256L).map(k => (k, rev(k))).toDF("a", "b"),
+      numFiles = 2, statsCols = Seq("a"))
+    // the adversarial chain: b->c then a->b — the spelling 'b' now
+    // means the OLD a; silently clustering physical b would Z-order
+    // the wrong column
+    TxnTable.renameColumn(spark, dir, "b", "c")
+    TxnTable.renameColumn(spark, dir, "a", "b")
+    TxnTable.optimize(spark, dir, Seq("b"), numFiles = 4)
+    // the files must be range-clustered on PHYSICAL a (logical b):
+    // per-file [min,max] of physical a are pairwise disjoint
+    val ranges = TxnTable.liveEntries(dir).map { e =>
+      val r = spark.read.parquet(s"$dir/${e.path}")
+        .agg(min(col("a")), max(col("a"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"optimize clustered the wrong column: $ranges")
+      case _ =>
+    }
+    // a renamed-away spelling rejects loudly on every maintenance op
+    val staleOpt = intercept[IllegalArgumentException] {
+      TxnTable.optimize(spark, dir, Seq("a"), numFiles = 2)
+    }
+    assert(staleOpt.getMessage.contains("renamed"), staleOpt.getMessage)
+    val staleRange = intercept[IllegalArgumentException] {
+      TxnTable.optimizeRange(spark, dir, "a", 0L, 10L)
+    }
+    assert(staleRange.getMessage.contains("renamed"), staleRange.getMessage)
+    val staleDel = intercept[IllegalArgumentException] {
+      TxnTable.deleteKeys(spark, dir, "a", Seq(1L))
+    }
+    assert(staleDel.getMessage.contains("renamed"), staleDel.getMessage)
+    // the current logical spellings all work end-to-end
+    assert(TxnTable.optimizeRange(spark, dir, "b", 0L, 63L) >= 0)
+    TxnTable.deleteKeys(spark, dir, "b", Seq(1L))
+    val left = TxnTable.read(spark, dir)
+    assert(left.columns.toSeq == Seq("b", "c") && left.count() == 255)
+  }
 }
