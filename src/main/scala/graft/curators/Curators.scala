@@ -37,8 +37,9 @@ object Curators {
     * never leave the ranking). This is the fact-size signal KeyShip's
     * bloom decision consumes: with it, an oversized parent restriction
     * sizes its bitset against the actual drill scan. */
-  private def plannedWithEstimate(req: ReportingRequest, reg: Registry,
-      s: SparkSession, dir: String): (DataFrame, Option[Long]) =
+  private[graft] def plannedWithEstimate(req: ReportingRequest,
+      reg: Registry, s: SparkSession, dir: String)
+      : (DataFrame, Option[Long]) =
     (for {
       m <- RequestModel.from(req, reg)
       r <- Planner.explain(m, s, dir)
@@ -51,8 +52,20 @@ object Curators {
         w <- choices.find(_.chosen)
         cube <- reg.cube(req.cube).toOption
         v <- cube.variants.find(_.name == w.name)
-        cm <- v.costModel
-      } yield cm.rowEstimate(m.numDays)
+        rows <- v.costModel.map(_.rowEstimate(m.numDays)).orElse(
+          // REGISTRY-AUTO channel: even without a declared CostModel,
+          // a plain parquet variant's cardinality is footer metadata
+          // (memoized per session, zero Spark jobs) — so every served
+          // request's key-ship decision amortizes like the hand-wired
+          // q22, not just cubes whose author remembered to model
+          // costs. An upper bound is safe here: only carrier choice
+          // can drift, never semantics. view-backed variants skip it
+          // (their scan is not the raw table).
+          if (v.view.isEmpty)
+            scala.util.Try(
+              graft.core.Tables.tableRows(s, dir, v.table)).toOption
+          else None)
+      } yield rows
       (p.df, est)
     }).fold(e => throw new IllegalArgumentException(e), identity)
 
@@ -230,7 +243,10 @@ object Curators {
     // rides the session cache registry so the normal release
     // lifecycle (and re-drills of the same request) own its
     // unpersist instead of stacking page caches forever.
-    val parents = graft.core.Caches.track(s, s"drill|$dir|${json.hashCode}",
+    // keyed on the FULL request json, never its hashCode: two distinct
+    // in-flight requests colliding on a 32-bit hash would have track()
+    // unpersist each other's live parents frame mid-use
+    val parents = graft.core.Caches.track(s, s"drill|$dir|$json",
       planned(req.copy(rowsPerPage = topN, paginationStartIndex = 0),
         reg, s, dir).select(parentDims.map(col): _*).persist())
     val cube = if (cfg.cube.nonEmpty) cfg.cube else req.cube
@@ -290,7 +306,10 @@ object Curators {
     val drilled =
       if (typesMatch)
         graft.operators.KeyShip.semiShipCols(
-          drillDf, parentDims, parents, parentDims, factRows = drillRows)
+          drillDf, parentDims, parents, parentDims, factRows = drillRows,
+          // the parent side is a PAGE — topN is its a-priori upper
+          // bound, known with zero jobs
+          keyRows = Some(topN.toLong))
       else drillDf.join(broadcast(parents), parentDims, "left_semi")
     val ordered =
       if (cfg.ordering.isEmpty)

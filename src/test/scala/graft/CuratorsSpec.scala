@@ -450,4 +450,73 @@ class CuratorsSpec extends AnyFunSuite {
     assert(dfs(0).columns.contains("Order Status") && dfs(0).count() == 3)
     assert(dfs(1).columns.contains("Market Segment") && dfs(1).count() == 2)
   }
+
+  test("registry-auto cardinality: a costModel-less cube feeds the served " +
+      "carrier decision; a known key side decides with ZERO driver jobs") {
+    import graft.core.Tables
+    import graft.operators.KeyShip
+    // (a) the auto channel: order_stats declares NO CostModel, yet the
+    // served planner surfaces the chosen variant's footer count — the
+    // signal the drill's key-ship sizing consumes
+    // "Order Status" forces the raw-parquet base variant (the rollup
+    // lacks it); a view-backed winner correctly yields no estimate
+    val json =
+      """{"cube": "order_stats",
+        | "selectFields": [{"field": "Order Priority"},
+        |   {"field": "Order Status"}, {"field": "Total Spend"}],
+        | "filterExpressions": [{"field": "Order Date",
+        |   "operator": "between", "from": "1995-01-01", "to": "1996-12-31"}]}"""
+        .stripMargin
+    val req = graft.analyzer.request.parse(json)
+      .fold(e => fail(e), identity)
+    val (_, est) = Curators.plannedWithEstimate(req, registry, spark, sf)
+    assert(est.contains(Tables.tableRows(spark, sf, "orders")),
+      s"expected the auto-resolved footer count, got $est")
+    val reqRollup = graft.analyzer.request.parse(cur04Json)
+      .fold(e => fail(e), identity)
+    assert(Curators.plannedWithEstimate(reqRollup, registry, spark, sf)
+      ._2.isEmpty, "a view-backed winner must not claim the raw table's count")
+    // (b) ZERO-JOB decision: with keyRows known (footer metadata) and
+    // the key set provably oversized for literals, building the
+    // shipped plan runs NO Spark job — no limit-probe, no distinct
+    // count. Protocol: a FIFO job listener bracketed by dummy jobs.
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def settle(): Unit = { // flush the async bus via a sentinel job
+      val before = counter.get()
+      // a raw RDD count is EXACTLY one job (an SQL count can split
+      // into several under AQE and poison the bracket)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (counter.get() <= before && System.nanoTime() < deadline)
+        Thread.sleep(5)
+    }
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+    val known = Tables.tableRows(spark, sf, "orders") // memoized, no job
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      settle(); counter.set(0)
+      val shipped = KeyShip.semiShip(fact, "l_orderkey", keys,
+        "o_orderkey", maxLiterals = 100, keyRows = Some(known))
+      assert(shipped != null)
+      settle()
+      assert(counter.get() == 1, // exactly the sentinel
+        s"carrier decision ran ${counter.get() - 1} extra jobs with a " +
+          "registry-known key cardinality")
+      // the probed fallback stays intact: without the estimate the
+      // decision pays its limit-probe job(s)
+      counter.set(0)
+      KeyShip.semiShip(fact, "l_orderkey", keys, "o_orderkey",
+        maxLiterals = 100)
+      settle()
+      assert(counter.get() > 1,
+        "the estimate-free path should still probe (fallback intact)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

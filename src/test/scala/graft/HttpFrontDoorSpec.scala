@@ -741,4 +741,71 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       door.stop(); jobs.shutdown()
     }
   }
+
+  test("soak 3 — restart recovery: fresh sessions continue ingest, retrain " +
+      "and serve mid-lifecycle; batch search serves N vectors in one request") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, expr}
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(1313)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    def batch(ids: Range) = ids.map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("soak3lay")
+    batch(0 until 60)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("soak3root")
+    Similarity.ivfPublish(root, lay0, k)
+    val (_, lay2) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    // batch 0 lands in the original process…
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(60 until 70), 0L)
+    // …RESTART between streamed batches: a cold session (empty memo)
+    // appends the next batch against the same published generation
+    val s2 = spark.newSession()
+    Similarity.ivfStreamAppendCurrent(s2, root, batch(70 until 80), 1L)
+    // …RESTART again: a third cold process runs the scheduled retrain
+    val s3 = spark.newSession()
+    val (g3, lay3) = Similarity.ivfRetrainPublish(s3, root, iters = 1)
+    assert(g3 == 3)
+    val folded = Similarity.ivfReadLayout(s3, lay3)
+    assert(folded.count() == 80 &&
+      folded.select("vec_id").distinct().count() == 80,
+      "every batch from every process must land exactly once")
+    // …and a FOURTH cold process re-runs the catch-up sweep (the
+    // crash-between-publish-and-sweep recovery): idempotent, empty
+    val s4 = spark.newSession()
+    assert(Similarity.ivfFoldForward(s4, lay2, lay3).isEmpty,
+      "a cold re-run of a completed sweep must fold nothing")
+    // BATCH SERVE over the wire: 32 external vectors POSTed as one
+    // JSON body run through ONE routed scan; each query gets its own
+    // ranked top-k and every cosine is JSON-finite
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("soak3jobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainableIndexes = Map("ann3" -> root))
+    val port = door.start()
+    try {
+      val body = (0 until 32).map(_ => vec())
+        .map(v => v.mkString("[", ",", "]"))
+        .mkString("""{"vecs":[""", ",", "]}")
+      val r = post(port, "/index/ann3?op=search&k=3&nprobe=2", body)
+      assert(r.statusCode() == 200, r.body().take(400))
+      val qids = """"qid":(\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toInt).toSeq
+      assert(qids.distinct.sorted == (0 until 32), s"got ${qids.distinct.size} queries")
+      assert(qids.size == 32 * 3, s"expected 96 ranked rows, got ${qids.size}")
+      assert(!r.body().contains("NaN") && !r.body().contains("Infinity"),
+        "the wire response must be valid JSON (finite cosines only)")
+      // single-vector and empty requests keep their contracts
+      val single = post(port,
+        s"/index/ann3?op=search&k=2&nprobe=$k&vec=${vec().mkString(",")}", "")
+      assert(single.statusCode() == 200 &&
+        """"rank":""".r.findAllIn(single.body()).size == 2)
+      assert(post(port, "/index/ann3?op=search", "").statusCode() == 400)
+    } finally { door.stop(); jobs.shutdown() }
+  }
 }
