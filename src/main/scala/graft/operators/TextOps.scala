@@ -384,32 +384,130 @@ object TextOps {
   private def bpeMerges(s: SparkSession, d: String,
       k: Int): Seq[(String, String, Long, Long)] =
     graft.core.Caches.memoObj(s, s"bpemerge|$d|$k") {
-      var df = documents(s, d).select(
-        expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
-          .as("seq")).persist()
-      val rows = Seq.newBuilder[(String, String, Long, Long)]
-      try {
-        for (round <- 1 to k) {
-          val best = bpePairCounts(df)
-            .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
-            .collect().headOption.getOrElse(
-              throw new IllegalStateException(
-                s"BPE training exhausted adjacent pairs after ${round - 1}" +
-                  s" merges (every document is a single piece) — lower k"))
-          val (l, rr, cnt) = (best.getString(0), best.getString(1),
-            best.getLong(2))
-          val next = df.select(replace(col("seq"),
-              lit(l + " " + rr), lit(bpeMergedTok(l, rr))).as("seq"))
-            .persist()
-          val pieces = next.agg(sum(size(split(col("seq"), " "))))
-            .first().getLong(0)
-          df.unpersist()
-          df = next
-          rows += ((l, rr, cnt, pieces))
-        }
-      } finally { df.unpersist(); () }
-      rows.result()
+      bpeMergesIncremental(s, d, k)
     }
+
+  /** INCREMENTAL-COUNT BPE trainer (the real-vocab 10⁴-10⁵-merge
+    * shape; verdict r12 #4): instead of re-counting every adjacent
+    * pair of the whole corpus per round (the naive loop —
+    * [[bpeMergesReference]] — pays a full corpus pair-explode k
+    * times), the pair-count table is carried as STATE and only the
+    * DELTA of each merge folds in. Only pairs adjacent to a merged
+    * occurrence change, and only documents CONTAINING the merged pair
+    * have any: the delta is the exact multiset difference of the hit
+    * documents' pair counts before vs after the replace — computed by
+    * running the same left-to-right non-overlapping replace the apply
+    * rule uses, so overlap semantics ("a a a" merges once) are
+    * inherited, never re-derived. Per round: a 1-row argmax over the
+    * (vocab-bounded) count state, a pair-explode over the HIT subset
+    * only, a vocab-bounded state re-aggregate, and the map-only
+    * corpus rewrite — every corpus-sized pass shrinks with the hit
+    * fraction as training proceeds, which is exactly the measured
+    * slope (tools/BpeProbe, SCALE_SLOPE). The piece count needs no
+    * corpus aggregate either: each document's pair count is its piece
+    * count minus one, so Σ(delta) IS the round's piece-count change.
+    * Output is row-for-row identical to the reference loop
+    * (TextOpsSpec parity). `onRound` is the probe hook (round,
+    * hit-doc share is implicit in the timing it records). */
+  private[graft] def bpeMergesIncremental(s: SparkSession, d: String,
+      k: Int, onRound: (Int, Long) => Unit = (_, _) => ())
+      : Seq[(String, String, Long, Long)] = {
+    // PER-ROUND CHECKPOINTS: the corpus and the count state are
+    // LINEAGE-TRUNCATED each round (localCheckpoint — the in-session
+    // stand-in for the per-round intermediate table a 100 TB trainer
+    // writes between merge rounds). Without truncation each round's
+    // frame embeds TWO references to its predecessor's plan (the hit
+    // filter and its complement), so the logical plan DOUBLES per
+    // round — exponential analysis cost that measured 100 s/round by
+    // round 11. With it every round plans against a constant-depth
+    // leaf. The recompute-on-block-loss tradeoff the drilldown cache
+    // documents does not apply: at real scale these rounds are
+    // durable checkpoint tables, not cache entries.
+    var df = documents(s, d).select(
+      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+        .as("seq")).localCheckpoint()
+    var counts = bpePairCounts(df).localCheckpoint()
+    // the per-round union (untouched ∪ replaced) SUMS its sides'
+    // partition counts — unchecked, partitions double every round and
+    // task overhead turns exponential; coalesce (no shuffle) pins the
+    // corpus at its original parallelism
+    val nParts = df.rdd.getNumPartitions
+    var pieces = df.agg(sum(size(split(col("seq"), " "))))
+      .first().getLong(0)
+    val rows = Seq.newBuilder[(String, String, Long, Long)]
+    try {
+      for (round <- 1 to k) {
+        val best = counts.orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(1).collect().headOption.getOrElse(
+            throw new IllegalStateException(
+              s"BPE training exhausted adjacent pairs after ${round - 1}" +
+                s" merges (every document is a single piece) — lower k"))
+        val (l, rr, cnt) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        val pat = l + " " + rr
+        // the hit subset: the only documents whose pairs change
+        val hit = df.filter(col("seq").contains(pat)).persist()
+        val rep = hit.select(replace(col("seq"), lit(pat),
+          lit(bpeMergedTok(l, rr))).as("seq")).persist()
+        val delta = bpePairCounts(rep)
+          .unionByName(bpePairCounts(hit)
+            .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0).persist()
+        // Σdelta = (pieces-1 per hit doc) after − before = the piece
+        // change — one tiny aggregate over the delta, no corpus pass
+        val dsum = delta.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .first().getLong(0)
+        pieces += dsum
+        val nextCounts = counts.unionByName(delta)
+          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0).localCheckpoint() // eager
+        // untouched docs carry over; hit docs ride their already-
+        // computed replacement (never re-replaced)
+        val next = df.filter(!col("seq").contains(pat))
+          .unionByName(rep).coalesce(nParts).localCheckpoint() // eager
+        df.unpersist(); hit.unpersist(); rep.unpersist()
+        delta.unpersist(); counts.unpersist()
+        df = next; counts = nextCounts
+        rows += ((l, rr, cnt, pieces))
+        onRound(round, cnt)
+      }
+    } finally { df.unpersist(); counts.unpersist(); () }
+    rows.result()
+  }
+
+  /** The naive full-recount trainer — k full corpus pair-explodes —
+    * kept as the REFERENCE implementation the incremental trainer is
+    * parity-tested against (TextOpsSpec): the two must agree
+    * row-for-row on (merge, count, pieces). */
+  private[graft] def bpeMergesReference(s: SparkSession, d: String,
+      k: Int): Seq[(String, String, Long, Long)] = {
+    var df = documents(s, d).select(
+      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+        .as("seq")).persist()
+    val rows = Seq.newBuilder[(String, String, Long, Long)]
+    try {
+      for (round <- 1 to k) {
+        val best = bpePairCounts(df)
+          .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
+          .collect().headOption.getOrElse(
+            throw new IllegalStateException(
+              s"BPE training exhausted adjacent pairs after ${round - 1}" +
+                s" merges (every document is a single piece) — lower k"))
+        val (l, rr, cnt) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        val next = df.select(replace(col("seq"),
+            lit(l + " " + rr), lit(bpeMergedTok(l, rr))).as("seq"))
+          .persist()
+        val pieces = next.agg(sum(size(split(col("seq"), " "))))
+          .first().getLong(0)
+        df.unpersist()
+        df = next
+        rows += ((l, rr, cnt, pieces))
+      }
+    } finally { df.unpersist(); () }
+    rows.result()
+  }
 
   private def bpeMergedTok(l: String, r: String): String =
     "<" + l.substring(1, l.length - 1) + r.substring(1, r.length - 1) + ">"

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-round cost of the incremental-count BPE trainer at a real
+  * vocab size (k=256 default): one line per round (round, merged-pair
+  * count, wall seconds). The naive trainer pays a FLAT full-corpus
+  * pair-explode every round; the incremental state shrinks each
+  * round's corpus-sized work to the documents that actually contain
+  * the merged pair, so per-round cost falls as training proceeds —
+  * the recorded slope lives in SCALE_SLOPE.md. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("BPE_DIR", "/root/testdata/sf0.1")
+    val k = args.headOption.map(_.toInt).getOrElse(256)
+    var last = System.nanoTime()
+    val t0 = last
+    val rows = graft.operators.TextOps.bpeMergesIncremental(spark, d, k,
+      onRound = (round, cnt) => {
+        val now = System.nanoTime()
+        println(f"BPE round=$round%4d cnt=$cnt%9d sec=${(now - last) / 1e9}%7.3f")
+        last = now
+      })
+    println(f"BPE total k=$k sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"finalPieces=${rows.last._4}")
+    spark.stop()
+  }
+}

@@ -26,6 +26,17 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("incremental-count BPE trainer is row-for-row identical to the " +
+      "full-recount reference") {
+    // the incremental trainer carries the pair-count table as state
+    // and folds per-merge deltas in; any drift in counts, tie-breaks
+    // or piece accounting would surface as a differing merge sequence
+    val inc = graft.operators.TextOps.bpeMergesIncremental(spark, sf, 6)
+    val ref = graft.operators.TextOps.bpeMergesReference(spark, sf, 6)
+    assert(inc == ref,
+      s"incremental and reference trainers diverged:\n$inc\nvs\n$ref")
+  }
+
   test("tx18 BPE apply: decode == input, pieces conserve vs tx05's token counts") {
     import org.apache.spark.sql.functions._
     val k = 4
