@@ -155,6 +155,15 @@ object TxnTable {
   private[graft] def physSchemaAt(dir: String, v: Int): Option[
       org.apache.spark.sql.types.StructType] = manifestMeta(dir, v).schema
 
+  /** Test/probe seam: forget cached manifest metadata for `dir` (a
+    * probe that rewrites a manifest in place violates the
+    * immutability premise the cache rests on). */
+  private[graft] def dropMetaCacheForTest(dir: String): Unit = {
+    metaCache.keySet.removeIf(_._1 == dir)
+    epochCache.keySet.removeIf(_._1 == dir)
+    ()
+  }
+
   /** Union for schema evolution at commit time: keeps the base
     * column order (and spellings — matching is case-insensitive, like
     * Spark's resolver), appends genuinely new columns, and refuses a
