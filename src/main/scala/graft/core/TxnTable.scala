@@ -826,11 +826,23 @@ object TxnTable {
   /** What a committed version DID: 'constraints' / 'colmap' for
     * metadata epochs (same file entries as their predecessor — no
     * data touched), 'data' otherwise. Fills the operation column of
-    * DESCRIBE HISTORY. */
+    * DESCRIBE HISTORY. Resolved through the manifest's epoch ANCHORS
+    * where present — a version is an epoch commit iff its own
+    * manifest anchors an epoch AT that version — so an orphaned epoch
+    * file (a crashed lost declare) cannot mislabel the data commit
+    * that took its slot; legacy manifests fall back to file
+    * existence. */
   def versionKind(dir: String, v: Int): String =
-    if (fileOf(dir, s"constraints-v$v.json").exists()) "constraints"
-    else if (fileOf(dir, s"colmap-v$v.json").exists()) "colmap"
-    else "data"
+    manifestMeta(dir, v).epochs match {
+      case Some(m) =>
+        if (m.get("constraints").contains(v)) "constraints"
+        else if (m.get("colmap").contains(v)) "colmap"
+        else "data"
+      case None =>
+        if (fileOf(dir, s"constraints-v$v.json").exists()) "constraints"
+        else if (fileOf(dir, s"colmap-v$v.json").exists()) "colmap"
+        else "data"
+    }
 
   /** Reject `incoming` if any declared constraint is FALSE on any of
     * its rows — one short-circuit (limit-1) job, run before anything

@@ -275,33 +275,43 @@ object Planner {
     var dimDfs = Map.empty[String, DataFrame]
     m.joinDims.foreach { dname =>
       val d = m.cube.dimByName(dname)
-      var dimDf = Tables.tbl(spark, dir, d.table)
-      // push dim-attr filters into the dim scan
       val dimColByAlias = d.cols.map(c => c.alias -> c).toMap
-      m.dimFilters.foreach { f =>
-        if (!factPushable(f) && owningDim(f).exists(_.name == dname)) {
-          val resolver: String => (Column, PubCol) = { a =>
-            val pc = dimColByAlias(a); (dimDf.col(pc.physical), pc)
+      // the dim side as a FUNCTION: the paged driving dim needs a
+      // second, lineage-independent copy of itself (its key page
+      // pre-filters the fact below), and deriving both from one frame
+      // trips Spark's ambiguous-self-join detection — a fresh scan
+      // has fresh attribute ids, and the page is deterministic (the
+      // sort ends in the unique key), so the two copies are equal
+      def mkDim(): DataFrame = {
+        var dimDf = Tables.tbl(spark, dir, d.table)
+        // push dim-attr filters into the dim scan
+        m.dimFilters.foreach { f =>
+          if (!factPushable(f) && owningDim(f).exists(_.name == dname)) {
+            val resolver: String => (Column, PubCol) = { a =>
+              val pc = dimColByAlias(a); (dimDf.col(pc.physical), pc)
+            }
+            dimDf = dimDf.filter(predicate(f, resolver, tz))
           }
-          dimDf = dimDf.filter(predicate(f, resolver, tz))
         }
+        if (dimPageable && drivingDim.contains(dname)) {
+          // page order must equal the FINAL sort order (request sorts,
+          // then the remaining non-metric aliases asc, then key)
+          val orderAliases =
+            m.req.sortBy.map(sb => (sb.field, sb.descending)) ++
+              m.selectedNonMetrics
+                .filterNot(a => m.req.sortBy.exists(_.field == a))
+                .map((_, false))
+          val sortCols = orderAliases.map { case (a, descend) =>
+            val c = dimDf.col(dimColByAlias(a).physical)
+            if (descend) c.desc else c.asc
+          } :+ dimDf.col(d.key).asc
+          dimDf = dimDf.orderBy(sortCols: _*)
+            .offset(math.max(m.req.paginationStartIndex, 0))
+            .limit(m.req.rowsPerPage)
+        }
+        dimDf
       }
-      if (dimPageable && drivingDim.contains(dname)) {
-        // page order must equal the FINAL sort order (request sorts,
-        // then the remaining non-metric aliases asc, then key)
-        val orderAliases =
-          m.req.sortBy.map(sb => (sb.field, sb.descending)) ++
-            m.selectedNonMetrics
-              .filterNot(a => m.req.sortBy.exists(_.field == a))
-              .map((_, false))
-        val sortCols = orderAliases.map { case (a, descend) =>
-          val c = dimDf.col(dimColByAlias(a).physical)
-          if (descend) c.desc else c.asc
-        } :+ dimDf.col(d.key).asc
-        dimDf = dimDf.orderBy(sortCols: _*)
-          .offset(math.max(m.req.paginationStartIndex, 0))
-          .limit(m.req.rowsPerPage)
-      }
+      val dimDf = mkDim()
       if (joined == null) {
         // chain base of a fact-eliminated plan: no join condition
         joined = dimDf
@@ -318,6 +328,25 @@ object Planner {
           case InnerJoin      => "inner"
           case LeftOuterJoin  => "left_outer"
           case RightOuterJoin => "right_outer"
+        }
+        if (dimPageable && drivingDim.contains(dname)) {
+          // PAGE-FIRST AT SCALE: the right-outer join preserves the
+          // page and DROPS unmatched fact rows anyway, so the fact
+          // side pre-filters by the page's keys with a BROADCAST semi
+          // (rowsPerPage keys by construction, at any dim size). A
+          // right-outer join can only broadcast its LEFT side
+          // (BuildLeft), so without this the whole fact shuffles
+          // against a page; with it the fact takes a map-side probe
+          // and AQE broadcasts the now-tiny left into the outer join
+          // at runtime. Computing the page twice (keys + full row) is
+          // two TakeOrdered passes over the dim — metadata next to a
+          // fact shuffle. mkDim() gives the key page INDEPENDENT
+          // lineage (fresh scan), so the later dim join is not an
+          // ambiguous self-join.
+          val pageKeys = mkDim()
+          joined = joined.join(
+            broadcast(pageKeys.select(pageKeys.col(d.key).as("__pagekey"))),
+            parentDf.col(fk) === col("__pagekey"), "left_semi")
         }
         joined =
           if (!d.small && d.hotFactKeys.nonEmpty && d.parent.isEmpty &&

@@ -302,6 +302,13 @@ class SemanticLayerSpec extends AnyFunSuite {
     val p = SemanticQueries.planFor(SemanticQueries.sem04Json, spark, sf).toOption.get
     assert(p.dimPaged, "sem04 should page the driving dim pre-join")
     assert(p.df.count() == 50)
+    // scale shape (r13): the page's keys pre-filter the FACT with a
+    // broadcast LEFT-SEMI before the right-outer join — a ROJ can only
+    // broadcast its left side, so without the semi the whole fact
+    // would shuffle against a rowsPerPage-bounded page
+    val phys = p.df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi") && phys.contains("__pagekey"),
+      s"paged dim must semi-filter the fact:\n${phys.take(3000)}")
     // a metric sort disables the dim-side page (fact order decides)
     val metricSorted = SemanticQueries.sem04Json.replace(
       """ "rowsPerPage": 50""",

@@ -1386,6 +1386,8 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.version(dir) == slot)
     assert(TxnTable.constraintsAt(dir, slot).map(_._1) == Seq("v_small"),
       "the orphaned epoch must stay inert — activation rides the manifest")
+    assert(TxnTable.versionKind(dir, slot) == "data",
+      "the orphan must not mislabel the data commit that took its slot")
     // and the still-active constraint really enforces
     val rejected = intercept[IllegalArgumentException] {
       TxnTable.upsert(spark, dir, "k", Seq((2L, 5000L)).toDF("k", "v"))
