@@ -384,6 +384,12 @@ object TextOps {
   private def bpeMerges(s: SparkSession, d: String,
       k: Int): Seq[(String, String, Long, Long)] =
     graft.core.Caches.memoObj(s, s"bpemerge|$d|$k") {
+      // one path at every scale: the incremental trainer pays a small
+      // fixed per-round overhead at toy corpus sizes (+0.36 s on
+      // tx18's k=4 at sf0.1) and wins everywhere it matters — sf1 k=4
+      // slope 2.3× vs the naive loop's recorded 5.5×, and a real
+      // vocab (k=256) trains at a falling 0.33 s/round where the
+      // naive full pass stays flat (SCALE_SLOPE r13)
       bpeMergesIncremental(s, d, k)
     }
 
