@@ -42,9 +42,22 @@ object AtomicFiles {
         case _: java.nio.file.FileAlreadyExistsException => lost
         case _: UnsupportedOperationException =>
           val lock = java.nio.file.Paths.get(dir, s".$targetName.lock")
+          // a lock collision is NOT `lost` (the target may not exist
+          // yet): name the lock so the recovery guidance is right — a
+          // caller's lost-message says "re-read and re-publish", which
+          // loops forever against a crash-orphaned lock. (This stays a
+          // hand-rolled sibling of TxnTable.publishWithoutLinks rather
+          // than one shared helper: the manifest channel's lock name
+          // `manifest-v$v.lock` is swept by vacuum and pinned by specs,
+          // and its lost() carries re-plan semantics this generic
+          // channel must not imply.)
           try java.nio.file.Files.createFile(lock)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
-            lost }
+            throw new java.util.ConcurrentModificationException(
+              s"publish of $targetName under $dir is blocked by a " +
+                s"concurrent publisher holding $lock (or one that " +
+                "crashed mid-publish — delete that lock file to recover)")
+          }
           try {
             if (java.nio.file.Files.exists(target)) lost
             java.nio.file.Files.move(tmp, target,

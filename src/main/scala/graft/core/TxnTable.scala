@@ -385,6 +385,17 @@ object TxnTable {
         .dropWhile(_ != '[')).map(_.group(1)).toSeq
   }
 
+  /** The declared stats columns under their CURRENT LOGICAL spellings
+    * (dropped columns omitted): `table.json` persists physical names
+    * — [[colsWith]] appends each mutation's physical key — while the
+    * maintenance API speaks logical, so a default built from raw
+    * [[statsCols]] would address renamed-away spellings and fail
+    * loudly after any rename. */
+  def logicalStatsCols(dir: String): Seq[String] = {
+    val m = colMapAt(dir, version(dir)).toMap
+    statsCols(dir).flatMap(p => m.getOrElse(p, Some(p)))
+  }
+
   private def writeStatsCols(dir: String, cols: Seq[String]): Unit =
     java.nio.file.Files.write(fileOf(dir, "table.json").toPath,
       cols.distinct.map("\"" + _ + "\"")

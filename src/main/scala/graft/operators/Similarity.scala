@@ -695,7 +695,14 @@ object Similarity {
     * — taken from the IMMUTABLE `seg=base` only (never the growing
     * streamed segments, which would make the estimate time-dependent)
     * with an exact decimal sum, so the fallback too is identical
-    * across processes and partitionings. Shape: posexplode to
+    * across processes and partitionings. UPGRADE CAVEAT: a sidecar-
+    * less layout that ALREADY carries streamed segments assigned
+    * under the old whole-layout estimate may route queries with
+    * slightly different centroids than those batches were stored
+    * under (a recall dip for exactly those vectors, not an error);
+    * the old estimate was also restart-unstable, so there is no
+    * drift-free choice for such layouts — schedule one retrain
+    * (which pins the sidecar) to converge. Shape: posexplode to
     * (cid, pos) partial means — map-side combined, k·dim groups —
     * never a whole-vector collect. */
   private[graft] def layoutCentroids(s: SparkSession,

@@ -460,21 +460,26 @@ object TextOps {
             .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
           .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") =!= 0).persist()
-        // Σdelta = (pieces-1 per hit doc) after − before = the piece
-        // change — one tiny aggregate over the delta, no corpus pass
-        val dsum = delta.agg(coalesce(sum(col("cnt")), lit(0L)))
-          .first().getLong(0)
-        pieces += dsum
-        val nextCounts = counts.unionByName(delta)
-          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
-          .filter(col("cnt") > 0).localCheckpoint() // eager
-        // untouched docs carry over; hit docs ride their already-
-        // computed replacement (never re-replaced)
-        val next = df.filter(!col("seq").contains(pat))
-          .unionByName(rep).coalesce(nParts).localCheckpoint() // eager
-        df.unpersist(); hit.unpersist(); rep.unpersist()
-        delta.unpersist(); counts.unpersist()
-        df = next; counts = nextCounts
+        try {
+          // Σdelta = (pieces-1 per hit doc) after − before = the piece
+          // change — one tiny aggregate over the delta, no corpus pass
+          val dsum = delta.agg(coalesce(sum(col("cnt")), lit(0L)))
+            .first().getLong(0)
+          pieces += dsum
+          val nextCounts = counts.unionByName(delta)
+            .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0).localCheckpoint() // eager
+          // untouched docs carry over; hit docs ride their already-
+          // computed replacement (never re-replaced)
+          val next = df.filter(!col("seq").contains(pat))
+            .unionByName(rep).coalesce(nParts).localCheckpoint() // eager
+          df.unpersist(); counts.unpersist()
+          df = next; counts = nextCounts
+        } finally {
+          // round-scoped caches release on success AND mid-round
+          // failure (a leaked persist pins blocks for the session)
+          hit.unpersist(); rep.unpersist(); delta.unpersist(); ()
+        }
         rows += ((l, rr, cnt, pieces))
         onRound(round, cnt)
       }

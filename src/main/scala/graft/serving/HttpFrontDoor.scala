@@ -251,15 +251,33 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   // instead of multiplying by it
                   val body = new String(
                     ex.getRequestBody.readAllBytes(), UTF_8).trim
-                  val batch: Seq[Seq[Float]] =
-                    if (body.isEmpty || !body.contains("\"vecs\""))
-                      Seq.empty
-                    else """\[([^\[\]]*)\]""".r
-                      .findAllMatchIn(
-                        body.substring(body.indexOf("\"vecs\"")))
-                      .map(_.group(1).split(',').toSeq
-                        .map(_.trim).filter(_.nonEmpty).map(_.toFloat))
-                      .toSeq
+                  // inner arrays are read ONLY from the balanced
+                  // "vecs" value — a sibling key's array after it
+                  // must not become a phantom query vector
+                  val batch: Seq[Seq[Float]] = {
+                    val at = body.indexOf("\"vecs\"")
+                    val open =
+                      if (at < 0) -1 else body.indexOf('[', at)
+                    if (open < 0) Seq.empty
+                    else {
+                      var depth = 0; var i = open; var end = -1
+                      while (end < 0 && i < body.length) {
+                        body.charAt(i) match {
+                          case '[' => depth += 1
+                          case ']' => depth -= 1; if (depth == 0) end = i
+                          case _ =>
+                        }
+                        i += 1
+                      }
+                      if (end < 0) throw new IllegalArgumentException(
+                        "malformed search body: unbalanced \"vecs\" array")
+                      """\[([^\[\]]*)\]""".r
+                        .findAllMatchIn(body.substring(open + 1, end + 1))
+                        .map(_.group(1).split(',').toSeq
+                          .map(_.trim).filter(_.nonEmpty).map(_.toFloat))
+                        .toSeq
+                    }
+                  }
                   if (ids.isEmpty && vec.isEmpty && batch.isEmpty)
                     (400, """{"error":"search requires vecId=<id>[,...], vec=<f>[,...], or a JSON body {\"vecs\":[[...],...]}"}""",
                       reqId)
@@ -314,8 +332,12 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
           import graft.core.TxnTable
           try q.getOrElse("op", "") match {
             case "optimize" =>
+              // default = the declared stats columns under their
+              // CURRENT logical spellings (table.json stores physical
+              // names; feeding those to the logical-named optimize
+              // would 400 forever after a rename)
               val zcols = q.get("zcols").map(_.split(',').toSeq)
-                .getOrElse(TxnTable.statsCols(tdir))
+                .getOrElse(TxnTable.logicalStatsCols(tdir))
               // ranked=true → equi-depth Z buckets for skewed columns
               val ranked = q.get("ranked").exists(_.toBoolean)
               if (zcols.isEmpty)

@@ -541,6 +541,15 @@ class HttpFrontDoorSpec extends AnyFunSuite {
           """"version":3,"kind":"constraints"""",
           """"version":4,"kind":"data""""))
         assert(h.body().contains(frag), s"missing $frag in ${h.body()}")
+      // DEFAULT optimize after the rename: table.json still holds the
+      // PHYSICAL stats spelling ("k" here, but a renamed key would be
+      // stale) — the default must resolve current logical names, so
+      // the zcols-less call keeps working after any rename
+      TxnTable.renameColumn(spark, tdir, "k", "id")
+      TxnTable.deleteKeys(spark, tdir, "id", Seq(0L)) // appends physical k
+      val opt = post(port, "/maintenance/t?op=optimize", "")
+      assert(opt.statusCode() == 200,
+        s"default optimize must survive a rename: ${opt.body()}")
     } finally { door.stop(); jobs.shutdown() }
   }
 
@@ -589,7 +598,13 @@ class HttpFrontDoorSpec extends AnyFunSuite {
           s"${params(rnd.nextInt(params.size))}=${
             java.net.URLEncoder.encode(junkVals(rnd.nextInt(junkVals.size)),
               "UTF-8")}").mkString("&", "&", "")
-        val r = post(port, s"$path?op=$op$extra", "")
+        // junk BODIES too: op=search accepts a JSON vector batch, and
+        // malformed ones must 400, never 500
+        val junkBodies = Seq("", "{", """{"vecs":}""", """{"vecs":[[]]}""",
+          """{"vecs":[[1,x]]}""", """{"vecs":[["NaN","Inf"]]}""",
+          """{"vecs":[[1,2],[3]]}""", "vecs", """{"vecs":[[1e999]]}""")
+        val r = post(port, s"$path?op=$op$extra",
+          junkBodies(rnd.nextInt(junkBodies.size)))
         assert(r.statusCode() < 500,
           s"5xx for $path?op=$op$extra -> ${r.statusCode()}: ${r.body().take(300)}")
         checked += 1
