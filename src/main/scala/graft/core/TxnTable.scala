@@ -294,6 +294,14 @@ object TxnTable {
       anchors.toSeq.sortBy(_._1)
         .map { case (b, k) => s""""$b":$k""" }
         .mkString("""{"epochs":{""", ",", "}}")
+    publishManifestBody(dir, v, header, entries)
+  }
+
+  /** Render + exclusively publish one manifest (shared by
+    * [[writeManifest]]'s carry-forward header and [[restore]]'s
+    * replaced header). */
+  private def publishManifestBody(dir: String, v: Int,
+      header: Seq[String], entries: Seq[FileEntry]): Unit = {
     val body = (header ++ entries.map { e =>
       val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""$c":[$lo,$hi]""" }.mkString(",")
@@ -1476,6 +1484,72 @@ object TxnTable {
       (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum,
         if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum))
     }
+
+  /** RESTORE the table to the state of committed version `toV` — as a
+    * NEW commit (the lakehouse RESTORE semantics): the restored
+    * version's file entries (stats included) carry over by reference
+    * into a fresh manifest at the head of the log, so nothing is
+    * rewritten, history is preserved (the bad versions stay
+    * time-travelable until vacuum), CDC followers see the restore as
+    * ordinary net row changes, and concurrent writers serialize
+    * against it through the same OCC publish as every mutation.
+    * The restore re-activates the SCHEMA and epoch anchors in force
+    * at `toV` (a later rename/drop/constraint is rolled back with the
+    * data it described); files added after `toV` become unreferenced
+    * at head and are vacuum-collected. Returns the new version. */
+  def restore(s: SparkSession, dir: String, toV: Int): Int =
+    withOcc(dir) { planned =>
+      require(toV >= 1 && toV <= planned,
+        s"cannot restore $dir to v$toV (latest is v$planned)")
+      val entries = liveEntries(dir, toV)
+      // files must still exist — a vacuumed restore target is gone
+      entries.find(e => !fileOf(dir, e.path).exists()).foreach(e =>
+        throw new IllegalArgumentException(
+          s"cannot restore $dir to v$toV: ${e.path} was vacuumed"))
+      val meta = manifestMeta(dir, toV)
+      val anchors: Map[String, Int] = meta.epochs.getOrElse(
+        Seq("constraints", "colmap").flatMap(b =>
+          legacyEpochAnchorAt(dir, b, toV).map(b -> _)).toMap)
+      onBeforeCommit()
+      // both anchors are overridden to toV's — writeManifest applies
+      // epochUpdate on top of the carried map, so pass the full set
+      // by writing with toV's schema and re-anchoring each base
+      writeManifestRestored(dir, planned + 1, entries, meta.schema, anchors)
+      planned + 1
+    }
+
+  /** writeManifest variant for [[restore]]: the header is REPLACED by
+    * the restored version's (schema + both epoch anchors), never
+    * carried from the current head. */
+  private def writeManifestRestored(dir: String, v: Int,
+      entries: Seq[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      anchors: Map[String, Int]): Unit = {
+    val header = schema.map(sch =>
+      s"""{"schema":${sch.json}}""").toSeq :+
+      anchors.toSeq.sortBy(_._1)
+        .map { case (b, k) => s""""$b":$k""" }
+        .mkString("""{"epochs":{""", ",", "}}")
+    publishManifestBody(dir, v, header, entries)
+  }
+
+  /** Resolve the latest version whose manifest was COMMITTED at or
+    * before `tsMillis` (manifest mtime = commit instant) — timestamp
+    * time travel (`TIMESTAMP AS OF`). Loud when the timestamp
+    * predates the oldest surviving manifest: answering with a LATER
+    * state than asked for would be silently wrong, and the earlier
+    * state is vacuumed. */
+  def versionAsOf(dir: String, tsMillis: Long): Int = {
+    val ms = manifests(dir)
+    ms.filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $dir existed at $tsMillis (oldest surviving " +
+          s"manifest v${ms.head._1} committed at ${ms.head._2.lastModified()})"))
+  }
+
+  /** Snapshot read as of a wall-clock instant. */
+  def readAsOf(s: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(s, dir, versionAsOf(dir, tsMillis))
 
   /** Minimum age a version must have been SUPERSEDED for before
     * [[vacuum]] will drop it (7 days — the lakehouse default): a

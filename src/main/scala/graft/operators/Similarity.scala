@@ -838,8 +838,11 @@ object Similarity {
     // postings here, inside codegen, at zero extra jobs. Same guard
     // on the query side for the by-id path (a zero corpus vector used
     // as a query would NaN every one of its results).
-    val postings = ivfReadLayout(s, layout)
-      .filter(col("nrm") > 0d)
+    // tombstoned ids (takedowns awaiting their physical purge at the
+    // next retrain) must never surface as neighbors
+    val postings = dropTombstoned(s,
+        ivfReadLayout(s, layout).filter(col("nrm") > 0d),
+        ivfTombstones(layout), "vec_id")
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
     val probes = queries.filter(col("qn") > 0d)
@@ -874,11 +877,16 @@ object Similarity {
     // snapshot are the publisher's catch-up sweep's problem
     // ([[ivfRetrainPublish]]).
     val segs = ivfCommittedSegs(dir)
-    val corpus = (if (segs.nonEmpty)
+    // the retrain is the PHYSICAL takedown purge: tombstoned ids are
+    // excluded from the training corpus and from the fresh layout —
+    // their bytes do not survive the rewrite
+    val corpus = dropTombstoned(s,
+      (if (segs.nonEmpty)
         s.read.option("basePath", dir)
           .parquet(segs.map(_._2.getAbsolutePath): _*)
       else s.read.parquet(dir))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm")),
+      ivfTombstones(dir), "vec_id")
     val cents = trainCentroids(corpus, k, iters)
     val path = graft.core.TempDirs.scratchShared("ivfretrain")
     corpus.select(nearestCidCol(cents, col("embedding")).as("cid"),
@@ -941,6 +949,71 @@ object Similarity {
       cur = ivfCurrent(root)
     }
   }
+
+  // ---- TAKEDOWN (GDPR for the vector store) ----
+  //
+  // Segments are immutable, so a delete cannot rewrite them in place
+  // (the same reason TxnTable is copy-on-write): a takedown lands as a
+  // TOMBSTONE — an underscore-prefixed sidecar (invisible to parquet
+  // scans) of vec_ids the serve path must never return — and the next
+  // RETRAIN is the physical purge (its corpus excludes the tombstoned
+  // ids, the rewrite drops their bytes). Deletes issued while a
+  // retrain trains (the same snapshot gap streamed batches have) are
+  // covered by carrying the old layout's tombstone set forward at
+  // publish, TRIMMED to ids actually present in the fresh layout — a
+  // bounded job, since a takedown batch is request metadata (the
+  // deleteKeys contract). Logical delete is immediate; physical purge
+  // completes at retrain + vacuum of the superseded layouts.
+
+  /** Tombstone `ids` in the CURRENT generation. Returns (gen, count). */
+  private[graft] def ivfDelete(root: String,
+      ids: Seq[Long]): (Int, Int) = {
+    val (gen, path, _) = ivfCurrent(root).getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    ivfTombstone(path, ids)
+    (gen, ids.distinct.size)
+  }
+
+  /** Append one tombstone file to a layout — write-tmp + atomic move,
+    * so readers never parse a torn file; files are append-only and
+    * union at read. */
+  private[graft] def ivfTombstone(layout: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "at least one vec_id required")
+    val d = new java.io.File(layout, "_tombstones")
+    d.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(d.toPath, ".del", ".tmp")
+    java.nio.file.Files.write(tmp,
+      ids.distinct.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      d.toPath.resolve(s"del-${java.util.UUID.randomUUID()}.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The union of a layout's tombstoned ids — driver-bounded by the
+    * takedown volume between retrains, like a deleteKeys batch. */
+  private[graft] def ivfTombstones(layout: String): Set[Long] =
+    Option(new java.io.File(layout, "_tombstones").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split('\n').filter(_.nonEmpty).map(_.toLong))
+      .toSet
+
+  /** Drop tombstoned rows from a frame carrying `vec_id`: a pushed
+    * NOT-IN literal below the literal threshold, a broadcast anti-join
+    * above it (the id set stays off the plan tree — the q47 regime). */
+  private def dropTombstoned(s: SparkSession, df: DataFrame,
+      dead: Set[Long], idCol: String): DataFrame =
+    if (dead.isEmpty) df
+    else if (dead.size <= 1000)
+      df.filter(!col(idCol).isin(dead.toSeq: _*))
+    else {
+      import s.implicits._
+      df.join(broadcast(dead.toSeq.toDF("__dead")),
+        col(idCol) === col("__dead"), "left_anti")
+    }
 
   /** Atomic serve pointer for an IVF index (completes [[ivfRetrain]]'s
     * "the swap is the caller's publish step"): generation files
@@ -1115,6 +1188,24 @@ object Similarity {
     // only operation that can destroy the old layout first completes
     // the fold.
     ivfFoldForward(s, path, fresh)
+    // TAKEDOWN GAP SWEEP: a delete issued between the retrain's
+    // snapshot (which purged the then-known tombstones physically)
+    // and this publish exists only as an old-layout tombstone — carry
+    // the old set forward TRIMMED to ids actually present in the
+    // fresh layout (the snapshot-time purges need no re-filtering;
+    // the trim is one job bounded by the takedown volume). The same
+    // sweep covers ids a folded gap BATCH re-introduced.
+    val dead = ivfTombstones(path)
+    if (dead.nonEmpty) {
+      import s.implicits._
+      val ids = ivfReadLayout(s, fresh).select("vec_id")
+      val stillThere = (if (dead.size <= 1000)
+          ids.filter(col("vec_id").isin(dead.toSeq: _*))
+        else ids.join(broadcast(dead.toSeq.toDF("__dead")),
+          col("vec_id") === col("__dead"), "left_semi"))
+        .distinct().collect().map(_.getLong(0))
+      if (stillThere.nonEmpty) ivfTombstone(fresh, stillThere.toSeq)
+    }
     (planned + 1, fresh)
   }
 

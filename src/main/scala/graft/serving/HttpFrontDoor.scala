@@ -216,6 +216,18 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k}""" }
               (200, rows.mkString("""{"op":"history","generations":[""",
                 ",", "]}"), reqId)
+            case "delete" =>
+              // GDPR takedown: tombstone the ids in the CURRENT
+              // generation — logically deleted from serving at once;
+              // the next retrain is the physical purge
+              val ids = q.getOrElse("vecId",
+                  throw new IllegalArgumentException(
+                    "delete requires vecId=<id>[,...]"))
+                .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                .map(_.toLong)
+              val (gen, n) = Similarity.ivfDelete(root, ids)
+              (200, s"""{"op":"delete","gen":$gen,"tombstoned":$n}""",
+                reqId)
             case "vacuum" =>
               // retention sweep of superseded generations; the guard
               // is ON over the wire (refusal = 409), force overrides
@@ -359,6 +371,25 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 s"""{"version":$v,"kind":"$kind","files":$n,"bytes":$b$rs}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
+            case "restore" =>
+              // lakehouse RESTORE: roll the table back to a committed
+              // version AS A NEW COMMIT — nothing rewritten, history
+              // preserved, CDC followers see ordinary net changes
+              val toV = q.getOrElse("version",
+                throw new IllegalArgumentException(
+                  "restore requires version=<N>")).toInt
+              val nv = TxnTable.restore(s, tdir, toV)
+              Freshness.refresh(s, tdir)
+              (200, s"""{"op":"restore","restored":$toV,"version":$nv}""",
+                reqId)
+            case "asOf" =>
+              // TIMESTAMP AS OF: resolve the version committed at or
+              // before the instant (epoch millis)
+              val ts = q.getOrElse("ts",
+                throw new IllegalArgumentException(
+                  "asOf requires ts=<epochMillis>")).toLong
+              (200, s"""{"op":"asOf","ts":$ts,"version":${
+                TxnTable.versionAsOf(tdir, ts)}}""", reqId)
             case "schema" =>
               // DESCRIBE: the logical schema through the live column
               // mapping, the active constraints, and the mapping rows

@@ -657,6 +657,67 @@ class SimilaritySpec extends AnyFunSuite {
       "a direction-less zero vector must never rank as a neighbor")
   }
 
+  test("ANN takedown: tombstoned ids vanish from serving at once and are " +
+      "physically purged by the next retrain; gap deletes carry forward") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8181)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def batch(ids: Range) = ids.map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("tdel0")
+    batch(0 until 50)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("tdelroot")
+    Similarity.ivfPublish(root, lay0, k)
+    val (_, lay1) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    Similarity.ivfStreamAppendCurrent(spark, root, batch(50 until 60), 0L)
+    // takedown: one base id, one streamed id — logically gone at once
+    val (gen, n) = Similarity.ivfDelete(root, Seq(7L, 55L))
+    assert(gen == 2 && n == 2)
+    def servedIds(layout: String): Set[Long] =
+      Similarity.ivfServe(spark, layout, Seq(3L), nprobe = k,
+        topK = 100).collect().map(_.getLong(1)).toSet
+    val after = servedIds(lay1)
+    assert(after.nonEmpty && !after.contains(7L) && !after.contains(55L),
+      s"tombstoned ids must never surface as neighbors: $after")
+    // a tombstoned id used AS a query still routes (its row is dead,
+    // not the caller's right to search) — but never matches itself
+    assert(!Similarity.ivfServe(spark, lay1, Seq(7L), k, 100)
+      .collect().map(_.getLong(1)).contains(7L))
+    // the retrain is the PHYSICAL purge: the fresh layout lacks the
+    // bytes, and a delete issued mid-training (the snapshot gap)
+    // carries forward as a fresh tombstone
+    Similarity.onBeforeIvfPublish = () => {
+      Similarity.onBeforeIvfPublish = () => ()
+      Similarity.ivfDelete(root, Seq(12L)); ()
+    }
+    val (g3, lay2) = try Similarity.ivfRetrainPublish(spark, root, iters = 1)
+      finally Similarity.onBeforeIvfPublish = () => ()
+    assert(g3 == 3)
+    val freshIds = Similarity.ivfReadLayout(spark, lay2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!freshIds.contains(7L) && !freshIds.contains(55L),
+      "the retrain must drop tombstoned bytes physically")
+    assert(freshIds.contains(12L),
+      "the gap delete's bytes predate its tombstone — still present...")
+    assert(Similarity.ivfTombstones(lay2) == Set(12L),
+      "...so the gap delete must carry forward as a trimmed tombstone")
+    val served3 = servedIds(lay2)
+    assert(!served3.contains(12L) && !served3.contains(7L) &&
+      !served3.contains(55L))
+    // the NEXT retrain purges the carried gap delete physically and
+    // carries nothing (trim to empty)
+    val (_, lay3) = Similarity.ivfRetrainPublish(spark, root, iters = 1)
+    assert(!Similarity.ivfReadLayout(spark, lay3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet.contains(12L))
+    assert(Similarity.ivfTombstones(lay3).isEmpty,
+      "a fully purged takedown set must not accumulate forever")
+  }
+
   test("generation pointer publish under the no-hardlink fallback: " +
       "readers never see a torn pointer, racers get exactly one winner") {
     val root = graft.core.TempDirs.scratchShared("qfall")

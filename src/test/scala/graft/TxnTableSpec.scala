@@ -1310,6 +1310,76 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[RuntimeException](TxnTable.read(spark, dir, v = 1))
   }
 
+  test("RESTORE rolls back as a NEW commit: by-reference, history kept, " +
+      "schema and epochs re-anchored; timestamp time travel resolves") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnrestore")
+    val tsBefore = System.currentTimeMillis() - 1
+    Thread.sleep(5)
+    TxnTable.init(spark, dir,
+      (0L until 30L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 2, statsCols = Seq("k"))                       // v1
+    val v1Rows = TxnTable.read(spark, dir).collect().toSet
+    val v1Files = TxnTable.liveFiles(dir, 1).toSet
+    Thread.sleep(15)
+    TxnTable.renameColumn(spark, dir, "v", "score")             // v2
+    val tsAtV2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxnTable.addConstraint(spark, dir, "s_pos", "score >= 0")   // v3
+    TxnTable.upsert(spark, dir, "k",
+      Seq((1L, 99L, "x")).toDF("k", "score", "tag"))            // v4
+    assert(TxnTable.read(spark, dir).columns.toSeq ==
+      Seq("k", "score", "tag"))
+    // RESTORE to v1: a fifth version whose files are v1's by
+    // reference, schema (k,v — no tag, pre-rename name) and epoch
+    // anchors (no constraint, no mapping) re-activated
+    val v5 = TxnTable.restore(spark, dir, 1)
+    assert(v5 == 5 && TxnTable.version(dir) == 5)
+    assert(TxnTable.liveFiles(dir, 5).toSet == v1Files,
+      "restore must carry the old files by reference, rewriting nothing")
+    val now = TxnTable.read(spark, dir)
+    assert(now.columns.toSeq == Seq("k", "v"))
+    assert(now.collect().toSet == v1Rows)
+    assert(TxnTable.constraintsAt(dir, 5).isEmpty,
+      "the restored version re-activates v1's (empty) constraint set")
+    assert(TxnTable.versionKind(dir, 5) == "data")
+    // the bad history stays time-travelable until vacuumed
+    assert(TxnTable.read(spark, dir, 4).columns.toSeq ==
+      Seq("k", "score", "tag"))
+    // a post-restore writer is governed by the restored epochs: the
+    // rolled-back s_pos no longer rejects, and the restored schema
+    // accepts the pre-rename spelling
+    TxnTable.upsert(spark, dir, "k", Seq((2L, -7L)).toDF("k", "v"))
+    assert(TxnTable.read(spark, dir).filter(col("k") === 2L)
+      .first().getLong(1) == -7L)
+    // CDC across the restore reads as ordinary net changes in the
+    // RESTORED (target-version) schema
+    val ch = TxnTable.changes(spark, dir, 4, 5)
+    assert(ch.columns.toSeq.take(2) == Seq("k", "v"))
+    assert(ch.filter(col("_change_type") === "delete").count() > 0,
+      "the upserted v4 row must read back as deleted by the restore")
+    // TIMESTAMP AS OF: an instant after v2's commit resolves v2 (the
+    // rename — same rows, renamed column); one before the table
+    // existed is loud
+    assert(TxnTable.versionAsOf(dir, tsAtV2) == 2)
+    val asOf = TxnTable.readAsOf(spark, dir, tsAtV2)
+    assert(asOf.columns.toSeq == Seq("k", "score"))
+    assert(asOf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      v1Rows.map(r => (r.getLong(0), r.getLong(1))))
+    assert(TxnTable.versionAsOf(dir, System.currentTimeMillis()) ==
+      TxnTable.version(dir))
+    val early = intercept[IllegalArgumentException] {
+      TxnTable.versionAsOf(dir, tsBefore)
+    }
+    assert(early.getMessage.contains("no version"), early.getMessage)
+    // a vacuumed restore target refuses loudly instead of resurrecting
+    // a half-missing state
+    TxnTable.vacuum(dir, keepSince = 5, force = true)
+    intercept[Exception] { TxnTable.restore(spark, dir, 4) }
+    assert(TxnTable.read(spark, dir).filter(col("k") === 2L).count() == 1,
+      "the live head survives the refused restore")
+  }
+
   test("manifest-carried schema: recorded at init, grows under evolution, " +
       "refuses type changes; legacy tables upgrade on first mutation") {
     import spark.implicits._
