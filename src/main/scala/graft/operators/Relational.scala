@@ -816,7 +816,47 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q48 — RESTORE (the lakehouse rollback): a bad batch lands (a
+    * delete and an upsert), `restore(1)` rolls the table back AS A
+    * NEW COMMIT — old files by reference, nothing rewritten, the bad
+    * versions still time-travelable — and ordinary writes continue on
+    * top of the restored state. The oracle replays only the
+    * POST-restore history over the original data: everything the bad
+    * batch did must be invisible, and the post-restore upsert fully
+    * visible, via an independent engine. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Caches.memoObj(s, s"restoretab|$d") {
+      val path = graft.core.TempDirs.scratchShared("restoretab")
+      graft.core.TxnTable.init(s, path,
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        numFiles = 0, statsCols = Seq("o_orderkey"))
+      // the bad batch: v2 deletes, v3 upserts
+      graft.core.TxnTable.deleteKeys(s, path, "o_orderkey",
+        Seq(2L, 3L, 5L, 7L))
+      import s.implicits._
+      graft.core.TxnTable.upsert(s, path, "o_orderkey",
+        Seq((4L, "X", 9.99)).toDF("o_orderkey", "o_orderstatus",
+          "o_totalprice"))
+      // the undo: v4 re-activates v1's entries by reference
+      graft.core.TxnTable.restore(s, path, 1)
+      // life goes on: v5 is an ordinary correction on the restored state
+      graft.core.TxnTable.upsert(s, path, "o_orderkey",
+        Seq((5L, "R", 123.25)).toDF("o_orderkey", "o_orderstatus",
+          "o_totalprice"))
+      path
+    }
+    graft.core.TxnTable.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_restore" -> (q48 _),
     "q47_bloom_antiship" -> (q47 _),
     "q46_bloom_keyship" -> (q46 _),
     "q45_time_travel" -> (q45 _),
@@ -1179,6 +1219,18 @@ object Relational {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q48's oracle replays only the POST-restore history: the restored
+    // head equals the original data, plus the one later correction
+    "q48_restore" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey <> 5
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), 'R', 123.25)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // q44's oracle replays the three-commit mutation history and
     // aggregates the FINAL state — the follower's delta-maintained
     // rollup must land exactly there

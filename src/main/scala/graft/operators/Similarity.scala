@@ -394,6 +394,52 @@ object Similarity {
     ServeIndex(df, dir)
   }
 
+  /** sim13 — TAKEDOWN-AWARE ANN SERVE (oracle-checked): the persisted
+    * index carries a TOMBSTONE set ([[ivfTombstone]] — GDPR takedowns
+    * awaiting their physical purge at the next retrain), and the serve
+    * path must rank as if the deleted vectors never existed. The
+    * tombstone filter is a pushed NOT-IN at the postings scan (below
+    * the literal threshold; the broadcast anti-join regime takes over
+    * above it — [[dropTombstoned]]), so routing, candidate generation
+    * and the top-k aggregate all run over the surviving rows only.
+    * Deleted IDs may still QUERY (a dead row is not a dead caller).
+    * Oracle: flat-quantizer IVF over the corpus with the tombstoned
+    * ids excluded from the NEIGHBOR side — the filter must be
+    * result-invisible beyond removing the deleted rows. */
+  def simTakedownServe(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val nprobe = 2; val nq = 5
+    val dead = (0L until 40L).filter(_ % 3 == 1)
+    val v = withNorm(s, d)
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+      .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
+    val dir = graft.core.Caches.memoObj(s, s"ivftakedown|$d|k$k") {
+      val path = graft.core.TempDirs.scratchShared("ivftakedown")
+      v.select(nearestCidCol(cents, col("embedding")).as("cid"),
+          col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(path)
+      ivfTombstone(path, dead)
+      path
+    }
+    val postings = dropTombstoned(s, s.read.parquet(dir),
+        ivfTombstones(dir), "vec_id")
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val probes = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(probeCol(cents, col("embedding"), nprobe)).as("cid"))
+    postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotFix / (col("qn") * col("cn")))
+      .groupBy("qid")
+      .agg(topKAgg(3)(col("cosine"), col("nid")).as("top"))
+      .transform(explodeRanked(_, "cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** INCREMENTAL ANN ingest over the persisted index — the rolling-
     * append production shape (and the ANN counterpart of dd12's
     * delta-vs-index dedup): the coarse quantizer is FROZEN at
@@ -1667,6 +1713,7 @@ object Similarity {
     "sim07_int8_topk" -> (simInt8TopK _),
     "sim11_persisted_index" -> (simPersistedIndex _),
     "sim12_incremental_ingest" -> (simIncrementalIngest _),
+    "sim13_takedown_serve" -> (simTakedownServe _),
     "st13_stream_vector_ingest" -> (st13StreamIngest _),
   )
 
@@ -2212,6 +2259,49 @@ object Similarity {
         |  JOIN asg a ON a.cid = pr.cid
         |  JOIN v n ON n.vec_id = a.vec_id
         |  WHERE q.vec_id <> n.vec_id)
+        |SELECT qid, nid, rank, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // sim11's serve with the takedown filter on the NEIGHBOR side:
+    // tombstoned ids (vec_id < 40 with vec_id % 3 = 1) never rank
+    "sim13_takedown_serve" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12) nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id + 1 AS INTEGER) cid, embedding cemb,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12 cn2
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT v.vec_id qid, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2 * (CAST(list_sum(list_transform(list_zip(v.embedding, c.cemb),
+        |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
+        |        c.cid) rn
+        |    FROM v, c WHERE v.vec_id < 5) t WHERE rn <= 2),
+        |p AS (
+        |  SELECT q.vec_id qid, n.vec_id nid,
+        |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM probes pr
+        |  JOIN v q ON q.vec_id = pr.qid
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN v n ON n.vec_id = a.vec_id
+        |  WHERE q.vec_id <> n.vec_id
+        |    AND NOT (n.vec_id < 40 AND n.vec_id % 3 = 1))
         |SELECT qid, nid, rank, cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
