@@ -1501,6 +1501,11 @@ object TxnTable {
     withOcc(dir) { planned =>
       require(toV >= 1 && toV <= planned,
         s"cannot restore $dir to v$toV (latest is v$planned)")
+      // a vacuumed target is a CLIENT error (400 over the wire), not
+      // the internal manifest-missing failure liveEntries raises
+      if (manifests(dir).forall(_._1 != toV))
+        throw new IllegalArgumentException(
+          s"cannot restore $dir to v$toV: its manifest was vacuumed")
       val entries = liveEntries(dir, toV)
       // files must still exist — a vacuumed restore target is gone
       entries.find(e => !fileOf(dir, e.path).exists()).foreach(e =>
@@ -1541,6 +1546,8 @@ object TxnTable {
     * state is vacuumed. */
   def versionAsOf(dir: String, tsMillis: Long): Int = {
     val ms = manifests(dir)
+    if (ms.isEmpty) throw new IllegalArgumentException(
+      s"no manifest under $dir — not a table")
     ms.filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"no version of $dir existed at $tsMillis (oldest surviving " +

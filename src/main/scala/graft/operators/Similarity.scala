@@ -888,7 +888,7 @@ object Similarity {
     // next retrain) must never surface as neighbors
     val postings = dropTombstoned(s,
         ivfReadLayout(s, layout).filter(col("nrm") > 0d),
-        ivfTombstones(layout), "vec_id")
+        ivfTombstonesCached(s, layout), "vec_id")
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ce"), col("nrm").as("cn"))
     val probes = queries.filter(col("qn") > 0d)
@@ -1011,12 +1011,28 @@ object Similarity {
   // deleteKeys contract). Logical delete is immediate; physical purge
   // completes at retrain + vacuum of the superseded layouts.
 
-  /** Tombstone `ids` in the CURRENT generation. Returns (gen, count). */
+  /** Tombstone `ids` in the CURRENT generation. Returns (gen, count).
+    * POST-WRITE POINTER RE-CHECK (the [[ivfStreamAppendCurrent]]
+    * discipline): a retrain whose gap sweep listed the old layout's
+    * tombstones BEFORE this write may publish its successor while we
+    * were writing — the tombstone would then live only in a layout
+    * vacuum will destroy. Re-tombstoning into each newer current
+    * layout until the pointer is stable closes every interleaving
+    * (a tombstone for an id the new layout lacks is a harmless
+    * no-op filter; the next retrain trims it away). */
   private[graft] def ivfDelete(root: String,
       ids: Seq[Long]): (Int, Int) = {
-    val (gen, path, _) = ivfCurrent(root).getOrElse(
+    val (gen0, path, _) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
     ivfTombstone(path, ids)
+    var gen = gen0
+    var cur = ivfCurrent(root)
+    while (cur.exists(_._1 != gen)) {
+      val (g2, p2, _) = cur.get
+      gen = g2
+      ivfTombstone(p2, ids)
+      cur = ivfCurrent(root)
+    }
     (gen, ids.distinct.size)
   }
 
@@ -1047,19 +1063,61 @@ object Similarity {
         .split('\n').filter(_.nonEmpty).map(_.toLong))
       .toSet
 
-  /** Drop tombstoned rows from a frame carrying `vec_id`: a pushed
-    * NOT-IN literal below the literal threshold, a broadcast anti-join
-    * above it (the id set stays off the plan tree — the q47 regime). */
-  private def dropTombstoned(s: SparkSession, df: DataFrame,
-      dead: Set[Long], idCol: String): DataFrame =
-    if (dead.isEmpty) df
-    else if (dead.size <= 1000)
-      df.filter(!col(idCol).isin(dead.toSeq: _*))
-    else {
+  /** Serve-path tombstone read, memoized on the (append-only) FILE
+    * LISTING: a search request pays one directory list, not a re-read
+    * of every takedown file ever written — per-file round trips on a
+    * hot path are the object-store anti-pattern the stats/schema
+    * channels exist to kill. A new takedown changes the listing, so
+    * the next request re-reads under a fresh key. */
+  private def ivfTombstonesCached(s: SparkSession,
+      layout: String): Set[Long] = {
+    val names = Option(
+      new java.io.File(layout, "_tombstones").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+      .filter(_.endsWith(".txt")).sorted.toSeq
+    if (names.isEmpty) Set.empty
+    else graft.core.Caches.memoObj(s,
+      s"ivftomb|$layout|${names.length}|${names.hashCode}") {
+      ivfTombstones(layout)
+    }
+  }
+
+  /** Drop (anti) or keep (semi) tombstoned rows of a frame carrying
+    * `idCol`: a pushed IN/NOT-IN literal below the literal threshold,
+    * a broadcast (anti|semi) join above it — ONE copy of the q47
+    * regime switch for every tombstone consumer. */
+  private def tombstoneJoin(s: SparkSession, df: DataFrame,
+      dead: Set[Long], idCol: String, keep: Boolean): DataFrame =
+    if (dead.isEmpty) { if (keep) df.limit(0) else df }
+    else if (dead.size <= 1000) {
+      val in = col(idCol).isin(dead.toSeq: _*)
+      df.filter(if (keep) in else !in)
+    } else {
       import s.implicits._
       df.join(broadcast(dead.toSeq.toDF("__dead")),
-        col(idCol) === col("__dead"), "left_anti")
+        col(idCol) === col("__dead"),
+        if (keep) "left_semi" else "left_anti")
     }
+
+  private def dropTombstoned(s: SparkSession, df: DataFrame,
+      dead: Set[Long], idCol: String): DataFrame =
+    tombstoneJoin(s, df, dead, idCol, keep = false)
+
+  /** Carry a layout's takedowns into its SUCCESSOR, trimmed to ids the
+    * successor actually stores and not already tombstoned there — one
+    * job bounded by the takedown volume. Idempotent and re-runnable
+    * (the crash-recovery form the batch fold has). */
+  private[graft] def carryTombstones(s: SparkSession, from: String,
+      to: String): Seq[Long] = {
+    val dead = ivfTombstones(from) -- ivfTombstones(to)
+    if (dead.isEmpty) return Nil
+    val stillThere = tombstoneJoin(s,
+        ivfReadLayout(s, to).select("vec_id"), dead, "vec_id",
+        keep = true)
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (stillThere.nonEmpty) ivfTombstone(to, stillThere)
+    stillThere
+  }
 
   /** Atomic serve pointer for an IVF index (completes [[ivfRetrain]]'s
     * "the swap is the caller's publish step"): generation files
@@ -1187,7 +1245,13 @@ object Similarity {
     }
     drop.map { case (g, path, _) =>
       hist.find(_._1 == g + 1).foreach { case (_, succ, _) =>
-        ivfFoldForward(s, path, succ); ()
+        ivfFoldForward(s, path, succ)
+        // a takedown whose only tombstone lives in the doomed layout
+        // (publisher crashed between publish and its gap sweep) must
+        // fold forward too, or destroying the layout silently
+        // resurrects the deleted ids — the one ordering that would
+        // make a GDPR delete reversible
+        carryTombstones(s, path, succ); ()
       }
       graft.core.TempDirs.rmTree(new java.io.File(path))
       java.nio.file.Files.deleteIfExists(
@@ -1211,6 +1275,13 @@ object Similarity {
       throw new IllegalStateException(s"no published index under $root"))
     val (fresh, _) = ivfRetrain(s, path, k, iters)
     onBeforeIvfPublish()
+    // TAKEDOWN CARRY, PRE-PUBLISH: deletes issued since the retrain's
+    // snapshot (which purged the then-known set physically) exist only
+    // as old-layout tombstones — carry them into the fresh layout
+    // BEFORE it becomes current, or the swap would serve the deleted
+    // ids until the post-fold sweep lands (a takedown must never
+    // resurface, even transiently)
+    carryTombstones(s, path, fresh)
     // publish at EXACTLY planned+1 — never re-read the pointer after
     // training: a concurrent retrain (or an ingest that bumped the
     // generation) may have moved it, and re-reading would let a STALE
@@ -1234,24 +1305,12 @@ object Similarity {
     // only operation that can destroy the old layout first completes
     // the fold.
     ivfFoldForward(s, path, fresh)
-    // TAKEDOWN GAP SWEEP: a delete issued between the retrain's
-    // snapshot (which purged the then-known tombstones physically)
-    // and this publish exists only as an old-layout tombstone — carry
-    // the old set forward TRIMMED to ids actually present in the
-    // fresh layout (the snapshot-time purges need no re-filtering;
-    // the trim is one job bounded by the takedown volume). The same
-    // sweep covers ids a folded gap BATCH re-introduced.
-    val dead = ivfTombstones(path)
-    if (dead.nonEmpty) {
-      import s.implicits._
-      val ids = ivfReadLayout(s, fresh).select("vec_id")
-      val stillThere = (if (dead.size <= 1000)
-          ids.filter(col("vec_id").isin(dead.toSeq: _*))
-        else ids.join(broadcast(dead.toSeq.toDF("__dead")),
-          col("vec_id") === col("__dead"), "left_semi"))
-        .distinct().collect().map(_.getLong(0))
-      if (stillThere.nonEmpty) ivfTombstone(fresh, stillThere.toSeq)
-    }
+    // TAKEDOWN GAP SWEEP, POST-FOLD: covers deletes that landed
+    // between the pre-publish carry and the publish (ivfDelete's own
+    // post-write pointer re-check overlaps from the other side, the
+    // batch-fold argument), plus ids a folded gap BATCH re-introduced
+    // into the fresh layout.
+    carryTombstones(s, path, fresh)
     (planned + 1, fresh)
   }
 

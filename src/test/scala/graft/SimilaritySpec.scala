@@ -716,6 +716,18 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet.contains(12L))
     assert(Similarity.ivfTombstones(lay3).isEmpty,
       "a fully purged takedown set must not accumulate forever")
+    // VACUUM TOMBSTONE FOLD: reconstruct a publisher that crashed
+    // before both carries — a superseded layout holds the ONLY
+    // tombstone for an id whose bytes live in the current generation.
+    // Vacuum (the one operation that can destroy that tombstone) must
+    // fold it forward before any drop, or the takedown would silently
+    // reverse.
+    Similarity.ivfTombstone(lay2, Seq(30L))
+    Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
+    assert(Similarity.ivfTombstones(lay3) == Set(30L),
+      "vacuum must carry an orphaned takedown into the survivor")
+    assert(!servedIds(lay3).contains(30L),
+      "the folded takedown must bind in serving")
   }
 
   test("generation pointer publish under the no-hardlink fallback: " +
