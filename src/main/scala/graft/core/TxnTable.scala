@@ -289,13 +289,19 @@ object TxnTable {
     val anchors = prior.epochs.getOrElse(
       Seq("constraints", "colmap").flatMap(b =>
         legacyEpochAnchorAt(dir, b, v - 1).map(b -> _)).toMap) ++ epochUpdate
-    val header = schemaOut.map(sch =>
-      s"""{"schema":${sch.json}}""").toSeq :+
+    publishManifestBody(dir, v, renderHeader(schemaOut, anchors), entries)
+  }
+
+  /** ONE renderer for the manifest metadata header (schema line +
+    * epoch-anchor line) — [[writeManifest]]'s carry-forward path and
+    * [[restore]]'s replaced header must never drift apart. */
+  private def renderHeader(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      anchors: Map[String, Int]): Seq[String] =
+    schema.map(sch => s"""{"schema":${sch.json}}""").toSeq :+
       anchors.toSeq.sortBy(_._1)
         .map { case (b, k) => s""""$b":$k""" }
         .mkString("""{"epochs":{""", ",", "}}")
-    publishManifestBody(dir, v, header, entries)
-  }
 
   /** Render + exclusively publish one manifest (shared by
     * [[writeManifest]]'s carry-forward header and [[restore]]'s
@@ -1493,10 +1499,15 @@ object TxnTable {
     * time-travelable until vacuum), CDC followers see the restore as
     * ordinary net row changes, and concurrent writers serialize
     * against it through the same OCC publish as every mutation.
-    * The restore re-activates the SCHEMA and epoch anchors in force
-    * at `toV` (a later rename/drop/constraint is rolled back with the
-    * data it described); files added after `toV` become unreferenced
-    * at head and are vacuum-collected. Returns the new version. */
+    * The restore re-activates `toV`'s LOGICAL SURFACE and epoch
+    * anchors (a later rename/drop/constraint is rolled back with the
+    * data it described); physical columns added after `toV` stay in
+    * the recorded schema but are TOMBSTONED via the colmap channel —
+    * invisible to reads, their spelling refused to writers — so the
+    * no-retype invariant holds across the restore. Files added after
+    * `toV` become unreferenced at head and are vacuum-collected.
+    * Returns the new version (labelled 'colmap' in DESCRIBE HISTORY
+    * when it buries columns, 'data' otherwise). */
   def restore(s: SparkSession, dir: String, toV: Int): Int =
     withOcc(dir) { planned =>
       require(toV >= 1 && toV <= planned,
@@ -1511,32 +1522,59 @@ object TxnTable {
       entries.find(e => !fileOf(dir, e.path).exists()).foreach(e =>
         throw new IllegalArgumentException(
           s"cannot restore $dir to v$toV: ${e.path} was vacuumed"))
-      val meta = manifestMeta(dir, toV)
-      val anchors: Map[String, Int] = meta.epochs.getOrElse(
+      val k = planned + 1
+      val toMeta = manifestMeta(dir, toV)
+      val toAnchors: Map[String, Int] = toMeta.epochs.getOrElse(
         Seq("constraints", "colmap").flatMap(b =>
           legacyEpochAnchorAt(dir, b, toV).map(b -> _)).toMap)
+      // THE RECORDED SCHEMA NEVER SHRINKS — the no-retype invariant
+      // unionSchema enforces needs the full historical physical set.
+      // Shrinking to toV's schema would let a later writer re-add a
+      // restore-buried column under a DIFFERENT type, and CDC diffs
+      // spanning the restore would then read the old files' bytes
+      // with the new type (a runtime Parquet conversion crash). So
+      // the restore records head ∪ toV, and every physical column the
+      // restore buries is TOMBSTONED through the colmap channel: reads
+      // present exactly toV's surface, and a writer re-issuing the
+      // buried spelling is rejected loudly (pick a new name).
+      val headSchema = nextSchema(s, dir, planned, None)
+      val schemaOut = (headSchema, toMeta.schema) match {
+        case (Some(h), Some(t)) => Some(unionSchema(h, t))
+        case (h, t) => h.orElse(t)
+      }
+      val toPhysCols: Set[String] = toMeta.schema
+        .map(_.fieldNames.map(_.toLowerCase).toSet)
+        .getOrElse(readSubset(s, dir, toV, entries.map(_.path))
+          .schema.fieldNames.map(_.toLowerCase).toSet)
+      val buried = schemaOut.map(_.fieldNames.toSeq).getOrElse(Nil)
+        .filterNot(f => toPhysCols(f.toLowerCase))
+      val cmTo = colMapAt(dir, toV)
+      val anchors =
+        if (buried.isEmpty) toAnchors
+        else {
+          val restoredCm = cmTo.filterNot(e => buried.contains(e._1)) ++
+            buried.map(p => (p, Option.empty[String]))
+          publishEpochFile(dir, "colmap", k, renderColMap(restoredCm))
+          toAnchors + ("colmap" -> k)
+        }
       onBeforeCommit()
-      // both anchors are overridden to toV's — writeManifest applies
-      // epochUpdate on top of the carried map, so pass the full set
-      // by writing with toV's schema and re-anchoring each base
-      writeManifestRestored(dir, planned + 1, entries, meta.schema, anchors)
-      planned + 1
+      // header REPLACED by the restored state's, never carried from
+      // the abandoned head; a lost publish rolls the epoch claim back
+      // (the commitMetaEpoch discipline)
+      try publishManifestBody(dir, k,
+        renderHeader(schemaOut, anchors), entries)
+      catch { case e: Throwable =>
+        if (buried.nonEmpty) {
+          java.nio.file.Files.deleteIfExists(
+            fileOf(dir, s"colmap-v$k.json").toPath)
+          epochStamp.incrementAndGet()
+          epochCache.keySet.removeIf(key =>
+            key._1 == dir && key._2 == "colmap" && key._3 >= k)
+        }
+        throw e
+      }
+      k
     }
-
-  /** writeManifest variant for [[restore]]: the header is REPLACED by
-    * the restored version's (schema + both epoch anchors), never
-    * carried from the current head. */
-  private def writeManifestRestored(dir: String, v: Int,
-      entries: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType],
-      anchors: Map[String, Int]): Unit = {
-    val header = schema.map(sch =>
-      s"""{"schema":${sch.json}}""").toSeq :+
-      anchors.toSeq.sortBy(_._1)
-        .map { case (b, k) => s""""$b":$k""" }
-        .mkString("""{"epochs":{""", ",", "}}")
-    publishManifestBody(dir, v, header, entries)
-  }
 
   /** Resolve the latest version whose manifest was COMMITTED at or
     * before `tsMillis` (manifest mtime = commit instant) — timestamp

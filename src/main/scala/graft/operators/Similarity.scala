@@ -1144,17 +1144,41 @@ object Similarity {
   private[graft] def ivfPublishAs(root: String, gen: Int,
       layoutPath: String, k: Int): Unit = {
     new java.io.File(root).mkdirs()
+    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
+      .getBytes("UTF-8")
     // exclusive tmp+link publish (core.AtomicFiles — the shared
     // put-if-absent discipline): the pointer file appears COMPLETE or
     // not at all, and a racing publisher of the same generation loses
-    // loudly instead of last-wins-overwriting the index
-    graft.core.AtomicFiles.publishExclusive(root, s"gen-$gen.json",
-      s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
-        .getBytes("UTF-8"))(
-      throw new java.util.ConcurrentModificationException(
-        s"index generation $gen already published under $root — " +
-          "re-read the current pointer and re-publish"))
+    // loudly instead of last-wins-overwriting the index. A ZERO-LENGTH
+    // claim under the target name is provably a crash leftover of the
+    // pre-lock fallback (the lock protocol only ever moves complete
+    // files; ivfHistory skips it as not-published) — without healing
+    // it here, every retrain would plan gen N, collide on the husk,
+    // re-read gen N-1 and loop its 409 forever. Clear it once and
+    // retry the claim; concurrent healers resolve to one winner.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        graft.core.AtomicFiles.publishExclusive(root, s"gen-$gen.json",
+          body)(throw new SlotTaken)
+        done = true
+      } catch {
+        case _: SlotTaken =>
+          val f = new java.io.File(root, s"gen-$gen.json")
+          if (attempts == 0 && f.exists() && f.length() == 0) {
+            attempts = 1
+            java.nio.file.Files.deleteIfExists(f.toPath)
+            ()
+          } else throw new java.util.ConcurrentModificationException(
+            s"index generation $gen already published under $root — " +
+              "re-read the current pointer and re-publish")
+      }
+    }
   }
+
+  /** Local publish-collision signal for [[ivfPublishAs]]'s heal loop. */
+  private final class SlotTaken extends RuntimeException
 
   private def jq(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

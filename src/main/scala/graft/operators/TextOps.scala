@@ -429,10 +429,25 @@ object TextOps {
     // leaf. The recompute-on-block-loss tradeoff the drilldown cache
     // documents does not apply: at real scale these rounds are
     // durable checkpoint tables, not cache entries.
-    var df = documents(s, d).select(
+    // localCheckpoint persists at the RDD level, which
+    // Dataset.unpersist (CacheManager-routed) cannot release — a
+    // 256-round trainer would pin every superseded round's corpus
+    // blocks until the periodic ContextCleaner GC. Track each
+    // checkpoint's persistent-RDD ids (the loop is sequential, so the
+    // before/after diff is exact) and unpersist them directly once
+    // the round's state is superseded.
+    def checkpointTracked(df0: DataFrame): (DataFrame, Set[Int]) = {
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val d2 = df0.localCheckpoint()
+      (d2, s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def releaseRdds(ids: Set[Int]): Unit =
+      ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    var (df, dfIds) = checkpointTracked(documents(s, d).select(
       expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
-        .as("seq")).localCheckpoint()
-    var counts = bpePairCounts(df).localCheckpoint()
+        .as("seq")))
+    var (counts, countIds) = checkpointTracked(bpePairCounts(df))
     // the per-round union (untouched ∪ replaced) SUMS its sides'
     // partition counts — unchecked, partitions double every round and
     // task overhead turns exponential; coalesce (no shuffle) pins the
@@ -466,15 +481,18 @@ object TextOps {
           val dsum = delta.agg(coalesce(sum(col("cnt")), lit(0L)))
             .first().getLong(0)
           pieces += dsum
-          val nextCounts = counts.unionByName(delta)
-            .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
-            .filter(col("cnt") > 0).localCheckpoint() // eager
+          val (nextCounts, ncIds) = checkpointTracked(
+            counts.unionByName(delta)
+              .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+              .filter(col("cnt") > 0)) // eager
           // untouched docs carry over; hit docs ride their already-
           // computed replacement (never re-replaced)
-          val next = df.filter(!col("seq").contains(pat))
-            .unionByName(rep).coalesce(nParts).localCheckpoint() // eager
-          df.unpersist(); counts.unpersist()
-          df = next; counts = nextCounts
+          val (next, nextIds) = checkpointTracked(
+            df.filter(!col("seq").contains(pat))
+              .unionByName(rep).coalesce(nParts)) // eager
+          releaseRdds(dfIds); releaseRdds(countIds)
+          df = next; dfIds = nextIds
+          counts = nextCounts; countIds = ncIds
         } finally {
           // round-scoped caches release on success AND mid-round
           // failure (a leaked persist pins blocks for the session)
@@ -483,7 +501,7 @@ object TextOps {
         rows += ((l, rr, cnt, pieces))
         onRound(round, cnt)
       }
-    } finally { df.unpersist(); counts.unpersist(); () }
+    } finally { releaseRdds(dfIds); releaseRdds(countIds) }
     rows.result()
   }
 

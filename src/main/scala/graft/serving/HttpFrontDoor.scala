@@ -267,9 +267,13 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   // "vecs" value — a sibling key's array after it
                   // must not become a phantom query vector
                   val batch: Seq[Seq[Float]] = {
-                    val at = body.indexOf("\"vecs\"")
-                    val open =
-                      if (at < 0) -1 else body.indexOf('[', at)
+                    // bind to the KEY "vecs": followed by its array —
+                    // the first '[' anywhere after the substring could
+                    // belong to a sibling key (phantom queries) or to
+                    // nothing ("vecs" inside a string value)
+                    val open = """"vecs"\s*:\s*\[""".r
+                      .findFirstMatchIn(body)
+                      .map(_.end - 1).getOrElse(-1)
                     if (open < 0) Seq.empty
                     else {
                       var depth = 0; var i = open; var end = -1

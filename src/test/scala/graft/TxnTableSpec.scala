@@ -1342,7 +1342,18 @@ class TxnTableSpec extends AnyFunSuite {
     assert(now.collect().toSet == v1Rows)
     assert(TxnTable.constraintsAt(dir, 5).isEmpty,
       "the restored version re-activates v1's (empty) constraint set")
-    assert(TxnTable.versionKind(dir, 5) == "data")
+    // this restore BURIES the post-toV column 'tag', so it commits a
+    // colmap epoch (DESCRIBE HISTORY labels it so)
+    assert(TxnTable.versionKind(dir, 5) == "colmap")
+    // the buried column's physical slot is tombstoned: re-issuing the
+    // spelling — same type or RE-TYPED — is refused loudly, so a CDC
+    // diff spanning the restore can never read old bytes as a new type
+    val retype = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k",
+        Seq((3L, 3L, 42L)).toDF("k", "v", "tag"))
+    }
+    assert(retype.getMessage.contains("renamed or dropped"),
+      retype.getMessage)
     // the bad history stays time-travelable until vacuumed
     assert(TxnTable.read(spark, dir, 4).columns.toSeq ==
       Seq("k", "score", "tag"))
