@@ -16,15 +16,25 @@ import scala.jdk.CollectionConverters._
   *  - data lives in immutable commit directories
   *    (`files/<commit-uuid>/part-*.parquet`) — nothing is ever
   *    modified in place;
-  *  - each version is a `manifest-v<N>.json` listing its live files
-  *    WITH their byte size and per-column [min,max] stats (the
-  *    Delta-style stats channel): stats are computed ONCE, from the
-  *    footers of the files a commit just wrote, and every later
-  *    mutation plans its rewrite set from a single manifest read —
-  *    O(1) metadata I/O instead of an O(files) footer walk (on an
-  *    object store each footer open is a round trip; at production
-  *    file counts the walk, not the rewrite, dominated the measured
-  *    delete cost — see SCALE_SLOPE.md cow_delete_16x);
+  *  - each version is a `manifest-v<N>.json`: a DELTA record of the
+  *    commit's changes (removed paths + added entries — O(changed
+  *    files) to render, the commit-metadata analogue of Delta Lake's
+  *    delta commits) for mutations, or a full snapshot for commits
+  *    that replace the whole live set (init/optimize/restore) and
+  *    for legacy tables. Entries carry byte size, exact row count,
+  *    and per-column [min,max] stats (the Delta-style stats
+  *    channel): stats are computed ONCE, from the footers of the
+  *    files a commit just wrote, and every later mutation plans its
+  *    rewrite set from manifest metadata alone — O(changed) I/O
+  *    instead of an O(files) footer walk (on an object store each
+  *    footer open is a round trip; at production file counts the
+  *    walk, not the rewrite, dominated the measured delete cost —
+  *    see SCALE_SLOPE.md cow_delete_16x);
+  *  - a `checkpoint-v<K>.json` sidecar (auto-written when the delta
+  *    tail reaches [[CheckpointInterval]], at vacuum, or via
+  *    [[checkpoint]]) materializes the resolved live set so reads
+  *    resolve from O(checkpoint + short tail), never the whole log —
+  *    the manifest-list/checkpoint idea of Iceberg/Delta;
   *  - the manifest publish is exclusive-create, so readers see
   *    version N or N+1, never a torn state — SNAPSHOT ISOLATION, and
   *    reading an older manifest is TIME TRAVEL for free;
@@ -96,10 +106,24 @@ object TxnTable {
   // future-format line must fail loudly here, not as a confusing read
   // error later, and must never make vacuum misjudge what's referenced)
   private val legacyPat = """"([^"]+)"""".r
-  // manifest METADATA header lines (both optional — legacy manifests
-  // have neither): the table's physical schema and the epoch anchors
+  // manifest METADATA header lines (all optional — legacy manifests
+  // have none): the table's physical schema, the epoch anchors, and
+  // the commit wall-clock timestamp
   private val schemaLinePrefix = """{"schema":"""
   private val epochsLinePrefix = """{"epochs":"""
+  private val tsLinePrefix = """{"ts":"""
+  // DELTA manifest vocabulary: a manifest carrying this marker lists
+  // only its commit's CHANGES — `{"remove":"<path>"}` lines for files
+  // rewritten away plus ordinary entry lines for files added — and
+  // resolves against its predecessor. Mutations of a 100 TB table
+  // touch O(changed) files; rendering the full live set (10⁵ entries,
+  // ~10 MB) per commit would make commit metadata cost O(live files),
+  // per streaming trigger — the write-side twin of the footer walks
+  // the stats/schema channels killed on the read side. Full-snapshot
+  // manifests remain the format of init/optimize/restore (commits
+  // that replace the whole live set anyway) and of legacy tables.
+  private val deltaMarker = """{"delta":true}"""
+  private val removePat = """\{"remove":"([^"]+)"\}""".r
 
   /** The metadata header of one committed manifest:
     *  - `schema`: the table's full PHYSICAL schema as of that version
@@ -117,10 +141,19 @@ object TxnTable {
     *    by no committed manifest and therefore can never be silently
     *    activated by a later writer taking that version number —
     *    closing the lost-publish phantom window structurally.
-    * Committed manifests are immutable, so both parse once per
+    *  - `ts`: the commit wall-clock instant, recorded at publish.
+    *    `TIMESTAMP AS OF` and the vacuum retention guard key off it:
+    *    filesystem mtime is NOT durable metadata (an rsync, a backup
+    *    restore, an object-store migration rewrites it), so keying
+    *    time travel off mtime would silently shift answers after a
+    *    routine migration. mtime remains the legacy fallback.
+    *  - `delta`: whether the manifest is a change record (resolved
+    *    against its predecessor) or a full snapshot.
+    * Committed manifests are immutable, so all parse once per
     * (dir, version) and cache. */
   private final case class ManifestMeta(schema: Option[
-      org.apache.spark.sql.types.StructType], epochs: Option[Map[String, Int]])
+      org.apache.spark.sql.types.StructType], epochs: Option[Map[String, Int]],
+      ts: Option[Long] = None, delta: Boolean = false)
 
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), ManifestMeta]()
@@ -144,7 +177,9 @@ object TxnTable {
       """"([A-Za-z]+)":(\d+)""".r
         .findAllMatchIn(l.stripPrefix(epochsLinePrefix))
         .map(m => m.group(1) -> m.group(2).toInt).toMap }
-    val r = ManifestMeta(schema, epochs)
+    val ts = lines.find(_.startsWith(tsLinePrefix)).map(
+      _.stripPrefix(tsLinePrefix).stripSuffix("}").trim.toLong)
+    val r = ManifestMeta(schema, epochs, ts, lines.contains(deltaMarker))
     if (metaCache.size > 10000) metaCache.clear()
     metaCache.put(key, r)
     r
@@ -161,6 +196,7 @@ object TxnTable {
   private[graft] def dropMetaCacheForTest(dir: String): Unit = {
     metaCache.keySet.removeIf(_._1 == dir)
     epochCache.keySet.removeIf(_._1 == dir)
+    entriesCache.keySet.removeIf(_._1 == dir)
     ()
   }
 
@@ -208,29 +244,88 @@ object TxnTable {
     }
   }
 
-  /** Live file entries of `v` (default: latest). One entry per line;
-    * bare-string lines (legacy manifests) parse as stats-less
+  /** Parse one manifest file body. Left(entries) for a full-snapshot
+    * manifest; Right((adds, removes)) for a delta. One entry per
+    * line; bare-string lines (legacy manifests) parse as stats-less
     * entries; unrecognized lines are a loud error. */
-  def liveEntries(dir: String, v: Int = -1): Seq[FileEntry] = {
-    val ms = manifests(dir)
-    val f = (if (v < 0) ms.lastOption
-             else ms.find(_._1 == v)).getOrElse(
-      sys.error(s"no manifest v$v under $dir"))._2
+  private def parseManifestBody(dir: String, v: Int)
+      : Either[Seq[FileEntry], (Seq[FileEntry], Set[String])] = {
+    val f = fileOf(dir, s"manifest-v$v.json")
+    if (!f.exists()) sys.error(s"no manifest v$v under $dir")
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    txt.split('\n').map(_.trim.stripSuffix(",")).flatMap {
-      case "" | "[" | "]" => None
+    var isDelta = false
+    val adds = Seq.newBuilder[FileEntry]
+    val removes = Set.newBuilder[String]
+    txt.split('\n').map(_.trim.stripSuffix(",")).foreach {
+      case "" | "[" | "]" =>
       case l if l.startsWith(schemaLinePrefix) ||
-        l.startsWith(epochsLinePrefix) => None // metadata header
+        l.startsWith(epochsLinePrefix) ||
+        l.startsWith(tsLinePrefix) => // metadata header
+      case `deltaMarker` => isDelta = true
+      case removePat(p) => removes += p
       case entryPat(path, bytes, rowsOrNull, statsBody) =>
         val stats = statPat.findAllMatchIn(statsBody).map(m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-        Some(FileEntry(path, bytes.toLong, stats,
-          Option(rowsOrNull).map(_.toLong).getOrElse(-1L)))
+        adds += FileEntry(path, bytes.toLong, stats,
+          Option(rowsOrNull).map(_.toLong).getOrElse(-1L))
       case legacyPat(path) =>
-        Some(FileEntry(path, -1L, Map.empty))
+        adds += FileEntry(path, -1L, Map.empty)
       case line => sys.error(
         s"unparseable manifest line in ${f.getPath}: '$line'")
-    }.toSeq
+    }
+    if (isDelta) Right((adds.result(), removes.result()))
+    else Left(adds.result())
+  }
+
+  /** Resolved live sets, keyed (dir, version). A committed version's
+    * live set is immutable (manifests publish exclusively and are
+    * never rewritten; vacuum deletes whole manifests, never edits
+    * one), so caching is safe; bounded by wholesale clear. Without
+    * it, every delta resolution would re-walk its checkpoint + tail
+    * — correct, but a per-trigger tax on streaming commits. */
+  private val entriesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[FileEntry]]()
+  private def cacheEntries(dir: String, v: Int,
+      es: Seq[FileEntry]): Seq[FileEntry] = {
+    if (entriesCache.size > 512) entriesCache.clear()
+    entriesCache.put((dir, v), es)
+    es
+  }
+
+  /** Live file entries of `v` (default: latest), resolved from the
+    * newest SNAPSHOT SOURCE at or below `v` — a cached resolution, a
+    * `checkpoint-v<K>.json` sidecar, or a full-snapshot manifest —
+    * plus the tail of delta manifests up to `v`, applied in order
+    * (remove by path, then append adds). Read cost is O(checkpoint +
+    * changed files in the tail), and the auto-checkpoint bound
+    * ([[CheckpointInterval]]) keeps the tail short. Every version
+    * resolved along the way is cached, so ascending scans (history,
+    * CDC followers) pay each delta once. */
+  def liveEntries(dir: String, v: Int = -1): Seq[FileEntry] = {
+    val rv = if (v < 0) version(dir) else v
+    val hit = entriesCache.get((dir, rv))
+    if (hit != null) return hit
+    // descend to the nearest snapshot source, collecting delta frames
+    var frames = List.empty[(Int, Seq[FileEntry], Set[String])] // oldest first
+    var cur = rv
+    var base: Seq[FileEntry] = null
+    while (base == null) {
+      if (cur < 1) sys.error(s"no manifest v$rv under $dir")
+      val c = entriesCache.get((dir, cur))
+      if (c != null) base = c
+      else readCheckpoint(dir, cur) match {
+        case Some(es) => base = cacheEntries(dir, cur, es)
+        case None => parseManifestBody(dir, cur) match {
+          case Left(es) => base = cacheEntries(dir, cur, es)
+          case Right((adds, removes)) =>
+            frames = (cur, adds, removes) :: frames
+            cur -= 1
+        }
+      }
+    }
+    frames.foldLeft(base) { case (acc, (fv, adds, removes)) =>
+      cacheEntries(dir, fv, acc.filterNot(e => removes(e.path)) ++ adds)
+    }
   }
 
   /** Live file list (relative paths) of `v` (default: latest). */
@@ -275,44 +370,78 @@ object TxnTable {
   private[graft] def writeManifest(dir: String, v: Int,
       entries: Seq[FileEntry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
+      epochUpdate: Option[(String, Int)] = None): Unit =
+    publishManifestBody(dir, v,
+      buildHeader(dir, v, schema, epochUpdate), entries)
+
+  /** Commit version `v` as a DELTA manifest: only this commit's
+    * changes are rendered — `removes` (paths rewritten away) and
+    * `adds` (fresh entries) — so commit metadata cost is O(changed
+    * files), not O(live files). Same exclusive publish, same header
+    * carry-forward as [[writeManifest]]. After a successful publish
+    * the delta tail length is checked and a checkpoint written when
+    * it reaches [[CheckpointInterval]] — bounding every later read's
+    * resolution walk. */
+  private[graft] def writeDelta(dir: String, v: Int,
+      adds: Seq[FileEntry], removes: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
       epochUpdate: Option[(String, Int)] = None): Unit = {
-    // metadata header: schema (explicit, or carried from v-1) and the
-    // epoch anchors (carried from v-1 — a table predating the anchor
-    // channel folds its legacy-resolved anchors in on its first new
-    // commit — overlaid with this commit's own epoch, if any). The
-    // anchors line is ALWAYS written, even empty: only a manifest
-    // that explicitly says "no epoch in force" keeps an orphaned
-    // epoch file from being resolved by the legacy directory scan.
+    val body = buildHeader(dir, v, schema, epochUpdate) ++
+      (deltaMarker +: removes.sorted.map(p => s"""{"remove":"$p"}""")) ++
+      adds.map(entryLine)
+    publishLines(dir, v, body)
+    maybeCheckpoint(dir, v)
+  }
+
+  /** The metadata header a commit at `v` writes: schema (explicit, or
+    * carried from v-1), the epoch anchors (carried from v-1 — a table
+    * predating the anchor channel folds its legacy-resolved anchors
+    * in on its first new commit — overlaid with this commit's own
+    * epoch, if any), and the commit timestamp. The anchors line is
+    * ALWAYS written, even empty: only a manifest that explicitly says
+    * "no epoch in force" keeps an orphaned epoch file from being
+    * resolved by the legacy directory scan. */
+  private def buildHeader(dir: String, v: Int,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      epochUpdate: Option[(String, Int)]): Seq[String] = {
     val prior =
       if (v > 1) manifestMeta(dir, v - 1) else ManifestMeta(None, None)
     val schemaOut = schema.orElse(prior.schema)
     val anchors = prior.epochs.getOrElse(
       Seq("constraints", "colmap").flatMap(b =>
         legacyEpochAnchorAt(dir, b, v - 1).map(b -> _)).toMap) ++ epochUpdate
-    publishManifestBody(dir, v, renderHeader(schemaOut, anchors), entries)
+    renderHeader(schemaOut, anchors, System.currentTimeMillis())
   }
 
   /** ONE renderer for the manifest metadata header (schema line +
-    * epoch-anchor line) — [[writeManifest]]'s carry-forward path and
-    * [[restore]]'s replaced header must never drift apart. */
+    * commit-timestamp line + epoch-anchor line) — [[buildHeader]]'s
+    * carry-forward path and [[restore]]'s replaced header must never
+    * drift apart. */
   private def renderHeader(
       schema: Option[org.apache.spark.sql.types.StructType],
-      anchors: Map[String, Int]): Seq[String] =
-    schema.map(sch => s"""{"schema":${sch.json}}""").toSeq :+
-      anchors.toSeq.sortBy(_._1)
-        .map { case (b, k) => s""""$b":$k""" }
-        .mkString("""{"epochs":{""", ",", "}}")
+      anchors: Map[String, Int], tsMillis: Long): Seq[String] =
+    schema.map(sch => s"""{"schema":${sch.json}}""").toSeq ++
+      Seq(s"""{"ts":$tsMillis}""",
+        anchors.toSeq.sortBy(_._1)
+          .map { case (b, k) => s""""$b":$k""" }
+          .mkString("""{"epochs":{""", ",", "}}"))
 
-  /** Render + exclusively publish one manifest (shared by
-    * [[writeManifest]]'s carry-forward header and [[restore]]'s
+  private def entryLine(e: FileEntry): String = {
+    val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s""""$c":[$lo,$hi]""" }.mkString(",")
+    s"""{"path":"${e.path}","bytes":${e.bytes},"rows":${e.rows},"stats":{$stats}}"""
+  }
+
+  /** Render + exclusively publish one full-snapshot manifest (shared
+    * by [[writeManifest]]'s carry-forward header and [[restore]]'s
     * replaced header). */
   private def publishManifestBody(dir: String, v: Int,
-      header: Seq[String], entries: Seq[FileEntry]): Unit = {
-    val body = (header ++ entries.map { e =>
-      val stats = e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-        s""""$c":[$lo,$hi]""" }.mkString(",")
-      s"""{"path":"${e.path}","bytes":${e.bytes},"rows":${e.rows},"stats":{$stats}}"""
-    }).mkString("[\n", ",\n", "\n]")
+      header: Seq[String], entries: Seq[FileEntry]): Unit =
+    publishLines(dir, v, header ++ entries.map(entryLine))
+
+  private def publishLines(dir: String, v: Int,
+      lines: Seq[String]): Unit = {
+    val body = lines.mkString("[\n", ",\n", "\n]")
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(dir), s".manifest-v$v", ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
@@ -327,6 +456,72 @@ object TxnTable {
         publishWithoutLinks(dir, v, tmp)
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
+
+  /** A delta tail longer than this gets a checkpoint: resolution
+    * reads O(checkpoint + tail), so the interval bounds every
+    * reader's walk while keeping per-commit metadata O(changed
+    * files). 8 ≈ Delta Lake's every-10-commits checkpoint cadence. */
+  val CheckpointInterval: Int = 8
+
+  /** Write `checkpoint-v<K>.json` — the resolved live set of
+    * committed version `cv` (default: latest) as a SIDECAR snapshot.
+    * Not a commit: checkpoints are derivable, idempotent (content is
+    * a pure function of the committed log) and re-writable, so a
+    * plain atomic move (replace OK — two racers write identical
+    * content) suffices; losing one costs resolution depth, never
+    * correctness. Returns the checkpointed version. */
+  def checkpoint(dir: String, v: Int = -1): Int = {
+    val cv = if (v < 0) version(dir) else v
+    val es = liveEntries(dir, cv)
+    val body = (s"""{"checkpoint":$cv}""" +: es.map(entryLine))
+      .mkString("[\n", ",\n", "\n]")
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), s".checkpoint-v$cv", ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      fileOf(dir, s"checkpoint-v$cv.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cv
+  }
+
+  private def readCheckpoint(dir: String,
+      v: Int): Option[Seq[FileEntry]] = {
+    val f = fileOf(dir, s"checkpoint-v$v.json")
+    if (!f.exists()) return None
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val lines = txt.split('\n').map(_.trim.stripSuffix(","))
+      .filterNot(l => l.isEmpty || l == "[" || l == "]")
+    if (!lines.headOption.contains(s"""{"checkpoint":$v}"""))
+      sys.error(s"corrupt checkpoint file ${f.getPath} (missing " +
+        "header) — delete it to recover (checkpoints are derivable)")
+    Some(lines.drop(1).toSeq.map {
+      case entryPat(path, bytes, rowsOrNull, statsBody) =>
+        val stats = statPat.findAllMatchIn(statsBody).map(m =>
+          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+        FileEntry(path, bytes.toLong, stats,
+          Option(rowsOrNull).map(_.toLong).getOrElse(-1L))
+      case line => sys.error(
+        s"unparseable checkpoint line in ${f.getPath}: '$line'")
+    })
+  }
+
+  /** Post-publish: checkpoint `v` when the delta tail behind it has
+    * reached [[CheckpointInterval]]. NEVER throws — the commit is
+    * already published and the caller must not mistake a failed
+    * (derivable, retryable-any-time) checkpoint for a failed commit;
+    * a missed checkpoint costs the next resolutions a longer walk
+    * until a later commit's attempt succeeds. */
+  private def maybeCheckpoint(dir: String, v: Int): Unit =
+    try {
+      var k = v
+      var tail = 0
+      while (tail < CheckpointInterval && k >= 1 &&
+          !fileOf(dir, s"checkpoint-v$k.json").exists() &&
+          manifestMeta(dir, k).delta) { tail += 1; k -= 1 }
+      if (tail >= CheckpointInterval) { checkpoint(dir, v); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The no-hard-link publish path: a TRANSIENT `manifest-v$v.lock`
     * (O_CREAT|O_EXCL — a true put-if-absent) serializes the
@@ -507,9 +702,12 @@ object TxnTable {
     // micro-window the manifest publish itself documents — no Spark
     // work in between — and the recovery message names the file.)
     // the manifest ANCHORS the epoch it activates — readers resolve
-    // the set through the committed manifest, never the bare file
-    try writeManifest(dir, k, liveEntries(dir, planned),
-      epochUpdate = Some(base -> k))
+    // the set through the committed manifest, never the bare file.
+    // A metadata epoch carries its predecessor's file entries
+    // UNCHANGED — the empty delta, O(1) metadata regardless of table
+    // size (a constraint declare on a 10⁵-file table must not render
+    // 10 MB of unchanged entries).
+    try writeDelta(dir, k, Nil, Nil, epochUpdate = Some(base -> k))
     catch { case e: Throwable =>
       java.nio.file.Files.deleteIfExists(
         fileOf(dir, s"$base-v$k.json").toPath)
@@ -529,11 +727,13 @@ object TxnTable {
 
   /** Exclusive claim + fill of `<base>-v<k>.json` (full set, one
     * header + one line per entry). Hard-link claim = the file
-    * appears complete or not at all; the no-link fallback claims with
-    * O_CREAT|O_EXCL then fills — its empty-file window is invisible
-    * because epoch k only becomes readable once manifest v<k> commits,
-    * and the mandatory header line makes a crash-orphaned empty file
-    * a LOUD parse error, never a silently-vanished metadata set. */
+    * appears complete or not at all; the no-link fallback claims a
+    * transient `.lock` side file (O_CREAT|O_EXCL), exists-checks
+    * inside it, and atomic-moves the COMPLETE file into place — the
+    * target never exists partially filled. A crash between claim and
+    * move leaves only the stale `.lock` (the error path names it for
+    * recovery), and epoch k stays invisible regardless until
+    * manifest v<k> commits. */
   private def publishEpochFile(dir: String, base: String, k: Int,
       lines: Seq[String]): Unit =
     AtomicFiles.publishExclusive(dir, s"$base-v$k.json",
@@ -1216,7 +1416,7 @@ object TxnTable {
       val fresh = commitFiles(s, dir, kept,
         math.min(numFiles, matched.size), cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ fresh,
+      writeDelta(dir, planned + 1, fresh, matched.map(_.path),
         schema = nextSchema(s, dir, planned, None))
       matched.size
     }
@@ -1244,7 +1444,8 @@ object TxnTable {
         math.min(numFiles, matched.size), cols)
     val inserted = commitFiles(s, dir, phys, numFiles, cols)
     onBeforeCommit()
-    writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+    writeDelta(dir, planned + 1, survivors ++ inserted,
+      matched.map(_.path),
       schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
   }
@@ -1283,7 +1484,8 @@ object TxnTable {
           math.min(numFiles, matched.size), cols)
       val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+      writeDelta(dir, planned + 1, survivors ++ inserted,
+        matched.map(_.path),
         schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
   }
@@ -1369,7 +1571,8 @@ object TxnTable {
           math.min(numFiles, matched.size), cols)
       val inserted = commitFiles(s, dir, phys, numFiles, cols)
       onBeforeCommit()
-      writeManifest(dir, planned + 1, untouched ++ survivors ++ inserted,
+      writeDelta(dir, planned + 1, survivors ++ inserted,
+        matched.map(_.path),
         schema = nextSchema(s, dir, planned, Some(phys.schema)))
     }
     } finally { if (seqCol.isDefined) { compacted.unpersist(); () } }
@@ -1445,7 +1648,7 @@ object TxnTable {
         val fresh = commitFiles(s, dir, clustered, numFiles = 0,
           statsCols(dir))
         onBeforeCommit()
-        writeManifest(dir, planned + 1, untouched ++ fresh,
+        writeDelta(dir, planned + 1, fresh, matched.map(_.path),
           schema = nextSchema(s, dir, planned, None))
         matched.size
       }
@@ -1473,7 +1676,7 @@ object TxnTable {
         readSubset(s, dir, planned, small.map(_.path)),
         numFiles, statsCols(dir))
       onBeforeCommit()
-      writeManifest(dir, planned + 1, big ++ packed,
+      writeDelta(dir, planned + 1, packed, small.map(_.path),
         schema = nextSchema(s, dir, planned, None))
       small.size
     }
@@ -1544,8 +1747,18 @@ object TxnTable {
       }
       val toPhysCols: Set[String] = toMeta.schema
         .map(_.fieldNames.map(_.toLowerCase).toSet)
-        .getOrElse(readSubset(s, dir, toV, entries.map(_.path))
-          .schema.fieldNames.map(_.toLowerCase).toSet)
+        .getOrElse(
+          // a legacy (no recorded schema) target with ZERO live files
+          // has no surface to recover — bury nothing: the restored
+          // table is empty, head's logical surface stays visible, and
+          // the no-retype invariant holds through schemaOut alone (a
+          // parquet read over an empty path list would throw Spark's
+          // opaque 'unable to infer schema' instead)
+          if (entries.isEmpty)
+            schemaOut.map(_.fieldNames.map(_.toLowerCase).toSet)
+              .getOrElse(Set.empty)
+          else readSubset(s, dir, toV, entries.map(_.path))
+            .schema.fieldNames.map(_.toLowerCase).toSet)
       val buried = schemaOut.map(_.fieldNames.toSeq).getOrElse(Nil)
         .filterNot(f => toPhysCols(f.toLowerCase))
       val cmTo = colMapAt(dir, toV)
@@ -1560,9 +1773,12 @@ object TxnTable {
       onBeforeCommit()
       // header REPLACED by the restored state's, never carried from
       // the abandoned head; a lost publish rolls the epoch claim back
-      // (the commitMetaEpoch discipline)
+      // (the commitMetaEpoch discipline). The restore is a FULL
+      // snapshot manifest (it replaces the whole live set), so it is
+      // itself a resolution base for later deltas.
       try publishManifestBody(dir, k,
-        renderHeader(schemaOut, anchors), entries)
+        renderHeader(schemaOut, anchors, System.currentTimeMillis()),
+        entries)
       catch { case e: Throwable =>
         if (buried.nonEmpty) {
           java.nio.file.Files.deleteIfExists(
@@ -1576,20 +1792,32 @@ object TxnTable {
       k
     }
 
-  /** Resolve the latest version whose manifest was COMMITTED at or
-    * before `tsMillis` (manifest mtime = commit instant) — timestamp
-    * time travel (`TIMESTAMP AS OF`). Loud when the timestamp
-    * predates the oldest surviving manifest: answering with a LATER
-    * state than asked for would be silently wrong, and the earlier
-    * state is vacuumed. */
+  /** The commit instant of version `v`: the timestamp RECORDED in
+    * its manifest header at publish; legacy manifests (predating the
+    * ts channel) fall back to file mtime. Recorded beats mtime
+    * because mtime is not durable metadata — an rsync, a backup
+    * restore, or an object-store migration rewrites it, which would
+    * silently shift TIMESTAMP AS OF answers and vacuum retention
+    * decisions. */
+  def commitTs(dir: String, v: Int, f: java.io.File): Long =
+    manifestMeta(dir, v).ts.getOrElse(f.lastModified())
+
+  /** Resolve the latest version COMMITTED at or before `tsMillis`
+    * (per the manifest-recorded commit timestamp; mtime for legacy
+    * manifests) — timestamp time travel (`TIMESTAMP AS OF`). Loud
+    * when the timestamp predates the oldest surviving manifest:
+    * answering with a LATER state than asked for would be silently
+    * wrong, and the earlier state is vacuumed. */
   def versionAsOf(dir: String, tsMillis: Long): Int = {
     val ms = manifests(dir)
     if (ms.isEmpty) throw new IllegalArgumentException(
       s"no manifest under $dir — not a table")
-    ms.filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
+    ms.filter { case (v, f) => commitTs(dir, v, f) <= tsMillis }
+      .lastOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
         s"no version of $dir existed at $tsMillis (oldest surviving " +
-          s"manifest v${ms.head._1} committed at ${ms.head._2.lastModified()})"))
+          s"manifest v${ms.head._1} committed at " +
+          s"${commitTs(dir, ms.head._1, ms.head._2)})"))
   }
 
   /** Snapshot read as of a wall-clock instant. */
@@ -1616,17 +1844,28 @@ object TxnTable {
     * files would fail the scan at an arbitrary point. `force = true`
     * overrides for operators who know no reader is pinned (tests,
     * single-writer pipelines). */
+  /** Test hook: runs after vacuum has computed its drop set but
+    * before any file is deleted — the window in which a concurrent
+    * restore's commit (re-referencing old files) must abort the
+    * sweep. */
+  private[graft] var onBeforeVacuumDelete: () => Unit = () => ()
+
   def vacuum(dir: String, keepSince: Int,
       retainMillis: Long = DefaultVacuumRetainMillis,
       force: Boolean = false): Unit = {
     val ms = manifests(dir)
     val (drop, keep) = ms.partition(_._1 < keepSince)
     require(keep.nonEmpty, s"vacuum would drop every manifest in $dir")
+    val headV = ms.last._1
     if (!force && drop.nonEmpty) {
       val now = System.currentTimeMillis()
       val byV = ms.map { case (v, f) => v -> f }.toMap
+      // supersession instant = the successor's RECORDED commit ts
+      // (mtime for legacy manifests): a reader can pin a version only
+      // until its successor commits
       val young = drop.filter { case (v, _) =>
-        byV.get(v + 1).exists(f => now - f.lastModified() < retainMillis) }
+        byV.get(v + 1).exists(f =>
+          now - commitTs(dir, v + 1, f) < retainMillis) }
       if (young.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"vacuum refused under $dir: version(s) " +
@@ -1636,7 +1875,29 @@ object TxnTable {
             "retention window, raise keepSince selectivity, or pass " +
             "force=true")
     }
+    // the oldest KEPT version must survive as a resolution base once
+    // its ancestors drop: a delta keepSince with no checkpoint would
+    // strand every kept version's resolution. Written while the
+    // ancestry still exists.
+    if (drop.nonEmpty) {
+      val oldestKept = keep.head._1
+      if (manifestMeta(dir, oldestKept).delta &&
+          !fileOf(dir, s"checkpoint-v$oldestKept.json").exists()) {
+        checkpoint(dir, oldestKept); ()
+      }
+    }
     val referenced = keep.flatMap { case (v, _) => liveFiles(dir, v) }.toSet
+    onBeforeVacuumDelete()
+    // a RESTORE that committed after the listing re-references files
+    // this snapshot judged unreferenced — deleting them would gut the
+    // freshly restored head. Any head advance past the snapshot
+    // invalidates `referenced`; abort as a conflict and re-run.
+    if (version(dir) != headV)
+      throw new java.util.ConcurrentModificationException(
+        s"vacuum aborted under $dir: the table advanced past " +
+          s"v$headV while the sweep was planned (a concurrent commit " +
+          "— possibly a restore re-referencing old files); re-run " +
+          "vacuum against the new head")
     val root = new java.io.File(dir, "files")
     for {
       commit <- Option(root.listFiles()).getOrElse(Array.empty)
@@ -1650,9 +1911,17 @@ object TxnTable {
     drop.foreach { case (v, f) =>
       f.delete()
       // a stale fallback-publish claim token (crash between claim and
-      // move) goes with its expired manifest slot
+      // move) goes with its expired manifest slot, as does any
+      // checkpoint sidecar below the horizon
       fileOf(dir, s"manifest-v$v.lock").delete()
+      fileOf(dir, s"checkpoint-v$v.json").delete()
       ()
     }
+    // a dropped version must fail LOUDLY ("no manifest vN"), exactly
+    // as if never cached — a cache hit on swept metadata would let
+    // the read plan against deleted files and die mid-scan instead
+    entriesCache.keySet.removeIf(k => k._1 == dir && k._2 < keepSince)
+    metaCache.keySet.removeIf(k => k._1 == dir && k._2 < keepSince)
+    ()
   }
 }

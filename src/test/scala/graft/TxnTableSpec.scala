@@ -305,6 +305,9 @@ class TxnTableSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       new java.io.File(dir, "manifest-v1.json").toPath,
       legacy.getBytes("UTF-8"))
+    // the in-place rewrite violates the manifest-immutability premise
+    // the resolution caches rest on — drop them (the probe seam)
+    TxnTable.dropMetaCacheForTest(dir)
     assert(TxnTable.liveEntries(dir).forall(_.stats.isEmpty))
     // first delete: footer fallback finds the rewrite set correctly
     val rewrote = TxnTable.deleteKeys(spark, dir, "k", Seq(1000L, 1001L))
@@ -1528,5 +1531,186 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.deleteKeys(spark, dir, "b", Seq(1L))
     val left = TxnTable.read(spark, dir)
     assert(left.columns.toSeq == Seq("b", "c") && left.count() == 255)
+  }
+
+  test("delta manifests: commits render O(changed files); auto-checkpoint " +
+      "bounds the tail; checkpoint+tail ≡ chain at every version across " +
+      "rename, constraint, restore") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txndelta")
+    def manifestText(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, s"manifest-v$v.json").toPath), "UTF-8")
+    TxnTable.init(spark, dir,
+      (0L until 4000L).toDF("k").withColumn("v", col("k") * 10)
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))                        // v1 full
+    TxnTable.upsert(spark, dir, "k", Seq((1L, -1L)).toDF("k", "v")) // v2
+    TxnTable.deleteKeys(spark, dir, "k", Seq(2L))                   // v3
+    TxnTable.renameColumn(spark, dir, "v", "w")                     // v4
+    TxnTable.addConstraint(spark, dir, "w_sane", "w > -100")        // v5
+    (6 to 9).foreach { i =>                                         // v6-v9
+      TxnTable.upsert(spark, dir, "k",
+        Seq((i.toLong, i.toLong)).toDF("k", "w"))
+    }
+    // shape: a one-file upsert's manifest is a DELTA — it lists the
+    // changed entries only, never re-renders the unchanged live set
+    assert(manifestText(2).contains("\"delta\":true"))
+    val liveAtV2 = TxnTable.liveEntries(dir, 2).size
+    val entryLinesV2 = manifestText(2).split('\n')
+      .count(_.contains("\"path\":"))
+    assert(entryLinesV2 < liveAtV2,
+      s"delta must not re-render the live set ($entryLinesV2 entry " +
+        s"lines vs $liveAtV2 live files)")
+    // a metadata epoch (rename/constraint) is an EMPTY delta: zero
+    // entry lines, zero removes — O(1) bytes at any table size
+    Seq(4, 5).foreach { v =>
+      val txt = manifestText(v)
+      assert(txt.contains("\"delta\":true") &&
+        !txt.contains("\"path\":") && !txt.contains("\"remove\":"),
+        s"v$v must be an empty delta")
+    }
+    // v2..v9 is an 8-delta tail: the v9 commit auto-checkpoints
+    assert(new java.io.File(dir, "checkpoint-v9.json").exists(),
+      "the delta tail reached CheckpointInterval — v9 must checkpoint")
+    TxnTable.restore(spark, dir, 3)                                 // v10
+    assert(!manifestText(10).contains("\"delta\":true"),
+      "restore replaces the whole live set — a full snapshot manifest")
+    TxnTable.upsert(spark, dir, "k", Seq((11L, 11L)).toDF("k", "v")) // v11
+    // ground truth from the warm chain, then prove every version
+    // resolves identically (a) cold and (b) from a forced checkpoint
+    val expect = (1 to 11).map(v =>
+      v -> TxnTable.liveEntries(dir, v).toSet).toMap
+    TxnTable.dropMetaCacheForTest(dir)
+    (1 to 11).foreach { v =>
+      assert(TxnTable.liveEntries(dir, v).toSet == expect(v),
+        s"cold resolution of v$v drifted")
+    }
+    (1 to 11).foreach { v =>
+      assert(TxnTable.checkpoint(dir, v) == v)
+      TxnTable.dropMetaCacheForTest(dir)
+      assert(TxnTable.liveEntries(dir, v).toSet == expect(v),
+        s"checkpoint resolution of v$v ≠ chain resolution")
+    }
+    // and the data-level surface is right at the head: the restore
+    // rolled back to v3 (k=1 upserted, k=2 deleted, pre-rename name)
+    val head = TxnTable.read(spark, dir)
+    assert(head.columns.toSeq == Seq("k", "v"))
+    assert(head.count() == 3999) // 4000 - delete(k=2); upserts replace
+    assert(head.filter(col("k") === 1L).first().getLong(1) == -1L)
+    assert(head.filter(col("k") === 2L).count() == 0)
+  }
+
+  test("vacuum checkpoints the oldest kept version before dropping its " +
+      "ancestry — kept delta versions resolve after the sweep") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnvacckpt")
+    TxnTable.init(spark, dir,
+      (0L until 1000L).toDF("k").withColumn("v", col("k"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))                        // v1
+    (2 to 5).foreach { i =>                                      // v2-v5
+      TxnTable.upsert(spark, dir, "k",
+        Seq((i.toLong, -i.toLong)).toDF("k", "v"))
+    }
+    val expect4 = TxnTable.read(spark, dir, 4).collect().toSet
+    val expect5 = TxnTable.read(spark, dir, 5).collect().toSet
+    // v4 is a delta with no checkpoint; dropping v1-v3 would strand it
+    TxnTable.vacuum(dir, keepSince = 4, force = true)
+    assert(new java.io.File(dir, "checkpoint-v4.json").exists(),
+      "vacuum must write the resolution base it is about to orphan")
+    TxnTable.dropMetaCacheForTest(dir)
+    assert(TxnTable.read(spark, dir, 4).collect().toSet == expect4)
+    assert(TxnTable.read(spark, dir, 5).collect().toSet == expect5)
+    intercept[RuntimeException] { TxnTable.read(spark, dir, 2).count() }
+  }
+
+  test("TIMESTAMP AS OF and the vacuum retention guard key off the " +
+      "RECORDED commit ts — an mtime rewrite (rsync/migration) shifts nothing") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnts")
+    TxnTable.init(spark, dir,
+      (0L until 50L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                        // v1
+    Thread.sleep(15)
+    TxnTable.upsert(spark, dir, "k", Seq((1L, -1L)).toDF("k", "v")) // v2
+    val tsAtV2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxnTable.upsert(spark, dir, "k", Seq((2L, -2L)).toDF("k", "v")) // v3
+    assert(TxnTable.versionAsOf(dir, tsAtV2) == 2)
+    // the migration: every manifest's mtime is rewritten — far past
+    // (a coarse-mtime filesystem) AND far future would both corrupt
+    // an mtime-keyed answer
+    (1 to 3).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        new java.io.File(dir, s"manifest-v$v.json").toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * v))
+    }
+    TxnTable.dropMetaCacheForTest(dir)
+    assert(TxnTable.versionAsOf(dir, tsAtV2) == 2,
+      "TIMESTAMP AS OF must survive an mtime rewrite")
+    // retention: mtimes now claim v1/v2 were superseded in 1970; the
+    // RECORDED ts knows they were superseded moments ago — the guard
+    // must still protect a pinned reader
+    val refused = intercept[java.util.ConcurrentModificationException] {
+      TxnTable.vacuum(dir, keepSince = 3)
+    }
+    assert(refused.getMessage.contains("superseded less than"),
+      refused.getMessage)
+  }
+
+  test("vacuum aborts when a concurrent restore re-references files its " +
+      "snapshot judged dead") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnvacrace")
+    TxnTable.init(spark, dir,
+      (0L until 500L).toDF("k").withColumn("v", col("k"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))                        // v1
+    TxnTable.upsert(spark, dir, "k", Seq((1L, -1L)).toDF("k", "v")) // v2
+    TxnTable.upsert(spark, dir, "k", Seq((2L, -2L)).toDF("k", "v")) // v3
+    val v1Rows = TxnTable.read(spark, dir, 1).collect().toSet
+    // the race: vacuum plans its drop set (v1's rewritten-away files
+    // are unreferenced in keep={v3}), then a restore commits v4
+    // re-referencing exactly those files before the delete runs
+    TxnTable.onBeforeVacuumDelete =
+      () => { TxnTable.restore(spark, dir, 1); () }
+    try {
+      val aborted = intercept[java.util.ConcurrentModificationException] {
+        TxnTable.vacuum(dir, keepSince = 3, force = true)
+      }
+      assert(aborted.getMessage.contains("advanced past"),
+        aborted.getMessage)
+    } finally TxnTable.onBeforeVacuumDelete = () => ()
+    // the freshly restored head reads COMPLETELY — no file was gutted
+    assert(TxnTable.version(dir) == 4)
+    assert(TxnTable.read(spark, dir).collect().toSet == v1Rows,
+      "the restored head must survive the aborted vacuum intact")
+    // the re-run (new snapshot) succeeds and keeps the head readable
+    TxnTable.vacuum(dir, keepSince = 4, force = true)
+    assert(TxnTable.read(spark, dir).collect().toSet == v1Rows)
+  }
+
+  test("restore of a legacy zero-file version is a clean commit, not an " +
+      "opaque schema-inference crash") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnrestempty")
+    TxnTable.init(spark, dir,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                        // v1
+    TxnTable.writeManifest(dir, 2, Nil)                          // v2: empty
+    assert(TxnTable.liveEntries(dir, 2).isEmpty)
+    TxnTable.upsert(spark, dir, "k", Seq((5L, 5L)).toDF("k", "v")) // v3
+    // make the table LEGACY: strip the schema headers so restore's
+    // toPhysCols fallback has no recorded schema to lean on
+    (1 to 3).foreach { v =>
+      val p = new java.io.File(dir, s"manifest-v$v.json").toPath
+      val stripped = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').filterNot(_.contains("\"schema\":")).mkString("\n")
+      java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    }
+    TxnTable.dropMetaCacheForTest(dir)
+    val v4 = TxnTable.restore(spark, dir, 2)
+    assert(v4 == 4 && TxnTable.liveEntries(dir, 4).isEmpty,
+      "restoring to the empty version must commit cleanly")
   }
 }
