@@ -472,6 +472,11 @@ object TxnTable {
     * correctness. Returns the checkpointed version. */
   def checkpoint(dir: String, v: Int = -1): Int = {
     val cv = if (v < 0) version(dir) else v
+    // a nonexistent target is a CLIENT error (400 over the wire),
+    // never the internal manifest-missing failure liveEntries raises
+    if (manifests(dir).forall(_._1 != cv))
+      throw new IllegalArgumentException(
+        s"cannot checkpoint $dir at v$cv: no such committed version")
     val es = liveEntries(dir, cv)
     val body = (s"""{"checkpoint":$cv}""" +: es.map(entryLine))
       .mkString("[\n", ",\n", "\n]")
@@ -484,6 +489,12 @@ object TxnTable {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     cv
   }
+
+  /** Whether version `v` has a checkpoint sidecar — the ops/audit
+    * surface (`op=history` labels checkpointed versions so an
+    * operator can see the resolution bases at a glance). */
+  def hasCheckpoint(dir: String, v: Int): Boolean =
+    fileOf(dir, s"checkpoint-v$v.json").exists()
 
   private def readCheckpoint(dir: String,
       v: Int): Option[Seq[FileEntry]] = {

@@ -372,7 +372,9 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               val rows = TxnTable.history(tdir).map { case (v, n, b, rc) =>
                 val rs = rc.map(r => s""","rows":$r""").getOrElse("")
                 val kind = TxnTable.versionKind(tdir, v)
-                s"""{"version":$v,"kind":"$kind","files":$n,"bytes":$b$rs}""" }
+                val ck = if (TxnTable.hasCheckpoint(tdir, v))
+                  ""","checkpoint":true""" else ""
+                s"""{"version":$v,"kind":"$kind","files":$n,"bytes":$b$rs$ck}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
             case "restore" =>
@@ -477,6 +479,16 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 case None =>
                   (400, """{"error":"dropColumn requires name"}""", reqId)
               }
+            case "checkpoint" =>
+              // materialize the resolved live set as a sidecar so
+              // later reads resolve O(checkpoint + short tail) — the
+              // scheduled pass a streaming table's maintenance loop
+              // runs (auto-checkpointing also fires every
+              // CheckpointInterval delta commits and at vacuum; this
+              // is the operator's explicit handle)
+              val v = q.get("version").map(_.toInt).getOrElse(-1)
+              val cv = TxnTable.checkpoint(tdir, v)
+              (200, s"""{"op":"checkpoint","version":$cv}""", reqId)
             case "vacuum" =>
               val keep = q.get("keepSince").map(_.toInt)
                 .getOrElse(TxnTable.version(tdir))

@@ -239,6 +239,20 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(h.body().contains("\"version\":1") &&
         h.body().contains(s""""version":${TxnTable.version(tdir)}"""),
         h.body())
+      // explicit checkpoint over the wire: materializes the resolved
+      // live set, history labels the version, a bad target is a 400
+      val ckv = TxnTable.version(tdir)
+      val ck = post(port, s"/maintenance/events_live?op=checkpoint", "")
+      assert(ck.statusCode() == 200 &&
+        ck.body().contains(s""""version":$ckv"""), ck.body())
+      assert(TxnTable.hasCheckpoint(tdir, ckv))
+      val h2 = post(port, s"/maintenance/events_live?op=history", "")
+      assert(h2.body().contains(
+        s""""version":$ckv,"kind":"data""""), h2.body())
+      assert(h2.body().contains("\"checkpoint\":true"), h2.body())
+      assert(post(port,
+        s"/maintenance/events_live?op=checkpoint&version=999", "")
+        .statusCode() == 400)
       // region-scoped re-clustering over the wire (params validated)
       assert(post(port,
         s"/maintenance/events_live?op=optimizeRange&keyCol=k", "")
