@@ -718,12 +718,23 @@ object Similarity {
 
   private[graft] def ivfBalance(s: SparkSession, dir: String,
       k: Int): IvfBalance = {
-    val counts = ivfReadLayout(s, dir)
+    // drift is measured over the SERVED population: tombstoned
+    // vectors (takedowns awaiting their physical purge) are never
+    // scanned by serve, so counting them would let a takedown-heavy
+    // list trip the 4x retrain trigger for vectors no query pays for
+    // — or, inverted, mask real drift among the vectors queries
+    // actually probe. The tombstone set is driver-bounded metadata,
+    // so the filter costs nothing extra.
+    val counts = dropTombstoned(s, ivfReadLayout(s, dir),
+        ivfTombstonesCached(s, dir), "vec_id")
       .groupBy(col("cid").cast("int").as("c")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val total = counts.map(_._2).sum
-    val (mc, mn) = counts.maxBy(_._2)
-    IvfBalance(k, total, mc, mn.toDouble / math.max(total, 1L))
+    if (counts.isEmpty) IvfBalance(k, 0L, -1, 0.0) // fully tombstoned
+    else {
+      val total = counts.map(_._2).sum
+      val (mc, mn) = counts.maxBy(_._2)
+      IvfBalance(k, total, mc, mn.toDouble / math.max(total, 1L))
+    }
   }
 
   /** A generation's quantizer, PINNED: the trained centroids persist
@@ -831,6 +842,16 @@ object Similarity {
   private[graft] def ivfServe(s: SparkSession, layout: String,
       queryIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
     require(queryIds.nonEmpty, "at least one query vec_id required")
+    // a tombstoned id is DELETED from the takedown's point of view:
+    // letting it keep resolving as a query would serve the deleted
+    // embedding's neighbor ranking through the API until the physical
+    // purge — the takedown contract says gone means gone, on every
+    // path, immediately (a 400 over the wire, same as an unknown id)
+    val dead = ivfTombstonesCached(s, layout)
+    val blocked = queryIds.filter(dead)
+    if (blocked.nonEmpty) throw new IllegalArgumentException(
+      s"vec_id(s) ${blocked.sorted.mkString(",")} were deleted " +
+        "(takedown) and cannot be used as queries")
     val post = ivfReadLayout(s, layout)
     val queries = post.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -1142,9 +1163,11 @@ object Similarity {
     * the time the claim runs; the exclusive create is what makes the
     * collision loud instead of a lost index). */
   private[graft] def ivfPublishAs(root: String, gen: Int,
-      layoutPath: String, k: Int): Unit = {
+      layoutPath: String, k: Int,
+      rollbackOf: Option[Int] = None): Unit = {
     new java.io.File(root).mkdirs()
-    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k}"""
+    val rb = rollbackOf.map(g => s""","rollbackOf":$g""").getOrElse("")
+    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k$rb}"""
       .getBytes("UTF-8")
     // exclusive tmp+link publish (core.AtomicFiles — the shared
     // put-if-absent discipline): the pointer file appears COMPLETE or
@@ -1186,6 +1209,52 @@ object Similarity {
   /** The live (max-generation) serve pointer: (gen, layout path, k). */
   private[graft] def ivfCurrent(root: String): Option[(Int, String, Int)] =
     ivfHistory(root).lastOption
+
+  /** The generation a published pointer ROLLED BACK to, if it was a
+    * rollback publish — the op=history label. */
+  private[graft] def ivfRollbackOf(root: String, gen: Int): Option[Int] = {
+    val f = new java.io.File(root, s"gen-$gen.json")
+    if (!f.exists()) None
+    else """"rollbackOf":(\d+)""".r.findFirstMatchIn(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .map(_.group(1).toInt)
+  }
+
+  /** ROLLBACK the serve pointer — the TxnTable-RESTORE analogue on
+    * the /index surface: a bad retrain publish is reverted by
+    * publishing generation N+1 whose pointer references a PREVIOUS
+    * generation's layout. Nothing is rewritten or deleted: the bad
+    * generation stays on disk (time-travelable/auditable until
+    * vacuum), readers swap atomically with the pointer, and a racing
+    * retrain loses the exclusive N+1 claim loudly. Takedowns issued
+    * while the bad generation served carry FORWARD into the restored
+    * layout (trimmed to ids it actually stores), so a GDPR delete
+    * survives the rollback; a vacuumed target refuses loudly (the
+    * client error, not a half-missing serve). Returns
+    * (newGen, servedLayoutPath). */
+  private[graft] def ivfRollback(s: SparkSession, root: String,
+      toGen: Int): (Int, String) = {
+    val hist = ivfHistory(root)
+    val (curGen, curPath, _) = hist.lastOption.getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    if (toGen == curGen) throw new IllegalArgumentException(
+      s"generation $toGen is already current under $root")
+    val (_, tPath, tK) = hist.find(_._1 == toGen).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot roll back $root to generation $toGen: no such " +
+          "published generation (vacuumed?)"))
+    if (!new java.io.File(tPath).exists())
+      throw new IllegalArgumentException(
+        s"cannot roll back $root to generation $toGen: its layout " +
+          "was vacuumed")
+    // takedowns must survive the rollback — carry BEFORE the pointer
+    // swap so no reader of the new generation ever sees a resurrected
+    // id (carry is idempotent; a crash between carry and publish
+    // leaves only extra tombstones in an unserved layout)
+    carryTombstones(s, curPath, tPath)
+    ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
+    (curGen + 1, tPath)
+  }
 
   /** Every published generation, ascending — the index's DESCRIBE
     * HISTORY. */
@@ -1267,17 +1336,25 @@ object Similarity {
             "in-flight query may still be scanning their layout — wait " +
             "out the retention window or pass force=true")
     }
+    // a ROLLBACK generation references an OLDER generation's layout
+    // by pointer — two generations, one directory. Sweeping the old
+    // pointer must then keep the layout (the kept generation still
+    // serves it); only the pointer file goes.
+    val keptPaths = hist.takeRight(keepGens).map(_._2).toSet
     drop.map { case (g, path, _) =>
-      hist.find(_._1 == g + 1).foreach { case (_, succ, _) =>
-        ivfFoldForward(s, path, succ)
-        // a takedown whose only tombstone lives in the doomed layout
-        // (publisher crashed between publish and its gap sweep) must
-        // fold forward too, or destroying the layout silently
-        // resurrects the deleted ids — the one ordering that would
-        // make a GDPR delete reversible
-        carryTombstones(s, path, succ); ()
+      val aliased = keptPaths.contains(path)
+      if (!aliased) {
+        hist.find(_._1 == g + 1).foreach { case (_, succ, _) =>
+          ivfFoldForward(s, path, succ)
+          // a takedown whose only tombstone lives in the doomed layout
+          // (publisher crashed between publish and its gap sweep) must
+          // fold forward too, or destroying the layout silently
+          // resurrects the deleted ids — the one ordering that would
+          // make a GDPR delete reversible
+          carryTombstones(s, path, succ); ()
+        }
+        graft.core.TempDirs.rmTree(new java.io.File(path))
       }
-      graft.core.TempDirs.rmTree(new java.io.File(path))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, s"gen-$g.json"))
       g

@@ -201,19 +201,39 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 case None =>
                   (400, """{"error":"no published generation"}""", reqId)
                 case Some((gen, path, k)) =>
+                  // the drift statistic counts SERVED vectors only;
+                  // the tombstone count is surfaced so an operator
+                  // can see how much purge debt the next retrain pays
                   val b = Similarity.ivfBalance(s, path, k)
+                  val ts = Similarity.ivfTombstones(path).size
                   (200, s"""{"op":"balance","gen":$gen,"k":$k,""" +
                     s""""factor":${b.factor},"maxCid":${b.maxCid},""" +
-                    s""""total":${b.total},"drifted":${b.drifted}}""", reqId)
+                    s""""total":${b.total},"tombstones":$ts,""" +
+                    s""""drifted":${b.drifted}}""", reqId)
               }
             case "retrain" =>
               val iters = q.get("iters").map(_.toInt).getOrElse(4)
               val (gen, path) = Similarity.ivfRetrainPublish(s, root, iters)
               (200, s"""{"op":"retrain","gen":$gen,""" +
                 s""""path":${Domain.jStr(path)}}""", reqId)
+            case "rollback" =>
+              // revert a bad retrain publish: gen N+1 re-serves a
+              // previous generation's layout by pointer — nothing
+              // rewritten, takedowns carried forward, vacuumed
+              // targets refused (the TxnTable-RESTORE analogue)
+              val toGen = q.getOrElse("gen",
+                throw new IllegalArgumentException(
+                  "rollback requires gen=<N>")).toInt
+              val (gen, path) = Similarity.ivfRollback(s, root, toGen)
+              (200, s"""{"op":"rollback","gen":$gen,"serves":$toGen,""" +
+                s""""path":${Domain.jStr(path)}}""", reqId)
             case "history" =>
               val rows = Similarity.ivfHistory(root).map { case (g, p, k) =>
-                s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k}""" }
+                val rb = Similarity.ivfRollbackOf(root, g)
+                  .map(m => s""","rollbackOf":$m""").getOrElse("")
+                val ts = Similarity.ivfTombstones(p).size
+                s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k,""" +
+                  s""""tombstones":$ts$rb}""" }
               (200, rows.mkString("""{"op":"history","generations":[""",
                 ",", "]}"), reqId)
             case "delete" =>
@@ -260,40 +280,15 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   // runs N external queries through ONE routed-scan
                   // job — the ~1.2 s per-request plan/probe setup the
                   // recall probe measured amortizes across the batch
-                  // instead of multiplying by it
+                  // instead of multiplying by it. The anchored scan
+                  // lives in [[JsonBody]] (shared, spec-fuzzed): inner
+                  // arrays are read ONLY from the balanced "vecs"
+                  // value — a sibling key's array after it must not
+                  // become a phantom query vector
                   val body = new String(
                     ex.getRequestBody.readAllBytes(), UTF_8).trim
-                  // inner arrays are read ONLY from the balanced
-                  // "vecs" value — a sibling key's array after it
-                  // must not become a phantom query vector
-                  val batch: Seq[Seq[Float]] = {
-                    // bind to the KEY "vecs": followed by its array —
-                    // the first '[' anywhere after the substring could
-                    // belong to a sibling key (phantom queries) or to
-                    // nothing ("vecs" inside a string value)
-                    val open = """"vecs"\s*:\s*\[""".r
-                      .findFirstMatchIn(body)
-                      .map(_.end - 1).getOrElse(-1)
-                    if (open < 0) Seq.empty
-                    else {
-                      var depth = 0; var i = open; var end = -1
-                      while (end < 0 && i < body.length) {
-                        body.charAt(i) match {
-                          case '[' => depth += 1
-                          case ']' => depth -= 1; if (depth == 0) end = i
-                          case _ =>
-                        }
-                        i += 1
-                      }
-                      if (end < 0) throw new IllegalArgumentException(
-                        "malformed search body: unbalanced \"vecs\" array")
-                      """\[([^\[\]]*)\]""".r
-                        .findAllMatchIn(body.substring(open + 1, end + 1))
-                        .map(_.group(1).split(',').toSeq
-                          .map(_.trim).filter(_.nonEmpty).map(_.toFloat))
-                        .toSeq
-                    }
-                  }
+                  val batch: Seq[Seq[Float]] =
+                    JsonBody.floatArrays(body, "vecs")
                   if (ids.isEmpty && vec.isEmpty && batch.isEmpty)
                     (400, """{"error":"search requires vecId=<id>[,...], vec=<f>[,...], or a JSON body {\"vecs\":[[...],...]}"}""",
                       reqId)

@@ -1,0 +1,77 @@
+package graft.serving
+
+/** Minimal ANCHORED extraction of fields from POST bodies — one
+  * tested implementation of the "bind to the key, scan its balanced
+  * value" discipline, so the next endpoint cannot reintroduce the
+  * pre-anchor bug class the r13 review wave closed (a bare
+  * `indexOf('[')` after a substring match can land on a SIBLING
+  * key's array — phantom values — or on nothing at all when the key
+  * text appears inside a string value). Deliberately NOT a general
+  * JSON parser: exactly the primitives the front door's small
+  * protocol bodies need, loud (IllegalArgumentException → 400) on
+  * malformed input. The full ReportingRequest grammar keeps its own
+  * parser in `analyzer.request`.
+  *
+  * Reference shape: yahoo/maha's service layer binds request JSON
+  * with Jackson; with zero-egress dependencies the equivalent here is
+  * this scoped scanner plus the analyzer's recursive parser. */
+object JsonBody {
+
+  /** The [start, end] indexes of `key`'s balanced ARRAY value in
+    * `body` (both pointing at the brackets), or None when the key is
+    * absent. Bracket characters inside string literals are skipped
+    * (escape-aware), so a payload like `["a[b"]` cannot unbalance the
+    * scan; a genuinely unbalanced array is a loud error. */
+  def arraySpan(body: String, key: String): Option[(Int, Int)] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\[").r
+      .findFirstMatchIn(body).map(_.end - 1).map { o =>
+        var depth = 0; var i = o; var end = -1
+        var inStr = false; var esc = false
+        while (end < 0 && i < body.length) {
+          val c = body.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (end < 0) throw new IllegalArgumentException(
+          s"""malformed body: unbalanced "$key" array""")
+        (o, end)
+      }
+
+  /** `key`'s value as an array of float arrays — the /index batch
+    * search body `{"vecs":[[0.1,0.2],[...]]}`. Empty when the key is
+    * absent; loud on unbalanced arrays or non-numeric components
+    * (NumberFormatException → 400 at the endpoint). Inner arrays are
+    * read ONLY from inside the anchored span, never from siblings. */
+  def floatArrays(body: String, key: String): Seq[Seq[Float]] =
+    arraySpan(body, key) match {
+      case None => Seq.empty
+      case Some((o, e)) =>
+        """\[([^\[\]]*)\]""".r
+          .findAllMatchIn(body.substring(o + 1, e + 1))
+          .map(_.group(1).split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty).map(_.toFloat))
+          .toSeq
+    }
+
+  /** `key`'s array of LONG ids — `{"vecIds":[3,5,8]}`. Empty when
+    * absent; loud on nesting (an ids array has no inner arrays) and
+    * non-numeric entries. */
+  def longArray(body: String, key: String): Seq[Long] =
+    arraySpan(body, key) match {
+      case None => Seq.empty
+      case Some((o, e)) =>
+        val inner = body.substring(o + 1, e)
+        if (inner.contains('[')) throw new IllegalArgumentException(
+          s"""malformed body: "$key" must be a flat array of ids""")
+        inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    }
+}

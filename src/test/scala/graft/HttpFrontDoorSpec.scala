@@ -416,6 +416,41 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(post(port,
         s"/index/docs_ann?op=search&vecId=10&k=2&nprobe=$k", "")
         .statusCode() == 200, "the surviving generation must keep serving")
+      // ROLLBACK over the wire: gen 3 is a bad retrain; a takedown
+      // lands while it serves; rollback publishes gen 4 re-serving
+      // gen 2's layout by pointer — and the takedown survives
+      val rt3 = post(port, "/index/docs_ann?op=retrain&iters=1", "")
+      assert(rt3.statusCode() == 200 && rt3.body().contains("\"gen\":3"),
+        rt3.body())
+      assert(post(port, "/index/docs_ann?op=delete&vecId=10", "")
+        .statusCode() == 200)
+      val rb = post(port, "/index/docs_ann?op=rollback&gen=2", "")
+      assert(rb.statusCode() == 200 && rb.body().contains("\"gen\":4") &&
+        rb.body().contains("\"serves\":2"), rb.body())
+      val h3 = post(port, "/index/docs_ann?op=history", "")
+      assert(h3.body().contains("\"gen\":4") &&
+        h3.body().contains("\"rollbackOf\":2"), h3.body())
+      assert(h3.body().contains("\"tombstones\":1"),
+        s"the carried takedown must be visible in history: ${h3.body()}")
+      // the takedown binds on the rolled-back generation: deleted as
+      // a neighbor AND refused as a query (gone means gone)
+      val sr4 = post(port,
+        s"/index/docs_ann?op=search&vecId=12&k=5&nprobe=$k", "")
+      assert(sr4.statusCode() == 200 && !sr4.body().contains("\"nid\":10"),
+        sr4.body())
+      assert(post(port,
+        s"/index/docs_ann?op=search&vecId=10&k=2&nprobe=$k", "")
+        .statusCode() == 400, "a tombstoned query id must 400")
+      val bal4 = post(port, "/index/docs_ann?op=balance", "")
+      assert(bal4.statusCode() == 200 &&
+        bal4.body().contains("\"tombstones\":1"), bal4.body())
+      // client errors: vacuumed target, already-current target
+      assert(post(port, "/index/docs_ann?op=rollback&gen=1", "")
+        .statusCode() == 400, "a vacuumed rollback target must 400")
+      assert(post(port, "/index/docs_ann?op=rollback&gen=4", "")
+        .statusCode() == 400)
+      assert(post(port, "/index/docs_ann?op=rollback", "")
+        .statusCode() == 400)
     } finally { door.stop(); jobs.shutdown() }
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serving.JsonBody
+
+/** The shared anchored POST-body scanner (`serving/JsonBody`): one
+  * tested implementation of key-anchored balanced-value extraction,
+  * so endpoints cannot reintroduce the pre-anchor bug class (r13:
+  * bare indexOf('[') matching a sibling key's array). Adversarial
+  * bodies from the r13 review wave are pinned here. */
+class JsonBodySpec extends AnyFunSuite {
+
+  test("floatArrays binds to the KEY, never a sibling's array") {
+    // sibling array AFTER vecs must not add phantom queries
+    assert(JsonBody.floatArrays(
+      """{"vecs":[[1,2]],"other":[[9,9],[8,8]]}""", "vecs")
+      == Seq(Seq(1f, 2f)))
+    // sibling array BEFORE vecs must not shadow it
+    assert(JsonBody.floatArrays(
+      """{"other":[[9,9]],"vecs":[[1,2],[3,4]]}""", "vecs")
+      == Seq(Seq(1f, 2f), Seq(3f, 4f)))
+    // the key name inside a STRING VALUE is not a key
+    assert(JsonBody.floatArrays(
+      """{"note":"say vecs here","vecs":[[5,6]]}""", "vecs")
+      == Seq(Seq(5f, 6f)))
+    // absent key = empty, not an error
+    assert(JsonBody.floatArrays("""{"a":1}""", "vecs").isEmpty)
+    assert(JsonBody.floatArrays("", "vecs").isEmpty)
+  }
+
+  test("whitespace, empties and malformed bodies") {
+    assert(JsonBody.floatArrays(
+      "{ \"vecs\" \n :\t [ [1.5 , -2 ] ,\n[3]] }", "vecs")
+      == Seq(Seq(1.5f, -2f), Seq(3f)))
+    assert(JsonBody.floatArrays("""{"vecs":[]}""", "vecs").isEmpty)
+    // unbalanced array is LOUD (a 400, never a silent partial parse)
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[[1,2],[3""", "vecs")
+    }
+    // non-numeric components surface as NumberFormatException (400)
+    intercept[NumberFormatException] {
+      JsonBody.floatArrays("""{"vecs":[[1,"x"]]}""", "vecs")
+    }
+  }
+
+  test("bracket characters inside string values cannot unbalance the scan") {
+    // a string payload containing ']' must not close the array early,
+    // nor '[' open a phantom level; escaped quotes stay inside the
+    // string
+    assert(JsonBody.arraySpan(
+      """{"tags":["a]b","c[d","e\"]f"],"vecs":[[1]]}""", "tags").nonEmpty)
+    assert(JsonBody.floatArrays(
+      """{"tags":["a]b[","\"x"],"vecs":[[7,8]]}""", "vecs")
+      == Seq(Seq(7f, 8f)))
+  }
+
+  test("longArray: flat ids only, loud on nesting") {
+    assert(JsonBody.longArray("""{"vecIds":[3, 5 ,8]}""", "vecIds")
+      == Seq(3L, 5L, 8L))
+    assert(JsonBody.longArray("""{"vecIds":[]}""", "vecIds").isEmpty)
+    assert(JsonBody.longArray("""{"x":[1]}""", "vecIds").isEmpty)
+    intercept[IllegalArgumentException] {
+      JsonBody.longArray("""{"vecIds":[[1],[2]]}""", "vecIds")
+    }
+    intercept[NumberFormatException] {
+      JsonBody.longArray("""{"vecIds":[1,a]}""", "vecIds")
+    }
+  }
+}

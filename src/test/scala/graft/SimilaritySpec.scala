@@ -684,10 +684,14 @@ class SimilaritySpec extends AnyFunSuite {
     val after = servedIds(lay1)
     assert(after.nonEmpty && !after.contains(7L) && !after.contains(55L),
       s"tombstoned ids must never surface as neighbors: $after")
-    // a tombstoned id used AS a query still routes (its row is dead,
-    // not the caller's right to search) — but never matches itself
-    assert(!Similarity.ivfServe(spark, lay1, Seq(7L), k, 100)
-      .collect().map(_.getLong(1)).contains(7L))
+    // a tombstoned id is gone on EVERY path: using it AS a query is
+    // refused loudly (400 over the wire) — the deleted embedding's
+    // neighbor ranking must not stay retrievable until the purge
+    val blockedQ = intercept[IllegalArgumentException] {
+      Similarity.ivfServe(spark, lay1, Seq(7L, 3L), k, 100)
+    }
+    assert(blockedQ.getMessage.contains("takedown") &&
+      blockedQ.getMessage.contains("7"), blockedQ.getMessage)
     // the retrain is the PHYSICAL purge: the fresh layout lacks the
     // bytes, and a delete issued mid-training (the snapshot gap)
     // carries forward as a fresh tombstone
@@ -765,5 +769,122 @@ class SimilaritySpec extends AnyFunSuite {
       assert(Similarity.ivfHistory(root).map(_._1) == (1 to 12),
         "every generation resolved complete")
     } finally { graft.core.AtomicFiles.disableLinksForTest = false }
+  }
+
+  test("drift statistic counts SERVED vectors only: a takedown-heavy " +
+      "list cannot trip the retrain trigger; real drift still does") {
+    import spark.implicits._
+    val k = 8
+    val rnd = new scala.util.Random(17)
+    def vec(c: Int): Seq[Float] = {
+      val a = 2 * math.Pi * c / k
+      Seq((math.cos(a) + rnd.nextDouble() * 0.1 - 0.05).toFloat,
+        (math.sin(a) + rnd.nextDouble() * 0.1 - 0.05).toFloat)
+    }
+    def layout(rows: Seq[(Long, Int)]): String = {
+      val dir = graft.core.TempDirs.scratchShared("tombal")
+      rows.map { case (id, c) =>
+        val e = vec(c)
+        (c + 1, id, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+      }.toDF("cid", "vec_id", "embedding", "nrm")
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(dir)
+      dir
+    }
+    // 8 lists x 5 served vectors each, plus 60 vectors in list 1 that
+    // are ALL tombstoned (a takedown batch awaiting its purge)
+    val even = (0 until 40).map(i => (i.toLong, i % k))
+    val deadRows = (0 until 60).map(i => (1000L + i, 0))
+    val dir = layout(even ++ deadRows)
+    Similarity.ivfTombstone(dir, (0 until 60).map(1000L + _))
+    val b = Similarity.ivfBalance(spark, dir, k)
+    // raw counts would read (5+60)/100*8 = 5.2 (drifted); served
+    // counts read 5/40*8 = 1.0 (balanced)
+    assert(!b.drifted && b.total == 40 && b.factor < 1.5,
+      s"tombstoned vectors must not inflate the drift statistic: $b")
+    // real drift among SERVED vectors still trips with takedowns
+    // present elsewhere: list 4 genuinely owns most live vectors
+    val hot = (0 until 200).map(i => (2000L + i, 3))
+    val dir2 = layout(even ++ deadRows ++ hot)
+    Similarity.ivfTombstone(dir2, (0 until 60).map(1000L + _))
+    val b2 = Similarity.ivfBalance(spark, dir2, k)
+    assert(b2.drifted && b2.maxCid == 4,
+      s"real drift among served vectors must still trip: $b2")
+    // degenerate but defined: every vector tombstoned
+    val dir3 = layout(even)
+    Similarity.ivfTombstone(dir3, even.map(_._1))
+    val b3 = Similarity.ivfBalance(spark, dir3, k)
+    assert(b3.total == 0 && !b3.drifted,
+      s"a fully tombstoned layout is empty, not a crash: $b3")
+  }
+
+  test("generation ROLLBACK: a bad retrain publish reverts by pointer — " +
+      "old top-k bit-identical, takedowns survive, vacuum keeps the " +
+      "aliased layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("rb0")
+    (0 until 60).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("rbroot")
+    Similarity.ivfPublish(root, lay0, k)                       // gen 1
+    def topk(layout: String, qid: Long): Seq[(Long, Long)] =
+      Similarity.ivfServe(spark, layout, Seq(qid), nprobe = k, topK = 5)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val gold = topk(lay0, 3L)
+    val (g2, lay1) = Similarity.ivfRetrainPublish(spark, root, iters = 2)
+    assert(g2 == 2)
+    // a takedown lands while the (bad) gen 2 serves
+    Similarity.ivfDelete(root, Seq(gold.head._1))
+    // ROLLBACK to gen 1: gen 3 re-serves gen 1's layout by pointer
+    val (g3, served) = Similarity.ivfRollback(spark, root, toGen = 1)
+    assert(g3 == 3 && served == lay0)
+    assert(Similarity.ivfCurrent(root).contains((3, lay0, k)))
+    assert(Similarity.ivfRollbackOf(root, 3).contains(1) &&
+      Similarity.ivfRollbackOf(root, 2).isEmpty,
+      "history must label the rollback publish")
+    // the takedown issued under the bad generation SURVIVES: the
+    // rolled-back serve excludes it; every other neighbor and rank
+    // is bit-identical to the pre-retrain gold
+    val after = topk(lay0, 3L)
+    assert(!after.map(_._1).contains(gold.head._1),
+      "the takedown must bind after the rollback")
+    assert(after.map(_._1) == topk(lay0, 3L).map(_._1),
+      "rollback serve must be deterministic")
+    val goldSurvivors = gold.filterNot(_._1 == gold.head._1).map(_._1)
+    assert(after.map(_._1).take(goldSurvivors.size) == goldSurvivors,
+      s"surviving neighbors must rank exactly as before: $gold -> $after")
+    // client errors, loudly: current gen, unknown gen
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRollback(spark, root, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRollback(spark, root, 99)
+    }
+    // VACUUM with the alias: gen 1's layout is served by kept gen 3 —
+    // the sweep may drop pointers (and the bad gen 2's layout) but
+    // must keep the aliased directory
+    val dropped = Similarity.ivfVacuum(spark, root, keepGens = 1,
+      retainMillis = 0L)
+    assert(dropped == Seq(1, 2))
+    assert(new java.io.File(lay0).exists(),
+      "an aliased layout serving a kept generation must survive vacuum")
+    assert(!new java.io.File(lay1).exists(),
+      "the abandoned bad generation's layout is swept")
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(3))
+    assert(topk(lay0, 3L).map(_._1) == after.map(_._1),
+      "serving continues unchanged across the sweep")
+    // a rollback to a vacuumed generation refuses loudly
+    val gone = intercept[IllegalArgumentException] {
+      Similarity.ivfRollback(spark, root, 2)
+    }
+    assert(gone.getMessage.contains("vacuumed") ||
+      gone.getMessage.contains("no such"), gone.getMessage)
   }
 }
