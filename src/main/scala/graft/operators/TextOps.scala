@@ -429,21 +429,8 @@ object TextOps {
     // leaf. The recompute-on-block-loss tradeoff the drilldown cache
     // documents does not apply: at real scale these rounds are
     // durable checkpoint tables, not cache entries.
-    // localCheckpoint persists at the RDD level, which
-    // Dataset.unpersist (CacheManager-routed) cannot release — a
-    // 256-round trainer would pin every superseded round's corpus
-    // blocks until the periodic ContextCleaner GC. Track each
-    // checkpoint's persistent-RDD ids (the loop is sequential, so the
-    // before/after diff is exact) and unpersist them directly once
-    // the round's state is superseded.
-    def checkpointTracked(df0: DataFrame): (DataFrame, Set[Int]) = {
-      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val d2 = df0.localCheckpoint()
-      (d2, s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def releaseRdds(ids: Set[Int]): Unit =
-      ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
-        .foreach(_.unpersist(blocking = false)))
+    def checkpointTracked(df0: DataFrame) = bpeCheckpointTracked(df0)
+    def releaseRdds(ids: Set[Int]): Unit = bpeReleaseRdds(s, ids)
     var (df, dfIds) = checkpointTracked(documents(s, d).select(
       expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
         .as("seq")))
@@ -540,6 +527,146 @@ object TextOps {
 
   private def bpeMergedTok(l: String, r: String): String =
     "<" + l.substring(1, l.length - 1) + r.substring(1, r.length - 1) + ">"
+
+  /** localCheckpoint persists at the RDD level, which
+    * Dataset.unpersist (CacheManager-routed) cannot release — a
+    * 256-round trainer would pin every superseded round's corpus
+    * blocks until the periodic ContextCleaner GC. Identify each
+    * checkpoint's persisted RDD DIRECTLY from the returned plan (the
+    * LogicalRDD leaf localCheckpoint produces wraps exactly the RDD
+    * it persisted): the SparkContext is shared across sessions and
+    * HTTP threads, so a global before/after diff of
+    * getPersistentRDDs would claim anything a CONCURRENT thread
+    * persisted in the window (a second trainer — memoObj does not
+    * lock during computation — or any Dataset.cache), and releasing
+    * a foreign localCheckpoint destroys its only blocks (lineage is
+    * truncated = unrecoverable 'Checkpoint block not found'). An
+    * unexpected plan shape yields the safe failure mode: nothing
+    * tracked, nothing force-released, ContextCleaner GCs it later. */
+  private def bpeCheckpointTracked(df0: DataFrame): (DataFrame, Set[Int]) = {
+    val d2 = df0.localCheckpoint()
+    val ids = d2.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    (d2, ids)
+  }
+
+  private def bpeReleaseRdds(s: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+
+  /** BATCHED-merge BPE trainer — the 32k-vocab regime (verdict r13
+    * #5, the SentencePiece-style batching): per round, apply the
+    * top-m PAIRWISE-COMPATIBLE merges instead of one, cutting the
+    * round count (and its per-round argmax/aggregate/rewrite fixed
+    * cost) by ~m. Compatible = no two selected pairs share a symbol,
+    * and no selected pair names another's merged token — under that
+    * condition the merges commute: one occurrence can never overlap
+    * another's, no merge creates or destroys another's pairs, so the
+    * chained single-pass rewrite equals applying them sequentially
+    * and each recorded count stays exact. Rank order within a batch
+    * preserves the sequential tie-break (cnt desc, l, r); a
+    * conflicting candidate is deferred to a later round, which is
+    * where batched(m>1) may diverge from the sequential trainer —
+    * [[bpeMergesIncremental]] stays the spec-pinned reference, and
+    * batched(m) ≡ sequential whenever each round's top candidates
+    * are symbol-disjoint (spec-pinned on a constructed corpus;
+    * batched(m=1) ≡ sequential unconditionally).
+    *
+    * Output is one row PER MERGE — (l, r, count-at-selection, corpus
+    * pieces after this merge) — so consumers see the same shape as
+    * the sequential trainers. Per-merge piece attribution comes from
+    * each pattern's non-overlapping occurrence count (a length-diff
+    * aggregate over the hit subset, m expressions in ONE job);
+    * Σ occurrences reconciles with the batch's count-delta by
+    * construction. Per round: one vocab-bounded argmax collect, one
+    * hit-subset filter, ONE chained map-only rewrite, one delta
+    * aggregate, one occurrence aggregate — the same O(hit-fraction)
+    * scaling as the incremental trainer, divided by m rounds.
+    * `onRound(round, applied)` is the probe hook. */
+  private[graft] def bpeMergesBatched(s: SparkSession, d: String,
+      k: Int, m: Int, onRound: (Int, Int) => Unit = (_, _) => ())
+      : Seq[(String, String, Long, Long)] = {
+    require(m >= 1, s"batch width must be >= 1, got $m")
+    var (df, dfIds) = bpeCheckpointTracked(documents(s, d).select(
+      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+        .as("seq")))
+    var (counts, countIds) = bpeCheckpointTracked(bpePairCounts(df))
+    val nParts = df.rdd.getNumPartitions
+    var pieces = df.agg(sum(size(split(col("seq"), " "))))
+      .first().getLong(0)
+    val rows = Seq.newBuilder[(String, String, Long, Long)]
+    var produced = 0
+    var round = 0
+    try {
+      while (produced < k) {
+        round += 1
+        val want = math.min(m, k - produced)
+        // a bounded candidate window: conflicts shrink the selected
+        // set below `want` (deferred, not skipped forever — a
+        // deferred pair re-ranks next round with fresh counts)
+        val cand = counts.orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(math.max(want * 4, 16)).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        if (cand.isEmpty) throw new IllegalStateException(
+          s"BPE training exhausted adjacent pairs after $produced " +
+            "merges (every document is a single piece) — lower k")
+        val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.Set[String]()
+        val minted = scala.collection.mutable.Set[String]()
+        for ((l, r, c) <- cand if sel.size < want) {
+          val merged = bpeMergedTok(l, r)
+          // no shared symbol with an already-selected pair, and no
+          // cross-talk through a minted token name (an existing
+          // symbol spelled like another pair's merge result would
+          // let one rewrite create the other's pattern mid-pass)
+          if (!used(l) && !used(r) && !minted(l) && !minted(r) &&
+              !used(merged) && !minted(merged)) {
+            sel += ((l, r, c)); used += l; used += r; minted += merged
+          }
+        }
+        val pats = sel.toSeq.map { case (l, r, _) =>
+          (l + " " + r, bpeMergedTok(l, r)) }
+        val anyHit = pats.map(p => col("seq").contains(p._1))
+          .reduce(_ || _)
+        val hit = df.filter(anyHit).persist()
+        val rep = hit.select(pats.foldLeft(col("seq")) {
+          case (c0, (p, t)) => replace(c0, lit(p), lit(t)) }.as("seq"))
+          .persist()
+        val delta = bpePairCounts(rep)
+          .unionByName(bpePairCounts(hit)
+            .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0).persist()
+        try {
+          // per-merge non-overlapping occurrence counts: each replace
+          // shortens a doc by (pattern − token) length per occurrence
+          val occAggs = pats.zipWithIndex.map { case ((p, t), i) =>
+            coalesce(sum((length(col("seq")) -
+              length(replace(col("seq"), lit(p), lit(t)))) /
+              lit(p.length - t.length)), lit(0L)).cast("long").as(s"o$i") }
+          val occRow = hit.agg(occAggs.head, occAggs.tail: _*).first()
+          val occs = pats.indices.map(occRow.getLong)
+          val (nextCounts, ncIds) = bpeCheckpointTracked(
+            counts.unionByName(delta)
+              .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+              .filter(col("cnt") > 0))
+          val (next, nextIds) = bpeCheckpointTracked(
+            df.filter(!anyHit).unionByName(rep).coalesce(nParts))
+          bpeReleaseRdds(s, dfIds); bpeReleaseRdds(s, countIds)
+          df = next; dfIds = nextIds
+          counts = nextCounts; countIds = ncIds
+          sel.toSeq.zip(occs).foreach { case ((l, r, c), o) =>
+            pieces -= o
+            rows += ((l, r, c, pieces))
+          }
+          produced += sel.size
+          onRound(round, sel.size)
+        } finally { hit.unpersist(); rep.unpersist(); delta.unpersist(); () }
+      }
+    } finally { bpeReleaseRdds(s, dfIds); bpeReleaseRdds(s, countIds) }
+    rows.result()
+  }
 
   /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —
     * the per-round trainer aggregation (map-only pair zip, map-side

@@ -17,16 +17,31 @@ object BpeProbe {
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("BPE_DIR", "/root/testdata/sf0.1")
     val k = args.headOption.map(_.toInt).getOrElse(256)
+    // batch width m > 1 runs the SentencePiece-style batched trainer:
+    // ~k/m rounds, each applying the top-m compatible merges in one
+    // rewrite pass — the 32k-vocab regime
+    val m = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     var last = System.nanoTime()
     val t0 = last
-    val rows = graft.operators.TextOps.bpeMergesIncremental(spark, d, k,
-      onRound = (round, cnt) => {
-        val now = System.nanoTime()
-        println(f"BPE round=$round%4d cnt=$cnt%9d sec=${(now - last) / 1e9}%7.3f")
-        last = now
-      })
-    println(f"BPE total k=$k sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
-      s"finalPieces=${rows.last._4}")
+    val rows =
+      if (m <= 1)
+        graft.operators.TextOps.bpeMergesIncremental(spark, d, k,
+          onRound = (round, cnt) => {
+            val now = System.nanoTime()
+            println(f"BPE round=$round%4d cnt=$cnt%9d sec=${(now - last) / 1e9}%7.3f")
+            last = now
+          })
+      else
+        graft.operators.TextOps.bpeMergesBatched(spark, d, k, m,
+          onRound = (round, applied) => {
+            val now = System.nanoTime()
+            println(f"BPEB round=$round%4d applied=$applied%4d " +
+              f"sec=${(now - last) / 1e9}%7.3f")
+            last = now
+          })
+    println(f"BPE total k=$k m=$m rounds=${if (m <= 1) k else -1} " +
+      f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"merges=${rows.size} finalPieces=${rows.last._4}")
     spark.stop()
   }
 }

@@ -872,4 +872,198 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       assert(post(port, "/index/ann3?op=search", "").statusCode() == 400)
     } finally { door.stop(); jobs.shutdown() }
   }
+
+  test("soak 4 — takedown + restore under fire: deletes, retrains, a " +
+      "rollback, vacuums, checkpoints and a RESTORE race writers/readers; " +
+      "zero 5xx, served top-k always excludes tombstoned ids, CDC " +
+      "followers stay exactly consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.core.TxnTable
+    import graft.operators.Similarity
+    // TABLE under fire: writers + a mid-storm RESTORE + checkpoint
+    // hammering + (guarded) vacuums; INDEX under fire: takedowns +
+    // retrains + one rollback + readers asserting the takedown
+    // invariant on every response.
+    val tdir = graft.core.TempDirs.scratchShared("soak4")
+    TxnTable.init(spark, tdir,
+      (0L until 5000L).toDF("k").withColumn("payload", col("k"))
+        .withColumn("grp", lit("all"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    val k = 8
+    val layout0 = graft.core.TempDirs.scratchShared("soak4ivf")
+    (0L until 400L).map { i =>
+      val e = Seq(math.cos(i * 0.013).toFloat, math.sin(i * 0.013).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$layout0/seg=base")
+    val ivfRoot = graft.core.TempDirs.scratchShared("soak4ivfroot")
+    assert(Similarity.ivfPublish(ivfRoot, layout0, k) == 1)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("soak4jobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainable = Map("soak4" -> tdir),
+      maintainableIndexes = Map("soak4_ann" -> ivfRoot))
+    val port = door.start()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // ids CONFIRMED tombstoned (delete returned 200) — monotonic; a
+    // search STARTED after the confirmation must never serve them
+    val dead = new java.util.concurrent.ConcurrentSkipListSet[Long]()
+    def rec(kind: String, r: java.net.http.HttpResponse[String]): Unit = {
+      statuses.add((kind, r.statusCode(), r.body().take(200))); ()
+    }
+    // table writers: OCC-retried upserts on a fixed key band
+    def writer(seedK: Long): Unit = (1 to 6).foreach { i =>
+      var done = false; var attempts = 0
+      while (!done && attempts < 12) {
+        try {
+          TxnTable.upsert(spark, tdir, "k",
+            Seq((seedK, 1000L * i, "all")).toDF("k", "payload", "grp"),
+            numFiles = 1)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => attempts += 1
+        }
+      }
+      assert(done, s"writer $seedK starved after $attempts OCC rounds")
+    }
+    // checkpoint + guarded-vacuum hammering: checkpoints must be 200
+    // while writers commit; vacuums with live retention must refuse
+    // (409) or abort on a restore race (409) — never 5xx, never a
+    // destroyed manifest the CDC fold below would need
+    def maintainer(): Unit = while (!stop.get()) {
+      rec("ckpt", post(port, "/maintenance/soak4?op=checkpoint", ""))
+      rec("vac", post(port, "/maintenance/soak4?op=vacuum&keepSince=2", ""))
+      rec("hist", post(port, "/maintenance/soak4?op=history", ""))
+      Thread.sleep(50)
+    }
+    // takedowns: confirm-then-record (the reader invariant's clock)
+    def deleter(): Unit = (0 until 12).foreach { i =>
+      val id = 100L + i * 7
+      val r = post(port, s"/index/soak4_ann?op=delete&vecId=$id", "")
+      rec("delete", r)
+      if (r.statusCode() == 200) { dead.add(id); () }
+    }
+    def retrainer(): Unit = (1 to 2).foreach { _ =>
+      rec("retrain", post(port, "/index/soak4_ann?op=retrain&iters=1", ""))
+    }
+    // one rollback lands mid-storm: re-read the pointer per attempt
+    // (racing retrains conflict as 409/400 — acceptable; 5xx is not)
+    def rollbacker(): Unit = {
+      var ok = false; var attempts = 0
+      while (!ok && attempts < 20) {
+        attempts += 1
+        val cur = Similarity.ivfCurrent(ivfRoot).map(_._1).getOrElse(1)
+        if (cur < 2) Thread.sleep(100)
+        else {
+          val r = post(port,
+            s"/index/soak4_ann?op=rollback&gen=${cur - 1}", "")
+          rec("rollback", r)
+          ok = r.statusCode() == 200
+          if (!ok) Thread.sleep(100)
+        }
+      }
+      assert(ok, s"rollback never landed in $attempts attempts")
+    }
+    // readers: every response sub-500, and no response may contain an
+    // id whose takedown was CONFIRMED before the request started
+    def reader(): Unit = while (!stop.get()) {
+      val snapshot = new java.util.HashSet[Long](dead)
+      val r = post(port,
+        s"/index/soak4_ann?op=search&vecId=3,9&k=8&nprobe=$k", "")
+      rec("search", r)
+      if (r.statusCode() == 200) {
+        """"nid":(\d+)""".r.findAllMatchIn(r.body())
+          .map(_.group(1).toLong)
+          .filter(snapshot.contains).foreach { bad =>
+            violations.add(s"served tombstoned id $bad: ${r.body().take(200)}")
+            ()
+          }
+      }
+      // a confirmed-tombstoned QUERY id must never serve a ranking:
+      // 400 while its tombstone is live; after a retrain's physical
+      // purge the id is simply absent (200 with ZERO rows, same as a
+      // never-existed id) — rows for it are the violation
+      if (!snapshot.isEmpty) {
+        val q = snapshot.iterator().next()
+        val rq = post(port,
+          s"/index/soak4_ann?op=search&vecId=$q&k=2&nprobe=2", "")
+        rec("deadquery", rq)
+        val servedRows = rq.statusCode() == 200 &&
+          s""""qid":$q,""".r.findFirstIn(rq.body()).nonEmpty
+        if ((rq.statusCode() != 400 && rq.statusCode() != 200) || servedRows)
+          violations.add(s"tombstoned query $q -> ${rq.statusCode()}: " +
+            rq.body().take(120))
+      }
+      rec("balance", post(port, "/index/soak4_ann?op=balance", ""))
+      rec("ihist", post(port, "/index/soak4_ann?op=history", ""))
+    }
+    val storm = Seq(
+      new Thread(() => writer(1L)), new Thread(() => writer(2L)),
+      new Thread(() => deleter()), new Thread(() => retrainer()),
+      new Thread(() => rollbacker())) ++
+      Seq(new Thread(() => maintainer()), new Thread(() => reader()))
+    try {
+      storm.foreach(_.start())
+      storm.take(5).foreach(_.join(300000))
+      // the RESTORE lands while maintainer + reader still fire
+      val preRestoreV = TxnTable.version(tdir)
+      rec("restore", post(port, "/maintenance/soak4?op=restore&version=2", ""))
+      Thread.sleep(500)
+      stop.set(true)
+      storm.drop(5).foreach(_.join(300000))
+      import scala.jdk.CollectionConverters._
+      val all = statuses.asScala.toSeq
+      val bad5 = all.filter(_._2 >= 500)
+      assert(bad5.isEmpty, s"soak produced 5xx: ${bad5.take(3)}")
+      assert(violations.isEmpty,
+        s"takedown invariant violated: ${violations.asScala.take(3)}")
+      assert(all.count(_._1 == "search") > 0 && dead.size() > 0)
+      assert(all.filter(t => t._1 == "ckpt" && t._2 == 200).nonEmpty,
+        "at least one checkpoint must land under fire")
+      assert(all.filter(t => t._1 == "restore").forall(_._2 == 200))
+      // post-storm: index vacuum past the storm (force) keeps serving
+      // with the rollback alias intact
+      val fv = post(port,
+        "/index/soak4_ann?op=vacuum&keepGens=2&retainMs=0&force=true", "")
+      assert(fv.statusCode() == 200, fv.body())
+      val post1 = post(port,
+        s"/index/soak4_ann?op=search&vecId=3&k=5&nprobe=$k", "")
+      assert(post1.statusCode() == 200, post1.body())
+      assert(""""nid":(\d+)""".r.findAllMatchIn(post1.body())
+        .map(_.group(1).toLong).forall(id => !dead.contains(id)))
+      // CDC follower across the WHOLE history — upserts, checkpoints,
+      // the restore — exactly equals a recompute of the final table
+      // (the restore must read back as ordinary net changes)
+      val keys = Seq("grp"); val sums = Seq("payload")
+      val headV = TxnTable.version(tdir)
+      assert(headV > preRestoreV, "the restore must have committed")
+      val followed = (2 to headV).foldLeft(
+        TxnTable.rollupOf(TxnTable.read(spark, tdir, v = 1), keys, sums)) {
+        (roll, v) => TxnTable.applyCdcDelta(roll,
+          TxnTable.changes(spark, tdir, v - 1, v), keys, sums)
+      }.select(col("grp"), col("n"),
+        col("sum_payload").cast("decimal(30,6)").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).longValueExact())).toSet
+      val truth = TxnTable.rollupOf(TxnTable.read(spark, tdir), keys, sums)
+        .select(col("grp"), col("n"),
+          col("sum_payload").cast("decimal(30,6)").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).longValueExact())).toSet
+      assert(followed == truth,
+        s"CDC follower diverged across the restore: $followed vs $truth")
+      // and the restored head is v2's logical content under every
+      // later writer's upserts... which the rollup equality already
+      // proves; spot-check the surface stayed sane
+      assert(TxnTable.read(spark, tdir).columns.toSeq ==
+        Seq("k", "payload", "grp"))
+    } finally {
+      stop.set(true); door.stop(); jobs.shutdown()
+    }
+  }
 }

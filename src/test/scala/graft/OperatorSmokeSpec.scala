@@ -37,6 +37,55 @@ class OperatorSmokeSpec extends AnyFunSuite {
       s"incremental and reference trainers diverged:\n$inc\nvs\n$ref")
   }
 
+  test("batched BPE: batched(1) ≡ sequential unconditionally; " +
+      "batched(m) ≡ sequential when rounds' top picks are symbol-disjoint") {
+    import spark.implicits._
+    // m=1 degenerates to the sequential argmax — row-for-row equal on
+    // the REAL corpus, counts and piece accounting included
+    val seq5 = graft.operators.TextOps.bpeMergesIncremental(spark, sf, 5)
+    val b1 = graft.operators.TextOps.bpeMergesBatched(spark, sf, 5, 1)
+    assert(b1 == seq5,
+      s"batched(1) must equal the sequential trainer:\n$b1\nvs\n$seq5")
+    // constructed corpus: every document is exactly two tokens, all
+    // pair symbols disjoint, frequencies strictly ordered — a merge
+    // creates no new pairs (the doc becomes one piece) and cannot
+    // change another pair's count, so batched(m) must reproduce the
+    // sequential merge sequence exactly, m merges per round
+    val dir = graft.core.TempDirs.scratchShared("bpebatch")
+    Seq.tabulate(6) { i =>
+      Seq.fill(30 - i * 4)(s"s${i}a s${i}b")
+    }.flatten.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ref = graft.operators.TextOps.bpeMergesIncremental(spark, dir, 6)
+    var rounds = 0
+    val b3 = graft.operators.TextOps.bpeMergesBatched(spark, dir, 6, 3,
+      onRound = (_, _) => rounds += 1)
+    assert(b3 == ref,
+      s"batched(3) must equal sequential on a disjoint corpus:\n$b3\nvs\n$ref")
+    assert(rounds == 2, s"6 merges at m=3 must take 2 rounds, took $rounds")
+  }
+
+  test("BPE checkpoint tracking is plan-derived: a concurrent thread's " +
+      "localCheckpoint survives a training run, and the trainer leaks " +
+      "no persistent RDDs") {
+    // a FOREIGN lineage-truncated checkpoint alive across the run —
+    // the global before/after-diff tracking this pins against would
+    // have force-unpersisted it (its ONLY blocks) and any later use
+    // would die with 'Checkpoint block not found'
+    val foreign = spark.range(0, 1000).toDF("x").localCheckpoint()
+    assert(foreign.count() == 1000)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    graft.operators.TextOps.bpeMergesIncremental(spark, sf, 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"the trainer must release every per-round checkpoint: $leaked")
+    assert(foreign.count() == 1000,
+      "a foreign checkpoint's blocks must survive the training run")
+    foreign.unpersist()
+    ()
+  }
+
   test("tx18 BPE apply: decode == input, pieces conserve vs tx05's token counts") {
     import org.apache.spark.sql.functions._
     val k = 4
