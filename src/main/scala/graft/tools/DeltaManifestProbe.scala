@@ -51,6 +51,35 @@ object DeltaManifestProbe {
         f"fullSnapshotBytes=$snapshotBytes%8d " +
         f"ratio=${snapshotBytes.toDouble / deltaBytes}%6.1fx planJobs=$planJobs")
     }
+    // phase 2 — resolution cost vs VERSION COUNT (the streaming-table
+    // regime: one commit per trigger, hundreds of versions): with the
+    // auto-checkpoint cadence a cold read resolves O(checkpoint +
+    // ≤8-delta tail) regardless of history length; stripping the
+    // checkpoint sidecars forces the full chain walk, the cost curve
+    // the cadence exists to cut
+    for (n <- Seq(32, 128)) {
+      val dir = graft.core.TempDirs.scratchShared(s"dmver$n")
+      graft.core.TxnTable.init(spark, dir,
+        (0L until 1000L).map(k => (k, k)).toDF("k", "v"),
+        numFiles = 1, statsCols = Seq("k"))
+      (1 to n).foreach { i =>
+        graft.core.TxnTable.upsert(spark, dir, "k",
+          Seq((i.toLong % 1000L, -i.toLong)).toDF("k", "v"), numFiles = 1)
+      }
+      def coldResolve(): Double = {
+        graft.core.TxnTable.dropMetaCacheForTest(dir)
+        val t0 = System.nanoTime()
+        graft.core.TxnTable.liveEntries(dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      coldResolve() // warm the JIT, not the caches
+      val withCkpt = (1 to 5).map(_ => coldResolve()).min
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("checkpoint-v")).foreach(_.delete())
+      val bare = (1 to 5).map(_ => coldResolve()).min
+      println(f"DMPROBE versions=$n%4d coldResolveCkpt=$withCkpt%7.4fs " +
+        f"coldResolveChain=$bare%7.4fs ratio=${bare / withCkpt}%5.1fx")
+    }
     spark.stop()
   }
 }
