@@ -1247,10 +1247,21 @@ object Similarity {
       throw new IllegalArgumentException(
         s"cannot roll back $root to generation $toGen: its layout " +
           "was vacuumed")
+    // the rollback reverts the RETRAIN (quantizer + layout), never
+    // the DATA: streamed batches ingested while the bad generation
+    // served exist only in its layout, and st13's exactly-once
+    // contract says no committed vector is ever lost — fold them into
+    // the restored layout NOW (bid-marker idempotent, re-assigned
+    // with the target's pinned quantizer), not at some future vacuum.
+    // Fold BEFORE the tombstone carry: a folded batch may re-introduce
+    // ids the bad generation tombstoned, and the carry is what buries
+    // them again.
+    ivfFoldForward(s, curPath, tPath)
     // takedowns must survive the rollback — carry BEFORE the pointer
     // swap so no reader of the new generation ever sees a resurrected
-    // id (carry is idempotent; a crash between carry and publish
-    // leaves only extra tombstones in an unserved layout)
+    // id (carry is idempotent; a crash between fold/carry and publish
+    // leaves only extra segments/tombstones in an unserved layout —
+    // re-running the rollback completes it)
     carryTombstones(s, curPath, tPath)
     ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
     (curGen + 1, tPath)

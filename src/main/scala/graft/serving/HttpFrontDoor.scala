@@ -239,12 +239,17 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
             case "delete" =>
               // GDPR takedown: tombstone the ids in the CURRENT
               // generation — logically deleted from serving at once;
-              // the next retrain is the physical purge
-              val ids = q.getOrElse("vecId",
-                  throw new IllegalArgumentException(
-                    "delete requires vecId=<id>[,...]"))
-                .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-                .map(_.toLong)
+              // the next retrain is the physical purge. A takedown
+              // BATCH too large for a URL rides the POST body as
+              // {"vecIds":[...]} (the shared anchored scanner)
+              val ids = q.get("vecId")
+                .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                  .map(_.toLong))
+                .getOrElse(JsonBody.longArray(new String(
+                  ex.getRequestBody.readAllBytes(), UTF_8), "vecIds"))
+              if (ids.isEmpty) throw new IllegalArgumentException(
+                "delete requires vecId=<id>[,...] or a JSON body " +
+                  """{"vecIds":[...]}""")
               val (gen, n) = Similarity.ivfDelete(root, ids)
               (200, s"""{"op":"delete","gen":$gen,"tombstoned":$n}""",
                 reqId)

@@ -422,8 +422,14 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       val rt3 = post(port, "/index/docs_ann?op=retrain&iters=1", "")
       assert(rt3.statusCode() == 200 && rt3.body().contains("\"gen\":3"),
         rt3.body())
-      assert(post(port, "/index/docs_ann?op=delete&vecId=10", "")
-        .statusCode() == 200)
+      // takedown batch via the JSON body (the over-URL-limit shape)
+      val delB = post(port, "/index/docs_ann?op=delete",
+        """{"vecIds":[10]}""")
+      assert(delB.statusCode() == 200 &&
+        delB.body().contains("\"tombstoned\":1"), delB.body())
+      assert(post(port, "/index/docs_ann?op=delete", "").statusCode() == 400)
+      assert(post(port, "/index/docs_ann?op=delete",
+        """{"vecIds":[[1]]}""").statusCode() == 400)
       val rb = post(port, "/index/docs_ann?op=rollback&gen=2", "")
       assert(rb.statusCode() == 200 && rb.body().contains("\"gen\":4") &&
         rb.body().contains("\"serves\":2"), rb.body())

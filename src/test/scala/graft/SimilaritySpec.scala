@@ -886,5 +886,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(gone.getMessage.contains("vacuumed") ||
       gone.getMessage.contains("no such"), gone.getMessage)
+    // SECOND scenario: the rollback reverts the RETRAIN, never the
+    // DATA — a batch streamed in while the bad generation served must
+    // survive the rollback (folded into the restored layout), and a
+    // takedown of a folded id must still bind
+    val (g4, _) = Similarity.ivfRetrainPublish(spark, root, iters = 1)
+    assert(g4 == 4)
+    Similarity.ivfStreamAppendCurrent(spark, root,
+      (1000 until 1010).map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding"), 7L)
+    Similarity.ivfDelete(root, Seq(1005L))
+    val (g5, served5) = Similarity.ivfRollback(spark, root, toGen = 3)
+    assert(g5 == 5 && served5 == lay0)
+    val ids5 = Similarity.ivfReadLayout(spark, lay0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((1000 until 1010).forall(i => ids5(i.toLong)),
+      "the bad generation's streamed batch must fold into the restored layout")
+    val served5b = Similarity.ivfServe(spark, lay0, Seq(1001L),
+      nprobe = k, topK = 100).collect().map(_.getLong(1)).toSet
+    assert(served5b.nonEmpty)
+    assert(!served5b.contains(1005L) && !served5b.contains(gold.head._1),
+      "takedowns — carried and pre-existing — must bind on the folded layout")
+    // redelivery of the folded bid against the rolled-back generation
+    // is a no-op (the fold carried the applied-bid marker)
+    val nBefore = Similarity.ivfReadLayout(spark, lay0).count()
+    Similarity.ivfStreamAppendCurrent(spark, root,
+      (1000 until 1010).map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding"), 7L)
+    assert(Similarity.ivfReadLayout(spark, lay0).count() == nBefore,
+      "a redelivered bid must be a no-op across the rollback")
   }
 }
