@@ -285,10 +285,21 @@ object TxnTable {
     * — correct, but a per-trigger tax on streaming commits. */
   private val entriesCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Seq[FileEntry]]()
+  // bound by TOTAL CACHED ENTRIES, not version count: at the 10⁵-files
+  // regime one version's live set is already tens of MB, so a
+  // version-count bound alone would let a long history() scan retain
+  // gigabytes. The counter only grows between wholesale clears
+  // (targeted evictions — vacuum, the test seam — leave it high,
+  // which merely clears earlier than strictly needed).
+  private val entriesCached = new java.util.concurrent.atomic.AtomicLong()
   private def cacheEntries(dir: String, v: Int,
       es: Seq[FileEntry]): Seq[FileEntry] = {
-    if (entriesCache.size > 512) entriesCache.clear()
-    entriesCache.put((dir, v), es)
+    if (entriesCache.size > 512 || entriesCached.get() > (1L << 20)) {
+      entriesCache.clear()
+      entriesCached.set(0)
+    }
+    if (entriesCache.put((dir, v), es) == null)
+      entriesCached.addAndGet(es.size.toLong)
     es
   }
 
@@ -1699,10 +1710,18 @@ object TxnTable {
     * file touched) — the audit surface behind `op=history`, the
     * lakehouse DESCRIBE HISTORY analogue. */
   def history(dir: String): Seq[(Int, Int, Long, Option[Long])] =
-    manifests(dir).map { case (v, _) =>
+    historyWithTs(dir).map(t => (t._1, t._2, t._3, t._4))
+
+  /** [[history]] plus each version's commit instant ([[commitTs]] —
+    * recorded ts, mtime for legacy manifests): the audit row
+    * DESCRIBE HISTORY actually shows an operator. */
+  def historyWithTs(dir: String)
+      : Seq[(Int, Int, Long, Option[Long], Long)] =
+    manifests(dir).map { case (v, f) =>
       val es = liveEntries(dir, v)
       (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum,
-        if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum))
+        if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum),
+        commitTs(dir, v, f))
     }
 
   /** RESTORE the table to the state of committed version `toV` — as a
@@ -1800,6 +1819,18 @@ object TxnTable {
         }
         throw e
       }
+      // POST-PUBLISH RE-VERIFY: a vacuum whose drop set was planned
+      // before this commit may have deleted toV's files between the
+      // pre-publish existence check and now (vacuum's own head-advance
+      // recheck narrows that window but cannot close it without a
+      // table-wide lease). The commit cannot be unpublished — surface
+      // the loss LOUDLY with the recovery path instead of letting the
+      // head fail mid-scan later.
+      entries.find(e => !fileOf(dir, e.path).exists()).foreach(e =>
+        throw new IllegalStateException(
+          s"restore of $dir to v$toV committed as v$k but a concurrent " +
+            s"vacuum deleted ${e.path} — the head references missing " +
+            "files; restore again to a surviving version to recover"))
       k
     }
 
@@ -1902,7 +1933,12 @@ object TxnTable {
     // a RESTORE that committed after the listing re-references files
     // this snapshot judged unreferenced — deleting them would gut the
     // freshly restored head. Any head advance past the snapshot
-    // invalidates `referenced`; abort as a conflict and re-run.
+    // invalidates `referenced`; abort as a conflict and re-run. This
+    // NARROWS the race to the instants between this check and the
+    // delete loop — full closure needs a table-wide maintenance lease
+    // (or an object store's conditional delete); restore covers the
+    // residue from its side with a post-publish file re-verify that
+    // surfaces the loss loudly with a recovery path.
     if (version(dir) != headV)
       throw new java.util.ConcurrentModificationException(
         s"vacuum aborted under $dir: the table advanced past " +

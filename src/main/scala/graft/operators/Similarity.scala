@@ -1045,6 +1045,17 @@ object Similarity {
       ids: Seq[Long]): (Int, Int) = {
     val (gen0, path, _) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
+    // the ROOT LEDGER records the takedown FIRST (before any layout
+    // tombstone): per-layout tombstones are TRIMMED as retrains purge
+    // physically, but an older layout may still hold the bytes — a
+    // later ROLLBACK must be able to re-impose every takedown ever
+    // issued, even after its per-layout trail was trimmed or its
+    // layout vacuumed. Append-only, never trimmed, bounded by total
+    // takedown volume (driver metadata, like a deleteKeys audit log).
+    // Ledger-before-tombstone is the safe crash order: a delete that
+    // crashes mid-apply errs toward MORE deletion at rollback, never
+    // resurrection.
+    recordTakedown(root, ids)
     ivfTombstone(path, ids)
     var gen = gen0
     var cur = ivfCurrent(root)
@@ -1060,9 +1071,36 @@ object Similarity {
   /** Append one tombstone file to a layout — write-tmp + atomic move,
     * so readers never parse a torn file; files are append-only and
     * union at read. */
-  private[graft] def ivfTombstone(layout: String, ids: Seq[Long]): Unit = {
+  private[graft] def ivfTombstone(layout: String, ids: Seq[Long]): Unit =
+    writeIdFile(new java.io.File(layout, "_tombstones"), ids)
+
+  /** The union of a layout's tombstoned ids — driver-bounded by the
+    * takedown volume between retrains, like a deleteKeys batch. */
+  private[graft] def ivfTombstones(layout: String): Set[Long] =
+    readIdFiles(new java.io.File(layout, "_tombstones"))
+
+  /** Every id EVER taken down under this index root — the append-only
+    * ledger [[ivfDelete]] writes before touching any layout. Never
+    * trimmed: per-layout tombstones shrink as retrains purge, but a
+    * rollback to an old layout must re-impose takedowns whose
+    * per-layout trail is gone. */
+  private[graft] def takedownLedger(root: String): Set[Long] =
+    readIdFiles(new java.io.File(root, "_takedowns"))
+
+  private def recordTakedown(root: String, ids: Seq[Long]): Unit =
+    writeIdFile(new java.io.File(root, "_takedowns"), ids)
+
+  private def readIdFiles(d: java.io.File): Set[Long] =
+    Option(d.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".txt"))
+      .flatMap(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split('\n').filter(_.nonEmpty).map(_.toLong))
+      .toSet
+
+  private def writeIdFile(d: java.io.File, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "at least one vec_id required")
-    val d = new java.io.File(layout, "_tombstones")
     d.mkdirs()
     val tmp = java.nio.file.Files.createTempFile(d.toPath, ".del", ".tmp")
     java.nio.file.Files.write(tmp,
@@ -1073,24 +1111,13 @@ object Similarity {
     ()
   }
 
-  /** The union of a layout's tombstoned ids — driver-bounded by the
-    * takedown volume between retrains, like a deleteKeys batch. */
-  private[graft] def ivfTombstones(layout: String): Set[Long] =
-    Option(new java.io.File(layout, "_tombstones").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".txt"))
-      .flatMap(f => new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split('\n').filter(_.nonEmpty).map(_.toLong))
-      .toSet
-
   /** Serve-path tombstone read, memoized on the (append-only) FILE
     * LISTING: a search request pays one directory list, not a re-read
     * of every takedown file ever written — per-file round trips on a
     * hot path are the object-store anti-pattern the stats/schema
     * channels exist to kill. A new takedown changes the listing, so
     * the next request re-reads under a fresh key. */
-  private def ivfTombstonesCached(s: SparkSession,
+  private[graft] def ivfTombstonesCached(s: SparkSession,
       layout: String): Set[Long] = {
     val names = Option(
       new java.io.File(layout, "_tombstones").listFiles())
@@ -1129,8 +1156,15 @@ object Similarity {
     * job bounded by the takedown volume. Idempotent and re-runnable
     * (the crash-recovery form the batch fold has). */
   private[graft] def carryTombstones(s: SparkSession, from: String,
+      to: String): Seq[Long] =
+    imposeTombstones(s, ivfTombstones(from), to)
+
+  /** Impose an arbitrary dead-id set on a layout, trimmed to ids it
+    * actually stores and not already tombstoned — the carrier behind
+    * [[carryTombstones]] and the rollback's ledger re-impose. */
+  private def imposeTombstones(s: SparkSession, deadAll: Set[Long],
       to: String): Seq[Long] = {
-    val dead = ivfTombstones(from) -- ivfTombstones(to)
+    val dead = deadAll -- ivfTombstones(to)
     if (dead.isEmpty) return Nil
     val stillThere = tombstoneJoin(s,
         ivfReadLayout(s, to).select("vec_id"), dead, "vec_id",
@@ -1248,21 +1282,51 @@ object Similarity {
         s"cannot roll back $root to generation $toGen: its layout " +
           "was vacuumed")
     // the rollback reverts the RETRAIN (quantizer + layout), never
-    // the DATA: streamed batches ingested while the bad generation
-    // served exist only in its layout, and st13's exactly-once
-    // contract says no committed vector is ever lost — fold them into
-    // the restored layout NOW (bid-marker idempotent, re-assigned
-    // with the target's pinned quantizer), not at some future vacuum.
-    // Fold BEFORE the tombstone carry: a folded batch may re-introduce
-    // ids the bad generation tombstoned, and the carry is what buries
+    // the DATA: streamed batches ingested after toGen exist only in
+    // LATER layouts, and st13's exactly-once contract says no
+    // committed vector is ever lost — fold them into the restored
+    // layout NOW (bid-marker idempotent, re-assigned with the
+    // target's pinned quantizer), from EVERY surviving later layout:
+    // a batch's real segment lives wherever it was first committed,
+    // which after intermediate retrains is not necessarily the
+    // current layout (the current layout may carry only the
+    // marker-ledger entry, its vectors absorbed into a base). Fold
+    // BEFORE the tombstone pass: a folded batch may re-introduce ids
+    // a later generation tombstoned, and the impose is what buries
     // them again.
-    ivfFoldForward(s, curPath, tPath)
-    // takedowns must survive the rollback — carry BEFORE the pointer
-    // swap so no reader of the new generation ever sees a resurrected
-    // id (carry is idempotent; a crash between fold/carry and publish
-    // leaves only extra segments/tombstones in an unserved layout —
-    // re-running the rollback completes it)
-    carryTombstones(s, curPath, tPath)
+    val later = hist.filter(_._1 > toGen)
+    val survivingLater = later.map(_._2).distinct
+      .filter(p => p != tPath && new java.io.File(p).exists())
+    survivingLater.foreach { p => ivfFoldForward(s, p, tPath); () }
+    // UNSOURCEABLE batches refuse the rollback loudly: a bid whose
+    // every surviving record is a marker-only ledger entry (its
+    // vectors were absorbed into an intermediate base and the layout
+    // holding the real segment was vacuumed) cannot be re-expressed
+    // in the restored layout — proceeding would silently drop
+    // committed vectors from serving.
+    val tBids = ivfCommittedSegs(tPath).map(_._1)
+      .filter(_.matches("b\\d+")).toSet
+    val missing = survivingLater.flatMap(p =>
+      ivfCommittedSegs(p).map(_._1).filter(_.matches("b\\d+")))
+      .toSet -- tBids
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"cannot roll back $root to generation $toGen: streamed " +
+        s"batch(es) ${missing.toSeq.sorted.mkString(",")} were absorbed " +
+        "by an intermediate retrain and their original segments were " +
+        "vacuumed — roll back to a newer generation")
+    // takedowns must survive the rollback — and not just the current
+    // layout's (per-layout tombstones are TRIMMED as retrains purge,
+    // so an id deleted two generations ago may have no trail in the
+    // current layout while its bytes still sit in the restored one).
+    // Re-impose the union of the ROOT LEDGER and every surviving
+    // later layout's tombstones, trimmed to ids the target stores —
+    // BEFORE the pointer swap, so no reader of the new generation
+    // ever sees a resurrected id. All idempotent: a crash between
+    // fold/impose and publish leaves only extra segments/tombstones
+    // in an unserved layout; re-running the rollback completes it.
+    val deadAll = takedownLedger(root) ++
+      survivingLater.flatMap(p => ivfTombstones(p))
+    imposeTombstones(s, deadAll, tPath)
     ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
     (curGen + 1, tPath)
   }
@@ -1348,23 +1412,33 @@ object Similarity {
             "out the retention window or pass force=true")
     }
     // a ROLLBACK generation references an OLDER generation's layout
-    // by pointer — two generations, one directory. Sweeping the old
-    // pointer must then keep the layout (the kept generation still
-    // serves it); only the pointer file goes.
+    // by pointer — two generations, one directory. Sweeping must
+    // respect the aliasing both ways: a layout a KEPT generation
+    // still serves survives outright (only its old pointer goes),
+    // and a layout shared by TWO DROPPED generations is destroyed
+    // only at its LAST reference (deleting at the first would make
+    // the later generation's fold read a dead directory). The fold
+    // target is the next generation whose layout still EXISTS — the
+    // immediate successor may be a rollback pointer at an
+    // already-processed (or missing) directory.
     val keptPaths = hist.takeRight(keepGens).map(_._2).toSet
-    drop.map { case (g, path, _) =>
-      val aliased = keptPaths.contains(path)
-      if (!aliased) {
-        hist.find(_._1 == g + 1).foreach { case (_, succ, _) =>
-          ivfFoldForward(s, path, succ)
-          // a takedown whose only tombstone lives in the doomed layout
-          // (publisher crashed between publish and its gap sweep) must
-          // fold forward too, or destroying the layout silently
-          // resurrects the deleted ids — the one ordering that would
-          // make a GDPR delete reversible
-          carryTombstones(s, path, succ); ()
-        }
-        graft.core.TempDirs.rmTree(new java.io.File(path))
+    val lastRef: Map[String, Int] = drop.zipWithIndex
+      .groupBy(_._1._2).map { case (p, xs) => p -> xs.map(_._2).max }
+    drop.zipWithIndex.map { case ((g, path, _), idx) =>
+      if (!keptPaths.contains(path) && new java.io.File(path).exists()) {
+        hist.filter(_._1 > g).map(_._2)
+          .find(p2 => p2 != path && new java.io.File(p2).exists())
+          .foreach { succ =>
+            ivfFoldForward(s, path, succ)
+            // a takedown whose only tombstone lives in the doomed
+            // layout (publisher crashed between publish and its gap
+            // sweep) must fold forward too, or destroying the layout
+            // silently resurrects the deleted ids — the one ordering
+            // that would make a GDPR delete reversible
+            carryTombstones(s, path, succ); ()
+          }
+        if (lastRef(path) == idx)
+          graft.core.TempDirs.rmTree(new java.io.File(path))
       }
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, s"gen-$g.json"))
@@ -1433,17 +1507,38 @@ object Similarity {
     * folded bids. */
   private[graft] def ivfFoldForward(s: SparkSession, from: String,
       to: String): Seq[Long] = {
-    val cents = layoutCentroids(s, to)
-    ivfCommittedSegs(from).map(_._1).filter(_.matches("b\\d+"))
+    val candidates = ivfCommittedSegs(from).map(_._1)
+      .filter(_.matches("b\\d+"))
       .filterNot(b => new java.io.File(to, s"seg=$b/_SUCCESS").exists())
-      .map { b =>
-        val rows = s.read.option("basePath", from)
-          .parquet(s"$from/seg=$b")
-          .select("vec_id", "embedding")
-        val bid = b.stripPrefix("b").toLong
-        ivfStreamAppend(cents, to, rows, bid)
-        bid
-      }
+      // MARKER-ONLY segs (a retrain's applied-bid ledger carry — a
+      // _SUCCESS with no data files, the vectors live in that
+      // layout's seg=base) hold nothing to move; reading one would
+      // crash schema inference. A rollback that NEEDS such a batch's
+      // vectors detects the gap separately ([[ivfRollback]]'s
+      // unsourceable check) instead of silently skipping data.
+      .filter(b => segHasData(from, b))
+    if (candidates.isEmpty) return Nil
+    val cents = layoutCentroids(s, to)
+    candidates.map { b =>
+      val rows = s.read.option("basePath", from)
+        .parquet(s"$from/seg=$b")
+        .select("vec_id", "embedding")
+      val bid = b.stripPrefix("b").toLong
+      ivfStreamAppend(cents, to, rows, bid)
+      bid
+    }
+  }
+
+  /** Whether a committed segment actually carries data files (vs a
+    * marker-only applied-bid ledger entry). Recursive: a real
+    * streamed segment nests its parquet under cid= partition dirs. */
+  private def segHasData(layout: String, seg: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .exists(walk)
+      else f.getName.endsWith(".parquet")
+    walk(new java.io.File(layout, s"seg=$seg"))
   }
 
   /** Int8 scalar-quantized cosine top-k (oracle-checked): the

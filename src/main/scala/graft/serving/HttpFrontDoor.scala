@@ -205,7 +205,10 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   // the tombstone count is surfaced so an operator
                   // can see how much purge debt the next retrain pays
                   val b = Similarity.ivfBalance(s, path, k)
-                  val ts = Similarity.ivfTombstones(path).size
+                  // cached on the append-only file listing — a
+                  // metadata endpoint must not pay one read per
+                  // takedown file per request
+                  val ts = Similarity.ivfTombstonesCached(s, path).size
                   (200, s"""{"op":"balance","gen":$gen,"k":$k,""" +
                     s""""factor":${b.factor},"maxCid":${b.maxCid},""" +
                     s""""total":${b.total},"tombstones":$ts,""" +
@@ -231,7 +234,7 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               val rows = Similarity.ivfHistory(root).map { case (g, p, k) =>
                 val rb = Similarity.ivfRollbackOf(root, g)
                   .map(m => s""","rollbackOf":$m""").getOrElse("")
-                val ts = Similarity.ivfTombstones(p).size
+                val ts = Similarity.ivfTombstonesCached(s, p).size
                 s"""{"gen":$g,"path":${Domain.jStr(p)},"k":$k,""" +
                   s""""tombstones":$ts$rb}""" }
               (200, rows.mkString("""{"op":"history","generations":[""",
@@ -366,15 +369,17 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                   reqId)
               }
             case "history" =>
-              // rows come from the entries history() already parsed —
-              // one manifest pass per version, not two; `kind` labels
-              // metadata epochs (constraints/colmap) vs data commits
-              val rows = TxnTable.history(tdir).map { case (v, n, b, rc) =>
+              // one resolution pass per version (historyWithTs);
+              // `kind` labels metadata epochs vs data commits, `ts`
+              // is the recorded commit instant, `checkpoint` flags
+              // resolution bases
+              val rows = TxnTable.historyWithTs(tdir).map {
+                case (v, n, b, rc, ts) =>
                 val rs = rc.map(r => s""","rows":$r""").getOrElse("")
                 val kind = TxnTable.versionKind(tdir, v)
                 val ck = if (TxnTable.hasCheckpoint(tdir, v))
                   ""","checkpoint":true""" else ""
-                s"""{"version":$v,"kind":"$kind","files":$n,"bytes":$b$rs$ck}""" }
+                s"""{"version":$v,"kind":"$kind","ts":$ts,"files":$n,"bytes":$b$rs$ck}""" }
               (200, rows.mkString("""{"op":"history","versions":[""",
                 ",", "]}"), reqId)
             case "restore" =>

@@ -19,32 +19,69 @@ object JsonBody {
 
   /** The [start, end] indexes of `key`'s balanced ARRAY value in
     * `body` (both pointing at the brackets), or None when the key is
-    * absent. Bracket characters inside string literals are skipped
-    * (escape-aware), so a payload like `["a[b"]` cannot unbalance the
-    * scan; a genuinely unbalanced array is a loud error. */
-  def arraySpan(body: String, key: String): Option[(Int, Int)] =
-    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\[").r
-      .findFirstMatchIn(body).map(_.end - 1).map { o =>
-        var depth = 0; var i = o; var end = -1
-        var inStr = false; var esc = false
-        while (end < 0 && i < body.length) {
-          val c = body.charAt(i)
-          if (inStr) {
-            if (esc) esc = false
-            else if (c == '\\') esc = true
-            else if (c == '"') inStr = false
-          } else c match {
-            case '"' => inStr = true
-            case '[' => depth += 1
-            case ']' => depth -= 1; if (depth == 0) end = i
-            case _ =>
+    * absent. The key must be a TOP-LEVEL member of the body object —
+    * a same-named key inside a nested object or array must not hijack
+    * the span (a takedown body {"meta":{"vecIds":[9]},"vecIds":[1,2]}
+    * must delete 1,2 — never 9). Bracket/brace characters inside
+    * string literals are skipped (escape-aware), so a payload like
+    * `["a[b"]` cannot unbalance the scan; a genuinely unbalanced
+    * array is a loud error. */
+  def arraySpan(body: String, key: String): Option[(Int, Int)] = {
+    val token = "\"" + key + "\""
+    var i = 0
+    var depth = 0 // object/array nesting depth; top-level members sit at 1
+    var inStr = false; var esc = false
+    var strStart = -1
+    var keyAt = -1 // index just past a matched top-level key token
+    while (keyAt < 0 && i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') {
+          inStr = false
+          // a top-level string that spells the key, followed by ':',
+          // is the member we want
+          if (depth == 1 && body.substring(strStart, i + 1) == token) {
+            var j = i + 1
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (j < body.length && body.charAt(j) == ':') keyAt = j + 1
           }
-          i += 1
         }
-        if (end < 0) throw new IllegalArgumentException(
-          s"""malformed body: unbalanced "$key" array""")
-        (o, end)
+      } else c match {
+        case '"' => inStr = true; strStart = i
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ =>
       }
+      i += 1
+    }
+    if (keyAt < 0) return None
+    var o = keyAt
+    while (o < body.length && body.charAt(o).isWhitespace) o += 1
+    if (o >= body.length || body.charAt(o) != '[')
+      throw new IllegalArgumentException(
+        s"""malformed body: "$key" must be an array""")
+    var d2 = 0; var k = o; var end = -1
+    inStr = false; esc = false
+    while (end < 0 && k < body.length) {
+      val c = body.charAt(k)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => d2 += 1
+        case ']' => d2 -= 1; if (d2 == 0) end = k
+        case _ =>
+      }
+      k += 1
+    }
+    if (end < 0) throw new IllegalArgumentException(
+      s"""malformed body: unbalanced "$key" array""")
+    Some((o, end))
+  }
 
   /** `key`'s value as an array of float arrays — the /index batch
     * search body `{"vecs":[[0.1,0.2],[...]]}`. Empty when the key is

@@ -54,6 +54,28 @@ class JsonBodySpec extends AnyFunSuite {
       == Seq(Seq(7f, 8f)))
   }
 
+  test("a same-named key NESTED in another object/array cannot hijack " +
+      "the span — only the top-level member binds") {
+    // the GDPR shape: deleting the wrong ids on a 200 is the worst
+    // possible outcome of a parser bug
+    assert(JsonBody.longArray(
+      """{"meta":{"vecIds":[9]},"vecIds":[1,2]}""", "vecIds")
+      == Seq(1L, 2L))
+    assert(JsonBody.longArray(
+      """{"vecIds":[1,2],"meta":{"vecIds":[9]}}""", "vecIds")
+      == Seq(1L, 2L))
+    // nested-ONLY occurrence = key absent at top level
+    assert(JsonBody.longArray(
+      """{"meta":{"vecIds":[9]}}""", "vecIds").isEmpty)
+    assert(JsonBody.floatArrays(
+      """{"wrap":[{"vecs":[[9,9]]}],"vecs":[[1,2]]}""", "vecs")
+      == Seq(Seq(1f, 2f)))
+    // a non-array top-level value for the key is loud, not a guess
+    intercept[IllegalArgumentException] {
+      JsonBody.longArray("""{"vecIds":"3,5"}""", "vecIds")
+    }
+  }
+
   test("longArray: flat ids only, loud on nesting") {
     assert(JsonBody.longArray("""{"vecIds":[3, 5 ,8]}""", "vecIds")
       == Seq(3L, 5L, 8L))

@@ -916,4 +916,125 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfReadLayout(spark, lay0).count() == nBefore,
       "a redelivered bid must be a no-op across the rollback")
   }
+
+  test("rollback re-imposes a takedown whose per-layout trail was trimmed " +
+      "by an intermediate physical purge (the root ledger)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2468)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("rbledger0")
+    (0 until 50).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("rbledgerroot")
+    Similarity.ivfPublish(root, lay0, k)                       // gen 1
+    val (_, lay1) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 2
+    Similarity.ivfDelete(root, Seq(7L)) // tombstones lay1 + the ledger
+    // the next retrain PURGES 7 physically; carry trims its trail away
+    val (_, lay2) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 3
+    assert(Similarity.ivfTombstones(lay2).isEmpty,
+      "the purge must trim the per-layout trail (the setup premise)")
+    // even erase the INTERMEDIATE layout's trail (simulating its
+    // vacuum): only the root ledger remembers the takedown now
+    graft.core.TempDirs.rmTree(new java.io.File(lay1, "_tombstones"))
+    assert(Similarity.takedownLedger(root) == Set(7L))
+    // rollback to gen 1 — whose layout STILL HOLDS 7's bytes
+    val (g4, served) = Similarity.ivfRollback(spark, root, toGen = 1)
+    assert(g4 == 4 && served == lay0)
+    assert(Similarity.ivfTombstones(lay0).contains(7L),
+      "the ledger must re-impose the takedown on the restored layout")
+    val ids = Similarity.ivfServe(spark, lay0, Seq(3L), nprobe = k,
+      topK = 100).collect().map(_.getLong(1)).toSet
+    assert(!ids.contains(7L),
+      "a physically-present but ledger-dead id must never serve")
+  }
+
+  test("rollback folds a batch from the layout holding its REAL segment " +
+      "(not the current marker-only ledger); an unsourceable batch refuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1357)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val k = 4
+    val lay0 = graft.core.TempDirs.scratchShared("rbfold0")
+    (0 until 40).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay0/seg=base")
+    val root = graft.core.TempDirs.scratchShared("rbfoldroot")
+    Similarity.ivfPublish(root, lay0, k)                       // gen 1
+    val (_, lay1) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 2
+    // b6 ingested under gen 2: its REAL segment lives in lay1 only
+    Similarity.ivfStreamAppendCurrent(spark, root,
+      (500 until 510).map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding"), 6L)
+    // gen 3 absorbs b6 into its base and carries a MARKER-ONLY ledger
+    val (_, lay2) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 3
+    assert(new java.io.File(lay2, "seg=b6/_SUCCESS").exists())
+    // rollback across BOTH retrains: the fold must source b6 from
+    // lay1's real segment; lay2's empty marker must not crash it
+    val (g4, _) = Similarity.ivfRollback(spark, root, toGen = 1)
+    assert(g4 == 4)
+    val ids = Similarity.ivfReadLayout(spark, lay0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((500 until 510).forall(i => ids(i.toLong)),
+      "the batch must fold from where its real segment lives")
+    // UNSOURCEABLE: erase the real segment's layout (simulating its
+    // vacuum) on a fresh chain — the rollback must refuse, not
+    // silently drop committed vectors
+    val (_, lay4) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 5
+    Similarity.ivfStreamAppendCurrent(spark, root,
+      (900 until 905).map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding"), 9L)
+    val (_, _) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 6
+    graft.core.TempDirs.rmTree(new java.io.File(lay4))
+    val refuse = intercept[IllegalArgumentException] {
+      Similarity.ivfRollback(spark, root, toGen = 4)
+    }
+    assert(refuse.getMessage.contains("b9") &&
+      refuse.getMessage.contains("vacuumed"), refuse.getMessage)
+  }
+
+  test("generation vacuum under rollback aliasing: shared layout deleted " +
+      "only at its LAST dropped reference, folds route to the next " +
+      "EXISTING layout, tombstones transit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9753)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val k = 4
+    val p1 = graft.core.TempDirs.scratchShared("vacalias0")
+    (0 until 40).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$p1/seg=base")
+    val root = graft.core.TempDirs.scratchShared("vacaliasroot")
+    Similarity.ivfPublish(root, p1, k)                         // gen 1
+    val (_, p2) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 2
+    val (g3, served3) = Similarity.ivfRollback(spark, root, 1) // 3 -> p1
+    assert(g3 == 3 && served3 == p1)
+    val (_, p4) = Similarity.ivfRetrainPublish(spark, root, iters = 1) // 4
+    // a takedown whose ONLY per-layout trail sits in the doomed p2
+    // (a crashed carry): it must transit p2 -> p1 -> p4 through the
+    // vacuum's fold chain
+    Similarity.ivfTombstone(p2, Seq(11L))
+    val dropped = Similarity.ivfVacuum(spark, root, keepGens = 1,
+      retainMillis = 0L)
+    assert(dropped == Seq(1, 2, 3))
+    assert(!new java.io.File(p1).exists() && !new java.io.File(p2).exists(),
+      "both superseded layouts are eventually destroyed")
+    assert(new java.io.File(p4).exists())
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(4))
+    assert(Similarity.ivfTombstones(p4).contains(11L),
+      "an orphaned takedown must transit the alias chain into the survivor")
+    val ids = Similarity.ivfServe(spark, p4, Seq(3L), nprobe = k,
+      topK = 100).collect().map(_.getLong(1)).toSet
+    assert(ids.nonEmpty && !ids.contains(11L))
+  }
 }
