@@ -1849,17 +1849,31 @@ object TxnTable {
     * manifests) — timestamp time travel (`TIMESTAMP AS OF`). Loud
     * when the timestamp predates the oldest surviving manifest:
     * answering with a LATER state than asked for would be silently
-    * wrong, and the earlier state is vacuumed. */
+    * wrong, and the earlier state is vacuumed.
+    *
+    * BINARY SEARCH over the version list: commit timestamps are
+    * non-decreasing in version order (the OCC publish serializes
+    * commits through one log; each records its instant at render —
+    * the same monotonicity Delta's timestamp resolution leans on), so
+    * the boundary is found in O(log versions) manifest-header reads
+    * instead of one per version — on an object store a 10⁴-commit
+    * streaming history answers in ~14 GETs, not 10⁴. */
   def versionAsOf(dir: String, tsMillis: Long): Int = {
-    val ms = manifests(dir)
+    val ms = manifests(dir).toIndexedSeq
     if (ms.isEmpty) throw new IllegalArgumentException(
       s"no manifest under $dir — not a table")
-    ms.filter { case (v, f) => commitTs(dir, v, f) <= tsMillis }
-      .lastOption.map(_._1)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version of $dir existed at $tsMillis (oldest surviving " +
-          s"manifest v${ms.head._1} committed at " +
-          s"${commitTs(dir, ms.head._1, ms.head._2)})"))
+    def tsAt(i: Int): Long = commitTs(dir, ms(i)._1, ms(i)._2)
+    if (tsAt(0) > tsMillis) throw new IllegalArgumentException(
+      s"no version of $dir existed at $tsMillis (oldest surviving " +
+        s"manifest v${ms.head._1} committed at ${tsAt(0)})")
+    // invariant: ts(lo) <= tsMillis < ts(hi) (hi = ms.length is +inf)
+    var lo = 0
+    var hi = ms.length
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (tsAt(mid) <= tsMillis) lo = mid else hi = mid
+    }
+    ms(lo)._1
   }
 
   /** Snapshot read as of a wall-clock instant. */
