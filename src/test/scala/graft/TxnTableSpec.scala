@@ -1690,6 +1690,95 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, dir).collect().toSet == v1Rows)
   }
 
+  test("randomized histories WITH restore/checkpoint/maintenance over the " +
+      "delta log: every surviving version ≡ its model, cold-cache, and " +
+      "the CDC fold ≡ recompute across restores") {
+    import spark.implicits._
+    // the delta-manifest fuzz: deletes/upserts/mergeFrames interleave
+    // with RESTOREs (model rewinds), explicit checkpoints (resolution
+    // bases mid-chain) and content-neutral maintenance — then every
+    // version is re-resolved from a cold cache and compared to the
+    // model the walk recorded for it
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = graft.core.TempDirs.scratchShared(s"txndfuzz$seed")
+      var model: Map[Long, (String, Long)] = (0L until 200L)
+        .map(k => k -> (s"g${k % 5}", k * 10)).toMap
+      TxnTable.init(spark, dir,
+        model.toSeq.map { case (k, (g, v)) => (k, g, v) }
+          .toDF("k", "g", "v")
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        numFiles = 0, statsCols = Seq("k"))
+      var modelAt: Map[Int, Map[Long, (String, Long)]] = Map(1 -> model)
+      for (_ <- 1 to 8) {
+        rnd.nextInt(6) match {
+          case 0 =>
+            val ks = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong(260L)).distinct
+            TxnTable.deleteKeys(spark, dir, "k", ks)
+            model = model -- ks
+          case 1 =>
+            val rows = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextLong(260L))
+              .distinct.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L)))
+            TxnTable.upsert(spark, dir, "k",
+              rows.toDF("k", "g", "v"), numFiles = 2)
+            model = model ++ rows.map { case (k, g, v) => k -> (g, v) }
+          case 2 =>
+            val ks = Seq.fill(rnd.nextInt(8) + 2)(rnd.nextLong(260L)).distinct
+            val (delK, upK) = ks.splitAt(ks.length / 2)
+            val rows =
+              delK.map(k => (k, "", 0L, "delete")) ++
+                upK.map(k => (k, s"g${rnd.nextInt(7)}", rnd.nextLong(1000L),
+                  "upsert"))
+            TxnTable.mergeFrame(spark, dir, "k",
+              rows.toDF("k", "g", "v", "_op"), numFiles = 2)
+            model = model -- delK ++
+              rows.collect { case (k, g, v, "upsert") => k -> (g, v) }
+          case 3 =>
+            val toV = rnd.nextInt(TxnTable.version(dir)) + 1
+            if (toV < TxnTable.version(dir)) {
+              TxnTable.restore(spark, dir, toV)
+              model = modelAt(toV)
+            }
+          case 4 =>
+            TxnTable.checkpoint(dir,
+              rnd.nextInt(TxnTable.version(dir)) + 1)
+            ()
+          case _ =>
+            if (rnd.nextBoolean()) {
+              TxnTable.compactSmall(spark, dir, minBytes = 1L << 14,
+                numFiles = 1); ()
+            } else {
+              TxnTable.optimizeRange(spark, dir, "k",
+                rnd.nextLong(200L), rnd.nextLong(60L) + 200L); ()
+            }
+        }
+        modelAt += TxnTable.version(dir) -> model
+      }
+      // cold-cache: every version re-resolves through whatever mix of
+      // snapshots, checkpoints and delta tails the walk left behind
+      TxnTable.dropMetaCacheForTest(dir)
+      (1 to TxnTable.version(dir)).foreach { v =>
+        val got = TxnTable.read(spark, dir, v).collect()
+          .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSet
+        assert(got == modelAt(v).toSet, s"seed $seed v$v: snapshot != model")
+      }
+      // the CDC fold spans data commits, maintenance no-ops and
+      // restores alike — exactly equal to a recompute at the head
+      val keys = Seq("g"); val sums = Seq("v")
+      val maintained = (2 to TxnTable.version(dir))
+        .foldLeft(TxnTable.rollupOf(
+          TxnTable.read(spark, dir, v = 1), keys, sums)) { (roll, v) =>
+          TxnTable.applyCdcDelta(roll,
+            TxnTable.changes(spark, dir, v - 1, v), keys, sums)
+        }
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      assert(canon(maintained) ==
+        canon(TxnTable.rollupOf(TxnTable.read(spark, dir), keys, sums)),
+        s"seed $seed: maintained rollup != recompute across restores")
+    }
+  }
+
   test("restore of a legacy zero-file version is a clean commit, not an " +
       "opaque schema-inference crash") {
     import spark.implicits._
