@@ -295,8 +295,12 @@ object TxnTable {
   private def cacheEntries(dir: String, v: Int,
       es: Seq[FileEntry]): Seq[FileEntry] = {
     if (entriesCache.size > 512 || entriesCached.get() > (1L << 20)) {
-      entriesCache.clear()
+      // reset BEFORE clear: a concurrent put landing in between is
+      // then over-counted (clears earlier than needed — harmless);
+      // the reverse order would erase its count while its entries
+      // stay cached, silently re-opening the memory bound
       entriesCached.set(0)
+      entriesCache.clear()
     }
     if (entriesCache.put((dir, v), es) == null)
       entriesCached.addAndGet(es.size.toLong)
@@ -1862,10 +1866,30 @@ object TxnTable {
     val ms = manifests(dir).toIndexedSeq
     if (ms.isEmpty) throw new IllegalArgumentException(
       s"no manifest under $dir — not a table")
-    def tsAt(i: Int): Long = commitTs(dir, ms(i)._1, ms(i)._2)
-    if (tsAt(0) > tsMillis) throw new IllegalArgumentException(
-      s"no version of $dir existed at $tsMillis (oldest surviving " +
-        s"manifest v${ms.head._1} committed at ${tsAt(0)})")
+    val tsMemo = scala.collection.mutable.Map.empty[Int, Long]
+    def tsAt(i: Int): Long =
+      tsMemo.getOrElseUpdate(i, commitTs(dir, ms(i)._1, ms(i)._2))
+    // INVERSION FALLBACK: the search assumes non-decreasing commit
+    // instants; an mtime rewrite of LEGACY manifests (no recorded ts
+    // — exactly the migration scenario the ts channel exists for)
+    // can break that. Every inversion among the O(log n) points the
+    // search actually samples falls back to the exact linear scan —
+    // the old semantics at the old cost, paid only by a provably
+    // pathological table (undetected inversions between unsampled
+    // points resolve per the monotonic interpretation, the same
+    // adjustment Delta applies).
+    def linear(): Int =
+      ms.indices.filter(i => tsAt(i) <= tsMillis).lastOption
+        .map(ms(_)._1)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no version of $dir existed at $tsMillis (oldest surviving " +
+            s"manifest v${ms.head._1} committed at ${tsAt(0)})"))
+    // ts(0) > t means either "before the table existed" (the loud
+    // error) or a HEAD INVERSION (a legacy oldest manifest whose
+    // mtime was rewritten forward) — only a scan can tell them
+    // apart, and both are off the hot path (an early-t query is a
+    // user error; an inverted table is the pathology)
+    if (tsAt(0) > tsMillis) return linear()
     // invariant: ts(lo) <= tsMillis < ts(hi) (hi = ms.length is +inf)
     var lo = 0
     var hi = ms.length
@@ -1873,7 +1897,10 @@ object TxnTable {
       val mid = (lo + hi) >>> 1
       if (tsAt(mid) <= tsMillis) lo = mid else hi = mid
     }
-    ms(lo)._1
+    val sampled = tsMemo.keys.toSeq.sorted
+    val monotone = sampled.zip(sampled.tail)
+      .forall { case (a, b) => tsAt(a) <= tsAt(b) }
+    if (monotone) ms(lo)._1 else linear()
   }
 
   /** Snapshot read as of a wall-clock instant. */

@@ -999,6 +999,25 @@ object Similarity {
       batch: DataFrame, bid: Long): Unit = {
     val (gen0, path, _) = ivfCurrent(root).getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
+    // RETIRED IDS: a vec_id the root ledger records is permanently
+    // retired — re-ingesting it would collide with the rollback
+    // re-impose (the never-trimmed ledger would silently bury the
+    // re-added, live vector on any later rollback). Renewed-consent
+    // re-ingest uses a FRESH id. Checked only for genuinely NEW
+    // batches (a redelivered bid no-ops on its marker before any row
+    // is read) and only when the ledger is non-empty (zero jobs for
+    // the takedown-free table).
+    if (!new java.io.File(path, s"seg=b$bid/_SUCCESS").exists()) {
+      val retired = takedownLedger(root)
+      if (retired.nonEmpty) {
+        val hit = tombstoneJoin(s, batch.select("vec_id"), retired,
+          "vec_id", keep = true).limit(5).collect().map(_.getLong(0))
+        if (hit.nonEmpty) throw new IllegalArgumentException(
+          s"batch b$bid re-ingests permanently retired (taken-down) " +
+            s"vec_id(s) ${hit.sorted.mkString(",")} — a deleted id " +
+            "cannot be reused; re-ingest under fresh ids")
+      }
+    }
     ivfStreamAppend(layoutCentroids(s, path), path, batch, bid)
     // POST-COMMIT POINTER RE-CHECK: a retrain whose snapshot predates
     // this batch may publish its successor while we were writing —
@@ -1297,7 +1316,16 @@ object Similarity {
     val later = hist.filter(_._1 > toGen)
     val survivingLater = later.map(_._2).distinct
       .filter(p => p != tPath && new java.io.File(p).exists())
-    survivingLater.foreach { p => ivfFoldForward(s, p, tPath); () }
+    // the dead set FIRST, imposed BEFORE any fold and FILTERING the
+    // folds themselves: a re-run of a crashed rollback may fold into
+    // a tPath the pointer ALREADY serves, so a taken-down id must
+    // never be written there, not even for the one job between a
+    // fold and a later impose
+    val deadAll = takedownLedger(root) ++
+      survivingLater.flatMap(p => ivfTombstones(p))
+    imposeTombstones(s, deadAll, tPath)
+    survivingLater.foreach { p =>
+      ivfFoldForward(s, p, tPath, exclude = deadAll); () }
     // UNSOURCEABLE batches refuse the rollback loudly: a bid whose
     // every surviving record is a marker-only ledger entry (its
     // vectors were absorbed into an intermediate base and the layout
@@ -1314,19 +1342,16 @@ object Similarity {
         s"batch(es) ${missing.toSeq.sorted.mkString(",")} were absorbed " +
         "by an intermediate retrain and their original segments were " +
         "vacuumed — roll back to a newer generation")
-    // takedowns must survive the rollback — and not just the current
-    // layout's (per-layout tombstones are TRIMMED as retrains purge,
+    // The dead-set union above is the takedown-survival half of the
+    // contract: per-layout tombstones are TRIMMED as retrains purge,
     // so an id deleted two generations ago may have no trail in the
-    // current layout while its bytes still sit in the restored one).
-    // Re-impose the union of the ROOT LEDGER and every surviving
-    // later layout's tombstones, trimmed to ids the target stores —
-    // BEFORE the pointer swap, so no reader of the new generation
-    // ever sees a resurrected id. All idempotent: a crash between
-    // fold/impose and publish leaves only extra segments/tombstones
-    // in an unserved layout; re-running the rollback completes it.
-    val deadAll = takedownLedger(root) ++
-      survivingLater.flatMap(p => ivfTombstones(p))
-    imposeTombstones(s, deadAll, tPath)
+    // current layout while its bytes still sit in the restored one —
+    // the ROOT LEDGER plus every surviving later layout's tombstones
+    // re-impose it, trimmed to ids the target stores, BEFORE the
+    // pointer swap. All idempotent: a crash between fold/impose and
+    // publish leaves only extra segments/tombstones in an unserved
+    // (or already-correct) layout; re-running the rollback completes
+    // it.
     ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
     (curGen + 1, tPath)
   }
@@ -1425,7 +1450,14 @@ object Similarity {
     val lastRef: Map[String, Int] = drop.zipWithIndex
       .groupBy(_._1._2).map { case (p, xs) => p -> xs.map(_._2).max }
     drop.zipWithIndex.map { case ((g, path, _), idx) =>
-      if (!keptPaths.contains(path) && new java.io.File(path).exists()) {
+      // fold + carry + destroy only at the path's LAST dropped
+      // reference: earlier references' folds would be pure wasted
+      // I/O (anything pushed sideways round-trips back before the
+      // final fold), and the transit chain is preserved because any
+      // inbound fold into a path happens at an index before that
+      // path's own lastRef
+      if (!keptPaths.contains(path) && lastRef(path) == idx &&
+          new java.io.File(path).exists()) {
         hist.filter(_._1 > g).map(_._2)
           .find(p2 => p2 != path && new java.io.File(p2).exists())
           .foreach { succ =>
@@ -1437,8 +1469,7 @@ object Similarity {
             // that would make a GDPR delete reversible
             carryTombstones(s, path, succ); ()
           }
-        if (lastRef(path) == idx)
-          graft.core.TempDirs.rmTree(new java.io.File(path))
+        graft.core.TempDirs.rmTree(new java.io.File(path))
       }
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, s"gen-$g.json"))
@@ -1506,7 +1537,7 @@ object Similarity {
     * crash-recovery form of the retrain catch-up sweep. Returns the
     * folded bids. */
   private[graft] def ivfFoldForward(s: SparkSession, from: String,
-      to: String): Seq[Long] = {
+      to: String, exclude: Set[Long] = Set.empty): Seq[Long] = {
     val candidates = ivfCommittedSegs(from).map(_._1)
       .filter(_.matches("b\\d+"))
       .filterNot(b => new java.io.File(to, s"seg=$b/_SUCCESS").exists())
@@ -1520,9 +1551,17 @@ object Similarity {
     if (candidates.isEmpty) return Nil
     val cents = layoutCentroids(s, to)
     candidates.map { b =>
-      val rows = s.read.option("basePath", from)
-        .parquet(s"$from/seg=$b")
-        .select("vec_id", "embedding")
+      // `exclude` (the rollback's dead-id set): a fold may target the
+      // LIVE serving layout (re-running a crashed rollback whose
+      // pointer already aliases the target) — taken-down ids must be
+      // dropped from the rows themselves, never written first and
+      // tombstoned a job later (a takedown must not resurface even
+      // transiently)
+      val rows = dropTombstoned(s,
+        s.read.option("basePath", from)
+          .parquet(s"$from/seg=$b")
+          .select("vec_id", "embedding"),
+        exclude, "vec_id")
       val bid = b.stripPrefix("b").toLong
       ivfStreamAppend(cents, to, rows, bid)
       bid

@@ -900,8 +900,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g5 == 5 && served5 == lay0)
     val ids5 = Similarity.ivfReadLayout(spark, lay0)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert((1000 until 1010).forall(i => ids5(i.toLong)),
+    assert((1000 until 1010).filter(_ != 1005).forall(i => ids5(i.toLong)),
       "the bad generation's streamed batch must fold into the restored layout")
+    assert(!ids5(1005L),
+      "the taken-down id is FILTERED out of the fold itself — its " +
+        "bytes never land in a layout the pointer may already serve")
     val served5b = Similarity.ivfServe(spark, lay0, Seq(1001L),
       nprobe = k, topK = 100).collect().map(_.getLong(1)).toSet
     assert(served5b.nonEmpty)
@@ -951,6 +954,21 @@ class SimilaritySpec extends AnyFunSuite {
       topK = 100).collect().map(_.getLong(1)).toSet
     assert(!ids.contains(7L),
       "a physically-present but ledger-dead id must never serve")
+    // a retired id can never be RE-INGESTED: the never-trimmed ledger
+    // would silently bury the re-added live vector on a later
+    // rollback — reject the batch loudly at ingest instead
+    val reuse = intercept[IllegalArgumentException] {
+      Similarity.ivfStreamAppendCurrent(spark, root,
+        Seq((7L, vec().toSeq), (300L, vec().toSeq))
+          .toDF("vec_id", "embedding"), 42L)
+    }
+    assert(reuse.getMessage.contains("retired") &&
+      reuse.getMessage.contains("7"), reuse.getMessage)
+    // the rejected batch left nothing behind; a clean batch proceeds
+    assert(!new java.io.File(served, "seg=b42/_SUCCESS").exists())
+    Similarity.ivfStreamAppendCurrent(spark, root,
+      Seq((301L, vec().toSeq)).toDF("vec_id", "embedding"), 43L)
+    assert(new java.io.File(served, "seg=b43/_SUCCESS").exists())
   }
 
   test("rollback folds a batch from the layout holding its REAL segment " +

@@ -1656,6 +1656,21 @@ class TxnTableSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("superseded less than"),
       refused.getMessage)
+    // INVERSION FALLBACK: a legacy oldest manifest (no recorded ts)
+    // whose mtime an rsync pushed into the FUTURE breaks the
+    // monotonicity the binary search assumes — the sampled inversion
+    // must fall back to the exact linear answer, not falsely throw
+    // 'no version existed'
+    val m1 = new java.io.File(dir, "manifest-v1.json").toPath
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .split('\n').filterNot(_.trim.startsWith("{\"ts\":")).mkString("\n")
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(m1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 86400000L))
+    TxnTable.dropMetaCacheForTest(dir)
+    assert(TxnTable.versionAsOf(dir, tsAtV2) == 2,
+      "an mtime-inverted legacy head must not shift the asOf answer")
   }
 
   test("vacuum aborts when a concurrent restore re-references files its " +
