@@ -1109,6 +1109,28 @@ object Similarity {
   private def recordTakedown(root: String, ids: Seq[Long]): Unit =
     writeIdFile(new java.io.File(root, "_takedowns"), ids)
 
+  /** Coalesce the ledger's one-file-per-delete accumulation into a
+    * single file — scheduled from [[ivfVacuum]], the retention op.
+    * Safe under a concurrent [[ivfDelete]]: only the files CAPTURED
+    * by the initial listing are replaced (a delete landing mid-
+    * compaction keeps its own file), the combined file is written
+    * before any original is removed (readers between the two steps
+    * see the union plus duplicates — set semantics dedupe), and a
+    * crash mid-removal leaves duplicates, never a lost id. */
+  private[graft] def compactTakedownLedger(root: String): Int = {
+    val d = new java.io.File(root, "_takedowns")
+    val captured = Option(d.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".txt"))
+    if (captured.length <= 1) return 0
+    val ids = captured.flatMap(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map(_.toLong)).toSeq.distinct
+    writeIdFile(d, ids)
+    captured.foreach(f => { f.delete(); () })
+    captured.length
+  }
+
   private def readIdFiles(d: java.io.File): Set[Long] =
     Option(d.listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -1419,6 +1441,10 @@ object Similarity {
       retainMillis: Long = 7L * 24 * 3600 * 1000,
       force: Boolean = false): Seq[Int] = {
     require(keepGens >= 1, "must keep at least the current generation")
+    // the ledger never trims its IDS, but its FILE COUNT is bounded
+    // here: vacuum is the scheduled retention pass, so it also folds
+    // the one-file-per-delete accumulation into a single file
+    compactTakedownLedger(root)
     val hist = ivfHistory(root)
     val drop = hist.dropRight(keepGens)
     if (drop.isEmpty) return Nil

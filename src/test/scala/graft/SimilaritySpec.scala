@@ -969,6 +969,20 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.ivfStreamAppendCurrent(spark, root,
       Seq((301L, vec().toSeq)).toDF("vec_id", "embedding"), 43L)
     assert(new java.io.File(served, "seg=b43/_SUCCESS").exists())
+    // ledger COMPACTION: many one-file deletes coalesce to a single
+    // file with the id set intact (vacuum schedules this; the direct
+    // call is the unit seam)
+    Similarity.ivfDelete(root, Seq(310L))
+    Similarity.ivfDelete(root, Seq(311L, 312L))
+    val before = Similarity.takedownLedger(root)
+    assert(Similarity.compactTakedownLedger(root) >= 3)
+    assert(Similarity.takedownLedger(root) == before,
+      "compaction must preserve the exact ledger id set")
+    assert(Option(new java.io.File(root, "_takedowns").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".txt")) == 1,
+      "compaction must leave one ledger file")
+    assert(Similarity.compactTakedownLedger(root) == 0,
+      "an already-compact ledger is a no-op")
   }
 
   test("rollback folds a batch from the layout holding its REAL segment " +
