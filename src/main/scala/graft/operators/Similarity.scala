@@ -1131,14 +1131,34 @@ object Similarity {
     captured.length
   }
 
-  private def readIdFiles(d: java.io.File): Set[Long] =
-    Option(d.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".txt"))
-      .flatMap(f => new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split('\n').filter(_.nonEmpty).map(_.toLong))
-      .toSet
+  /** Union-read of a directory of id files. A concurrent
+    * [[compactTakedownLedger]] may delete a listed file AFTER this
+    * listing captured it (the compaction writes the combined file
+    * first, so the ids are guaranteed present under a fresh listing)
+    * — retry with a new listing instead of surfacing a spurious
+    * NoSuchFileException 500 to a rollback or ingest guard. Bounded:
+    * each retry needs another racing compaction to have landed
+    * mid-read, and compactions are vacuum-scheduled. */
+  private def readIdFiles(d: java.io.File): Set[Long] = {
+    def once(): Set[Long] =
+      Option(d.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".txt"))
+        .flatMap(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split('\n').filter(_.nonEmpty).map(_.toLong))
+        .toSet
+    var attempts = 0
+    while (true) {
+      try return once()
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 8) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private def writeIdFile(d: java.io.File, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "at least one vec_id required")
@@ -1487,12 +1507,23 @@ object Similarity {
         hist.filter(_._1 > g).map(_._2)
           .find(p2 => p2 != path && new java.io.File(p2).exists())
           .foreach { succ =>
-            ivfFoldForward(s, path, succ)
+            // the doomed layout's dead set FILTERS the folded rows
+            // themselves: the successor is typically the LIVE serving
+            // layout, and an id whose only tombstone lives in the
+            // doomed layout (the crashed-publisher case) must never
+            // have its bytes written there even for the one job
+            // between the fold and the carry below — a takedown must
+            // not resurface, not even transiently (the ivfRollback
+            // discipline)
+            ivfFoldForward(s, path, succ,
+              exclude = ivfTombstones(path) ++ takedownLedger(root))
             // a takedown whose only tombstone lives in the doomed
             // layout (publisher crashed between publish and its gap
             // sweep) must fold forward too, or destroying the layout
             // silently resurrects the deleted ids — the one ordering
-            // that would make a GDPR delete reversible
+            // that would make a GDPR delete reversible. This carries
+            // the tombstone for ids whose bytes ALREADY sit in succ;
+            // the exclude above covers ids the fold would have moved.
             carryTombstones(s, path, succ); ()
           }
         graft.core.TempDirs.rmTree(new java.io.File(path))

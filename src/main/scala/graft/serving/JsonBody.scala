@@ -87,11 +87,37 @@ object JsonBody {
     * search body `{"vecs":[[0.1,0.2],[...]]}`. Empty when the key is
     * absent; loud on unbalanced arrays or non-numeric components
     * (NumberFormatException → 400 at the endpoint). Inner arrays are
-    * read ONLY from inside the anchored span, never from siblings. */
+    * read ONLY from inside the anchored span, never from siblings —
+    * and must be DIRECT children of the span (nesting depth exactly
+    * 2): an over-nested body like {"vecs":[[[1,2]]]} is a loud error,
+    * never silently parsed as one query vector (the longArray
+    * flat-array discipline, mirrored). */
   def floatArrays(body: String, key: String): Seq[Seq[Float]] =
     arraySpan(body, key) match {
       case None => Seq.empty
       case Some((o, e)) =>
+        // depth check over the span (string-aware like arraySpan):
+        // the outer bracket is depth 1, each query vector depth 2 —
+        // any deeper '[' means the caller's shape is wrong
+        var d = 0; var i = o; var inStr = false; var esc = false
+        while (i <= e) {
+          val c = body.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '[' =>
+              d += 1
+              if (d > 2) throw new IllegalArgumentException(
+                s"""malformed body: "$key" must be a flat array of """ +
+                  "number arrays (nesting too deep)")
+            case ']' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
         """\[([^\[\]]*)\]""".r
           .findAllMatchIn(body.substring(o + 1, e + 1))
           .map(_.group(1).split(',').toSeq

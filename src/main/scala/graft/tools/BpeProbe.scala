@@ -23,6 +23,9 @@ object BpeProbe {
     val m = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     var last = System.nanoTime()
     val t0 = last
+    // the batched regime's headline metric is the ROUND REDUCTION
+    // (k merges in ~k/m rounds) — record the actual count
+    var lastRound = 0
     val rows =
       if (m <= 1)
         graft.operators.TextOps.bpeMergesIncremental(spark, d, k,
@@ -30,6 +33,7 @@ object BpeProbe {
             val now = System.nanoTime()
             println(f"BPE round=$round%4d cnt=$cnt%9d sec=${(now - last) / 1e9}%7.3f")
             last = now
+            lastRound = round
           })
       else
         graft.operators.TextOps.bpeMergesBatched(spark, d, k, m,
@@ -38,8 +42,9 @@ object BpeProbe {
             println(f"BPEB round=$round%4d applied=$applied%4d " +
               f"sec=${(now - last) / 1e9}%7.3f")
             last = now
+            lastRound = round
           })
-    println(f"BPE total k=$k m=$m rounds=${if (m <= 1) k else -1} " +
+    println(f"BPE total k=$k m=$m rounds=$lastRound " +
       f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"merges=${rows.size} finalPieces=${rows.last._4}")
     spark.stop()

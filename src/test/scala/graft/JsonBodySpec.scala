@@ -76,6 +76,26 @@ class JsonBodySpec extends AnyFunSuite {
     }
   }
 
+  test("floatArrays: over-nested bodies are LOUD, never silently " +
+      "parsed as one query vector") {
+    // {"vecs":[[[1,2]]]} used to regex-extract the innermost array as
+    // a single query — a malformed client shape must 400 instead
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[[[1,2]]]}""", "vecs")
+    }
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[[1,2],[[3,4]]]}""", "vecs")
+    }
+    // brackets inside STRING values do not count as nesting (the
+    // depth check is string-aware like the span scan)
+    assert(JsonBody.floatArrays(
+      """{"tags":["[["],"vecs":[[1,2]]}""", "vecs")
+      == Seq(Seq(1f, 2f)))
+    // depth exactly 2 stays fine
+    assert(JsonBody.floatArrays("""{"vecs":[[1],[2,3]]}""", "vecs")
+      == Seq(Seq(1f), Seq(2f, 3f)))
+  }
+
   test("longArray: flat ids only, loud on nesting") {
     assert(JsonBody.longArray("""{"vecIds":[3, 5 ,8]}""", "vecIds")
       == Seq(3L, 5L, 8L))

@@ -525,6 +525,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(boom.getMessage.contains("segment-committed"), boom.getMessage)
   }
 
+  test("vacuum's fold-forward never writes a taken-down id's bytes " +
+      "into the successor — not even transiently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def batch(ids: Range) = ids.map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val lay1 = graft.core.TempDirs.scratchShared("vfex1")
+    batch(0 until 40)
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$lay1/seg=base")
+    val root = graft.core.TempDirs.scratchShared("vfexroot")
+    Similarity.ivfPublish(root, lay1, k)
+    // the batch lands in the SNAPSHOT GAP (after the retrain's corpus
+    // read, before its publish) so the catch-up sweep folds it into
+    // gen 2 as a real seg=b0 — the shape whose loss the crashed-
+    // publisher reconstruction below simulates
+    Similarity.onBeforeIvfPublish = () => {
+      Similarity.onBeforeIvfPublish = () => ()
+      Similarity.ivfStreamAppendCurrent(spark, root,
+        batch(40 until 50), bid = 0L)
+    }
+    val (g2, lay2) = try Similarity.ivfRetrainPublish(spark, root, iters = 2)
+      finally Similarity.onBeforeIvfPublish = () => ()
+    assert(g2 == 2)
+    assert(Similarity.ivfReadLayout(spark, lay2).count() == 50)
+    // crashed-publisher reconstruction: gen 2 lost batch b0 (data +
+    // marker), and id 45 — a b0 vector — was taken down with its ONLY
+    // tombstone in the doomed gen-1 layout (the delete landed while
+    // gen 1 still served, and the crash ate the carry)
+    graft.core.TempDirs.rmTree(new java.io.File(lay2, "seg=b0"))
+    Similarity.ivfTombstone(lay1, Seq(45L))
+    assert(Similarity.ivfReadLayout(spark, lay2).count() == 40)
+    // vacuum folds b0 forward before destroying gen 1 — the folded
+    // rows themselves must EXCLUDE the taken-down id: before the fix
+    // its bytes were written into the (live, serving) successor one
+    // job before carryTombstones imposed the marker — a GDPR delete
+    // transiently resurfacing in search results
+    assert(Similarity.ivfVacuum(spark, root, keepGens = 1,
+      retainMillis = 0L) == Seq(1))
+    val after = Similarity.ivfReadLayout(spark, lay2)
+    assert(after.filter(col("vec_id") === 45L).count() == 0,
+      "the taken-down id's bytes must never land in the successor")
+    assert(after.filter(col("vec_id") >= 40L).count() == 9,
+      "every OTHER b0 vector must survive the fold (durability)")
+    assert(after.select("vec_id").distinct().count() == 49)
+  }
+
   test("st13 streamed append is exactly-once under foreachBatch redelivery") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
