@@ -84,7 +84,24 @@ object TxnTable {
 
   private def fileOf(dir: String, name: String) = new java.io.File(dir, name)
 
+  // ---- I/O-shape seams (tools/DeltaManifestProbe counts these): on an
+  // object store a directory LIST is paged (10+ round trips at 10⁴
+  // keys) while an exists() probe / header GET is one — the metadata
+  // read path is designed so the hot paths pay probes, never LISTs,
+  // and the probe rows in SCALE_SLOPE are measured through these.
+  private[graft] val rootLists = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val headProbes = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def resetIoCountersForTest(): Unit = {
+    rootLists.set(0); headProbes.set(0)
+  }
+
+  /** The LIST fallback (and vacuum's ground truth): every committed
+    * manifest under `dir`, ascending. Hot paths resolve the head via
+    * [[headOpt]] instead — a paged LIST per read/OCC attempt is the
+    * read-side twin of the per-commit O(live files) render the delta
+    * manifests killed. */
   private def manifests(dir: String): Seq[(Int, java.io.File)] = {
+    rootLists.incrementAndGet()
     val pat = """manifest-v(\d+)\.json""".r
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(f => f.getName match {
@@ -93,10 +110,80 @@ object TxnTable {
       }).sortBy(_._1)
   }
 
-  /** Latest committed version, or the explicit one. */
+  // ---- HEAD HINT (Delta's `_last_checkpoint` idea, applied to head
+  // resolution): a best-effort advisory file recording the latest
+  // committed version, written after each publish. Readers resolve
+  // the head by reading the hint and exists()-PROBING FORWARD
+  // (manifest-v(h+1), h+2, …) until a miss — O(tail since the hint)
+  // GETs and ZERO directory LISTs. The hint is ADVISORY: OCC's
+  // exclusive-create stays the only source of truth, and any
+  // missing / corrupt / stale hint degrades to the listing (then
+  // self-primes), never to a wrong answer:
+  //  - hint BEHIND the head (a crash between publish and hint-write,
+  //    or a slower writer's hint landing after a faster one's): the
+  //    forward probe walks to the true head — versions are
+  //    CONSECUTIVE (every commit publishes at planned+1; vacuum drops
+  //    only a prefix), so no committed version can hide past a gap;
+  //  - hint below the vacuum horizon or past the head (external
+  //    damage): the existence check on the hinted version itself
+  //    fails → LIST fallback → re-prime.
+  private val headHintName = "_head.json"
+
+  /** Best-effort: never throws (a failed hint write costs the next
+    * reads a forward walk or one LIST, never correctness), last
+    * writer wins (atomic replace — racing commits may land hints out
+    * of order; the forward probe absorbs a stale winner). */
+  private def writeHeadHint(dir: String, v: Int): Unit =
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), "._head", ".tmp")
+      java.nio.file.Files.write(tmp, s"""{"head":$v}""".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, fileOf(dir, headHintName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readHeadHint(dir: String): Option[Int] = {
+    val f = fileOf(dir, headHintName)
+    if (!f.exists()) return None
+    try """"head":(\d+)""".r.findFirstMatchIn(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .map(_.group(1).toInt)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def manifestExists(dir: String, v: Int): Boolean = {
+    headProbes.incrementAndGet()
+    fileOf(dir, s"manifest-v$v.json").exists()
+  }
+
+  /** LIST-free head resolution: hint + forward probe, LIST fallback
+    * (which self-primes the hint so a legacy table pays the listing
+    * once). None = not a table (no manifest at all). */
+  private def headOpt(dir: String): Option[Int] = {
+    val hinted = readHeadHint(dir)
+      .filter(h => h >= 1 && manifestExists(dir, h))
+    val base = hinted.orElse {
+      val listed = manifests(dir).lastOption.map(_._1)
+      listed.foreach(writeHeadHint(dir, _))
+      listed
+    }
+    base.map { b =>
+      var v = b
+      while (manifestExists(dir, v + 1)) v += 1
+      // a hint left far behind (crashed writers' hint-writes are
+      // best-effort) would tax every read with the same forward walk
+      // — refresh it once the walk is long enough to matter
+      if (v - b >= CheckpointInterval) writeHeadHint(dir, v)
+      v
+    }
+  }
+
+  /** Latest committed version — O(1 + tail) existence probes via the
+    * head hint, zero directory LISTs on the steady path. */
   def version(dir: String): Int =
-    manifests(dir).lastOption.map(_._1).getOrElse(
-      sys.error(s"no manifest under $dir"))
+    headOpt(dir).getOrElse(sys.error(s"no manifest under $dir"))
 
   private val entryPat =
     """\{"path":"([^"]+)","bytes":(-?\d+)(?:,"rows":(-?\d+))?,"stats":\{(.*)\}\}""".r
@@ -470,6 +557,11 @@ object TxnTable {
       case _: UnsupportedOperationException =>
         publishWithoutLinks(dir, v, tmp)
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    // the committed version is the new head — record it for LIST-free
+    // resolution. AFTER the publish and best-effort: a crash in
+    // between leaves a hint one behind, which the forward probe heals
+    // at the next read (costs probes, never correctness).
+    writeHeadHint(dir, v)
   }
 
   /** A delta tail longer than this gets a checkpoint: resolution
@@ -489,7 +581,7 @@ object TxnTable {
     val cv = if (v < 0) version(dir) else v
     // a nonexistent target is a CLIENT error (400 over the wire),
     // never the internal manifest-missing failure liveEntries raises
-    if (manifests(dir).forall(_._1 != cv))
+    if (!manifestExists(dir, cv))
       throw new IllegalArgumentException(
         s"cannot checkpoint $dir at v$cv: no such committed version")
     val es = liveEntries(dir, cv)
@@ -815,16 +907,23 @@ object TxnTable {
     val hit = epochCache.get(key)
     if (hit != null) return hit
     val stamp = epochStamp.get()
-    val ms = manifests(dir)
-    val maxCommitted = ms.lastOption.map(_._1).getOrElse(0)
+    val maxCommitted = headOpt(dir).getOrElse(0)
     // ANCHOR CHANNEL: the highest committed manifest <= v names the
     // epoch in force — activation rides the committed manifest, so an
     // orphaned epoch file can never be resolved. An in-flight v
     // (planned + 1, mid-declare) resolves through the latest COMMITTED
     // manifest — the pre-declare answer, by construction. Manifests
     // predating the anchor line fall back to the directory scan.
-    val anchored = ms.filter(_._1 <= v).lastOption
-      .map { case (mv, _) => manifestMeta(dir, mv).epochs }
+    // LIST-FREE: versions are consecutive, so the highest committed
+    // manifest <= v is min(v, head) when it survives — ONE existence
+    // probe; if it was vacuumed, nothing <= v survives (the prefix is
+    // what vacuum drops) and the legacy scan takes over.
+    val anchored = {
+      val mv = math.min(v, maxCommitted)
+      if (mv >= 1 && manifestExists(dir, mv))
+        Some(manifestMeta(dir, mv).epochs)
+      else None
+    }
     val r = anchored match {
       case Some(Some(m)) => m.get(base).map(k => epochFileLines(dir, base, k))
       case _ => legacyEpochAnchorAt(dir, base, v)
@@ -1721,11 +1820,35 @@ object TxnTable {
     * DESCRIBE HISTORY actually shows an operator. */
   def historyWithTs(dir: String)
       : Seq[(Int, Int, Long, Option[Long], Long)] =
-    manifests(dir).map { case (v, f) =>
+    committedRange(dir).map { case (v, f) =>
       val es = liveEntries(dir, v)
       (v, es.size, es.map(e => math.max(e.bytes, 0L)).sum,
         if (es.exists(_.rows < 0)) None else Some(es.map(_.rows).sum),
         commitTs(dir, v, f))
+    }
+
+  /** Every surviving committed version, ascending — resolved WITHOUT
+    * a directory LIST: versions are consecutive from the oldest
+    * survivor to the head ([[headOpt]]'s invariant), so the set is
+    * [oldest, head] with the oldest found by an O(log head) binary
+    * search over existence probes (monotone: present above the
+    * vacuum horizon, absent below). */
+  private def committedRange(dir: String): IndexedSeq[(Int, java.io.File)] =
+    headOpt(dir) match {
+      case None => IndexedSeq.empty
+      case Some(h) =>
+        val lo =
+          if (manifestExists(dir, 1)) 1
+          else {
+            // invariant: exists(hi), !exists(lo)
+            var lo0 = 1; var hi = h
+            while (hi - lo0 > 1) {
+              val mid = (lo0 + hi) >>> 1
+              if (manifestExists(dir, mid)) hi = mid else lo0 = mid
+            }
+            hi
+          }
+        (lo to h).map(v => (v, fileOf(dir, s"manifest-v$v.json")))
     }
 
   /** RESTORE the table to the state of committed version `toV` — as a
@@ -1751,7 +1874,7 @@ object TxnTable {
         s"cannot restore $dir to v$toV (latest is v$planned)")
       // a vacuumed target is a CLIENT error (400 over the wire), not
       // the internal manifest-missing failure liveEntries raises
-      if (manifests(dir).forall(_._1 != toV))
+      if (!manifestExists(dir, toV))
         throw new IllegalArgumentException(
           s"cannot restore $dir to v$toV: its manifest was vacuumed")
       val entries = liveEntries(dir, toV)
@@ -1863,7 +1986,9 @@ object TxnTable {
     * instead of one per version — on an object store a 10⁴-commit
     * streaming history answers in ~14 GETs, not 10⁴. */
   def versionAsOf(dir: String, tsMillis: Long): Int = {
-    val ms = manifests(dir).toIndexedSeq
+    // [oldest, head] via hint + O(log) probes — the binary search
+    // below gets its bounds without a directory LIST
+    val ms = committedRange(dir)
     if (ms.isEmpty) throw new IllegalArgumentException(
       s"no manifest under $dir — not a table")
     val tsMemo = scala.collection.mutable.Map.empty[Int, Long]

@@ -80,6 +80,45 @@ object DeltaManifestProbe {
       println(f"DMPROBE versions=$n%4d coldResolveCkpt=$withCkpt%7.4fs " +
         f"coldResolveChain=$bare%7.4fs ratio=${bare / withCkpt}%5.1fx")
     }
+    // phase 3 — METADATA ROUND TRIPS PER READ vs version count (the
+    // object-store cost model: a directory LIST is paged — ~1 round
+    // trip per 1,000 keys — while an existence probe / header GET is
+    // one; local listFiles is µs, so wall time hides this entirely).
+    // With the head hint a cold read pays ZERO LISTs and O(hint +
+    // tail + checkpoint) GET-class probes, flat in version count;
+    // with the hint stripped every head resolution re-LISTs the root
+    // — linear round trips in versions/page-size on a real store.
+    for (n <- Seq(32, 128, 512)) {
+      val dir = graft.core.TempDirs.scratchShared(s"dmrt$n")
+      graft.core.TxnTable.init(spark, dir,
+        (0L until 1000L).map(k => (k, k)).toDF("k", "v"),
+        numFiles = 1, statsCols = Seq("k"))
+      (1 to n).foreach { i =>
+        graft.core.TxnTable.upsert(spark, dir, "k",
+          Seq((i.toLong % 1000L, -i.toLong)).toDF("k", "v"), numFiles = 1)
+      }
+      def coldReadIo(): (Long, Long) = {
+        graft.core.TxnTable.dropMetaCacheForTest(dir)
+        graft.core.TxnTable.resetIoCountersForTest()
+        graft.core.TxnTable.read(spark, dir)
+          .queryExecution.executedPlan
+        (graft.core.TxnTable.rootLists.get(),
+          graft.core.TxnTable.headProbes.get())
+      }
+      val (hintLists, hintProbes) = coldReadIo()
+      // strip the hint: the pre-r15 shape — every head resolution is
+      // a root LIST (paged at real version counts)
+      val hint = new java.io.File(dir, "_head.json")
+      hint.delete()
+      graft.core.TxnTable.dropMetaCacheForTest(dir)
+      graft.core.TxnTable.resetIoCountersForTest()
+      graft.core.TxnTable.read(spark, dir).queryExecution.executedPlan
+      val bareLists = graft.core.TxnTable.rootLists.get()
+      println(f"DMPROBE versions=$n%4d readLists(hint)=$hintLists " +
+        f"readProbes(hint)=$hintProbes readLists(noHint)=$bareLists " +
+        f"(1 LIST = ~${math.max(1, n / 1000)}+ paged trips at $n " +
+        "versions, 10+ at 10k)")
+    }
     spark.stop()
   }
 }

@@ -1817,4 +1817,73 @@ class TxnTableSpec extends AnyFunSuite {
     assert(v4 == 4 && TxnTable.liveEntries(dir, 4).isEmpty,
       "restoring to the empty version must commit cleanly")
   }
+
+  test("head hint: steady-state reads resolve with ZERO directory " +
+      "LISTs; every stale-hint shape self-heals") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnhint")
+    TxnTable.init(spark, dir,
+      (0L until 100L).toDF("k").withColumn("p", col("k") * 2),
+      numFiles = 2)
+    (1 to 4).foreach { i =>
+      TxnTable.upsert(spark, dir, "k",
+        Seq((i.toLong, 999L)).toDF("k", "p"), numFiles = 1)
+    }
+    val head = TxnTable.version(dir)
+    assert(head == 5)
+    val hint = new java.io.File(dir, "_head.json")
+    assert(hint.exists(), "each publish must prime the head hint")
+    def listsDuring[T](body: => T): (T, Long) = {
+      TxnTable.resetIoCountersForTest()
+      val r = body
+      (r, TxnTable.rootLists.get())
+    }
+    // STEADY STATE: head resolution, reads, history bounds, asOf —
+    // all through hint + existence probes, zero LISTs (on an object
+    // store a LIST is paged: 10+ round trips per read at 10⁴ versions)
+    val (_, l1) = listsDuring {
+      assert(TxnTable.version(dir) == head)
+      assert(TxnTable.read(spark, dir).count() == 100)
+      assert(TxnTable.versionAsOf(dir, System.currentTimeMillis()) == head)
+      TxnTable.historyWithTs(dir)
+    }
+    assert(l1 == 0, s"steady-state reads must not LIST the root ($l1)")
+    // HINT DELETED (crash before any hint ever landed / external
+    // cleanup): one LIST fallback, correct answer, re-primed
+    assert(hint.delete())
+    val (v2, l2) = listsDuring(TxnTable.version(dir))
+    assert(v2 == head && l2 == 1 && hint.exists(),
+      "a missing hint costs one LIST and self-primes")
+    val (_, l3) = listsDuring(TxnTable.version(dir))
+    assert(l3 == 0)
+    // HINT CORRUPT (garbage bytes): fallback, correct, self-heals
+    java.nio.file.Files.write(hint.toPath, "not json".getBytes("UTF-8"))
+    assert(TxnTable.version(dir) == head)
+    // HINT AT A NEVER-COMMITTED VERSION (past the head): the hinted
+    // manifest's own existence probe fails -> fallback, correct
+    java.nio.file.Files.write(hint.toPath,
+      s"""{"head":${head + 7}}""".getBytes("UTF-8"))
+    assert(TxnTable.version(dir) == head)
+    // HINT BEHIND THE HEAD (a crash between publish and hint-write):
+    // the forward probe walks to the true head — probes, zero LISTs,
+    // never a stale answer (the OCC planner must see the real head)
+    java.nio.file.Files.write(hint.toPath,
+      """{"head":1}""".getBytes("UTF-8"))
+    val (v5, l5) = listsDuring(TxnTable.version(dir))
+    assert(v5 == head && l5 == 0,
+      "a stale-behind hint heals via forward probes, not a LIST")
+    assert(TxnTable.read(spark, dir).count() == 100)
+    // HINT BELOW THE VACUUM HORIZON: vacuum drops v1-v2; a hint
+    // pointing at a vacuumed version fails its existence probe ->
+    // fallback, correct
+    TxnTable.vacuum(dir, keepSince = 3, force = true)
+    java.nio.file.Files.write(hint.toPath,
+      """{"head":1}""".getBytes("UTF-8"))
+    assert(TxnTable.version(dir) == head)
+    assert(TxnTable.historyWithTs(dir).map(_._1) == (3 to head),
+      "the surviving range must enumerate without the dropped prefix")
+    // and the whole surface still answers correctly afterwards
+    assert(TxnTable.read(spark, dir).count() == 100)
+    assert(TxnTable.versionAsOf(dir, System.currentTimeMillis()) == head)
+  }
 }
