@@ -1262,7 +1262,13 @@ object Similarity {
       rollbackOf: Option[Int] = None): Unit = {
     new java.io.File(root).mkdirs()
     val rb = rollbackOf.map(g => s""","rollbackOf":$g""").getOrElse("")
-    val body = s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k$rb}"""
+    // the publish INSTANT rides the pointer body (the TxnTable
+    // commit-ts discipline): file mtime is not durable metadata — an
+    // rsync/backup/object-store migration rewrites it, which would
+    // silently shift ivfVacuum's retention verdicts; recorded beats
+    // mtime, mtime stays the legacy fallback
+    val body = (s"""{"gen":$gen,"path":${jq(layoutPath)},"k":$k""" +
+      s""","ts":${System.currentTimeMillis()}$rb}""")
       .getBytes("UTF-8")
     // exclusive tmp+link publish (core.AtomicFiles — the shared
     // put-if-absent discipline): the pointer file appears COMPLETE or
@@ -1293,6 +1299,102 @@ object Similarity {
               "re-read the current pointer and re-publish")
       }
     }
+    // the committed generation is the new head — record it for
+    // LIST-free serve-path resolution (best-effort, after the claim:
+    // a crash in between leaves a hint one behind, healed by the
+    // forward probe)
+    writeIvfHeadHint(root, gen)
+  }
+
+  // ---- LIST-FREE SERVE-PATH RESOLUTION (the table log's head-hint
+  // discipline, applied to the generation pointer): [[ivfCurrent]]
+  // used to LIST the root and read EVERY gen-N.json body per serve
+  // request — O(generations) GETs per search on an object store. Now:
+  //  - published pointer bodies are IMMUTABLE (exclusive create;
+  //    vacuum deletes whole files; only zero-length crash husks are
+  //    ever replaced, and husks are never cached) → parse ONCE per
+  //    file ([[genPtr]]), the ivfTombstonesCached discipline;
+  //  - `_head.json` under the root records the newest generation,
+  //    written best-effort after each publish; the serve path reads
+  //    the hint and probes FORWARD — O(1 + tail) GET-class calls,
+  //    zero LISTs. Advisory: any missing/corrupt/stale hint degrades
+  //    to the listing (then self-primes), never to a wrong answer —
+  //    generations are consecutive (each publish claims current+1
+  //    exclusively; vacuum drops only a prefix), so the forward probe
+  //    cannot miss a committed generation.
+  private final case class GenPtr(path: String, k: Int,
+      ts: Option[Long], rollbackOf: Option[Int])
+
+  private val genPtrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GenPtr]()
+  private[graft] val ivfRootLists =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val ivfPointerReads =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def resetIvfIoCountersForTest(): Unit = {
+    ivfRootLists.set(0); ivfPointerReads.set(0)
+  }
+  private[graft] def dropGenPtrCacheForTest(root: String): Unit = {
+    genPtrCache.keySet.removeIf(_.startsWith(
+      new java.io.File(root).getAbsolutePath)); ()
+  }
+
+  /** Memoized parse of one published pointer file. None = absent, or
+    * a zero-length crash husk (claim created, fill never ran — NOT
+    * published; never cached, it may be healed and re-claimed). Loud
+    * on a non-empty file missing its fields (external damage). */
+  private def genPtr(root: String, gen: Int): Option[GenPtr] = {
+    val f = new java.io.File(root, s"gen-$gen.json")
+    val key = f.getAbsolutePath
+    val hit = genPtrCache.get(key)
+    if (hit != null) return Some(hit)
+    if (!f.exists()) return None
+    ivfPointerReads.incrementAndGet()
+    val body = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    if (body.isEmpty) return None
+    def corrupt(what: String) = throw new IllegalStateException(
+      s"corrupt index generation file ${f.getPath} (missing " +
+        s"$what) — delete or restore it to recover")
+    val path = """"path":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(body)
+      .fold(corrupt("path"))(_.group(1))
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val k = """"k":(\d+)""".r.findFirstMatchIn(body)
+      .fold(corrupt("k"))(_.group(1)).toInt
+    val ts = """"ts":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+    val rb = """"rollbackOf":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt)
+    val p = GenPtr(path, k, ts, rb)
+    if (genPtrCache.size > 10000) genPtrCache.clear()
+    genPtrCache.put(key, p)
+    Some(p)
+  }
+
+  private val ivfHeadHintName = "_head.json"
+
+  /** Best-effort, never throws, last writer wins (the forward probe
+    * absorbs a stale winner). */
+  private def writeIvfHeadHint(root: String, gen: Int): Unit =
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(root), "._head", ".tmp")
+      java.nio.file.Files.write(tmp, s"""{"gen":$gen}""".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(root, ivfHeadHintName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readIvfHeadHint(root: String): Option[Int] = {
+    val f = new java.io.File(root, ivfHeadHintName)
+    if (!f.exists()) return None
+    try """"gen":(\d+)""".r.findFirstMatchIn(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .map(_.group(1).toInt)
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Local publish-collision signal for [[ivfPublishAs]]'s heal loop. */
@@ -1301,19 +1403,43 @@ object Similarity {
   private def jq(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** The live (max-generation) serve pointer: (gen, layout path, k). */
-  private[graft] def ivfCurrent(root: String): Option[(Int, String, Int)] =
-    ivfHistory(root).lastOption
+  /** The live (max-generation) serve pointer: (gen, layout path, k).
+    * HOT PATH (every search/balance/ingest resolves it): hint +
+    * forward probe + memoized pointer parse — O(1) GET-class calls
+    * and ZERO directory LISTs at steady state; falls back to the
+    * listing (and self-primes the hint) when the hint is missing,
+    * corrupt, or points at a vacuumed/husk generation. */
+  private[graft] def ivfCurrent(root: String): Option[(Int, String, Int)] = {
+    val base = readIvfHeadHint(root)
+      .filter(_ >= 1)
+      .flatMap(g => genPtr(root, g).map(_ => g))
+      .orElse {
+        val listed = ivfHistory(root).lastOption.map(_._1)
+        listed.foreach(writeIvfHeadHint(root, _))
+        listed
+      }
+    base.map { b =>
+      var g = b
+      // a zero-length husk at g+1 parses as None and stops the walk —
+      // exactly the not-yet-published semantics the listing had
+      while (genPtr(root, g + 1).isDefined) g += 1
+      val p = genPtr(root, g).get
+      (g, p.path, p.k)
+    }
+  }
 
   /** The generation a published pointer ROLLED BACK to, if it was a
     * rollback publish — the op=history label. */
-  private[graft] def ivfRollbackOf(root: String, gen: Int): Option[Int] = {
-    val f = new java.io.File(root, s"gen-$gen.json")
-    if (!f.exists()) None
-    else """"rollbackOf":(\d+)""".r.findFirstMatchIn(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      .map(_.group(1).toInt)
-  }
+  private[graft] def ivfRollbackOf(root: String, gen: Int): Option[Int] =
+    genPtr(root, gen).flatMap(_.rollbackOf)
+
+  /** The publish instant of generation `gen`: the timestamp RECORDED
+    * in its pointer body; mtime for legacy pointers (predating the ts
+    * field). What [[ivfVacuum]]'s retention guard and op=history key
+    * off — mirroring [[graft.core.TxnTable.commitTs]]. */
+  private[graft] def ivfCommitTs(root: String, gen: Int): Long =
+    genPtr(root, gen).flatMap(_.ts).getOrElse(
+      new java.io.File(root, s"gen-$gen.json").lastModified())
 
   /** ROLLBACK the serve pointer — the TxnTable-RESTORE analogue on
     * the /index surface: a bad retrain publish is reverted by
@@ -1399,37 +1525,21 @@ object Similarity {
   }
 
   /** Every published generation, ascending — the index's DESCRIBE
-    * HISTORY. */
+    * HISTORY. One root LIST (the ops-surface ground truth, like
+    * vacuum's on the table side) with body parses MEMOIZED
+    * ([[genPtr]] — descriptive failure on a corrupt pointer, never a
+    * bare NoSuchElementException; zero-length crash husks read as
+    * not-yet-published). The SERVE path never calls this:
+    * [[ivfCurrent]] resolves LIST-free. */
   private[graft] def ivfHistory(root: String): Seq[(Int, String, Int)] = {
+    ivfRootLists.incrementAndGet()
     val pat = """gen-(\d+)\.json""".r
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        case pat(n) =>
-          // descriptive failure, never a bare NoSuchElementException:
-          // a truncated/corrupt pointer file must surface as a named
-          // operational error (the HTTP layer maps it deliberately),
-          // not wedge /index balance/history/retrain in a 500
-          val body = new String(
-            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          // a ZERO-LENGTH pointer is not corruption — it is a crash
-          // leftover of the pre-lock fallback protocol (claim file
-          // created, fill never ran): treat it as not-yet-published
-          // rather than wedging every /index op until manual deletion
-          if (body.isEmpty) None
-          else {
-            def corrupt(what: String) = throw new IllegalStateException(
-              s"corrupt index generation file ${f.getPath} (missing " +
-                s"$what) — delete or restore it to recover")
-            val path = """"path":"((?:[^"\\]|\\.)*)"""".r
-              .findFirstMatchIn(body)
-              .fold(corrupt("path"))(_.group(1))
-              .replace("\\\"", "\"").replace("\\\\", "\\")
-            val k = """"k":(\d+)""".r.findFirstMatchIn(body)
-              .fold(corrupt("k"))(_.group(1)).toInt
-            Some((n.toInt, path, k))
-          }
+        case pat(n) => Some(n.toInt)
         case _ => None
-      }).sortBy(_._1).toSeq
+      }).sorted.toSeq
+      .flatMap(g => genPtr(root, g).map(p => (g, p.path, p.k)))
   }
 
   /** Sweep superseded index generations — the retention op that
@@ -1470,8 +1580,12 @@ object Similarity {
     if (drop.isEmpty) return Nil
     if (!force) {
       val now = System.currentTimeMillis()
-      def pointerAge(gen: Int): Long = now - java.nio.file.Paths
-        .get(root, s"gen-$gen.json").toFile.lastModified()
+      // supersession instant = the successor's RECORDED publish ts
+      // (mtime for legacy pointers): a reader can pin a generation
+      // only until its successor publishes — and mtime is not durable
+      // (an rsync/migration rewrite must not silently shift retention
+      // verdicts), the TxnTable.commitTs discipline
+      def pointerAge(gen: Int): Long = now - ivfCommitTs(root, gen)
       val young = drop.filter { case (g, _, _) =>
         hist.find(_._1 == g + 1).exists(_ => pointerAge(g + 1) < retainMillis) }
       if (young.nonEmpty)
@@ -1530,6 +1644,12 @@ object Similarity {
       }
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, s"gen-$g.json"))
+      // the dropped pointer must not survive in the parse cache — a
+      // later same-named publish (impossible in this log's monotone
+      // numbering, but cheap to rule out structurally) or a probe of
+      // the swept range must see absence
+      genPtrCache.remove(new java.io.File(root, s"gen-$g.json")
+        .getAbsolutePath)
       g
     }
   }

@@ -460,6 +460,78 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     } finally { door.stop(); jobs.shutdown() }
   }
 
+  test("serve-path generation resolution is LIST-free and GET-bounded; " +
+      "a lost/corrupt head hint self-heals over the wire") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Similarity
+    val k = 4
+    val layout = graft.core.TempDirs.scratchShared("iolayout")
+    (0L until 200L).map { i =>
+      val e = Seq(math.cos(i * 0.02).toFloat, math.sin(i * 0.02).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout)
+    val root = graft.core.TempDirs.scratchShared("ioroot")
+    Similarity.ivfPublish(root, layout, k)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("iojobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainableIndexes = Map("io_ann" -> root))
+    val port = door.start()
+    try {
+      def search() = post(port,
+        s"/index/io_ann?op=search&vecId=10&k=2&nprobe=$k", "")
+      assert(search().statusCode() == 200) // warm pointer + plan caches
+      // STEADY STATE: every request resolves the serving generation
+      // through hint + memoized pointer parse — zero root LISTs, zero
+      // pointer-body GETs (on an object store each of those is one
+      // round trip PER GENERATION per request without the hint)
+      Similarity.resetIvfIoCountersForTest()
+      (1 to 3).foreach(_ => assert(search().statusCode() == 200))
+      assert(Similarity.ivfRootLists.get() == 0,
+        s"serve path must not LIST the index root " +
+          s"(${Similarity.ivfRootLists.get()})")
+      assert(Similarity.ivfPointerReads.get() == 0,
+        s"serve path must not re-read pointer bodies " +
+          s"(${Similarity.ivfPointerReads.get()})")
+      // a RETRAIN publishes gen 2: the next serve pays exactly one
+      // pointer-body GET (the new generation), still zero LISTs
+      assert(post(port, "/index/io_ann?op=retrain&iters=1", "")
+        .statusCode() == 200)
+      Similarity.resetIvfIoCountersForTest()
+      assert(search().statusCode() == 200)
+      assert(Similarity.ivfRootLists.get() == 0 &&
+        Similarity.ivfPointerReads.get() <= 1,
+        s"post-retrain serve: lists=${Similarity.ivfRootLists.get()} " +
+          s"reads=${Similarity.ivfPointerReads.get()}")
+      // LOST HINT (crash between publish and hint-write, or external
+      // cleanup): one LIST fallback, correct generation, re-primed
+      val hint = new java.io.File(root, "_head.json")
+      assert(hint.delete())
+      val r1 = search()
+      assert(r1.statusCode() == 200 && r1.body().contains("\"gen\":2"),
+        r1.body())
+      assert(hint.exists(), "the LIST fallback must re-prime the hint")
+      Similarity.resetIvfIoCountersForTest()
+      assert(search().statusCode() == 200)
+      assert(Similarity.ivfRootLists.get() == 0)
+      // CORRUPT + STALE-BEHIND hints: correct answer either way (the
+      // stale case walks forward on probes, zero LISTs)
+      java.nio.file.Files.write(hint.toPath, "garbage".getBytes("UTF-8"))
+      assert(search().body().contains("\"gen\":2"))
+      java.nio.file.Files.write(hint.toPath,
+        """{"gen":1}""".getBytes("UTF-8"))
+      Similarity.resetIvfIoCountersForTest()
+      val r2 = search()
+      assert(r2.statusCode() == 200 && r2.body().contains("\"gen\":2"),
+        r2.body())
+      assert(Similarity.ivfRootLists.get() == 0,
+        "a stale-behind hint heals via forward probes, not a LIST")
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("soak: /report traffic races maintenance + merges, snapshot-consistent, zero 500s") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, sum}

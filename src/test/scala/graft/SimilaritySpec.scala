@@ -525,6 +525,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(boom.getMessage.contains("segment-committed"), boom.getMessage)
   }
 
+  test("generation retention keys off the RECORDED publish instant — " +
+      "an mtime rewrite shifts nothing; legacy pointers fall back") {
+    import spark.implicits._
+    def vec(i: Long) = Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)
+    val lay1 = graft.core.TempDirs.scratchShared("tsgen1")
+    (0L until 50L).map(i => (i, vec(i),
+        math.sqrt(vec(i).map(x => x.toDouble * x).sum)))
+      .toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(lay1)
+    val root = graft.core.TempDirs.scratchShared("tsgenroot")
+    Similarity.ivfPublish(root, lay1, 4)
+    val (g2, _) = Similarity.ivfRetrainPublish(spark, root, iters = 1)
+    assert(g2 == 2)
+    val tsBefore = Seq(1, 2).map(g => Similarity.ivfCommitTs(root, g))
+    assert(tsBefore.forall(t =>
+      math.abs(System.currentTimeMillis() - t) < 120000L),
+      s"recorded publish instants must be from this run: $tsBefore")
+    // THE MIGRATION EVENT: an rsync/backup-restore rewrites every
+    // pointer mtime to 1970. Recorded instants must not move — and
+    // the retention guard must still REFUSE to drop the freshly
+    // superseded gen 1 (the mtime-keyed guard would compute a
+    // 50-year age and silently wave the sweep through)
+    Seq(1, 2).foreach(g =>
+      assert(new java.io.File(root, s"gen-$g.json").setLastModified(0L)))
+    Similarity.dropGenPtrCacheForTest(root)
+    assert(Seq(1, 2).map(g => Similarity.ivfCommitTs(root, g)) == tsBefore,
+      "publish instants are durable metadata, not filesystem state")
+    val refused = intercept[java.util.ConcurrentModificationException] {
+      Similarity.ivfVacuum(spark, root, keepGens = 1)
+    }
+    assert(refused.getMessage.contains("superseded less than"),
+      refused.getMessage)
+    // LEGACY pointer (pre-ts body): mtime is the fallback — write one
+    // by hand at the head slot and check the fallback engages
+    val legacy = new java.io.File(root, "gen-3.json")
+    java.nio.file.Files.write(legacy.toPath,
+      s"""{"gen":3,"path":${"\"" + lay1 + "\""},"k":4}""".getBytes("UTF-8"))
+    assert(legacy.setLastModified(1234567890000L))
+    assert(Similarity.ivfCommitTs(root, 3) == 1234567890000L,
+      "a pointer without a recorded ts falls back to mtime")
+  }
+
   test("vacuum's fold-forward never writes a taken-down id's bytes " +
       "into the successor — not even transiently") {
     import spark.implicits._
