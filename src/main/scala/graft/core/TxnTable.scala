@@ -1868,7 +1868,20 @@ object TxnTable {
     * `toV` become unreferenced at head and are vacuum-collected.
     * Returns the new version (labelled 'colmap' in DESCRIBE HISTORY
     * when it buries columns, 'data' otherwise). */
+  /** Fires when the post-publish re-verify finds a vacuumed file —
+    * with the maintenance lease serializing restore against vacuum
+    * this path must be unreachable (soak-asserted); it remains as
+    * defense in depth for the lease-TTL takeover residue. */
+  private[graft] val restoreReVerifyTrips =
+    new java.util.concurrent.atomic.AtomicLong()
+
   def restore(s: SparkSession, dir: String, toV: Int): Int =
+    // the MAINTENANCE LEASE brackets the whole plan-to-publish window:
+    // a vacuum cannot delete this restore's target files mid-flight
+    // (and this restore cannot re-reference files a running vacuum
+    // already judged dead) — the structural closure of the race the
+    // head-advance abort and the post-publish re-verify only narrowed
+    Lease.withLease(dir, "restore") {
     withOcc(dir) { planned =>
       require(toV >= 1 && toV <= planned,
         s"cannot restore $dir to v$toV (latest is v$planned)")
@@ -1953,12 +1966,15 @@ object TxnTable {
       // table-wide lease). The commit cannot be unpublished — surface
       // the loss LOUDLY with the recovery path instead of letting the
       // head fail mid-scan later.
-      entries.find(e => !fileOf(dir, e.path).exists()).foreach(e =>
+      entries.find(e => !fileOf(dir, e.path).exists()).foreach { e =>
+        restoreReVerifyTrips.incrementAndGet()
         throw new IllegalStateException(
           s"restore of $dir to v$toV committed as v$k but a concurrent " +
             s"vacuum deleted ${e.path} — the head references missing " +
-            "files; restore again to a surviving version to recover"))
+            "files; restore again to a surviving version to recover")
+      }
       k
+    }
     }
 
   /** The commit instant of version `v`: the timestamp RECORDED in
@@ -2060,7 +2076,13 @@ object TxnTable {
 
   def vacuum(dir: String, keepSince: Int,
       retainMillis: Long = DefaultVacuumRetainMillis,
-      force: Boolean = false): Unit = {
+      force: Boolean = false): Unit =
+    // MAINTENANCE LEASE: a restore cannot commit (re-referencing files
+    // this sweep judged dead) anywhere inside the listing→delete
+    // window — it refuses with a 409-grade conflict naming this
+    // vacuum. Ordinary commits still race (they never re-reference
+    // old files); the head-advance abort below handles them.
+    Lease.withLease(dir, "vacuum") {
     val ms = manifests(dir)
     val (drop, keep) = ms.partition(_._1 < keepSince)
     require(keep.nonEmpty, s"vacuum would drop every manifest in $dir")
@@ -2136,5 +2158,5 @@ object TxnTable {
     entriesCache.keySet.removeIf(k => k._1 == dir && k._2 < keepSince)
     metaCache.keySet.removeIf(k => k._1 == dir && k._2 < keepSince)
     ()
-  }
+    }
 }

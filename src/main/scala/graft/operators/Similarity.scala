@@ -1454,7 +1454,13 @@ object Similarity {
     * client error, not a half-missing serve). Returns
     * (newGen, servedLayoutPath). */
   private[graft] def ivfRollback(s: SparkSession, root: String,
-      toGen: Int): (Int, String) = {
+      toGen: Int): (Int, String) =
+    // MAINTENANCE LEASE on the index root: a vacuum cannot destroy the
+    // layouts this rollback is folding from (or the target it is about
+    // to re-serve) mid-flight — the index twin of the table's
+    // restore-vs-vacuum closure. Retrains/ingest never take it: the
+    // exclusive generation claim already serializes publishes.
+    graft.core.Lease.withLease(root, "index-rollback") {
     val hist = ivfHistory(root)
     val (curGen, curPath, _) = hist.lastOption.getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
@@ -1522,7 +1528,7 @@ object Similarity {
     // it.
     ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
     (curGen + 1, tPath)
-  }
+    }
 
   /** Every published generation, ascending — the index's DESCRIBE
     * HISTORY. One root LIST (the ops-surface ground truth, like
@@ -1571,6 +1577,7 @@ object Similarity {
       retainMillis: Long = 7L * 24 * 3600 * 1000,
       force: Boolean = false): Seq[Int] = {
     require(keepGens >= 1, "must keep at least the current generation")
+    graft.core.Lease.withLease(root, "index-vacuum") {
     // the ledger never trims its IDS, but its FILE COUNT is bounded
     // here: vacuum is the scheduled retention pass, so it also folds
     // the one-file-per-delete accumulation into a single file
@@ -1651,6 +1658,7 @@ object Similarity {
       genPtrCache.remove(new java.io.File(root, s"gen-$g.json")
         .getAbsolutePath)
       g
+    }
     }
   }
 

@@ -525,6 +525,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(boom.getMessage.contains("segment-committed"), boom.getMessage)
   }
 
+  test("index maintenance lease: rollback and vacuum refuse while a " +
+      "live holder works; a crashed holder's lock is reclaimed") {
+    import spark.implicits._
+    def vec(i: Long) = Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)
+    val lay1 = graft.core.TempDirs.scratchShared("leasegen1")
+    (0L until 50L).map(i => (i, vec(i),
+        math.sqrt(vec(i).map(x => x.toDouble * x).sum)))
+      .toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(lay1)
+    val root = graft.core.TempDirs.scratchShared("leaseroot")
+    Similarity.ivfPublish(root, lay1, 4)
+    Similarity.ivfRetrainPublish(spark, root, iters = 1)
+    val lock = new java.io.File(root, "_maintenance.lock")
+    // a LIVE index-vacuum holds the lease: a rollback inside its
+    // listing→destroy window refuses naming the holder — a vacuum can
+    // no longer destroy the layouts a rollback is folding from
+    java.nio.file.Files.write(lock.toPath,
+      (s"""{"holder":"index-vacuum@pid999","token":"t0",""" +
+        s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+        .getBytes("UTF-8"))
+    val held = intercept[java.util.ConcurrentModificationException] {
+      Similarity.ivfRollback(spark, root, 1)
+    }
+    assert(held.getMessage.contains("index-vacuum@pid999"),
+      held.getMessage)
+    val heldV = intercept[java.util.ConcurrentModificationException] {
+      Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
+    }
+    assert(heldV.getMessage.contains("held by"), heldV.getMessage)
+    // a CRASHED holder (expired ttl) reclaims without intervention
+    java.nio.file.Files.write(lock.toPath,
+      (s"""{"holder":"index-rollback@pid999","token":"t0",""" +
+        s""""ts":${System.currentTimeMillis() - 5000},"ttlMs":1}""")
+        .getBytes("UTF-8"))
+    val (g3, _) = Similarity.ivfRollback(spark, root, 1)
+    assert(g3 == 3)
+    assert(!lock.exists(), "the completed rollback must release the lease")
+  }
+
   test("generation retention keys off the RECORDED publish instant — " +
       "an mtime rewrite shifts nothing; legacy pointers fall back") {
     import spark.implicits._

@@ -1673,8 +1673,8 @@ class TxnTableSpec extends AnyFunSuite {
       "an mtime-inverted legacy head must not shift the asOf answer")
   }
 
-  test("vacuum aborts when a concurrent restore re-references files its " +
-      "snapshot judged dead") {
+  test("the maintenance lease serializes restore against vacuum; the " +
+      "head-advance abort still covers ordinary commits") {
     import spark.implicits._
     val dir = graft.core.TempDirs.scratchShared("txnvacrace")
     TxnTable.init(spark, dir,
@@ -1683,12 +1683,35 @@ class TxnTableSpec extends AnyFunSuite {
       numFiles = 0, statsCols = Seq("k"))                        // v1
     TxnTable.upsert(spark, dir, "k", Seq((1L, -1L)).toDF("k", "v")) // v2
     TxnTable.upsert(spark, dir, "k", Seq((2L, -2L)).toDF("k", "v")) // v3
-    val v1Rows = TxnTable.read(spark, dir, 1).collect().toSet
-    // the race: vacuum plans its drop set (v1's rewritten-away files
-    // are unreferenced in keep={v3}), then a restore commits v4
-    // re-referencing exactly those files before the delete runs
-    TxnTable.onBeforeVacuumDelete =
-      () => { TxnTable.restore(spark, dir, 1); () }
+    // THE r14 RACE, now structurally closed: a restore trying to
+    // commit inside vacuum's listing→delete window (re-referencing
+    // files the sweep judged dead) REFUSES on the lease, naming the
+    // holder — it can no longer slip between the head re-check and
+    // the delete loop
+    var refusal: Option[String] = None
+    TxnTable.onBeforeVacuumDelete = () =>
+      try { TxnTable.restore(spark, dir, 1); () }
+      catch { case e: java.util.ConcurrentModificationException =>
+        refusal = Some(e.getMessage)
+      }
+    try TxnTable.vacuum(dir, keepSince = 3, force = true)
+    finally TxnTable.onBeforeVacuumDelete = () => ()
+    assert(refusal.exists(m => m.contains("held by") &&
+      m.contains("vacuum")),
+      s"the in-window restore must refuse on the lease: $refusal")
+    // the sweep completed: v1 is gone, restoring to it is the clean
+    // client error (never a half-gutted head)
+    assert(TxnTable.version(dir) == 3)
+    intercept[IllegalArgumentException] {
+      TxnTable.restore(spark, dir, 1)
+    }
+    assert(TxnTable.read(spark, dir).count() == 500)
+    // ORDINARY COMMITS don't take the lease (a lease on the write
+    // path would lock every streaming trigger) — the head-advance
+    // abort still protects their fresh files from a stale drop set
+    TxnTable.onBeforeVacuumDelete = () => {
+      TxnTable.upsert(spark, dir, "k", Seq((3L, -3L)).toDF("k", "v")); ()
+    }
     try {
       val aborted = intercept[java.util.ConcurrentModificationException] {
         TxnTable.vacuum(dir, keepSince = 3, force = true)
@@ -1696,13 +1719,52 @@ class TxnTableSpec extends AnyFunSuite {
       assert(aborted.getMessage.contains("advanced past"),
         aborted.getMessage)
     } finally TxnTable.onBeforeVacuumDelete = () => ()
-    // the freshly restored head reads COMPLETELY — no file was gutted
-    assert(TxnTable.version(dir) == 4)
-    assert(TxnTable.read(spark, dir).collect().toSet == v1Rows,
-      "the restored head must survive the aborted vacuum intact")
-    // the re-run (new snapshot) succeeds and keeps the head readable
-    TxnTable.vacuum(dir, keepSince = 4, force = true)
-    assert(TxnTable.read(spark, dir).collect().toSet == v1Rows)
+    assert(TxnTable.read(spark, dir).count() == 500,
+      "the aborted sweep must leave the racing commit intact")
+  }
+
+  test("lease expiry: a crashed holder's lock is taken over; a live " +
+      "holder refuses loudly; release is token-checked") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnlease")
+    TxnTable.init(spark, dir, (0L until 10L).toDF("k"), numFiles = 1)
+    TxnTable.upsert(spark, dir, "k", Seq(Tuple1(1L)).toDF("k"))
+    val lock = new java.io.File(dir, "_maintenance.lock")
+    // a LIVE holder (fresh ts, generous ttl) blocks maintenance with
+    // a conflict NAMING it — the operator's retry signal
+    java.nio.file.Files.write(lock.toPath,
+      (s"""{"holder":"vacuum@pid999","token":"t0",""" +
+        s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+        .getBytes("UTF-8"))
+    val held = intercept[java.util.ConcurrentModificationException] {
+      TxnTable.vacuum(dir, keepSince = 2, force = true)
+    }
+    assert(held.getMessage.contains("vacuum@pid999"), held.getMessage)
+    assert(TxnTable.version(dir) == 2)
+    // a CRASHED holder (expired ttl) is reclaimed without operator
+    // intervention — maintenance proceeds
+    java.nio.file.Files.write(lock.toPath,
+      (s"""{"holder":"restore@pid999","token":"t0",""" +
+        s""""ts":${System.currentTimeMillis() - 5000},"ttlMs":1}""")
+        .getBytes("UTF-8"))
+    TxnTable.vacuum(dir, keepSince = 2, force = true)
+    assert(!lock.exists(), "the completed op must release the lease")
+    // a CORRUPT lock body (nobody can identify the holder) is treated
+    // as expired — reclaimable, never a wedge
+    java.nio.file.Files.write(lock.toPath, "junk".getBytes("UTF-8"))
+    TxnTable.vacuum(dir, keepSince = 2, force = true)
+    assert(!lock.exists())
+    // RELEASE IS TOKEN-CHECKED: after a TTL takeover, the slow
+    // original holder's release must not delete the new holder's lock
+    val t1 = graft.core.Lease.acquire(dir, "slow-op", ttlMillis = 1)
+    Thread.sleep(10)
+    val t2 = graft.core.Lease.acquire(dir, "takeover-op",
+      ttlMillis = 600000)
+    graft.core.Lease.release(dir, t1) // the slow holder resumes, dies
+    assert(lock.exists(),
+      "a superseded holder's release must not free the new lease")
+    graft.core.Lease.release(dir, t2)
+    assert(!lock.exists())
   }
 
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
