@@ -1162,4 +1162,225 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       stop.set(true); door.stop(); jobs.shutdown()
     }
   }
+
+  test("soak 5 — metadata churn under fire: hint/lease crash injection " +
+      "races writers, readers, checkpoints, vacuum, restore and " +
+      "rollback; zero 5xx, every read resolves a committed version, " +
+      "leftovers self-heal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    import graft.core.TxnTable
+    import graft.operators.Similarity
+    import graft.semantic.model._
+    // THE NEW SEAMS UNDER FIRE: the r15 head hints (table + index) and
+    // the maintenance lease. A chaos thread repeatedly simulates the
+    // crash windows — hint deleted (crash between publish and
+    // hint-write), hint garbage (torn external write), hint stale
+    // (slow writer's hint landing last), and a crashed maintenance
+    // holder's EXPIRED lock dropped in front of every op. Invariants:
+    // hints are ADVISORY (any shape degrades to the listing, so every
+    // served total still equals some committed version's total), the
+    // lease reclaims expired locks without wedging, and nothing 5xxs.
+    val tdir = graft.core.TempDirs.scratchShared("soak5")
+    TxnTable.init(spark, tdir,
+      (0L until 10000L).toDF("k").withColumn("payload", col("k"))
+        .withColumn("grp", lit("all"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    val cube = CubeDef(
+      name = "soak5_stats",
+      variants = Seq(FactDef(
+        name = "soak5_base", table = "orders",
+        dimCols = Seq(PubCol("Group", "grp")),
+        metrics = Seq(PubMetric("Total Payload", SumRollup,
+          df => df.col("payload"))),
+        cost = 1,
+        view = Some((s, _) => TxnTable.read(s, tdir)))),
+      dims = Nil)
+    val k = 4
+    val layout0 = graft.core.TempDirs.scratchShared("soak5ivf")
+    (0L until 200L).map { i =>
+      val e = Seq(math.cos(i * 0.02).toFloat, math.sin(i * 0.02).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout0)
+    val ivfRoot = graft.core.TempDirs.scratchShared("soak5ivfroot")
+    assert(Similarity.ivfPublish(ivfRoot, layout0, k) == 1)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("soak5jobs"))
+    val door = new HttpFrontDoor(spark, sf, Registry(cube), jobs,
+      maintainable = Map("soak5" -> tdir),
+      maintainableIndexes = Map("soak5_ann" -> ivfRoot))
+    val port = door.start()
+    val statuses =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def rec(kind: String, r: java.net.http.HttpResponse[String]): Unit = {
+      statuses.add((kind, r.statusCode(), r.body().take(200))); ()
+    }
+    TxnTable.restoreReVerifyTrips.set(0)
+    val reportJson =
+      """{"cube":"soak5_stats","selectFields":[{"field":"Group"},{"field":"Total Payload"}]}"""
+    val totalRe = """"all",(-?\d+)""".r
+    def writer(seed: Long): Unit = (1 to 8).foreach { i =>
+      var done = false; var attempts = 0
+      while (!done && attempts < 12) {
+        try {
+          TxnTable.mergeFrame(spark, tdir, "k",
+            Seq((0L, 1000000L * (seed * 100 + i), "all", "upsert"))
+              .toDF("k", "payload", "grp", "_op"),
+            numFiles = 1)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => attempts += 1
+        }
+      }
+      assert(done, s"writer $seed starved after $attempts OCC rounds")
+    }
+    def reader(): Unit = while (!stop.get()) {
+      val r = post(port, "/report", reportJson)
+      rec("report", r)
+      totalRe.findFirstMatchIn(r.body())
+        .foreach(m => served.add(m.group(1).toLong))
+      val sr = post(port,
+        s"/index/soak5_ann?op=search&vecId=7&k=3&nprobe=$k", "")
+      rec("search", sr)
+      // a search must always resolve a published generation — never a
+      // torn pointer state, whatever the chaos thread did to the hint
+      if (sr.statusCode() == 200)
+        assert(sr.body().contains("\"gen\":"), sr.body().take(120))
+    }
+    def maintainer(): Unit = while (!stop.get()) {
+      rec("ckpt", post(port, "/maintenance/soak5?op=checkpoint", ""))
+      // guarded vacuum: live retention -> refuses as 409 (and takes/
+      // releases the lease each attempt, racing the chaos injection)
+      rec("vac", post(port, "/maintenance/soak5?op=vacuum&keepSince=2", ""))
+      rec("hist", post(port, "/maintenance/soak5?op=history", ""))
+      rec("ihist", post(port, "/index/soak5_ann?op=history", ""))
+    }
+    def retrainer(): Unit = (1 to 3).foreach { _ =>
+      rec("retrain", post(port, "/index/soak5_ann?op=retrain&iters=1", ""))
+      Thread.sleep(100)
+    }
+    // CRASH INJECTION at the new seams, in a loop
+    val rnd = new java.util.Random(5)
+    def chaos(): Unit = while (!stop.get()) {
+      try {
+        val tHint = new java.io.File(tdir, "_head.json")
+        val iHint = new java.io.File(ivfRoot, "_head.json")
+        rnd.nextInt(4) match {
+          case 0 => tHint.delete(); iHint.delete(); ()
+          case 1 =>
+            java.nio.file.Files.write(tHint.toPath,
+              "torn garbage".getBytes("UTF-8"))
+            java.nio.file.Files.write(iHint.toPath,
+              "torn garbage".getBytes("UTF-8"))
+            ()
+          case 2 =>
+            java.nio.file.Files.write(tHint.toPath,
+              """{"head":1}""".getBytes("UTF-8"))
+            java.nio.file.Files.write(iHint.toPath,
+              """{"gen":1}""".getBytes("UTF-8"))
+            ()
+          case 3 =>
+            // a maintenance holder that crashed: its expired lock
+            // must be reclaimed by the next op, never a wedge
+            for (d <- Seq(tdir, ivfRoot)) {
+              val lock = new java.io.File(d, "_maintenance.lock")
+              if (!lock.exists()) {
+                try java.nio.file.Files.write(lock.toPath,
+                  (s"""{"holder":"crashed@pid1","token":"tx",""" +
+                    s""""ts":${System.currentTimeMillis() - 9999}""" +
+                    s""","ttlMs":1}""").getBytes("UTF-8"),
+                  java.nio.file.StandardOpenOption.CREATE_NEW)
+                catch { case _: java.nio.file.FileAlreadyExistsException => }
+              }
+            }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      Thread.sleep(20)
+    }
+    val storm = Seq(
+      new Thread(() => writer(1L)), new Thread(() => writer(2L)),
+      new Thread(() => retrainer())) ++
+      Seq(new Thread(() => maintainer()), new Thread(() => reader()),
+        new Thread(() => chaos()))
+    try {
+      storm.foreach(_.start())
+      storm.take(3).foreach(_.join(300000))
+      // mid-storm (maintainer/reader/chaos still firing): a ROLLBACK
+      // and a RESTORE, both retrying lease conflicts
+      var rolled = false; var attempts = 0
+      while (!rolled && attempts < 50) {
+        attempts += 1
+        val cur = Similarity.ivfCurrent(ivfRoot).map(_._1).getOrElse(1)
+        if (cur > 1) {
+          val r = post(port,
+            s"/index/soak5_ann?op=rollback&gen=${cur - 1}", "")
+          rec("rollback", r)
+          rolled = r.statusCode() == 200
+        }
+        if (!rolled) Thread.sleep(50)
+      }
+      assert(rolled, s"rollback never landed in $attempts attempts")
+      var restored = false; attempts = 0
+      while (!restored && attempts < 50) {
+        attempts += 1
+        val r = post(port, "/maintenance/soak5?op=restore&version=2", "")
+        rec("restore", r)
+        restored = r.statusCode() == 200
+        if (!restored) Thread.sleep(50)
+      }
+      assert(restored, s"restore never landed in $attempts attempts")
+      Thread.sleep(300)
+      stop.set(true)
+      storm.drop(3).foreach(_.join(300000))
+      import scala.jdk.CollectionConverters._
+      val all = statuses.asScala.toSeq
+      val bad5 = all.filter(_._2 >= 500)
+      assert(bad5.isEmpty, s"soak 5 produced 5xx: ${bad5.take(3)}")
+      // ZERO WRONG READS: every served total equals some committed
+      // version's total — a hint corruption that resolved a torn or
+      // phantom head would have produced a total outside this set
+      val committed = (1 to TxnTable.version(tdir)).map { v =>
+        TxnTable.read(spark, tdir, v).agg(sum(col("payload")))
+          .first().getLong(0)
+      }.toSet
+      val outside = served.asScala.toSeq.filterNot(committed)
+      assert(outside.isEmpty,
+        s"served totals outside the committed set: ${outside.take(3)}")
+      assert(all.count(s => s._1 == "report" && s._2 == 200) > 0 &&
+        all.count(s => s._1 == "search" && s._2 == 200) > 0)
+      assert(all.filter(t => t._1 == "ckpt").forall(_._2 == 200),
+        "checkpoints are derivable — they must land under any chaos")
+      // the lease closed the window: restore's defense-in-depth
+      // re-verify never fired, even with chaos-injected stale locks
+      assert(TxnTable.restoreReVerifyTrips.get() == 0)
+      // LEFTOVERS SELF-HEAL: one read re-primes both hints; no lease
+      // residue survives its holder (chaos-injected locks are expired
+      // by construction and reclaimed by the next maintenance op)
+      val headNow = TxnTable.version(tdir)
+      assert(TxnTable.read(spark, tdir).count() == 10000)
+      val genNow = Similarity.ivfCurrent(ivfRoot).map(_._1)
+      assert(genNow.exists(_ >= 2), s"index must still serve: $genNow")
+      val fv = post(port, "/maintenance/soak5?op=vacuum&keepSince=" +
+        s"$headNow&retainMs=0&force=true", "")
+      assert(fv.statusCode() == 200, fv.body())
+      val ifv = post(port,
+        "/index/soak5_ann?op=vacuum&keepGens=2&retainMs=0&force=true", "")
+      assert(ifv.statusCode() == 200, ifv.body())
+      // an expired chaos lock may sit on disk until the NEXT op runs —
+      // the two sweeps above are that op; after them, zero residue
+      assert(!new java.io.File(tdir, "_maintenance.lock").exists() &&
+        !new java.io.File(ivfRoot, "_maintenance.lock").exists(),
+        "a completed op must reclaim and release any expired lock")
+      assert(TxnTable.version(tdir) == headNow &&
+        TxnTable.read(spark, tdir).count() == 10000,
+        "the post-storm sweep must keep the head serving")
+    } finally {
+      stop.set(true); door.stop(); jobs.shutdown()
+    }
+  }
 }
