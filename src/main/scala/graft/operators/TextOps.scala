@@ -583,20 +583,42 @@ object TextOps {
     * hit-subset filter, ONE chained map-only rewrite, one delta
     * aggregate, one occurrence aggregate — the same O(hit-fraction)
     * scaling as the incremental trainer, divided by m rounds.
-    * `onRound(round, applied)` is the probe hook. */
+    * `onRound(round, applied)` is the probe hook.
+    *
+    * RESUMABLE (verdict r14 #6): a 32k-merge run is ~20 minutes of
+    * driver-orchestrated rounds; with `stateDir` set the trainer
+    * persists its EXACT state — the rewritten corpus, the pair-count
+    * table, the merge list, the piece count — every `checkpointEvery`
+    * rounds, versioned by produced-merge count with an atomically
+    * published `meta.json` as the commit marker (partial state dirs
+    * from a crash are ignored and overwritten). A restarted run loads
+    * the newest committed state and CONTINUES: selection is
+    * deterministic (cnt desc, l, r) over exact longs and round-tripped
+    * strings, so crashed-and-resumed ≡ uninterrupted, byte-identical
+    * (spec-pinned). Superseded states are retired after each commit —
+    * disk holds ≤1 corpus copy plus the one being written. */
   private[graft] def bpeMergesBatched(s: SparkSession, d: String,
-      k: Int, m: Int, onRound: (Int, Int) => Unit = (_, _) => ())
+      k: Int, m: Int, onRound: (Int, Int) => Unit = (_, _) => (),
+      stateDir: Option[String] = None, checkpointEvery: Int = 8)
       : Seq[(String, String, Long, Long)] = {
     require(m >= 1, s"batch width must be >= 1, got $m")
-    var (df, dfIds) = bpeCheckpointTracked(documents(s, d).select(
-      expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
-        .as("seq")))
-    var (counts, countIds) = bpeCheckpointTracked(bpePairCounts(df))
+    val resumed = stateDir.flatMap(sd => bpeLoadState(s, sd))
+    // a state already at (or past) the requested k answers from the
+    // persisted merge list alone — no corpus materialization
+    resumed.filter(_._1 >= k).foreach(r => return r._3.take(k))
+    var (df, dfIds) = bpeCheckpointTracked(
+      resumed.map(_._4).getOrElse(documents(s, d).select(
+        expr(s"array_join(transform($tokensExpr, t -> concat('<', t, '>')), ' ')")
+          .as("seq"))))
+    var (counts, countIds) = bpeCheckpointTracked(
+      resumed.map(_._5).getOrElse(bpePairCounts(df)))
     val nParts = df.rdd.getNumPartitions
-    var pieces = df.agg(sum(size(split(col("seq"), " "))))
-      .first().getLong(0)
-    val rows = Seq.newBuilder[(String, String, Long, Long)]
-    var produced = 0
+    var pieces = resumed.map(_._2).getOrElse(
+      df.agg(sum(size(split(col("seq"), " ")))).first().getLong(0))
+    val rows =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    resumed.foreach(r => rows ++= r._3)
+    var produced = resumed.map(_._1).getOrElse(0)
     var round = 0
     try {
       while (produced < k) {
@@ -661,11 +683,88 @@ object TextOps {
             rows += ((l, r, c, pieces))
           }
           produced += sel.size
+          // persist INSIDE the round's accounting so the probe's
+          // per-round timings include the checkpoint overhead
+          if (stateDir.isDefined && checkpointEvery > 0 &&
+              (round % checkpointEvery == 0 || produced >= k))
+            bpePersistState(s, stateDir.get, produced, pieces,
+              rows.toSeq, df, counts)
           onRound(round, sel.size)
         } finally { hit.unpersist(); rep.unpersist(); delta.unpersist(); () }
       }
     } finally { bpeReleaseRdds(s, dfIds); bpeReleaseRdds(s, countIds) }
-    rows.result()
+    rows.toSeq
+  }
+
+  /** Commit one trainer state: corpus + counts + merge list as
+    * parquet under `state-v<produced>/`, then `meta.json` atomically
+    * LAST as the commit marker. Idempotent (an already-committed
+    * state is left alone); partial leftovers from a crash are
+    * replaced; superseded states retire after the commit. */
+  private def bpePersistState(s: SparkSession, stateDir: String,
+      produced: Int, pieces: Long,
+      rows: Seq[(String, String, Long, Long)],
+      df: DataFrame, counts: DataFrame): Unit = {
+    import s.implicits._
+    val d = new java.io.File(stateDir, s"state-v$produced")
+    if (new java.io.File(d, "meta.json").exists()) return
+    if (d.exists()) graft.core.TempDirs.rmTree(d)
+    d.mkdirs()
+    df.write.parquet(new java.io.File(d, "corpus").getPath)
+    counts.write.parquet(new java.io.File(d, "counts").getPath)
+    rows.zipWithIndex.map { case ((l, r, c, p), i) =>
+      (i + 1, l, r, c, p) }.toDF("ord", "l", "r", "cnt", "pieces")
+      .coalesce(1)
+      .write.parquet(new java.io.File(d, "merges").getPath)
+    val tmp = java.nio.file.Files.createTempFile(d.toPath, ".meta", ".tmp")
+    java.nio.file.Files.write(tmp,
+      s"""{"produced":$produced,"pieces":$pieces}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      new java.io.File(d, "meta.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("state-v") &&
+        f.getName.stripPrefix("state-v").toIntOption.exists(_ < produced))
+      .foreach(graft.core.TempDirs.rmTree)
+  }
+
+  /** The newest COMMITTED trainer state under `stateDir`:
+    * (produced, pieces, merges-so-far, corpus, counts). None = fresh
+    * start (no state, or only partial crash leftovers). */
+  private def bpeLoadState(s: SparkSession, stateDir: String)
+      : Option[(Int, Long, Seq[(String, String, Long, Long)],
+        DataFrame, DataFrame)] = {
+    val committed = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => new java.io.File(f, "meta.json").exists())
+      .flatMap(f => f.getName.stripPrefix("state-v").toIntOption
+        .map(_ -> f))
+    if (committed.isEmpty) return None
+    val (produced, d) = committed.maxBy(_._1)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(d, "meta.json").toPath), "UTF-8")
+    val pieces = """"pieces":(-?\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"corrupt trainer state ${d.getPath}"))
+      .group(1).toLong
+    val rows = s.read.parquet(new java.io.File(d, "merges").getPath)
+      .orderBy("ord").collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("pieces"))).toSeq
+    Some((produced, pieces, rows,
+      s.read.parquet(new java.io.File(d, "corpus").getPath),
+      s.read.parquet(new java.io.File(d, "counts").getPath)))
+  }
+
+  /** The trained merge table as a DataFrame ARTIFACT (ord, l, r, cnt,
+    * pieces) — the `op=bpeTrain` job result a pipeline stores and
+    * applies tx18-style (fold of map-only replaces in ord order). */
+  private[graft] def bpeTrainFrame(s: SparkSession, d: String, k: Int,
+      m: Int, stateDir: Option[String]): DataFrame = {
+    import s.implicits._
+    bpeMergesBatched(s, d, k, m, stateDir = stateDir).zipWithIndex
+      .map { case ((l, r, c, p), i) => (i + 1, l, r, c, p) }
+      .toDF("ord", "l", "r", "cnt", "pieces")
   }
 
   /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —

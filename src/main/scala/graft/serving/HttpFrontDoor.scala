@@ -45,6 +45,14 @@ import graft.semantic.model.Registry
   *                           the current corpus, publish the successor
   *                           generation under the exclusive-create
   *                           claim), `history` lists generations
+  *   POST /maintenance?op=bpeTrain&k=…&m=…[&state=name]
+  *                           table-independent: train a BPE merge
+  *                           table over the corpus documents, async
+  *                           via the job queue (202 + jobId; the
+  *                           completed job's result is the artifact
+  *                           merge table); state=<name> resumes a
+  *                           crashed/re-submitted run from its last
+  *                           trainer checkpoint
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
   *                                 |constraints|addConstraint|dropConstraint
   *                                 |renameColumn|dropColumn|schema|history
@@ -348,6 +356,44 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
       val q = queryParams(ex)
       if (ex.getRequestMethod != "POST")
         (405, """{"error":"POST only"}""", reqId)
+      // TABLE-INDEPENDENT maintenance: `POST /maintenance?op=bpeTrain`
+      // trains a BPE merge table over the corpus' documents table,
+      // ASYNC via the job queue (a 32k-merge run is ~20 minutes — no
+      // HTTP caller holds a connection that long). Returns 202 +
+      // jobId; poll GET /jobs/{id}; the completed result is the
+      // artifact merge table (ord, l, r, cnt, pieces) a pipeline
+      // applies tx18-style. `state=<name>` makes the run RESUMABLE:
+      // a re-submit under the same name continues from the last
+      // trainer checkpoint instead of restarting.
+      else if (name.isEmpty && q.getOrElse("op", "") == "bpeTrain")
+        monitored(reqId, "maintenance") {
+          try {
+            val k = q.get("k").map(_.toInt).getOrElse(
+              throw new IllegalArgumentException(
+                "bpeTrain requires k=<merges>"))
+            val m = q.get("m").map(_.toInt).getOrElse(8)
+            if (k < 1 || m < 1) throw new IllegalArgumentException(
+              "bpeTrain requires k >= 1 and m >= 1")
+            val stateDir = q.get("state").map { n =>
+              if (!n.matches("[A-Za-z0-9_-]{1,64}"))
+                throw new IllegalArgumentException(
+                  "state must match [A-Za-z0-9_-]{1,64}")
+              jobs.taskStateDir(s"bpe-$n")
+            }
+            val jid = jobs.submitTask(s"bpeTrain-k$k-m$m") { s0 =>
+              graft.operators.TextOps.bpeTrainFrame(s0, dir, k, m, stateDir)
+            }
+            (202, s"""{"op":"bpeTrain","jobId":${Domain.jStr(jid)},""" +
+              s""""k":$k,"m":$m}""", reqId)
+          } catch {
+            case e: NumberFormatException =>
+              (400, s"""{"error":${Domain.jStr(
+                s"malformed numeric parameter: ${e.getMessage}")}}""", reqId)
+            case e: IllegalArgumentException =>
+              (400, s"""{"error":${Domain.jStr(String.valueOf(e.getMessage))}}""",
+                reqId)
+          }
+        }
       else maintainable.get(name) match {
         case None => (404, s"""{"error":"unknown table"}""", reqId)
         case Some(tdir) => monitored(reqId, "maintenance") {

@@ -48,22 +48,45 @@ final class JobQueue(s: SparkSession, dir: String,
 
   private def jobGroup(jobId: String) = s"graft-job-$jobId"
 
-  private def execute(jobId: String, json: String): Unit = {
+  private def execute(jobId: String, json: String): Unit =
+    executeTask(jobId, "job-run",
+      s0 => SemanticQueries.runLogged(json, s"job-$jobId", reg)(s0, dir))
+
+  /** Submit an arbitrary FRAME-PRODUCING task under the same queue /
+    * status / cancel / result-store machinery as reporting jobs — the
+    * async surface of long maintenance ops (`op=bpeTrain`: a 32k-merge
+    * training run is ~20 minutes; an HTTP caller submits, polls
+    * GET /jobs/{id}, and fetches the artifact table when complete). */
+  def submitTask(label: String)(body: SparkSession => DataFrame): String = {
+    val jobId = java.util.UUID.randomUUID().toString
+    state.put(jobId, Queued)
+    pool.execute(() => executeTask(jobId, label, body))
+    jobId
+  }
+
+  /** A stable scratch root for a NAMED resumable task's state (the
+    * bpeTrain checkpoint dir): re-submitting under the same name
+    * resumes instead of restarting. */
+  def taskStateDir(name: String): String =
+    resultDir.resolve(s"task-state-$name").toString
+
+  private def executeTask(jobId: String, label: String,
+      body: SparkSession => DataFrame): Unit = {
     // a job cancelled while still QUEUED never starts
     if (!state.replace(jobId, Queued, Running)) return
     // monitor bracket around the worker-side RUN (the front door's
     // "job" bracket only covers the submit): begin before planning,
     // complete with outcome + wall once the result is stored
-    ServiceMonitor.safely(monitor.begin(jobId, "job-run"))
+    ServiceMonitor.safely(monitor.begin(jobId, label))
     val t0 = System.currentTimeMillis()
     var outcome = false
     try {
       // job group (thread-local) so cancel() can interrupt the
       // Spark jobs this worker launches, mid-stage
       s.sparkContext.setJobGroup(jobGroup(jobId),
-        s"async job $jobId", interruptOnCancel = true)
+        s"async job $jobId: $label", interruptOnCancel = true)
       if (state.get(jobId) == Cancelled) return // cancelled at begin()
-      val df = SemanticQueries.runLogged(json, s"job-$jobId", reg)(s, dir)
+      val df = body(s)
       val out = resultDir.resolve(jobId).toString
       df.write.mode("overwrite").parquet(out)
       val rows = s.read.parquet(out).count()
@@ -76,7 +99,7 @@ final class JobQueue(s: SparkSession, dir: String,
     } finally {
       s.sparkContext.clearJobGroup()
       ServiceMonitor.safely(monitor.complete(
-        jobId, "job-run", outcome, System.currentTimeMillis() - t0))
+        jobId, label, outcome, System.currentTimeMillis() - t0))
     }
   }
 

@@ -21,6 +21,14 @@ object BpeProbe {
     // ~k/m rounds, each applying the top-m compatible merges in one
     // rewrite pass — the 32k-vocab regime
     val m = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    // third arg > 0: persist resumable trainer state every N rounds —
+    // the per-round timings then INCLUDE the checkpoint overhead, so
+    // (run with ckpt) vs (run without) quantifies its cost
+    val ckptEvery = args.drop(2).headOption.map(_.toInt).getOrElse(0)
+    val stateDir =
+      if (ckptEvery > 0)
+        Some(graft.core.TempDirs.scratchShared("bpestate"))
+      else None
     var last = System.nanoTime()
     val t0 = last
     // the batched regime's headline metric is the ROUND REDUCTION
@@ -43,8 +51,8 @@ object BpeProbe {
               f"sec=${(now - last) / 1e9}%7.3f")
             last = now
             lastRound = round
-          })
-    println(f"BPE total k=$k m=$m rounds=$lastRound " +
+          }, stateDir = stateDir, checkpointEvery = ckptEvery)
+    println(f"BPE total k=$k m=$m ckptEvery=$ckptEvery rounds=$lastRound " +
       f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"merges=${rows.size} finalPieces=${rows.last._4}")
     spark.stop()

@@ -1163,6 +1163,78 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     }
   }
 
+  test("op=bpeTrain: async merge-table training over the job queue; " +
+      "the artifact table applies tx18-style identically to the " +
+      "inline trainer; state=<name> resumes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("bpejobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
+    val port = door.start()
+    try {
+      // parameter validation: k required and positive, m positive,
+      // state name constrained (a path traversal must not become a
+      // scratch dir)
+      assert(post(port, "/maintenance?op=bpeTrain", "").statusCode() == 400)
+      assert(post(port, "/maintenance?op=bpeTrain&k=0", "").statusCode() == 400)
+      assert(post(port, "/maintenance?op=bpeTrain&k=4&m=x", "")
+        .statusCode() == 400)
+      assert(post(port, "/maintenance?op=bpeTrain&k=4&state=../evil", "")
+        .statusCode() == 400)
+      // the 32k-regime drive loop in miniature: submit async, poll,
+      // fetch the artifact
+      val r = post(port, "/maintenance?op=bpeTrain&k=5&m=1&state=e2e", "")
+      assert(r.statusCode() == 202, r.body())
+      val id = """"jobId":"([^"]+)"""".r.findFirstMatchIn(r.body())
+        .get.group(1)
+      val g1 = this.get(port, s"/jobs/$id")
+      assert(g1.statusCode() == 200, g1.body())
+      val st = jobs.await(id, 300000)
+      assert(st.exists(_.isInstanceOf[JobQueue.Completed]), st.toString)
+      val art = jobs.fetch(id).get.orderBy("ord").collect()
+        .map(row => (row.getAs[String]("l"), row.getAs[String]("r"),
+          row.getAs[Long]("cnt"), row.getAs[Long]("pieces"))).toSeq
+      // m=1 ≡ the sequential trainer, row for row
+      val inline = TextOps.bpeMergesIncremental(spark, sf, 5)
+      assert(art == inline,
+        s"job artifact must equal the inline trainer:\n$art\nvs\n$inline")
+      // tx18-style APPLY of the job-produced table: fold its merges
+      // (ord order) over the raw corpus — the encoded corpus must
+      // hash-match the inline bpeEncoded
+      def mergedTok(l: String, rr: String) =
+        "<" + l.substring(1, l.length - 1) +
+          rr.substring(1, rr.length - 1) + ">"
+      val raw = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), expr(
+          "array_join(transform(split(trim(text), '\\\\s+'), " +
+            "t -> concat('<', t, '>')), ' ')").as("seq"))
+      val applied = art.foldLeft(raw) { case (df, (l, rr, _, _)) =>
+        df.select(col("doc_id"),
+          org.apache.spark.sql.functions.replace(col("seq"),
+            lit(l + " " + rr), lit(mergedTok(l, rr))).as("seq"))
+      }.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+      val expected = TextOps.bpeEncoded(spark, sf, 5)
+        .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+      assert(applied.hashCode == expected.hashCode &&
+        applied == expected,
+        "applying the job-produced merge table must reproduce the " +
+          "inline encode")
+      // RESUME over the wire: re-submitting under the same state name
+      // answers from the persisted trainer state (same artifact)
+      val r2 = post(port, "/maintenance?op=bpeTrain&k=5&m=1&state=e2e", "")
+      assert(r2.statusCode() == 202, r2.body())
+      val id2 = """"jobId":"([^"]+)"""".r.findFirstMatchIn(r2.body())
+        .get.group(1)
+      assert(jobs.await(id2, 300000)
+        .exists(_.isInstanceOf[JobQueue.Completed]))
+      val art2 = jobs.fetch(id2).get.orderBy("ord").collect()
+        .map(row => (row.getAs[String]("l"), row.getAs[String]("r"),
+          row.getAs[Long]("cnt"), row.getAs[Long]("pieces"))).toSeq
+      assert(art2 == art, "a resumed submit must reproduce the artifact")
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("soak 5 — metadata churn under fire: hint/lease crash injection " +
       "races writers, readers, checkpoints, vacuum, restore and " +
       "rollback; zero 5xx, every read resolves a committed version, " +

@@ -66,6 +66,45 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(rounds == 2, s"6 merges at m=3 must take 2 rounds, took $rounds")
   }
 
+  test("resumable batched BPE: a killed run resumes to a byte-identical " +
+      "merge list; a completed state answers without a corpus pass") {
+    val ref = graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 2)
+    val stateDir = graft.core.TempDirs.scratchShared("bperesume")
+    // kill the trainer mid-run (round 3; the round-2 checkpoint is the
+    // last committed state) — the crash window a 32k-merge run needs
+    // to survive
+    val boom = intercept[RuntimeException] {
+      graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 2,
+        onRound = (round, _) =>
+          if (round == 3) throw new RuntimeException("kill -9"),
+        stateDir = Some(stateDir), checkpointEvery = 2)
+    }
+    assert(boom.getMessage == "kill -9")
+    val committed = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => new java.io.File(f, "meta.json").exists())
+    assert(committed.nonEmpty, "the killed run must have committed a state")
+    // resume: continues from the persisted corpus/counts/merges and
+    // must be BYTE-IDENTICAL to the uninterrupted run — state is
+    // exact (round-tripped strings, exact longs), selection is
+    // deterministic
+    val resumed = graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 2,
+      stateDir = Some(stateDir), checkpointEvery = 2)
+    assert(resumed == ref,
+      s"crashed+resumed must equal uninterrupted:\n$resumed\nvs\n$ref")
+    // a COMPLETED state answers from the persisted merge list alone
+    // (k at or below the trained count), including truncation
+    assert(graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 2,
+      stateDir = Some(stateDir)) == ref)
+    assert(graft.operators.TextOps.bpeMergesBatched(spark, sf, 5, 2,
+      stateDir = Some(stateDir)) == ref.take(5))
+    // and a LARGER k continues training from the completed state
+    val extended = graft.operators.TextOps.bpeMergesBatched(spark, sf, 10, 2,
+      stateDir = Some(stateDir), checkpointEvery = 2)
+    assert(extended.take(8) == ref && extended.size == 10,
+      "a raised k must extend, not retrain")
+  }
+
   test("BPE checkpoint tracking is plan-derived: a concurrent thread's " +
       "localCheckpoint survives a training run, and the trainer leaks " +
       "no persistent RDDs") {
