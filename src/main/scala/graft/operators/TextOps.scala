@@ -596,10 +596,18 @@ object TextOps {
     * deterministic (cnt desc, l, r) over exact longs and round-tripped
     * strings, so crashed-and-resumed ≡ uninterrupted, byte-identical
     * (spec-pinned). Superseded states are retired after each commit —
-    * disk holds ≤1 corpus copy plus the one being written. */
+    * disk holds ≤1 corpus copy plus the one being written.
+    *
+    * CADENCE: a state commit is dominated by the corpus rewrite
+    * (~1.25 s measured at sf0.1, BpeProbe) against ~0.8-1.0 s steady
+    * rounds, so the default of every 32 rounds amortizes to ~4% per
+    * round while a crash loses at most ~25 s of work in a 20-minute
+    * 32k run — checkpoint cost is per-CORPUS, round cost falls with
+    * the hit fraction, so a tighter cadence would grow the overhead
+    * share precisely as training gets cheap. */
   private[graft] def bpeMergesBatched(s: SparkSession, d: String,
       k: Int, m: Int, onRound: (Int, Int) => Unit = (_, _) => (),
-      stateDir: Option[String] = None, checkpointEvery: Int = 8)
+      stateDir: Option[String] = None, checkpointEvery: Int = 32)
       : Seq[(String, String, Long, Long)] = {
     require(m >= 1, s"batch width must be >= 1, got $m")
     val resumed = stateDir.flatMap(sd => bpeLoadState(s, sd))
