@@ -90,11 +90,57 @@ object Lease {
           if (takeovers > 8) throw new java.util.ConcurrentModificationException(
             s"maintenance lease on $dir cannot be reclaimed (a fresh " +
               s"claim keeps appearing expired) — inspect $lockName")
-          java.nio.file.Files.deleteIfExists(f.toPath)
-          ()
+          reapExpired(dir, f)
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Take over an expired lock WITHOUT a judge-then-delete TOCTOU on
+    * the shared name. A bare `deleteIfExists` after judging expiry is
+    * wrong twice over: a faster reaper may have already deleted and
+    * RE-CLAIMED the name (our delete destroys its fresh lease — two
+    * holders), and any scheme that vacates the name to verify lets a
+    * claimer slip in mid-verification (the storm spec caught exactly
+    * that). So reaping runs inside a tiny EXCLUSIVE critical section
+    * (`.reaper.lock`, O_CREAT|O_EXCL): judge and delete are atomic
+    * with respect to other reapers, and a CLAIM can only land while
+    * the name is vacant — which, inside a section, is only ever AFTER
+    * a legitimately-expired delete. A fresh lock therefore can never
+    * be judged expired: the judgment re-reads the CURRENT bytes at
+    * the name, and nothing can swap them between that read and the
+    * delete while the section is held. The section is µs-scale (one
+    * read + one delete, no Spark work); a crashed reaper's stale
+    * section older than 10 s is cleared — the residual dual-entry
+    * window after such a cleanup still cannot misjudge a fresh lock,
+    * because every entrant re-reads before deleting and the name
+    * stays occupied (un-claimable) until a delete. On an object store
+    * the whole dance is one conditional (if-match) delete. */
+  private def reapExpired(dir: String, f: java.io.File): Unit = {
+    val section = new java.io.File(dir, ".reaper.lock")
+    if (section.exists() &&
+        System.currentTimeMillis() - section.lastModified() > 10000)
+      section.delete()
+    try java.nio.file.Files.createFile(section.toPath)
+    catch {
+      // another reaper is in the section — yield and re-loop (the
+      // caller re-reads whatever then sits at the name)
+      case _: java.nio.file.FileAlreadyExistsException => return
+    }
+    try {
+      val body =
+        try new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        catch { case _: java.nio.file.NoSuchFileException => return }
+      def fld(name: String): Option[Long] =
+        ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(body)
+          .map(_.group(1).toLong)
+      val expired = (fld("ts"), fld("ttlMs")) match {
+        case (Some(t), Some(w)) => System.currentTimeMillis() - t > w
+        case _ => true // unreadable = reclaimable, never a wedge
+      }
+      if (expired) { java.nio.file.Files.deleteIfExists(f.toPath); () }
+    } finally { section.delete(); () }
   }
 
   /** Delete only OUR claim: after a TTL takeover the lock belongs to

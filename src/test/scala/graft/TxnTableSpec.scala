@@ -1767,6 +1767,56 @@ class TxnTableSpec extends AnyFunSuite {
     assert(!lock.exists())
   }
 
+  test("lease takeover storm: racing reapers of an expired lock never " +
+      "produce two concurrent holders (reap is move-based, not delete)") {
+    // the TOCTOU this pins: contender B judges the lock expired, A
+    // reaps + re-claims first, then B's takeover must NOT destroy A's
+    // fresh claim. With a delete-based reap two maintenance ops could
+    // both hold; the atomic-move reap gives the inode to one reaper
+    val dir = graft.core.TempDirs.scratchShared("leasestorm")
+    new java.io.File(dir).mkdirs()
+    val lock = new java.io.File(dir, "_maintenance.lock")
+    val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquisitions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // a fresh EXPIRED lock is planted repeatedly so every round is a
+    // multi-reaper race on a crashed holder's leftovers
+    val planter = new Thread(() => while (!stop.get()) {
+      try {
+        if (!lock.exists())
+          java.nio.file.Files.write(lock.toPath,
+            (s"""{"holder":"crashed@pid1","token":"tx",""" +
+              s""""ts":${System.currentTimeMillis() - 9999},"ttlMs":1}""")
+              .getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      Thread.sleep(1)
+    })
+    def contender(): Unit = (1 to 60).foreach { _ =>
+      try {
+        val tok = graft.core.Lease.acquire(dir, "storm-op",
+          ttlMillis = 600000)
+        val now = concurrent.incrementAndGet()
+        maxSeen.getAndUpdate(m => math.max(m, now))
+        acquisitions.incrementAndGet()
+        Thread.sleep(2) // hold briefly — a second holder would overlap
+        concurrent.decrementAndGet()
+        graft.core.Lease.release(dir, tok)
+      } catch {
+        case _: java.util.ConcurrentModificationException => // held: fine
+      }
+    }
+    val threads = (1 to 6).map(_ => new Thread(() => contender()))
+    planter.start(); threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    stop.set(true); planter.join(10000)
+    assert(acquisitions.get() > 0, "the storm must land real acquisitions")
+    assert(maxSeen.get() == 1,
+      s"two maintenance holders overlapped (max=${maxSeen.get()})")
+  }
+
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
       "delta log: every surviving version ≡ its model, cold-cache, and " +
       "the CDC fold ≡ recompute across restores") {
