@@ -143,6 +143,27 @@ object Lease {
     } finally { section.delete(); () }
   }
 
+  /** The current lease, if any: (holder, acquiredAtMillis, ttlMillis,
+    * expired) — the ops-visibility surface (`op=lease` over the wire:
+    * an operator diagnosing a 409 needs to see WHO holds and whether
+    * the TTL has already run out). Corrupt/unreadable bodies report as
+    * expired, matching [[acquire]]'s reclaim judgment. */
+  def status(dir: String): Option[(String, Long, Long, Boolean)] = {
+    val f = new java.io.File(dir, lockName)
+    if (!f.exists()) return None
+    val body =
+      try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      catch { case _: java.nio.file.NoSuchFileException => return None }
+    def fld(name: String): Option[String] =
+      ("\"" + name + "\":\"?([^\",}]+)").r
+        .findFirstMatchIn(body).map(_.group(1))
+    val ts = fld("ts").flatMap(_.toLongOption).getOrElse(-1L)
+    val ttl = fld("ttlMs").flatMap(_.toLongOption).getOrElse(-1L)
+    val expired = ts < 0 || ttl < 0 ||
+      System.currentTimeMillis() - ts > ttl
+    Some((fld("holder").getOrElse("unknown"), ts, ttl, expired))
+  }
+
   /** Delete only OUR claim: after a TTL takeover the lock belongs to
     * someone else and must survive this (slow) holder's release. */
   private[graft] def release(dir: String, token: String): Unit =

@@ -1441,6 +1441,29 @@ object Similarity {
     genPtr(root, gen).flatMap(_.ts).getOrElse(
       new java.io.File(root, s"gen-$gen.json").lastModified())
 
+  /** The generation SERVING at a wall-clock instant — the index twin
+    * of the table's TIMESTAMP AS OF (`versionAsOf`), and the audit
+    * question a takedown/rollback investigation actually asks ("which
+    * layout answered queries at 14:02?"): the newest generation
+    * published at or before `tsMillis` (pointer semantics — a
+    * rollback generation is itself a publish, so the answer follows
+    * the pointer history exactly as readers did). Loud when the
+    * instant predates the oldest surviving generation (the earlier
+    * state is vacuumed — answering with a LATER generation would be
+    * silently wrong). Generation counts are small (retrain cadence),
+    * so the linear scan over memoized pointer parses is the whole
+    * cost. */
+  private[graft] def ivfGenAsOf(root: String, tsMillis: Long): Int = {
+    val hist = ivfHistory(root)
+    if (hist.isEmpty) throw new IllegalStateException(
+      s"no published index under $root")
+    hist.map(_._1).filter(g => ivfCommitTs(root, g) <= tsMillis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no generation of $root was published at $tsMillis (oldest " +
+          s"surviving generation ${hist.head._1} published at " +
+          s"${ivfCommitTs(root, hist.head._1)})"))
+  }
+
   /** ROLLBACK the serve pointer — the TxnTable-RESTORE analogue on
     * the /index surface: a bad retrain publish is reverted by
     * publishing generation N+1 whose pointer references a PREVIOUS

@@ -33,6 +33,7 @@ import graft.semantic.model.Registry
   *                           cadence, exposed as the wire hook an
   *                           ingestion job calls)
   *   POST /index/{name}?op=balance|retrain|history|search|vacuum
+  *                         |delete|rollback|asOf|lease
   *                           search serves top-k over the published
   *                           generation with the nprobe recall/latency
   *                           knob (vecId=…[,…]&k=…&nprobe=…)
@@ -56,6 +57,7 @@ import graft.semantic.model.Registry
   *   POST /maintenance/{table}?op=optimize|compact|vacuum
   *                                 |constraints|addConstraint|dropConstraint
   *                                 |renameColumn|dropColumn|schema|history
+  *                                 |restore|asOf|checkpoint|lease
   *                           (CHECK-constraint management and
   *                           column-mapping schema evolution ride the
   *                           same registered-table surface; predicates
@@ -238,6 +240,19 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               val (gen, path) = Similarity.ivfRollback(s, root, toGen)
               (200, s"""{"op":"rollback","gen":$gen,"serves":$toGen,""" +
                 s""""path":${Domain.jStr(path)}}""", reqId)
+            case "asOf" =>
+              // which generation SERVED at an instant — the index
+              // twin of the table's TIMESTAMP AS OF, the first
+              // question a takedown/rollback audit asks
+              val ts = q.getOrElse("ts",
+                throw new IllegalArgumentException(
+                  "asOf requires ts=<epochMillis>")).toLong
+              (200, s"""{"op":"asOf","ts":$ts,"gen":${
+                Similarity.ivfGenAsOf(root, ts)}}""", reqId)
+            case "lease" =>
+              // maintenance-lease visibility: who holds, since when,
+              // expired yet — the operator's 409 diagnosis surface
+              (200, leaseJson(root), reqId)
             case "history" =>
               val rows = Similarity.ivfHistory(root).map { case (g, p, k) =>
                 val rb = Similarity.ivfRollbackOf(root, g)
@@ -533,6 +548,10 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
                 case None =>
                   (400, """{"error":"dropColumn requires name"}""", reqId)
               }
+            case "lease" =>
+              // maintenance-lease visibility (who holds / expired) —
+              // the diagnosis surface for a vacuum/restore 409
+              (200, leaseJson(tdir), reqId)
             case "checkpoint" =>
               // materialize the resolved live set as a sidecar so
               // later reads resolve O(checkpoint + short tail) — the
@@ -585,6 +604,14 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     server.start()
     server.getAddress.getPort
   }
+
+  private def leaseJson(dir: String): String =
+    graft.core.Lease.status(dir) match {
+      case None => """{"op":"lease","held":false}"""
+      case Some((holder, ts, ttl, expired)) =>
+        s"""{"op":"lease","held":true,"holder":${Domain.jStr(holder)},""" +
+          s""""ts":$ts,"ttlMs":$ttl,"expired":$expired}"""
+    }
 
   /** Query params decoded EXACTLY ONCE: parse the RAW query so that
     * a value containing an encoded '&' or '=' survives the split, and

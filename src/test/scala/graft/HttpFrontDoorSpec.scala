@@ -1163,6 +1163,86 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     }
   }
 
+  test("op=asOf resolves the generation SERVING at an instant; " +
+      "op=lease exposes the maintenance holder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Similarity
+    val k = 4
+    val layout = graft.core.TempDirs.scratchShared("asoflayout")
+    (0L until 100L).map { i =>
+      val e = Seq(math.cos(i * 0.05).toFloat, math.sin(i * 0.05).toFloat)
+      (i, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "embedding", "nrm")
+      .select(lit(1).as("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layout)
+    val root = graft.core.TempDirs.scratchShared("asofroot")
+    val before = System.currentTimeMillis() - 1
+    Similarity.ivfPublish(root, layout, k)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    Similarity.ivfRetrainPublish(spark, root, iters = 1)
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("asofjobs"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs,
+      maintainableIndexes = Map("asof_ann" -> root))
+    val port = door.start()
+    try {
+      // which generation served when: gen 1 between the publishes,
+      // gen 2 now; before the index existed is the loud client error
+      val a1 = post(port, s"/index/asof_ann?op=asOf&ts=$between", "")
+      assert(a1.statusCode() == 200 && a1.body().contains("\"gen\":1"),
+        a1.body())
+      val a2 = post(port,
+        s"/index/asof_ann?op=asOf&ts=${System.currentTimeMillis()}", "")
+      assert(a2.statusCode() == 200 && a2.body().contains("\"gen\":2"),
+        a2.body())
+      assert(post(port, s"/index/asof_ann?op=asOf&ts=$before", "")
+        .statusCode() == 400, "before the first publish must 400")
+      assert(post(port, "/index/asof_ann?op=asOf", "").statusCode() == 400)
+      // the answer keys off RECORDED instants: an mtime rewrite (the
+      // migration event) must not move it
+      Seq(1, 2).foreach(g => assert(
+        new java.io.File(root, s"gen-$g.json").setLastModified(0L)))
+      Similarity.dropGenPtrCacheForTest(root)
+      assert(post(port, s"/index/asof_ann?op=asOf&ts=$between", "")
+        .body().contains("\"gen\":1"))
+      // LEASE VISIBILITY: free, then held (named), then expired
+      val l0 = post(port, "/index/asof_ann?op=lease", "")
+      assert(l0.statusCode() == 200 && l0.body().contains("\"held\":false"),
+        l0.body())
+      val lock = new java.io.File(root, "_maintenance.lock")
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"index-vacuum@pid7","token":"t0",""" +
+          s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+          .getBytes("UTF-8"))
+      val l1 = post(port, "/index/asof_ann?op=lease", "")
+      assert(l1.statusCode() == 200 &&
+        l1.body().contains("\"holder\":\"index-vacuum@pid7\"") &&
+        l1.body().contains("\"expired\":false"), l1.body())
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"index-vacuum@pid7","token":"t0",""" +
+          s""""ts":${System.currentTimeMillis() - 9999},"ttlMs":1}""")
+          .getBytes("UTF-8"))
+      val l2 = post(port, "/index/asof_ann?op=lease", "")
+      assert(l2.body().contains("\"expired\":true"), l2.body())
+      java.nio.file.Files.delete(lock.toPath)
+      // the table side serves the same surface
+      val tdir = graft.core.TempDirs.scratchShared("asoftable")
+      graft.core.TxnTable.init(spark, tdir,
+        (0L until 10L).toDF("k"), numFiles = 1)
+      val door2 = new HttpFrontDoor(spark, sf, SemanticQueries.registry,
+        jobs, maintainable = Map("t" -> tdir))
+      val port2 = door2.start()
+      try {
+        val tl = post(port2, "/maintenance/t?op=lease", "")
+        assert(tl.statusCode() == 200 &&
+          tl.body().contains("\"held\":false"), tl.body())
+      } finally door2.stop()
+    } finally { door.stop(); jobs.shutdown() }
+  }
+
   test("op=bpeTrain: async merge-table training over the job queue; " +
       "the artifact table applies tx18-style identically to the " +
       "inline trainer; state=<name> resumes") {
