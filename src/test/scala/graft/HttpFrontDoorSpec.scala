@@ -1422,7 +1422,7 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       try {
         val tHint = new java.io.File(tdir, "_head.json")
         val iHint = new java.io.File(ivfRoot, "_head.json")
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => tHint.delete(); iHint.delete(); ()
           case 1 =>
             java.nio.file.Files.write(tHint.toPath,
@@ -1448,6 +1448,24 @@ class HttpFrontDoorSpec extends AnyFunSuite {
                     s""","ttlMs":1}""").getBytes("UTF-8"),
                   java.nio.file.StandardOpenOption.CREATE_NEW)
                 catch { case _: java.nio.file.FileAlreadyExistsException => }
+              }
+            }
+          case 4 =>
+            // a REAPER that crashed inside its takeover section: the
+            // stale .reaper.lock must self-clear (age-based) rather
+            // than block expiry takeovers forever. Planted pre-aged
+            // so the 10 s clearance applies immediately.
+            for (d <- Seq(tdir, ivfRoot)) {
+              val sec = new java.io.File(d, ".reaper.lock")
+              if (!sec.exists()) {
+                try {
+                  java.nio.file.Files.write(sec.toPath,
+                    Array.emptyByteArray,
+                    java.nio.file.StandardOpenOption.CREATE_NEW)
+                  sec.setLastModified(
+                    System.currentTimeMillis() - 60000L)
+                  ()
+                } catch { case _: java.nio.file.FileAlreadyExistsException => }
               }
             }
         }
