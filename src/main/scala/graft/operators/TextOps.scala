@@ -766,13 +766,32 @@ object TextOps {
 
   /** The trained merge table as a DataFrame ARTIFACT (ord, l, r, cnt,
     * pieces) — the `op=bpeTrain` job result a pipeline stores and
-    * applies tx18-style (fold of map-only replaces in ord order). */
+    * applies tx18-style (fold of map-only replaces in ord order).
+    *
+    * A NAMED state dir is single-trainer: two concurrent submits under
+    * the same `state=` would race their state-dir writes (one rmTrees
+    * the other's half-written state), so the run holds the maintenance
+    * lease on the state dir — a duplicate submit fails loudly naming
+    * the running trainer (the job reports Failed with the held-by
+    * message, never a corrupted state). TTL 2 h: comfortably above the
+    * ~20-minute 32k regime, so a live run is never taken over, while a
+    * crashed trainer's state dir frees the same day it dies (and the
+    * crashed run's committed checkpoints are exactly what the retry
+    * resumes from). */
   private[graft] def bpeTrainFrame(s: SparkSession, d: String, k: Int,
       m: Int, stateDir: Option[String]): DataFrame = {
     import s.implicits._
-    bpeMergesBatched(s, d, k, m, stateDir = stateDir).zipWithIndex
-      .map { case ((l, r, c, p), i) => (i + 1, l, r, c, p) }
-      .toDF("ord", "l", "r", "cnt", "pieces")
+    def train() =
+      bpeMergesBatched(s, d, k, m, stateDir = stateDir).zipWithIndex
+        .map { case ((l, r, c, p), i) => (i + 1, l, r, c, p) }
+        .toDF("ord", "l", "r", "cnt", "pieces")
+    stateDir match {
+      case Some(sd) =>
+        new java.io.File(sd).mkdirs()
+        graft.core.Lease.withLease(sd, "bpeTrain",
+          ttlMillis = 2L * 3600 * 1000)(train())
+      case None => train()
+    }
   }
 
   /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —

@@ -1312,6 +1312,24 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         .map(row => (row.getAs[String]("l"), row.getAs[String]("r"),
           row.getAs[Long]("cnt"), row.getAs[Long]("pieces"))).toSeq
       assert(art2 == art, "a resumed submit must reproduce the artifact")
+      // a DUPLICATE submit while a same-state trainer runs fails
+      // LOUDLY naming the holder — two trainers racing one state dir
+      // would corrupt each other's checkpoints
+      val sd = jobs.taskStateDir("bpe-e2e")
+      val tok = graft.core.Lease.acquire(sd, "bpeTrain",
+        ttlMillis = 600000)
+      try {
+        val r3 = post(port,
+          "/maintenance?op=bpeTrain&k=5&m=1&state=e2e", "")
+        assert(r3.statusCode() == 202, r3.body())
+        val id3 = """"jobId":"([^"]+)"""".r.findFirstMatchIn(r3.body())
+          .get.group(1)
+        val st3 = jobs.await(id3, 300000)
+        assert(st3.exists {
+          case JobQueue.Failed(e) => e.contains("held by")
+          case _ => false
+        }, s"a duplicate same-state submit must fail on the lease: $st3")
+      } finally graft.core.Lease.release(sd, tok)
     } finally { door.stop(); jobs.shutdown() }
   }
 
