@@ -127,31 +127,13 @@ object TxnTable {
   //  - hint below the vacuum horizon or past the head (external
   //    damage): the existence check on the hinted version itself
   //    fails → LIST fallback → re-prime.
-  private val headHintName = "_head.json"
-
-  /** Best-effort: never throws (a failed hint write costs the next
-    * reads a forward walk or one LIST, never correctness), last
-    * writer wins (atomic replace — racing commits may land hints out
-    * of order; the forward probe absorbs a stale winner). */
+  // hint write/read mechanics are shared with the index's generation
+  // log ([[AdvisoryHint]] — one implementation, no drift)
   private def writeHeadHint(dir: String, v: Int): Unit =
-    try {
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(dir), "._head", ".tmp")
-      java.nio.file.Files.write(tmp, s"""{"head":$v}""".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, fileOf(dir, headHintName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    AdvisoryHint.write(dir, "head", v)
 
-  private def readHeadHint(dir: String): Option[Int] = {
-    val f = fileOf(dir, headHintName)
-    if (!f.exists()) return None
-    try """"head":(\d+)""".r.findFirstMatchIn(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      .map(_.group(1).toInt)
-    catch { case scala.util.control.NonFatal(_) => None }
-  }
+  private def readHeadHint(dir: String): Option[Int] =
+    AdvisoryHint.read(dir, "head")
 
   private def manifestExists(dir: String, v: Int): Boolean = {
     headProbes.incrementAndGet()

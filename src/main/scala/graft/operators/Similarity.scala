@@ -1372,30 +1372,13 @@ object Similarity {
     Some(p)
   }
 
-  private val ivfHeadHintName = "_head.json"
-
-  /** Best-effort, never throws, last writer wins (the forward probe
-    * absorbs a stale winner). */
+  // hint write/read mechanics are shared with the table log
+  // (graft.core.AdvisoryHint — one implementation, no drift)
   private def writeIvfHeadHint(root: String, gen: Int): Unit =
-    try {
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(root), "._head", ".tmp")
-      java.nio.file.Files.write(tmp, s"""{"gen":$gen}""".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(root, ivfHeadHintName),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    graft.core.AdvisoryHint.write(root, "gen", gen)
 
-  private def readIvfHeadHint(root: String): Option[Int] = {
-    val f = new java.io.File(root, ivfHeadHintName)
-    if (!f.exists()) return None
-    try """"gen":(\d+)""".r.findFirstMatchIn(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      .map(_.group(1).toInt)
-    catch { case scala.util.control.NonFatal(_) => None }
-  }
+  private def readIvfHeadHint(root: String): Option[Int] =
+    graft.core.AdvisoryHint.read(root, "gen")
 
   /** Local publish-collision signal for [[ivfPublishAs]]'s heal loop. */
   private final class SlotTaken extends RuntimeException
@@ -1639,6 +1622,12 @@ object Similarity {
     val keptPaths = hist.takeRight(keepGens).map(_._2).toSet
     val lastRef: Map[String, Int] = drop.zipWithIndex
       .groupBy(_._1._2).map { case (p, xs) => p -> xs.map(_._2).max }
+    // loop-invariant under the held lease: read the ledger ONCE, not
+    // once per dropped generation (O(drops × ledger-files) GETs on an
+    // object store otherwise); a concurrent ivfDelete's additions
+    // mid-sweep are covered by its own tombstone write + pointer
+    // re-check, exactly as in the rollback's hoisted deadAll
+    val ledger = takedownLedger(root)
     drop.zipWithIndex.map { case ((g, path, _), idx) =>
       // fold + carry + destroy only at the path's LAST dropped
       // reference: earlier references' folds would be pure wasted
@@ -1660,7 +1649,7 @@ object Similarity {
             // not resurface, not even transiently (the ivfRollback
             // discipline)
             ivfFoldForward(s, path, succ,
-              exclude = ivfTombstones(path) ++ takedownLedger(root))
+              exclude = ivfTombstones(path) ++ ledger)
             // a takedown whose only tombstone lives in the doomed
             // layout (publisher crashed between publish and its gap
             // sweep) must fold forward too, or destroying the layout

@@ -88,33 +88,33 @@ object JsonBody {
     * absent; loud on unbalanced arrays or non-numeric components
     * (NumberFormatException → 400 at the endpoint). Inner arrays are
     * read ONLY from inside the anchored span, never from siblings —
-    * and must be DIRECT children of the span (nesting depth exactly
-    * 2): an over-nested body like {"vecs":[[[1,2]]]} is a loud error,
-    * never silently parsed as one query vector (the longArray
-    * flat-array discipline, mirrored). */
+    * and the span is validated STRUCTURALLY before the extraction
+    * regex runs: a legitimate vecs value contains nothing but
+    * brackets (depth exactly 2), numbers, commas and whitespace, so
+    * objects (`[{"v":[1,2]}]` — the '{' hides the true nesting from a
+    * bracket count), string literals (`"[3,4]"` — the regex would
+    * extract it as a phantom query) and over-nesting (`[[[1,2]]]`)
+    * are all loud errors, never silently-parsed queries (the
+    * longArray flat-array discipline, extended). */
   def floatArrays(body: String, key: String): Seq[Seq[Float]] =
     arraySpan(body, key) match {
       case None => Seq.empty
       case Some((o, e)) =>
-        // depth check over the span (string-aware like arraySpan):
-        // the outer bracket is depth 1, each query vector depth 2 —
-        // any deeper '[' means the caller's shape is wrong
-        var d = 0; var i = o; var inStr = false; var esc = false
+        var d = 0; var i = o
         while (i <= e) {
-          val c = body.charAt(i)
-          if (inStr) {
-            if (esc) esc = false
-            else if (c == '\\') esc = true
-            else if (c == '"') inStr = false
-          } else c match {
-            case '"' => inStr = true
+          body.charAt(i) match {
             case '[' =>
               d += 1
               if (d > 2) throw new IllegalArgumentException(
                 s"""malformed body: "$key" must be a flat array of """ +
                   "number arrays (nesting too deep)")
             case ']' => d -= 1
-            case _ =>
+            case c if c == '{' || c == '}' || c == '"' =>
+              throw new IllegalArgumentException(
+                s"""malformed body: "$key" must contain only number """ +
+                  s"arrays (found '$c')")
+            case _ => // numbers, signs, exponents, commas, whitespace:
+              // component-level garbage is caught by toFloat below
           }
           i += 1
         }

@@ -963,6 +963,9 @@ class HttpFrontDoorSpec extends AnyFunSuite {
     // hammering + (guarded) vacuums; INDEX under fire: takedowns +
     // retrains + one rollback + readers asserting the takedown
     // invariant on every response.
+    // the re-verify counter is process-global: reset so THIS storm's
+    // verdict isn't poisoned by an unrelated earlier test
+    TxnTable.restoreReVerifyTrips.set(0)
     val tdir = graft.core.TempDirs.scratchShared("soak4")
     TxnTable.init(spark, tdir,
       (0L until 5000L).toDF("k").withColumn("payload", col("k"))

@@ -37,9 +37,15 @@ class JsonBodySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JsonBody.floatArrays("""{"vecs":[[1,2],[3""", "vecs")
     }
-    // non-numeric components surface as NumberFormatException (400)
-    intercept[NumberFormatException] {
+    // non-numeric components are loud (400): a quoted component is
+    // rejected by the structural scan (strings are illegal in a vecs
+    // span); a bare-word component still falls to toFloat's
+    // NumberFormatException — both IllegalArgumentException → 400
+    intercept[IllegalArgumentException] {
       JsonBody.floatArrays("""{"vecs":[[1,"x"]]}""", "vecs")
+    }
+    intercept[NumberFormatException] {
+      JsonBody.floatArrays("""{"vecs":[[1,x]]}""", "vecs")
     }
   }
 
@@ -94,6 +100,16 @@ class JsonBodySpec extends AnyFunSuite {
     // depth exactly 2 stays fine
     assert(JsonBody.floatArrays("""{"vecs":[[1],[2,3]]}""", "vecs")
       == Seq(Seq(1f), Seq(2f, 3f)))
+    // OBJECT-wrapped arrays: '{' hides the true nesting from a bare
+    // bracket count — must 400, never silently search [1,2]
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[{"v":[1,2]}]}""", "vecs")
+    }
+    // STRING literals inside the span: the extraction regex is not
+    // string-aware, so "[3,4]" would become a phantom query — reject
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[[1,2],"[3,4]"]}""", "vecs")
+    }
   }
 
   test("longArray: flat ids only, loud on nesting") {
