@@ -7,17 +7,22 @@ package graft.core
   * could not close it) and vacuum-vs-rollback on the index root.
   *
   * Mechanics: an op that DELETES old files or RE-REFERENCES them
-  * (vacuum, restore, rollback) brackets its whole plan-to-mutate
-  * window with an exclusive `_maintenance.lock` under the root —
-  * claimed with the same put-if-absent publish every metadata channel
-  * here uses ([[AtomicFiles.publishExclusive]]; a conditional PUT on
-  * an object store). The lock body carries holder id, acquisition
-  * instant, and TTL:
+  * (vacuum, restore, rollback — and a named resumable BPE training
+  * run, which rewrites its state dir) brackets its whole
+  * plan-to-mutate window with an exclusive `_maintenance.lock` under
+  * the root — claimed with the same put-if-absent publish every
+  * metadata channel here uses ([[AtomicFiles.publishExclusive]]; a
+  * conditional PUT on an object store). The lock body carries holder
+  * id, acquisition instant, and TTL:
   *  - a CONTENDER refuses loudly (`ConcurrentModificationException`
   *    → 409 over the wire) NAMING the holder — the operator's retry
   *    signal, never a wedge;
   *  - a CRASHED holder's lease expires after its TTL and is reclaimed
   *    by the next contender;
+  *  - a LONG-RUNNING holder [[renew]]s (re-stamps its instant,
+  *    token-checked) so work of unbounded length — a user-chosen
+  *    32k-merge training run — never silently outlives its lease; the
+  *    TTL then bounds only how long a CRASHED holder blocks;
   *  - RELEASE deletes only the caller's own claim (token-checked), so
   *    a slow holder whose lease expired and was taken over cannot
   *    delete the new holder's lock.
@@ -30,28 +35,31 @@ package graft.core
   * the NEW holder's lease (two maintenance ops holding at once:
   * exactly what the lease exists to prevent; the takeover-storm spec
   * reproduced it). So all judge-then-delete runs inside a tiny
-  * exclusive critical section (`.reaper.lock`, O_CREAT|O_EXCL):
-  * reapers and releases serialize against each other, and a CLAIM can
-  * only land while the name is vacant — which, inside a section, only
-  * happens after a legitimate delete. The section is µs-scale (reads
-  * + one delete, no Spark work); a crashed entrant's stale section
-  * (>10 s) is cleaned by SINGLE-WINNER atomic move — never
-  * delete-by-name, which would re-open the same hazard one level down
-  * — with an mtime re-verify and restore-or-yield if a live section
-  * was stolen. The judged delete re-reads and byte-compares
-  * immediately before removing. The residue after all of this needs a
-  * crashed reaper + dual cleanup race + a re-entry and a re-claim
-  * inside instruction-scale windows, stacked; the r14 defense-in-depth
-  * guards (head-advance abort, post-publish re-verify, idempotent
-  * folds) remain underneath the lease for exactly such residues. On an
-  * object store the whole dance is one conditional (if-match) delete.
+  * exclusive critical section (`.reaper.lock`, O_CREAT|O_EXCL, its
+  * body carrying the entrant's token): reapers and releases serialize
+  * against each other, and a CLAIM can only land while the name is
+  * vacant — which, inside a section, only happens after a legitimate
+  * delete. The section is µs-scale (reads + one delete, no Spark
+  * work); a crashed entrant's stale section (>10 s) is cleaned by
+  * SINGLE-WINNER atomic move — never delete-by-name, which would
+  * re-open the same hazard one level down — with an mtime re-verify
+  * and restore-or-yield if a live section was stolen; section EXIT is
+  * token-checked too, so a holder whose section file was stolen and
+  * replaced cannot delete a successor's. The judged delete re-reads
+  * and byte-compares immediately before removing. The residue after
+  * all of this needs a crashed reaper + dual cleanup race + a
+  * re-entry and a re-claim inside instruction-scale windows, stacked;
+  * the r14 defense-in-depth guards (head-advance abort, post-publish
+  * re-verify, idempotent folds) remain underneath the lease for
+  * exactly such residues. On an object store the whole dance is one
+  * conditional (if-match) delete.
   *
   * Ordinary reads and commits NEVER take the lease: snapshot isolation
   * and OCC already serialize them, and a lease on the write path would
   * put a lock in front of every streaming trigger. A holder that
-  * STALLS past its TTL mid-work and resumes after a takeover is the
-  * standard lease tradeoff; the TTL default is sized two orders above
-  * any measured sweep. */
+  * STALLS past its TTL without renewing and resumes after a takeover
+  * is the standard lease tradeoff; the TTL default is sized two orders
+  * above any measured sweep. */
 object Lease {
 
   /** Generous vs the measured cost of any maintenance op at sandbox
@@ -62,6 +70,27 @@ object Lease {
   private val sectionName = ".reaper.lock"
 
   private final class Held extends RuntimeException
+
+  /** The lock body's fields — ONE parser for acquire / reap / status
+    * (two judgments disagreeing on the same bytes is the drift class
+    * AdvisoryHint exists to prevent). */
+  private def lockFields(body: String)
+      : (String, Option[Long], Option[Long]) = {
+    def fld(name: String): Option[String] =
+      ("\"" + name + "\":\"?([^\",}]+)").r
+        .findFirstMatchIn(body).map(_.group(1))
+    (fld("holder").getOrElse("unknown"),
+      fld("ts").flatMap(_.toLongOption),
+      fld("ttlMs").flatMap(_.toLongOption))
+  }
+
+  /** Expiry judgment on lock bytes: unreadable/corrupt = expired — a
+    * lock nobody can identify must be reclaimable, not a wedge. */
+  private def isExpired(body: String): Boolean =
+    lockFields(body) match {
+      case (_, Some(t), Some(w)) => System.currentTimeMillis() - t > w
+      case _ => true
+    }
 
   /** Run `body` holding the maintenance lease on `dir`. */
   def withLease[T](dir: String, op: String,
@@ -77,10 +106,12 @@ object Lease {
       s""","token":"$token","ts":${System.currentTimeMillis()}""" +
       s""","ttlMs":$ttlMillis}""").getBytes("UTF-8")
     var takeovers = 0
+    var yields = 0
     while (true) {
       try {
         AtomicFiles.publishExclusive(dir, lockName, payload)(
           throw new Held)
+        sweepSectionTrash(dir)
         return token
       } catch {
         case _: Held =>
@@ -91,33 +122,30 @@ object Lease {
             try new String(
               java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
             catch { case _: java.nio.file.NoSuchFileException => "" }
-          def field(name: String): Option[String] =
-            ("\"" + name + "\":\"?([^\",}]+)").r
-              .findFirstMatchIn(body).map(_.group(1))
-          val ts = field("ts").flatMap(_.toLongOption)
-          val ttl = field("ttlMs").flatMap(_.toLongOption)
-          val holder = field("holder").getOrElse("unknown")
-          val expired = (ts, ttl) match {
-            case (Some(t), Some(w)) =>
-              System.currentTimeMillis() - t > w
-            // unreadable/corrupt body: treat as expired — a lock
-            // nobody can identify must be reclaimable, not a wedge
-            case _ => true
+          if (!isExpired(body)) {
+            val (holder, ts, ttl) = lockFields(body)
+            throw new java.util.ConcurrentModificationException(
+              s"maintenance on $dir is held by $holder (acquired " +
+                s"${ts.getOrElse(-1L)}, ttl ${ttl.getOrElse(-1L)} ms) — " +
+                "retry after it releases, renews out, or expires")
           }
-          if (!expired) throw new java.util.ConcurrentModificationException(
-            s"maintenance on $dir is held by $holder (acquired " +
-              s"${ts.getOrElse(-1L)}, ttl ${ttl.getOrElse(-1L)} ms) — " +
-              "retry after it releases or expires")
           takeovers += 1
           if (takeovers > 20) throw new java.util.ConcurrentModificationException(
-            s"maintenance lease on $dir cannot be reclaimed (an " +
-              "expired claim keeps reappearing, or the reaper section " +
-              s"$sectionName stays contended) — inspect $lockName")
+            if (yields >= takeovers - 1)
+              // every round yielded on the SECTION — a transient busy
+              // signal (another reaper/release mid-judgment, or a
+              // ghost section awaiting its 10 s clearance), not a
+              // damaged lock: tell the operator to retry, not inspect
+              s"maintenance lease on $dir is briefly unreclaimable " +
+                s"(the reaper section $sectionName stayed contended) — " +
+                "retry shortly"
+            else
+              s"maintenance lease on $dir cannot be reclaimed (an " +
+                s"expired claim keeps reappearing) — inspect $lockName")
           // a contended section (another reaper/release mid-judgment)
           // is a transient µs-scale state — back off briefly instead
-          // of burning the takeover budget in a spin (a throw here
-          // would tell the operator to inspect a healthy lock)
-          if (!reapExpired(dir, f)) Thread.sleep(20)
+          // of burning the takeover budget in a spin
+          if (!reapExpired(dir, f)) { yields += 1; Thread.sleep(20) }
       }
     }
     sys.error("unreachable")
@@ -126,13 +154,13 @@ object Lease {
   /** Judge-then-delete of an expired lock inside the exclusive
     * section. Returns false when the section was contended (the
     * caller backs off and re-loops). */
-  private def reapExpired(dir: String, f: java.io.File): Boolean = {
-    if (!enterSection(dir)) return false
-    try {
-      deleteIfStillExpired(f)
-      true
-    } finally exitSection(dir)
-  }
+  private def reapExpired(dir: String, f: java.io.File): Boolean =
+    enterSection(dir) match {
+      case None => false
+      case Some(sectionTok) =>
+        try { deleteIfStillExpired(f); true }
+        finally exitSection(dir, sectionTok)
+    }
 
   /** The judged delete, SECTION-HELD by the caller: re-read, judge
     * expiry on the CURRENT bytes, re-read-and-byte-compare right
@@ -145,29 +173,24 @@ object Lease {
       catch { case _: java.nio.file.NoSuchFileException => null }
     val body = readOrNull()
     if (body == null) return
-    def fld(name: String): Option[Long] =
-      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(body)
-        .map(_.group(1).toLong)
-    val expired = (fld("ts"), fld("ttlMs")) match {
-      case (Some(t), Some(w)) => System.currentTimeMillis() - t > w
-      case _ => true // unreadable = reclaimable, never a wedge
-    }
-    if (expired && readOrNull() == body) {
+    if (isExpired(body) && readOrNull() == body) {
       java.nio.file.Files.deleteIfExists(f.toPath)
       ()
     }
   }
 
   /** Enter the reaper/release critical section: exclusive create of
-    * `.reaper.lock`, with SINGLE-WINNER cleanup of a crashed
+    * `.reaper.lock` (then stamp our token into it — exit is
+    * token-checked), with SINGLE-WINNER cleanup of a crashed
     * entrant's stale section (>10 s old — the section is µs-scale).
     * Cleanup is by atomic MOVE to a unique name, never delete-by-name
     * (two cleaners both judging staleness could otherwise delete a
     * section the faster one already re-created — the dual-entry
     * hazard); the mover re-verifies the moved inode's age and
-    * restores it if it stole a live section. Returns false on any
-    * contention — the caller yields and retries. */
-  private def enterSection(dir: String): Boolean = {
+    * restores it if it stole a live section. Returns the entrant's
+    * token, or None on any contention — the caller yields and
+    * retries. */
+  private def enterSection(dir: String): Option[String] = {
     val section = new java.io.File(dir, sectionName)
     if (section.exists() &&
         System.currentTimeMillis() - section.lastModified() > 10000) {
@@ -193,7 +216,7 @@ object Lease {
               java.nio.file.Files.deleteIfExists(trash.toPath)
               ()
           }
-          return false
+          return None
         }
       } catch {
         // another cleaner won the stale inode — fall through and race
@@ -201,14 +224,73 @@ object Lease {
         case _: java.nio.file.NoSuchFileException => ()
       }
     }
-    try { java.nio.file.Files.createFile(section.toPath); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    try {
+      java.nio.file.Files.createFile(section.toPath)
+      val tok = java.util.UUID.randomUUID().toString
+      // our own file, written within its 10 s freshness window — a
+      // cleaner cannot touch it and no one else creates over it
+      java.nio.file.Files.write(section.toPath, tok.getBytes("UTF-8"))
+      Some(tok)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+    }
   }
 
-  private def exitSection(dir: String): Unit = {
-    new java.io.File(dir, sectionName).delete()
-    ()
-  }
+  /** Token-checked section exit: a holder whose section file was
+    * stolen-and-replaced (the stacked stale-cleanup residue) must not
+    * delete a SUCCESSOR entrant's live section — that delete-by-name
+    * would be the amplifier that turns a µs residue into a re-opened
+    * dual-entry window. */
+  private def exitSection(dir: String, tok: String): Unit =
+    try {
+      val section = new java.io.File(dir, sectionName)
+      if (section.exists() && new String(
+          java.nio.file.Files.readAllBytes(section.toPath), "UTF-8")
+          == tok) {
+        java.nio.file.Files.deleteIfExists(section.toPath)
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Retire crash-leftover `.reaper-stale-*` files (a cleaner killed
+    * between its move and its delete) — best-effort, once per
+    * successful acquire: a maintenance path, where one listing is
+    * fine (unlike the serve paths). */
+  private def sweepSectionTrash(dir: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 3600000L
+      Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(g => g.getName.startsWith(".reaper-stale-") &&
+          g.getName.endsWith(".lock") && g.lastModified() < cutoff)
+        .foreach(g => { g.delete(); () })
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Re-stamp the holder's acquisition instant (token-checked,
+    * best-effort, never throws): a long-running holder calls this
+    * periodically (the resumable BPE trainer renews every round) so
+    * user-controlled work length never silently outlives the lease —
+    * the TTL then bounds only how long a CRASHED holder blocks. A
+    * renew after our lease already expired AND was taken over is
+    * detected by the token check; the read-to-write window is the
+    * stalled-past-TTL residue the class doc covers. */
+  private[graft] def renew(dir: String, token: String): Unit =
+    try {
+      val f = new java.io.File(dir, lockName)
+      if (!f.exists()) return
+      val body = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      if (!body.contains(token)) return
+      val updated = body.replaceFirst("\"ts\":\\d+",
+        "\"ts\":" + System.currentTimeMillis())
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), s".$lockName", ".tmp")
+      java.nio.file.Files.write(tmp, updated.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The current lease, if any: (holder, acquiredAtMillis, ttlMillis,
     * expired) — the ops-visibility surface (`op=lease` over the wire:
@@ -221,14 +303,9 @@ object Lease {
     val body =
       try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       catch { case _: java.nio.file.NoSuchFileException => return None }
-    def fld(name: String): Option[String] =
-      ("\"" + name + "\":\"?([^\",}]+)").r
-        .findFirstMatchIn(body).map(_.group(1))
-    val ts = fld("ts").flatMap(_.toLongOption).getOrElse(-1L)
-    val ttl = fld("ttlMs").flatMap(_.toLongOption).getOrElse(-1L)
-    val expired = ts < 0 || ttl < 0 ||
-      System.currentTimeMillis() - ts > ttl
-    Some((fld("holder").getOrElse("unknown"), ts, ttl, expired))
+    val (holder, ts, ttl) = lockFields(body)
+    Some((holder, ts.getOrElse(-1L), ttl.getOrElse(-1L),
+      isExpired(body)))
   }
 
   /** Delete only OUR claim — and do it INSIDE the section: a release
@@ -239,10 +316,14 @@ object Lease {
     * held, no reap can interleave between the token check and the
     * delete, and a claim cannot replace an existing lock. Section
     * contention backs off briefly; if it persists past 15 s
-    * (impossible without a crashed entrant, which cleanup handles)
-    * the release falls back to the bare token-checked delete — a
+    * (impossible without a crashed entrant, which cleanup handles) —
+    * or the waiting thread is INTERRUPTED (a pool shutdown mid-op) —
+    * the release falls back to the bare token-checked delete: a
     * leaked lock would otherwise block maintenance for a full TTL.
-    * Never throws (runs in `finally`). */
+    * NEVER throws, interruption included (this runs in `finally`;
+    * an escaping InterruptedException would mask the body's real
+    * exception AND leak the lock — the interrupt flag is re-set
+    * instead). */
   private[graft] def release(dir: String, token: String): Unit =
     try {
       val f = new java.io.File(dir, lockName)
@@ -254,12 +335,25 @@ object Lease {
           ()
         }
       val deadline = System.currentTimeMillis() + 15000
-      var entered = false
-      while (!entered && System.currentTimeMillis() < deadline) {
+      var entered: Option[String] = None
+      var interrupted = false
+      while (entered.isEmpty && !interrupted &&
+          System.currentTimeMillis() < deadline) {
         entered = enterSection(dir)
-        if (!entered) Thread.sleep(10)
+        if (entered.isEmpty)
+          try Thread.sleep(10)
+          catch { case _: InterruptedException =>
+            interrupted = true
+            Thread.currentThread().interrupt()
+          }
       }
-      if (entered) try tokenDelete() finally exitSection(dir)
-      else tokenDelete()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      entered match {
+        case Some(tok) => try tokenDelete() finally exitSection(dir, tok)
+        case None => tokenDelete()
+      }
+    } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

@@ -610,6 +610,20 @@ object TextOps {
       stateDir: Option[String] = None, checkpointEvery: Int = 32)
       : Seq[(String, String, Long, Long)] = {
     require(m >= 1, s"batch width must be >= 1, got $m")
+    // SINGLE-TRAINER GUARD, at the resource (not the HTTP wrapper, so
+    // direct callers — probes, tests — are covered too): a named state
+    // dir is exclusive — two concurrent trainers would race the
+    // checkpoint rmTree/write cycle. The lease RENEWS every round
+    // (k and corpus size are user-controlled and unbounded, so no
+    // fixed TTL can cover a live run); the default TTL then bounds
+    // only how long a CRASHED trainer blocks a retry — whose resume
+    // point is exactly the crashed run's committed checkpoints.
+    val leaseTok = stateDir.map { sd =>
+      new java.io.File(sd).mkdirs()
+      graft.core.Lease.acquire(sd, "bpeTrain",
+        graft.core.Lease.DefaultTtlMillis)
+    }
+    try {
     val resumed = stateDir.flatMap(sd => bpeLoadState(s, sd))
     // a state already at (or past) the requested k answers from the
     // persisted merge list alone — no corpus materialization
@@ -697,11 +711,17 @@ object TextOps {
               (round % checkpointEvery == 0 || produced >= k))
             bpePersistState(s, stateDir.get, produced, pieces,
               rows.toSeq, df, counts)
+          // the run is alive — re-stamp the lease (sub-ms against
+          // 0.8-1.0 s rounds) so a live trainer never expires out
+          leaseTok.foreach(t => graft.core.Lease.renew(stateDir.get, t))
           onRound(round, sel.size)
         } finally { hit.unpersist(); rep.unpersist(); delta.unpersist(); () }
       }
     } finally { bpeReleaseRdds(s, dfIds); bpeReleaseRdds(s, countIds) }
     rows.toSeq
+    } finally {
+      leaseTok.foreach(t => graft.core.Lease.release(stateDir.get, t))
+    }
   }
 
   /** Commit one trainer state: corpus + counts + merge list as
@@ -768,30 +788,18 @@ object TextOps {
     * pieces) — the `op=bpeTrain` job result a pipeline stores and
     * applies tx18-style (fold of map-only replaces in ord order).
     *
-    * A NAMED state dir is single-trainer: two concurrent submits under
-    * the same `state=` would race their state-dir writes (one rmTrees
-    * the other's half-written state), so the run holds the maintenance
-    * lease on the state dir — a duplicate submit fails loudly naming
-    * the running trainer (the job reports Failed with the held-by
-    * message, never a corrupted state). TTL 2 h: comfortably above the
-    * ~20-minute 32k regime, so a live run is never taken over, while a
-    * crashed trainer's state dir frees the same day it dies (and the
-    * crashed run's committed checkpoints are exactly what the retry
-    * resumes from). */
+    * A NAMED state dir is single-trainer: the trainer itself holds
+    * (and renews, per round) the maintenance lease on the state dir —
+    * see [[bpeMergesBatched]] — so a duplicate submit fails loudly
+    * naming the running trainer (the job reports Failed with the
+    * held-by message, never a corrupted state), and the guard covers
+    * every entry point to the resource, not just this wrapper. */
   private[graft] def bpeTrainFrame(s: SparkSession, d: String, k: Int,
       m: Int, stateDir: Option[String]): DataFrame = {
     import s.implicits._
-    def train() =
-      bpeMergesBatched(s, d, k, m, stateDir = stateDir).zipWithIndex
-        .map { case ((l, r, c, p), i) => (i + 1, l, r, c, p) }
-        .toDF("ord", "l", "r", "cnt", "pieces")
-    stateDir match {
-      case Some(sd) =>
-        new java.io.File(sd).mkdirs()
-        graft.core.Lease.withLease(sd, "bpeTrain",
-          ttlMillis = 2L * 3600 * 1000)(train())
-      case None => train()
-    }
+    bpeMergesBatched(s, d, k, m, stateDir = stateDir).zipWithIndex
+      .map { case ((l, r, c, p), i) => (i + 1, l, r, c, p) }
+      .toDF("ord", "l", "r", "cnt", "pieces")
   }
 
   /** Corpus-wide adjacent-pair counts of a '<tok>'-wrapped corpus —

@@ -102,18 +102,30 @@ object JsonBody {
       case Some((o, e)) =>
         var d = 0; var i = o
         while (i <= e) {
-          body.charAt(i) match {
+          val c = body.charAt(i)
+          c match {
             case '[' =>
               d += 1
               if (d > 2) throw new IllegalArgumentException(
                 s"""malformed body: "$key" must be a flat array of """ +
                   "number arrays (nesting too deep)")
             case ']' => d -= 1
-            case c if c == '{' || c == '}' || c == '"' =>
+            case _ if c == '{' || c == '}' || c == '"' =>
               throw new IllegalArgumentException(
                 s"""malformed body: "$key" must contain only number """ +
                   s"arrays (found '$c')")
-            case _ => // numbers, signs, exponents, commas, whitespace:
+            case _ =>
+              // depth 1 (between the outer brackets, outside every
+              // inner array) admits only separators: a BARE component
+              // there ({"vecs":[1,2,[3,4]]}) would be silently
+              // dropped by the bracketed-group extraction below —
+              // depth is exactly 2 or the shape is loudly wrong
+              if (d == 1 && c != ',' && !c.isWhitespace)
+                throw new IllegalArgumentException(
+                  s"""malformed body: "$key" must nest every """ +
+                    s"component in an inner array (found '$c' at " +
+                    "the outer level)")
+              // inside an inner array: numbers, signs, exponents —
               // component-level garbage is caught by toFloat below
           }
           i += 1

@@ -110,6 +110,14 @@ class JsonBodySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JsonBody.floatArrays("""{"vecs":[[1,2],"[3,4]"]}""", "vecs")
     }
+    // BARE components at the outer level would be silently dropped by
+    // the bracketed-group extraction — depth exactly 2, loudly
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[1,2,[3,4]]}""", "vecs")
+    }
+    intercept[IllegalArgumentException] {
+      JsonBody.floatArrays("""{"vecs":[1,2]}""", "vecs")
+    }
   }
 
   test("longArray: flat ids only, loud on nesting") {
