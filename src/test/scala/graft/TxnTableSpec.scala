@@ -1767,6 +1767,37 @@ class TxnTableSpec extends AnyFunSuite {
     assert(!lock.exists())
   }
 
+  test("lease renewal: a live long-running holder renews past its TTL " +
+      "and is never taken over; a stalled one frees after the TTL") {
+    val dir = graft.core.TempDirs.scratchShared("leaserenew")
+    new java.io.File(dir).mkdirs()
+    // a deliberately TINY ttl: without renewal this lease would be
+    // reclaimable after 60 ms — the user-controlled-work-length case
+    // (a 32k BPE run under a fixed TTL)
+    val tok = graft.core.Lease.acquire(dir, "long-op", ttlMillis = 60)
+    val until = System.currentTimeMillis() + 400
+    while (System.currentTimeMillis() < until) {
+      graft.core.Lease.renew(dir, tok)
+      val held = intercept[java.util.ConcurrentModificationException] {
+        graft.core.Lease.acquire(dir, "contender", ttlMillis = 60000)
+      }
+      assert(held.getMessage.contains("long-op"),
+        s"a renewing holder must stay held: ${held.getMessage}")
+      Thread.sleep(20)
+    }
+    // renewal is token-checked: a stranger's renew must not extend it
+    graft.core.Lease.renew(dir, "not-the-token")
+    // the holder stalls (no more renews): after the TTL a contender
+    // reclaims — the crashed-trainer recovery path
+    Thread.sleep(120)
+    val tok2 = graft.core.Lease.acquire(dir, "contender", ttlMillis = 60000)
+    // the stalled holder's late release must not free the new lease
+    graft.core.Lease.release(dir, tok)
+    assert(new java.io.File(dir, "_maintenance.lock").exists())
+    graft.core.Lease.release(dir, tok2)
+    assert(!new java.io.File(dir, "_maintenance.lock").exists())
+  }
+
   test("lease takeover storm: racing reapers of an expired lock never " +
       "produce two concurrent holders (reap is move-based, not delete)") {
     // the TOCTOU this pins: contender B judges the lock expired, A
