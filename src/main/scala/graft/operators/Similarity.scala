@@ -1169,21 +1169,60 @@ object Similarity {
     java.nio.file.Files.move(tmp,
       d.toPath.resolve(s"del-${java.util.UUID.randomUUID()}.txt"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // CHANGE MARKER, bumped AFTER the id file is durable and BEFORE
+    // the delete request acks: serve-path readers key their memoized
+    // tombstone set on this value (one GET instead of a directory
+    // LIST per search — the head-hint discipline applied to the
+    // takedown channel), so any read issued after the ack sees the
+    // new marker and re-reads. NOT best-effort: a silently lost bump
+    // would serve a GDPR-deleted id from a stale cache, so a failed
+    // bump fails the delete request loudly (the ledger already
+    // recorded the id; the retry is idempotent).
+    val seqTmp = java.nio.file.Files.createTempFile(
+      d.toPath, "._seq", ".tmp")
+    java.nio.file.Files.write(seqTmp,
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(seqTmp, d.toPath.resolve("_seq"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
-  /** Serve-path tombstone read, memoized on the (append-only) FILE
-    * LISTING: a search request pays one directory list, not a re-read
-    * of every takedown file ever written — per-file round trips on a
-    * hot path are the object-store anti-pattern the stats/schema
-    * channels exist to kill. A new takedown changes the listing, so
-    * the next request re-reads under a fresh key. */
+  /** Serve-path LIST counter for the tombstone channel (probe/spec
+    * seam, like [[ivfRootLists]]). */
+  private[graft] val ivfTombstoneLists =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Serve-path tombstone read, memoized on the `_seq` CHANGE MARKER
+    * ([[writeIdFile]] bumps it after every takedown write, before the
+    * delete acks): a search request pays ONE GET — not a directory
+    * LIST, and not a re-read of every takedown file ever written —
+    * per-request round trips on a hot path being the object-store
+    * anti-pattern the stats/schema/head-hint channels exist to kill.
+    * Read-your-writes holds: any read issued after a delete's ack
+    * sees the bumped marker and re-reads under a fresh key. Layouts
+    * predating the marker (tombstones written by older code) fall
+    * back to the listing-keyed memo and self-upgrade on their next
+    * takedown. */
   private[graft] def ivfTombstonesCached(s: SparkSession,
       layout: String): Set[Long] = {
+    val seqF = new java.io.File(layout, "_tombstones/_seq")
+    if (seqF.exists()) {
+      val v =
+        try new String(
+          java.nio.file.Files.readAllBytes(seqF.toPath), "UTF-8")
+        catch { case _: java.nio.file.NoSuchFileException => "" }
+      if (v.nonEmpty)
+        return graft.core.Caches.memoObj(s, s"ivftomb|$layout|$v") {
+          ivfTombstoneLists.incrementAndGet()
+          ivfTombstones(layout)
+        }
+    }
     val names = Option(
       new java.io.File(layout, "_tombstones").listFiles())
       .getOrElse(Array.empty[java.io.File]).map(_.getName)
       .filter(_.endsWith(".txt")).sorted.toSeq
+    ivfTombstoneLists.incrementAndGet()
     if (names.isEmpty) Set.empty
     else graft.core.Caches.memoObj(s,
       s"ivftomb|$layout|${names.length}|${names.hashCode}") {

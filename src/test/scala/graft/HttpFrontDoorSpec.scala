@@ -529,6 +529,21 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         r2.body())
       assert(Similarity.ivfRootLists.get() == 0,
         "a stale-behind hint heals via forward probes, not a LIST")
+      // TOMBSTONE CHANNEL: a takedown re-reads ONCE (seq-marker keyed)
+      // with read-your-writes — the deleted id is gone from the very
+      // next search — and steady state pays zero tombstone LISTs
+      val del = post(port, "/index/io_ann?op=delete&vecId=11", "")
+      assert(del.statusCode() == 200, del.body())
+      val sAfter = post(port,
+        s"/index/io_ann?op=search&vecId=10&k=5&nprobe=$k", "")
+      assert(sAfter.statusCode() == 200 &&
+        !sAfter.body().contains("\"nid\":11"),
+        s"a takedown must bind on the very next search: ${sAfter.body()}")
+      Similarity.ivfTombstoneLists.set(0)
+      (1 to 3).foreach(_ => assert(search().statusCode() == 200))
+      assert(Similarity.ivfTombstoneLists.get() == 0,
+        "steady-state serves must not LIST the tombstone dir " +
+          s"(${Similarity.ivfTombstoneLists.get()})")
     } finally { door.stop(); jobs.shutdown() }
   }
 
