@@ -21,13 +21,19 @@ object AdvisoryHint {
     try {
       val tmp = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get(dir), "._head", ".tmp")
-      java.nio.file.Files.write(tmp,
-        s"""{"$key":$v}""".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(dir, FileName),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      // a failed move must not orphan the tmp in the table/index root:
+      // a best-effort writer that swallows its failure AND leaves its
+      // temp behind accumulates junk forever (nothing sweeps these)
+      try {
+        java.nio.file.Files.write(tmp,
+          s"""{"$key":$v}""".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(dir, FileName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp); ()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   def read(dir: String, key: String): Option[Int] = {

@@ -56,10 +56,20 @@ package graft.core
   *
   * Ordinary reads and commits NEVER take the lease: snapshot isolation
   * and OCC already serialize them, and a lease on the write path would
-  * put a lock in front of every streaming trigger. A holder that
-  * STALLS past its TTL without renewing and resumes after a takeover
-  * is the standard lease tradeoff; the TTL default is sized two orders
-  * above any measured sweep. */
+  * put a lock in front of every streaming trigger.
+  *
+  * The classic TTL-stall residue — a holder that stalls past its TTL
+  * without renewing, is taken over, then resumes mid-delete — is
+  * closed from both ends: [[withLeaseHandle]] HEARTBEAT-renews at
+  * ttl/3 for the body's whole duration (so only a dead JVM ever
+  * expires), and the destructive loops FENCE ([[Handle.checkFence]])
+  * before and per batch of deletes, so a superseded holder's
+  * mutations are REFUSED, not merely survived by the downstream
+  * guards. What remains is a holder whose heartbeat thread is dead
+  * while its worker thread lives AND whose fence GET races the
+  * takeover inside one batch window — the r14 defense-in-depth
+  * guards (head-advance abort, post-publish re-verify, idempotent
+  * folds) remain underneath for exactly that stacked residue. */
 object Lease {
 
   /** Generous vs the measured cost of any maintenance op at sandbox
@@ -92,11 +102,64 @@ object Lease {
       case _ => true
     }
 
+  /** The holder's capability object: carries the claim token so the
+    * body can FENCE its destructive windows ([[checkFence]]) without
+    * the token itself leaking into signatures. */
+  final class Handle private[Lease] (dir: String, token: String) {
+    /** FENCE: throw (409-grade) unless the lock under `dir` still
+      * carries this holder's token — called immediately before a
+      * delete loop and per delete batch, so a holder that stalled
+      * past its TTL, was taken over, and then resumed has its deletes
+      * REFUSED rather than merely survived by the downstream guards.
+      * A missing lock fails too: with no lease there is no exclusion,
+      * and a new claim could land mid-loop. */
+    def checkFence(): Unit = Lease.requireHeld(dir, token)
+  }
+
+  /** Fencing judgment behind [[Handle.checkFence]]. */
+  private def requireHeld(dir: String, token: String): Unit = {
+    val body =
+      try new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, lockName).toPath), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    if (!body.contains(token))
+      throw new java.util.ConcurrentModificationException(
+        s"maintenance fencing under $dir: this holder's lease is no " +
+          "longer current (stalled past its TTL and taken over, or " +
+          "externally cleared) — its remaining mutations are refused; " +
+          "re-run the operation to retry under a fresh lease")
+  }
+
   /** Run `body` holding the maintenance lease on `dir`. */
   def withLease[T](dir: String, op: String,
-      ttlMillis: Long = DefaultTtlMillis)(body: => T): T = {
+      ttlMillis: Long = DefaultTtlMillis)(body: => T): T =
+    withLeaseHandle(dir, op, ttlMillis)(_ => body)
+
+  /** [[withLease]] exposing the fencing [[Handle]], with a HEARTBEAT:
+    * a daemon thread [[renew]]s at ttl/3 cadence for the body's whole
+    * duration, so a sweep that legitimately outlives the TTL (an
+    * object-store vacuum over 10⁴ files) is never judged expired and
+    * reclaimed mid-delete — the TTL bounds only how long a CRASHED
+    * holder blocks (a dead JVM's heartbeat dies with it). */
+  def withLeaseHandle[T](dir: String, op: String,
+      ttlMillis: Long = DefaultTtlMillis)(body: Handle => T): T = {
     val token = acquire(dir, op, ttlMillis)
-    try body finally release(dir, token)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      val interval = math.max(100L, ttlMillis / 3)
+      try
+        while (!stop.await(interval,
+            java.util.concurrent.TimeUnit.MILLISECONDS))
+          renew(dir, token)
+      catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$op")
+    beat.setDaemon(true)
+    beat.start()
+    try body(new Handle(dir, token))
+    finally {
+      stop.countDown()
+      release(dir, token)
+    }
   }
 
   private[graft] def acquire(dir: String, op: String,
@@ -267,29 +330,52 @@ object Lease {
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Re-stamp the holder's acquisition instant (token-checked,
-    * best-effort, never throws): a long-running holder calls this
-    * periodically (the resumable BPE trainer renews every round) so
-    * user-controlled work length never silently outlives the lease —
-    * the TTL then bounds only how long a CRASHED holder blocks. A
-    * renew after our lease already expired AND was taken over is
-    * detected by the token check; the read-to-write window is the
-    * stalled-past-TTL residue the class doc covers. */
+    * best-effort, never throws): [[withLeaseHandle]]'s heartbeat calls
+    * this at ttl/3 cadence (and the resumable BPE trainer per round)
+    * so work of unbounded length never silently outlives the lease —
+    * the TTL then bounds only how long a CRASHED holder blocks.
+    *
+    * The judge-then-replace runs INSIDE the reaper section, like
+    * release: a renew performed outside it is a TOCTOU — between the
+    * "body contains token" read and the replace, a reap plus a fresh
+    * claim can land, and the replace would then overwrite the
+    * SUCCESSOR's lock with the stale holder's re-stamped body (two
+    * live holders — the dual-entry hazard every other judge-then-
+    * mutate here was serialized to prevent). While the section is
+    * held no reap/release can delete the lock and no claim can land
+    * over an existing file, so the section-held re-verify makes the
+    * pair atomic. A contended section just skips this beat — the next
+    * heartbeat retries, and one missed µs-scale beat is far inside
+    * the ttl/3 slack. */
   private[graft] def renew(dir: String, token: String): Unit =
     try {
       val f = new java.io.File(dir, lockName)
       if (!f.exists()) return
-      val body = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      if (!body.contains(token)) return
-      val updated = body.replaceFirst("\"ts\":\\d+",
-        "\"ts\":" + System.currentTimeMillis())
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(dir), s".$lockName", ".tmp")
-      java.nio.file.Files.write(tmp, updated.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      enterSection(dir) match {
+        case None => ()
+        case Some(sec) =>
+          try {
+            val body =
+              try new String(
+                java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+              catch { case _: java.nio.file.NoSuchFileException => return }
+            if (!body.contains(token)) return
+            val updated = body.replaceFirst("\"ts\":\\d+",
+              "\"ts\":" + System.currentTimeMillis())
+            val tmp = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(dir), s".$lockName", ".tmp")
+            // a failed move must not orphan the tmp in the data dir
+            // (best-effort writers otherwise accumulate junk forever)
+            try {
+              java.nio.file.Files.write(tmp, updated.getBytes("UTF-8"))
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } finally {
+              java.nio.file.Files.deleteIfExists(tmp); ()
+            }
+          } finally exitSection(dir, sec)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The current lease, if any: (holder, acquiredAtMillis, ttlMillis,
@@ -327,13 +413,26 @@ object Lease {
   private[graft] def release(dir: String, token: String): Unit =
     try {
       val f = new java.io.File(dir, lockName)
-      def tokenDelete(): Unit =
-        if (f.exists() && new String(
+      // On the SECTION-HELD path the token check is atomic with the
+      // delete. On the 15 s-contention / interrupt FALLBACK it is not:
+      // if the caller's lease expired during the wait, a reap + fresh
+      // claim can interleave between the token read and the delete —
+      // so the fallback re-reads and byte-compares immediately before
+      // deleting (the deleteIfStillExpired discipline), shrinking the
+      // judge-then-delete window to instruction scale on a path that
+      // itself needs a crashed entrant to even be reached.
+      def tokenDelete(): Unit = {
+        def readOrNull(): String =
+          try new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            .contains(token)) {
+          catch { case _: java.nio.file.NoSuchFileException => null }
+        val body = readOrNull()
+        if (body != null && body.contains(token) &&
+            readOrNull() == body) {
           java.nio.file.Files.deleteIfExists(f.toPath)
           ()
         }
+      }
       val deadline = System.currentTimeMillis() + 15000
       var entered: Option[String] = None
       var interrupted = false

@@ -1863,7 +1863,7 @@ object TxnTable {
     // (and this restore cannot re-reference files a running vacuum
     // already judged dead) — the structural closure of the race the
     // head-advance abort and the post-publish re-verify only narrowed
-    Lease.withLease(dir, "restore") {
+    Lease.withLeaseHandle(dir, "restore") { lease =>
     withOcc(dir) { planned =>
       require(toV >= 1 && toV <= planned,
         s"cannot restore $dir to v$toV (latest is v$planned)")
@@ -1923,6 +1923,12 @@ object TxnTable {
           toAnchors + ("colmap" -> k)
         }
       onBeforeCommit()
+      // FENCE immediately before the publish: a restore that stalled
+      // past its TTL (heartbeat lost), was taken over — say by a
+      // vacuum that then deleted toV's files — and resumed here must
+      // REFUSE to commit a head referencing them, rather than commit
+      // and rely on the post-publish re-verify to surface the damage
+      lease.checkFence()
       // header REPLACED by the restored state's, never carried from
       // the abandoned head; a lost publish rolls the epoch claim back
       // (the commitMetaEpoch discipline). The restore is a FULL
@@ -2063,8 +2069,13 @@ object TxnTable {
     // this sweep judged dead) anywhere inside the listing→delete
     // window — it refuses with a 409-grade conflict naming this
     // vacuum. Ordinary commits still race (they never re-reference
-    // old files); the head-advance abort below handles them.
-    Lease.withLease(dir, "vacuum") {
+    // old files); the head-advance abort below handles them. The
+    // handle's FENCE is re-verified immediately before the delete loop
+    // and per delete batch: a holder that stalled past its TTL without
+    // its heartbeat landing, was taken over, and resumed mid-sweep has
+    // its remaining deletes REFUSED (not merely survived by the
+    // downstream guards) — the fencing close of the TTL-stall residue.
+    Lease.withLeaseHandle(dir, "vacuum") { lease =>
     val ms = manifests(dir)
     val (drop, keep) = ms.partition(_._1 < keepSince)
     require(keep.nonEmpty, s"vacuum would drop every manifest in $dir")
@@ -2115,16 +2126,29 @@ object TxnTable {
           s"v$headV while the sweep was planned (a concurrent commit " +
           "— possibly a restore re-referencing old files); re-run " +
           "vacuum against the new head")
+    // FENCE at the boundary into the destructive phase, then once per
+    // batch of deletes: each check is one GET — noise against the
+    // deletes themselves — and bounds a superseded holder's damage to
+    // a single batch instead of the whole remaining sweep
+    lease.checkFence()
     val root = new java.io.File(dir, "files")
+    var fenced = 0
     for {
       commit <- Option(root.listFiles()).getOrElse(Array.empty)
       f <- Option(commit.listFiles()).getOrElse(Array.empty)
       if f.getName.endsWith(".parquet")
       if !referenced.contains(s"files/${commit.getName}/${f.getName}")
-    } { f.delete(); () }
+    } {
+      if (fenced % 64 == 0) lease.checkFence()
+      fenced += 1
+      f.delete(); ()
+    }
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(c => Option(c.listFiles()).forall(_.forall(!_.getName.endsWith(".parquet"))))
       .foreach(c => TempDirs.rmTree(c))
+    // manifests are the table's recovery surface — fence again before
+    // dropping any
+    if (drop.nonEmpty) lease.checkFence()
     drop.foreach { case (v, f) =>
       f.delete()
       // a stale fallback-publish claim token (crash between claim and

@@ -1180,11 +1180,17 @@ object Similarity {
     // recorded the id; the retry is idempotent).
     val seqTmp = java.nio.file.Files.createTempFile(
       d.toPath, "._seq", ".tmp")
-    java.nio.file.Files.write(seqTmp,
-      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(seqTmp, d.toPath.resolve("_seq"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // this bump THROWS on failure (see above) — but it must not also
+    // orphan its temp file in the tombstone dir on the way out
+    try {
+      java.nio.file.Files.write(seqTmp,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(seqTmp, d.toPath.resolve("_seq"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      java.nio.file.Files.deleteIfExists(seqTmp); ()
+    }
     ()
   }
 
@@ -1505,7 +1511,7 @@ object Similarity {
     // to re-serve) mid-flight — the index twin of the table's
     // restore-vs-vacuum closure. Retrains/ingest never take it: the
     // exclusive generation claim already serializes publishes.
-    graft.core.Lease.withLease(root, "index-rollback") {
+    graft.core.Lease.withLeaseHandle(root, "index-rollback") { lease =>
     val hist = ivfHistory(root)
     val (curGen, curPath, _) = hist.lastOption.getOrElse(
       throw new IllegalStateException(s"no published index under $root"))
@@ -1571,6 +1577,11 @@ object Similarity {
     // publish leaves only extra segments/tombstones in an unserved
     // (or already-correct) layout; re-running the rollback completes
     // it.
+    // FENCE before the pointer publish (the restore discipline): a
+    // rollback that stalled past its TTL and was superseded — say by
+    // a vacuum that then destroyed tPath — must refuse to publish a
+    // pointer at it rather than serve a half-missing layout
+    lease.checkFence()
     ivfPublishAs(root, curGen + 1, tPath, tK, rollbackOf = Some(toGen))
     (curGen + 1, tPath)
     }
@@ -1622,7 +1633,11 @@ object Similarity {
       retainMillis: Long = 7L * 24 * 3600 * 1000,
       force: Boolean = false): Seq[Int] = {
     require(keepGens >= 1, "must keep at least the current generation")
-    graft.core.Lease.withLease(root, "index-vacuum") {
+    // FENCED lease (the TxnTable.vacuum discipline): re-verified at
+    // the boundary into the destructive phase and once per dropped
+    // generation, so a holder that stalled past its TTL and was taken
+    // over has its remaining layout destruction REFUSED
+    graft.core.Lease.withLeaseHandle(root, "index-vacuum") { lease =>
     // the ledger never trims its IDS, but its FILE COUNT is bounded
     // here: vacuum is the scheduled retention pass, so it also folds
     // the one-file-per-delete accumulation into a single file
@@ -1667,7 +1682,10 @@ object Similarity {
     // mid-sweep are covered by its own tombstone write + pointer
     // re-check, exactly as in the rollback's hoisted deadAll
     val ledger = takedownLedger(root)
+    onBeforeIvfVacuumDrop()
+    lease.checkFence()
     drop.zipWithIndex.map { case ((g, path, _), idx) =>
+      lease.checkFence()
       // fold + carry + destroy only at the path's LAST dropped
       // reference: earlier references' folds would be pure wasted
       // I/O (anything pushed sideways round-trips back before the
@@ -1721,6 +1739,11 @@ object Similarity {
     * the window in which a live ingest can commit batches the
     * retrain's snapshot never saw. */
   private[graft] var onBeforeIvfPublish: () => Unit = () => ()
+
+  /** Test hook: runs after ivfVacuum has planned its drop set but
+    * before any layout is destroyed — the window in which a stalled-
+    * then-superseded holder's deletes must be fence-refused. */
+  private[graft] var onBeforeIvfVacuumDrop: () => Unit = () => ()
 
   private[graft] def ivfRetrainPublish(s: SparkSession, root: String,
       iters: Int = 4): (Int, String) = {

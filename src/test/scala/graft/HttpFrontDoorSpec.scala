@@ -1540,6 +1540,31 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         if (!restored) Thread.sleep(50)
       }
       assert(restored, s"restore never landed in $attempts attempts")
+      // FENCE INTERLEAVING UNDER FIRE (r16): a forced sweep whose
+      // holder "stalls past its TTL and is taken over" right before
+      // its delete loop (the hook plants the contender's fresh claim
+      // over the holder's lock) must refuse as a 409 naming the
+      // fencing, drop NOTHING, and leave the table serving — with the
+      // reader/maintainer/chaos threads still firing around it.
+      val headF = TxnTable.version(tdir)
+      val tLock = new java.io.File(tdir, "_maintenance.lock")
+      TxnTable.onBeforeVacuumDelete = () =>
+        java.nio.file.Files.write(tLock.toPath,
+          (s"""{"holder":"contender@pid7","token":"other-token",""" +
+            s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+            .getBytes("UTF-8"))
+      val fr =
+        try post(port, s"/maintenance/soak5?op=vacuum&keepSince=$headF" +
+          "&retainMs=0&force=true", "")
+        finally TxnTable.onBeforeVacuumDelete = () => ()
+      rec("fencedvac", fr)
+      assert(fr.statusCode() == 409 && fr.body().contains("fencing"),
+        s"${fr.statusCode()}: ${fr.body().take(200)}")
+      // unwedge: the planted long-TTL contender claim is test scaffolding
+      java.nio.file.Files.deleteIfExists(tLock.toPath)
+      assert(new java.io.File(tdir, s"manifest-v$headF.json").exists() &&
+        TxnTable.read(spark, tdir).count() == 10000,
+        "the fence-refused sweep must have dropped nothing")
       Thread.sleep(300)
       stop.set(true)
       storm.drop(3).foreach(_.join(300000))

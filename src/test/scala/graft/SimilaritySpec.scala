@@ -421,6 +421,57 @@ class SimilaritySpec extends AnyFunSuite {
       .isEmpty, "an already-clean root sweeps nothing")
   }
 
+  test("index lease fencing: a vacuum stalled past its TTL and taken " +
+      "over has its resumed layout destruction REFUSED") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(6)(rnd.nextGaussian().toFloat)
+    val k = 3
+    def layout(name: String, ids: Range): String = {
+      val d = graft.core.TempDirs.scratchShared(name)
+      ids.map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding")
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(embedding, 0D, (a,x) -> a + cast(x as double)*x))"))
+        .select((col("vec_id") % k + 1).cast("int").as("cid"),
+          col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(d)
+      d
+    }
+    val root = graft.core.TempDirs.scratchShared("ivffenceroot")
+    val layA = layout("ivffencea", 0 until 30)
+    val layB = layout("ivffenceb", 0 until 30)
+    assert(Similarity.ivfPublish(root, layA, k) == 1)
+    Similarity.ivfPublishAs(root, 2, layB, k)
+    val lock = new java.io.File(root, "_maintenance.lock")
+    // the TTL-stall residue on the index side (the TxnTable.vacuum
+    // mirror): the sweep plans its drop set, stalls, is reaped and
+    // re-claimed by a contender, then resumes into the drop loop —
+    // the fence refuses before gen 1's layout or pointer is touched
+    Similarity.onBeforeIvfVacuumDrop = () =>
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"contender@pid7","token":"other-token",""" +
+          s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+          .getBytes("UTF-8"))
+    val fenced =
+      try intercept[java.util.ConcurrentModificationException] {
+        Similarity.ivfVacuum(spark, root, keepGens = 1, retainMillis = 0L)
+      } finally Similarity.onBeforeIvfVacuumDrop = () => ()
+    assert(fenced.getMessage.contains("fencing"), fenced.getMessage)
+    assert(new java.io.File(layA).exists() &&
+      spark.read.parquet(layA).count() == 30,
+      "a fence-refused index vacuum must destroy ZERO layouts")
+    assert(Similarity.ivfHistory(root).map(_._1) == Seq(1, 2),
+      "a fence-refused index vacuum must drop ZERO pointers")
+    // a fresh lease completes the same sweep clean
+    java.nio.file.Files.deleteIfExists(lock.toPath)
+    assert(Similarity.ivfVacuum(spark, root, keepGens = 1,
+      retainMillis = 0L) == Seq(1))
+    assert(!new java.io.File(layA).exists() &&
+      Similarity.ivfHistory(root).map(_._1) == Seq(2))
+  }
+
   test("streamed ingest composes with retrain: exactly-once ACROSS the generation swap") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

@@ -1848,6 +1848,109 @@ class TxnTableSpec extends AnyFunSuite {
       s"two maintenance holders overlapped (max=${maxSeen.get()})")
   }
 
+  test("lease heartbeat: a sweep that outlives its TTL is renewed by " +
+      "withLeaseHandle's daemon beat and never taken over; the fence " +
+      "passes throughout") {
+    val dir = graft.core.TempDirs.scratchShared("leasebeat")
+    new java.io.File(dir).mkdirs()
+    // TTL far below the body's duration: without the heartbeat every
+    // contender probe below would reclaim — the ADVICE scenario (an
+    // object-store vacuum sweeping 10⁴ files past a 10-minute TTL)
+    graft.core.Lease.withLeaseHandle(dir, "slow-sweep",
+        ttlMillis = 800) { h =>
+      // body runs 3× the TTL; the beat lands every ttl/3 ≈ 266 ms, so
+      // the lock's stamped age stays far under the 800 ms expiry even
+      // under test-suite scheduling jitter
+      val until = System.currentTimeMillis() + 2500
+      while (System.currentTimeMillis() < until) {
+        h.checkFence() // a live renewed holder must pass its own fence
+        val held = intercept[java.util.ConcurrentModificationException] {
+          graft.core.Lease.acquire(dir, "contender", ttlMillis = 60000)
+        }
+        assert(held.getMessage.contains("slow-sweep"),
+          s"a heartbeat-renewed holder must stay held: ${held.getMessage}")
+        Thread.sleep(50)
+      }
+    }
+    assert(!new java.io.File(dir, "_maintenance.lock").exists(),
+      "the completed body must release the lease")
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .forall(!_.getName.endsWith(".tmp")),
+      "renew must not orphan its temp files in the data dir")
+  }
+
+  test("lease fencing: a holder stalled past its TTL and taken over " +
+      "has its resumed deletes REFUSED — vacuum drops nothing, restore " +
+      "refuses to publish") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("leasefence")
+    TxnTable.init(spark, dir,
+      (0L until 100L).toDF("k").withColumn("v", col("k"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))                          // v1
+    TxnTable.upsert(spark, dir, "k", Seq((1L, -1L)).toDF("k", "v")) // v2
+    TxnTable.upsert(spark, dir, "k", Seq((2L, -2L)).toDF("k", "v")) // v3
+    val lock = new java.io.File(dir, "_maintenance.lock")
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir, "files"))
+    }
+    // THE TTL-STALL RESIDUE, simulated at the hook: the sweep has
+    // planned its drop set, then "stalls past its TTL" — a reap plus
+    // a contender's fresh claim land (we plant them directly; clock
+    // waits would only slow the test) — then the stale holder resumes
+    // straight into its delete loop. The fence must refuse BEFORE the
+    // first delete: zero files and zero manifests dropped.
+    val filesBefore = parquetCount()
+    TxnTable.onBeforeVacuumDelete = () =>
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"contender@pid7","token":"other-token",""" +
+          s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+          .getBytes("UTF-8"))
+    val fenced =
+      try intercept[java.util.ConcurrentModificationException] {
+        TxnTable.vacuum(dir, keepSince = 3, force = true)
+      } finally TxnTable.onBeforeVacuumDelete = () => ()
+    assert(fenced.getMessage.contains("fencing"), fenced.getMessage)
+    assert(parquetCount() == filesBefore,
+      "a fence-refused vacuum must delete ZERO data files")
+    assert((1 to 3).forall(v =>
+      new java.io.File(dir, s"manifest-v$v.json").exists()),
+      "a fence-refused vacuum must drop ZERO manifests")
+    assert(TxnTable.read(spark, dir, 1).count() == 100,
+      "v1 must remain fully time-travelable after the refused sweep")
+    // RESTORE's mirror: superseded between its plan and its publish —
+    // it must refuse to commit (no new version, no re-verify trip),
+    // not publish a head a vacuum may be gutting
+    java.nio.file.Files.deleteIfExists(lock.toPath)
+    val trips = TxnTable.restoreReVerifyTrips.get()
+    TxnTable.onBeforeCommit = () =>
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"contender@pid7","token":"other-token",""" +
+          s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+          .getBytes("UTF-8"))
+    val fencedR =
+      try intercept[java.util.ConcurrentModificationException] {
+        TxnTable.restore(spark, dir, 1)
+      } finally TxnTable.onBeforeCommit = () => ()
+    assert(fencedR.getMessage.contains("fencing"), fencedR.getMessage)
+    assert(TxnTable.version(dir) == 3,
+      "a fence-refused restore must publish nothing")
+    assert(!new java.io.File(dir, "manifest-v4.json").exists())
+    assert(TxnTable.restoreReVerifyTrips.get() == trips,
+      "the post-publish re-verify must never fire — fencing refuses first")
+    // cleanup: the planted contender lock would wedge later tests'
+    // maintenance on this scratch dir
+    java.nio.file.Files.deleteIfExists(lock.toPath)
+    // after the refusals, a FRESH lease completes the same ops clean
+    TxnTable.vacuum(dir, keepSince = 3, force = true)
+    assert(!new java.io.File(dir, "manifest-v1.json").exists())
+    assert(TxnTable.read(spark, dir).count() == 100)
+  }
+
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
       "delta log: every surviving version ≡ its model, cold-cache, and " +
       "the CDC fold ≡ recompute across restores") {
