@@ -1469,6 +1469,43 @@ object Similarity {
     genPtr(root, gen).flatMap(_.ts).getOrElse(
       new java.io.File(root, s"gen-$gen.json").lastModified())
 
+  /** The committed generation range [oldest..head] WITHOUT a
+    * directory LIST — the index twin of the table log's hint-bounded
+    * range: head via the hint + forward probe ([[ivfCurrent]]),
+    * oldest via a binary search on pointer existence (the numbering
+    * is monotone and [[ivfVacuum]] drops a contiguous PREFIX, so
+    * existence over [1..head] is a suffix) — O(log generations)
+    * GET-class probes total. Empty when nothing is published. */
+  private[graft] def ivfCommittedGens(root: String): Seq[Int] =
+    ivfCurrent(root) match {
+      case None => Seq.empty
+      case Some((head, _, _)) =>
+        val lo =
+          if (genPtr(root, 1).isDefined) 1
+          else {
+            // invariant: exists(hi), !exists(lo)
+            var lo0 = 1; var hi = head
+            while (hi - lo0 > 1) {
+              val mid = (lo0 + hi) >>> 1
+              if (genPtr(root, mid).isDefined) hi = mid else lo0 = mid
+            }
+            hi
+          }
+        lo to head
+    }
+
+  /** `op=history`'s enumeration, HINT-BOUNDED: the range resolves via
+    * [[ivfCommittedGens]] (zero LISTs) and the pointer parses are
+    * memoized, so a deep history costs one GET per NEW pointer and
+    * nothing per re-ask. [[ivfVacuum]]/[[ivfRollback]] keep the
+    * [[ivfHistory]] LIST as their ground truth — a maintenance sweep
+    * must see stragglers outside the hinted range, an ops answer need
+    * only see the committed chain. */
+  private[graft] def ivfHistoryHintBounded(
+      root: String): Seq[(Int, String, Int)] =
+    ivfCommittedGens(root)
+      .flatMap(g => genPtr(root, g).map(p => (g, p.path, p.k)))
+
   /** The generation SERVING at a wall-clock instant — the index twin
     * of the table's TIMESTAMP AS OF (`versionAsOf`), and the audit
     * question a takedown/rollback investigation actually asks ("which
@@ -1478,18 +1515,49 @@ object Similarity {
     * the pointer history exactly as readers did). Loud when the
     * instant predates the oldest surviving generation (the earlier
     * state is vacuumed — answering with a LATER generation would be
-    * silently wrong). Generation counts are small (retrain cadence),
-    * so the linear scan over memoized pointer parses is the whole
-    * cost. */
+    * silently wrong).
+    *
+    * BINARY SEARCH over recorded publish instants, bounds from
+    * [[ivfCommittedGens]] — O(log generations) pointer reads and ZERO
+    * LISTs for a deep history, the exact `versionAsOf` discipline.
+    * Publish instants are non-decreasing for RECORDED `ts` fields
+    * (the exclusive gen-N claim serializes publishes), but a LEGACY
+    * pointer (predating the ts field) falls back to file mtime, which
+    * an rsync/backup migration rewrites — a mixed history can be
+    * NON-MONOTONE, and a blind binary search could then name a
+    * generation that was not actually serving at that instant. Every
+    * inversion among the sampled points falls back to the exact
+    * linear scan (memoized parses: no extra I/O), exactly as
+    * `versionAsOf` treats mtime-inverted legacy manifests. */
   private[graft] def ivfGenAsOf(root: String, tsMillis: Long): Int = {
-    val hist = ivfHistory(root)
-    if (hist.isEmpty) throw new IllegalStateException(
+    val gens = ivfCommittedGens(root)
+    if (gens.isEmpty) throw new IllegalStateException(
       s"no published index under $root")
-    hist.map(_._1).filter(g => ivfCommitTs(root, g) <= tsMillis)
-      .lastOption.getOrElse(throw new IllegalArgumentException(
-        s"no generation of $root was published at $tsMillis (oldest " +
-          s"surviving generation ${hist.head._1} published at " +
-          s"${ivfCommitTs(root, hist.head._1)})"))
+    val tsMemo = scala.collection.mutable.Map.empty[Int, Long]
+    def tsAt(i: Int): Long =
+      tsMemo.getOrElseUpdate(i, ivfCommitTs(root, gens(i)))
+    def linear(): Int =
+      gens.indices.filter(i => tsAt(i) <= tsMillis).lastOption
+        .map(gens(_))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no generation of $root was published at $tsMillis (oldest " +
+            s"surviving generation ${gens.head} published at " +
+            s"${tsAt(0)})"))
+    // ts(0) > t is either "before the index existed" (the loud error)
+    // or a head inversion (rewritten legacy mtime) — only a scan can
+    // tell them apart, and both are off the hot path
+    if (tsAt(0) > tsMillis) return linear()
+    // invariant: ts(lo) <= tsMillis < ts(hi) (hi = gens.length = +inf)
+    var lo = 0
+    var hi = gens.length
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (tsAt(mid) <= tsMillis) lo = mid else hi = mid
+    }
+    val sampled = tsMemo.keys.toSeq.sorted
+    val monotone = sampled.zip(sampled.tail)
+      .forall { case (a, b) => tsAt(a) <= tsAt(b) }
+    if (monotone) gens(lo) else linear()
   }
 
   /** ROLLBACK the serve pointer — the TxnTable-RESTORE analogue on

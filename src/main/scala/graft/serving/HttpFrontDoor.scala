@@ -254,7 +254,11 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
               // expired yet — the operator's 409 diagnosis surface
               (200, leaseJson(root), reqId)
             case "history" =>
-              val rows = Similarity.ivfHistory(root).map { case (g, p, k) =>
+              // HINT-BOUNDED enumeration (zero root LISTs): the ops
+              // answer needs only the committed chain; vacuum/rollback
+              // keep the LIST as their ground truth
+              val rows = Similarity.ivfHistoryHintBounded(root)
+                .map { case (g, p, k) =>
                 val rb = Similarity.ivfRollbackOf(root, g)
                   .map(m => s""","rollbackOf":$m""").getOrElse("")
                 val ts = Similarity.ivfTombstonesCached(s, p).size

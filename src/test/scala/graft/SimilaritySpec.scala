@@ -472,6 +472,58 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfHistory(root).map(_._1) == Seq(2))
   }
 
+  test("ivfGenAsOf binary-searches recorded instants: O(log) pointer " +
+      "reads and ZERO root LISTs on a deep history; a legacy mtime " +
+      "inversion falls back to the exact linear answer") {
+    val root = graft.core.TempDirs.scratchShared("ivfasofdeep")
+    new java.io.File(root).mkdirs()
+    // a DEEP pointer history (64 generations, recorded instants 1 s
+    // apart) — pointers only: asOf is pure metadata, layouts unread
+    val t0 = System.currentTimeMillis() - 10000000L
+    def plant(g: Int, body: String): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"gen-$g.json"),
+        body.getBytes("UTF-8"))
+      ()
+    }
+    (1 to 64).foreach(g => plant(g,
+      s"""{"gen":$g,"path":"lay$g","k":4,"ts":${t0 + g * 1000L}}"""))
+    graft.core.AdvisoryHint.write(root, "gen", 64) // steady state
+    Similarity.dropGenPtrCacheForTest(root)
+    Similarity.resetIvfIoCountersForTest()
+    assert(Similarity.ivfGenAsOf(root, t0 + 37 * 1000L + 500) == 37)
+    assert(Similarity.ivfGenAsOf(root, t0 + 1000L) == 1,
+      "exactly-at-publish resolves that generation")
+    assert(Similarity.ivfGenAsOf(root,
+      System.currentTimeMillis()) == 64)
+    assert(Similarity.ivfRootLists.get() == 0,
+      "a hinted deep-history asOf must never LIST the root")
+    assert(Similarity.ivfPointerReads.get() <= 16,
+      s"cold asOf over 64 generations must stay O(log): " +
+        s"${Similarity.ivfPointerReads.get()} pointer reads")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfGenAsOf(root, t0) // predates the oldest: loud
+    }
+    // THE ADVICE SCENARIO: the oldest pointer is LEGACY (no recorded
+    // ts) and an rsync pushed its mtime into the FUTURE — the
+    // monotonicity the search leans on is broken at a sampled point,
+    // so the exact linear scan must answer (not a false 'nothing
+    // published' from the inverted head of the range)
+    plant(1, """{"gen":1,"path":"lay1","k":4}""")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "gen-1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 86400000L))
+    Similarity.dropGenPtrCacheForTest(root)
+    assert(Similarity.ivfGenAsOf(root, t0 + 37 * 1000L + 500) == 37,
+      "an mtime-inverted legacy pointer must not shift the asOf answer")
+    // hint-bounded history: the full committed chain, zero LISTs
+    Similarity.resetIvfIoCountersForTest()
+    assert(Similarity.ivfHistoryHintBounded(root).map(_._1) ==
+      (1 to 64))
+    assert(Similarity.ivfRootLists.get() == 0)
+  }
+
   test("streamed ingest composes with retrain: exactly-once ACROSS the generation swap") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
