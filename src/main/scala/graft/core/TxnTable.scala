@@ -266,6 +266,7 @@ object TxnTable {
     metaCache.keySet.removeIf(_._1 == dir)
     epochCache.keySet.removeIf(_._1 == dir)
     entriesCache.keySet.removeIf(_._1 == dir)
+    legacyEpochIdxCache.remove(dir)
     ()
   }
 
@@ -923,21 +924,107 @@ object TxnTable {
   /** The legacy (pre-anchor) resolution: highest epoch file with
     * k <= v whose anchor manifest committed — or predates the oldest
     * surviving manifest (versions are consecutive, so an epoch below
-    * the vacuum horizon necessarily committed). */
+    * the vacuum horizon necessarily committed). Served from the
+    * [[legacyEpochIndex]] self-upgrade sidecar: the directory LIST is
+    * paid ONCE per table lifetime, not once per legacy resolution. */
   private def legacyEpochAnchorAt(dir: String, base: String,
-      v: Int): Option[Int] = {
-    val pat = (java.util.regex.Pattern.quote(base) +
-      """-v(\d+)\.json""").r
-    val minManifest = manifests(dir).headOption.map(_._1).getOrElse(1)
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq
-      .flatMap(f => f.getName match {
-        case pat(k) => Some(k.toInt)
-        case _ => None
-      })
-      .filter(k => k <= v && (k < minManifest ||
-        fileOf(dir, s"manifest-v$k.json").exists()))
-      .sorted.lastOption
+      v: Int): Option[Int] =
+    legacyEpochIndex(dir).getOrElse(base, Seq.empty)
+      .filter(_ <= v).lastOption
+
+  private val legacySidecarName = "_epochs-legacy.json"
+  private val legacyEpochBases = Seq("constraints", "colmap")
+  private val legacyEpochIdxCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[String, Seq[Int]]]()
+
+  /** One-time SELF-UPGRADE retiring the legacy epoch-anchor LIST: a
+    * table predating the anchor channel used to pay a directory scan
+    * per legacy resolution; the FIRST such resolution now snapshots
+    * the legacy epoch index (per base, the ascending committed epoch
+    * versions) into `_epochs-legacy.json`, and every later resolution
+    * reads the sidecar — one GET, then cached in-process.
+    *
+    * A SIDECAR in the checkpoint discipline (derivable, idempotent,
+    * re-writable, atomic move), NOT a commit: the upgrade fires on
+    * READ paths, and a reader must not become an OCC writer racing
+    * real commits for a slot. Sound because the legacy range is
+    * FROZEN: a new epoch can only claim a slot above the current
+    * head and its anchor rides the same commit's manifest header, so
+    * it resolves through the anchor channel, never through this
+    * index; and versions are consecutive, so every epoch file at
+    * k <= head is necessarily committed and immutable (an in-flight
+    * k = head+1 declare is excluded exactly as the scan excluded it).
+    * A torn/corrupt sidecar rebuilds from the listing — advisory-
+    * grade durability on a correctness-grade answer, because rebuild
+    * and sidecar are the same pure function of the frozen range. */
+  private def legacyEpochIndex(dir: String): Map[String, Seq[Int]] = {
+    val cached = legacyEpochIdxCache.get(dir)
+    if (cached != null) return cached
+    val f = fileOf(dir, legacySidecarName)
+    val fromSidecar: Option[Map[String, Seq[Int]]] =
+      if (!f.exists()) None
+      else try {
+        val body = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // a torn/garbage body must read as CORRUPT (rebuild from the
+        // listing), never as "no epochs in force" — each base's key
+        // must be present, even when its list is empty
+        if (!legacyEpochBases.forall(b =>
+            body.contains("\"" + b + "\":["))) None
+        else Some(legacyEpochBases.map { b =>
+          b -> ("\"" + b + "\":\\[([0-9,]*)\\]").r
+            .findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+            .split(',').filter(_.nonEmpty).map(_.toInt).toSeq
+        }.toMap)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromSidecar match {
+      case Some(idx) =>
+        legacyEpochIdxCache.put(dir, idx)
+        idx
+      case None =>
+        // the once-per-lifetime LIST (seam-counted like every other):
+        // manifest range and epoch files off ONE listing
+        rootLists.incrementAndGet()
+        val names = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty[java.io.File]).map(_.getName).toSeq
+        val mPat = """manifest-v(\d+)\.json""".r
+        val mvs = names.flatMap {
+          case mPat(k) => Some(k.toInt)
+          case _ => None
+        }.toSet
+        val minManifest = if (mvs.isEmpty) 1 else mvs.min
+        val idx = legacyEpochBases.map { b =>
+          val pat = (java.util.regex.Pattern.quote(b) +
+            """-v(\d+)\.json""").r
+          b -> names.flatMap {
+            case pat(k) => Some(k.toInt)
+            case _ => None
+          }.filter(k => k < minManifest || mvs.contains(k))
+            .sorted
+        }.toMap
+        // a dir with no committed manifest is not (yet) a table —
+        // don't freeze or persist an index for it
+        if (mvs.nonEmpty) {
+          try {
+            val tmp = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(dir), "._epochs-legacy", ".tmp")
+            try {
+              java.nio.file.Files.write(tmp,
+                legacyEpochBases.map(b =>
+                  s""""$b":${idx(b).mkString("[", ",", "]")}""")
+                  .mkString("{", ",", "}").getBytes("UTF-8"))
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } finally {
+              java.nio.file.Files.deleteIfExists(tmp); ()
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          legacyEpochIdxCache.put(dir, idx)
+        }
+        idx
+    }
   }
 
   /** Read committed epoch `k`'s lines (header verified + stripped).

@@ -1485,6 +1485,70 @@ class TxnTableSpec extends AnyFunSuite {
       .first().getLong(1) == 5000L)
   }
 
+  test("legacy epoch self-upgrade: the first resolution pays ONE LIST " +
+      "and persists _epochs-legacy.json; later resolutions are " +
+      "LIST-free (seam-counted) with identical answers; a corrupt " +
+      "sidecar rebuilds") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("txnlegup")
+    TxnTable.init(spark, dir,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                          // v1
+    TxnTable.addConstraint(spark, dir, "v_small", "v < 1000")      // v2
+    TxnTable.upsert(spark, dir, "k", Seq((1L, 5L)).toDF("k", "v")) // v3
+    // forge the LEGACY shape: strip the schema/epochs header lines
+    // from every manifest (a table written before the anchor channel)
+    (1 to 3).foreach { v =>
+      val m = new java.io.File(dir, s"manifest-v$v.json").toPath
+      val stripped = new String(
+        java.nio.file.Files.readAllBytes(m), "UTF-8").split('\n')
+        .filterNot(l => l.contains("\"schema\":") ||
+          l.contains("\"epochs\":"))
+        .mkString("\n")
+      java.nio.file.Files.write(m, stripped.getBytes("UTF-8"))
+      ()
+    }
+    val sidecar = new java.io.File(dir, "_epochs-legacy.json")
+    assert(!sidecar.exists())
+    TxnTable.dropMetaCacheForTest(dir)
+    TxnTable.resetIoCountersForTest()
+    // FIRST legacy resolution: exactly one LIST, and the self-upgrade
+    // sidecar lands
+    assert(TxnTable.constraintsAt(dir, 3).map(_._1) == Seq("v_small"))
+    assert(TxnTable.rootLists.get() == 1,
+      s"first legacy resolution must pay exactly one LIST, " +
+        s"saw ${TxnTable.rootLists.get()}")
+    assert(sidecar.exists(), "the self-upgrade sidecar must persist")
+    // SECOND resolution, cold in-process caches (a fresh reader):
+    // zero LISTs — the sidecar is the index now
+    TxnTable.dropMetaCacheForTest(dir)
+    TxnTable.resetIoCountersForTest()
+    assert(TxnTable.constraintsAt(dir, 3).map(_._1) == Seq("v_small"))
+    assert(TxnTable.constraintsAt(dir, 1).isEmpty,
+      "epoch time travel below the declare must stay empty")
+    assert(TxnTable.rootLists.get() == 0,
+      s"post-upgrade legacy resolution must be LIST-free, " +
+        s"saw ${TxnTable.rootLists.get()}")
+    // the active constraint still ENFORCES through the upgraded path,
+    // and the mutation folds the legacy anchors into the new head
+    // (the anchor channel takes over from here)
+    val rejected = intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k", Seq((2L, 5000L)).toDF("k", "v"))
+    }
+    assert(rejected.getMessage.contains("v_small"), rejected.getMessage)
+    TxnTable.upsert(spark, dir, "k", Seq((2L, 7L)).toDF("k", "v")) // v4
+    assert(TxnTable.constraintsAt(dir, 4).map(_._1) == Seq("v_small"))
+    // a CORRUPT sidecar (torn external write) re-pays one LIST and
+    // rebuilds — never parses garbage as "no constraints in force"
+    java.nio.file.Files.write(sidecar.toPath,
+      "torn garbage".getBytes("UTF-8"))
+    TxnTable.dropMetaCacheForTest(dir)
+    assert(TxnTable.constraintsAt(dir, 3).map(_._1) == Seq("v_small"))
+    assert(new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+      "UTF-8").contains("\"constraints\":[2]"),
+      "the rebuild must repair the sidecar in place")
+  }
+
   test("maintenance speaks LOGICAL names: optimize after a rename chain " +
       "clusters the intended column; stale spellings reject loudly") {
     import spark.implicits._
