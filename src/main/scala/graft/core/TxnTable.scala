@@ -323,6 +323,16 @@ object TxnTable {
     val f = fileOf(dir, s"manifest-v$v.json")
     if (!f.exists()) sys.error(s"no manifest v$v under $dir")
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // TORN-TAIL GUARD: every array-rendered manifest closes with `]`.
+    // A truncation that happens to cut at a LINE boundary would
+    // otherwise parse as a valid, silently SHORTER live set — the one
+    // torn shape the per-line parse below cannot catch (mid-line tears
+    // die loudly as unparseable lines). The publish seam itself cannot
+    // tear (tmp is fully written before the link/move), so this is
+    // external-damage detection, and loud is the contract.
+    if (txt.startsWith("[") && !txt.trim.endsWith("]")) sys.error(
+      s"torn manifest ${f.getPath} (unterminated body) — restore it " +
+        "to recover")
     var isDelta = false
     val adds = Seq.newBuilder[FileEntry]
     val removes = Set.newBuilder[String]
@@ -592,6 +602,11 @@ object TxnTable {
     if (!f.exists()) return None
     val txt = new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // same torn-tail guard as the manifest parse: a line-boundary
+    // truncation must not read as a valid shorter snapshot
+    if (txt.startsWith("[") && !txt.trim.endsWith("]")) sys.error(
+      s"torn checkpoint file ${f.getPath} (unterminated body) — " +
+        "delete it to recover (checkpoints are derivable)")
     val lines = txt.split('\n').map(_.trim.stripSuffix(","))
       .filterNot(l => l.isEmpty || l == "[" || l == "]")
     if (!lines.headOption.contains(s"""{"checkpoint":$v}"""))
