@@ -598,17 +598,24 @@ object TextOps {
     * (spec-pinned). Superseded states are retired after each commit —
     * disk holds ≤1 corpus copy plus the one being written.
     *
-    * CADENCE: a state commit is dominated by the corpus rewrite
-    * (~1.25 s measured at sf0.1, BpeProbe) against ~0.8-1.0 s steady
-    * rounds, so the default of every 32 rounds amortizes to ~4% per
-    * round while a crash loses at most ~25 s of work in a 20-minute
-    * 32k run — checkpoint cost is per-CORPUS, round cost falls with
-    * the hit fraction, so a tighter cadence would grow the overhead
-    * share precisely as training gets cheap. */
+    * CADENCE, TWO-TIER: a state commit used to be dominated by the
+    * corpus rewrite (~1.25 s measured at sf0.1, BpeProbe) against
+    * ~0.8-1.0 s steady rounds — and at a 100 TB corpus every such
+    * commit is a full-corpus write. Checkpoints are now LIGHT by
+    * default (counts + merge list, O(pair vocabulary) — the corpus
+    * the resume needs is REBUILT by replaying the gap merges onto the
+    * newest HEAVY state's copy), with a heavy commit every
+    * `corpusEvery`-th checkpoint (the first is always heavy, so an
+    * anchor always exists) bounding the replay to corpusEvery ×
+    * checkpointEvery × m merges. Defaults: every 32 rounds, corpus
+    * every 4th checkpoint — the common-case commit drops from
+    * O(corpus) to O(vocab), measured in BpeProbe / SCALE_SLOPE. */
   private[graft] def bpeMergesBatched(s: SparkSession, d: String,
       k: Int, m: Int, onRound: (Int, Int) => Unit = (_, _) => (),
-      stateDir: Option[String] = None, checkpointEvery: Int = 32)
+      stateDir: Option[String] = None, checkpointEvery: Int = 32,
+      corpusEvery: Int = 4)
       : Seq[(String, String, Long, Long)] = {
+    require(corpusEvery >= 1, s"corpusEvery must be >= 1, got $corpusEvery")
     require(m >= 1, s"batch width must be >= 1, got $m")
     // SINGLE-TRAINER GUARD, at the resource (not the HTTP wrapper, so
     // direct callers — probes, tests — are covered too): a named state
@@ -642,6 +649,10 @@ object TextOps {
     resumed.foreach(r => rows ++= r._3)
     var produced = resumed.map(_._1).getOrElse(0)
     var round = 0
+    // two-tier checkpoint cadence: the FIRST commit of this run is
+    // heavy (the resume anchor), then every corpusEvery-th
+    var ckpts = 0
+    var lastHeavy: Option[Int] = None
     try {
       while (produced < k) {
         round += 1
@@ -708,9 +719,14 @@ object TextOps {
           // persist INSIDE the round's accounting so the probe's
           // per-round timings include the checkpoint overhead
           if (stateDir.isDefined && checkpointEvery > 0 &&
-              (round % checkpointEvery == 0 || produced >= k))
+              (round % checkpointEvery == 0 || produced >= k)) {
+            val heavy = ckpts % corpusEvery == 0
             bpePersistState(s, stateDir.get, produced, pieces,
-              rows.toSeq, df, counts)
+              rows.toSeq, df, counts,
+              corpusFrom = if (heavy) None else lastHeavy)
+            if (heavy) lastHeavy = Some(produced)
+            ckpts += 1
+          }
           // the run is alive — re-stamp the lease (sub-ms against
           // 0.8-1.0 s rounds) so a live trainer never expires out
           leaseTok.foreach(t => graft.core.Lease.renew(stateDir.get, t))
@@ -724,21 +740,30 @@ object TextOps {
     }
   }
 
-  /** Commit one trainer state: corpus + counts + merge list as
-    * parquet under `state-v<produced>/`, then `meta.json` atomically
-    * LAST as the commit marker. Idempotent (an already-committed
-    * state is left alone); partial leftovers from a crash are
-    * replaced; superseded states retire after the commit. */
+  /** Commit one trainer state under `state-v<produced>/`, `meta.json`
+    * atomically LAST as the commit marker. TWO-TIER: a HEAVY state
+    * (`corpusFrom` = None) persists the rewritten corpus + counts +
+    * merge list — O(corpus); a LIGHT state skips the corpus and
+    * records its anchor (`"corpusFrom":F`, the newest heavy state) in
+    * the meta — O(pair vocabulary + merge list), orders of magnitude
+    * smaller at a 100 TB corpus. [[bpeLoadState]] rebuilds a light
+    * state's corpus by replaying the gap merges onto the anchor's.
+    * Idempotent (an already-committed state is left alone); partial
+    * leftovers from a crash are replaced; superseded states retire
+    * after the commit — EXCEPT a light state's anchor, which must
+    * survive for the rebuild. */
   private def bpePersistState(s: SparkSession, stateDir: String,
       produced: Int, pieces: Long,
       rows: Seq[(String, String, Long, Long)],
-      df: DataFrame, counts: DataFrame): Unit = {
+      df: DataFrame, counts: DataFrame,
+      corpusFrom: Option[Int] = None): Unit = {
     import s.implicits._
     val d = new java.io.File(stateDir, s"state-v$produced")
     if (new java.io.File(d, "meta.json").exists()) return
     if (d.exists()) graft.core.TempDirs.rmTree(d)
     d.mkdirs()
-    df.write.parquet(new java.io.File(d, "corpus").getPath)
+    if (corpusFrom.isEmpty)
+      df.write.parquet(new java.io.File(d, "corpus").getPath)
     counts.write.parquet(new java.io.File(d, "counts").getPath)
     rows.zipWithIndex.map { case ((l, r, c, p), i) =>
       (i + 1, l, r, c, p) }.toDF("ord", "l", "r", "cnt", "pieces")
@@ -746,20 +771,28 @@ object TextOps {
       .write.parquet(new java.io.File(d, "merges").getPath)
     val tmp = java.nio.file.Files.createTempFile(d.toPath, ".meta", ".tmp")
     java.nio.file.Files.write(tmp,
-      s"""{"produced":$produced,"pieces":$pieces}""".getBytes("UTF-8"))
+      (s"""{"produced":$produced,"pieces":$pieces""" +
+        corpusFrom.map(f => s""","corpusFrom":$f""").getOrElse("") +
+        "}").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp,
       new java.io.File(d, "meta.json").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Option(new java.io.File(stateDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("state-v") &&
-        f.getName.stripPrefix("state-v").toIntOption.exists(_ < produced))
+        f.getName.stripPrefix("state-v").toIntOption.exists(v =>
+          v < produced && corpusFrom.forall(_ != v)))
       .foreach(graft.core.TempDirs.rmTree)
   }
 
   /** The newest COMMITTED trainer state under `stateDir`:
     * (produced, pieces, merges-so-far, corpus, counts). None = fresh
-    * start (no state, or only partial crash leftovers). */
+    * start (no state, or only partial crash leftovers). A LIGHT state
+    * (no corpus of its own) rebuilds its corpus by REPLAYING the gap
+    * merges onto its anchor's — byte-identical to the trained rewrite
+    * because merges selected within a round are conflict-free (the
+    * batched-commute argument), so a sequential per-merge replace
+    * over the full corpus equals the batched pass that produced it. */
   private def bpeLoadState(s: SparkSession, stateDir: String)
       : Option[(Int, Long, Seq[(String, String, Long, Long)],
         DataFrame, DataFrame)] = {
@@ -779,8 +812,29 @@ object TextOps {
       .orderBy("ord").collect()
       .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
         r.getAs[Long]("cnt"), r.getAs[Long]("pieces"))).toSeq
-    Some((produced, pieces, rows,
-      s.read.parquet(new java.io.File(d, "corpus").getPath),
+    val corpus = """"corpusFrom":(\d+)""".r.findFirstMatchIn(meta) match {
+      case None =>
+        s.read.parquet(new java.io.File(d, "corpus").getPath)
+      case Some(m) =>
+        val from = m.group(1).toInt
+        val anchor = new java.io.File(stateDir, s"state-v$from/corpus")
+        if (!anchor.exists()) sys.error(
+          s"corrupt trainer state ${d.getPath}: its corpus anchor " +
+            s"state-v$from is missing — retire the state dir to " +
+            "restart training")
+        if (rows.size < produced) sys.error(
+          s"corrupt trainer state ${d.getPath}: merge list shorter " +
+            "than its produced count")
+        // replay the gap (anchor..produced) in ord order — one
+        // projection; Catalyst splits oversized expressions itself,
+        // and the gap is bounded by corpusEvery × checkpointEvery × m
+        rows.slice(from, produced).foldLeft(
+          s.read.parquet(anchor.getPath)) { case (acc, (l, r, _, _)) =>
+          acc.select(replace(col("seq"), lit(l + " " + r),
+            lit(bpeMergedTok(l, r))).as("seq"))
+        }
+    }
+    Some((produced, pieces, rows, corpus,
       s.read.parquet(new java.io.File(d, "counts").getPath)))
   }
 

@@ -25,6 +25,11 @@ object BpeProbe {
     // the per-round timings then INCLUDE the checkpoint overhead, so
     // (run with ckpt) vs (run without) quantifies its cost
     val ckptEvery = args.drop(2).headOption.map(_.toInt).getOrElse(0)
+    // fourth arg: heavy (corpus-carrying) commit every Nth checkpoint
+    // — the two-tier cadence; checkpoint rounds in the per-round
+    // timings then split into LIGHT (counts+merges) and HEAVY
+    // (+corpus) costs
+    val corpusEvery = args.drop(3).headOption.map(_.toInt).getOrElse(4)
     val stateDir =
       if (ckptEvery > 0)
         Some(graft.core.TempDirs.scratchShared("bpestate"))
@@ -51,8 +56,10 @@ object BpeProbe {
               f"sec=${(now - last) / 1e9}%7.3f")
             last = now
             lastRound = round
-          }, stateDir = stateDir, checkpointEvery = ckptEvery)
-    println(f"BPE total k=$k m=$m ckptEvery=$ckptEvery rounds=$lastRound " +
+          }, stateDir = stateDir, checkpointEvery = ckptEvery,
+          corpusEvery = corpusEvery)
+    println(f"BPE total k=$k m=$m ckptEvery=$ckptEvery " +
+      f"corpusEvery=$corpusEvery rounds=$lastRound " +
       f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"merges=${rows.size} finalPieces=${rows.last._4}")
     spark.stop()

@@ -105,6 +105,54 @@ class OperatorSmokeSpec extends AnyFunSuite {
       "a raised k must extend, not retrain")
   }
 
+  test("two-tier BPE state: light checkpoints skip the corpus (O(vocab) " +
+      "commit) and anchor the newest heavy state; resume from a light " +
+      "state replays the gap byte-identically; retirement keeps the " +
+      "anchor alive") {
+    val ref = graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 1)
+    // fresh run, checkpoint every 2 rounds, corpus every 2nd checkpoint:
+    // commits land at produced 2 (heavy), 4 (light→2), 6 (heavy),
+    // 8 (light→6)
+    val sd = graft.core.TempDirs.scratchShared("bpetier")
+    assert(graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 1,
+      stateDir = Some(sd), checkpointEvery = 2, corpusEvery = 2) == ref)
+    def dir(p: Int) = new java.io.File(sd, s"state-v$p")
+    def hasCorpus(p: Int) = new java.io.File(dir(p), "corpus").exists()
+    def meta(p: Int) = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir(p), "meta.json").toPath), "UTF-8")
+    assert(dir(8).exists() && !hasCorpus(8) &&
+      meta(8).contains("\"corpusFrom\":6"),
+      s"the final light state must anchor the newest heavy: ${meta(8)}")
+    assert(dir(6).exists() && hasCorpus(6) &&
+      !meta(6).contains("corpusFrom"),
+      "the anchor heavy state must survive retirement with its corpus")
+    assert(!dir(2).exists() && !dir(4).exists(),
+      "superseded non-anchor states must retire")
+    // a raised k RESUMES FROM THE LIGHT STATE: the corpus is rebuilt
+    // by replaying merges 7..8 onto state-v6's copy — the continued
+    // training must be byte-identical to an uninterrupted run
+    val ref10 = graft.operators.TextOps.bpeMergesBatched(spark, sf, 10, 1)
+    assert(graft.operators.TextOps.bpeMergesBatched(spark, sf, 10, 1,
+      stateDir = Some(sd), checkpointEvery = 2, corpusEvery = 2) == ref10,
+      "resume-from-light (gap replay) must equal uninterrupted")
+    // a KILLED run whose newest committed state is light resumes the
+    // same way — the crash shape the two-tier cadence must survive
+    val sd2 = graft.core.TempDirs.scratchShared("bpetierkill")
+    val boom = intercept[RuntimeException] {
+      graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 1,
+        onRound = (round, _) =>
+          if (round == 5) throw new RuntimeException("kill -9"),
+        stateDir = Some(sd2), checkpointEvery = 2, corpusEvery = 2)
+    }
+    assert(boom.getMessage == "kill -9")
+    assert(new java.io.File(sd2, "state-v4").exists() &&
+      !new java.io.File(sd2, "state-v4/corpus").exists(),
+      "the killed run's newest committed state must be the light one")
+    assert(graft.operators.TextOps.bpeMergesBatched(spark, sf, 8, 1,
+      stateDir = Some(sd2), checkpointEvery = 2, corpusEvery = 2) == ref,
+      "crashed-at-light + resumed must equal uninterrupted")
+  }
+
   test("BPE checkpoint tracking is plan-derived: a concurrent thread's " +
       "localCheckpoint survives a training run, and the trainer leaks " +
       "no persistent RDDs") {
