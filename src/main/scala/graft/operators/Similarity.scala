@@ -2032,10 +2032,14 @@ object Similarity {
     * Residuals are float subtraction (exact: a float difference is
     * the correctly-rounded exact difference, which DuckDB reproduces
     * bit-for-bit via DOUBLE subtract + cast back to FLOAT), and both
-    * quantizers are FLAT (coarse = first g vectors, codebook = first
-    * k vectors' subvectors — the sim06/sim08 discipline), so routing,
-    * encoding, table build and ADC ranking are all exact fixed-point
-    * arithmetic the SQL oracle replicates value-for-value.
+    * quantizers are FLAT off the corpus head (coarse = first g
+    * vectors; codebook = the NEXT k vectors' RESIDUAL subvectors —
+    * residual space per the paper, because the quantizer must live
+    * at the scale of what it encodes, and disjoint from the coarse
+    * head, because a centroid's own residual is an exactly-zero dead
+    * entry), so routing, encoding, table build and ADC ranking are
+    * all exact fixed-point arithmetic the SQL oracle replicates
+    * value-for-value.
     *
     * Scale shape: assignment and probe routing are map-only through
     * the fused CentroidProbe kernel; candidate generation is an
@@ -2055,11 +2059,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").collect().toSeq
       .map(r => ctr(r.getLong(0).toInt + 1, r.getSeq[Float](1)))
-    val cbRows = v.filter(col("vec_id") < k)
+    // RESIDUAL-SPACE codebook (the canonical IVFADC choice, Jégou
+    // §IV-A: the product quantizer is trained on residuals): entries
+    // are corpus-head RESIDUALS, not raw vectors, and the codebook
+    // rows are the k vectors AFTER the coarse head — a row that IS a
+    // coarse centroid has an exactly-zero residual, a dead codebook
+    // entry. The recall gate (AnnRecallGateSpec) caught both defects
+    // as chance-level recall@5: a raw-vector codebook encodes
+    // residuals against entries at the wrong scale, and a
+    // coarse-overlapping one is partly (at g = k, entirely) zeros, so
+    // every ADC table lookup scored 0 while the oracle — replicating
+    // the same definition — still hash-matched. Same flat-head
+    // discipline, same exact arithmetic (float subtract is correctly
+    // rounded, so the DuckDB oracle replicates it bit-for-bit);
+    // assignment ties replicate the engine's (dist, cid) ordering.
+    val cbRows = v.filter(col("vec_id") >= g && col("vec_id") < g + k)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").collect()
+    def headResidual(e: Seq[Float]): Seq[Float] = {
+      val c = coarse.minBy(ct =>
+        (ct.cn2 - 2.0 * (fixdotDriver(e, ct.cemb).toDouble / 1e12),
+          ct.cid))
+      e.zip(c.cemb).map { case (a, b) => a - b }
+    }
     val cb = (0 until m).map(j => (0 until k).map(c =>
-      cbRows(c).getSeq[Float](1).slice(j * sub, (j + 1) * sub)))
+      headResidual(cbRows(c).getSeq[Float](1)).slice(j * sub, (j + 1) * sub)))
     def subcol(e: Column, j: Int) = slice(e, j * sub + 1, sub)
     def fix(a: Column, b: Seq[Float]) =
       graft.functions.GraftFunctions.fixdot(a, typedlit(b))
@@ -2086,7 +2110,17 @@ object Similarity {
         +: (0 until m).map(j => codeCol(col("res"), j).as(s"c$j")): _*)
     val coded = memoTag.fold(mkCoded)(t => graft.core.Caches.memo(s, t)(mkCoded))
     // queries: nprobe nearest lists each, one residual ADC table per
-    // (query, list)
+    // (query, list). Each table entry carries the paper's FULL
+    // per-subspace squared-distance term ‖qres_j‖² + ‖e_c‖² −
+    // 2·qres_j·e_c (exact fixed-point longs), so the summed lookup is
+    // the IVFADC estimate of ‖qres − reŝ‖² itself. Two score forms
+    // the recall gate measured at chance on a clustered corpus and
+    // buried here: plain dot(qres, reŝ) (a residual-MIPS score the
+    // paper never uses — rewards big-norm codes), and the ‖qres‖²-
+    // dropped distance (that term is constant per PROBED LIST but
+    // differs ACROSS a query's nprobe lists, so far-list candidates
+    // win on inflated cross terms — scores must be comparable across
+    // lists).
     val q = broadcast(v.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(probeCol(coarse, col("embedding"), nprobe)).as("cid"))
@@ -2094,23 +2128,33 @@ object Similarity {
       .withColumn("qres", zip_with(col("qe"), col("cemb"), _ - _))
       .select(col("qid") +: col("cid")
         +: (0 until m).map(j => array((0 until k).map(c =>
-          fix(subcol(col("qres"), j), cb(j)(c))): _*).as(s"t$j")): _*))
+          graft.functions.GraftFunctions.fixdot(
+            subcol(col("qres"), j), subcol(col("qres"), j)) +
+            lit(fixdotDriver(cb(j)(c), cb(j)(c))) -
+            lit(2L) * fix(subcol(col("qres"), j), cb(j)(c))): _*)
+          .as(s"t$j")): _*))
     val fp = (0 until m).map(j =>
       element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
     // candidates here are nprobe/g of the corpus per query — exactly
     // the set a rank window would ship whole; the routing list id
-    // rides the payload slot, fp (exact < 2⁵³) the score slot
+    // rides the payload slot, fp (an exact fixed-point distance term
+    // well under 2⁵³) rides the score slot NEGATED (the aggregate
+    // keeps highest-score: nearest = smallest distance), ties on nid
+    // ascending as everywhere in the family
     coded.join(q, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("fp", fp)
       .groupBy("qid")
-      .agg(topKPayloadAgg(5)(col("fp").cast("double"), col("nid"),
+      .agg(topKPayloadAgg(5)((-col("fp")).cast("double"), col("nid"),
         col("cid").cast("long")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.id").as("nid"),
         (col("pos") + 1).cast("bigint").as("rank"),
         col("s.payload").cast("int").as("list_id"),
-        (col("s.score") / 1e12).as("approx_dot"))
+        // 0.0 − score, not −score: an exactly-zero distance (a query
+        // whose residual table is all zeros) must render +0.0 like
+        // the oracle's fp/1e12, not IEEE −0.0
+        ((lit(0.0) - col("s.score")) / 1e12).as("approx_dist"))
       .orderBy("qid", "rank")
   }
 
@@ -2510,8 +2554,9 @@ object Similarity {
         |  FROM asg a JOIN e v ON v.vec_id = a.vec_id JOIN c ON c.cid = a.cid),
         |subs AS (SELECT CAST(j AS INTEGER) j FROM range(4) t(j)),
         |cb AS (SELECT subs.j, cbv.vec_id ccid,
-        |    cbv.embedding[subs.j*16+1 : subs.j*16+16] AS cent
-        |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 16) cbv, subs),
+        |    cbv.r[subs.j*16+1 : subs.j*16+16] AS cent
+        |  FROM (SELECT vec_id, r FROM res
+        |        WHERE vec_id >= 8 AND vec_id < 24) cbv, subs),
         |enc AS (SELECT res.vec_id, cb.j, cb.ccid,
         |  CAST(CAST(list_sum(list_transform(list_zip(cb.cent, cb.cent),
         |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e12
@@ -2536,6 +2581,11 @@ object Similarity {
         |  FROM probes p JOIN e q ON q.vec_id = p.qid JOIN c ON c.cid = p.cid),
         |qt AS (SELECT qr.qid, qr.cid, cb.j, cb.ccid,
         |  CAST(list_sum(list_transform(
+        |      list_zip(qr.r[cb.j*16+1 : cb.j*16+16], qr.r[cb.j*16+1 : cb.j*16+16]),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)
+        |  + CAST(list_sum(list_transform(list_zip(cb.cent, cb.cent),
+        |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)
+        |  - 2 * CAST(list_sum(list_transform(
         |      list_zip(qr.r[cb.j*16+1 : cb.j*16+16], cb.cent),
         |    z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS t
         |  FROM qres qr, cb),
@@ -2544,10 +2594,10 @@ object Similarity {
         |  JOIN qt ON qt.cid = r2.cid AND qt.j = cd.j AND qt.ccid = cd.ccid
         |  WHERE qt.qid <> cd.vec_id
         |  GROUP BY qt.qid, cd.vec_id, r2.cid)
-        |SELECT qid, nid, rank, list_id, approx_dot FROM (
+        |SELECT qid, nid, rank, list_id, approx_dist FROM (
         |  SELECT qid, nid, CAST(cid AS INTEGER) list_id,
-        |    CAST(fp AS DOUBLE) / 1e12 AS approx_dot,
-        |    row_number() OVER (PARTITION BY qid ORDER BY fp DESC, nid) rank
+        |    CAST(fp AS DOUBLE) / 1e12 AS approx_dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY fp ASC, nid) rank
         |  FROM approx) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // full PQ replica: same flat codebook (subvectors of vec_id<16),
