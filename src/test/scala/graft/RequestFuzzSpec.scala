@@ -1,0 +1,533 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** RANDOMIZED REQUEST→SQL DIFFERENTIAL FUZZING — the breadth analogue
+  * of the reference's RequestModelTest fixture battery (reference
+  * core/src/test/scala/com/yahoo/maha/core/RequestModelTest.scala,
+  * ~6k LoC of hand-written request shapes), generated instead of
+  * enumerated: a seeded generator draws random VALID
+  * ReportingRequests over the registered test cubes — random field
+  * subsets, filter trees (and/or/outer, static-mapping display
+  * values incl. the default, date windows, metric HAVING), sorts,
+  * dim-driven pagination, factless dim listings — and renders each
+  * request independently to ANSI SQL over the RAW tables. Both run
+  * in this Spark session; results must agree as row multisets (the
+  * planner's arithmetic is decimal-exact and mirrored literally, so
+  * doubles match bitwise). The dual generator draws INVALID requests
+  * that must be REFUSED with the right error class — never a wrong
+  * answer, never an uncaught throw.
+  *
+  * Seeded (20260816): every run draws the same 200 valid + 42
+  * invalid requests, so a failure is reproducible and its JSON is
+  * printed for shrinking into a named regression fixture. */
+class RequestFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val views: Unit = {
+    graft.core.Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    graft.core.Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    graft.core.Tables.nation(spark, sf).createOrReplaceTempView("nation")
+    graft.core.Tables.region(spark, sf).createOrReplaceTempView("region")
+    graft.core.Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+  }
+
+  // ---------------------------------------------------------------
+  // vocabulary: the order_stats / line_stats public surface with each
+  // alias's independent SQL rendering over the raw tables
+  // ---------------------------------------------------------------
+
+  private case class Fld(alias: String, sql: String,
+      dim: Option[String]) // owning dimension, None = fact-level
+
+  private val statusCase =
+    "CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled' " +
+      "WHEN 'P' THEN 'Pending' ELSE 'Unknown' END"
+
+  private val factDims = Seq(
+    Fld("Order Priority", "o_orderpriority", None),
+    Fld("Order Status", statusCase, None),
+    Fld("Customer Key", "o_custkey", None),
+    Fld("Order Date", "date_format(o_orderdate, 'yyyy-MM-dd')", None))
+
+  private val dimAttrs = Seq(
+    Fld("Customer Name", "c_name", Some("customer")),
+    Fld("Market Segment", "c_mktsegment", Some("customer")),
+    Fld("Nation Key", "c_nationkey", Some("customer")),
+    Fld("Nation Name", "n_name", Some("nation")),
+    Fld("Region Name", "r_name", Some("region")))
+
+  private val spendSql =
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+  private val metrics = Seq(
+    Fld("Order Count", "COUNT(*)", None),
+    Fld("Total Spend", spendSql, None),
+    Fld("Max Price",
+      "CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)", None),
+    Fld("Avg Price", s"$spendSql / COUNT(o_totalprice)", None),
+    Fld("Distinct Customers", "COUNT(DISTINCT o_custkey)", None),
+    Fld("Avg Order Value", s"$spendSql / COUNT(*)", None))
+
+  /** One filter leaf/tree: its request-JSON fragment, its SQL
+    * predicate, and where it applies. */
+  private case class Filt(json: String, sql: String,
+      fields: Seq[String], hasDimAttr: Boolean, isMetric: Boolean)
+
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "MACHINERY", "HOUSEHOLD")
+  private val regions = Seq("ASIA", "AMERICA", "EUROPE", "AFRICA",
+    "MIDDLE EAST")
+  private val nations = Seq("CHINA", "INDIA", "FRANCE", "BRAZIL",
+    "CANADA", "JAPAN", "GERMANY", "PERU")
+  private val dates = Seq("1992-06-01", "1993-03-15", "1994-01-01",
+    "1995-01-01", "1995-08-20", "1996-06-30", "1997-02-01", "1998-05-01")
+
+  private def jIn(field: String, vs: Seq[String]) =
+    s"""{"field":"$field","operator":"in","values":[${
+      vs.map(v => "\"" + v + "\"").mkString(",")}]}"""
+  private def jEq(field: String, v: String) =
+    s"""{"field":"$field","operator":"=","value":"$v"}"""
+
+  /** Order Status display values → storage predicate, replicating the
+    * engine's reverse mapping incl. the default ('Unknown' = any
+    * storage value outside the map). */
+  private def statusPred(vs: Seq[String]): String = {
+    val stor = Map("Open" -> "'O'", "Fulfilled" -> "'F'", "Pending" -> "'P'")
+    val named = vs.distinct.filter(_ != "Unknown").map(stor)
+    val branches =
+      (if (named.nonEmpty)
+        Seq(s"o_orderstatus IN (${named.mkString(",")})") else Nil) ++
+        (if (vs.contains("Unknown"))
+          Seq("NOT o_orderstatus IN ('F','O','P')") else Nil)
+    "(" + branches.mkString(" OR ") + ")"
+  }
+
+  private def pick[T](rnd: scala.util.Random, xs: Seq[T]): T =
+    xs(rnd.nextInt(xs.size))
+  private def subset[T](rnd: scala.util.Random, xs: Seq[T],
+      lo: Int, hi: Int): Seq[T] =
+    rnd.shuffle(xs).take(lo + rnd.nextInt(hi - lo + 1))
+
+  /** A random DIMENSION-side filter leaf (fact-level or dim-attr). */
+  private def dimLeaf(rnd: scala.util.Random): Filt =
+    rnd.nextInt(9) match {
+      case 0 =>
+        val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+        Filt(s"""{"field":"Order Date","operator":"between","from":"$a","to":"$b"}""",
+          s"(o_orderdate >= '$a' AND o_orderdate <= '$b')",
+          Seq("Order Date"), hasDimAttr = false, isMetric = false)
+      case 1 =>
+        val vs = subset(rnd, Seq("Open", "Fulfilled", "Pending", "Unknown"), 1, 3)
+        Filt(jIn("Order Status", vs), statusPred(vs),
+          Seq("Order Status"), hasDimAttr = false, isMetric = false)
+      case 2 =>
+        val v = pick(rnd, Seq("Open", "Fulfilled", "Pending"))
+        if (rnd.nextBoolean())
+          Filt(jEq("Order Status", v), statusPred(Seq(v)),
+            Seq("Order Status"), hasDimAttr = false, isMetric = false)
+        else
+          Filt(s"""{"field":"Order Status","operator":"<>","value":"$v"}""",
+            s"(NOT ${statusPred(Seq(v))})",
+            Seq("Order Status"), hasDimAttr = false, isMetric = false)
+      case 3 =>
+        val vs = subset(rnd, priorities, 1, 3)
+        Filt(jIn("Order Priority", vs),
+          s"o_orderpriority IN (${vs.map(v => s"'$v'").mkString(",")})",
+          Seq("Order Priority"), hasDimAttr = false, isMetric = false)
+      case 4 =>
+        val p = pick(rnd, Seq("1%", "%URGENT%", "%H", "%MEDIUM%", "5%"))
+        val neg = rnd.nextBoolean()
+        Filt(s"""{"field":"Order Priority","operator":"${
+            if (neg) "not like" else "like"}","value":"$p"}""",
+          (if (neg) "NOT " else "") + s"o_orderpriority LIKE '$p'",
+          Seq("Order Priority"), hasDimAttr = false, isMetric = false)
+      case 5 =>
+        val ks = Seq.fill(2 + rnd.nextInt(6))(1 + rnd.nextInt(1500))
+          .distinct.map(_.toString)
+        Filt(jIn("Customer Key", ks),
+          s"o_custkey IN (${ks.mkString(",")})",
+          Seq("Customer Key"), hasDimAttr = false, isMetric = false)
+      case 6 =>
+        val vs = subset(rnd, segments, 1, 2)
+        Filt(jIn("Market Segment", vs),
+          s"c_mktsegment IN (${vs.map(v => s"'$v'").mkString(",")})",
+          Seq("Market Segment"), hasDimAttr = true, isMetric = false)
+      case 7 =>
+        val v = pick(rnd, regions)
+        Filt(jEq("Region Name", v), s"r_name = '$v'",
+          Seq("Region Name"), hasDimAttr = true, isMetric = false)
+      case 8 =>
+        val vs = subset(rnd, nations, 1, 3)
+        Filt(jIn("Nation Name", vs),
+          s"n_name IN (${vs.map(v => s"'$v'").mkString(",")})",
+          Seq("Nation Name"), hasDimAttr = true, isMetric = false)
+    }
+
+  /** A random dimension filter TREE: a leaf, or an and/or node over
+    * 2-3 leaves (mixing fact-level and dim-attr leaves is legal —
+    * the sem09 shape; evaluated post-join on both sides). */
+  private def dimTree(rnd: scala.util.Random): Filt =
+    if (rnd.nextInt(100) < 65) dimLeaf(rnd)
+    else {
+      val kids = Seq.fill(2 + rnd.nextInt(2))(dimLeaf(rnd))
+      val op = if (rnd.nextBoolean()) "or" else "and"
+      Filt(s"""{"operator":"$op","filterExpressions":[${
+          kids.map(_.json).mkString(",")}]}""",
+        kids.map(_.sql).mkString("(", s" ${op.toUpperCase} ", ")"),
+        kids.flatMap(_.fields), kids.exists(_.hasDimAttr),
+        isMetric = false)
+    }
+
+  /** A random metric HAVING leaf over one of the SELECTED metrics. */
+  private def metricLeaf(rnd: scala.util.Random,
+      selected: Seq[Fld]): Option[Filt] = {
+    val eligible = selected.filter(m =>
+      m.alias == "Order Count" || m.alias == "Total Spend")
+    if (eligible.isEmpty) None
+    else {
+      val m = pick(rnd, eligible)
+      val (v, sqlV) =
+        if (m.alias == "Order Count") {
+          val n = 1 + rnd.nextInt(5); (n.toString, n.toString)
+        } else {
+          val x = pick(rnd, Seq("50000", "120000", "250000")); (x, x)
+        }
+      val gt = rnd.nextBoolean()
+      Some(Filt(
+        s"""{"field":"${m.alias}","operator":"${if (gt) ">" else "<"}","value":"$v"}""",
+        s"${m.sql} ${if (gt) ">" else "<"} $sqlV",
+        Seq(m.alias), hasDimAttr = false, isMetric = true))
+    }
+  }
+
+  /** Dims (in chain order) a field/filter set requires, with parents. */
+  private def neededDims(fields: Seq[String]): Seq[String] = {
+    val owned = dimAttrs.filter(d => fields.contains(d.alias))
+      .flatMap(_.dim).toSet
+    val withParents = owned ++
+      (if (owned("region")) Set("nation", "customer") else Set.empty) ++
+      (if (owned("nation")) Set("customer") else Set.empty[String])
+    Seq("customer", "nation", "region").filter(withParents)
+  }
+
+  private def joinSql(dims: Seq[String], inner: Boolean): String = {
+    val jt = if (inner) "JOIN" else "LEFT JOIN"
+    dims.map {
+      case "customer" => s" $jt customer ON o_custkey = c_custkey"
+      case "nation" => s" $jt nation ON c_nationkey = n_nationkey"
+      case "region" => s" $jt region ON n_regionkey = r_regionkey"
+    }.mkString
+  }
+
+  private def q(a: String) = "`" + a + "`" // Spark-dialect identifier
+
+  /** One random VALID request + its independently-rendered SQL. */
+  private def genValid(rnd: scala.util.Random, shape: Int): (String, String) =
+    shape match {
+      // A: fact-driven aggregation over order_stats
+      case 0 =>
+        val dims = subset(rnd, factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 0, 3)
+        val mets = subset(rnd, metrics, 1, 3)
+        val selected = rnd.shuffle(dims ++ mets)
+        val dimFilts = Seq.fill(rnd.nextInt(3))(dimTree(rnd))
+        val met = if (rnd.nextInt(100) < 30) metricLeaf(rnd, mets) else None
+        // outer: an in/eq on a selected rendered dim column
+        val outer = if (rnd.nextInt(100) < 20 && dims.nonEmpty) {
+          val d = pick(rnd, dims)
+          val vs = d.alias match {
+            case "Order Priority" => subset(rnd, priorities, 1, 2)
+            case "Order Status" => subset(rnd, Seq("Open", "Fulfilled", "Pending"), 1, 2)
+            case "Market Segment" => subset(rnd, segments, 1, 2)
+            case "Region Name" => Seq(pick(rnd, regions))
+            case "Nation Name" => subset(rnd, nations, 1, 2)
+            case "Nation Key" => Seq.fill(2)(rnd.nextInt(25)).distinct.map(_.toString)
+            case "Customer Key" => Seq.fill(2)(1 + rnd.nextInt(1500)).distinct.map(_.toString)
+            case "Order Date" => Seq(pick(rnd, dates))
+          }
+          val quoted = d.alias == "Order Priority" || d.alias == "Order Status" ||
+            d.alias == "Market Segment" || d.alias == "Region Name" ||
+            d.alias == "Nation Name" || d.alias == "Order Date"
+          val lits = vs.map(v => if (quoted) s"'$v'" else v).mkString(",")
+          Some((s"""{"operator":"outer","filter":${jIn(d.alias, vs)}}""",
+            s"${q(d.alias)} IN ($lits)"))
+        } else None
+        val sorts = subset(rnd, selected, 0, math.min(2, selected.size))
+          .map(f => s"""{"field":"${f.alias}","order":"${
+            if (rnd.nextBoolean()) "Desc" else "Asc"}"}""")
+        val filterJson = (dimFilts.map(_.json) ++ met.map(_.json) ++
+          outer.map(_._1)).mkString(",")
+        val json =
+          s"""{"cube":"order_stats","selectFields":[${
+            selected.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+            (if (filterJson.nonEmpty) s""","filterExpressions":[$filterJson]""" else "") +
+            (if (sorts.nonEmpty) s""","sortBy":[${sorts.mkString(",")}]""" else "") +
+            "}"
+        val inner = dimFilts.exists(_.hasDimAttr)
+        val joins = joinSql(neededDims(
+          dims.map(_.alias) ++ dimFilts.flatMap(_.fields)), inner)
+        val selectList = selected.map(f => s"${f.sql} AS ${q(f.alias)}")
+          .mkString(", ")
+        val groupIdx = selected.zipWithIndex
+          .filter { case (f, _) => dims.contains(f) }
+          .map(_._2 + 1)
+        val core =
+          s"SELECT $selectList FROM orders$joins" +
+            (if (dimFilts.nonEmpty)
+              dimFilts.map(_.sql).mkString(" WHERE ", " AND ", "") else "") +
+            (if (groupIdx.nonEmpty)
+              s" GROUP BY ${groupIdx.mkString(", ")}" else "") +
+            met.map(f => s" HAVING ${f.sql}").getOrElse("")
+        val sql = outer match {
+          case Some((_, osql)) => s"SELECT * FROM ($core) t WHERE $osql"
+          case None => core
+        }
+        (json, sql)
+      // B: grand total (metrics only, no grouping)
+      case 1 =>
+        val mets = subset(rnd, metrics, 1, 3)
+        val dimFilts = Seq.fill(rnd.nextInt(2))(dimTree(rnd))
+        val met = if (rnd.nextInt(100) < 30) metricLeaf(rnd, mets) else None
+        val json =
+          s"""{"cube":"order_stats","selectFields":[${
+            mets.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+            (if (dimFilts.nonEmpty || met.nonEmpty)
+              s""","filterExpressions":[${
+                (dimFilts.map(_.json) ++ met.map(_.json)).mkString(",")}]"""
+            else "") + "}"
+        val inner = dimFilts.exists(_.hasDimAttr)
+        val joins = joinSql(neededDims(dimFilts.flatMap(_.fields)), inner)
+        val sql =
+          s"SELECT ${mets.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+            s"FROM orders$joins" +
+            (if (dimFilts.nonEmpty)
+              dimFilts.map(_.sql).mkString(" WHERE ", " AND ", "") else "") +
+            met.map(f => s" HAVING ${f.sql}").getOrElse("")
+        (json, sql)
+      // C: factless dimension listing (DISTINCT over the dim chain,
+      // starting at the most granular requested/filtered dim)
+      case 2 =>
+        val sel = subset(rnd, dimAttrs, 1, 2)
+        val filt =
+          if (rnd.nextBoolean()) {
+            val v = pick(rnd, segments)
+            Some((jEq("Market Segment", v), s"c_mktsegment = '$v'", "customer"))
+          } else if (rnd.nextBoolean()) {
+            val v = pick(rnd, regions)
+            Some((jEq("Region Name", v), s"r_name = '$v'", "region"))
+          } else None
+        val json =
+          s"""{"cube":"order_stats","selectFields":[${
+            sel.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+            filt.map(f => s""","filterExpressions":[${f._1}]""").getOrElse("") +
+            "}"
+        val needed = neededDims(sel.map(_.alias) ++
+          filt.map(_ => if (filt.get._3 == "customer") "Market Segment"
+            else "Region Name").toSeq)
+        // chain trimmed to start at the most granular involved dim
+        val start = needed.head
+        val rest = needed.tail
+        val joins = rest.map {
+          case "nation" => " JOIN nation ON c_nationkey = n_nationkey"
+          case "region" =>
+            if (start == "region") ""
+            else if (needed.contains("nation") || start == "nation")
+              " JOIN region ON n_regionkey = r_regionkey"
+            else ""
+        }.mkString
+        val sql =
+          s"SELECT DISTINCT ${sel.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+            s"FROM $start$joins" +
+            filt.map(f => s" WHERE ${f._2}").getOrElse("")
+        (json, sql)
+      // D: dim-driven ROJ with pagination (the sem04 shape)
+      case _ =>
+        val mets = subset(rnd, metrics.take(3), 1, 2)
+        val page = pick(rnd, Seq(20, 50, 100))
+        val dateF = if (rnd.nextBoolean()) {
+          val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+          Some((s"""{"field":"Order Date","operator":"between","from":"$a","to":"$b"}""",
+            s"WHERE o_orderdate >= '$a' AND o_orderdate <= '$b'"))
+        } else None
+        val json =
+          s"""{"cube":"order_stats","selectFields":[{"field":"Customer Name"},${
+            mets.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+            dateF.map(f => s""","filterExpressions":[${f._1}]""").getOrElse("") +
+            s""","dimensionDriven":true,"rowsPerPage":$page}"""
+        val aggs = mets.map(f =>
+          s"${f.sql.replace("o_totalprice", "o_totalprice")} AS m_${
+            f.alias.toLowerCase.replace(' ', '_')}").mkString(", ")
+        val outs = mets.map(f =>
+          s"f.m_${f.alias.toLowerCase.replace(' ', '_')} AS ${q(f.alias)}")
+          .mkString(", ")
+        val sql =
+          s"""SELECT c_name AS ${q("Customer Name")}, $outs
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, $aggs FROM orders ${dateF.map(_._2).getOrElse("")}
+             |  GROUP BY 1) f ON c_custkey = o_custkey
+             |ORDER BY ${q("Customer Name")} LIMIT $page""".stripMargin
+        (json, sql)
+    }
+
+  /** line_stats shape (int-keyed static mapping incl. the default). */
+  private def genLine(rnd: scala.util.Random): (String, String) = {
+    val roleCase = "CASE l_linenumber WHEN 1 THEN 'Primary' WHEN 2 THEN " +
+      "'Secondary' ELSE 'Additional' END"
+    val lineDims = Seq(Fld("Line Role", roleCase, None),
+      Fld("Return Flag", "l_returnflag", None))
+    val lineMets = Seq(Fld("Line Count", "COUNT(*)", None),
+      Fld("Total Qty",
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)", None))
+    val dims = subset(rnd, lineDims, 0, 2)
+    val mets = subset(rnd, lineMets, 1, 2)
+    val selected = rnd.shuffle(dims ++ mets)
+    def rolePred(vs: Seq[String]): String = {
+      val stor = Map("Primary" -> "1", "Secondary" -> "2")
+      val named = vs.distinct.filter(_ != "Additional").map(stor)
+      val branches =
+        (if (named.nonEmpty)
+          Seq(s"l_linenumber IN (${named.mkString(",")})") else Nil) ++
+          (if (vs.contains("Additional"))
+            Seq("NOT l_linenumber IN (1,2)") else Nil)
+      "(" + branches.mkString(" OR ") + ")"
+    }
+    val filt = rnd.nextInt(3) match {
+      case 0 =>
+        val vs = subset(rnd, Seq("Primary", "Secondary", "Additional"), 1, 2)
+        Some((jIn("Line Role", vs), rolePred(vs)))
+      case 1 =>
+        val vs = subset(rnd, Seq("A", "N", "R"), 1, 2)
+        Some((jIn("Return Flag", vs),
+          s"l_returnflag IN (${vs.map(v => s"'$v'").mkString(",")})"))
+      case _ => None
+    }
+    val json =
+      s"""{"cube":"line_stats","selectFields":[${
+        selected.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+        filt.map(f => s""","filterExpressions":[${f._1}]""").getOrElse("") + "}"
+    val groupIdx = selected.zipWithIndex
+      .filter { case (f, _) => dims.contains(f) }.map(_._2 + 1)
+    val sql =
+      s"SELECT ${selected.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+        "FROM lineitem" +
+        filt.map(f => s" WHERE ${f._2}").getOrElse("") +
+        (if (groupIdx.nonEmpty) s" GROUP BY ${groupIdx.mkString(", ")}" else "")
+    (json, sql)
+  }
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case null => "∅"
+      case v => v.toString
+    }.mkString("|"))
+
+  test("200 seeded random valid requests: the planned result equals " +
+      "the independently-rendered SQL, row multiset and columns") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    var compared = 0
+    val plan = Seq.fill(110)(0) ++ Seq.fill(25)(1) ++ Seq.fill(20)(2) ++
+      Seq.fill(15)(3) ++ Seq.fill(30)(4)
+    for ((shape, i) <- plan.zipWithIndex) {
+      val (json, sql) =
+        if (shape == 4) genLine(rnd) else genValid(rnd, shape)
+      val clue = s"request #$i (shape $shape)\nJSON: $json\nSQL: $sql"
+      val planned =
+        try operators.SemanticQueries.run(json)(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"planner refused a generated VALID request — $clue\n" +
+            s"error: ${e.getMessage}")
+        }
+      val oracle = spark.sql(sql)
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want,
+        s"DIVERGENCE — $clue\nplanned(${got.size}): ${got.take(5)}\n" +
+          s"sql(${want.size}): ${want.take(5)}")
+      compared += 1
+    }
+    assert(compared == 200, s"must compare exactly 200, did $compared")
+  }
+
+  test("42 seeded random invalid requests: each refused with its error " +
+      "class, never a wrong answer or an uncaught throw") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    def expectRefusal(json: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        // force the plan too: some guards fire at planning
+        operators.SemanticQueries.run(json)(spark, sf).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"wrong error class for $json\nwanted: $needle\ngot: ${e.getMessage}")
+    }
+    val sel = """"selectFields":[{"field":"Order Priority"},{"field":"Order Count"}]"""
+    for (_ <- 1 to 3) {
+      val bogus = "F" + rnd.alphanumeric.take(6).mkString
+      expectRefusal(
+        s"""{"cube":"order_stats","selectFields":[{"field":"$bogus"},{"field":"Order Count"}]}""",
+        "unknown field")
+      expectRefusal(
+        s"""{"cube":"cube_${rnd.nextInt(999)}","selectFields":[{"field":"X"}]}""",
+        "unknown cube")
+      // disallowed operator: Order Date is Between/=/IN only
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"field":"Order Date","operator":"like","value":"199${rnd.nextInt(9)}%"}]}""",
+        "not allowed on 'Order Date'")
+      // metric+dimension mixed boolean tree
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"operator":"or","filterExpressions":[
+           |{"field":"Order Count","operator":">","value":"${1 + rnd.nextInt(9)}"},
+           |{"field":"Order Priority","operator":"=","value":"1-URGENT"}]}]}""".stripMargin,
+        "mixes metric and dimension fields")
+      // sort/having/outer on unselected fields
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"sortBy":[{"field":"Total Spend","order":"Desc"}]}""",
+        "not in selectFields")
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"field":"Total Spend","operator":">","value":"${rnd.nextInt(99999)}"}]}""",
+        "metric filter on unselected field")
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"operator":"outer","filter":{"field":"Order Status","operator":"=","value":"Open"}}]}""",
+        "outer filter on unselected field")
+      // inverted / malformed grain windows
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"field":"Order Date","operator":"between","from":"1996-01-01","to":"1995-0${1 + rnd.nextInt(9)}-01"}]}""",
+        "Between window is empty")
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"field":"Order Date","operator":"between","from":"19${rnd.nextInt(10)}5-13-99","to":"1996-01-01"}]}""",
+        "grain format")
+      // schema-restricted column without the schema
+      expectRefusal(
+        s"""{"cube":"user_events","selectFields":[{"field":"User ID"},{"field":"Event Count"}]}""",
+        "restricted to schemas")
+      // guarded cube without its required filter
+      expectRefusal(
+        s"""{"cube":"order_stats_guarded",$sel}""",
+        "Missing required filter")
+      // parse-level rejections
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"field":"Order Priority","operator":"xyz${rnd.nextInt(9)}","value":"x"}]}""",
+        "unknown filter operator")
+      expectRefusal(
+        """{"cube":"order_stats","selectFields":[]}""",
+        "selectFields must be a non-empty array")
+      expectRefusal(
+        s"""{"cube":"order_stats",$sel,"filterExpressions":[{"operator":"or","filterExpressions":[{"field":"Order Priority","operator":"=","value":"1-URGENT"}]}]}""",
+        "requires 'filterExpressions' with >= 2 entries")
+    }
+  }
+}
