@@ -1,0 +1,308 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.core.TxnTable
+
+/** MODEL-BASED STORAGE-LAYER OPERATION FUZZING — the TxnTable
+  * analogue of RequestFuzzSpec's request→SQL differential: a seeded
+  * generator draws random OPERATION SEQUENCES (upsert / deleteKeys /
+  * merge / mergeFrame+seqCol / optimize / compactSmall / restore /
+  * checkpoint / vacuum / renameColumn / constraint declare+drop /
+  * advisory-hint corruption / invalid-op probes) and replays each
+  * against a trivial in-memory model (a Map per committed version).
+  * The point over the hand-written TxnTableSpec scenarios: the
+  * INTERLEAVINGS are adversarial — a restore under a renamed column
+  * after a vacuum, CDC across a constraint epoch, optimize between
+  * two merges — shapes nobody enumerates by hand.
+  *
+  * Invariants, checked after EVERY op:
+  *  - the head version advances exactly when the model says content
+  *    (or metadata) committed, never more;
+  *  - `rowCount` (manifest metadata, no data read) equals the model;
+  *  - periodically + finally: a full head read equals the model map;
+  * and at the end of each sequence, the expensive sweeps:
+  *  - TIME TRAVEL: every still-readable version reads back exactly
+  *    its model snapshot, under the column SPELLING in force then;
+  *  - CDC: `changes(v-1, v)` for every adjacent readable pair equals
+  *    the model diff (empty for optimize/compact/epoch commits);
+  *  - HISTORY: one row per readable version, recorded instants
+  *    non-decreasing.
+  *
+  * Seeded: failures reproduce; the op log is printed for shrinking
+  * into a named TxnTableSpec regression. */
+class StorageFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Model of one committed version: key → (payload, n), plus the
+    * payload column's logical SPELLING and the constraint set in
+    * force (both re-activate on restore, like the real anchors). */
+  private case class Snap(rows: Map[Long, (String, Long)],
+      spelling: String, constraintOn: Boolean)
+
+  private def mkDf(rows: Seq[(Long, String, Long)],
+      spelling: String): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", spelling, "n")
+  }
+
+  private def runSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = graft.core.TempDirs.scratchShared("fuzztab")
+    val opLog = new scala.collection.mutable.ArrayBuffer[String]()
+
+    def freshRows(lo: Int, hi: Int): Seq[(Long, String, Long)] = {
+      val ks = Seq.fill(lo + rnd.nextInt(hi - lo + 1))(
+        rnd.nextInt(60).toLong).distinct
+      ks.map(k => (k, "p" + rnd.nextInt(1000), rnd.nextInt(100000).toLong))
+    }
+
+    var model: Map[Long, (String, Long)] =
+      freshRows(12, 24).map(t => t._1 -> (t._2, t._3)).toMap
+    var spelling = "s"
+    var constraintOn = false
+    var minReadable = 1
+    TxnTable.init(spark, dir,
+      mkDf(model.toSeq.map(t => (t._1, t._2._1, t._2._2)), spelling)
+        .repartition(2), numFiles = 2, statsCols = Seq("k"))
+    val snaps = scala.collection.mutable.Map[Int, Snap](
+      1 -> Snap(model, spelling, constraintOn))
+
+    def headCheck(full: Boolean): Unit = {
+      val v = TxnTable.version(dir)
+      assert(TxnTable.rowCount(dir).contains(model.size.toLong),
+        s"rowCount != model after: ${opLog.mkString("; ")}")
+      if (full) {
+        val got = TxnTable.read(spark, dir)
+          .select(col("k"), col(spelling), col("n")).collect()
+          .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+        assert(got == model,
+          s"head v$v read != model after: ${opLog.mkString("; ")}")
+      }
+    }
+
+    /** Run a committing op: apply `next` to the model iff a version
+      * actually landed; assert content-changing ops always land. */
+    def committing(name: String, mustCommit: Boolean,
+        next: => Map[Long, (String, Long)])(op: => Unit): Unit = {
+      val v1 = TxnTable.version(dir)
+      op
+      val v2 = TxnTable.version(dir)
+      opLog += s"$name(v$v1->v$v2)"
+      assert(v2 == v1 || v2 == v1 + 1,
+        s"$name advanced the head by more than one: $v1 -> $v2")
+      if (v2 > v1) {
+        model = next
+        snaps(v2) = Snap(model, spelling, constraintOn)
+      } else {
+        assert(!mustCommit, s"$name should have committed a version " +
+          s"but did not: ${opLog.mkString("; ")}")
+        assert(next == model,
+          s"$name committed nothing but the model would have changed")
+      }
+    }
+
+    for (step <- 1 to nOps) {
+      val v = TxnTable.version(dir)
+      rnd.nextInt(100) match {
+        // ---- upsert ------------------------------------------------
+        case x if x < 22 =>
+          val batch = freshRows(1, 6)
+          committing("upsert", mustCommit = true,
+            model ++ batch.map(t => t._1 -> (t._2, t._3))) {
+            TxnTable.upsert(spark, dir, "k", mkDf(batch, spelling),
+              numFiles = 1)
+          }
+        // ---- deleteKeys ---------------------------------------------
+        case x if x < 36 =>
+          val keys = Seq.fill(1 + rnd.nextInt(5))(
+            rnd.nextInt(70).toLong).distinct
+          committing("delete", mustCommit = keys.exists(model.contains),
+            model -- keys) {
+            TxnTable.deleteKeys(spark, dir, "k", keys, numFiles = 1); ()
+          }
+        // ---- merge (updates + driver-side delete list) --------------
+        case x if x < 46 =>
+          val ups = freshRows(1, 4)
+          val dels = Seq.fill(1 + rnd.nextInt(3))(
+            rnd.nextInt(70).toLong).distinct
+            .filterNot(ups.map(_._1).contains)
+          committing("merge", mustCommit = true,
+            (model -- dels) ++ ups.map(t => t._1 -> (t._2, t._3))) {
+            TxnTable.merge(spark, dir, "k", mkDf(ups, spelling), dels,
+              numFiles = 1)
+          }
+        // ---- mergeFrame with seqCol (CDC batch, max-seq wins) --------
+        case x if x < 56 =>
+          val ks = Seq.fill(1 + rnd.nextInt(4))(
+            rnd.nextInt(70).toLong).distinct
+          // 1-3 events per key with DISTINCT sequence numbers
+          val events = ks.flatMap { k =>
+            val n = 1 + rnd.nextInt(3)
+            rnd.shuffle((1 to 9).toList).take(n).map { sq =>
+              val del = rnd.nextInt(3) == 0
+              (k, "m" + rnd.nextInt(1000), rnd.nextInt(100000).toLong,
+                if (del) "delete" else "upsert", sq.toLong)
+            }
+          }
+          val winners = events.groupBy(_._1).map(_._2.maxBy(_._5))
+          val next = winners.foldLeft(model) { (m, e) =>
+            if (e._4 == "delete") m - e._1
+            else m + (e._1 -> (e._2, e._3))
+          }
+          committing("mergeFrame", mustCommit = true, next) {
+            import spark.implicits._
+            TxnTable.mergeFrame(spark, dir, "k",
+              events.toDF("k", spelling, "n", "_op", "seq"),
+              seqCol = Some("seq"), numFiles = 1)
+          }
+        // ---- optimize / compactSmall (content-invisible) -------------
+        case x if x < 61 =>
+          committing("optimize", mustCommit = true, model) {
+            TxnTable.optimize(spark, dir, Seq("k"), numFiles = 2)
+          }
+        case x if x < 66 =>
+          committing("compact", mustCommit = false, model) {
+            TxnTable.compactSmall(spark, dir, minBytes = 1L << 20,
+              numFiles = 1); ()
+          }
+        // ---- restore -------------------------------------------------
+        case x if x < 73 && v - minReadable >= 2 =>
+          val toV = minReadable + rnd.nextInt(v - minReadable)
+          val target = snaps(toV)
+          committing(s"restore($toV)", mustCommit = true, target.rows) {
+            TxnTable.restore(spark, dir, toV); ()
+          }
+          spelling = target.spelling
+          constraintOn = target.constraintOn
+          snaps(TxnTable.version(dir)) = target
+        // ---- checkpoint ----------------------------------------------
+        case x if x < 77 =>
+          TxnTable.checkpoint(dir)
+          opLog += "checkpoint"
+        // ---- vacuum (forced past the retention guard) -----------------
+        case x if x < 81 && v - minReadable > 8 =>
+          val keep = minReadable + 1 + rnd.nextInt(v - minReadable - 4)
+          TxnTable.vacuum(dir, keepSince = keep, force = true)
+          minReadable = keep
+          opLog += s"vacuum($keep)"
+          assert(TxnTable.version(dir) == v,
+            "vacuum must never move the head")
+        // ---- renameColumn (payload column only; k drives stats) ------
+        case x if x < 85 =>
+          val to = Seq("s", "payload", "s_txt", "body")
+            .filter(_ != spelling)(rnd.nextInt(3))
+          committing(s"rename($spelling->$to)", mustCommit = true, model) {
+            TxnTable.renameColumn(spark, dir, spelling, to)
+          }
+          spelling = to
+          snaps(TxnTable.version(dir)) =
+            Snap(model, spelling, constraintOn)
+        // ---- constraint declare / drop --------------------------------
+        case x if x < 89 =>
+          if (!constraintOn) {
+            committing("addConstraint", mustCommit = true, model) {
+              TxnTable.addConstraint(spark, dir, "n_cap", "n < 100000")
+            }
+            constraintOn = true
+          } else {
+            committing("dropConstraint", mustCommit = true, model) {
+              TxnTable.dropConstraint(dir, "n_cap")
+            }
+            constraintOn = false
+          }
+          snaps(TxnTable.version(dir)) =
+            Snap(model, spelling, constraintOn)
+        // ---- advisory-hint chaos: corrupt or delete, reads self-heal --
+        case x if x < 93 =>
+          val f = new java.io.File(dir, graft.core.AdvisoryHint.FileName)
+          if (rnd.nextBoolean())
+            java.nio.file.Files.write(f.toPath,
+              "{{{torn".getBytes("UTF-8"))
+          else java.nio.file.Files.deleteIfExists(f.toPath)
+          TxnTable.dropMetaCacheForTest(dir)
+          opLog += "hintChaos"
+          assert(TxnTable.version(dir) == v,
+            s"hint chaos changed the resolved head: ${opLog.mkString("; ")}")
+        // ---- invalid ops: refused loudly, nothing committed -----------
+        case _ =>
+          val v1 = TxnTable.version(dir)
+          rnd.nextInt(3) match {
+            case 0 if constraintOn =>
+              intercept[IllegalArgumentException] {
+                TxnTable.upsert(spark, dir, "k",
+                  mkDf(Seq((999L, "viol", 500000L)), spelling))
+              }
+              opLog += "refused:constraint"
+            case 1 if minReadable > 1 =>
+              intercept[IllegalArgumentException] {
+                TxnTable.restore(spark, dir, minReadable - 1)
+              }
+              opLog += "refused:restoreBelowHorizon"
+            case _ =>
+              intercept[IllegalArgumentException] {
+                TxnTable.renameColumn(spark, dir, spelling, "k")
+              }
+              opLog += "refused:renameCollision"
+          }
+          assert(TxnTable.version(dir) == v1,
+            s"a refused op committed a version: ${opLog.mkString("; ")}")
+      }
+      headCheck(full = step % 4 == 0 || step == nOps)
+    }
+
+    // ---- final sweeps over every still-readable version -------------
+    val head = TxnTable.version(dir)
+    for (v <- minReadable to head) {
+      val snap = snaps(v)
+      val got = TxnTable.read(spark, dir, v)
+        .select(col("k"), col(snap.spelling), col("n")).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      assert(got == snap.rows,
+        s"time travel v$v != model snapshot (seed $seed): " +
+          opLog.mkString("; "))
+    }
+    for (v <- (minReadable + 1) to head) {
+      val sp = snaps(v).spelling
+      val got = TxnTable.changes(spark, dir, v - 1, v)
+        .select(col("k"), col(sp), col("n"), col("_change_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+      val prev = snaps(v - 1).rows
+      val cur = snaps(v).rows
+      val want = (
+        (cur.toSet -- prev.toSet).toSeq.map(t =>
+          (t._1, t._2._1, t._2._2, "insert")) ++
+        (prev.toSet -- cur.toSet).toSeq.map(t =>
+          (t._1, t._2._1, t._2._2, "delete"))).sorted
+      assert(got == want,
+        s"CDC v${v - 1}->v$v != model diff (seed $seed): " +
+          opLog.mkString("; "))
+    }
+    val hist = TxnTable.historyWithTs(dir)
+    assert(hist.map(_._1) == (minReadable to head),
+      s"history rows != readable versions (seed $seed)")
+    val ts = hist.map(_._5)
+    assert(ts == ts.sorted,
+      s"recorded commit instants regressed (seed $seed)")
+  }
+
+  test("seeded random operation sequences match the in-memory model " +
+      "at the head, at every readable version, and in every CDC " +
+      "delta (seed 20260816, 36 ops)") {
+    runSequence(20260816L, 36)
+  }
+
+  test("a second seed: different interleavings, same invariants " +
+      "(seed 4161, 36 ops)") {
+    runSequence(4161L, 36)
+  }
+}
