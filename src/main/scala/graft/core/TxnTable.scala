@@ -852,8 +852,14 @@ object TxnTable {
     * manifest v<k> commits. */
   private def publishEpochFile(dir: String, base: String, k: Int,
       lines: Seq[String]): Unit =
+    // the header CARRIES THE LINE COUNT: an epoch file has no closing
+    // token, so a truncation at a line boundary after the header
+    // would otherwise parse as a valid, silently SHORTER set — for a
+    // colmap that resurrects a renamed-away physical column, for
+    // constraints it silently stops enforcing one. The count makes
+    // that torn shape loud (legacy count-less headers stay readable).
     AtomicFiles.publishExclusive(dir, s"$base-v$k.json",
-      (s"""{"epoch":$k}""" +: lines)
+      (s"""{"epoch":$k,"n":${lines.size}}""" +: lines)
         .mkString("", "\n", "\n").getBytes("UTF-8"))(
       lostEpochSlot(dir, base, k))
 
@@ -1054,10 +1060,21 @@ object TxnTable {
     val lines = new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-    if (!lines.headOption.contains(s"""{"epoch":$k}"""))
-      sys.error(s"corrupt $base epoch file ${f.getPath} " +
+    val hdr = s"""\\{"epoch":$k(?:,"n":(\\d+))?\\}""".r
+    lines.headOption match {
+      case Some(hdr(n)) =>
+        // TORN-TAIL GUARD: the header's recorded count catches a
+        // line-boundary truncation that would otherwise read as a
+        // silently smaller set. Count-less headers predate the guard
+        // and stay readable (mid-line tears still die on their JSON
+        // parse); every new declaration writes the counted form.
+        if (n != null && lines.size - 1 != n.toInt) sys.error(
+          s"torn $base epoch file ${f.getPath} (${lines.size - 1} of " +
+            s"$n recorded entries) — restore it to recover")
+        lines.drop(1)
+      case _ => sys.error(s"corrupt $base epoch file ${f.getPath} " +
         s"(missing header) — delete it to recover")
-    lines.drop(1)
+    }
   }
 
   /** The constraint set in force at committed version `v`; tables

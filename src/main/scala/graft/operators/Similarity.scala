@@ -1123,9 +1123,7 @@ object Similarity {
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".txt"))
     if (captured.length <= 1) return 0
-    val ids = captured.flatMap(f => new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split('\n').filter(_.nonEmpty).map(_.toLong)).toSeq.distinct
+    val ids = captured.flatMap(parseIdFile).toSeq.distinct
     writeIdFile(d, ids)
     captured.foreach(f => { f.delete(); () })
     captured.length
@@ -1144,9 +1142,7 @@ object Similarity {
       Option(d.listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".txt"))
-        .flatMap(f => new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .split('\n').filter(_.nonEmpty).map(_.toLong))
+        .flatMap(parseIdFile)
         .toSet
     var attempts = 0
     while (true) {
@@ -1160,12 +1156,37 @@ object Similarity {
     sys.error("unreachable")
   }
 
+  /** Parse one takedown/tombstone id file under the TORN-TAIL GUARD
+    * (the GDPR channel's wrong-answer shape): a file truncated at a
+    * LINE boundary would otherwise read as a silently smaller dead
+    * set and serve a deleted vector again. New files carry their id
+    * count in a `#n=` header ([[writeIdFile]]); count-less files
+    * predate the guard and stay readable (a mid-number tear still
+    * dies loudly on toLong). */
+  private def parseIdFile(f: java.io.File): Seq[Long] = {
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').filter(_.nonEmpty)
+    lines.headOption.filter(_.startsWith("#n=")) match {
+      case Some(h) =>
+        val n = h.stripPrefix("#n=").toInt
+        if (lines.length - 1 != n) sys.error(
+          s"torn takedown file ${f.getPath} (${lines.length - 1} " +
+            s"of $n recorded ids) — restore it to recover")
+        lines.iterator.drop(1).map(_.toLong).toSeq
+      case None => lines.iterator.map(_.toLong).toSeq
+    }
+  }
+
   private def writeIdFile(d: java.io.File, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "at least one vec_id required")
     d.mkdirs()
     val tmp = java.nio.file.Files.createTempFile(d.toPath, ".del", ".tmp")
+    val distinctIds = ids.distinct.sorted
+    // `#n=` header = the torn-tail guard readIdFiles verifies
     java.nio.file.Files.write(tmp,
-      ids.distinct.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      (s"#n=${distinctIds.size}" +: distinctIds)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp,
       d.toPath.resolve(s"del-${java.util.UUID.randomUUID()}.txt"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -110,6 +110,88 @@ class TornWriteSpec extends AnyFunSuite {
     assert(TxnTable.checkpoint(dir) == cv, "re-checkpoint repairs")
   }
 
+  test("torn DELTA manifest (the common commit artifact): " +
+      "line-boundary truncation fails loudly — a delta that silently " +
+      "loses its trailing adds would un-commit rows") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("torndelta")
+    TxnTable.init(spark, dir,
+      (0L until 100L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 4, statsCols = Seq("k"))                          // v1
+    TxnTable.upsert(spark, dir, "k",
+      (0L until 10L).map(k => (k, -k)).toDF("k", "v"),
+      numFiles = 2)                                                 // v2 delta
+    tearAtLine(new java.io.File(dir, "manifest-v2.json"))
+    TxnTable.dropMetaCacheForTest(dir)
+    val torn = intercept[RuntimeException] { TxnTable.read(spark, dir) }
+    assert(torn.getMessage.contains("torn manifest"), torn.getMessage)
+  }
+
+  test("torn epoch file: a line-boundary truncation that drops the " +
+      "LAST declared constraint fails loudly on the recorded count — " +
+      "never a silently smaller set; restoring the bytes recovers") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("tornepoch")
+    TxnTable.init(spark, dir,
+      (0L until 20L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1, statsCols = Seq("k"))                          // v1
+    TxnTable.addConstraint(spark, dir, "v_lo", "v >= -1000")       // v2
+    TxnTable.addConstraint(spark, dir, "v_hi", "v < 1000")         // v3
+    val ep = new java.io.File(dir, "constraints-v3.json")
+    assert(ep.exists(), "the declare must claim constraints-v3")
+    // drop the LAST line only: headers and the first constraint
+    // survive, so a count-less file would parse as {v_lo} — a
+    // constraint silently no longer enforced
+    val orig = readBytes(ep)
+    val kept = new String(orig, "UTF-8").split('\n').dropRight(1)
+    write(ep, kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+    TxnTable.dropMetaCacheForTest(dir)
+    val torn = intercept[RuntimeException] {
+      TxnTable.constraints(dir)
+    }
+    assert(torn.getMessage.contains("torn constraints epoch"),
+      torn.getMessage)
+    // and the enforcement path (an upsert) hits the same loud guard
+    // instead of accepting a batch the lost constraint forbids
+    val viaWrite = intercept[RuntimeException] {
+      TxnTable.upsert(spark, dir, "k", Seq((3L, 5000L)).toDF("k", "v"))
+    }
+    assert(viaWrite.getMessage.contains("torn constraints epoch"),
+      viaWrite.getMessage)
+    write(ep, orig)
+    TxnTable.dropMetaCacheForTest(dir)
+    assert(TxnTable.constraints(dir).map(_._1) == Seq("v_lo", "v_hi"))
+  }
+
+  test("torn takedown id file: losing trailing tombstone lines fails " +
+      "loudly on the recorded count (a GDPR-deleted vector must never " +
+      "silently serve again); legacy count-less files stay readable") {
+    val layout = graft.core.TempDirs.scratchShared("torntomb")
+    new java.io.File(layout).mkdirs()
+    Similarity.ivfTombstone(layout, Seq(11L, 22L, 33L, 44L))
+    assert(Similarity.ivfTombstones(layout) == Set(11L, 22L, 33L, 44L))
+    val f = Option(new java.io.File(layout, "_tombstones").listFiles())
+      .get.filter(_.getName.endsWith(".txt")).head
+    val orig = readBytes(f)
+    // line-boundary tear: header + first two ids survive — without
+    // the count this reads as {11,22} and 33/44 serve again
+    val kept = new String(orig, "UTF-8").split('\n').take(3)
+    write(f, kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val torn = intercept[RuntimeException] {
+      Similarity.ivfTombstones(layout)
+    }
+    assert(torn.getMessage.contains("torn takedown file"),
+      torn.getMessage)
+    // a LEGACY file (no #n= header, pre-guard) still reads
+    write(f, "11\n22\n".getBytes("UTF-8"))
+    assert(Similarity.ivfTombstones(layout) == Set(11L, 22L))
+    // mid-number tears on legacy files die loudly on the parse
+    write(f, "11\n2".concat(" ").getBytes("UTF-8"))
+    intercept[NumberFormatException] {
+      Similarity.ivfTombstones(layout)
+    }
+  }
+
   test("torn gen pointer: a zero-length husk reads as not-published " +
       "(self-heal); a half-written body fails loudly naming the file") {
     val root = graft.core.TempDirs.scratchShared("torngen")
