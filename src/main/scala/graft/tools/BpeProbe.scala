@@ -62,6 +62,21 @@ object BpeProbe {
       f"corpusEvery=$corpusEvery rounds=$lastRound " +
       f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"merges=${rows.size} finalPieces=${rows.last._4}")
+    // the two-tier SIZE statement: a light state's bytes are
+    // O(pair vocabulary), a heavy one's O(corpus) — the wall-clock
+    // gap at sf0.1 understates what the cadence saves at 100 TB
+    for (sd <- stateDir;
+        st <- Option(new java.io.File(sd).listFiles()).toSeq.flatten
+        if st.getName.startsWith("state-v")) {
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(du).sum)
+        else f.length()
+      val corpus = du(new java.io.File(st, "corpus"))
+      val rest = du(st) - corpus
+      println(s"BPE state ${st.getName} " +
+        s"tier=${if (corpus > 0) "heavy" else "light"} " +
+        s"corpusBytes=$corpus stateBytes=$rest")
+    }
     spark.stop()
   }
 }
