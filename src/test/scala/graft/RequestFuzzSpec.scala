@@ -462,6 +462,210 @@ class RequestFuzzSpec extends AnyFunSuite {
     assert(compared == 200, s"must compare exactly 200, did $compared")
   }
 
+  // ---------------------------------------------------------------
+  // SQL front door (the Calcite-analogue translation layer the JSON
+  // fuzz never touches): the same vocabulary rendered as the
+  // restricted cube-SQL grammar, run through SqlFrontDoor, and
+  // compared against the independently-rendered raw-table SQL
+  // ---------------------------------------------------------------
+
+  private def sqlRun(sql: String): DataFrame =
+    graft.analyzer.SqlFrontDoor.run(sql,
+      operators.SemanticQueries.registry)(spark, sf)
+
+  /** One random cube-SQL WHERE conjunct with its raw dual: Seq of
+    * cube-side predicates (so the >=/<= pair-merge path is generated
+    * too) + the shared Filt dual. */
+  private def sqlLeaf(rnd: scala.util.Random): (Seq[String], Filt) =
+    rnd.nextInt(10) match {
+      case 0 =>
+        val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+        (Seq(s"`Order Date` BETWEEN '$a' AND '$b'"),
+          Filt("", s"(o_orderdate >= '$a' AND o_orderdate <= '$b')",
+            Seq("Order Date"), hasDimAttr = false, isMetric = false))
+      case 1 => // the parser-lowered pair: must merge back to Between
+        val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+        (Seq(s"`Order Date` >= '$a'", s"`Order Date` <= '$b'"),
+          Filt("", s"(o_orderdate >= '$a' AND o_orderdate <= '$b')",
+            Seq("Order Date"), hasDimAttr = false, isMetric = false))
+      case 2 =>
+        val vs = subset(rnd, Seq("Open", "Fulfilled", "Pending", "Unknown"), 1, 3)
+        (Seq(s"`Order Status` IN (${vs.map(v => s"'$v'").mkString(", ")})"),
+          Filt("", statusPred(vs), Seq("Order Status"),
+            hasDimAttr = false, isMetric = false))
+      case 3 =>
+        val v = pick(rnd, Seq("Open", "Fulfilled", "Pending"))
+        val neg = rnd.nextBoolean()
+        (Seq(s"`Order Status` ${if (neg) "<>" else "="} '$v'"),
+          Filt("", (if (neg) s"(NOT ${statusPred(Seq(v))})"
+            else statusPred(Seq(v))),
+            Seq("Order Status"), hasDimAttr = false, isMetric = false))
+      case 4 =>
+        val vs = subset(rnd, priorities, 1, 3)
+        (Seq(s"`Order Priority` IN (${vs.map(v => s"'$v'").mkString(", ")})"),
+          Filt("", s"o_orderpriority IN (${vs.map(v => s"'$v'").mkString(",")})",
+            Seq("Order Priority"), hasDimAttr = false, isMetric = false))
+      case 5 =>
+        val p = pick(rnd, Seq("1%", "%URGENT%", "%H", "%MEDIUM%", "5%"))
+        val neg = rnd.nextBoolean()
+        (Seq(s"`Order Priority` ${if (neg) "NOT LIKE" else "LIKE"} '$p'"),
+          Filt("", (if (neg) "NOT " else "") + s"o_orderpriority LIKE '$p'",
+            Seq("Order Priority"), hasDimAttr = false, isMetric = false))
+      case 6 =>
+        val ks = Seq.fill(2 + rnd.nextInt(5))(1 + rnd.nextInt(1500))
+          .distinct
+        val neg = rnd.nextBoolean()
+        (Seq(s"`Customer Key` ${if (neg) "NOT IN" else "IN"} (${ks.mkString(", ")})"),
+          Filt("", (if (neg) "NOT " else "") + s"o_custkey IN (${ks.mkString(",")})",
+            Seq("Customer Key"), hasDimAttr = false, isMetric = false))
+      case 7 =>
+        val vs = subset(rnd, segments, 1, 2)
+        (Seq(s"`Market Segment` IN (${vs.map(v => s"'$v'").mkString(", ")})"),
+          Filt("", s"c_mktsegment IN (${vs.map(v => s"'$v'").mkString(",")})",
+            Seq("Market Segment"), hasDimAttr = true, isMetric = false))
+      case 8 =>
+        val v = pick(rnd, regions)
+        (Seq(s"`Region Name` = '$v'"),
+          Filt("", s"r_name = '$v'", Seq("Region Name"),
+            hasDimAttr = true, isMetric = false))
+      case _ => // OR tree over two fact-level leaves
+        val v1 = pick(rnd, priorities)
+        val v2 = pick(rnd, Seq("Open", "Fulfilled", "Pending"))
+        (Seq(s"(`Order Priority` = '$v1' OR `Order Status` = '$v2')"),
+          Filt("", s"(o_orderpriority = '$v1' OR ${statusPred(Seq(v2))})",
+            Seq("Order Priority", "Order Status"),
+            hasDimAttr = false, isMetric = false))
+    }
+
+  /** One random valid cube-SQL statement + its raw dual. */
+  private def genSqlValid(rnd: scala.util.Random): (String, String) = {
+    val dims = subset(rnd,
+      factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 0, 3)
+    val mets = subset(rnd, metrics, 1, 3)
+    val selected = rnd.shuffle(dims ++ mets)
+    // at most ONE range conjunct per field: the grammar refuses a
+    // second BETWEEN/bound pair on the same field by design
+    val leaves = {
+      val drawn = Seq.fill(rnd.nextInt(3))(sqlLeaf(rnd))
+      val (ranges, rest) = drawn.partition(
+        _._2.sql.contains("o_orderdate >="))
+      ranges.take(1) ++ rest
+    }
+    val met = if (rnd.nextInt(100) < 30) metricLeaf(rnd, mets) else None
+    // ORDER BY + LIMIT only when the ordering is TOTAL (all selected
+    // dims listed) — grouped rows are unique on the dim tuple, so the
+    // kept page is deterministic on both sides
+    val paged = rnd.nextInt(100) < 30
+    val sortCols =
+      if (paged) rnd.shuffle(dims)
+      else subset(rnd, selected, 0, math.min(2, selected.size))
+    val dirs = sortCols.map(_ => rnd.nextBoolean())
+    val orderSql = sortCols.zip(dirs).map { case (f, d) =>
+      s"`${f.alias}`${if (d) " DESC" else ""}" }
+    val limit = if (paged) Some(5 + rnd.nextInt(20)) else None
+    // metric filter rides WHERE in the cube grammar (the request
+    // layer classifies it as HAVING, exactly like the JSON door)
+    val wherePreds = leaves.flatMap(_._1) ++ met.map { m =>
+      val gt = m.sql.contains(">")
+      s"`${m.fields.head}` ${if (gt) ">" else "<"} ${m.sql.split(' ').last}"
+    }
+    val cube =
+      s"SELECT ${selected.map(f => s"`${f.alias}`").mkString(", ")} " +
+        "FROM order_stats" +
+        (if (wherePreds.nonEmpty) s" WHERE ${wherePreds.mkString(" AND ")}"
+          else "") +
+        (if (orderSql.nonEmpty) s" ORDER BY ${orderSql.mkString(", ")}"
+          else "") +
+        limit.map(n => s" LIMIT $n").getOrElse("")
+    val inner = leaves.exists(_._2.hasDimAttr)
+    val joins = joinSql(neededDims(
+      dims.map(_.alias) ++ leaves.flatMap(_._2.fields)), inner)
+    val groupIdx = selected.zipWithIndex
+      .filter { case (f, _) => dims.contains(f) }.map(_._2 + 1)
+    val core =
+      s"SELECT ${selected.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+        s"FROM orders$joins" +
+        (if (leaves.nonEmpty)
+          leaves.map(_._2.sql).mkString(" WHERE ", " AND ", "") else "") +
+        (if (groupIdx.nonEmpty) s" GROUP BY ${groupIdx.mkString(", ")}"
+          else "") +
+        met.map(f => s" HAVING ${f.sql}").getOrElse("")
+    val dual =
+      if (orderSql.isEmpty && limit.isEmpty) core
+      else s"SELECT * FROM ($core) t" +
+        (if (orderSql.nonEmpty) s" ORDER BY ${orderSql.mkString(", ")}"
+          else "") + limit.map(n => s" LIMIT $n").getOrElse("")
+    (cube, dual)
+  }
+
+  test("100 seeded random cube-SQL statements through the SQL front " +
+      "door equal the independently-rendered raw SQL (the Calcite-" +
+      "analogue translation layer under differential pressure)") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 100) {
+      val (cube, dual) = genSqlValid(rnd)
+      val clue = s"sql #$i\nCUBE: $cube\nDUAL: $dual"
+      val planned =
+        try sqlRun(cube)
+        catch { case e: Throwable =>
+          fail(s"SQL door refused a generated VALID statement — $clue\n" +
+            s"error: ${e.getMessage}")
+        }
+      val oracle = spark.sql(dual)
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want,
+        s"DIVERGENCE — $clue\nplanned(${got.size}): ${got.take(5)}\n" +
+          s"sql(${want.size}): ${want.take(5)}")
+    }
+  }
+
+  test("invalid cube-SQL battery: every rejection class refused " +
+      "loudly with its own message, never a wrong answer") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { sqlRun(sql).collect() }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"wrong error class for: $sql\nwanted: $needle\ngot: ${e.getMessage}")
+    }
+    for (_ <- 1 to 3) {
+      val n = 1 + rnd.nextInt(9)
+      refuse(s"SELECT SUM(`Total Spend`) FROM order_stats",
+        "only plain cube aliases")
+      refuse(s"SELECT `Order Count` FROM order_stats GROUP BY 1",
+        "unsupported query shape")
+      refuse(s"SELECT `No Such Field $n`, `Order Count` FROM order_stats",
+        "unknown field")
+      refuse(s"SELECT `Order Count` FROM no_such_cube_$n",
+        "unknown cube")
+      refuse("SELECT `Order Count` FROM order_stats o JOIN customer c",
+        "FROM must name a registered cube")
+      refuse(s"SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        s"ORDER BY `Order Count` + $n",
+        "unsupported ORDER BY expression")
+      refuse("SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        s"WHERE `Order Date` LIKE '199$n%'",
+        "not allowed on 'Order Date'")
+      refuse("SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        "WHERE `Order Date` BETWEEN DATE'1995-01-01' AND DATE'1996-01-01'",
+        "unsupported literal type")
+      refuse("SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        s"WHERE `Order Date` >= '199$n-01-01'",
+        "must be a full BETWEEN")
+      refuse("SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        s"WHERE `Order Date` >= '1995-01-01' AND `Order Date` >= " +
+        s"'199$n-01-01' AND `Order Date` <= '1998-01-01'",
+        "multiple range bounds")
+      refuse("SELECT `Order Priority`, `Order Count` FROM order_stats " +
+        s"WHERE rand() > 0.$n",
+        "unsupported WHERE predicate")
+    }
+  }
+
   test("42 seeded random invalid requests: each refused with its error " +
       "class, never a wrong answer or an uncaught throw") {
     views
