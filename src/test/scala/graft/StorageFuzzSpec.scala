@@ -301,6 +301,106 @@ class StorageFuzzSpec extends AnyFunSuite {
     runSequence(20260816L, 36)
   }
 
+  test("concurrent writer storm: every acknowledged mutation lands " +
+      "EXACTLY ONCE in a linear version history — per-version CDC " +
+      "attributes each commit to one op, no op lost, none doubled") {
+    val dir = graft.core.TempDirs.scratchShared("fuzzstorm")
+    TxnTable.init(spark, dir,
+      mkDf((0L until 100L).map(k => (k, "base", k)), "s")
+        .repartition(2), numFiles = 2, statsCols = Seq("k"))
+    val nThreads = 3
+    val opsPer = 7
+    // per-thread PRIVATE key ranges (disjoint from the base rows):
+    // per-key last-write order is then the thread's own program
+    // order, so the expected final state is deterministic even
+    // though the global interleaving is not
+    val journals = Array.fill(nThreads)(
+      scala.collection.mutable.ArrayBuffer[(String, Set[Long])]())
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(7000 + t)
+        val base = 1000L * (t + 1)
+        var liveMine = Set.empty[Long]
+        for (i <- 0 until opsPer) {
+          val tag = s"t${t}o$i"
+          def attempt(): Unit = {
+            if (liveMine.nonEmpty && rnd.nextInt(3) == 0) {
+              val ks = liveMine.take(1 + rnd.nextInt(2)).toSeq
+              TxnTable.deleteKeys(spark, dir, "k", ks, numFiles = 1)
+              liveMine --= ks
+              journals(t) += (("delete:" + tag, ks.toSet))
+            } else {
+              val ks = Seq.fill(1 + rnd.nextInt(3))(
+                base + rnd.nextInt(40)).distinct
+              TxnTable.upsert(spark, dir, "k",
+                mkDf(ks.map(k => (k, tag, k)), "s"), numFiles = 1)
+              liveMine ++= ks
+              journals(t) += (("upsert:" + tag, ks.toSet))
+            }
+          }
+          // the storm may exhaust withOcc's bounded retries — the op
+          // is then NOT acknowledged and the caller retries it whole
+          var done = false
+          while (!done) {
+            try { attempt(); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                Thread.sleep(20)
+            }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+
+    // 1) every acknowledged op committed exactly one version
+    val head = TxnTable.version(dir)
+    assert(head == 1 + nThreads * opsPer,
+      s"expected ${1 + nThreads * opsPer} versions, head is $head " +
+        "(an op committed zero or two versions)")
+    // 2) final state: per thread, replay its journal (its keys are
+    // private, so cross-thread order is irrelevant)
+    val want = (0 until nThreads).flatMap { t =>
+      val m = scala.collection.mutable.Map[Long, String]()
+      journals(t).foreach {
+        case (op, ks) if op.startsWith("upsert:") =>
+          ks.foreach(k => m(k) = op.stripPrefix("upsert:"))
+        case (_, ks) => ks.foreach(m.remove)
+      }
+      m.toSeq
+    }.toMap
+    val got = TxnTable.read(spark, dir)
+      .filter(col("k") >= 1000L)
+      .select(col("k"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want,
+      s"final state != journal replay: extra=${(got.toSet -- want.toSet).take(5)} " +
+        s"missing=${(want.toSet -- got.toSet).take(5)}")
+    assert(TxnTable.read(spark, dir).filter(col("k") < 1000L)
+      .count() == 100, "the base rows must survive the storm intact")
+    // 3) exactly-once attribution: each version's net CDC inserts
+    // carry exactly one op's tag, and every upsert op appears in
+    // exactly one version
+    val tagsSeen = scala.collection.mutable.Map[String, Int]()
+    for (v <- 2 to head) {
+      val ins = TxnTable.changes(spark, dir, v - 1, v)
+        .filter(col("_change_type") === "insert")
+        .select("s").collect().map(_.getString(0)).toSeq
+      val tags = ins.distinct.filter(_ != "base")
+      assert(tags.size <= 1,
+        s"version $v mixes ops: $tags — commits must be atomic")
+      tags.foreach(tg => tagsSeen(tg) = tagsSeen.getOrElse(tg, 0) + 1)
+    }
+    val upsertTags = (0 until nThreads).flatMap(t => journals(t).collect {
+      case (op, _) if op.startsWith("upsert:") => op.stripPrefix("upsert:")
+    })
+    upsertTags.foreach { tg =>
+      assert(tagsSeen.getOrElse(tg, 0) == 1,
+        s"op $tg landed ${tagsSeen.getOrElse(tg, 0)} times — " +
+          "acknowledged work must appear exactly once")
+    }
+  }
+
   test("a second seed: different interleavings, same invariants " +
       "(seed 4161, 36 ops)") {
     runSequence(4161L, 36)
