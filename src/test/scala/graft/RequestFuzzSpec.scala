@@ -462,6 +462,40 @@ class RequestFuzzSpec extends AnyFunSuite {
     assert(compared == 200, s"must compare exactly 200, did $compared")
   }
 
+  test("the oversized-IN boundary: 100,001 values refused with the " +
+      "key-ship steer BEFORE any planning; a 300-value IN plans and " +
+      "matches its dual") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    val big = (1 to 100001).map(i => i * 7 + rnd.nextInt(7))
+    val bigJson =
+      s"""{"cube":"order_stats","selectFields":[{"field":"Order Priority"},
+         |{"field":"Order Count"}],"filterExpressions":[{"field":"Customer Key",
+         |"operator":"in","values":[${big.map(v => "\"" + v + "\"").mkString(",")}]}]}"""
+        .stripMargin.replace("\n", "")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      operators.SemanticQueries.run(bigJson)(spark, sf)
+    }
+    assert(e.getMessage.contains("ship key sets this large"), e.getMessage)
+    // the reject is a VALIDATION answer, not a plan timeout: it must
+    // land fast (no 100k-literal expression tree was ever built)
+    assert((System.nanoTime() - t0) < 10e9,
+      "the oversized-IN reject must not pay plan churn")
+    val ks = Seq.fill(300)(1 + rnd.nextInt(1500)).distinct
+    val json =
+      s"""{"cube":"order_stats","selectFields":[{"field":"Order Priority"},
+         |{"field":"Order Count"}],"filterExpressions":[${jIn("Customer Key",
+            ks.map(_.toString))}]}""".stripMargin.replace("\n", "")
+    val got = rowsOf(operators.SemanticQueries.run(json)(spark, sf)
+      .select(col("Order Priority"), col("Order Count"))).sorted
+    val want = rowsOf(spark.sql(
+      s"SELECT o_orderpriority AS ${q("Order Priority")}, COUNT(*) AS " +
+        s"${q("Order Count")} FROM orders WHERE o_custkey IN " +
+        s"(${ks.mkString(",")}) GROUP BY 1")).sorted
+    assert(got == want, "300-value IN diverged from its dual")
+  }
+
   // ---------------------------------------------------------------
   // SQL front door (the Calcite-analogue translation layer the JSON
   // fuzz never touches): the same vocabulary rendered as the
