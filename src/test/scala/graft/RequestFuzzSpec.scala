@@ -700,6 +700,130 @@ class RequestFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Curators under differential pressure: TimeShift's two-window
+  // merge, TotalMetrics' dim-dropped re-plan, RowCount's grain count
+  // ---------------------------------------------------------------
+
+  /** A non-date dimension leaf (TimeShift keys its window off the
+    * FIRST day-grain Between, so extra filters must not collide). */
+  private def nonDateLeaf(rnd: scala.util.Random): Filt = {
+    var f = dimLeaf(rnd)
+    while (f.fields.contains("Order Date")) f = dimLeaf(rnd)
+    f
+  }
+
+  test("40 seeded random TimeShift requests equal an independently-" +
+      "rendered two-window dual (shifted day column, Prev metrics, " +
+      "rounded pct change, left-merge on the dims)") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 40) {
+      val dims = subset(rnd,
+        factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
+      val mets = subset(rnd, metrics.take(3), 1, 2)
+      val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+      val extra = if (rnd.nextBoolean()) Some(nonDateLeaf(rnd)) else None
+      val off = rnd.nextInt(4)
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          (dims ++ mets).map(f => s"""{"field":"${f.alias}"}""").mkString(",")}],
+           |"filterExpressions":[{"field":"Order Date","operator":"between","from":"$a","to":"$b"}${
+          extra.map("," + _.json).getOrElse("")}]}""".stripMargin.replace("\n", "")
+      val cfg = graft.curators.TimeShiftConfig(daysOffset = off)
+      val planned = curators.Curators.timeShift(json,
+        operators.SemanticQueries.registry, cfg)(spark, sf)
+      // the dual: both windows rendered independently over the raw
+      // tables; the previous window's day column shifted FORWARD by
+      // the same length so the two align on the dim tuple
+      val from = java.time.LocalDate.parse(a)
+      val to = java.time.LocalDate.parse(b)
+      val len = java.time.temporal.ChronoUnit.DAYS.between(from, to) + 1
+      val shift = len + off
+      val pa = from.minusDays(shift).toString
+      val pb = from.minusDays(1 + off).toString
+      val inner = extra.exists(_.hasDimAttr)
+      val joins = joinSql(neededDims(
+        dims.map(_.alias) ++ extra.toSeq.flatMap(_.fields)), inner)
+      def core(lo: String, hi: String, prev: Boolean): String = {
+        val dimSel = dims.map { d =>
+          if (prev && d.alias == "Order Date")
+            s"date_format(date_add(o_orderdate, $shift), 'yyyy-MM-dd') AS ${q(d.alias)}"
+          else s"${d.sql} AS ${q(d.alias)}"
+        }
+        val metSel = mets.map(m =>
+          s"${m.sql} AS ${q(if (prev) s"${m.alias} Prev" else m.alias)}")
+        s"SELECT ${(dimSel ++ metSel).mkString(", ")} FROM orders$joins " +
+          s"WHERE o_orderdate >= '$lo' AND o_orderdate <= '$hi'" +
+          extra.map(e => s" AND ${e.sql}").getOrElse("") +
+          s" GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}"
+      }
+      val pct = mets.map(m =>
+        s"CASE WHEN ${q(s"${m.alias} Prev")} IS NOT NULL AND " +
+          s"${q(s"${m.alias} Prev")} <> 0 THEN " +
+          s"ROUND((${q(m.alias)} - ${q(s"${m.alias} Prev")}) / " +
+          s"${q(s"${m.alias} Prev")} * 100, 4) END AS " +
+          q(s"${m.alias} Pct Change"))
+      val dual =
+        s"""SELECT ${(dims.map(d => q(d.alias)) ++ mets.map(m => q(m.alias)) ++
+          mets.map(m => q(s"${m.alias} Prev")) ++ pct).mkString(", ")}
+           |FROM (${core(a, b, prev = false)}) cur
+           |LEFT JOIN (${core(pa, pb, prev = true)}) prev
+           |USING (${dims.map(d => q(d.alias)).mkString(", ")})"""
+          .stripMargin.replace("\n", " ")
+      val oracle = spark.sql(dual)
+      val clue = s"timeshift #$i off=$off\nJSON: $json\nDUAL: $dual"
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want, s"DIVERGENCE — $clue\n" +
+        s"planned(${got.size}): ${got.take(3)}\nsql(${want.size}): ${want.take(3)}")
+    }
+  }
+
+  test("20 seeded random TotalMetrics + 20 RowCount curator requests " +
+      "equal their grand-total / grain-count duals") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 20) {
+      val dims = subset(rnd,
+        factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
+      val mets = subset(rnd, metrics, 1, 3)
+      val leaves = Seq.fill(rnd.nextInt(2))(dimTree(rnd))
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          (dims ++ mets).map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]${
+          if (leaves.nonEmpty)
+            s""","filterExpressions":[${leaves.map(_.json).mkString(",")}]"""
+          else ""}}"""
+      val inner = leaves.exists(_.hasDimAttr)
+      val joins = joinSql(neededDims(
+        dims.map(_.alias) ++ leaves.flatMap(_.fields)), inner)
+      val where = if (leaves.nonEmpty)
+        leaves.map(_.sql).mkString(" WHERE ", " AND ", "") else ""
+      // TotalMetrics: the same filters, dims dropped — one total row
+      val totals = curators.Curators.totalMetrics(json,
+        operators.SemanticQueries.registry)(spark, sf)
+      val totalsDual = spark.sql(
+        s"SELECT ${mets.map(m => s"${m.sql} AS ${q(m.alias)}").mkString(", ")} " +
+          s"FROM orders$joins$where")
+      val gotT = rowsOf(totals.select(totalsDual.columns.map(col): _*))
+      val wantT = rowsOf(totalsDual)
+      assert(gotT == wantT, s"TotalMetrics #$i diverged\nJSON: $json")
+      // RowCount: the unpaginated grain row count
+      val rc = curators.Curators.rowCount(json,
+        operators.SemanticQueries.registry)(spark, sf)
+        .collect().head.getLong(0)
+      val rcDual = spark.sql(
+        s"SELECT COUNT(*) FROM (SELECT ${dims.map(_.sql).mkString(", ")} " +
+          s"FROM orders$joins$where GROUP BY ${
+            dims.indices.map(_ + 1).mkString(", ")})")
+        .collect().head.getLong(0)
+      assert(rc == rcDual, s"RowCount #$i: $rc != $rcDual\nJSON: $json")
+    }
+  }
+
   test("42 seeded random invalid requests: each refused with its error " +
       "class, never a wrong answer or an uncaught throw") {
     views
