@@ -824,6 +824,71 @@ class RequestFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("25 seeded random Drilldown requests equal a top-N-parents + " +
+      "semi-joined drill dual (the KeyShip tuple carrier under fuzz)") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 25) {
+      val pool = factDims ++ dimAttrs.filter(_.alias != "Customer Name")
+      val parentDims = subset(rnd, pool, 1, 2)
+      val drillDim = pick(rnd,
+        pool.filterNot(parentDims.contains).filterNot(_.alias == "Customer Key"))
+      val mets = subset(rnd, metrics.take(3), 1, 2)
+      val leaves = Seq.fill(rnd.nextInt(2))(nonDateLeaf(rnd))
+      val topN = 2 + rnd.nextInt(6)
+      // a TOTAL base ordering (all parent dims) makes the page — and
+      // therefore the drill — deterministic on both sides
+      val sortDirs = parentDims.map(_ => rnd.nextBoolean())
+      val sorts = parentDims.zip(sortDirs).map { case (d, desc) =>
+        s"""{"field":"${d.alias}","order":"${if (desc) "Desc" else "Asc"}"}""" }
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          (parentDims ++ mets).map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]${
+          if (leaves.nonEmpty)
+            s""","filterExpressions":[${leaves.map(_.json).mkString(",")}]"""
+          else ""},"sortBy":[${sorts.mkString(",")}]}"""
+      val planned = curators.Curators.drillDown(json, drillDim.alias, topN,
+        operators.SemanticQueries.registry)(spark, sf)
+      val inner = leaves.exists(_.hasDimAttr)
+      // the DRILL side may pull in more dims than the base (the drill
+      // dim's chain); join set covers both
+      val joins = joinSql(neededDims(
+        (parentDims :+ drillDim).map(_.alias) ++ leaves.flatMap(_.fields)),
+        inner)
+      val where = if (leaves.nonEmpty)
+        leaves.map(_.sql).mkString(" WHERE ", " AND ", "") else ""
+      val baseJoins = joinSql(neededDims(
+        parentDims.map(_.alias) ++ leaves.flatMap(_.fields)), inner)
+      val orderBy = parentDims.zip(sortDirs).map { case (d, desc) =>
+        s"${q(d.alias)}${if (desc) " DESC" else ""}" }.mkString(", ")
+      val dual =
+        s"""WITH parents AS (
+           |  SELECT ${parentDims.map(d => s"${d.sql} AS ${q(d.alias)}").mkString(", ")}
+           |  FROM orders$baseJoins$where
+           |  GROUP BY ${parentDims.indices.map(_ + 1).mkString(", ")}
+           |  ORDER BY $orderBy LIMIT $topN),
+           |drill AS (
+           |  SELECT ${((parentDims :+ drillDim).map(d =>
+              s"${d.sql} AS ${q(d.alias)}") ++
+              mets.map(m => s"${m.sql} AS ${q(m.alias)}")).mkString(", ")}
+           |  FROM orders$joins$where
+           |  GROUP BY ${(parentDims :+ drillDim).indices.map(_ + 1).mkString(", ")})
+           |SELECT drill.* FROM drill LEFT SEMI JOIN parents
+           |ON ${parentDims.map(d =>
+              s"drill.${q(d.alias)} = parents.${q(d.alias)}").mkString(" AND ")}"""
+          .stripMargin.replace("\n", " ")
+      val oracle = spark.sql(dual)
+      val clue = s"drilldown #$i topN=$topN drill=${drillDim.alias}\n" +
+        s"JSON: $json\nDUAL: $dual"
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want, s"DIVERGENCE — $clue\n" +
+        s"planned(${got.size}): ${got.take(3)}\nsql(${want.size}): ${want.take(3)}")
+    }
+  }
+
   test("42 seeded random invalid requests: each refused with its error " +
       "class, never a wrong answer or an uncaught throw") {
     views
