@@ -701,6 +701,95 @@ class RequestFuzzSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Time grains × timezones over the events cube: window bounds
+  // interpreted AND rendered in the request timezone, inclusive at
+  // the grain, truncated with real tz rules (incl. a :30-offset zone)
+  // ---------------------------------------------------------------
+
+  test("60 seeded random grain/timezone windows over user_events " +
+      "equal a from_utc_timestamp dual (Day/Hour/Minute × UTC/LA/" +
+      "Kolkata/Berlin, optional event-type filter)") {
+    graft.core.Tables.events(spark, sf).createOrReplaceTempView("events")
+    val rnd = new scala.util.Random(20260816L)
+    val zones = Seq("UTC", "America/Los_Angeles", "Asia/Kolkata",
+      "Europe/Berlin")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    case class Grain(alias: String, unit: String, fmt: String,
+        reqFmt: java.time.format.DateTimeFormatter, step: java.time.Duration,
+        maxSteps: Int)
+    val grains = Seq(
+      Grain("Day", "day", "yyyy-MM-dd",
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+        java.time.Duration.ofDays(1), 12),
+      Grain("Hour", "hour", "yyyy-MM-dd HH",
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH"),
+        java.time.Duration.ofHours(1), 96),
+      Grain("Minute", "minute", "yyyy-MM-dd HH:mm",
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"),
+        java.time.Duration.ofMinutes(1), 60 * 30))
+    val full = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    for (i <- 1 to 60) {
+      val g = pick(rnd, grains)
+      val tz = pick(rnd, zones)
+      val start = java.time.LocalDateTime.of(2024, 1,
+        2 + rnd.nextInt(14), rnd.nextInt(24), rnd.nextInt(60), 0)
+        .truncatedTo(g.unit match {
+          case "day" => java.time.temporal.ChronoUnit.DAYS
+          case "hour" => java.time.temporal.ChronoUnit.HOURS
+          case _ => java.time.temporal.ChronoUnit.MINUTES
+        })
+      val steps = 1 + rnd.nextInt(g.maxSteps)
+      val endIncl = start.plus(g.step.multipliedBy(steps - 1))
+      val withType = rnd.nextBoolean()
+      val typeF = if (rnd.nextInt(3) == 0)
+        Some(subset(rnd, types, 1, 2)) else None
+      val mets = subset(rnd,
+        Seq("Event Count", "Total Value"), 1, 2)
+      val sel = (Seq(g.alias) ++ (if (withType) Seq("Event Type") else Nil)
+        ++ mets)
+      val json =
+        s"""{"cube":"user_events","selectFields":[${
+          sel.map(f => s"""{"field":"$f"}""").mkString(",")}],
+           |"filterExpressions":[{"field":"${g.alias}","operator":"between",
+           |"from":"${g.reqFmt.format(start)}","to":"${g.reqFmt.format(endIncl)}"}${
+          typeF.map(ts => "," + jIn("Event Type", ts)).getOrElse("")}],
+           |"timezone":"$tz"}""".stripMargin.replace("\n", "")
+      val metSql = Map(
+        "Event Count" -> s"COUNT(*) AS ${q("Event Count")}",
+        "Total Value" ->
+          s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ${q("Total Value")}")
+      val dimSel = Seq(
+        s"date_format(date_trunc('${g.unit}', from_utc_timestamp(ts, '$tz')), " +
+          s"'${g.fmt}') AS ${q(g.alias)}") ++
+        (if (withType) Seq(s"event_type AS ${q("Event Type")}") else Nil)
+      val groups = dimSel.indices.map(_ + 1)
+      val dual =
+        s"SELECT ${(dimSel ++ mets.map(metSql)).mkString(", ")} FROM events " +
+          s"WHERE ts >= to_utc_timestamp('${full.format(start)}', '$tz') " +
+          s"AND ts < to_utc_timestamp('${full.format(endIncl.plus(g.step))}', '$tz')" +
+          typeF.map(ts =>
+            s" AND event_type IN (${ts.map(t => s"'$t'").mkString(",")})")
+            .getOrElse("") +
+          s" GROUP BY ${groups.mkString(", ")}"
+      val clue = s"grain #$i ${g.alias} tz=$tz steps=$steps\n" +
+        s"JSON: $json\nDUAL: $dual"
+      val planned =
+        try operators.SemanticQueries.run(json)(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"refused a VALID grain request — $clue\nerror: ${e.getMessage}")
+        }
+      val oracle = spark.sql(dual)
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want, s"DIVERGENCE — $clue\n" +
+        s"planned(${got.size}): ${got.take(3)}\nsql(${want.size}): ${want.take(3)}")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Curators under differential pressure: TimeShift's two-window
   // merge, TotalMetrics' dim-dropped re-plan, RowCount's grain count
   // ---------------------------------------------------------------
