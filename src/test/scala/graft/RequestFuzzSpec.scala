@@ -426,6 +426,19 @@ class RequestFuzzSpec extends AnyFunSuite {
     (json, sql)
   }
 
+  /** No generated request may plan an all-pairs join: the fuzzer
+    * audits every plan it executes, not just the fixed battery
+    * (PlanAuditSpec). Single-partition exchanges are NOT gated here —
+    * grand totals and final orderings legitimately use them on
+    * 1-row / paged results. */
+  private def auditPlan(df: DataFrame, clue: => String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"generated plan contains CartesianProduct — $clue")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"generated plan contains BroadcastNestedLoopJoin — $clue")
+  }
+
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toSeq.map {
       case null => "∅"
@@ -449,6 +462,7 @@ class RequestFuzzSpec extends AnyFunSuite {
           fail(s"planner refused a generated VALID request — $clue\n" +
             s"error: ${e.getMessage}")
         }
+      auditPlan(planned, clue)
       val oracle = spark.sql(sql)
       assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
         s"column mismatch — $clue")
@@ -646,6 +660,7 @@ class RequestFuzzSpec extends AnyFunSuite {
           fail(s"SQL door refused a generated VALID statement — $clue\n" +
             s"error: ${e.getMessage}")
         }
+      auditPlan(planned, clue)
       val oracle = spark.sql(dual)
       assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
         s"column mismatch — $clue")
