@@ -809,7 +809,6 @@ object TxnTable {
       lines: Seq[String]): Unit = {
     val k = planned + 1
     publishEpochFile(dir, base, k, lines)
-    onBeforeCommit()
     // roll the claim back on ANY failed manifest commit (not just a
     // lost race): an orphaned epoch file would be silently ACTIVATED
     // by the next ordinary mutation committing version k — a
@@ -823,7 +822,12 @@ object TxnTable {
     // UNCHANGED — the empty delta, O(1) metadata regardless of table
     // size (a constraint declare on a 10⁵-file table must not render
     // 10 MB of unchanged entries).
-    try writeDelta(dir, k, Nil, Nil, epochUpdate = Some(base -> k))
+    // the test seam runs INSIDE the rollback scope: any live-process
+    // failure between claim and manifest — not only a lost publish —
+    // must release the claim (a hard crash stays the documented
+    // micro-window whose recovery message names the file)
+    try { onBeforeCommit()
+      writeDelta(dir, k, Nil, Nil, epochUpdate = Some(base -> k)) }
     catch { case e: Throwable =>
       java.nio.file.Files.deleteIfExists(
         fileOf(dir, s"$base-v$k.json").toPath)

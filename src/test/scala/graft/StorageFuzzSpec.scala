@@ -89,11 +89,36 @@ class StorageFuzzSpec extends AnyFunSuite {
     }
 
     /** Run a committing op: apply `next` to the model iff a version
-      * actually landed; assert content-changing ops always land. */
+      * actually landed; assert content-changing ops always land.
+      * ~1 op in 8 first CRASHES at the publish seam (plan + rewrite
+      * done, manifest never lands): the crash must commit NOTHING —
+      * orphaned data files and epoch claims included — and the clean
+      * re-run must succeed. */
     def committing(name: String, mustCommit: Boolean,
         next: => Map[Long, (String, Long)])(op: => Unit): Unit = {
       val v1 = TxnTable.version(dir)
-      op
+      var ran = false
+      if (rnd.nextInt(8) == 0) {
+        var fired = false
+        TxnTable.onBeforeCommit = () => {
+          if (!fired) { fired = true
+            throw new RuntimeException("injected crash before publish") }
+        }
+        try { op; ran = true }
+        catch { case e: RuntimeException
+            if e.getMessage == "injected crash before publish" => () }
+        finally TxnTable.onBeforeCommit = () => ()
+        if (!ran) {
+          opLog += s"$name:crashed"
+          assert(TxnTable.version(dir) == v1,
+            s"a crashed $name must commit nothing: ${opLog.mkString("; ")}")
+          assert(TxnTable.rowCount(dir).contains(model.size.toLong),
+            s"a crashed $name changed the visible state")
+        }
+        // ran == true: the op was a content no-op that never reached
+        // the publish seam — it already completed, don't re-run
+      }
+      if (!ran) op
       val v2 = TxnTable.version(dir)
       opLog += s"$name(v$v1->v$v2)"
       assert(v2 == v1 || v2 == v1 + 1,
@@ -286,6 +311,26 @@ class StorageFuzzSpec extends AnyFunSuite {
       assert(got == want,
         s"CDC v${v - 1}->v$v != model diff (seed $seed): " +
           opLog.mkString("; "))
+    }
+    // INCREMENTAL VIEW MAINTENANCE across the random history: fold
+    // every readable CDC delta into a rollup seeded at the horizon —
+    // the folded rollup must equal a head recompute exactly (the
+    // CCNet/cube-follower contract under arbitrary interleavings of
+    // upserts/deletes/merges/optimize/restore/epochs)
+    if (head > minReadable) {
+      var rolled = TxnTable.rollupOf(
+        TxnTable.read(spark, dir, minReadable), Seq("k"), Seq("n"))
+      for (v <- (minReadable + 1) to head)
+        rolled = TxnTable.applyCdcDelta(rolled,
+          TxnTable.changes(spark, dir, v - 1, v), Seq("k"), Seq("n"))
+      val recomputed = TxnTable.rollupOf(
+        TxnTable.read(spark, dir, head), Seq("k"), Seq("n"))
+      val gotR = rolled.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+      val wantR = recomputed.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+      assert(gotR == wantR,
+        s"folded rollup != head recompute (seed $seed): ${opLog.mkString("; ")}")
     }
     val hist = TxnTable.historyWithTs(dir)
     assert(hist.map(_._1) == (minReadable to head),
