@@ -106,6 +106,12 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
 
   def start(): Int = {
+    // catch-all for unrouted paths: a JSON API answers 404 in JSON
+    // (the JDK server's default is an HTML error page)
+    server.createContext("/", (ex: HttpExchange) => handle(ex) {
+      (404, s"""{"error":${Domain.jStr(
+        s"no such route: ${ex.getRequestURI.getPath}")}}""", requestId(ex))
+    })
     server.createContext("/report", (ex: HttpExchange) => handle(ex) {
       val reqId = requestId(ex)
       monitored(reqId, "report") {
