@@ -450,4 +450,55 @@ class StorageFuzzSpec extends AnyFunSuite {
       "(seed 4161, 36 ops)") {
     runSequence(4161L, 36)
   }
+
+  test("CDC batching invariance: one ordered event stream applied via " +
+      "mergeFrame converges to the same table under ANY contiguous " +
+      "batch split (1 batch vs random splits vs event-at-a-time)") {
+    val rnd = new scala.util.Random(20260816L)
+    // one ordered CDC stream: ~40 events over 12 keys, strictly
+    // increasing seq (the Debezium LSN contract a feed delivers)
+    val events = (1 to 40).map { sq =>
+      val k = rnd.nextInt(12).toLong
+      val del = rnd.nextInt(4) == 0
+      (k, "e" + sq, sq.toLong * 10, if (del) "delete" else "upsert",
+        sq.toLong)
+    }
+    def applySplit(splits: Seq[Seq[(Long, String, Long, String, Long)]])
+        : (String, Map[Long, (String, Long)]) = {
+      val dir = graft.core.TempDirs.scratchShared("fuzzbatch")
+      import spark.implicits._
+      TxnTable.init(spark, dir,
+        Seq((99L, "seed", 0L)).toDF("k", "s", "n"), numFiles = 1,
+        statsCols = Seq("k"))
+      splits.filter(_.nonEmpty).foreach { b =>
+        TxnTable.mergeFrame(spark, dir, "k",
+          b.toDF("k", "s", "n", "_op", "seq"), seqCol = Some("seq"),
+          numFiles = 1)
+      }
+      val got = TxnTable.read(spark, dir)
+        .select("k", "s", "n").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      (dir, got)
+    }
+    val (_, oneShot) = applySplit(Seq(events))
+    // the model: per key, the highest-seq event wins
+    val want = events.groupBy(_._1).flatMap { case (k, es) =>
+      val w = es.maxBy(_._5)
+      if (w._4 == "delete") None else Some(k -> (w._2, w._3))
+    } ++ Map(99L -> ("seed", 0L))
+    assert(oneShot == want, "single-batch apply != per-key max-seq model")
+    for (trial <- 1 to 3) {
+      // random contiguous split points (order preserved across batches)
+      val cuts = (Seq(0, events.size) ++
+        Seq.fill(1 + rnd.nextInt(4))(1 + rnd.nextInt(events.size - 1)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        events.slice(a, b) }
+      val (_, split) = applySplit(batches)
+      assert(split == oneShot,
+        s"trial $trial: split at $cuts diverged from the one-shot apply")
+    }
+    val (_, singles) = applySplit(events.map(Seq(_)))
+    assert(singles == oneShot, "event-at-a-time apply diverged")
+  }
 }
