@@ -715,6 +715,60 @@ class RequestFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("30 seeded random union-view requests (Source Stage selected) " +
+      "equal a UNION ALL dual with per-stage constants") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    val stagePool = Seq(
+      Fld("Source Stage", "__stage", None),
+      Fld("Order Priority", "o_orderpriority", None),
+      Fld("Order Date", "date_format(o_orderdate, 'yyyy-MM-dd')", None))
+    for (i <- 1 to 30) {
+      val dims = Fld("Source Stage", "__stage", None) +:
+        subset(rnd, stagePool.tail, 0, 2)
+      val mets = subset(rnd, metrics.take(2), 1, 2)
+      val filt = rnd.nextInt(3) match {
+        case 0 =>
+          val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+          Some((s"""{"field":"Order Date","operator":"between","from":"$a","to":"$b"}""",
+            s"o_orderdate >= '$a' AND o_orderdate <= '$b'"))
+        case 1 =>
+          val vs = subset(rnd, priorities, 1, 2)
+          Some((jIn("Order Priority", vs),
+            s"o_orderpriority IN (${vs.map(v => s"'$v'").mkString(",")})"))
+        case _ => None
+      }
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          (dims ++ mets).map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]${
+          filt.map(f => s""","filterExpressions":[${f._1}]""").getOrElse("")}}"""
+      val union =
+        "SELECT 'open' AS __stage, o_orderdate, o_orderpriority, " +
+          "o_totalprice FROM orders WHERE o_orderstatus = 'O' " +
+          "UNION ALL SELECT 'closed', o_orderdate, o_orderpriority, " +
+          "o_totalprice FROM orders WHERE o_orderstatus = 'F'"
+      val dual =
+        s"SELECT ${(dims ++ mets).map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+          s"FROM ($union)" +
+          filt.map(f => s" WHERE ${f._2}").getOrElse("") +
+          s" GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}"
+      val clue = s"union-view #$i\nJSON: $json\nDUAL: $dual"
+      val planned =
+        try operators.SemanticQueries.run(json)(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"refused a VALID union-view request — $clue\nerror: ${e.getMessage}")
+        }
+      auditPlan(planned, clue)
+      val oracle = spark.sql(dual)
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want, s"DIVERGENCE — $clue\n" +
+        s"planned(${got.size}): ${got.take(3)}\nsql(${want.size}): ${want.take(3)}")
+    }
+  }
+
   // ---------------------------------------------------------------
   // Time grains × timezones over the events cube: window bounds
   // interpreted AND rendered in the request timezone, inclusive at
