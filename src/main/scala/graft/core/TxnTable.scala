@@ -721,10 +721,22 @@ object TxnTable {
     statsCols(dir).flatMap(p => m.getOrElse(p, Some(p)))
   }
 
-  private def writeStatsCols(dir: String, cols: Seq[String]): Unit =
-    java.nio.file.Files.write(fileOf(dir, "table.json").toPath,
-      cols.distinct.map("\"" + _ + "\"")
-        .mkString("{\"statsCols\":[", ",", "]}").getBytes("UTF-8"))
+  private def writeStatsCols(dir: String, cols: Seq[String]): Unit = {
+    // atomic replace: a torn table.json would read as a SHORTER stats
+    // set — perf-only (stats gate pruning, never correctness), but a
+    // key-column upgrade silently lost to a tear is a lasting
+    // whole-table-rewrite tax on every later mutation of that key
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), ".table", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        cols.distinct.map("\"" + _ + "\"")
+          .mkString("{\"statsCols\":[", ",", "]}").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, fileOf(dir, "table.json").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
 
   /** CHECK constraints (the lakehouse expectations channel): declared
     * SQL predicates every incoming row of every future commit must
