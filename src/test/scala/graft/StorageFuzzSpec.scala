@@ -41,16 +41,28 @@ class StorageFuzzSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** Model of one committed version: key → (payload, n), plus the
-    * payload column's logical SPELLING and the constraint set in
-    * force (both re-activate on restore, like the real anchors). */
-  private case class Snap(rows: Map[Long, (String, Long)],
-      spelling: String, constraintOn: Boolean)
+  /** One model row: (payload, n, x) — `x` is the SCHEMA-EVOLVED
+    * column (None = null/never written; rows replaced by a narrow
+    * mutation read their x back as null). */
+  private type R = (String, Long, Option[Long])
+
+  /** Model of one committed version: key → row, plus the payload
+    * column's logical SPELLING, the constraint set in force, and
+    * whether the evolved column `x` is VISIBLE at that version (all
+    * three re-activate on restore, like the real anchors). */
+  private case class Snap(rows: Map[Long, R],
+      spelling: String, constraintOn: Boolean, hasX: Boolean)
 
   private def mkDf(rows: Seq[(Long, String, Long)],
       spelling: String): DataFrame = {
     import spark.implicits._
     rows.toDF("k", spelling, "n")
+  }
+
+  private def mkWide(rows: Seq[(Long, String, Long, Long)],
+      spelling: String): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", spelling, "n", "x")
   }
 
   private def runSequence(seed: Long, nOps: Int): Unit = {
@@ -64,26 +76,42 @@ class StorageFuzzSpec extends AnyFunSuite {
       ks.map(k => (k, "p" + rnd.nextInt(1000), rnd.nextInt(100000).toLong))
     }
 
-    var model: Map[Long, (String, Long)] =
-      freshRows(12, 24).map(t => t._1 -> (t._2, t._3)).toMap
+    var model: Map[Long, R] =
+      freshRows(12, 24).map(t => t._1 -> ((t._2, t._3, None: Option[Long]))).toMap
     var spelling = "s"
     var constraintOn = false
+    var hasX = false   // the evolved column is visible at the head
+    var everX = false  // it existed at SOME version (drop/bury = tombstone)
     var minReadable = 1
     TxnTable.init(spark, dir,
       mkDf(model.toSeq.map(t => (t._1, t._2._1, t._2._2)), spelling)
         .repartition(2), numFiles = 2, statsCols = Seq("k"))
     val snaps = scala.collection.mutable.Map[Int, Snap](
-      1 -> Snap(model, spelling, constraintOn))
+      1 -> Snap(model, spelling, constraintOn, hasX))
+
+    /** Read version `v` (head when -1) under `snap`'s visible columns
+      * into the model shape. */
+    def readAs(snap: Snap, v: Int): Map[Long, R] = {
+      val base = TxnTable.read(spark, dir, v)
+      val cols = Seq(col("k"), col(snap.spelling), col("n")) ++
+        (if (snap.hasX) Seq(col("x")) else Nil)
+      base.select(cols: _*).collect().map { r =>
+        (r.getLong(0), (r.getString(1), r.getLong(2),
+          if (snap.hasX && !r.isNullAt(3)) Some(r.getLong(3))
+          else None))
+      }.toMap
+    }
 
     def headCheck(full: Boolean): Unit = {
       val v = TxnTable.version(dir)
       assert(TxnTable.rowCount(dir).contains(model.size.toLong),
         s"rowCount != model after: ${opLog.mkString("; ")}")
       if (full) {
-        val got = TxnTable.read(spark, dir)
-          .select(col("k"), col(spelling), col("n")).collect()
-          .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
-        assert(got == model,
+        val got = readAs(Snap(model, spelling, constraintOn, hasX), -1)
+        // x values are invisible while the column is hidden
+        val want = if (hasX) model
+          else model.map { case (k, (s0, n0, _)) => k -> ((s0, n0, None: Option[Long])) }
+        assert(got == want,
           s"head v$v read != model after: ${opLog.mkString("; ")}")
       }
     }
@@ -95,7 +123,7 @@ class StorageFuzzSpec extends AnyFunSuite {
       * orphaned data files and epoch claims included — and the clean
       * re-run must succeed. */
     def committing(name: String, mustCommit: Boolean,
-        next: => Map[Long, (String, Long)])(op: => Unit): Unit = {
+        next: => Map[Long, R])(op: => Unit): Unit = {
       val v1 = TxnTable.version(dir)
       var ran = false
       if (rnd.nextInt(8) == 0) {
@@ -125,7 +153,7 @@ class StorageFuzzSpec extends AnyFunSuite {
         s"$name advanced the head by more than one: $v1 -> $v2")
       if (v2 > v1) {
         model = next
-        snaps(v2) = Snap(model, spelling, constraintOn)
+        snaps(v2) = Snap(model, spelling, constraintOn, hasX)
       } else {
         assert(!mustCommit, s"$name should have committed a version " +
           s"but did not: ${opLog.mkString("; ")}")
@@ -137,14 +165,50 @@ class StorageFuzzSpec extends AnyFunSuite {
     for (step <- 1 to nOps) {
       val v = TxnTable.version(dir)
       rnd.nextInt(100) match {
-        // ---- upsert ------------------------------------------------
-        case x if x < 22 =>
+        // ---- upsert (narrow: replaced rows read x back as null) -----
+        case x if x < 18 =>
           val batch = freshRows(1, 6)
           committing("upsert", mustCommit = true,
-            model ++ batch.map(t => t._1 -> (t._2, t._3))) {
+            model ++ batch.map(t =>
+              t._1 -> ((t._2, t._3, None: Option[Long])))) {
             TxnTable.upsert(spark, dir, "k", mkDf(batch, spelling),
               numFiles = 1)
           }
+        // ---- WIDE upsert: schema evolution (introduces column x) ----
+        case x if x < 26 =>
+          val batch = freshRows(1, 4).map(t =>
+            (t._1, t._2, t._3, rnd.nextInt(1000).toLong))
+          if (everX && !hasX) {
+            // the column is DROPPED/BURIED: its physical slot is
+            // tombstoned and a mutation carrying that spelling must
+            // be refused loudly (silent acceptance would resurrect
+            // tombstoned data under mergeSchema)
+            val v1 = TxnTable.version(dir)
+            intercept[IllegalArgumentException] {
+              TxnTable.upsert(spark, dir, "k", mkWide(batch, spelling),
+                numFiles = 1)
+            }
+            assert(TxnTable.version(dir) == v1)
+            opLog += "refused:wideWhileBuried"
+          } else {
+            committing("upsertWide", mustCommit = true,
+              model ++ batch.map(t =>
+                t._1 -> ((t._2, t._3, Some(t._4): Option[Long])))) {
+              TxnTable.upsert(spark, dir, "k", mkWide(batch, spelling),
+                numFiles = 1)
+            }
+            hasX = true; everX = true
+            snaps(TxnTable.version(dir)) =
+              Snap(model, spelling, constraintOn, hasX)
+          }
+        // ---- dropColumn x (metadata only; history keeps the data) ---
+        case x if x < 30 && hasX =>
+          committing("dropX", mustCommit = true, model) {
+            TxnTable.dropColumn(spark, dir, "x")
+          }
+          hasX = false
+          snaps(TxnTable.version(dir)) =
+            Snap(model, spelling, constraintOn, hasX)
         // ---- deleteKeys ---------------------------------------------
         case x if x < 36 =>
           val keys = Seq.fill(1 + rnd.nextInt(5))(
@@ -160,7 +224,8 @@ class StorageFuzzSpec extends AnyFunSuite {
             rnd.nextInt(70).toLong).distinct
             .filterNot(ups.map(_._1).contains)
           committing("merge", mustCommit = true,
-            (model -- dels) ++ ups.map(t => t._1 -> (t._2, t._3))) {
+            (model -- dels) ++ ups.map(t =>
+              t._1 -> ((t._2, t._3, None: Option[Long])))) {
             TxnTable.merge(spark, dir, "k", mkDf(ups, spelling), dels,
               numFiles = 1)
           }
@@ -180,7 +245,7 @@ class StorageFuzzSpec extends AnyFunSuite {
           val winners = events.groupBy(_._1).map(_._2.maxBy(_._5))
           val next = winners.foldLeft(model) { (m, e) =>
             if (e._4 == "delete") m - e._1
-            else m + (e._1 -> (e._2, e._3))
+            else m + (e._1 -> ((e._2, e._3, None: Option[Long])))
           }
           committing("mergeFrame", mustCommit = true, next) {
             import spark.implicits._
@@ -207,6 +272,10 @@ class StorageFuzzSpec extends AnyFunSuite {
           }
           spelling = target.spelling
           constraintOn = target.constraintOn
+          // the restored version's logical surface re-activates: a
+          // buried x resurfaces when toV had it; restoring to before
+          // its introduction buries it (everX keeps the tombstone)
+          hasX = target.hasX
           snaps(TxnTable.version(dir)) = target
         // ---- checkpoint ----------------------------------------------
         case x if x < 77 =>
@@ -229,7 +298,7 @@ class StorageFuzzSpec extends AnyFunSuite {
           }
           spelling = to
           snaps(TxnTable.version(dir)) =
-            Snap(model, spelling, constraintOn)
+            Snap(model, spelling, constraintOn, hasX)
         // ---- constraint declare / drop --------------------------------
         case x if x < 89 =>
           if (!constraintOn) {
@@ -244,7 +313,7 @@ class StorageFuzzSpec extends AnyFunSuite {
             constraintOn = false
           }
           snaps(TxnTable.version(dir)) =
-            Snap(model, spelling, constraintOn)
+            Snap(model, spelling, constraintOn, hasX)
         // ---- advisory-hint chaos: corrupt or delete, reads self-heal --
         case x if x < 93 =>
           val f = new java.io.File(dir, graft.core.AdvisoryHint.FileName)
@@ -285,29 +354,42 @@ class StorageFuzzSpec extends AnyFunSuite {
 
     // ---- final sweeps over every still-readable version -------------
     val head = TxnTable.version(dir)
+    // x values are part of a snapshot only while the column is
+    // VISIBLE there — hidden periods read (and diff) without it
+    def visible(snap: Snap): Map[Long, R] =
+      if (snap.hasX) snap.rows
+      else snap.rows.map { case (k, (s0, n0, _)) =>
+        k -> ((s0, n0, None: Option[Long])) }
     for (v <- minReadable to head) {
       val snap = snaps(v)
-      val got = TxnTable.read(spark, dir, v)
-        .select(col("k"), col(snap.spelling), col("n")).collect()
-        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
-      assert(got == snap.rows,
+      val got = readAs(snap, v)
+      assert(got == visible(snap),
         s"time travel v$v != model snapshot (seed $seed): " +
           opLog.mkString("; "))
     }
     for (v <- (minReadable + 1) to head) {
-      val sp = snaps(v).spelling
+      val snap = snaps(v)
+      val cols = Seq(col("k"), col(snap.spelling), col("n")) ++
+        (if (snap.hasX) Seq(col("x")) else Nil) :+ col("_change_type")
       val got = TxnTable.changes(spark, dir, v - 1, v)
-        .select(col("k"), col(sp), col("n"), col("_change_type"))
-        .collect()
+        .select(cols: _*).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getString(3))).sorted.toSeq
-      val prev = snaps(v - 1).rows
-      val cur = snaps(v).rows
+          if (snap.hasX && !r.isNullAt(3)) Some(r.getLong(3))
+          else None,
+          r.getString(if (snap.hasX) 4 else 3))).sorted.toSeq
+      // both sides of the diff project to the TARGET version's
+      // visible columns (the changes() contract)
+      def proj(s0: Snap): Set[(Long, R)] =
+        (if (snap.hasX) s0.rows
+         else s0.rows.map { case (k, (p, n0, _)) =>
+           k -> ((p, n0, None: Option[Long])) }).toSet
+      val prev = proj(snaps(v - 1))
+      val cur = proj(snap)
       val want = (
-        (cur.toSet -- prev.toSet).toSeq.map(t =>
-          (t._1, t._2._1, t._2._2, "insert")) ++
-        (prev.toSet -- cur.toSet).toSeq.map(t =>
-          (t._1, t._2._1, t._2._2, "delete"))).sorted
+        (cur -- prev).toSeq.map(t =>
+          (t._1, t._2._1, t._2._2, t._2._3, "insert")) ++
+        (prev -- cur).toSeq.map(t =>
+          (t._1, t._2._1, t._2._2, t._2._3, "delete"))).sorted
       assert(got == want,
         s"CDC v${v - 1}->v$v != model diff (seed $seed): " +
           opLog.mkString("; "))
@@ -449,6 +531,43 @@ class StorageFuzzSpec extends AnyFunSuite {
   test("a second seed: different interleavings, same invariants " +
       "(seed 4161, 36 ops)") {
     runSequence(4161L, 36)
+  }
+
+  test("evolved-column lifecycle pinned: introduce -> drop (mutations " +
+      "carrying it refused) -> restore resurfaces it with its values " +
+      "-> restore to pre-introduction buries it again") {
+    val dir = graft.core.TempDirs.scratchShared("fuzzxlife")
+    TxnTable.init(spark, dir,
+      mkDf(Seq((1L, "a", 10L), (2L, "b", 20L)), "s"), numFiles = 1,
+      statsCols = Seq("k"))                                         // v1
+    TxnTable.upsert(spark, dir, "k",
+      mkWide(Seq((3L, "c", 30L, 333L)), "s"), numFiles = 1)         // v2: x born
+    assert(TxnTable.read(spark, dir).columns.contains("x"))
+    TxnTable.dropColumn(spark, dir, "x")                            // v3: buried
+    assert(!TxnTable.read(spark, dir).columns.contains("x"))
+    intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k",
+        mkWide(Seq((4L, "d", 40L, 444L)), "s"), numFiles = 1)
+    }
+    // time travel BEFORE the drop still reads x
+    assert(TxnTable.read(spark, dir, v = 2)
+      .filter(col("k") === 3L).select("x").collect().head.getLong(0) == 333L)
+    TxnTable.restore(spark, dir, 2)                                 // v4: resurfaced
+    val back = TxnTable.read(spark, dir)
+    assert(back.columns.contains("x"), "restore must re-activate x")
+    assert(back.filter(col("k") === 3L).select("x")
+      .collect().head.getLong(0) == 333L,
+      "the resurfaced column must carry its original values")
+    TxnTable.upsert(spark, dir, "k",
+      mkWide(Seq((5L, "e", 50L, 555L)), "s"), numFiles = 1)         // v5: writable again
+    TxnTable.restore(spark, dir, 1)                                 // v6: pre-x — buried
+    assert(!TxnTable.read(spark, dir).columns.contains("x"),
+      "restoring to before the introduction must bury x")
+    intercept[IllegalArgumentException] {
+      TxnTable.upsert(spark, dir, "k",
+        mkWide(Seq((6L, "f", 60L, 666L)), "s"), numFiles = 1)
+    }
+    assert(TxnTable.read(spark, dir).count() == 2)
   }
 
   test("CDC batching invariance: one ordered event stream applied via " +
