@@ -112,6 +112,13 @@ class IndexFuzzSpec extends AnyFunSuite {
           Similarity.ivfVacuum(spark, root, keepGens = 2,
             retainMillis = 0L)
           opLog += "vacuum"
+        // ---- advisory-hint chaos: the serve path must self-heal ------
+        case x if x < 97 =>
+          val f = new java.io.File(root, graft.core.AdvisoryHint.FileName)
+          if (rnd.nextBoolean())
+            java.nio.file.Files.write(f.toPath, "{garbled".getBytes("UTF-8"))
+          else java.nio.file.Files.deleteIfExists(f.toPath)
+          opLog += "hintChaos"
         // ---- invalid: re-ingest of a permanently retired id ----------
         case _ if dead.nonEmpty =>
           val retired = dead.head
