@@ -715,6 +715,62 @@ class RequestFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("40 seeded random pagination windows (start offset x page size " +
+      "over a totally-ordered result) equal a LIMIT/OFFSET dual — the " +
+      "off-by-one class") {
+    views
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 40) {
+      val dims = subset(rnd,
+        factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
+      val mets = subset(rnd, metrics.take(3), 1, 2)
+      val selected = dims ++ mets
+      val filt = if (rnd.nextBoolean()) Some(nonDateLeaf(rnd)) else None
+      // a TOTAL ordering (all dims, random directions) makes every
+      // page boundary deterministic on both sides
+      val dirs = dims.map(_ => rnd.nextBoolean())
+      val sorts = dims.zip(dirs).map { case (d, desc) =>
+        s"""{"field":"${d.alias}","order":"${if (desc) "Desc" else "Asc"}"}""" }
+      // adversarial boundaries: page 1, offset 0, offsets straddling
+      // and past the result end
+      val start = pick(rnd, Seq(0, 1, 2, 5, 10, 50, 500, 5000))
+      val page = pick(rnd, Seq(1, 2, 3, 7, 20, 100))
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          selected.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]${
+          filt.map(f => s""","filterExpressions":[${f.json}]""").getOrElse("")},
+           |"sortBy":[${sorts.mkString(",")}],
+           |"paginationStartIndex":$start,"rowsPerPage":$page}"""
+          .stripMargin.replace("\n", "")
+      val inner = filt.exists(_.hasDimAttr)
+      val joins = joinSql(neededDims(
+        dims.map(_.alias) ++ filt.toSeq.flatMap(_.fields)), inner)
+      val orderBy = dims.zip(dirs).map { case (d, desc) =>
+        s"${q(d.alias)}${if (desc) " DESC" else ""}" }.mkString(", ")
+      val dual =
+        s"""SELECT * FROM (
+           |  SELECT ${selected.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")}
+           |  FROM orders$joins${filt.map(f => s" WHERE ${f.sql}").getOrElse("")}
+           |  GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}) t
+           |ORDER BY $orderBy LIMIT $page OFFSET $start"""
+          .stripMargin.replace("\n", " ")
+      val clue = s"page #$i start=$start page=$page\nJSON: $json\nDUAL: $dual"
+      val planned =
+        try operators.SemanticQueries.run(json)(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"refused a VALID paged request — $clue\nerror: ${e.getMessage}")
+        }
+      auditPlan(planned, clue)
+      val oracle = spark.sql(dual)
+      assert(planned.columns.toSeq.sorted == oracle.columns.toSeq.sorted,
+        s"column mismatch — $clue")
+      val got = rowsOf(planned.select(oracle.columns.map(col): _*)).sorted
+      val want = rowsOf(oracle).sorted
+      assert(got == want, s"DIVERGENCE — $clue\n" +
+        s"planned(${got.size}): ${got.take(3)}\nsql(${want.size}): ${want.take(3)}")
+    }
+  }
+
   test("30 seeded random union-view requests (Source Stage selected) " +
       "equal a UNION ALL dual with per-stage constants") {
     views
