@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions.col
   * that must be REFUSED with the right error class — never a wrong
   * answer, never an uncaught throw.
   *
-  * Seeded (20260816): every run draws the same 200 valid + 42
-  * invalid requests, so a failure is reproducible and its JSON is
-  * printed for shrinking into a named regression fixture. */
+  * The battery has grown past the original 200+42: cube SQL through
+  * the front door (100 + 33 rejection duals), curators (TimeShift /
+  * TotalMetrics / RowCount / Drilldown), grain × timezone windows,
+  * union-view requests, pagination offsets, and the oversized-IN
+  * boundary — every valid draw compared against an independently-
+  * rendered dual, every plan audited for all-pairs join shapes.
+  *
+  * Seeded (20260816): every run draws the same requests, so a
+  * failure is reproducible and its JSON is printed for shrinking
+  * into a named regression fixture. */
 class RequestFuzzSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
