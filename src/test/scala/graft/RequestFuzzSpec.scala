@@ -1110,6 +1110,23 @@ class RequestFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("comparator canary: a planted divergence IS detected (guards " +
+      "the harness itself against a refactor neutering the compare)") {
+    views
+    val json =
+      """{"cube":"order_stats","selectFields":[{"field":"Order Priority"},
+        |{"field":"Order Count"}]}""".stripMargin.replace("\n", "")
+    val planned = operators.SemanticQueries.run(json)(spark, sf)
+    val wrongDual = spark.sql(
+      s"SELECT o_orderpriority AS ${q("Order Priority")}, " +
+        s"COUNT(*) + 1 AS ${q("Order Count")} FROM orders GROUP BY 1")
+    val got = rowsOf(planned.select(wrongDual.columns.map(col): _*)).sorted
+    val want = rowsOf(wrongDual).sorted
+    assert(got != want,
+      "the comparator failed to flag a planted off-by-one dual — " +
+        "every green fuzz result above is meaningless if this passes")
+  }
+
   test("42 seeded random invalid requests: each refused with its error " +
       "class, never a wrong answer or an uncaught throw") {
     views
