@@ -13,7 +13,7 @@ import graft.functions.GraftFunctions
   * could degrade approximation QUALITY while every hash still
   * matches. This spec pins recall against brute force on a fixed
   * seeded clustered corpus — floors are set a healthy margin below
-  * the measured values (IVF 1.0, LSH 1.0, IVF-PQ 0.875 at these
+  * the measured values (IVF 1.0, LSH 1.0, MRL 0.884, IVF-PQ 0.875 at these
   * knobs) and far above chance (top-10 of 6,000 ≈ 0.002), so they
   * trip on a routing/banding/encoding collapse, not on noise — the
   * corpus, seeds, and every quantizer input are deterministic, so the
@@ -141,6 +141,24 @@ class AnnRecallGateSpec extends AnyFunSuite {
     info(f"LSH recall@10 at $bands bands x $rowsPerBand rows: $r%.3f")
     assert(r >= 0.70,
       f"LSH recall@10 collapsed to $r%.3f — banding is broken")
+  }
+
+  test("MRL prefix-rerank recall@10 >= 0.80 at pdim 16 of 64, " +
+      "shortlist 30 (vs brute-force cosine top-10)") {
+    // the real sim10 path over the gate corpus: stage 1 ranks on the
+    // 16-dim Matryoshka prefix, stage 2 reranks the shortlist on the
+    // full vectors — recall collapses if the prefix slice, shortlist
+    // aggregate, or rerank fetch breaks
+    val got = Similarity.simMrlRerankFrom(
+        corpus.select("vec_id", "embedding"),
+        pdim = 16, shortlist = 30, k = 10, nq = nq)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val r = recall(bruteTop(10), got)
+    info(f"MRL recall@10 at pdim=16/64, shortlist=30: $r%.3f")
+    assert(r >= 0.80,
+      f"MRL recall@10 collapsed to $r%.3f — prefix ranking or the " +
+        "rerank fetch is broken")
   }
 
   test("IVF-PQ mate-recall@5 >= 0.80 at nprobe 2 of 16 lists, 4x16 " +
