@@ -732,9 +732,17 @@ object TxnTable {
       java.nio.file.Files.write(tmp,
         cols.distinct.map("\"" + _ + "\"")
           .mkString("{\"statsCols\":[", ",", "]}").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, fileOf(dir, "table.json").toPath,
+      try java.nio.file.Files.move(tmp, fileOf(dir, "table.json").toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        // filesystems without atomic replace (some network/object-store
+        // mounts): stats are perf-only, so degrade to a plain replace
+        // rather than hard-fail the calling mutation
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, fileOf(dir, "table.json").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 
@@ -1088,8 +1096,17 @@ object TxnTable {
           s"torn $base epoch file ${f.getPath} (${lines.size - 1} of " +
             s"$n recorded entries) — restore it to recover")
         lines.drop(1)
-      case _ => sys.error(s"corrupt $base epoch file ${f.getPath} " +
-        s"(missing header) — delete it to recover")
+      // FORMAT-BUMP HAZARD: the counted header is a one-way on-disk
+      // change — a binary predating it parses `{"epoch":k,"n":N}` as
+      // corrupt. Never advise deletion here: an anchored epoch file
+      // holds committed constraints/colmaps, and deleting one on a
+      // rolled-back binary's say-so silently drops them (see
+      // README.md "On-disk format compatibility").
+      case _ => sys.error(s"unreadable $base epoch file ${f.getPath} " +
+        "(missing or unrecognized header). If this table was written " +
+        "by a newer binary, upgrade this binary instead of touching " +
+        "the file — deleting an epoch file drops committed " +
+        s"$base declarations permanently")
     }
   }
 

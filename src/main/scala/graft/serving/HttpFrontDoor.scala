@@ -650,6 +650,16 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
           requestId(ex))
       }
     val bytes = bodyStr.getBytes(UTF_8)
+    // drain any unread request body before replying: on keep-alive
+    // connections the JDK server may reset the socket when a large
+    // unread POST body remains (e.g. a big payload to an unrouted
+    // path answered by the 404 catch-all) — a no-op for routes that
+    // already consumed the stream
+    try {
+      val in = ex.getRequestBody
+      val buf = new Array[Byte](8192)
+      while (in.read(buf) != -1) ()
+    } catch { case _: java.io.IOException => }
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.getResponseHeaders.set("X-Request-Id", reqId)
     ex.sendResponseHeaders(code, bytes.length)
