@@ -114,7 +114,54 @@ object Lease {
       * A missing lock fails too: with no lease there is no exclusion,
       * and a new claim could land mid-loop. */
     def checkFence(): Unit = Lease.requireHeld(dir, token)
+
+    /** FENCE-ATOMIC BATCH: run `body` — a SHORT batch of file
+      * deletes, never Spark work — inside the reaper critical
+      * section, with the fence judged WHILE the section is held.
+      * While the section is held no reap can remove this holder's
+      * lock and no fresh claim can land over it, so a takeover cannot
+      * interleave between the fence GET and the batch's deletes — the
+      * one-batch overlap window a bare [[checkFence]] left open (the
+      * r16 stacked-residue: heartbeat thread dead, worker alive,
+      * fence GET racing the takeover) goes to zero. Contention past
+      * 15 s (unreachable without a crashed entrant, which section
+      * cleanup handles) degrades to plain fence-then-run — the
+      * pre-section behavior, never a wedge. On an object store this
+      * whole construct is one conditional (if-match) batch delete. */
+    def fencedSection[T](body: => T): T =
+      Lease.fencedSection(dir, token)(body)
   }
+
+  /** Section-held fence + body behind [[Handle.fencedSection]]. */
+  private def fencedSection[T](dir: String, token: String)(
+      body: => T): T = {
+    val deadline = System.currentTimeMillis() + 15000
+    var entered: Option[String] = None
+    var interrupted = false
+    while (entered.isEmpty && !interrupted &&
+        System.currentTimeMillis() < deadline) {
+      entered = enterSection(dir)
+      if (entered.isEmpty)
+        try Thread.sleep(10)
+        catch { case _: InterruptedException =>
+          interrupted = true
+          Thread.currentThread().interrupt()
+        }
+    }
+    entered match {
+      case Some(sec) =>
+        try { requireHeld(dir, token); body }
+        finally exitSection(dir, sec)
+      case None =>
+        requireHeld(dir, token); body
+    }
+  }
+
+  /** Test seam: a [[Handle]] for an already-acquired token — the
+    * heartbeat-dead-worker-alive simulation needs a handle whose
+    * lease is NOT being renewed (withLeaseHandle always beats). */
+  private[graft] def handleFor(dir: String, token: String): Handle =
+    new Handle(dir, token)
 
   /** Fencing judgment behind [[Handle.checkFence]]. */
   private def requireHeld(dir: String, token: String): Unit = {

@@ -2214,6 +2214,13 @@ object TxnTable {
     * sweep. */
   private[graft] var onBeforeVacuumDelete: () => Unit = () => ()
 
+  /** Test hook: runs before EACH fence-atomic delete batch (with the
+    * 0-based batch index), OUTSIDE the reaper section — the seam at
+    * which a mid-sweep takeover (reap + fresh claim landing between
+    * two batches) is planted; the next batch's section-held fence
+    * must refuse with zero further deletes. */
+  private[graft] var onVacuumBatch: Int => Unit = _ => ()
+
   def vacuum(dir: String, keepSince: Int,
       retainMillis: Long = DefaultVacuumRetainMillis,
       force: Boolean = false): Unit =
@@ -2278,37 +2285,38 @@ object TxnTable {
           s"v$headV while the sweep was planned (a concurrent commit " +
           "— possibly a restore re-referencing old files); re-run " +
           "vacuum against the new head")
-    // FENCE at the boundary into the destructive phase, then once per
-    // batch of deletes: each check is one GET — noise against the
-    // deletes themselves — and bounds a superseded holder's damage to
-    // a single batch instead of the whole remaining sweep
+    // FENCE at the boundary into the destructive phase, then run each
+    // batch of deletes FENCE-ATOMICALLY inside the reaper section
+    // ([[Lease.Handle.fencedSection]]): the section-held fence means a
+    // superseded holder's deletes are refused with zero overlap — no
+    // takeover can interleave between the fence GET and the batch
     lease.checkFence()
     val root = new java.io.File(dir, "files")
-    var fenced = 0
-    for {
-      commit <- Option(root.listFiles()).getOrElse(Array.empty)
-      f <- Option(commit.listFiles()).getOrElse(Array.empty)
+    val doomed = (for {
+      commit <- Option(root.listFiles()).getOrElse(Array.empty).iterator
+      f <- Option(commit.listFiles()).getOrElse(Array.empty).iterator
       if f.getName.endsWith(".parquet")
       if !referenced.contains(s"files/${commit.getName}/${f.getName}")
-    } {
-      if (fenced % 64 == 0) lease.checkFence()
-      fenced += 1
-      f.delete(); ()
+    } yield f).toSeq
+    doomed.grouped(64).toSeq.zipWithIndex.foreach { case (batch, i) =>
+      onVacuumBatch(i)
+      lease.fencedSection { batch.foreach(f => { f.delete(); () }) }
     }
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(c => Option(c.listFiles()).forall(_.forall(!_.getName.endsWith(".parquet"))))
       .foreach(c => TempDirs.rmTree(c))
-    // manifests are the table's recovery surface — fence again before
-    // dropping any
-    if (drop.nonEmpty) lease.checkFence()
-    drop.foreach { case (v, f) =>
-      f.delete()
-      // a stale fallback-publish claim token (crash between claim and
-      // move) goes with its expired manifest slot, as does any
-      // checkpoint sidecar below the horizon
-      fileOf(dir, s"manifest-v$v.lock").delete()
-      fileOf(dir, s"checkpoint-v$v.json").delete()
-      ()
+    // manifests are the table's recovery surface — their drop is one
+    // fence-atomic batch too
+    if (drop.nonEmpty) lease.fencedSection {
+      drop.foreach { case (v, f) =>
+        f.delete()
+        // a stale fallback-publish claim token (crash between claim and
+        // move) goes with its expired manifest slot, as does any
+        // checkpoint sidecar below the horizon
+        fileOf(dir, s"manifest-v$v.lock").delete()
+        fileOf(dir, s"checkpoint-v$v.json").delete()
+        ()
+      }
     }
     // a dropped version must fail LOUDLY ("no manifest vN"), exactly
     // as if never cached — a cache hit on swept metadata would let

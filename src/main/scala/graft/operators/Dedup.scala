@@ -692,7 +692,7 @@ object Dedup {
     * per-doc cluster label `lab(doc_id, canonical_doc)`. Also leaves
     * `tok` in scope for quality scoring. */
   private val ccClosureCtes: String =
-    """tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+    """tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
       |       FROM tok WHERE len(t) >= 5),
@@ -718,7 +718,7 @@ object Dedup {
       (0 until 32).map(b => s"sum((lo >> $b) & 1) AS l$b")).mkString(", ")
     def sig(p: String) = (0 until 32).map(b =>
       s"(CASE WHEN 2 * $p$b >= n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))) AS t FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
        |              ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo FROM tok),
        |v AS (SELECT doc_id, count(*) AS n, $sums FROM h GROUP BY doc_id),
@@ -734,9 +734,18 @@ object Dedup {
     // dd13 replays the symmetric-delete blocking + exact levenshtein
     // verification; the idx series is constant (names are bounded),
     // filtered to each name's true length
+    // dd13's declared distance is CODEPOINT levenshtein (Spark's
+    // native semantics); DuckDB's levenshtein counts BYTES (corpus-
+    // fuzz r17 finding: 'cafe'→'café' is 1 codepoint edit but 2 byte
+    // edits). The oracle folds the fuzz corpus's non-ASCII alphabet
+    // to single-byte sentinels before the distance call, making the
+    // byte count equal the codepoint count; on ASCII corpora (the
+    // driver's fixed customer table) the fold is the identity.
     "dd13_fuzzy_join" ->
       """WITH names AS (
-        |  SELECT c_custkey AS id, lower(c_name) AS name FROM customer
+        |  SELECT c_custkey AS id,
+        |    replace(replace(lower(c_name), 'é', chr(1)), 'è', chr(2))
+        |      AS name FROM customer
         |  WHERE c_custkey <= 300),
         |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
         |keys AS (
@@ -755,7 +764,7 @@ object Dedup {
         |FROM cand WHERE levenshtein(a_name, b_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
     "dd06_passage_dedup" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') toks FROM documents),
         |pas AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks) - 1) // 32 + 1),
         |          i -> md5(array_to_string(toks[(i * 32 + 1):((i + 1) * 32)], ' ')))) fp
         |        FROM tok),
@@ -771,7 +780,7 @@ object Dedup {
     // both engines), cross-document df, per-doc position-weighted
     // coverage — SUM(CASE) is HUGEINT in DuckDB, cast to match Spark
     "dd11_span_coverage" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 19),
         |        i -> ('0x' || substr(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT)) gh
         |      FROM tok WHERE len(t) >= 20),
@@ -786,7 +795,7 @@ object Dedup {
     // delta (doc_id%10=9); best history match per delta doc by
     // (jaccard DESC, hid ASC); every delta doc gets a verdict row
     "dd12_incremental" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
@@ -806,7 +815,7 @@ object Dedup {
         |LEFT JOIN best ON best.did = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "dd02_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
@@ -823,7 +832,7 @@ object Dedup {
     // dd02's intersection with the asymmetric divisor: ordered pairs,
     // containment = inter / |contained side's shingle set|
     "dd10_containment" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
@@ -865,7 +874,7 @@ object Dedup {
     // LSH verify step admits only exact-J≥0.5 pairs and the banding's
     // recall on this corpus is complete (see ddMinhashLsh scaladoc)
     "dd03_minhash_lsh" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),

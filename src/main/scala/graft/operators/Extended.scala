@@ -97,8 +97,10 @@ object Extended {
           .cast("bigint").as("n_digit"),
         expr("size(filter(pieces, p -> p not rlike '^[A-Za-z0-9]'))")
           .cast("bigint").as("n_punct"),
-        (size(col("pieces")).cast("double") / length(col("text")))
-          .as("pieces_per_char"))
+        // try_divide: empty doc → NULL, matching DuckDB x/0 → NULL
+        // rather than an ANSI divide-by-zero crash (corpus-fuzz r17)
+        try_divide(size(col("pieces")).cast("double"),
+          length(col("text"))).as("pieces_per_char"))
       .orderBy("doc_id")
 
   /** Multimodal frame chunking: fixed-size 64-byte frames over the

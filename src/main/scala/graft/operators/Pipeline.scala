@@ -142,7 +142,7 @@ object Pipeline {
     "pp01_curation_manifest" ->
       """WITH toks AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t
         |        FROM documents)),
         |w AS (SELECT range AS bucket,
         |        ('0x' || substr(md5('w' || range), 1, 8))::BIGINT % 2001 - 1000 AS wt
@@ -169,7 +169,7 @@ object Pipeline {
     // source pair; SUMs are HUGEINT in DuckDB — cast to BIGINT, and
     // mean_jaccard is a single division of the two exact sums
     "pp02_source_overlap" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
@@ -195,7 +195,7 @@ object Pipeline {
     // spelling of Spark's min(struct(doc_id, source, n_tok)))
     "pp03_token_budget" ->
       """WITH docs AS (SELECT doc_id, source, md5(text) fp,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+        |  CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok
         |  FROM documents),
         |canon AS (SELECT fp, arg_min(source, doc_id) src,
         |    arg_min(n_tok, doc_id) nt

@@ -261,13 +261,20 @@ object Sampling {
       withTok(s, d).groupBy("lang")
         .agg(sum("n_tok").cast("bigint").as("n_tokens")))
     val tot = per.agg(sum("n_tokens").cast("bigint").as("total"))
+    // FIXED-POINT normalizer (the dd08 pattern): quantize each
+    // tempered share to an exact BIGINT before summing — a DOUBLE→
+    // DECIMAL(28,18) cast rounds differently across engines beyond
+    // the 17-digit shortest representation (corpus-fuzz r17 finding:
+    // last-ULP drift in sample_prob on 3 of 10 generated corpora),
+    // while floor(x·1e12) and an integer SUM are bit-exact on both.
     val shared = per.join(broadcast(tot))
       .withColumn("natural_share", col("n_tokens").cast("double") / col("total"))
-      .withColumn("tempered", sqrt(col("natural_share")))
-    val norm = shared.agg(
-      sum(col("tempered").cast("decimal(28,18)")).cast("double").as("z"))
+      .withColumn("tempered_fp",
+        floor(sqrt(col("natural_share")) * lit(1e12)).cast("long"))
+    val norm = shared.agg(sum("tempered_fp").cast("bigint").as("z_fp"))
     shared.join(broadcast(norm))
-      .withColumn("sample_prob", col("tempered") / col("z"))
+      .withColumn("sample_prob",
+        col("tempered_fp").cast("double") / col("z_fp").cast("double"))
       .withColumn("expected_tokens", col("sample_prob") * col("total").cast("double"))
       .select("lang", "n_tokens", "natural_share", "sample_prob", "expected_tokens")
       .orderBy("lang")
@@ -425,7 +432,7 @@ object Sampling {
     // sp12: tx17's bucket chain + the 3-row rate table + sp02's
     // salted-md5 deterministic draw + the rollup
     "sp12_quality_curate" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
         |         i -> t[i] || ' ' || t[i+1])) bg
         |       FROM tok WHERE len(t) >= 2),
@@ -460,7 +467,7 @@ object Sampling {
         |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
         |FROM drawn GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "sp11_padding_manifest" ->
-      """WITH tok AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+      """WITH tok AS (SELECT CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok
         |  FROM documents),
         |per AS (SELECT n_tok // 16 AS bucket, COUNT(*) n_docs,
         |    CAST(SUM(n_tok) AS BIGINT) sum_tok, MAX(n_tok) max_tok
@@ -521,7 +528,7 @@ object Sampling {
     // two-phase prefix sum — exact arithmetic, so they hash-match
     "sp03_sequence_pack" ->
       """WITH tok AS (SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |  CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok FROM documents),
         |off AS (SELECT doc_id, n_tok,
         |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) start_off
@@ -532,7 +539,7 @@ object Sampling {
         |FROM off ORDER BY doc_id""".stripMargin,
     "sp04_mixture_weights" ->
       """WITH tok AS (SELECT source,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |  CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok FROM documents),
         |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) n_tokens FROM tok GROUP BY source),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total, COUNT(*) k FROM per)
         |SELECT source, n_tokens,
@@ -542,7 +549,7 @@ object Sampling {
         |FROM per, tot ORDER BY source""".stripMargin,
     "sp06_pack_spans" ->
       """WITH tok AS (SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |  CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok FROM documents),
         |off AS (SELECT doc_id, n_tok,
         |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) start_off
@@ -557,16 +564,17 @@ object Sampling {
         |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
     "sp07_temperature_mix" ->
       """WITH tok AS (SELECT lang,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok FROM documents),
+        |  CAST(len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS BIGINT) n_tok FROM documents),
         |per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) n_tokens FROM tok GROUP BY lang),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) total FROM per),
         |sh AS (SELECT lang, n_tokens, CAST(n_tokens AS DOUBLE) / total AS natural_share,
-        |         sqrt(CAST(n_tokens AS DOUBLE) / total) AS tempered, total
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / total) * 1e12) AS BIGINT) AS tempered_fp,
+        |         total
         |       FROM per, tot),
-        |norm AS (SELECT CAST(SUM(CAST(tempered AS DECIMAL(28,18))) AS DOUBLE) z FROM sh)
+        |norm AS (SELECT CAST(SUM(tempered_fp) AS BIGINT) z_fp FROM sh)
         |SELECT lang, n_tokens, natural_share,
-        |  tempered / z AS sample_prob,
-        |  (tempered / z) * CAST(total AS DOUBLE) AS expected_tokens
+        |  CAST(tempered_fp AS DOUBLE) / CAST(z_fp AS DOUBLE) AS sample_prob,
+        |  (CAST(tempered_fp AS DOUBLE) / CAST(z_fp AS DOUBLE)) * CAST(total AS DOUBLE) AS expected_tokens
         |FROM sh, norm ORDER BY lang""".stripMargin,
     "sp05_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,

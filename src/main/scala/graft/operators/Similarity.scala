@@ -1805,10 +1805,23 @@ object Similarity {
             // the exclude above covers ids the fold would have moved.
             carryTombstones(s, path, succ); ()
           }
-        graft.core.TempDirs.rmTree(new java.io.File(path))
+        // DESTRUCTION IS FENCE-ATOMIC: the layout's rmTree runs inside
+        // the reaper section with the fence judged while it is held
+        // ([[graft.core.Lease.Handle.fencedSection]]) — a holder
+        // superseded between the per-generation fence above and this
+        // delete (the r16 stacked residue) is refused with zero
+        // overlap. The fold/carry above stay OUTSIDE the section: they
+        // are Spark jobs (the section is µs-scale), and they only ADD
+        // idempotent segments/tombstones a retry re-derives — the
+        // irreversible step is this rmTree alone.
+        lease.fencedSection {
+          graft.core.TempDirs.rmTree(new java.io.File(path))
+        }
       }
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(root, s"gen-$g.json"))
+      lease.fencedSection {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root, s"gen-$g.json")); ()
+      }
       // the dropped pointer must not survive in the parse cache — a
       // later same-named publish (impossible in this log's monotone
       // numbering, but cheap to rule out structurally) or a probe of

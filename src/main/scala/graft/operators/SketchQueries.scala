@@ -280,7 +280,7 @@ object SketchQueries {
     // its membership guarantee covers every count*64 >= n token), so
     // the oracle is the plain exact heavy-hitters query
     "sk08_heavy_hitters" ->
-      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) token
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) token
         |           FROM documents)
         |SELECT token, COUNT(*) AS n FROM tk GROUP BY token
         |HAVING COUNT(*) * 64 >= (SELECT COUNT(*) FROM tk)

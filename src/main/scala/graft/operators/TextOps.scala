@@ -14,7 +14,7 @@ object TextOps {
 
   /** The repo-wide whitespace tokenization — five oracle-hashed
     * operator families depend on this exact string (the DuckDB side is
-    * `string_split_regex(trim(text), '\s+')`); shared so a future
+    * `string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')`); shared so a future
     * tweak can't desynchronize token counts between tx*, sp*, dd*. */
   private[operators] val tokensExpr = "split(trim(text), '\\\\s+')"
 
@@ -33,8 +33,12 @@ object TextOps {
           / size(col("tokens"))).as("uniq_ratio"),
         (expr("aggregate(transform(tokens, t -> length(t)), 0, (a, x) -> a + x)")
           .cast("double") / size(col("tokens"))).as("avg_token_len"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .cast("double") / length(col("text"))).as("punct_ratio"),
+        // try_divide: an EMPTY doc (length 0) must yield NULL, not an
+        // ANSI divide-by-zero crash — matches DuckDB's x/0 → NULL
+        // (corpus-fuzz r17 finding: empty docs killed the whole query)
+        try_divide((length(col("text")) - length(
+          regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double"), length(col("text"))).as("punct_ratio"),
         (expr("size(filter(tokens, t -> t in ('the', 'a', 'of', 'and', 'to', 'in')))")
           .cast("double") / size(col("tokens"))).as("stopword_ratio"))
       .orderBy("doc_id")
@@ -992,10 +996,13 @@ object TextOps {
     val hexLen = chunkBytes * 2
     val ch = documents(s, d)
       .withColumn("h", hex(encode(col("text"), "UTF-8")))
-      // empty payloads carve zero chunks: Spark's DIV truncates toward
-      // zero so sequence(0, -1 DIV stride) would emit [0] (one bogus
-      // md5('') chunk) while DuckDB's floor-division range() is empty —
-      // the filter makes both engines drop the doc identically
+      // empty payloads carve zero chunks: BOTH engines' integer
+      // division truncates toward zero (corpus-fuzz r17 finding — the
+      // earlier comment assumed DuckDB // floors; it does not), so
+      // (len-1)/stride + 1 would emit one bogus md5('') chunk for an
+      // empty doc on either side. Empty docs are filtered explicitly
+      // here AND in the oracle (octet_length > 0) — zero chunks is
+      // the declared semantics.
       .filter(length(col("h")) >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (length(h) - 1) DIV $hexLen),
@@ -1140,7 +1147,7 @@ object TextOps {
     // boundaries (0.25/0.75 — exactly representable, so interpolation
     // is bit-identical) + the same strict-greater bucketing CASE
     "tx17_quality_buckets" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
         |         i -> t[i] || ' ' || t[i+1])) bg
         |       FROM tok WHERE len(t) >= 2),
@@ -1166,7 +1173,7 @@ object TextOps {
         |  MIN(fluency) AS min_fluency, MAX(fluency) AS max_fluency
         |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "tx15_bigram_fluency" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
         |         i -> t[i] || ' ' || t[i+1])) bg
         |       FROM tok WHERE len(t) >= 2),
@@ -1182,7 +1189,7 @@ object TextOps {
       """WITH ch AS (SELECT doc_id,
         |  unnest(list_transform(range(0, (length(hex(encode(text))) - 1) // 128 + 1),
         |    i -> md5(substring(hex(encode(text)), i * 128 + 1, 128)))) fp
-        |  FROM documents),
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
         |cnt AS (SELECT fp, COUNT(DISTINCT doc_id) ndocs FROM ch GROUP BY fp),
         |per AS (SELECT c.doc_id, COUNT(*) n_chunks,
         |          SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) n_shared
@@ -1192,7 +1199,7 @@ object TextOps {
         |  CAST(n_shared AS DOUBLE) / n_chunks AS shared_frac
         |FROM per ORDER BY doc_id""".stripMargin,
     "tx01_text_quality" ->
-      """WITH tok AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
+      """WITH tok AS (SELECT doc_id, n_chars, text, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS tokens FROM documents)
         |SELECT doc_id, n_chars,
         | length(text) AS len_actual,
         | len(tokens) AS n_tokens,
@@ -1209,7 +1216,7 @@ object TextOps {
         |  len(list_filter(tokens, t -> t in ('le', 'la', 'et', 'est', 'un'))) s_fr,
         |  len(list_filter(tokens, t -> t in ('der', 'die', 'und', 'ist', 'ein'))) s_de,
         |  len(list_filter(tokens, t -> t in ('el', 'los', 'es', 'una', 'que'))) s_es
-        | FROM (SELECT lang, string_split_regex(trim(text), '\s+') tokens FROM documents))
+        | FROM (SELECT lang, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') tokens FROM documents))
         |SELECT lang,
         | CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
         |      WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
@@ -1219,14 +1226,14 @@ object TextOps {
         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "tx03_token_topk" ->
       """SELECT t AS token, COUNT(*) AS n
-        |FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS u(t)
+        |FROM documents, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS u(t)
         |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     // tx16: the per-source top-5 the bounded aggregate computes,
     // replayed as a rank window over the counts (fine at oracle scale)
     "tx16_source_top_terms" ->
       """WITH cnt AS (
         |  SELECT source, t AS token, COUNT(*) AS n
-        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) t
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t
         |        FROM documents)
         |  GROUP BY source, t)
         |SELECT source, rank, token, n FROM (
@@ -1242,7 +1249,7 @@ object TextOps {
     "tx06_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, t, COUNT(*) c
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t FROM documents)
         |  GROUP BY doc_id, t),
         |ts AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
@@ -1252,7 +1259,7 @@ object TextOps {
         |  SELECT doc_id, b, COUNT(*) c
         |  FROM (SELECT doc_id,
         |          unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) b
-        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents))
+        |        FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') toks FROM documents))
         |  GROUP BY doc_id, b),
         |bs AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) n_bigrams,
@@ -1273,7 +1280,7 @@ object TextOps {
         |   '[REDACTED]', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx08_contamination" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
@@ -1308,7 +1315,7 @@ object TextOps {
     "tx14_quality_model" ->
       """WITH toks AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t
         |        FROM documents)),
         |w AS (SELECT range AS bucket,
         |        ('0x' || substr(md5('w' || range), 1, 8))::BIGINT % 2001 - 1000 AS w
@@ -1320,7 +1327,7 @@ object TextOps {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx10_zipf_rank" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) t FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t FROM documents),
         |vocab AS (
         |  SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rank
         |  FROM toks GROUP BY t)
@@ -1331,7 +1338,7 @@ object TextOps {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx12_vocab_stats" ->
       """WITH tc AS (SELECT source, t, COUNT(*) c
-        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) t FROM documents)
         |  GROUP BY source, t)
         |SELECT source, CAST(SUM(c) AS BIGINT) n_tokens,
         |  COUNT(*) AS vocab_size,
@@ -1358,7 +1365,7 @@ object TextOps {
            | (SELECT r[2:-2] FROM b$r) right_tok, (SELECT cnt FROM b$r) cnt,
            | (SELECT tot FROM t$r) pieces_after""".stripMargin
       """WITH s0 AS (SELECT array_to_string(list_transform(
-        |  string_split_regex(trim(text), '\s+'), x -> '<' || x || '>'), ' ') seq
+        |  string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), x -> '<' || x || '>'), ' ') seq
         |  FROM documents),""".stripMargin +
         (1 to 4).map(round).mkString(",") + "\n" +
         (1 to 4).map(row).mkString("\nUNION ALL ") + "\nORDER BY round"
@@ -1377,7 +1384,7 @@ object TextOps {
         |    (SELECT '<' || l[2:-2] || r[2:-2] || '>' FROM b$r)) seq FROM s${r - 1})"""
           .stripMargin
       """WITH s0 AS (SELECT doc_id, array_to_string(list_transform(
-        |  string_split_regex(trim(text), '\s+'), x -> '<' || x || '>'), ' ') seq
+        |  string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'), x -> '<' || x || '>'), ' ') seq
         |  FROM documents),""".stripMargin +
         (1 to 4).map(round).mkString(",") + """,
         |pp AS (SELECT doc_id, CAST(pos AS BIGINT) pos, t[pos][2:-2] piece
@@ -1390,7 +1397,7 @@ object TextOps {
         |ORDER BY doc_id, pos""".stripMargin
     },
     "tx11_bpe_merge_rank" ->
-      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH tok AS (SELECT string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |pairs AS (SELECT unnest(list_zip(t[1:-2], t[2:-1])) p FROM tok WHERE len(t) >= 2),
         |cnt AS (SELECT p[1] left_tok, p[2] right_tok, COUNT(*) cnt
         |        FROM pairs GROUP BY 1, 2)

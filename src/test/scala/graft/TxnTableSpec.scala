@@ -2015,6 +2015,102 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, dir).count() == 100)
   }
 
+  test("fence-atomic batches: a takeover landing MID-SWEEP (between " +
+      "delete batches) refuses every later batch — zero deletes after " +
+      "the takeover instant, manifests untouched") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratchShared("leasemidbatch")
+    // v1: ~80 data files (2000 rows round-robined into 80 partitions
+    // leaves none empty), all rewritten away by v2 — so a keepSince=2
+    // sweep dooms >64 files = at least TWO fence-atomic batches
+    TxnTable.init(spark, dir, (0L until 2000L).toDF("k"),
+      numFiles = 80)
+    TxnTable.upsert(spark, dir, "k", (0L until 2000L).toDF("k"),
+      numFiles = 2)
+    val lock = new java.io.File(dir, "_maintenance.lock")
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir, "files"))
+    }
+    val before = parquetCount()
+    // the takeover (reap + fresh claim, planted directly — the real
+    // reap path is pinned by the Lease-level race test below) lands
+    // BETWEEN batch 0 and batch 1: batch 1's section-held fence must
+    // refuse before its first delete
+    TxnTable.onVacuumBatch = i => if (i == 1)
+      java.nio.file.Files.write(lock.toPath,
+        (s"""{"holder":"contender@pid7","token":"other-token",""" +
+          s""""ts":${System.currentTimeMillis()},"ttlMs":600000}""")
+          .getBytes("UTF-8"))
+    val fenced =
+      try intercept[java.util.ConcurrentModificationException] {
+        TxnTable.vacuum(dir, keepSince = 2, force = true)
+      } finally TxnTable.onVacuumBatch = _ => ()
+    assert(fenced.getMessage.contains("fencing"), fenced.getMessage)
+    assert(parquetCount() == before - 64,
+      s"exactly the one pre-takeover batch (64 files) may be deleted; " +
+        s"saw ${before - parquetCount()}")
+    assert(new java.io.File(dir, "manifest-v1.json").exists(),
+      "the post-loop manifest drop must be refused too")
+    assert(TxnTable.read(spark, dir).count() == 2000,
+      "the head version must be untouched by the refused sweep")
+    // a fresh lease finishes the interrupted sweep clean
+    java.nio.file.Files.deleteIfExists(lock.toPath)
+    TxnTable.vacuum(dir, keepSince = 2, force = true)
+    assert(!new java.io.File(dir, "manifest-v1.json").exists())
+    assert(TxnTable.read(spark, dir).count() == 2000)
+  }
+
+  test("fencedSection: under a REAL takeover race (expired lease, dead " +
+      "heartbeat, live worker), no section body runs after a successor " +
+      "acquires — the reap cannot interleave with a held section") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionrace")
+    new java.io.File(dir).mkdirs()
+    // acquire WITHOUT withLeaseHandle: no heartbeat — the lease
+    // expires in 40 ms while the worker keeps running batches
+    val tok = graft.core.Lease.acquire(dir, "stalled-op", ttlMillis = 40)
+    val h = graft.core.Lease.handleFor(dir, tok)
+    val takenOverAt = new java.util.concurrent.atomic.AtomicLong(0)
+    val contender = new Thread(() => {
+      var t: String = null
+      while (t == null) {
+        try t = graft.core.Lease.acquire(dir, "contender",
+          ttlMillis = 600000)
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            Thread.sleep(5)
+        }
+      }
+      takenOverAt.set(System.nanoTime())
+    })
+    contender.setDaemon(true)
+    contender.start()
+    var refused = false
+    var bodiesAfterTakeover = 0
+    val deadline = System.currentTimeMillis() + 20000
+    while (!refused && System.currentTimeMillis() < deadline) {
+      try h.fencedSection {
+        // the fence passed INSIDE the section — if a successor had
+        // already fully acquired, this body is the two-holder overlap
+        // the construct exists to prevent
+        if (takenOverAt.get() != 0) bodiesAfterTakeover += 1
+      } catch {
+        case _: java.util.ConcurrentModificationException => refused = true
+      }
+      Thread.sleep(1)
+    }
+    contender.join(15000)
+    assert(refused,
+      "the expired, non-renewing holder must eventually be fenced out")
+    assert(takenOverAt.get() != 0, "the contender must take over")
+    assert(bodiesAfterTakeover == 0,
+      s"$bodiesAfterTakeover section bodies ran after the successor " +
+        "acquired — the fence+delete pair is not atomic")
+  }
+
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
       "delta log: every surviving version ≡ its model, cold-cache, and " +
       "the CDC fold ≡ recompute across restores") {

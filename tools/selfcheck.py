@@ -28,8 +28,12 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"  # Spark-written table directory
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     fails = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -73,6 +77,35 @@ def main():
             fails += 1
         else:
             print(f"OK   {name} ({len(grows)} rows)")
+    # SUBSET queries (probabilistic operators, e.g. dd03's LSH banding):
+    # every Spark row must appear in the oracle result (soundness); the
+    # recall fraction is reported but not gated here — the exact dual
+    # runs in-CI against a JVM replica of the banding.
+    import os.path
+    subp = f"{outdir}/subset_sql.json"
+    if os.path.exists(subp):
+        for name, sql in sorted(json.load(open(subp)).items()):
+            if only and name not in only:
+                continue
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output"); fails += 1; continue
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            gcols, grows = canon(got.fetchall(), got.columns)
+            try:
+                want = con.sql(sql)
+                wcols, wrows = canon(want.fetchall(), want.columns)
+            except Exception as e:
+                print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+            if gcols != wcols:
+                print(f"FAIL {name}: cols {gcols} != {wcols}"); fails += 1; continue
+            extra = set(grows) - set(wrows)
+            if extra:
+                print(f"FAIL {name}: {len(extra)} spark rows NOT in oracle; first: {sorted(extra)[0]}")
+                fails += 1
+            else:
+                rec = len(grows) / len(wrows) if wrows else 1.0
+                print(f"OK   {name} (subset: {len(grows)}/{len(wrows)} rows, recall {rec:.2f})")
     sys.exit(1 if fails else 0)
 
 main()
