@@ -29,7 +29,8 @@ object CorpusFuzz {
       n == "mm05_chunk_dedup").toSeq.sorted
 
   def writeCorpus(spark: SparkSession, seed: Int, dir: String,
-      srcDir: String = "/root/testdata/sf0.01"): Unit = {
+      srcDir: String = "/root/testdata/sf0.01",
+      linkFixed: Boolean = true): Unit = {
     new java.io.File(dir).mkdirs()
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -57,7 +58,15 @@ object CorpusFuzz {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // the battery's non-fuzzed tables: same bytes as the fixed corpus
-    fixedTables.foreach { t =>
+    // (link when same-filesystem, copy otherwise). The in-CI spec
+    // skips them — no battery query outside dd13/documents/embeddings
+    // reads the fixed tables; they exist for selfcheck's view setup.
+    def linkOrCopy(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      try { java.nio.file.Files.createLink(dst, src); () }
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst); ()
+      }
+    if (linkFixed) fixedTables.foreach { t =>
       val dst = java.nio.file.Paths.get(dir, s"$t.parquet")
       val src = java.nio.file.Paths.get(srcDir, s"$t.parquet")
       if (!java.nio.file.Files.exists(dst)) {
@@ -66,9 +75,9 @@ object CorpusFuzz {
           val it = java.nio.file.Files.list(src).iterator()
           while (it.hasNext) {
             val f = it.next()
-            java.nio.file.Files.createLink(dst.resolve(f.getFileName), f)
+            linkOrCopy(f, dst.resolve(f.getFileName))
           }
-        } else java.nio.file.Files.createLink(dst, src)
+        } else linkOrCopy(src, dst)
       }
     }
   }
