@@ -56,26 +56,49 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Streaming daily windowed aggregation with a watermark, driven to
-    * completion (AvailableNow) into a memory sink. */
-  def st01(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    val stream = Tables.normalizeEventsTs(s.readStream
+  /** The default bounded event file-stream (ts normalized either
+    * encoding). The `From` variants below take an arbitrary source so
+    * the split-invariance fuzzer (StreamSplitFuzzSpec) can drive the
+    * IDENTICAL transforms with a maxFilesPerTrigger=1 stream over
+    * randomly split arrival files. */
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame =
+    Tables.normalizeEventsTs(s.readStream
       .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
       .parquet(d))
+
+  /** Drive `df` to completion into a fresh memory sink. The previous
+    * run's temp view is dropped first (a memory sink pins its result
+    * on the driver for the view's lifetime; append-mode reruns would
+    * otherwise collide on the name). */
+  private[graft] def runToMemory(s: SparkSession, df: DataFrame,
+      sink: String, mode: String): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckptDir(sink))
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Streaming daily windowed aggregation with a watermark, driven to
+    * completion (AvailableNow) into a memory sink. */
+  def st01(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    st01From(s, eventsStream(s, d), "st01_mem")
+  }
+
+  private[graft] def st01From(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val stream = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(Tables.dec6(col("value"))).cast("double").as("total_value"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName("st01_mem")
-      .option("checkpointLocation", ckptDir("st01"))
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("st01_mem")
+    runToMemory(s, stream, sink, "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
@@ -161,22 +184,18 @@ object Streaming {
     * dd01's hash-groupBy). Run to completion with AvailableNow;
     * projecting only the key columns makes the result deterministic. */
   def st03(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    val q = s.readStream
+    st03From(s, s.readStream
       .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-      .writeStream
-      .format("memory")
-      .queryName("st03_mem")
-      .option("checkpointLocation", ckptDir("st03"))
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("st03_mem").orderBy("user_id", "event_type")
+      .parquet(d), "st03_mem")
   }
+
+  private[graft] def st03From(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame =
+    runToMemory(s, src
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type"), sink, "append")
+      .orderBy("user_id", "event_type")
 
   /** Watermarked stream-stream interval join (click→purchase
     * attribution): each purchase joins the same user's clicks from the
@@ -201,15 +220,12 @@ object Streaming {
   }
 
   private def st04Run(s: SparkSession, d: String): DataFrame =
-    streamJoinRun(s, d, "inner", "st04_mem")
+    streamJoinRun(s, () => eventsStream(s, d), "inner", "st04_mem")
 
-  private def streamJoinRun(s: SparkSession, d: String, joinType: String,
-      sink: String): DataFrame = {
+  private[graft] def streamJoinRun(s: SparkSession, mkSrc: () => DataFrame,
+      joinType: String, sink: String): DataFrame = {
     def side(tpe: String, prefix: String): DataFrame =
-      Tables.normalizeEventsTs(s.readStream
-        .schema(rawSchema(s, d))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d))
+      mkSrc()
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${prefix}_user"),
         col("event_id").as(s"${prefix}_id"),
@@ -219,15 +235,7 @@ object Streaming {
       expr("""c_user = p_user AND
              |p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours""".stripMargin),
       joinType)
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(sink)
-      .option("checkpointLocation", ckptDir(sink))
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
+    runToMemory(s, joined, sink, "append")
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         col("p_id").as("purchase_id"),
         unix_micros(col("c_ts")).as("click_us"),
@@ -249,7 +257,7 @@ object Streaming {
     * delay). State size and eviction match st04; the null path adds no
     * extra state. */
   def st07(s: SparkSession, d: String): DataFrame = withFewPartitions(s, n = 2) {
-    streamJoinRun(s, d, "leftOuter", "st07_mem")
+    streamJoinRun(s, () => eventsStream(s, d), "leftOuter", "st07_mem")
   }
 
   /** Batch count of the last [[st05]] run — exposed so specs can
@@ -361,30 +369,24 @@ object Streaming {
     * against slowly-changing dims is modeled this way at scale; dim
     * updates arrive by swapping the static table between restarts. */
   def st06(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
+    st06From(s, eventsStream(s, d), "st06_mem")
+  }
+
+  private[graft] def st06From(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
     import s.implicits._
     val dim = Seq(
       ("view", "browse", 1L), ("click", "engage", 5L),
       ("purchase", "convert", 25L), ("signup", "convert", 40L),
       ("error", "ops", 0L))
       .toDF("event_type", "category", "weight")
-    val stream = Tables.normalizeEventsTs(s.readStream
-      .schema(rawSchema(s, d))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d))
+    val stream = src
       .withWatermark("ts", "1 hour")
       .join(broadcast(dim), "event_type")
       .groupBy(window(col("ts"), "1 day"), col("category"))
       .agg(count(lit(1)).as("n"),
         sum(col("weight")).as("engagement"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName("st06_mem")
-      .option("checkpointLocation", ckptDir("st06"))
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("st06_mem")
+    runToMemory(s, stream, sink, "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("category"), col("n"), col("engagement"))
       .orderBy("day", "category")
@@ -453,7 +455,8 @@ object Streaming {
     *    bucket's state is dropped (dup past the horizon re-emits as
     *    kept). */
   private[graft] def st08Core(s: SparkSession, d: String, sigBits: Int,
-      evictDelaySec: Option[Long]): DataFrame = withFewPartitions(s) {
+      evictDelaySec: Option[Long],
+      splitBounds: Option[Seq[Long]] = None): DataFrame = withFewPartitions(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val tau = 0.3
@@ -464,11 +467,17 @@ object Streaming {
     val mx = mxRow.getLong(0)
     val delaySec = evictDelaySec.getOrElse(mx + 60L)
     val delayMs = delaySec * 1000L
+    // arrival files = contiguous vec_id ranges in id order; the fuzz
+    // spec injects RANDOM cut points (split-invariance: the greedy
+    // "dup of an earlier id" verdict must not depend on where the
+    // trigger boundaries fall), default 4 equal ranges
     val cut = mx / 4 + 1
+    val bounds = splitBounds
+      .getOrElse((0 until 4).map(b => b * cut) :+ (mx + 1))
     val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
-    for (b <- 0 until 4) {
+    for (b <- 0 until bounds.length - 1) {
       val tmp = s"$root/tmp$b"
-      base.filter(col("vec_id") >= b * cut && col("vec_id") < (b + 1) * cut)
+      base.filter(col("vec_id") >= bounds(b) && col("vec_id") < bounds(b + 1))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -548,22 +557,16 @@ object Streaming {
     * rows per day — trivial at any corpus scale — ordered (n DESC,
     * event_type) so ties break deterministically. */
   def st09(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    val stream = Tables.normalizeEventsTs(s.readStream
-      .schema(rawSchema(s, d))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d))
+    st09From(s, eventsStream(s, d), "st09_mem")
+  }
+
+  private[graft] def st09From(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val stream = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName("st09_mem")
-      .option("checkpointLocation", ckptDir("st09"))
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val agg = s.table("st09_mem")
+    val agg = runToMemory(s, stream, sink, "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"))
     val w = org.apache.spark.sql.expressions.Window
