@@ -447,4 +447,76 @@ class PlanShapeSpec extends AnyFunSuite {
       bloomDecision(2000000, 8, Some(100000000L)).nonEmpty,
       "2M keys (fpp 8%) pay against a 10^8-row fact but not a 10^6-row one")
   }
+
+  // ---- PLAN-FINGERPRINT REGRESSION GATE (r17, verdict task #4) ----
+  // Golden (#shuffle, #broadcast, #SMJ, #BHJ, #aggregates, #windows)
+  // counts for the most expensive batch queries: a refactor that adds
+  // a shuffle to a flagship query fails HERE instead of hiding inside
+  // the 88-98 s ambient bench band. An INTENTIONAL plan improvement
+  // updates the golden with a BENCH_NOTES A/B row justifying it.
+
+  private def fingerprint(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan.toString
+    def n(pat: String): Int =
+      pat.r.findAllMatchIn(plan).length
+    Map(
+      "shuffle" -> n("Exchange (hashpartitioning|rangepartitioning|SinglePartition)"),
+      "broadcast" -> n("BroadcastExchange"),
+      "smj" -> n("SortMergeJoin"),
+      "bhj" -> n("BroadcastHashJoin"),
+      "agg" -> n("(HashAggregate|ObjectHashAggregate|SortAggregate)"),
+      "window" -> n("\\bWindow\\b"),
+      "topk" -> n("TakeOrderedAndProject"))
+  }
+
+  test("plan fingerprints: the expensive batch queries' exchange/join/" +
+      "agg shapes are pinned (intentional changes update the golden " +
+      "with a BENCH_NOTES A/B row)") {
+    def fp(sh: Int, bc: Int, smj: Int, bhj: Int, agg: Int, win: Int,
+        topk: Int): Map[String, Int] =
+      Map("shuffle" -> sh, "broadcast" -> bc, "smj" -> smj, "bhj" -> bhj,
+        "agg" -> agg, "window" -> win, "topk" -> topk)
+    // golden at the spec's sf0.001 (plan SHAPE, not timing): captured
+    // r17; every broadcast here must stay a broadcast, and no query
+    // may grow an exchange without an explicit golden update
+    val golden: Map[String, Map[String, Int]] = Map(
+      "dd02_ngram_jaccard" -> fp(4, 3, 0, 3, 6, 0, 0),
+      "dd03_minhash_lsh" -> fp(4, 2, 0, 2, 6, 1, 0),
+      "dd04_simhash" -> fp(4, 1, 0, 1, 6, 0, 0),
+      "dd06_passage_dedup" -> fp(3, 1, 0, 1, 4, 0, 0),
+      "dd08_semdedup" -> fp(3, 3, 0, 3, 4, 0, 0),
+      "dd09_semdedup_hier" -> fp(3, 3, 0, 3, 4, 0, 0),
+      "dd11_span_coverage" -> fp(4, 1, 0, 1, 6, 0, 0),
+      "tx16_source_top_terms" -> fp(3, 0, 0, 0, 4, 0, 0),
+      "tx17_quality_buckets" -> fp(7, 5, 0, 5, 12, 0, 0),
+      "sp12_quality_curate" -> fp(7, 7, 0, 7, 12, 0, 0),
+      "sim05_ivf_ann" -> fp(2, 1, 0, 1, 2, 0, 0),
+      "q20_outer_filter" -> fp(1, 1, 0, 1, 0, 0, 0),
+      "q33_anti_join" -> fp(2, 1, 0, 1, 2, 0, 0),
+      "st02_sessionize" -> fp(2, 0, 0, 0, 2, 2, 0),
+      "tx10_zipf_rank" -> fp(7, 2, 0, 2, 6, 1, 0))
+    val names = Seq("dd02_ngram_jaccard", "dd03_minhash_lsh",
+      "dd04_simhash", "dd06_passage_dedup", "dd08_semdedup",
+      "dd09_semdedup_hier", "dd11_span_coverage", "tx16_source_top_terms",
+      "tx17_quality_buckets", "sp12_quality_curate", "sim05_ivf_ann",
+      "q20_outer_filter", "q33_anti_join", "st02_sessionize",
+      "tx10_zipf_rank")
+    val queries = SparkEntry.queries
+    val got = names.map { nm =>
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+      nm -> fingerprint(queries(nm)(spark, sf))
+    }.toMap
+    val diffs = names.flatMap { nm =>
+      golden.get(nm) match {
+        case None => Seq(s"MISSING golden for $nm: ${got(nm)}")
+        case Some(g) if g != got(nm) =>
+          Seq(s"$nm: golden $g != actual ${got(nm)}")
+        case _ => Nil
+      }
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
 }
+
