@@ -49,10 +49,21 @@ object GenSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
+    // one FILE per table, exactly the driver's testdata layout: the
+    // streaming sources read via pathGlobFilter=<name>.parquet, which
+    // matches LEAF file names — a directory table would stream zero
+    // files (found the hard way: st10 compacted an empty staging)
     def write(name: String, df: DataFrame, files: Int): Unit = {
-      df.repartition(files).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      println(s"[gensf1] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      val _ = files
+      val tmp = s"$out/.tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(out, s"$name.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part.toPath, dst)
+      graft.core.TempDirs.rmTree(new java.io.File(tmp))
+      println(s"[gensf1] $name: ${spark.read.parquet(dst.toString).count()} rows")
     }
     import graft.core.Tables
     // dims unchanged (FK targets)
