@@ -118,8 +118,21 @@ object Bench {
     println(line)
     val qFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query MEDIANS for the most expensive queries (r16 verdict
+    // task #8): the min hides run-to-run spread, so a regression hunt
+    // starting from BENCH_LOCAL needs the central tendency too — the
+    // median over the same cold passes, for the top 15 by min-cost
+    val allPasses = p1.toMap +: rest
+    def median(name: String): Double = {
+      val xs = allPasses.map(_(name)).sorted
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+    }
+    val med15 = results.sortBy(-_._2).take(15)
+      .map { case (k, _) => "\"" + k + "\":" + median(k) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }
