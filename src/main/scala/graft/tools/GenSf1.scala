@@ -69,10 +69,18 @@ object GenSf1 {
     // dims unchanged (FK targets)
     write("region", Tables.region(spark, src), 1)
     write("nation", Tables.nation(spark, src), 1)
+    // names re-derived from the shifted keys: the semantic layer
+    // declares "Customer Name" unique per dim row (a candidate key
+    // the page-first planner may page on) — copies that duplicate
+    // names would break the cube's declared invariant, not test it
     write("customer",
-      copies(Tables.customer(spark, src), Seq("c_custkey")), 4)
+      copies(Tables.customer(spark, src), Seq("c_custkey"),
+        (d, _) => d.withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))), 4)
     write("supplier",
-      copies(Tables.supplier(spark, src), Seq("s_suppkey")), 2)
+      copies(Tables.supplier(spark, src), Seq("s_suppkey"),
+        (d, _) => d.withColumn("s_name",
+          format_string("Supplier#%09d", col("s_suppkey")))), 2)
     write("part", copies(Tables.part(spark, src), Seq("p_partkey")), 4)
     write("orders",
       copies(Tables.orders(spark, src), Seq("o_orderkey", "o_custkey")), 8)
