@@ -2827,16 +2827,18 @@ object Similarity {
         |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
         |        c.cid) rn
         |    FROM v, c WHERE v.vec_id < 10) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id nid FROM probes pr
+        |  JOIN asg a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> pr.qid),
         |p AS (
-        |  SELECT q.vec_id qid, n.vec_id nid,
+        |  SELECT cand.qid, cand.nid,
         |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
         |      / (q.nrm * n.nrm) AS cosine
-        |  FROM probes pr
-        |  JOIN v q ON q.vec_id = pr.qid
-        |  JOIN asg a ON a.cid = pr.cid
-        |  JOIN v n ON n.vec_id = a.vec_id
-        |  WHERE q.vec_id <> n.vec_id)
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.qid
+        |  JOIN v n ON n.vec_id = cand.nid)
         |SELECT qid, nid, rank, cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
@@ -2846,6 +2848,12 @@ object Similarity {
     // corpus (the oracle never sees the base/delta split — appended ≡
     // rebuilt IS the contract); nprobe=3, top-5, queries span base ids
     // (< 4) and the freshest delta ids (max-2..max)
+    // cand separates the probe-routing equi-joins from the q<>n
+    // inequality (applied to ALL oracles of this shape): joined as
+    // written, DuckDB's optimizer paired the two `v` instances with a
+    // blockwise NL join (20k x 20k wide rows, 50 GB of spill at sf1)
+    // — the inequality now lives inside an equi-join's residual
+    // filter, so no plan can go quadratic
     "sim12_incremental_ingest" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(CAST(list_sum(list_transform(embedding,
@@ -2874,16 +2882,18 @@ object Similarity {
         |    WHERE v.vec_id < 4
         |       OR v.vec_id >= (SELECT MAX(vec_id) - 2 FROM embeddings)
         |  ) t WHERE rn <= 3),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id nid FROM probes pr
+        |  JOIN asg a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> pr.qid),
         |p AS (
-        |  SELECT q.vec_id qid, n.vec_id nid,
+        |  SELECT cand.qid, cand.nid,
         |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
         |      / (q.nrm * n.nrm) AS cosine
-        |  FROM probes pr
-        |  JOIN v q ON q.vec_id = pr.qid
-        |  JOIN asg a ON a.cid = pr.cid
-        |  JOIN v n ON n.vec_id = a.vec_id
-        |  WHERE q.vec_id <> n.vec_id)
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.qid
+        |  JOIN v n ON n.vec_id = cand.nid)
         |SELECT qid, nid, rank, cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
@@ -2921,16 +2931,18 @@ object Similarity {
         |    WHERE v.vec_id < 6
         |       OR v.vec_id >= (SELECT MAX(vec_id) - 1 FROM embeddings)
         |  ) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id nid FROM probes pr
+        |  JOIN asg a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> pr.qid),
         |p AS (
-        |  SELECT q.vec_id qid, n.vec_id nid,
+        |  SELECT cand.qid, cand.nid,
         |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
         |      / (q.nrm * n.nrm) AS cosine
-        |  FROM probes pr
-        |  JOIN v q ON q.vec_id = pr.qid
-        |  JOIN asg a ON a.cid = pr.cid
-        |  JOIN v n ON n.vec_id = a.vec_id
-        |  WHERE q.vec_id <> n.vec_id)
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.qid
+        |  JOIN v n ON n.vec_id = cand.nid)
         |SELECT qid, nid, rank, cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
@@ -2965,16 +2977,18 @@ object Similarity {
         |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12),
         |        c.cid) rn
         |    FROM v, c WHERE v.vec_id < 5) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id nid FROM probes pr
+        |  JOIN asg a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> pr.qid),
         |p AS (
-        |  SELECT q.vec_id qid, n.vec_id nid,
+        |  SELECT cand.qid, cand.nid,
         |    (CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
         |      z -> CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
         |      / (q.nrm * n.nrm) AS cosine
-        |  FROM probes pr
-        |  JOIN v q ON q.vec_id = pr.qid
-        |  JOIN asg a ON a.cid = pr.cid
-        |  JOIN v n ON n.vec_id = a.vec_id
-        |  WHERE q.vec_id <> n.vec_id)
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.qid
+        |  JOIN v n ON n.vec_id = cand.nid)
         |SELECT qid, nid, rank, cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank

@@ -28,6 +28,13 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # keep out-of-core spill bounded and off the repo tree (a 25M-pair
+    # join at sf1 once filled the disk and killed a concurrent run)
+    import os as _os
+    _os.makedirs("/tmp/duckspill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckspill'")
+    con.sql(f"SET memory_limit='{_os.environ.get('SELF_CHECK_MEM', '24GB')}'")
+    con.sql(f"SET max_temp_directory_size='{_os.environ.get('SELF_CHECK_SPILL', '20GB')}'")
     import os
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
