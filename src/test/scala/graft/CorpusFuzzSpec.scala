@@ -156,4 +156,62 @@ class CorpusFuzzSpec extends AnyFunSuite {
     info(s"$checked query×corpus checks green")
     assert(checked == 20 * duals.size)
   }
+
+  test("named minimal fixtures: each r17 cross-engine finding pinned " +
+      "on a 6-row corpus (NBSP trim, VT tokenizer, empty-doc NULL " +
+      "ratios, trailing-empty token, codepoint levenshtein)") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val dir = graft.core.TempDirs.scratchShared("corpusfix")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      R(0L, "", "en", "s0", 0L), // empty doc: the ANSI div-by-zero crash
+      R(1L, "\u00A0", "en", "s0", 1L), // NBSP: DuckDB trim strips it, Spark keeps
+      R(2L, "a\u000Bb", "en", "s0", 3L), // VT: in Java \s, NOT in RE2 \s
+      R(3L, "  x  ", "en", "s0", 5L), // ASCII-space trim on both sides
+      R(4L, "x\ty\n", "en", "s0", 4L), // trailing \n: split keeps the empty token
+      R(5L, "the a of", "en", "s0", 8L))
+    val rows = new java.util.ArrayList[R](docs.size)
+    docs.foreach(rows.add)
+    spark.createDataFrame(rows, docSchema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tx01 = SparkEntry.queries("tx01_text_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_tokens")),
+          r.isNullAt(r.fieldIndex("punct_ratio")))).toMap
+    // empty doc: ONE empty token (split of ''), punct_ratio NULL (not
+    // a crash, not NaN) — the try_divide fix
+    assert(tx01(0L) == ((1L, true)), s"${tx01(0L)}")
+    // NBSP doc: trim(text, ' ') must NOT strip it — one 1-char token
+    assert(tx01(1L) == ((1L, false)))
+    // VT separates: 2 tokens in BOTH engines under the explicit class
+    assert(tx01(2L)._1 == 2L)
+    // ASCII spaces trim: one token
+    assert(tx01(3L)._1 == 1L)
+    // trailing newline: Spark split keeps the trailing empty token
+    // (limit -1), matching DuckDB — 3 tokens (x, y, '')
+    assert(tx01(4L)._1 == 3L)
+    val fixDocs = docs.map(r => graft.tools.CorpusGen.Doc(
+      r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getLong(4)))
+    check("tx01_fixture", 0, SparkEntry.queries("tx01_text_quality")(
+      spark, dir).collect().toSeq.map(r =>
+        r.schema.fieldNames.toSeq.map(f => f -> r.get(r.fieldIndex(f)))),
+      CorpusDuals.tx01(fixDocs))
+    // codepoint levenshtein: cafe/café must PAIR at distance 1 (byte
+    // distance is 2 — the dd13 finding); café/caff too; cafe/caff too
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val cust = new java.util.ArrayList[R](3)
+    Seq(R(1L, "cafe#1"), R(2L, "café#1"), R(3L, "caff#1")).foreach(cust.add)
+    spark.createDataFrame(cust, custSchema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val dd13 = SparkEntry.queries("dd13_fuzzy_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dd13 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"codepoint-levenshtein pairs wrong: $dd13")
+  }
 }
