@@ -124,18 +124,36 @@ object Lease {
       * one-batch overlap window a bare [[checkFence]] left open (the
       * r16 stacked-residue: heartbeat thread dead, worker alive,
       * fence GET racing the takeover) goes to zero. Contention past
-      * 15 s (unreachable without a crashed entrant, which section
-      * cleanup handles) degrades to plain fence-then-run — the
-      * pre-section behavior, never a wedge. On an object store this
-      * whole construct is one conditional (if-match) batch delete. */
+      * the entry deadline (15 s — unreachable without a crashed
+      * entrant, which section cleanup handles) REFUSES
+      * (`ConcurrentModificationException`, 409-grade): callers are
+      * retryable maintenance batches, and silently running the
+      * destructive body WITHOUT the section would re-open exactly the
+      * overlap window this construct exists to close (the r17
+      * verdict's "degrades to check-then-act" residue). A body that
+      * outlives the section's staleness window (a slow rmTree over a
+      * big layout) keeps its section file visibly LIVE via a
+      * heartbeat mtime refresh, so a concurrent entrant can never
+      * judge it crashed mid-body. On an object store this whole
+      * construct is one conditional (if-match) batch delete. */
     def fencedSection[T](body: => T): T =
       Lease.fencedSection(dir, token)(body)
   }
 
+  /** Test seam: [[fencedSection]]'s section-entry deadline — specs
+    * shrink it so the contention-refusal path runs in milliseconds. */
+  @volatile private[graft] var sectionEntryTimeoutMillis: Long = 15000L
+
+  /** Section staleness window (a crashed entrant's leftover section is
+    * reapable after this age; [[fencedSection]]'s heartbeat refreshes
+    * at a third of it). Test seam: specs shrink it to exercise the
+    * long-body-vs-staleness race in milliseconds. */
+  @volatile private[graft] var sectionStaleMillis: Long = 10000L
+
   /** Section-held fence + body behind [[Handle.fencedSection]]. */
   private def fencedSection[T](dir: String, token: String)(
       body: => T): T = {
-    val deadline = System.currentTimeMillis() + 15000
+    val deadline = System.currentTimeMillis() + sectionEntryTimeoutMillis
     var entered: Option[String] = None
     var interrupted = false
     while (entered.isEmpty && !interrupted &&
@@ -150,10 +168,51 @@ object Lease {
     }
     entered match {
       case Some(sec) =>
+        // keep the section LIVE for the body's whole duration: bodies
+        // are normally µs-scale file batches, but ivfVacuum's rmTree
+        // of a whole layout (or a large manifest-drop batch) can
+        // outlive the staleness window on a slow filesystem — without
+        // the refresh a concurrent entrant would judge the section
+        // crashed and reap it MID-BODY, re-opening the overlap window
+        val stop = new java.util.concurrent.CountDownLatch(1)
+        val interval = math.max(100L, sectionStaleMillis / 3)
+        val toucher = new Thread(() => {
+          val section = new java.io.File(dir, sectionName)
+          try
+            while (!stop.await(interval,
+                java.util.concurrent.TimeUnit.MILLISECONDS))
+              try {
+                // token-checked: never refresh a STOLEN-and-replaced
+                // section (that would keep a successor's alive)
+                if (new String(java.nio.file.Files.readAllBytes(
+                    section.toPath), "UTF-8") == sec)
+                  java.nio.file.Files.setLastModifiedTime(section.toPath,
+                    java.nio.file.attribute.FileTime.fromMillis(
+                      System.currentTimeMillis()))
+              } catch { case scala.util.control.NonFatal(_) => () }
+          catch { case _: InterruptedException => () }
+        }, "graft-section-heartbeat")
+        toucher.setDaemon(true)
+        toucher.start()
         try { requireHeld(dir, token); body }
-        finally exitSection(dir, sec)
+        finally {
+          stop.countDown()
+          exitSection(dir, sec)
+        }
       case None =>
-        requireHeld(dir, token); body
+        if (interrupted)
+          throw new java.util.ConcurrentModificationException(
+            s"maintenance batch under $dir interrupted while waiting " +
+              "for the reaper section — the destructive batch was NOT " +
+              "run (running it unfenced would void the zero-overlap " +
+              "guarantee); re-run the operation to retry")
+        else
+          throw new java.util.ConcurrentModificationException(
+            s"maintenance batch under $dir could not enter the reaper " +
+              s"section within ${sectionEntryTimeoutMillis} ms (held by " +
+              "a live concurrent reaper/release, or a crashed entrant " +
+              "awaiting staleness cleanup) — the destructive batch was " +
+              "NOT run; re-run the operation to retry")
     }
   }
 
@@ -303,13 +362,13 @@ object Lease {
   private def enterSection(dir: String): Option[String] = {
     val section = new java.io.File(dir, sectionName)
     if (section.exists() &&
-        System.currentTimeMillis() - section.lastModified() > 10000) {
+        System.currentTimeMillis() - section.lastModified() > sectionStaleMillis) {
       val trash = new java.io.File(dir,
         s".reaper-stale-${java.util.UUID.randomUUID()}.lock")
       try {
         java.nio.file.Files.move(section.toPath, trash.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        if (System.currentTimeMillis() - trash.lastModified() > 10000) {
+        if (System.currentTimeMillis() - trash.lastModified() > sectionStaleMillis) {
           // genuinely stale — the crashed entrant's leftover retires
           java.nio.file.Files.deleteIfExists(trash.toPath)
           ()

@@ -2111,6 +2111,82 @@ class TxnTableSpec extends AnyFunSuite {
         "acquired — the fence+delete pair is not atomic")
   }
 
+  test("fencedSection REFUSES (throws, body not run) when the reaper " +
+      "section stays contended past the entry deadline — the r17 " +
+      "degrade-to-check-then-act residue is closed") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionrefuse")
+    new java.io.File(dir).mkdirs()
+    val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
+    val h = graft.core.Lease.handleFor(dir, tok)
+    // a hostage holds the section FRESH for the whole entry window
+    // (staleness cleanup only fires on >10 s-old sections)
+    val section = new java.io.File(dir, ".reaper.lock")
+    java.nio.file.Files.write(section.toPath, "hostage".getBytes("UTF-8"))
+    val prev = graft.core.Lease.sectionEntryTimeoutMillis
+    graft.core.Lease.sectionEntryTimeoutMillis = 300
+    var ran = false
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        h.fencedSection { ran = true }
+      }
+      assert(e.getMessage.contains("could not enter the reaper section"),
+        e.getMessage)
+      assert(!ran,
+        "the destructive body ran UNFENCED on the contended path — " +
+          "this is exactly the degraded check-then-act the refusal closes")
+      // hostage released → the same batch enters and runs clean
+      java.nio.file.Files.deleteIfExists(section.toPath)
+      h.fencedSection { ran = true }
+      assert(ran, "the uncontended path must be unchanged")
+    } finally {
+      graft.core.Lease.sectionEntryTimeoutMillis = prev
+      graft.core.Lease.release(dir, tok)
+    }
+  }
+
+  test("a fencedSection body that outlives the section staleness window " +
+      "keeps its section LIVE (mtime heartbeat): a concurrent entrant " +
+      "refuses instead of reaping the 'stale' section mid-body") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionlong")
+    new java.io.File(dir).mkdirs()
+    val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
+    val h = graft.core.Lease.handleFor(dir, tok)
+    val prevStale = graft.core.Lease.sectionStaleMillis
+    val prevTimeout = graft.core.Lease.sectionEntryTimeoutMillis
+    // shrink the windows so the race runs in seconds: staleness 700 ms
+    // (heartbeat refreshes at ~233 ms), body 2200 ms — an UNREFRESHED
+    // section would be judged crashed and stolen 3× over
+    graft.core.Lease.sectionStaleMillis = 700
+    graft.core.Lease.sectionEntryTimeoutMillis = 300
+    try {
+      @volatile var contenderEntered = false
+      @volatile var contenderRefused = false
+      val contender = new Thread(() => {
+        try {
+          Thread.sleep(1200) // mid-body, well past unrefreshed staleness
+          try h.fencedSection { contenderEntered = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              contenderRefused = true
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      contender.setDaemon(true)
+      contender.start()
+      h.fencedSection { Thread.sleep(2200) }
+      contender.join(10000)
+      assert(!contenderEntered,
+        "a concurrent entrant reaped the section MID-BODY — the long " +
+          "body's heartbeat failed to keep it visibly live")
+      assert(contenderRefused,
+        "the contender must have run into the live section and refused")
+    } finally {
+      graft.core.Lease.sectionStaleMillis = prevStale
+      graft.core.Lease.sectionEntryTimeoutMillis = prevTimeout
+      graft.core.Lease.release(dir, tok)
+    }
+  }
+
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
       "delta log: every surviving version ≡ its model, cold-cache, and " +
       "the CDC fold ≡ recompute across restores") {
