@@ -742,11 +742,22 @@ object Dedup {
     // byte count equal the codepoint count; on ASCII corpora (the
     // driver's fixed customer table) the fold is the identity.
     "dd13_fuzzy_join" ->
-      """WITH names AS (
+      """WITH folded AS (
         |  SELECT c_custkey AS id,
         |    replace(replace(lower(c_name), 'é', chr(1)), 'è', chr(2))
         |      AS name FROM customer
         |  WHERE c_custkey <= 300),
+        |names AS (
+        |  -- GUARD: the fold table must cover the generator's whole
+        |  -- non-ASCII alphabet — a codepoint it misses would silently
+        |  -- revert this oracle to byte-counted levenshtein (DuckDB
+        |  -- counts bytes, the engine counts codepoints). Fail LOUDLY
+        |  -- instead of drifting.
+        |  SELECT id, CASE WHEN length(name) = strlen(name)
+        |    THEN name ELSE error('dd13 oracle: fold missed a ' ||
+        |      'non-ASCII codepoint in c_name — extend the fold table '
+        |      || 'to match the generator alphabet') END AS name
+        |  FROM folded),
         |idx AS (SELECT i FROM generate_series(1, 64) t(i)),
         |keys AS (
         |  SELECT id, name, name AS key FROM names

@@ -87,6 +87,12 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     maintainable: Map[String, String] = Map.empty,
     maintainableIndexes: Map[String, String] = Map.empty) {
 
+  /** Unread-POST-body drain budget (see [[handle]]): generous vs any
+    * legitimate request this API serves (the largest accepted report
+    * JSON is bounded far below it by the oversized-IN reject), small
+    * vs a hostile endless stream. */
+  private val DrainCapBytes = 1L << 20
+
   /** begin/complete bracket around one served request: `begin` before
     * planning, `complete` exactly once with outcome + wall millis; a
     * throwing monitor never fails the request (reference monitor
@@ -654,13 +660,27 @@ final class HttpFrontDoor(s: SparkSession, dir: String, reg: Registry,
     // connections the JDK server may reset the socket when a large
     // unread POST body remains (e.g. a big payload to an unrouted
     // path answered by the 404 catch-all) — a no-op for routes that
-    // already consumed the stream
+    // already consumed the stream. CAPPED at 1 MiB: the JDK server
+    // has no read timeout, so an unbounded drain lets one client
+    // streaming an endless body pin this handler thread and its
+    // socket bandwidth per request — past the cap the rest stays
+    // unread and the response carries `Connection: close`, so the
+    // socket is torn down instead of reused (keep-alive is the only
+    // reason to drain at all)
+    var overCap = false
     try {
       val in = ex.getRequestBody
       val buf = new Array[Byte](8192)
-      while (in.read(buf) != -1) ()
+      var drained = 0L
+      var n = in.read(buf)
+      while (n != -1 && !overCap) {
+        drained += n
+        if (drained > DrainCapBytes) overCap = true
+        else n = in.read(buf)
+      }
     } catch { case _: java.io.IOException => }
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (overCap) ex.getResponseHeaders.set("Connection", "close")
     ex.getResponseHeaders.set("X-Request-Id", reqId)
     ex.sendResponseHeaders(code, bytes.length)
     val out = ex.getResponseBody

@@ -1614,4 +1614,31 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       stop.set(true); door.stop(); jobs.shutdown()
     }
   }
+
+  test("unread-body drain is CAPPED: a 4 MiB POST to an unrouted path " +
+      "answers promptly with Connection: close (socket torn down, not " +
+      "reused); a small unrouted POST keeps keep-alive") {
+    val jobs = new JobQueue(spark, sf,
+      java.nio.file.Files.createTempDirectory("httpdrain"))
+    val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
+    val port = door.start()
+    try {
+      val small = post(port, "/no/such/route", "x" * 1024)
+      assert(small.statusCode() == 404, small.body())
+      assert(!small.headers().firstValue("Connection").isPresent
+          || !small.headers().firstValue("Connection").get()
+            .equalsIgnoreCase("close"),
+        "a small unread body must stay inside the drain budget")
+      val big = post(port, "/no/such/route", "y" * (4 << 20))
+      assert(big.statusCode() == 404, big.body())
+      assert(big.headers().firstValue("Connection").isPresent &&
+        big.headers().firstValue("Connection").get()
+          .equalsIgnoreCase("close"),
+        "an over-budget body must mark the connection for teardown " +
+          "instead of pinning the handler thread on an unbounded drain")
+      // the server stays healthy after the capped drain
+      val after = post(port, "/no/such/route", "z" * 64)
+      assert(after.statusCode() == 404)
+    } finally { door.stop(); jobs.shutdown() }
+  }
 }

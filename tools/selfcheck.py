@@ -29,10 +29,14 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     # keep out-of-core spill bounded and off the repo tree (a 25M-pair
-    # join at sf1 once filled the disk and killed a concurrent run)
-    import os as _os
-    _os.makedirs("/tmp/duckspill", exist_ok=True)
-    con.sql("SET temp_directory='/tmp/duckspill'")
+    # join at sf1 once filled the disk and killed a concurrent run).
+    # PER-RUN spill dir, removed on exit: a shared /tmp/duckspill made
+    # concurrent selfchecks contend for one size cap, and leftover
+    # spill from a killed run counted against the next run's budget.
+    import os as _os, tempfile as _tempfile, atexit as _atexit, shutil as _shutil
+    spill = _tempfile.mkdtemp(prefix="duckspill-", dir="/tmp")
+    _atexit.register(_shutil.rmtree, spill, True)
+    con.sql(f"SET temp_directory='{spill}'")
     con.sql(f"SET memory_limit='{_os.environ.get('SELF_CHECK_MEM', '24GB')}'")
     con.sql(f"SET max_temp_directory_size='{_os.environ.get('SELF_CHECK_SPILL', '20GB')}'")
     import os
