@@ -10,6 +10,33 @@ import org.apache.spark.sql.SparkSession
   * timed in sorted name order for run-to-run comparability.
   */
 object Bench {
+
+  /** Fixed CPU-bound calibration (no I/O, no Spark, deterministic
+    * iteration count): ~0.5 s of xorshift mixing on this host when
+    * unloaded. [[main]] runs it BEFORE and AFTER the battery and
+    * records both in BENCH_LOCAL.json — ambient/noisy-neighbor
+    * attribution of a slow bench reading becomes a measured ratio
+    * against the committed unloaded baseline (BENCH_NOTES) instead of
+    * a judgement call: engine regressions move query seconds but not
+    * the calibration; host weather moves both. Min of 3 timed passes
+    * after a JIT warmup pass. */
+  private[graft] def calibrate(): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      // keep the mixer observable so the JIT cannot elide the loop
+      if (x == 42L) System.err.println("calibration sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass()
+    Seq(pass(), pass(), pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -24,6 +51,7 @@ object Bench {
     // from the battery (exact names or unique short prefixes) — used
     // to run the current code on a PRIOR round's query set, isolating
     // suite-ambient cost of newly added queries from code cost
+    val calibBefore = calibrate()
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
@@ -131,8 +159,9 @@ object Bench {
     val med15 = results.sortBy(-_._2).take(15)
       .map { case (k, _) => "\"" + k + "\":" + median(k) }
       .mkString("{", ",", "}")
+    val calibAfter = calibrate()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"calibBefore":$calibBefore,"calibAfter":$calibAfter,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }

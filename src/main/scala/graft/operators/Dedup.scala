@@ -208,8 +208,27 @@ object Dedup {
     ddMinhashLshFrom(shingled(s, d), DefaultMaxLshBucket)
 
   private[graft] def ddMinhashLshFrom(sh: DataFrame,
-      maxBucket: Int): DataFrame = {
-    val k = 32; val bands = 8; val rows = k / bands
+      maxBucket: Int): DataFrame =
+    ddMinhashLshBanded(sh, maxBucket, DefaultLshBands, DefaultLshRows)
+
+  /** dd03's default banding: 8 bands × 4 rows (k = 32 minhashes) —
+    * the S-curve's midpoint sits at J ≈ (1/8)^(1/4) ≈ 0.59 with
+    * analytic catch probability 1−(1−J⁴)⁸ (0.67 at J=0.6, 0.89 at
+    * 0.7, 0.985 at 0.8, 0.9996 at 0.9 — the table in COVERAGE.md). */
+  val DefaultLshBands = 8
+  val DefaultLshRows = 4
+
+  /** The banding PARAMETERIZED (bands × rowsPerBand; k = product):
+    * a pipeline trades recall for cost by widening bands — 16×2
+    * catches J=0.6 pairs with p=0.9992 at 4× the candidate volume;
+    * 4×8 prunes harder for high-threshold dedup. Recall floors per
+    * parameterization are regression-gated (Dd03RecallGateSpec, the
+    * AnnRecallGateSpec discipline applied to MinHash). Emitted pairs
+    * are always verified with exact Jaccard ≥ 0.5 over the shingle
+    * sets, so banding choice moves RECALL only, never soundness. */
+  private[graft] def ddMinhashLshBanded(sh: DataFrame, maxBucket: Int,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand; val rows = rowsPerBand
     val mh = minhashedFrom(sh, k)
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => col(s"m${b * rows + r}"))
@@ -697,8 +716,10 @@ object Dedup {
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
       |       FROM tok WHERE len(t) >= 5),
       |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+      |hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > __MAXDF__),
+      |cap AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
       |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
-      |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |         FROM cap a JOIN cap b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |pairs AS (SELECT x, y FROM cand
       |          JOIN sh sa ON sa.doc_id = x JOIN sh sb ON sb.doc_id = y
       |          WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2),
@@ -708,6 +729,7 @@ object Dedup {
       |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
       |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_doc
       |        FROM reach GROUP BY a)""".stripMargin
+      .replace("__MAXDF__", DefaultMaxShingleDf.toString)
 
   /** DuckDB replica of [[simhashSignatures]]+[[ddSimhash]]: identical
     * md5-derived token bits, identical vote rule, brute-force pairs
@@ -811,9 +833,11 @@ object Dedup {
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
         |exh AS (SELECT doc_id hid, len(shingles) nh, unnest(shingles) s FROM sh WHERE doc_id % 10 <> 9),
+        |hot AS (SELECT s FROM exh GROUP BY s HAVING COUNT(*) > __MAXDF__),
+        |idx AS (SELECT hid, nh, s FROM exh WHERE s NOT IN (SELECT s FROM hot)),
         |exd AS (SELECT doc_id did, len(shingles) nd, unnest(shingles) s FROM sh WHERE doc_id % 10 = 9),
         |m AS (SELECT did, hid, nd, nh, COUNT(*) inter
-        |      FROM exd JOIN exh USING (s) GROUP BY 1, 2, 3, 4),
+        |      FROM exd JOIN idx USING (s) GROUP BY 1, 2, 3, 4),
         |j AS (SELECT did, hid, CAST(inter AS DOUBLE) / (nd + nh - inter) jac FROM m
         |      WHERE CAST(inter AS DOUBLE) / (nd + nh - inter) >= 0.5),
         |best AS (SELECT did, hid, jac FROM (
@@ -824,39 +848,56 @@ object Dedup {
         |  best.hid AS best_match, best.jac AS best_jaccard
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
         |LEFT JOIN best ON best.did = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin
+        .replace("__MAXDF__", DefaultMaxShingleDf.toString),
+    // the df-cap is MIRRORED (hot/cap CTEs): on heavy-tail corpora
+    // (data/sf1skew's planted boilerplate) the engine's hot-shingle
+    // drop ENGAGES, and an uncapped oracle diverges — intersections
+    // count capped postings only, set sizes stay UNCAPPED, exactly
+    // the engine's one-sided semantics (found by the r18 skew run:
+    // 33858 vs 38984 rows)
     "dd02_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > __MAXDF__),
+        |cap AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
         |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
-        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |         FROM cap a JOIN cap b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT x, y, inter, len(sa.shingles) AS nx, len(sb.shingles) AS ny,
         | CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) AS jaccard
         |FROM cand
         |JOIN sh sa ON sa.doc_id = x
         |JOIN sh sb ON sb.doc_id = y
         |WHERE CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) >= 0.2
-        |ORDER BY x, y""".stripMargin,
+        |ORDER BY x, y""".stripMargin
+        .replace("__MAXDF__", DefaultMaxShingleDf.toString),
     // dd02's intersection with the asymmetric divisor: ordered pairs,
     // containment = inter / |contained side's shingle set|
+    // df-cap mirrored; dd10's divisor is the CAPPED per-doc posting
+    // count (hot shingles leave numerator and denominator together —
+    // the engine's documented asymmetric-containment semantics)
     "dd10_containment" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4),
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > __MAXDF__),
+        |cap AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM cap GROUP BY doc_id),
         |cand AS (SELECT a.doc_id cx, b.doc_id cy, COUNT(*) inter
-        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |         FROM cap a JOIN cap b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
         |SELECT cx AS contained_id, cy AS container_id, inter,
-        |  CAST(len(sa.shingles) AS BIGINT) AS n_contained,
-        |  CAST(inter AS DOUBLE) / len(sa.shingles) AS containment
+        |  CAST(sz.n AS BIGINT) AS n_contained,
+        |  CAST(inter AS DOUBLE) / sz.n AS containment
         |FROM cand
-        |JOIN sh sa ON sa.doc_id = cx
-        |WHERE CAST(inter AS DOUBLE) / len(sa.shingles) >= 0.8
-        |ORDER BY contained_id, container_id""".stripMargin,
+        |JOIN sz ON sz.doc_id = cx
+        |WHERE CAST(inter AS DOUBLE) / sz.n >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin
+        .replace("__MAXDF__", DefaultMaxShingleDf.toString),
     // same pair derivation as dd02, then a recursive transitive
     // closure: comp(a) = min over everything reachable from a — the
     // declarative ground truth for the star-contraction algorithm

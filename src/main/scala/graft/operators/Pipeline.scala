@@ -174,8 +174,10 @@ object Pipeline {
         |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) shingles
         |       FROM tok WHERE len(t) >= 5),
         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+        |hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > __MAXDF__),
+        |cap AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
         |cand AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) inter
-        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |         FROM cap a JOIN cap b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |p AS (SELECT x, y, inter, len(sa.shingles) nx, len(sb.shingles) ny,
         |        CAST(inter AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - inter) jaccard
         |      FROM cand JOIN sh sa ON cand.x = sa.doc_id JOIN sh sb ON cand.y = sb.doc_id
@@ -190,7 +192,9 @@ object Pipeline {
         |  MAX(jaccard) AS max_jaccard
         |FROM p JOIN documents dx ON p.x = dx.doc_id
         |       JOIN documents dy ON p.y = dy.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("__MAXDF__",
+          graft.operators.Dedup.DefaultMaxShingleDf.toString),
     // pp03: canonical = arg_min by doc_id per fingerprint (the SQL
     // spelling of Spark's min(struct(doc_id, source, n_tok)))
     "pp03_token_budget" ->

@@ -77,7 +77,8 @@ object SemanticQueries {
           PubCol("Order Priority", "o_orderpriority")),
         metrics = Seq(
           PubMetric("Total Spend", SumRollup, df => df.col("__spend"), _.cast("double")),
-          PubMetric("Order Count", SumRollup, df => df.col("__cnt"))),
+          PubMetric("Order Count", SumRollup, df => df.col("__cnt"),
+            countSemantics = true)),
         cost = 10,
         view = Some(rollupView),
         availableDims = Some(Set.empty)),

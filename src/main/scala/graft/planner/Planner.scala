@@ -409,7 +409,7 @@ object Planner {
         joined.select(nonMetricAliases.map(a => displayExpr(a).as(a)): _*).distinct()
       } else {
         def finalAgg(md: PubMetric): Column = {
-          val c =
+          val c0 =
             if (twoStage) md.rollup match {
               case SumRollup   => sum(col(s"__m_${md.alias}"))
               case MinRollup   => min(col(s"__m_${md.alias}"))
@@ -430,6 +430,20 @@ object Planner {
                 when(cnt > 0, cnt)
               case _ => preAggCol(md)
             }
+          // a GLOBAL (no grouping keys) count-semantic metric must be
+          // 0 on an empty fact — SQL's ungrouped COUNT semantics,
+          // whatever the serving variant's physical rollup is (a
+          // pre-aggregated rollup table carries counts as SUM(__cnt),
+          // which is NULL over zero rows; variant selection must stay
+          // answer-transparent). GROUPED counts keep the bare
+          // aggregate: groups only exist for matched rows, and ROJ
+          // null-extension rows are deliberately NULL-faithful.
+          // (Relational-corpus fuzz findings, r18: empty-orders
+          // corpora — grand-total request and TotalMetrics curator.)
+          val c =
+            if (nonMetricAliases.isEmpty && md.isCountLike)
+              coalesce(c0, lit(0L))
+            else c0
           md.finish(c).as(md.alias)
         }
         val keyed = joined.groupBy(nonMetricAliases.map(a => displayExpr(a).as(a)): _*)

@@ -195,11 +195,21 @@ object model {
     * column fed to the first aggregation (cast to exact decimal for
     * order-insensitive sums); `finish` post-processes the final
     * aggregate (e.g. cast back to double). */
+  /** `countSemantics`: the PUBLIC metric is a row count, whatever the
+    * serving variant's physical rollup is — a pre-aggregated rollup
+    * table carries counts as SUM(__cnt), and variant selection must
+    * stay answer-transparent: an ungrouped count over zero rows is 0
+    * (SQL COUNT semantics), where a bare SUM would yield NULL
+    * (relational-corpus fuzz finding, r18). CountRollup metrics have
+    * count semantics implicitly. */
   final case class PubMetric(
       alias: String,
       rollup: Rollup,
       pre: DataFrame => Column,
-      finish: Column => Column = identity)
+      finish: Column => Column = identity,
+      countSemantics: Boolean = false) {
+    def isCountLike: Boolean = countSemantics || rollup == CountRollup
+  }
 
   /** A dimension table in the snowflake: joined to its parent (another
     * dim, or the fact) via `fkInParent` = parent-side physical FK

@@ -518,5 +518,66 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
+
+  // ---- AUTO-GOLDEN: the WHOLE batch battery (r18, verdict task #6) --
+  // The 15 hand-pinned queries above prove the mechanism; this test
+  // loads a committed JSON golden covering EVERY batch query, so any
+  // query's shape drift fails with a named diff. Regenerate after an
+  // INTENTIONAL plan change (with a BENCH_NOTES A/B row justifying it):
+  //   GRAFT_REGEN_PLAN_GOLDENS=1 sbt 'testOnly graft.PlanShapeSpec -- -z auto-golden'
+  // Streaming lifecycles (st*) are excluded: their final frame's shape
+  // is dominated by ephemeral checkpoint/table state, not by the
+  // operator plan this gate protects.
+
+  private val goldensPath = "plan_goldens.json"
+
+  private def fingerprintLine(m: Map[String, Int]): String =
+    Seq("shuffle", "broadcast", "smj", "bhj", "agg", "window", "topk")
+      .map(k => s""""$k":${m.getOrElse(k, 0)}""").mkString("{", ",", "}")
+
+  private def parseGoldens(text: String): Map[String, Map[String, Int]] = {
+    // the file is machine-written flat JSON: {"name":{"shuffle":N,...},...}
+    val entry = """"([^"]+)":\{([^}]*)\}""".r
+    val kv = """"([a-z]+)":(\d+)""".r
+    entry.findAllMatchIn(text).map { m =>
+      m.group(1) -> kv.findAllMatchIn(m.group(2))
+        .map(x => x.group(1) -> x.group(2).toInt).toMap
+    }.toMap
+  }
+
+  test("auto-golden plan fingerprints: EVERY batch query's exchange/" +
+      "join/agg/window shape matches the committed plan_goldens.json " +
+      "(regenerate with GRAFT_REGEN_PLAN_GOLDENS=1 + a BENCH_NOTES row)") {
+    val names = SparkEntry.queries.keys.toSeq
+      .filterNot(_.startsWith("st")).sorted
+    val queries = SparkEntry.queries
+    val got = names.map { nm =>
+      graft.operators.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+      nm -> fingerprint(queries(nm)(spark, sf))
+    }
+    if (sys.env.contains("GRAFT_REGEN_PLAN_GOLDENS")) {
+      val json = got.map { case (n, m) => s""""$n":${fingerprintLine(m)}""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(goldensPath), json)
+      info(s"REGENERATED $goldensPath with ${got.size} fingerprints")
+    } else {
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(goldensPath))
+      val golden = parseGoldens(text)
+      val diffs = got.flatMap { case (nm, m) =>
+        golden.get(nm) match {
+          case None => Seq(s"MISSING golden for $nm: ${fingerprintLine(m)}")
+          case Some(g) if g != m =>
+            Seq(s"$nm: golden ${fingerprintLine(g)} != actual ${fingerprintLine(m)}")
+          case _ => Nil
+        }
+      } ++ golden.keys.filterNot(names.contains).map(n =>
+        s"STALE golden entry $n (query removed?) — regenerate")
+      assert(diffs.isEmpty,
+        s"${diffs.size} plan-shape drifts:\n${diffs.mkString("\n")}")
+    }
+  }
 }
 

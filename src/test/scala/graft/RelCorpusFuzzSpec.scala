@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.tools.RelCorpusGen
+
+/** Relational-corpus differential fuzzing (r17 verdict, ranked task
+  * #1 — the last uncovered axis of the differential program): 12
+  * seeded adversarial star-schema corpora ([[RelCorpusGen]] —
+  * Zipf-skewed + dangling foreign keys, NULL-dense columns, ±0 and
+  * DECIMAL(12,2)-extreme money, request-window boundary dates with
+  * intra-day times, local-midnight ±1s event instants per request
+  * timezone, empty region/orders/lineitem profiles, duplicate
+  * non-key dim attributes, unmapped enum storage values), each run
+  * through the RequestFuzz battery ([[RelFuzzBattery]]: valid
+  * requests, cube SQL, pagination, union views, grain×tz windows,
+  * TimeShift / TotalMetrics / RowCount / Drilldown curators) against
+  * the same independently-rendered raw-table duals.
+  *
+  * The request fuzzer (RequestFuzzSpec) proves query-space coverage
+  * over ONE fixed dataset; this proves the DATA axis — the sf1
+  * certification's q01 finding (DuckDB 2^53 double-rounding) showed
+  * that axis bites even the relational family. Each corpus gets its
+  * own seed-derived request stream, so 12 corpora × ~97 requests
+  * also WIDENS query-space coverage beyond the fixed spec's draws. */
+class RelCorpusFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val root = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // a dedicated session: tiny corpora want few shuffle partitions
+    // regardless of which suite created the shared context first
+    val s = root.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
+  test("12 seeded adversarial star-schema corpora × the relational " +
+      "request-fuzz battery ≡ the independently-rendered duals " +
+      "(valid + SQL door + pagination + union + grain×tz + curators)") {
+    var total = 0
+    (1 to 12).foreach { seed =>
+      val dir = graft.core.TempDirs.scratchShared(s"relfuzz$seed")
+      val profile = RelCorpusGen.writeCorpus(spark, seed, dir)
+      info(profile.toString)
+      RelFuzzBattery.registerViews(spark, dir)
+      val rnd = new scala.util.Random(20260816L + seed)
+      // per-corpus shape plan: every battery family, scaled to keep
+      // 12 corpora inside a CI budget; distinct seeds per corpus mean
+      // the 12 streams union to ~1,100 distinct request draws
+      total += RelFuzzBattery.runValid(spark, dir, rnd,
+        Seq.fill(20)(0) ++ Seq.fill(6)(1) ++ Seq.fill(4)(2) ++
+          Seq.fill(4)(3) ++ Seq.fill(8)(4))
+      total += RelFuzzBattery.runCubeSql(spark, dir, rnd, 15)
+      total += RelFuzzBattery.runPagination(spark, dir, rnd, 8)
+      total += RelFuzzBattery.runUnionView(spark, dir, rnd, 5)
+      total += RelFuzzBattery.runGrainTz(spark, dir, rnd, 10)
+      total += RelFuzzBattery.runTimeShift(spark, dir, rnd, 6)
+      total += RelFuzzBattery.runTotalsRowCount(spark, dir, rnd, 5)
+      total += RelFuzzBattery.runDrilldown(spark, dir, rnd, 5)
+    }
+    info(s"$total request×corpus comparisons green")
+    assert(total == 12 * (42 + 15 + 8 + 5 + 10 + 6 + 5 + 5))
+  }
+
+  test("named minimal fixture (r18 fuzz finding): a grand-total COUNT " +
+      "over an EMPTY fact is 0, not NULL — the two-stage " +
+      "sum-of-partials path must coalesce only the global (no-keys) " +
+      "count; grouped and ROJ-null-extended counts stay NULL-faithful") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val dir = graft.core.TempDirs.scratchShared("relfix-emptycount")
+    def write(name: String, schema: StructType, rows: Seq[R]): Unit = {
+      val l = new java.util.ArrayList[R](rows.size)
+      rows.foreach(l.add)
+      spark.createDataFrame(l, schema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))), Seq.empty)
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+      Seq(R(1L, "Customer#000000001", 0, 0.0, "AUTOMOBILE")))
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))), Seq(R(0, "CHINA", 0)))
+    write("region", StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))), Seq(R(0, "ASIA")))
+    // the shrunk r18 finding: metrics-only request, dim-attr filter
+    // (two-stage agg-before-join), zero fact rows — Order Count must
+    // come back 0 with Avg Order Value NULL
+    val json =
+      """{"cube":"order_stats","selectFields":[{"field":"Avg Order Value"},
+        |{"field":"Order Count"}],"filterExpressions":[{"field":
+        |"Market Segment","operator":"in","values":["AUTOMOBILE"]}]}"""
+        .stripMargin.replace("\n", "")
+    val row = operators.SemanticQueries.run(json)(spark, dir).collect()
+    assert(row.length == 1, s"global aggregate must yield exactly one row")
+    val r0 = row.head
+    assert(r0.isNullAt(r0.fieldIndex("Avg Order Value")),
+      "SUM/COUNT over empty input must be NULL")
+    assert(!r0.isNullAt(r0.fieldIndex("Order Count")) &&
+      r0.getLong(r0.fieldIndex("Order Count")) == 0L,
+      s"ungrouped COUNT over an empty fact must be 0, got " +
+        s"${r0.get(r0.fieldIndex("Order Count"))}")
+    // the GROUPED shape over the same empty fact stays empty (no
+    // fabricated zero-rows) — SQL GROUP BY semantics
+    val grouped =
+      """{"cube":"order_stats","selectFields":[{"field":"Order Priority"},
+        |{"field":"Order Count"}]}""".stripMargin.replace("\n", "")
+    assert(operators.SemanticQueries.run(grouped)(spark, dir).count() == 0L,
+      "grouped aggregate over an empty fact must yield zero rows")
+  }
+}
