@@ -26,7 +26,12 @@ object SkewProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 64 reduce partitions: the median partition shrinks to ~0.6 MB
+      // while the hot custkey's partition keeps its full ~15% of the
+      // fact — a ~9x outlier, unambiguous to the skew detector (the
+      // 100 TB analogue: partition count sized so the median fits in
+      // executor memory, with hot keys split by AQE)
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // AQE skew handling tuned to the corpus scale (defaults target
@@ -35,24 +40,46 @@ object SkewProbe {
       // partition is ~15% of the fact vs a ~3% median, well past both
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "4")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      // the probe join feeds a groupBy on a DIFFERENT key, so the
+      // skew split inserts an extra shuffle — exactly the trade a
+      // 100 TB job makes deliberately (one hot partition stalls the
+      // whole stage otherwise); without force, AQE only splits
+      // terminal joins
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.core.Tables
 
-    // 1. AQE skew-join split on the hot-custkey SMJ
-    val orders = Tables.orders(spark, dir)
+    // 1. AQE skew-join split on the hot-custkey SMJ.
+    // The probe fact arrives as ONE single-row-group file (the driver
+    // testdata layout), i.e. ONE map task — and AQE splits a skewed
+    // reduce partition by MAPPER ranges, so a single-mapper shuffle is
+    // structurally unsplittable (found the hard way: "number of skewed
+    // partitions: 0" at any threshold). A 100 TB fact is thousands of
+    // files/mappers; the round-robin repartition reproduces that map-
+    // side shape at probe scale.
+    val orders = Tables.orders(spark, dir).repartition(16)
     val customer = Tables.customer(spark, dir)
-    val smj = orders.join(customer.hint("merge"),
+    val smj = orders.join(customer,
         orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("spend"))
-    val n1 = smj.count()
+    // collect() executes THIS frame's QueryExecution, so the adaptive
+    // plan below is the FINAL one (a separate count() would plan —
+    // and leave unexecuted — a fresh AdaptiveSparkPlan with no
+    // runtime re-optimization in it)
+    val n1 = smj.collect().length
     val plan = smj.queryExecution.executedPlan.toString
     val skewMarks = "skew=true".r.findAllMatchIn(plan).length
     println(s"[skewprobe] smj rows=$n1 skewJoinMarks=$skewMarks")
+    if (skewMarks == 0)
+      plan.linesIterator.take(80).foreach(l =>
+        println("[skewprobe-plan] " + l.take(170)))
     require(skewMarks > 0,
       "AQE did not mark the hot-custkey join skewed — thresholds vs " +
         "corpus scale drifted; re-tune the probe")

@@ -548,8 +548,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("auto-golden plan fingerprints: EVERY batch query's exchange/" +
       "join/agg/window shape matches the committed plan_goldens.json " +
       "(regenerate with GRAFT_REGEN_PLAN_GOLDENS=1 + a BENCH_NOTES row)") {
+    // cur05 is excluded: the parallel coordinator PERSISTS its rider
+    // frames, so the merged plan's exchange count depends on what the
+    // session already cached (InMemoryRelation swallowing subtrees) —
+    // a session-history artifact, not an operator shape; its stable
+    // components are pinned via cur01-04 and the hand-pinned goldens
     val names = SparkEntry.queries.keys.toSeq
-      .filterNot(_.startsWith("st")).sorted
+      .filterNot(n => n.startsWith("st") || n == "cur05_parallel_merge")
+      .sorted
     val queries = SparkEntry.queries
     val got = names.map { nm =>
       graft.operators.Dedup.releaseCaches()
