@@ -1622,14 +1622,33 @@ class HttpFrontDoorSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("httpdrain"))
     val door = new HttpFrontDoor(spark, sf, SemanticQueries.registry, jobs)
     val port = door.start()
+    // a PRIVATE client: the class-shared one carries pooled keep-alive
+    // connections from earlier tests, and the post-close teardown can
+    // race a pooled connection's reuse — this test is about the
+    // SERVER's drain/teardown contract, not the client's pool
+    val me = HttpClient.newHttpClient()
+    def postHere(body: String): HttpResponse[String] = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/no/such/route"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      // one retry: a response carrying Connection: close tears the
+      // socket down server-side; a racing reuse surfaces as a
+      // transient IOException on the NEXT request, and a retry opens
+      // a fresh connection (what every HTTP client does on a stale
+      // keep-alive connection)
+      try me.send(req, HttpResponse.BodyHandlers.ofString())
+      catch { case _: java.io.IOException =>
+        me.send(req, HttpResponse.BodyHandlers.ofString())
+      }
+    }
     try {
-      val small = post(port, "/no/such/route", "x" * 1024)
+      val small = postHere("x" * 1024)
       assert(small.statusCode() == 404, small.body())
       assert(!small.headers().firstValue("Connection").isPresent
           || !small.headers().firstValue("Connection").get()
             .equalsIgnoreCase("close"),
         "a small unread body must stay inside the drain budget")
-      val big = post(port, "/no/such/route", "y" * (4 << 20))
+      val big = postHere("y" * (4 << 20))
       assert(big.statusCode() == 404, big.body())
       assert(big.headers().firstValue("Connection").isPresent &&
         big.headers().firstValue("Connection").get()
@@ -1637,7 +1656,7 @@ class HttpFrontDoorSpec extends AnyFunSuite {
         "an over-budget body must mark the connection for teardown " +
           "instead of pinning the handler thread on an unbounded drain")
       // the server stays healthy after the capped drain
-      val after = post(port, "/no/such/route", "z" * 64)
+      val after = postHere("z" * 64)
       assert(after.statusCode() == 404)
     } finally { door.stop(); jobs.shutdown() }
   }
