@@ -123,4 +123,60 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
     assert(operators.SemanticQueries.run(grouped)(spark, dir).count() == 0L,
       "grouped aggregate over an empty fact must yield zero rows")
   }
+
+  test("named minimal fixture (r18 wide-sweep finding): TotalMetrics " +
+      "joins FILTER dims only — a selected-but-unfiltered dim whose " +
+      "inner join drops rows (NULL FK) shapes the GRID, never the " +
+      "totals (the reference TotalMetricsCurator re-issues " +
+      "metrics+filters, dims dropped)") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val dir = graft.core.TempDirs.scratchShared("relfix-totalsjoin")
+    def write(name: String, schema: StructType, rows: Seq[R]): Unit = {
+      val l = new java.util.ArrayList[R](rows.size)
+      rows.foreach(l.add)
+      spark.createDataFrame(l, schema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))),
+      Seq(R(1L, 1L, "O", 100.0, ts, "1-URGENT"),
+        R(2L, 2L, "O", 30.0, ts, "1-URGENT")))
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+      // customer 2 has a NULL nationkey: the grid's nation join drops
+      // its order; the totals must keep it
+      Seq(R(1L, "Customer#000000001", 0, 0.0, "AUTOMOBILE"),
+        R(2L, "Customer#000000002", null, 0.0, "AUTOMOBILE")))
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))), Seq(R(0, "CHINA", 0)))
+    write("region", StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))), Seq(R(0, "ASIA")))
+    val json =
+      """{"cube":"order_stats","selectFields":[{"field":"Nation Name"},
+        |{"field":"Total Spend"}],"filterExpressions":[{"field":
+        |"Market Segment","operator":"in","values":["AUTOMOBILE"]}]}"""
+        .stripMargin.replace("\n", "")
+    // grid: nation inner-joined under the dim-attr filter → only
+    // customer 1's order survives
+    val grid = operators.SemanticQueries.run(json)(spark, dir).collect()
+    assert(grid.map(r => r.getDouble(r.fieldIndex("Total Spend"))).sum
+      == 100.0, s"grid must drop the NULL-nationkey customer's order")
+    // totals: metrics + filters only — BOTH orders counted
+    val totals = curators.Curators.totalMetrics(json,
+      operators.SemanticQueries.registry)(spark, dir).collect().head
+    assert(totals.getDouble(totals.fieldIndex("Total Spend")) == 130.0,
+      s"TotalMetrics must keep the NULL-nationkey order: got " +
+        s"${totals.getDouble(totals.fieldIndex("Total Spend"))}")
+  }
 }

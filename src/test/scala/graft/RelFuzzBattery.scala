@@ -883,12 +883,20 @@ object RelFuzzBattery extends Assertions {
         dims.map(_.alias) ++ leaves.flatMap(_.fields)), inner)
       val where = if (leaves.nonEmpty)
         leaves.map(_.sql).mkString(" WHERE ", " AND ", "") else ""
-      // TotalMetrics: the same filters, dims dropped — one total row
+      // TotalMetrics: the same FILTERS, dims dropped — one total row.
+      // The dual's join set is FILTER fields only: the curator (like
+      // the reference's TotalMetricsCurator) re-issues metrics+filters,
+      // so a dim join that is not row-preserving (dangling/NULL FK
+      // under the inner-escalated chain) must NOT shape the totals —
+      // they can legitimately exceed the grid sum on such corpora
+      // (r18 wide-sweep finding, seed 105: a selected-but-unfiltered
+      // Nation Name dropped NULL-nationkey customers from the dual)
       val totals = curators.Curators.totalMetrics(json,
         operators.SemanticQueries.registry)(spark, sf)
+      val totalsJoins = joinSql(neededDims(leaves.flatMap(_.fields)), inner)
       val totalsDual = spark.sql(
         s"SELECT ${mets.map(m => s"${m.sql} AS ${q(m.alias)}").mkString(", ")} " +
-          s"FROM orders$joins$where")
+          s"FROM orders$totalsJoins$where")
       val gotT = rowsOf(totals.select(totalsDual.columns.map(col): _*))
       val wantT = rowsOf(totalsDual)
       assert(gotT == wantT, s"TotalMetrics #$i diverged sf=$sf\nJSON: $json")
