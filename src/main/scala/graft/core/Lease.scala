@@ -105,7 +105,8 @@ object Lease {
   /** The holder's capability object: carries the claim token so the
     * body can FENCE its destructive windows ([[checkFence]]) without
     * the token itself leaking into signatures. */
-  final class Handle private[Lease] (dir: String, token: String) {
+  final class Handle private[Lease] (dir: String, token: String,
+      section: SectionConfig) {
     /** FENCE: throw (409-grade) unless the lock under `dir` still
       * carries this holder's token — called immediately before a
       * delete loop and per delete batch, so a holder that stalled
@@ -137,28 +138,61 @@ object Lease {
       * judge it crashed mid-body. On an object store this whole
       * construct is one conditional (if-match) batch delete. */
     def fencedSection[T](body: => T): T =
-      Lease.fencedSection(dir, token)(body)
+      Lease.fencedSection(dir, token, section)(body)
   }
 
-  /** Test seam: [[fencedSection]]'s section-entry deadline — specs
-    * shrink it so the contention-refusal path runs in milliseconds. */
-  @volatile private[graft] var sectionEntryTimeoutMillis: Long = 15000L
+  /** Section timing, INJECTED (r18 verdict: the timeout/staleness
+    * test seams were mutable production globals a co-resident caller
+    * could flip; constructor injection is the clean form). Specs pass
+    * shrunk values explicitly; production uses the defaults.
+    *
+    *  - `entryTimeoutMillis`: [[fencedSection]]'s section-entry
+    *    deadline before it REFUSES (unreachable without a crashed
+    *    entrant, which staleness cleanup handles);
+    *  - `staleMillis`: the age past which a section with no mtime
+    *    refresh is judged crashed and reapable. All entrants of one
+    *    directory must share this window — it is the PROTOCOL's
+    *    staleness judgment, not a per-caller preference.
+    *
+    * The heartbeat cadence is DERIVED from the window (a third of it,
+    * no fixed floor — a fixed 100 ms floor made sub-300 ms windows
+    * unrefreshable between ticks), so any window ≥ 3 ms keeps ~3
+    * refreshes inside its own staleness horizon. */
+  final case class SectionConfig(entryTimeoutMillis: Long = 15000L,
+      staleMillis: Long = 10000L) {
+    require(entryTimeoutMillis > 0 && staleMillis > 0,
+      "section windows must be positive")
+    /** Refresh cadence: a third of the staleness window. */
+    val heartbeatMillis: Long = math.max(1L, staleMillis / 3)
+    /** Consecutive failed refreshes after which fencing can no longer
+      * be claimed: past two misses the NEXT tick would land at the
+      * staleness boundary, where a concurrent entrant may already
+      * judge the section crashed and reap it. */
+    val maxHeartbeatMisses: Int = 2
+  }
 
-  /** Section staleness window (a crashed entrant's leftover section is
-    * reapable after this age; [[fencedSection]]'s heartbeat refreshes
-    * at a third of it). Test seam: specs shrink it to exercise the
-    * long-body-vs-staleness race in milliseconds. */
-  @volatile private[graft] var sectionStaleMillis: Long = 10000L
+  /** One shared daemon scheduler for all lease/section heartbeats —
+    * vacuum calls [[Handle.fencedSection]] once per 64-file delete
+    * batch, and a thread create/teardown per µs-scale body was pure
+    * overhead (r18 ADVICE). Beats are non-blocking (read + set-mtime,
+    * or a skip-on-contention renew), so one thread serves all
+    * concurrent sections. */
+  private lazy val heartbeats: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
 
   /** Section-held fence + body behind [[Handle.fencedSection]]. */
-  private def fencedSection[T](dir: String, token: String)(
-      body: => T): T = {
-    val deadline = System.currentTimeMillis() + sectionEntryTimeoutMillis
+  private def fencedSection[T](dir: String, token: String,
+      cfg: SectionConfig)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + cfg.entryTimeoutMillis
     var entered: Option[String] = None
     var interrupted = false
     while (entered.isEmpty && !interrupted &&
         System.currentTimeMillis() < deadline) {
-      entered = enterSection(dir)
+      entered = enterSection(dir, cfg)
       if (entered.isEmpty)
         try Thread.sleep(10)
         catch { case _: InterruptedException =>
@@ -173,30 +207,80 @@ object Lease {
         // of a whole layout (or a large manifest-drop batch) can
         // outlive the staleness window on a slow filesystem — without
         // the refresh a concurrent entrant would judge the section
-        // crashed and reap it MID-BODY, re-opening the overlap window
-        val stop = new java.util.concurrent.CountDownLatch(1)
-        val interval = math.max(100L, sectionStaleMillis / 3)
-        val toucher = new Thread(() => {
-          val section = new java.io.File(dir, sectionName)
-          try
-            while (!stop.await(interval,
-                java.util.concurrent.TimeUnit.MILLISECONDS))
-              try {
-                // token-checked: never refresh a STOLEN-and-replaced
-                // section (that would keep a successor's alive)
-                if (new String(java.nio.file.Files.readAllBytes(
-                    section.toPath), "UTF-8") == sec)
-                  java.nio.file.Files.setLastModifiedTime(section.toPath,
-                    java.nio.file.attribute.FileTime.fromMillis(
-                      System.currentTimeMillis()))
-              } catch { case scala.util.control.NonFatal(_) => () }
-          catch { case _: InterruptedException => () }
-        }, "graft-section-heartbeat")
-        toucher.setDaemon(true)
-        toucher.start()
-        try { requireHeld(dir, token); body }
-        finally {
-          stop.countDown()
+        // crashed and reap it MID-BODY, re-opening the overlap window.
+        //
+        // LOSS IS LOUD (r18 verdict #5 / ADVICE): the heartbeat is
+        // also the OWNERSHIP SENTINEL. If the section file no longer
+        // carries this body's token (reaped, or stolen-and-replaced
+        // by a successor) the zero-overlap guarantee is already
+        // void — the body is INTERRUPTED and the call throws instead
+        // of completing as if fenced. If refreshes merely keep
+        // FAILING (an erroring filesystem), fencing can no longer be
+        // claimed once the misses approach the staleness window —
+        // same abort, BEFORE a concurrent entrant could judge the
+        // unrefreshed section crashed and reap it.
+        val section = new java.io.File(dir, sectionName)
+        val bodyThread = Thread.currentThread()
+        val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+        val gate = new Object
+        var done = false
+        def onLost(): Unit = gate.synchronized {
+          // never interrupt past the body's end — the abort signal
+          // must not leak into the caller's subsequent code
+          if (!done && lost.compareAndSet(false, true))
+            bodyThread.interrupt()
+        }
+        val beat = heartbeats.scheduleWithFixedDelay(() => {
+          try {
+            // token-checked: never refresh a STOLEN-and-replaced
+            // section (that would keep a successor's alive)
+            val cur =
+              try Some(new String(java.nio.file.Files.readAllBytes(
+                section.toPath), "UTF-8"))
+              catch { case _: java.nio.file.NoSuchFileException => None }
+            cur match {
+              case Some(c) if c == sec =>
+                java.nio.file.Files.setLastModifiedTime(section.toPath,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    System.currentTimeMillis()))
+                misses.set(0)
+              case _ =>
+                onLost() // reaped or replaced: ownership is GONE
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              if (misses.incrementAndGet() >= cfg.maxHeartbeatMisses)
+                onLost()
+          }
+        }, cfg.heartbeatMillis, cfg.heartbeatMillis,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        def lossError(cause: Throwable): Throwable = {
+          val e = new java.util.ConcurrentModificationException(
+            s"maintenance batch under $dir LOST its reaper section " +
+              "mid-body (reaped/stolen after a heartbeat stall, or " +
+              "refreshes kept failing past the staleness window) — " +
+              "the zero-overlap guarantee is void for this batch; " +
+              "re-run the operation to retry under a fresh section")
+          if (cause != null) e.initCause(cause)
+          e
+        }
+        try {
+          requireHeld(dir, token)
+          val out = body
+          // a body that swallowed the abort interrupt and completed
+          // must still FAIL the call: its effects ran unfenced
+          if (lost.get()) throw lossError(null)
+          out
+        } catch {
+          case e: Throwable if lost.get() &&
+              !e.isInstanceOf[java.util.ConcurrentModificationException] =>
+            throw lossError(e)
+        } finally {
+          gate.synchronized { done = true }
+          beat.cancel(false)
+          // clear the abort interrupt so it cannot leak to the caller
+          if (lost.get()) { Thread.interrupted(); () }
           exitSection(dir, sec)
         }
       case None =>
@@ -209,7 +293,7 @@ object Lease {
         else
           throw new java.util.ConcurrentModificationException(
             s"maintenance batch under $dir could not enter the reaper " +
-              s"section within ${sectionEntryTimeoutMillis} ms (held by " +
+              s"section within ${cfg.entryTimeoutMillis} ms (held by " +
               "a live concurrent reaper/release, or a crashed entrant " +
               "awaiting staleness cleanup) — the destructive batch was " +
               "NOT run; re-run the operation to retry")
@@ -218,9 +302,11 @@ object Lease {
 
   /** Test seam: a [[Handle]] for an already-acquired token — the
     * heartbeat-dead-worker-alive simulation needs a handle whose
-    * lease is NOT being renewed (withLeaseHandle always beats). */
-  private[graft] def handleFor(dir: String, token: String): Handle =
-    new Handle(dir, token)
+    * lease is NOT being renewed (withLeaseHandle always beats).
+    * Specs pass shrunk [[SectionConfig]] windows explicitly here. */
+  private[graft] def handleFor(dir: String, token: String,
+      section: SectionConfig = SectionConfig()): Handle =
+    new Handle(dir, token, section)
 
   /** Fencing judgment behind [[Handle.checkFence]]. */
   private def requireHeld(dir: String, token: String): Unit = {
@@ -242,34 +328,31 @@ object Lease {
     withLeaseHandle(dir, op, ttlMillis)(_ => body)
 
   /** [[withLease]] exposing the fencing [[Handle]], with a HEARTBEAT:
-    * a daemon thread [[renew]]s at ttl/3 cadence for the body's whole
-    * duration, so a sweep that legitimately outlives the TTL (an
-    * object-store vacuum over 10⁴ files) is never judged expired and
-    * reclaimed mid-delete — the TTL bounds only how long a CRASHED
-    * holder blocks (a dead JVM's heartbeat dies with it). */
+    * a shared daemon scheduler [[renew]]s at ttl/3 cadence for the
+    * body's whole duration, so a sweep that legitimately outlives the
+    * TTL (an object-store vacuum over 10⁴ files) is never judged
+    * expired and reclaimed mid-delete — the TTL bounds only how long
+    * a CRASHED holder blocks (a dead JVM's heartbeat dies with it). */
   def withLeaseHandle[T](dir: String, op: String,
-      ttlMillis: Long = DefaultTtlMillis)(body: Handle => T): T = {
-    val token = acquire(dir, op, ttlMillis)
-    val stop = new java.util.concurrent.CountDownLatch(1)
-    val beat = new Thread(() => {
-      val interval = math.max(100L, ttlMillis / 3)
-      try
-        while (!stop.await(interval,
-            java.util.concurrent.TimeUnit.MILLISECONDS))
-          renew(dir, token)
-      catch { case _: InterruptedException => () }
-    }, s"graft-lease-heartbeat-$op")
-    beat.setDaemon(true)
-    beat.start()
-    try body(new Handle(dir, token))
+      ttlMillis: Long = DefaultTtlMillis,
+      section: SectionConfig = SectionConfig())(body: Handle => T): T = {
+    val token = acquire(dir, op, ttlMillis, section)
+    val interval = math.max(100L, ttlMillis / 3)
+    // renew never blocks (a contended section skips the beat), so the
+    // shared single-thread scheduler serves all concurrent leases
+    val beat = heartbeats.scheduleWithFixedDelay(
+      () => renew(dir, token, section), interval, interval,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body(new Handle(dir, token, section))
     finally {
-      stop.countDown()
-      release(dir, token)
+      beat.cancel(false)
+      release(dir, token, section)
     }
   }
 
   private[graft] def acquire(dir: String, op: String,
-      ttlMillis: Long): String = {
+      ttlMillis: Long,
+      section: SectionConfig = SectionConfig()): String = {
     val token = java.util.UUID.randomUUID().toString
     val payload = (s"""{"holder":"$op@pid${ProcessHandle.current().pid()}"""" +
       s""","token":"$token","ts":${System.currentTimeMillis()}""" +
@@ -314,7 +397,7 @@ object Lease {
           // a contended section (another reaper/release mid-judgment)
           // is a transient µs-scale state — back off briefly instead
           // of burning the takeover budget in a spin
-          if (!reapExpired(dir, f)) { yields += 1; Thread.sleep(20) }
+          if (!reapExpired(dir, f, section)) { yields += 1; Thread.sleep(20) }
       }
     }
     sys.error("unreachable")
@@ -323,8 +406,9 @@ object Lease {
   /** Judge-then-delete of an expired lock inside the exclusive
     * section. Returns false when the section was contended (the
     * caller backs off and re-loops). */
-  private def reapExpired(dir: String, f: java.io.File): Boolean =
-    enterSection(dir) match {
+  private def reapExpired(dir: String, f: java.io.File,
+      cfg: SectionConfig): Boolean =
+    enterSection(dir, cfg) match {
       case None => false
       case Some(sectionTok) =>
         try { deleteIfStillExpired(f); true }
@@ -359,16 +443,17 @@ object Lease {
     * restores it if it stole a live section. Returns the entrant's
     * token, or None on any contention — the caller yields and
     * retries. */
-  private def enterSection(dir: String): Option[String] = {
+  private def enterSection(dir: String,
+      cfg: SectionConfig): Option[String] = {
     val section = new java.io.File(dir, sectionName)
     if (section.exists() &&
-        System.currentTimeMillis() - section.lastModified() > sectionStaleMillis) {
+        System.currentTimeMillis() - section.lastModified() > cfg.staleMillis) {
       val trash = new java.io.File(dir,
         s".reaper-stale-${java.util.UUID.randomUUID()}.lock")
       try {
         java.nio.file.Files.move(section.toPath, trash.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        if (System.currentTimeMillis() - trash.lastModified() > sectionStaleMillis) {
+        if (System.currentTimeMillis() - trash.lastModified() > cfg.staleMillis) {
           // genuinely stale — the crashed entrant's leftover retires
           java.nio.file.Files.deleteIfExists(trash.toPath)
           ()
@@ -453,11 +538,12 @@ object Lease {
     * pair atomic. A contended section just skips this beat — the next
     * heartbeat retries, and one missed µs-scale beat is far inside
     * the ttl/3 slack. */
-  private[graft] def renew(dir: String, token: String): Unit =
+  private[graft] def renew(dir: String, token: String,
+      section: SectionConfig = SectionConfig()): Unit =
     try {
       val f = new java.io.File(dir, lockName)
       if (!f.exists()) return
-      enterSection(dir) match {
+      enterSection(dir, section) match {
         case None => ()
         case Some(sec) =>
           try {
@@ -516,7 +602,8 @@ object Lease {
     * an escaping InterruptedException would mask the body's real
     * exception AND leak the lock — the interrupt flag is re-set
     * instead). */
-  private[graft] def release(dir: String, token: String): Unit =
+  private[graft] def release(dir: String, token: String,
+      section: SectionConfig = SectionConfig()): Unit =
     try {
       val f = new java.io.File(dir, lockName)
       // On the SECTION-HELD path the token check is atomic with the
@@ -544,7 +631,7 @@ object Lease {
       var interrupted = false
       while (entered.isEmpty && !interrupted &&
           System.currentTimeMillis() < deadline) {
-        entered = enterSection(dir)
+        entered = enterSection(dir, section)
         if (entered.isEmpty)
           try Thread.sleep(10)
           catch { case _: InterruptedException =>

@@ -1648,13 +1648,29 @@ class HttpFrontDoorSpec extends AnyFunSuite {
           || !small.headers().firstValue("Connection").get()
             .equalsIgnoreCase("close"),
         "a small unread body must stay inside the drain budget")
-      val big = postHere("y" * (4 << 20))
-      assert(big.statusCode() == 404, big.body())
-      assert(big.headers().firstValue("Connection").isPresent &&
-        big.headers().firstValue("Connection").get()
-          .equalsIgnoreCase("close"),
-        "an over-budget body must mark the connection for teardown " +
-          "instead of pinning the handler thread on an unbounded drain")
+      // the oversized send itself has TWO legitimate outcomes (r18
+      // ADVICE: retrying the same over-cap body can fail identically —
+      // a flake, not a signal): the client reads the early 404 +
+      // Connection: close, OR the server's teardown lands while the
+      // client is still writing the body and the send surfaces as an
+      // IOException (a mid-upload reset). Both prove the capped-drain
+      // contract: the handler did NOT drain 4 MiB.
+      val bigReq = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/no/such/route"))
+        .POST(HttpRequest.BodyPublishers.ofString("y" * (4 << 20))).build()
+      (try Right(me.send(bigReq, HttpResponse.BodyHandlers.ofString()))
+      catch { case e: java.io.IOException => Left(e) }) match {
+        case Right(big) =>
+          assert(big.statusCode() == 404, big.body())
+          assert(big.headers().firstValue("Connection").isPresent &&
+            big.headers().firstValue("Connection").get()
+              .equalsIgnoreCase("close"),
+            "an over-budget body must mark the connection for teardown " +
+              "instead of pinning the handler thread on an unbounded drain")
+        case Left(_) => // mid-upload reset: the capped drain tore the
+          // socket down under the still-writing client — the contract
+          // this test pins, observed from the other side
+      }
       // the server stays healthy after the capped drain
       val after = postHere("z" * 64)
       assert(after.statusCode() == 404)

@@ -2117,13 +2117,14 @@ class TxnTableSpec extends AnyFunSuite {
     val dir = graft.core.TempDirs.scratchShared("leasesectionrefuse")
     new java.io.File(dir).mkdirs()
     val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
-    val h = graft.core.Lease.handleFor(dir, tok)
+    // injected shrunk entry window (r19: the seams are constructor
+    // parameters, not mutable production globals)
+    val h = graft.core.Lease.handleFor(dir, tok,
+      graft.core.Lease.SectionConfig(entryTimeoutMillis = 300))
     // a hostage holds the section FRESH for the whole entry window
-    // (staleness cleanup only fires on >10 s-old sections)
+    // (staleness cleanup only fires on sections older than the window)
     val section = new java.io.File(dir, ".reaper.lock")
     java.nio.file.Files.write(section.toPath, "hostage".getBytes("UTF-8"))
-    val prev = graft.core.Lease.sectionEntryTimeoutMillis
-    graft.core.Lease.sectionEntryTimeoutMillis = 300
     var ran = false
     try {
       val e = intercept[java.util.ConcurrentModificationException] {
@@ -2139,7 +2140,6 @@ class TxnTableSpec extends AnyFunSuite {
       h.fencedSection { ran = true }
       assert(ran, "the uncontended path must be unchanged")
     } finally {
-      graft.core.Lease.sectionEntryTimeoutMillis = prev
       graft.core.Lease.release(dir, tok)
     }
   }
@@ -2150,14 +2150,12 @@ class TxnTableSpec extends AnyFunSuite {
     val dir = graft.core.TempDirs.scratchShared("leasesectionlong")
     new java.io.File(dir).mkdirs()
     val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
-    val h = graft.core.Lease.handleFor(dir, tok)
-    val prevStale = graft.core.Lease.sectionStaleMillis
-    val prevTimeout = graft.core.Lease.sectionEntryTimeoutMillis
     // shrink the windows so the race runs in seconds: staleness 700 ms
     // (heartbeat refreshes at ~233 ms), body 2200 ms — an UNREFRESHED
     // section would be judged crashed and stolen 3× over
-    graft.core.Lease.sectionStaleMillis = 700
-    graft.core.Lease.sectionEntryTimeoutMillis = 300
+    val h = graft.core.Lease.handleFor(dir, tok,
+      graft.core.Lease.SectionConfig(
+        entryTimeoutMillis = 300, staleMillis = 700))
     try {
       @volatile var contenderEntered = false
       @volatile var contenderRefused = false
@@ -2181,8 +2179,131 @@ class TxnTableSpec extends AnyFunSuite {
       assert(contenderRefused,
         "the contender must have run into the live section and refused")
     } finally {
-      graft.core.Lease.sectionStaleMillis = prevStale
-      graft.core.Lease.sectionEntryTimeoutMillis = prevTimeout
+      graft.core.Lease.release(dir, tok)
+    }
+  }
+
+  test("fencedSection LOSS IS LOUD (r19): a section STOLEN mid-body " +
+      "interrupts the body and the call throws — the batch aborts " +
+      "instead of completing unfenced; a body that swallows the " +
+      "interrupt still fails the call") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionloss")
+    new java.io.File(dir).mkdirs()
+    val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
+    val h = graft.core.Lease.handleFor(dir, tok,
+      graft.core.Lease.SectionConfig(
+        entryTimeoutMillis = 300, staleMillis = 600))
+    val section = new java.io.File(dir, ".reaper.lock")
+    try {
+      // 1) interruptible body: a 10-batch delete loop; the section is
+      // stolen-and-replaced after batch 2 — the heartbeat (cadence
+      // 200 ms) must detect the foreign token, interrupt the body,
+      // and the call must throw with batches left UNRUN
+      val thief = new Thread(() => {
+        try {
+          Thread.sleep(500)
+          java.nio.file.Files.write(section.toPath,
+            "successor-token".getBytes("UTF-8"))
+        } catch { case _: InterruptedException => () }
+      })
+      thief.setDaemon(true); thief.start()
+      var batches = 0
+      val e = intercept[java.util.ConcurrentModificationException] {
+        h.fencedSection {
+          (1 to 10).foreach { _ =>
+            batches += 1
+            Thread.sleep(400) // each "batch"; interrupt lands here
+          }
+        }
+      }
+      thief.join(5000)
+      assert(e.getMessage.contains("LOST its reaper section"), e.getMessage)
+      assert(batches < 10,
+        s"the batch loop must ABORT on section loss, not run all 10 " +
+          s"(ran $batches)")
+      assert(!Thread.currentThread().isInterrupted,
+        "the abort interrupt must not leak into the caller")
+      // the stolen section belongs to the 'successor' — clean it up
+      java.nio.file.Files.deleteIfExists(section.toPath)
+
+      // 2) a body that SWALLOWS the interrupt and completes: the call
+      // must still throw (loss is never silent), and the successor's
+      // section must not be deleted by the loser's exit
+      val thief2 = new Thread(() => {
+        try {
+          Thread.sleep(500)
+          java.nio.file.Files.write(section.toPath,
+            "successor-token".getBytes("UTF-8"))
+        } catch { case _: InterruptedException => () }
+      })
+      thief2.setDaemon(true); thief2.start()
+      var completed = false
+      val e2 = intercept[java.util.ConcurrentModificationException] {
+        h.fencedSection {
+          val until = System.currentTimeMillis() + 1500
+          while (System.currentTimeMillis() < until)
+            try Thread.sleep(100)
+            catch { case _: InterruptedException => () } // swallowed
+          completed = true
+        }
+      }
+      thief2.join(5000)
+      assert(completed, "this body deliberately ignores the interrupt")
+      assert(e2.getMessage.contains("LOST its reaper section"),
+        s"a completed-but-unfenced body must still fail loudly: ${e2.getMessage}")
+      assert(new String(java.nio.file.Files.readAllBytes(section.toPath),
+        "UTF-8") == "successor-token",
+        "the loser's exit must not delete the successor's section")
+      java.nio.file.Files.deleteIfExists(section.toPath)
+    } finally {
+      graft.core.Lease.release(dir, tok)
+    }
+  }
+
+  test("fencedSection heartbeat-failure abort (r19): when section " +
+      "refreshes keep FAILING (file swapped for an unreadable " +
+      "directory), the body aborts before the staleness window runs " +
+      "out rather than running on unfenced") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionioerr")
+    new java.io.File(dir).mkdirs()
+    val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
+    val h = graft.core.Lease.handleFor(dir, tok,
+      graft.core.Lease.SectionConfig(
+        entryTimeoutMillis = 300, staleMillis = 600))
+    val section = new java.io.File(dir, ".reaper.lock")
+    try {
+      // deny reads/writes of the section file: swap it for a DIRECTORY
+      // of the same name — readAllBytes then fails every tick
+      val saboteur = new Thread(() => {
+        try {
+          Thread.sleep(300)
+          java.nio.file.Files.deleteIfExists(section.toPath)
+          java.nio.file.Files.createDirectory(section.toPath)
+          ()
+        } catch { case _: InterruptedException => () }
+      })
+      saboteur.setDaemon(true); saboteur.start()
+      var batches = 0
+      val t0 = System.currentTimeMillis()
+      val e = intercept[java.util.ConcurrentModificationException] {
+        h.fencedSection {
+          (1 to 20).foreach { _ =>
+            batches += 1
+            Thread.sleep(200)
+          }
+        }
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      saboteur.join(5000)
+      assert(e.getMessage.contains("LOST its reaper section"), e.getMessage)
+      assert(batches < 20,
+        s"the batch loop must abort on persistent refresh failure " +
+          s"(ran $batches of 20)")
+      assert(elapsed < 3000,
+        s"the abort must land around the staleness horizon, not after " +
+          s"the whole body (${elapsed} ms)")
+      java.nio.file.Files.deleteIfExists(section.toPath)
+    } finally {
       graft.core.Lease.release(dir, tok)
     }
   }
