@@ -28,14 +28,26 @@ object SemanticQueries {
     df => dec2(df.col("o_totalprice")))
   private def distinctCustomersMetric = PubMetric("Distinct Customers",
     CountDistinctRollup, df => df.col("o_custkey"))
+  /** FILTERED rollup metric (reference Fact.scala filtered fact
+    * columns / FilteredRollup): the pre-aggregation input is gated by
+    * a row predicate — SUM over `when(pred, x)` skips non-matching
+    * rows exactly like SQL's `FILTER (WHERE …)`, and the two-stage
+    * agg-before-join path sums the same NULL-skipping partials. */
+  private def urgentSpendMetric = PubMetric("Urgent Spend", SumRollup,
+    df => when(df.col("o_orderpriority") === "1-URGENT",
+      dec2(df.col("o_totalprice"))), _.cast("double"))
 
   /** Pre-aggregated rollup standing in for a materialized table
     * (FactBuilder.newRollUp analogue): orders at (priority, day) grain.
-    * Its metrics re-aggregate the stored partials (count → sum). */
+    * Its metrics re-aggregate the stored partials (count → sum) —
+    * including the FILTERED partial `__uspend`, precomputed per group
+    * so the filtered metric stays servable from the rollup. */
   private def rollupView(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"), col("o_orderdate"))
-      .agg(count(lit(1)).as("__cnt"), sum(dec2(col("o_totalprice"))).as("__spend"))
+      .agg(count(lit(1)).as("__cnt"), sum(dec2(col("o_totalprice"))).as("__spend"),
+        sum(when(col("o_orderpriority") === "1-URGENT",
+          dec2(col("o_totalprice")))).as("__uspend"))
 
   /** UnionView variant (reference fact/View.scala:24-80): the fact is a
     * UNION ALL of per-stage sub-facts, each stage injecting a constant
@@ -60,7 +72,7 @@ object SemanticQueries {
           PubCol("Order Priority", "o_orderpriority"),
           PubCol("Customer Key", "o_custkey")),
         metrics = Seq(spendMetric, countMetric, maxPriceMetric,
-          avgPriceMetric, distinctCustomersMetric),
+          avgPriceMetric, distinctCustomersMetric, urgentSpendMetric),
         cost = 100,
         derived = Seq(
           // PostResultColumn analogue: computed after the final agg
@@ -78,7 +90,9 @@ object SemanticQueries {
         metrics = Seq(
           PubMetric("Total Spend", SumRollup, df => df.col("__spend"), _.cast("double")),
           PubMetric("Order Count", SumRollup, df => df.col("__cnt"),
-            countSemantics = true)),
+            countSemantics = true),
+          PubMetric("Urgent Spend", SumRollup, df => df.col("__uspend"),
+            _.cast("double"))),
         cost = 10,
         view = Some(rollupView),
         availableDims = Some(Set.empty)),
@@ -105,11 +119,27 @@ object SemanticQueries {
       DimDef("region", "region", "r_regionkey", "n_regionkey",
         Some("nation"), Seq(PubCol("Region Name", "r_name")), small = true)))
 
+  /** Hourly pre-aggregation of the events fact (the 100 TB shape: an
+    * hourly rollup is ~3600× smaller than the raw stream, and almost
+    * every dashboard window is hour- or day-grained). ts is TRUNCATED
+    * to the hour, so the variant declares `storageGrain = HourGrain`:
+    * the planner serves Day/Hour requests from it only in timezones
+    * whose UTC offsets are whole hours — Asia/Kolkata (+05:30) and
+    * Minute-grain requests fall back to the raw variant (see
+    * [[graft.semantic.Cube.FactDef.storageGrain]]). */
+  private def eventsHourRollupView(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ts"), col("event_type"))
+      .agg(count(lit(1)).as("__cnt"), sum(dec6(col("value"))).as("__val"))
+
   /** Cube over the events stream table: a tz-point Day grain (requests
     * carry a local timezone; the planner converts day-filter bounds
     * local→UTC and renders Day in local time — BaseUTCTimeProvider
     * analogue) and a schema-restricted column (PublicColumn
-    * restrictedSchemas analogue). */
+    * restrictedSchemas analogue). Two variants: the raw stream and the
+    * hourly rollup (grain-gated — variant selection must stay
+    * answer-transparent across zones, which the relational-corpus fuzz
+    * pins on generated data incl. DST transitions). */
   val eventsCube: CubeDef = CubeDef(
     name = "user_events",
     variants = Seq(FactDef(
@@ -132,7 +162,26 @@ object SemanticQueries {
         PubMetric("Total Value", SumRollup,
           df => dec6(df.col("value")), _.cast("double"))),
       cost = 100,
-      view = Some((s, d) => Tables.events(s, d)))),
+      view = Some((s, d) => Tables.events(s, d))),
+      FactDef(
+        name = "events_by_hour_rollup",
+        table = "events",
+        dimCols = Seq(
+          PubCol("Day", "ts", allowedOps = Set(BetweenOp),
+            grain = Some(DayGrain), tzPoint = true),
+          PubCol("Hour", "ts", allowedOps = Set(BetweenOp),
+            grain = Some(HourGrain), tzPoint = true),
+          // no Minute (finer than storage), no User ID (not stored)
+          PubCol("Event Type", "event_type")),
+        metrics = Seq(
+          PubMetric("Event Count", SumRollup, df => df.col("__cnt"),
+            countSemantics = true),
+          PubMetric("Total Value", SumRollup, df => df.col("__val"),
+            _.cast("double"))),
+        cost = 10,
+        view = Some(eventsHourRollupView),
+        availableDims = Some(Set.empty),
+        storageGrain = Some(HourGrain))),
     dims = Nil)
 
   /** Int-keyed static mapping (reference IntType(length, staticMapping),
@@ -575,7 +624,8 @@ object SemanticQueries {
         | ('Order Status','Dimension','Enum',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
         | ('Region Name','Dimension','String','region','<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
         | ('Source Stage','Dimension','String',NULL,'<,<>,=,>,BETWEEN,IN,IS NOT NULL,IS NULL,LIKE,NOT IN,NOT LIKE',NULL,NULL),
-        | ('Total Spend','Fact','Number',NULL,'<,=,>','Sum',NULL)
+        | ('Total Spend','Fact','Number',NULL,'<,=,>','Sum',NULL),
+        | ('Urgent Spend','Fact','Number',NULL,'<,=,>','Sum',NULL)
         |) AS t(field, kind, "dataType", dimension, "filterOps", rollup, "restrictedTo")
         |ORDER BY field""".stripMargin,
     "cur05_parallel_merge" ->

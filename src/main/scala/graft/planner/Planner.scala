@@ -131,11 +131,51 @@ object Planner {
         } ++
         m.selects.collect { case Resolved(a, MetricCol) => a } ++
         m.metricFilters.flatMap(leaves).map(_.field)
+    // storage-grain gate (r19): a variant materialized at a coarser
+    // time grain than the raw fact can only serve a request whose
+    // buckets AND half-open window bounds land on storage-grain
+    // boundaries. Both conditions are structural, not data-dependent:
+    //  - every used tz-point column must be at the storage grain or a
+    //    whole multiple of it (Day over an hourly rollup: 86400 % 3600
+    //    = 0; Minute is simply not declared by such a variant);
+    //  - every UTC offset the request timezone has used since 1970 (or
+    //    is scheduled to use) must be a whole multiple of the grain —
+    //    then any local grain boundary converts to a whole storage
+    //    bucket edge. Asia/Kolkata's +05:30 puts local midnight INSIDE
+    //    an hourly partial, which no filter can split → raw variant.
+    //    Refusing is always CORRECT (just costlier), so unknown/odd
+    //    zones fall back conservatively.
+    def wholeOffsets(unitSeconds: Long): Boolean = {
+      val rules = java.time.ZoneId
+        .of(m.req.timezone.getOrElse("UTC")).getRules
+      import scala.jdk.CollectionConverters._
+      val epoch = java.time.Instant.EPOCH
+      val offs =
+        rules.getTransitions.asScala.toSeq
+          .filter(!_.getInstant.isBefore(epoch))
+          .flatMap(t => Seq(t.getOffsetBefore, t.getOffsetAfter)) ++
+          rules.getTransitionRules.asScala.toSeq
+            .flatMap(r => Seq(r.getOffsetBefore, r.getOffsetAfter)) ++
+          Seq(rules.getOffset(epoch),
+            rules.getOffset(java.time.Instant.now()))
+      offs.forall(_.getTotalSeconds % unitSeconds == 0)
+    }
+    def grainCompatible(v: FactDef): Boolean = v.storageGrain.forall { sg =>
+      val unit = sg.step.getSeconds
+      val usedGrains = neededFactAliases.distinct
+        .flatMap(a => v.dimCols.find(_.alias == a))
+        .collect { case c if c.tzPoint && c.grain.isDefined => c.grain.get }
+      usedGrains.forall { g =>
+        val gs = g.step.getSeconds
+        gs >= unit && gs % unit == 0
+      } && (usedGrains.isEmpty || wholeOffsets(unit))
+    }
     val candidates = m.cube.variants.filter { v =>
       val aliases = (v.dimCols.map(_.alias) ++ v.metrics.map(_.alias) ++
         v.derived.map(_.alias)).toSet
       neededFactAliases.forall(aliases.contains) &&
-        m.joinDims.forall(d => v.availableDims.forall(_.contains(d)))
+        m.joinDims.forall(d => v.availableDims.forall(_.contains(d))) &&
+        grainCompatible(v)
     }
     if (candidates.isEmpty)
       Left(s"no variant of cube '${m.cube.name}' covers fields " +

@@ -319,7 +319,19 @@ object model {
       view: Option[(SparkSession, String) => DataFrame] = None,
       availableDims: Option[Set[String]] = None,
       derived: Seq[PubDerived] = Nil,
-      costModel: Option[CostModel] = None)
+      costModel: Option[CostModel] = None,
+      /** The TIME grain this variant's rows are materialized at, when
+        * coarser than the raw fact (an hourly pre-aggregation sets
+        * `Some(HourGrain)`; raw variants leave None). The planner may
+        * only serve a request from such a variant when every time
+        * bucket and half-open window bound lands ON storage-grain
+        * boundaries — used tz-point columns at this grain or coarser,
+        * and a request timezone whose UTC offsets are whole multiples
+        * of it (reference grain compatibility, Grain.scala; a +05:30
+        * zone's local midnight falls INSIDE an hourly partial, which
+        * no filter can split — those requests fall back to the raw
+        * variant). */
+      storageGrain: Option[Grain] = None)
 
   /** Always-applied predicates (maha forceFilters / schema-required
     * filters, reference Fact.scala:458). */

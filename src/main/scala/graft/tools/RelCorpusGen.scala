@@ -272,7 +272,32 @@ object RelCorpusGen {
         r.nextInt(24), r.nextInt(60), r.nextInt(60))
       rows += ((instant(ldt, "UTC"), etype(), value()))
     }
-    rows.take(p.nEvents).zipWithIndex.map { case ((ts, t, v), i) =>
+    val janRows = rows.take(p.nEvents)
+    // DST-TRANSITION plants (r18 verdict ranked task #2 — the
+    // grain×tz machinery had never crossed a transition): events
+    // straddling each 2024 switch of the DST battery's zones, as UTC
+    // INSTANTS (local→UTC of a skipped/repeated wall time is
+    // engine-policy; UTC→local is total and engines agree). ±1s/±30m/
+    // ±1h around the transition instant populate the 23-hour day's
+    // missing hour edge and BOTH UTC hours that fold into the
+    // repeated local hour, plus local midnights ±1s of the
+    // transition day and its neighbors (window edges). Appended
+    // AFTER the Jan draws so every existing seed's first nEvents
+    // rows — and every battery family's Jan-window comparisons —
+    // stay bit-identical.
+    for ((utcTransition, zone) <- DstTransitions) {
+      val t = java.time.LocalDateTime.parse(utcTransition)
+      for (off <- Seq(-3600L, -1800L, -1L, 0L, 1L, 1800L, 3599L, 3600L))
+        if (r.nextInt(3) > 0)
+          rows += ((instant(t.plusSeconds(off), "UTC"), etype(), value()))
+      val day = t.atZone(java.time.ZoneId.of("UTC"))
+        .withZoneSameInstant(java.time.ZoneId.of(zone)).toLocalDate
+      for (d <- -1 to 2; off <- Seq(0L, -1L, 1L))
+        if (r.nextInt(3) == 0)
+          rows += ((instant(day.plusDays(d).atStartOfDay.plusSeconds(off),
+            zone), etype(), value()))
+    }
+    (janRows ++ rows.drop(p.nEvents)).zipWithIndex.map { case ((ts, t, v), i) =>
       ((i + 1).toLong, ts,
         orNull(r, p.nullPct / 2, java.lang.Long.valueOf(
           if (r.nextInt(100) < 15) 1L else 1L + r.nextInt(500))),
@@ -280,6 +305,17 @@ object RelCorpusGen {
         orNull(r, 50, s"""{"k":${r.nextInt(10)}}"""))
     }.toSeq
   }
+
+  /** 2024 DST transition instants (UTC) of the DST-battery zones:
+    * America/New_York Mar 10 07:00Z (spring fwd, 23-hour local day)
+    * and Nov 3 06:00Z (fall back, 25-hour day); Australia/Sydney
+    * Apr 6 16:00Z (fall back) and Oct 5 16:00Z (spring fwd) —
+    * southern hemisphere, opposite season. */
+  val DstTransitions: Seq[(String, String)] = Seq(
+    ("2024-03-10T07:00:00", "America/New_York"),
+    ("2024-11-03T06:00:00", "America/New_York"),
+    ("2024-04-06T16:00:00", "Australia/Sydney"),
+    ("2024-10-05T16:00:00", "Australia/Sydney"))
 
   // writer -----------------------------------------------------------
 

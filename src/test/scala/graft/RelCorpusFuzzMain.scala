@@ -41,6 +41,9 @@ object RelCorpusFuzzMain {
       total += RelFuzzBattery.runTimeShift(spark, dir, rnd, 6)
       total += RelFuzzBattery.runTotalsRowCount(spark, dir, rnd, 5)
       total += RelFuzzBattery.runDrilldown(spark, dir, rnd, 5)
+      total += RelFuzzBattery.runDstGrain(spark, dir, rnd, 8)
+      total += RelFuzzBattery.runDstTimeShift(spark, dir, rnd, 4)
+      total += RelFuzzBattery.runVariantRollup(spark, dir, rnd, 6)
       println(s"[relfuzz] seed=$seed green, cumulative=$total")
     }
     println(s"[relfuzz] ALL GREEN: $total comparisons over $n corpora")

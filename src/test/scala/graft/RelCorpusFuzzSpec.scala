@@ -41,7 +41,8 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
 
   test("12 seeded adversarial star-schema corpora × the relational " +
       "request-fuzz battery ≡ the independently-rendered duals " +
-      "(valid + SQL door + pagination + union + grain×tz + curators)") {
+      "(valid + SQL door + pagination + union + grain×tz + curators " +
+      "+ DST-transition grain/TimeShift windows)") {
     var total = 0
     (1 to 12).foreach { seed =>
       val dir = graft.core.TempDirs.scratchShared(s"relfuzz$seed")
@@ -62,9 +63,19 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
       total += RelFuzzBattery.runTimeShift(spark, dir, rnd, 6)
       total += RelFuzzBattery.runTotalsRowCount(spark, dir, rnd, 5)
       total += RelFuzzBattery.runDrilldown(spark, dir, rnd, 5)
+      // r19: windows straddling the 2024 DST switches of New York +
+      // Sydney (events planted at the transition instants by
+      // RelCorpusGen) — 23/25-hour local days through Day/Hour grains
+      // and prev-window-spanning TimeShift
+      total += RelFuzzBattery.runDstGrain(spark, dir, rnd, 8)
+      total += RelFuzzBattery.runDstTimeShift(spark, dir, rnd, 4)
+      // r19: variant-selection transparency — rollup-eligible requests
+      // (incl. the filtered `Urgent Spend` partial) routing-asserted
+      // onto the (priority, day) rollup, negative controls onto base
+      total += RelFuzzBattery.runVariantRollup(spark, dir, rnd, 6)
     }
     info(s"$total request×corpus comparisons green")
-    assert(total == 12 * (42 + 15 + 8 + 5 + 10 + 6 + 5 + 5))
+    assert(total == 12 * (42 + 15 + 8 + 5 + 10 + 6 + 5 + 5 + 8 + 4 + 6))
   }
 
   test("named minimal fixture (r18 fuzz finding): a grand-total COUNT " +

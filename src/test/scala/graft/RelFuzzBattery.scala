@@ -451,28 +451,50 @@ object RelFuzzBattery extends Assertions {
   }
 
   // ---------------------------------------------------------------
-  // batteries (each returns the number of comparisons it made)
+  // batteries as DATA (r19): each family draws `FuzzCase`s — a
+  // stable name, the engine-side closure, and the independently
+  // rendered ANSI dual — so ONE draw stream serves BOTH legs of the
+  // differential program: the in-session run (runCases: execute,
+  // audit, compare vs spark.sql(dual)) and the offline cross-engine
+  // leg (RelDuckFuzzMain: execute, dump parquet, re-render the dual
+  // in DuckDB dialect via RelDuckDual, compare in tools/relcheck.py).
+  // Only generation consumes the Random, so the draws are identical
+  // whichever leg consumes the cases.
   // ---------------------------------------------------------------
 
+  final case class FuzzCase(name: String, clue: String,
+      exec: (SparkSession, String) => DataFrame, dual: String,
+      audit: Boolean = true)
+
+  private def runCases(spark: SparkSession, sf: String,
+      cases: Seq[FuzzCase]): Unit =
+    cases.foreach { c =>
+      val planned =
+        try c.exec(spark, sf)
+        catch { case e: org.scalatest.exceptions.TestFailedException => throw e
+          case e: Throwable =>
+          fail(s"engine refused a generated VALID case — ${c.clue} " +
+            s"[sf=$sf]\nerror: ${e.getMessage}")
+        }
+      if (c.audit) auditPlan(planned, s"${c.clue} [sf=$sf]")
+      comparePlanned(planned, c.dual, spark, s"${c.clue} [sf=$sf]")
+    }
+
   /** shapes: 0-3 = order_stats A-D, 4 = line_stats. */
-  def runValid(spark: SparkSession, sf: String, rnd: scala.util.Random,
-      plan: Seq[Int]): Int = {
-    var compared = 0
-    for ((shape, i) <- plan.zipWithIndex) {
+  def casesValid(rnd: scala.util.Random, plan: Seq[Int]): Seq[FuzzCase] =
+    plan.zipWithIndex.map { case (shape, i) =>
       val (json, sql) =
         if (shape == 4) genLine(rnd) else genValid(rnd, shape)
-      val clue = s"request #$i (shape $shape) sf=$sf\nJSON: $json\nSQL: $sql"
-      val planned =
-        try operators.SemanticQueries.run(json)(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"planner refused a generated VALID request — $clue\n" +
-            s"error: ${e.getMessage}")
-        }
-      auditPlan(planned, clue)
-      comparePlanned(planned, sql, spark, clue)
-      compared += 1
+      FuzzCase(f"valid_$i%03d",
+        s"request #$i (shape $shape)\nJSON: $json\nSQL: $sql",
+        (s, sf) => operators.SemanticQueries.run(json)(s, sf), sql)
     }
-    compared
+
+  def runValid(spark: SparkSession, sf: String, rnd: scala.util.Random,
+      plan: Seq[Int]): Int = {
+    val cases = casesValid(rnd, plan)
+    runCases(spark, sf, cases)
+    cases.size
   }
 
   // ---------------------------------------------------------------
@@ -608,26 +630,21 @@ object RelFuzzBattery extends Assertions {
     (cube, dual)
   }
 
+  def casesCubeSql(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).map { i =>
+      val (cube, dual) = genSqlValid(rnd)
+      FuzzCase(f"sql_$i%03d", s"sql #$i\nCUBE: $cube\nDUAL: $dual",
+        (s, sf) => sqlRun(cube, s, sf), dual)
+    }
+
   def runCubeSql(spark: SparkSession, sf: String, rnd: scala.util.Random,
       n: Int): Int = {
-    for (i <- 1 to n) {
-      val (cube, dual) = genSqlValid(rnd)
-      val clue = s"sql #$i sf=$sf\nCUBE: $cube\nDUAL: $dual"
-      val planned =
-        try sqlRun(cube, spark, sf)
-        catch { case e: Throwable =>
-          fail(s"SQL door refused a generated VALID statement — $clue\n" +
-            s"error: ${e.getMessage}")
-        }
-      auditPlan(planned, clue)
-      comparePlanned(planned, dual, spark, clue)
-    }
+    runCases(spark, sf, casesCubeSql(rnd, n))
     n
   }
 
-  def runPagination(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
-    for (i <- 1 to n) {
+  def casesPagination(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).map { i =>
       val dims = subset(rnd,
         factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
       val mets = subset(rnd, metrics.take(3), 1, 2)
@@ -661,25 +678,23 @@ object RelFuzzBattery extends Assertions {
            |  GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}) t
            |ORDER BY $orderBy LIMIT $page OFFSET $start"""
           .stripMargin.replace("\n", " ")
-      val clue = s"page #$i start=$start page=$page sf=$sf\nJSON: $json\nDUAL: $dual"
-      val planned =
-        try operators.SemanticQueries.run(json)(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"refused a VALID paged request — $clue\nerror: ${e.getMessage}")
-        }
-      auditPlan(planned, clue)
-      comparePlanned(planned, dual, spark, clue)
+      FuzzCase(f"page_$i%03d",
+        s"page #$i start=$start page=$page\nJSON: $json\nDUAL: $dual",
+        (s, sf) => operators.SemanticQueries.run(json)(s, sf), dual)
     }
+
+  def runPagination(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesPagination(rnd, n))
     n
   }
 
-  def runUnionView(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
+  def casesUnionView(rnd: scala.util.Random, n: Int): Seq[FuzzCase] = {
     val stagePool = Seq(
       Fld("Source Stage", "__stage", None),
       Fld("Order Priority", "o_orderpriority", None),
       Fld("Order Date", "date_format(o_orderdate, 'yyyy-MM-dd')", None))
-    for (i <- 1 to n) {
+    (1 to n).map { i =>
       val dims = Fld("Source Stage", "__stage", None) +:
         subset(rnd, stagePool.tail, 0, 2)
       val mets = subset(rnd, metrics.take(2), 1, 2)
@@ -708,15 +723,14 @@ object RelFuzzBattery extends Assertions {
           s"FROM ($union)" +
           filt.map(f => s" WHERE ${f._2}").getOrElse("") +
           s" GROUP BY ${dims.indices.map(_ + 1).mkString(", ")}"
-      val clue = s"union-view #$i sf=$sf\nJSON: $json\nDUAL: $dual"
-      val planned =
-        try operators.SemanticQueries.run(json)(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"refused a VALID union-view request — $clue\nerror: ${e.getMessage}")
-        }
-      auditPlan(planned, clue)
-      comparePlanned(planned, dual, spark, clue)
+      FuzzCase(f"union_$i%03d", s"union-view #$i\nJSON: $json\nDUAL: $dual",
+        (s, sf) => operators.SemanticQueries.run(json)(s, sf), dual)
     }
+  }
+
+  def runUnionView(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesUnionView(rnd, n))
     n
   }
 
@@ -724,9 +738,7 @@ object RelFuzzBattery extends Assertions {
   // Time grains × timezones over the events cube
   // ---------------------------------------------------------------
 
-  def runGrainTz(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
-    graft.core.Tables.events(spark, sf).createOrReplaceTempView("events")
+  def casesGrainTz(rnd: scala.util.Random, n: Int): Seq[FuzzCase] = {
     val zones = Seq("UTC", "America/Los_Angeles", "Asia/Kolkata",
       "Europe/Berlin")
     val types = Seq("click", "error", "purchase", "signup", "view")
@@ -745,7 +757,7 @@ object RelFuzzBattery extends Assertions {
         java.time.Duration.ofMinutes(1), 60 * 30))
     val full = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
-    for (i <- 1 to n) {
+    (1 to n).map { i =>
       val g = pick(rnd, grains)
       val tz = pick(rnd, zones)
       val start = java.time.LocalDateTime.of(2024, 1,
@@ -788,15 +800,307 @@ object RelFuzzBattery extends Assertions {
             s" AND event_type IN (${ts.map(t => s"'$t'").mkString(",")})")
             .getOrElse("") +
           s" GROUP BY ${groups.mkString(", ")}"
-      val clue = s"grain #$i ${g.alias} tz=$tz steps=$steps sf=$sf\n" +
-        s"JSON: $json\nDUAL: $dual"
-      val planned =
-        try operators.SemanticQueries.run(json)(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"refused a VALID grain request — $clue\nerror: ${e.getMessage}")
-        }
-      comparePlanned(planned, dual, spark, clue)
+      // r19 variant routing: whole-hour-offset zones at Day/Hour grain
+      // are served by the hourly pre-aggregation; Kolkata's +05:30 and
+      // Minute grain must fall back to the raw stream (storageGrain
+      // gate) — asserted on EVERY grain draw, and the shared dual then
+      // proves the chosen variant answer-transparent
+      val expectVariant =
+        if (tz == "Asia/Kolkata" || g.alias == "Minute") "events_base"
+        else "events_by_hour_rollup"
+      FuzzCase(f"grain_$i%03d",
+        s"grain #$i ${g.alias} tz=$tz steps=$steps\nJSON: $json\nDUAL: $dual",
+        (s, sf) => {
+          val p = operators.SemanticQueries.planFor(json, s, sf)
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          assert(p.factName == expectVariant,
+            s"variant routing: got ${p.factName}, want $expectVariant " +
+              s"(tz=$tz grain=${g.alias})")
+          operators.SemanticQueries.run(json)(s, sf)
+        }, dual,
+        audit = false)
     }
+  }
+
+  def runGrainTz(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    graft.core.Tables.events(spark, sf).createOrReplaceTempView("events")
+    runCases(spark, sf, casesGrainTz(rnd, n))
+    n
+  }
+
+  // ---------------------------------------------------------------
+  // DST transitions (r18 verdict ranked task #2): grain×tz windows
+  // that STRADDLE a daylight-saving switch — the 23/25-hour local
+  // day. Semantics the battery pins (the COVERAGE row):
+  //  - a Day window is local-midnight to local-midnight, so the
+  //    spring-forward day aggregates 23 hours of instants and the
+  //    fall-back day 25 — never a fixed +24h;
+  //  - the repeated local hour (fall back) is ONE Hour bucket fed by
+  //    TWO UTC hours; the skipped hour (spring forward) is a bucket
+  //    that can never receive events;
+  //  - window ENDPOINTS must be existing, unambiguous local times.
+  //    Skipped/repeated wall times are DATA (planted as UTC instants
+  //    by RelCorpusGen — UTC→local is total and engines agree), not
+  //    endpoints: local→UTC of an ambiguous time is engine policy
+  //    (java.time resolves to the EARLIER offset, DuckDB's ICU to
+  //    the LATER — measured on 2024-11-03 01:30 America/New_York),
+  //    so the generator draws around them (`avoidFrom`; `avoidToPlus`
+  //    keeps the dual's half-open to+1-step edge off them too).
+  // ---------------------------------------------------------------
+
+  private case class Transition(zone: String, day: java.time.LocalDate,
+      avoidFrom: Set[Int], avoidToPlus: Set[Int])
+
+  private val transitions = Seq(
+    // spring forward: 02:xx skipped (23-hour day)
+    Transition("America/New_York", java.time.LocalDate.of(2024, 3, 10),
+      Set(2), Set(2)),
+    // fall back: 01:xx repeated (25-hour day); to+1 landing on 01
+    // would make the window edge ambiguous → avoid to=00 as well
+    Transition("America/New_York", java.time.LocalDate.of(2024, 11, 3),
+      Set(1), Set(0, 1)),
+    // southern hemisphere: fall back Apr 7 (02:xx repeated)
+    Transition("Australia/Sydney", java.time.LocalDate.of(2024, 4, 7),
+      Set(2), Set(1, 2)),
+    // spring forward Oct 6 (02:xx skipped)
+    Transition("Australia/Sydney", java.time.LocalDate.of(2024, 10, 6),
+      Set(2), Set(2)))
+
+  private val eventMetSql = Map(
+    "Event Count" -> s"COUNT(*) AS ${q("Event Count")}",
+    "Total Value" ->
+      s"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ${q("Total Value")}")
+
+  def casesDstGrain(rnd: scala.util.Random, n: Int): Seq[FuzzCase] = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val full = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    (1 to n).map { i =>
+      val t = pick(rnd, transitions)
+      val hourGrain = rnd.nextBoolean()
+      val (alias, unit, fmt, reqFmt, start, endIncl) =
+        if (hourGrain) {
+          // start on the PREVIOUS day (always valid), span past the
+          // switch (04:00 local of the transition day), end clear of
+          // the skipped/repeated hours and their +1h edge
+          val s = t.day.minusDays(1).atTime(12 + rnd.nextInt(12), 0)
+          val minSteps = java.time.temporal.ChronoUnit.HOURS
+            .between(s, t.day.atTime(4, 0)) + 1
+          var e = s.plusHours(minSteps - 1 + rnd.nextInt(20))
+          while (e.toLocalDate == t.day &&
+              (t.avoidFrom(e.getHour) || t.avoidToPlus(e.getHour)))
+            e = e.plusHours(1)
+          ("Hour", "hour", "yyyy-MM-dd HH",
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH"),
+            s, e)
+        } else {
+          // local-midnight day window containing the transition day
+          val s = t.day.minusDays(rnd.nextInt(4)).atStartOfDay()
+          val e = t.day.plusDays(rnd.nextInt(4)).atStartOfDay()
+          ("Day", "day", "yyyy-MM-dd",
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+            s, e)
+        }
+      val afterEnd =
+        if (hourGrain) endIncl.plusHours(1) else endIncl.plusDays(1)
+      val withType = rnd.nextBoolean()
+      val typeF = if (rnd.nextInt(3) == 0)
+        Some(subset(rnd, types, 1, 2)) else None
+      val mets = subset(rnd, Seq("Event Count", "Total Value"), 1, 2)
+      val sel = (Seq(alias) ++ (if (withType) Seq("Event Type") else Nil)
+        ++ mets)
+      val json =
+        s"""{"cube":"user_events","selectFields":[${
+          sel.map(f => s"""{"field":"$f"}""").mkString(",")}],
+           |"filterExpressions":[{"field":"$alias","operator":"between",
+           |"from":"${reqFmt.format(start)}","to":"${reqFmt.format(endIncl)}"}${
+          typeF.map(ts => "," + jIn("Event Type", ts)).getOrElse("")}],
+           |"timezone":"${t.zone}"}""".stripMargin.replace("\n", "")
+      val dimSel = Seq(
+        s"date_format(date_trunc('$unit', from_utc_timestamp(ts, '${t.zone}')), " +
+          s"'$fmt') AS ${q(alias)}") ++
+        (if (withType) Seq(s"event_type AS ${q("Event Type")}") else Nil)
+      val dual =
+        s"SELECT ${(dimSel ++ mets.map(eventMetSql)).mkString(", ")} FROM events " +
+          s"WHERE ts >= to_utc_timestamp('${full.format(start)}', '${t.zone}') " +
+          s"AND ts < to_utc_timestamp('${full.format(afterEnd)}', '${t.zone}')" +
+          typeF.map(ts =>
+            s" AND event_type IN (${ts.map(x => s"'$x'").mkString(",")})")
+            .getOrElse("") +
+          s" GROUP BY ${dimSel.indices.map(_ + 1).mkString(", ")}"
+      FuzzCase(f"dstgrain_$i%03d",
+        s"dst-grain #$i $alias zone=${t.zone} switch=${t.day} " +
+          s"window=${reqFmt.format(start)}..${reqFmt.format(endIncl)}\n" +
+          s"JSON: $json\nDUAL: $dual",
+        (s, sf) => {
+          // NY/Sydney use whole-hour offsets on BOTH sides of every
+          // switch → the hourly rollup must keep serving through DST
+          val p = operators.SemanticQueries.planFor(json, s, sf)
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          assert(p.factName == "events_by_hour_rollup",
+            s"variant routing under DST: got ${p.factName}")
+          operators.SemanticQueries.run(json)(s, sf)
+        }, dual,
+        audit = false)
+    }
+  }
+
+  /** TimeShift whose PREVIOUS window spans the DST transition (the
+    * classic killer: the prev window's day count is the same, its
+    * instant length is ±1 h). */
+  def casesDstTimeShift(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).map { i =>
+      val t = pick(rnd, transitions)
+      val len = 2 + rnd.nextInt(4)
+      val off = rnd.nextInt(3)
+      // from ∈ [day+1+off, day+len+off] puts the transition day inside
+      // prev = [from-len-off, from-1-off]; a third of draws instead
+      // put it inside the CURRENT window
+      val curSpans = rnd.nextInt(3) == 0
+      val from =
+        if (curSpans) t.day.minusDays(rnd.nextInt(len))
+        else t.day.plusDays(1 + off + rnd.nextInt(len))
+      val to = from.plusDays(len - 1)
+      val mets = subset(rnd, Seq("Event Count", "Total Value"), 1, 2)
+      val json =
+        s"""{"cube":"user_events","selectFields":[{"field":"Day"},${
+          mets.map(f => s"""{"field":"$f"}""").mkString(",")}],
+           |"filterExpressions":[{"field":"Day","operator":"between",
+           |"from":"$from","to":"$to"}],"timezone":"${t.zone}"}"""
+          .stripMargin.replace("\n", "")
+      val cfg = graft.curators.TimeShiftConfig(daysOffset = off)
+      val shift = len + off
+      val pa = from.minusDays(shift)
+      val pb = from.minusDays(1 + off)
+      def core(lo: java.time.LocalDate, hi: java.time.LocalDate,
+          prev: Boolean): String = {
+        val daySel =
+          if (prev)
+            s"date_format(date_add(date_trunc('day', " +
+              s"from_utc_timestamp(ts, '${t.zone}')), $shift), " +
+              s"'yyyy-MM-dd') AS ${q("Day")}"
+          else
+            s"date_format(date_trunc('day', from_utc_timestamp(ts, " +
+              s"'${t.zone}')), 'yyyy-MM-dd') AS ${q("Day")}"
+        val metSel = mets.map(m => eventMetSql(m).replace(
+          s"AS ${q(m)}", s"AS ${q(if (prev) s"$m Prev" else m)}"))
+        s"SELECT $daySel, ${metSel.mkString(", ")} FROM events " +
+          s"WHERE ts >= to_utc_timestamp('$lo 00:00:00', '${t.zone}') " +
+          s"AND ts < to_utc_timestamp('${hi.plusDays(1)} 00:00:00', " +
+          s"'${t.zone}') GROUP BY 1"
+      }
+      val pct = mets.map(m =>
+        s"CASE WHEN ${q(s"$m Prev")} IS NOT NULL AND " +
+          s"${q(s"$m Prev")} <> 0 THEN " +
+          s"ROUND((${q(m)} - ${q(s"$m Prev")}) / " +
+          s"${q(s"$m Prev")} * 100, 4) END AS " +
+          q(s"$m Pct Change"))
+      val dual =
+        s"""SELECT ${(Seq(q("Day")) ++ mets.map(q) ++
+          mets.map(m => q(s"$m Prev")) ++ pct).mkString(", ")}
+           |FROM (${core(from, to, prev = false)}) cur
+           |LEFT JOIN (${core(pa, pb, prev = true)}) prev
+           |USING (${q("Day")})""".stripMargin.replace("\n", " ")
+      FuzzCase(f"dsttshift_$i%03d",
+        s"dst-timeshift #$i zone=${t.zone} switch=${t.day} off=$off " +
+          s"window=$from..$to prev=$pa..$pb\nJSON: $json\nDUAL: $dual",
+        (s, sf) => curators.Curators.timeShift(json,
+          operators.SemanticQueries.registry, cfg)(s, sf), dual,
+        audit = false)
+    }
+
+  // ---------------------------------------------------------------
+  // Variant selection on the orders cube (r18 verdict ranked task
+  // #6): requests inside the (priority, day)-rollup's vocabulary —
+  // including the FILTERED rollup metric `Urgent Spend`, whose
+  // pre-aggregated partial `__uspend` must re-aggregate to the raw
+  // CASE-filtered sum — must be SERVED BY the rollup (routing
+  // asserted) and answer-match the raw dual on adversarial corpora
+  // (NULL priorities, empty facts, boundary dates); a third of draws
+  // add an out-of-vocabulary field as the negative control (base
+  // fact chosen, same dual discipline).
+  // ---------------------------------------------------------------
+
+  private val urgentSpendSql =
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN " +
+      "CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)"
+
+  def casesVariantRollup(rnd: scala.util.Random, n: Int): Seq[FuzzCase] = {
+    val rollupDims = Seq(
+      Fld("Order Priority", "o_orderpriority", None),
+      Fld("Order Date", "date_format(o_orderdate, 'yyyy-MM-dd')", None))
+    val rollupMets = Seq(
+      Fld("Total Spend", spendSql, None),
+      Fld("Order Count", "COUNT(*)", None),
+      Fld("Urgent Spend", urgentSpendSql, None))
+    (1 to n).map { i =>
+      val dims0 = subset(rnd, rollupDims, 0, 2)
+      val mets = subset(rnd, rollupMets, 1, 3)
+      // negative control: a dim outside the rollup's vocabulary must
+      // route to the base fact — with the SAME dual discipline
+      val negative = rnd.nextInt(3) == 0
+      val dims = if (negative)
+        dims0 :+ Fld("Order Status", statusCase, None) else dims0
+      val selected = rnd.shuffle(dims ++ mets)
+      val filts = Seq.newBuilder[(String, String)]
+      if (rnd.nextBoolean()) {
+        val Seq(a, b) = subset(rnd, dates, 2, 2).sorted
+        filts += ((s"""{"field":"Order Date","operator":"between","from":"$a","to":"$b"}""",
+          s"(o_orderdate >= '$a' AND o_orderdate <= '$b')"))
+      }
+      if (rnd.nextInt(3) == 0) {
+        val vs = subset(rnd, priorities, 1, 3)
+        filts += ((jIn("Order Priority", vs),
+          s"o_orderpriority IN (${vs.map(v => s"'$v'").mkString(",")})"))
+      }
+      val fs = filts.result()
+      val json =
+        s"""{"cube":"order_stats","selectFields":[${
+          selected.map(f => s"""{"field":"${f.alias}"}""").mkString(",")}]""" +
+          (if (fs.nonEmpty)
+            s""","filterExpressions":[${fs.map(_._1).mkString(",")}]"""
+          else "") + "}"
+      val groupIdx = selected.zipWithIndex
+        .filter { case (f, _) => dims.contains(f) }.map(_._2 + 1)
+      val dual =
+        s"SELECT ${selected.map(f => s"${f.sql} AS ${q(f.alias)}").mkString(", ")} " +
+          "FROM orders" +
+          (if (fs.nonEmpty) fs.map(_._2).mkString(" WHERE ", " AND ", "")
+          else "") +
+          (if (groupIdx.nonEmpty) s" GROUP BY ${groupIdx.mkString(", ")}"
+          else "")
+      val expect =
+        if (negative) "orders_base" else "orders_by_priority_day_rollup"
+      FuzzCase(f"vrollup_$i%03d",
+        s"variant-rollup #$i expect=$expect\nJSON: $json\nDUAL: $dual",
+        (s, sf) => {
+          val p = operators.SemanticQueries.planFor(json, s, sf)
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          assert(p.factName == expect,
+            s"variant routing: got ${p.factName}, want $expect")
+          operators.SemanticQueries.run(json)(s, sf)
+        }, dual)
+    }
+  }
+
+  def runVariantRollup(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesVariantRollup(rnd, n))
+    n
+  }
+
+  def runDstGrain(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    graft.core.Tables.events(spark, sf).createOrReplaceTempView("events")
+    runCases(spark, sf, casesDstGrain(rnd, n))
+    n
+  }
+
+  def runDstTimeShift(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    graft.core.Tables.events(spark, sf).createOrReplaceTempView("events")
+    runCases(spark, sf, casesDstTimeShift(rnd, n))
     n
   }
 
@@ -804,9 +1108,8 @@ object RelFuzzBattery extends Assertions {
   // Curators under differential pressure
   // ---------------------------------------------------------------
 
-  def runTimeShift(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
-    for (i <- 1 to n) {
+  def casesTimeShift(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).map { i =>
       val dims = subset(rnd,
         factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
       val mets = subset(rnd, metrics.take(3), 1, 2)
@@ -819,8 +1122,6 @@ object RelFuzzBattery extends Assertions {
            |"filterExpressions":[{"field":"Order Date","operator":"between","from":"$a","to":"$b"}${
           extra.map("," + _.json).getOrElse("")}]}""".stripMargin.replace("\n", "")
       val cfg = graft.curators.TimeShiftConfig(daysOffset = off)
-      val planned = curators.Curators.timeShift(json,
-        operators.SemanticQueries.registry, cfg)(spark, sf)
       // the dual: both windows rendered independently over the raw
       // tables; the previous window's day column shifted FORWARD by
       // the same length so the two align on the dim tuple
@@ -859,15 +1160,21 @@ object RelFuzzBattery extends Assertions {
            |LEFT JOIN (${core(pa, pb, prev = true)}) prev
            |USING (${dims.map(d => q(d.alias)).mkString(", ")})"""
           .stripMargin.replace("\n", " ")
-      val clue = s"timeshift #$i off=$off sf=$sf\nJSON: $json\nDUAL: $dual"
-      comparePlanned(planned, dual, spark, clue)
+      FuzzCase(f"tshift_$i%03d",
+        s"timeshift #$i off=$off\nJSON: $json\nDUAL: $dual",
+        (s, sf) => curators.Curators.timeShift(json,
+          operators.SemanticQueries.registry, cfg)(s, sf), dual,
+        audit = false)
     }
+
+  def runTimeShift(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesTimeShift(rnd, n))
     n
   }
 
-  def runTotalsRowCount(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
-    for (i <- 1 to n) {
+  def casesTotalsRowCount(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).flatMap { i =>
       val dims = subset(rnd,
         factDims ++ dimAttrs.filter(_.alias != "Customer Name"), 1, 2)
       val mets = subset(rnd, metrics, 1, 3)
@@ -891,32 +1198,35 @@ object RelFuzzBattery extends Assertions {
       // they can legitimately exceed the grid sum on such corpora
       // (r18 wide-sweep finding, seed 105: a selected-but-unfiltered
       // Nation Name dropped NULL-nationkey customers from the dual)
-      val totals = curators.Curators.totalMetrics(json,
-        operators.SemanticQueries.registry)(spark, sf)
       val totalsJoins = joinSql(neededDims(leaves.flatMap(_.fields)), inner)
-      val totalsDual = spark.sql(
+      val totalsDual =
         s"SELECT ${mets.map(m => s"${m.sql} AS ${q(m.alias)}").mkString(", ")} " +
-          s"FROM orders$totalsJoins$where")
-      val gotT = rowsOf(totals.select(totalsDual.columns.map(col): _*))
-      val wantT = rowsOf(totalsDual)
-      assert(gotT == wantT, s"TotalMetrics #$i diverged sf=$sf\nJSON: $json")
+          s"FROM orders$totalsJoins$where"
       // RowCount: the unpaginated grain row count
-      val rc = curators.Curators.rowCount(json,
-        operators.SemanticQueries.registry)(spark, sf)
-        .collect().head.getLong(0)
-      val rcDual = spark.sql(
-        s"SELECT COUNT(*) FROM (SELECT ${dims.map(_.sql).mkString(", ")} " +
+      val rcDual =
+        s"SELECT COUNT(*) AS totalrows FROM (SELECT ${
+          dims.map(_.sql).mkString(", ")} " +
           s"FROM orders$joins$where GROUP BY ${
-            dims.indices.map(_ + 1).mkString(", ")})")
-        .collect().head.getLong(0)
-      assert(rc == rcDual, s"RowCount #$i: $rc != $rcDual sf=$sf\nJSON: $json")
+            dims.indices.map(_ + 1).mkString(", ")})"
+      Seq(
+        FuzzCase(f"totals_$i%03d", s"TotalMetrics #$i\nJSON: $json",
+          (s, sf) => curators.Curators.totalMetrics(json,
+            operators.SemanticQueries.registry)(s, sf), totalsDual,
+          audit = false),
+        FuzzCase(f"rowcount_$i%03d", s"RowCount #$i\nJSON: $json",
+          (s, sf) => curators.Curators.rowCount(json,
+            operators.SemanticQueries.registry)(s, sf), rcDual,
+          audit = false))
     }
+
+  def runTotalsRowCount(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesTotalsRowCount(rnd, n))
     n
   }
 
-  def runDrilldown(spark: SparkSession, sf: String,
-      rnd: scala.util.Random, n: Int): Int = {
-    for (i <- 1 to n) {
+  def casesDrilldown(rnd: scala.util.Random, n: Int): Seq[FuzzCase] =
+    (1 to n).map { i =>
       val pool = factDims ++ dimAttrs.filter(_.alias != "Customer Name")
       val parentDims = subset(rnd, pool, 1, 2)
       val drillDim = pick(rnd,
@@ -935,8 +1245,6 @@ object RelFuzzBattery extends Assertions {
           if (leaves.nonEmpty)
             s""","filterExpressions":[${leaves.map(_.json).mkString(",")}]"""
           else ""},"sortBy":[${sorts.mkString(",")}]}"""
-      val planned = curators.Curators.drillDown(json, drillDim.alias, topN,
-        operators.SemanticQueries.registry)(spark, sf)
       val inner = leaves.exists(_.hasDimAttr)
       // the DRILL side may pull in more dims than the base (the drill
       // dim's chain); join set covers both
@@ -965,10 +1273,17 @@ object RelFuzzBattery extends Assertions {
            |ON ${parentDims.map(d =>
               s"drill.${q(d.alias)} = parents.${q(d.alias)}").mkString(" AND ")}"""
           .stripMargin.replace("\n", " ")
-      val clue = s"drilldown #$i topN=$topN drill=${drillDim.alias} sf=$sf\n" +
-        s"JSON: $json\nDUAL: $dual"
-      comparePlanned(planned, dual, spark, clue)
+      FuzzCase(f"drill_$i%03d",
+        s"drilldown #$i topN=$topN drill=${drillDim.alias}\n" +
+          s"JSON: $json\nDUAL: $dual",
+        (s, sf) => curators.Curators.drillDown(json, drillDim.alias, topN,
+          operators.SemanticQueries.registry)(s, sf), dual,
+        audit = false)
     }
+
+  def runDrilldown(spark: SparkSession, sf: String,
+      rnd: scala.util.Random, n: Int): Int = {
+    runCases(spark, sf, casesDrilldown(rnd, n))
     n
   }
 }
