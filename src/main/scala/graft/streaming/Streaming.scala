@@ -72,12 +72,15 @@ object Streaming {
     * on the driver for the view's lifetime; append-mode reruns would
     * otherwise collide on the name). */
   private[graft] def runToMemory(s: SparkSession, df: DataFrame,
-      sink: String, mode: String): DataFrame = {
+      sink: String, mode: String, ckpt: Option[String] = None): DataFrame = {
     s.catalog.dropTempView(sink)
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
-      .option("checkpointLocation", ckptDir(sink))
+      // `ckpt` seam: the skew-regime spec passes an explicit location
+      // so it can read the final state stores back (statestore source)
+      // and gate per-partition state growth under a hot key
+      .option("checkpointLocation", ckpt.getOrElse(ckptDir(sink)))
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -223,7 +226,8 @@ object Streaming {
     streamJoinRun(s, () => eventsStream(s, d), "inner", "st04_mem")
 
   private[graft] def streamJoinRun(s: SparkSession, mkSrc: () => DataFrame,
-      joinType: String, sink: String): DataFrame = {
+      joinType: String, sink: String,
+      ckpt: Option[String] = None): DataFrame = {
     def side(tpe: String, prefix: String): DataFrame =
       mkSrc()
       .filter(col("event_type") === tpe)
@@ -235,7 +239,7 @@ object Streaming {
       expr("""c_user = p_user AND
              |p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours""".stripMargin),
       joinType)
-    runToMemory(s, joined, sink, "append")
+    runToMemory(s, joined, sink, "append", ckpt)
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         col("p_id").as("purchase_id"),
         unix_micros(col("c_ts")).as("click_us"),
