@@ -39,6 +39,37 @@ class RelDuckFuzzSpec extends AnyFunSuite {
     (p.waitFor(), out)
   }
 
+  test("RelDuckDual translation is pinned construct-by-construct " +
+      "(the closed dual vocabulary; a silent non-match would make the " +
+      "cross-engine leg vacuously compare Spark SQL run by DuckDB)") {
+    val t = RelDuckDual.translate _
+    assert(t("date_format(o_orderdate, 'yyyy-MM-dd') AS `Order Date`") ==
+      "strftime(o_orderdate, '%Y-%m-%d') AS \"Order Date\"")
+    assert(t("date_format(date_trunc('hour', from_utc_timestamp(ts, " +
+      "'Asia/Kolkata')), 'yyyy-MM-dd HH')") ==
+      "strftime(date_trunc('hour', (ts AT TIME ZONE 'UTC') AT TIME " +
+        "ZONE 'Asia/Kolkata'), '%Y-%m-%d %H')")
+    assert(t("ts >= to_utc_timestamp('2024-11-03 00:00:00', " +
+      "'America/New_York')") ==
+      "ts >= ((TIMESTAMP '2024-11-03 00:00:00' AT TIME ZONE " +
+        "'America/New_York') AT TIME ZONE 'UTC')")
+    assert(t("date_format(date_add(o_orderdate, 7), 'yyyy-MM-dd')") ==
+      "strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d')")
+    // DST TimeShift's prev-day column: LOCAL day arithmetic
+    assert(t("date_format(date_add(date_trunc('day', " +
+      "from_utc_timestamp(ts, 'Australia/Sydney')), 5), 'yyyy-MM-dd')") ==
+      "strftime(CAST(date_trunc('day', (ts AT TIME ZONE 'UTC') AT " +
+        "TIME ZONE 'Australia/Sydney') AS DATE) + 5, '%Y-%m-%d')")
+    // decimal→double goes through the correctly-rounded VARCHAR parse
+    // (DuckDB's direct cast double-rounds past 2^53 scaled units)
+    assert(t("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)") ==
+      "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)")
+    assert(t("CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)") ==
+      "CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) " +
+        "AS DOUBLE)")
+    assert(t("drill LEFT SEMI JOIN parents") == "drill SEMI JOIN parents")
+  }
+
   test("cross-engine leg: 2 adversarial relational corpora × the full " +
       "battery (incl. DST-transition windows) ≡ the DuckDB-rendered " +
       "duals (relcheck.py: ICU tz, Spark null order, correctly-rounded " +
