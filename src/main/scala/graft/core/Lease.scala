@@ -174,11 +174,15 @@ object Lease {
   /** One shared daemon scheduler for all lease/section heartbeats —
     * vacuum calls [[Handle.fencedSection]] once per 64-file delete
     * batch, and a thread create/teardown per µs-scale body was pure
-    * overhead (r18 ADVICE). Beats are non-blocking (read + set-mtime,
-    * or a skip-on-contention renew), so one thread serves all
-    * concurrent sections. */
+    * overhead (r18 ADVICE). Beats are non-blocking in the happy path
+    * (read + set-mtime, or a skip-on-contention renew); a SMALL pool
+    * (not one thread) bounds cross-lease contamination if one
+    * directory's filesystem hangs a beat mid-call — and if beats for
+    * a section do stall wholesale, that section's consecutive-miss
+    * abort (or the body's own hang on the same filesystem) surfaces
+    * it rather than letting the body run on unfenced. */
   private lazy val heartbeats: java.util.concurrent.ScheduledExecutorService =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+    java.util.concurrent.Executors.newScheduledThreadPool(2, r => {
       val t = new Thread(r, "graft-lease-heartbeat")
       t.setDaemon(true)
       t

@@ -166,6 +166,18 @@ class StreamSkewSpec extends AnyFunSuite {
       // user's clicks pile into one partition mid-run, but the FINAL
       // store must hold only the unexpired tail — eviction must not
       // lag on the hot key.
+      // MID-RUN snapshot (batchId option): the hot pile-up must be
+      // visible BEFORE eviction drains it — proof the final balance
+      // is eviction at work, not absence of skew
+      val midBatch = 1L
+      val mid = statePartitionCounts(ckpt,
+        Map("joinSide" -> "left", "batchId" -> midBatch.toString))
+      info(s"[shape=$shape] MID-RUN (batch $midBatch) left state by " +
+        s"partition: $mid (total=${mid.map(_._2).sum})")
+      assert(mid.head._2 >= 1.5 * mid.last._2,
+        s"[shape=$shape] the mid-run partition imbalance should be " +
+          s"visible (max=${mid.head._2}, min=${mid.last._2}) — without " +
+          "it the final balance proves nothing about eviction")
       val left = statePartitionCounts(ckpt, Map("joinSide" -> "left"))
       val total = left.map(_._2).sum
       val maxC = evs.filter(_.eventType == "click").map(_.tsUs).max
