@@ -753,12 +753,13 @@ class SemanticLayerSpec extends AnyFunSuite {
     val df = graft.analyzer.SqlFrontDoor.run(
       "DESCRIBE order_stats", SemanticQueries.registry)(spark, sf)
     val rows = df.collect()
-    assert(rows.length == 16)
+    assert(rows.length == 17) // r19: + the filtered `Urgent Spend`
     val byField = rows.map(r => r.getString(0) -> r).toMap
     assert(byField("Order Date").getString(2) == "Date")
     assert(byField("Order Date").getString(4) == "=,BETWEEN,IN")
     assert(byField("Customer Name").getString(3) == "customer")
     assert(byField("Total Spend").getString(5) == "Sum")
+    assert(byField("Urgent Spend").getString(5) == "Sum")
     assert(byField("Avg Order Value").getString(5) == "Derived")
     // unknown cube errors loudly
     val err = intercept[IllegalArgumentException] {
