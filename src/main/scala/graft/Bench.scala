@@ -37,6 +37,29 @@ object Bench {
     Seq(pass(), pass(), pass()).min
   }
 
+  /** I/O-side calibration (r19 verdict task: the CPU probe above is
+    * structurally blind to the I/O/scheduling regime that past
+    * out-of-band readings were attributed to): a FIXED-size parquet
+    * scan — every column of the sf0.001 documents+events tables
+    * hashed and folded — through the normal Spark scan path, min of 3
+    * after a warm pass. Engine changes to query code do not move it;
+    * host-side I/O/scheduling weather does. Recorded as
+    * calibScanBefore/After in BENCH_LOCAL.json next to the CPU pair. */
+  private[graft] def calibScan(spark: SparkSession, warmDir: String): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet(s"$warmDir/documents.parquet")
+      // bit_xor, not sum: an ANSI sum of 64-bit hashes overflows
+      docs.selectExpr("bit_xor(xxhash64(doc_id, text)) s").collect()
+      val ev = graft.core.Tables.events(spark, warmDir)
+      ev.selectExpr("bit_xor(xxhash64(event_id, user_id, event_type, value)) s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass()
+    Seq(pass(), pass(), pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -45,6 +68,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill/broadcast scratch on the fast local medium
+      // (tmpfs here; node-local NVMe in production — guide §6/§9:
+      // "machines with fast local disks"). Parameterized via
+      // SPARK_GRAFT_SCRATCH; never holds results across runs.
+      .config("spark.local.dir",
+        graft.core.TempDirs.scratchShared("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A/B seam: SPARK_GRAFT_BENCH_SKIP=name1,name2 removes queries
@@ -52,6 +81,7 @@ object Bench {
     // to run the current code on a PRIOR round's query set, isolating
     // suite-ambient cost of newly added queries from code cost
     val calibBefore = calibrate()
+    val calibScanBefore = calibScan(spark, warmDir)
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
@@ -160,8 +190,9 @@ object Bench {
       .map { case (k, _) => "\"" + k + "\":" + median(k) }
       .mkString("{", ",", "}")
     val calibAfter = calibrate()
+    val calibScanAfter = calibScan(spark, warmDir)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"calibBefore":$calibBefore,"calibAfter":$calibAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"calibBefore":$calibBefore,"calibAfter":$calibAfter,"calibScanBefore":$calibScanBefore,"calibScanAfter":$calibScanAfter,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }

@@ -175,18 +175,47 @@ object Lease {
     * vacuum calls [[Handle.fencedSection]] once per 64-file delete
     * batch, and a thread create/teardown per µs-scale body was pure
     * overhead (r18 ADVICE). Beats are non-blocking in the happy path
-    * (read + set-mtime, or a skip-on-contention renew); a SMALL pool
-    * (not one thread) bounds cross-lease contamination if one
-    * directory's filesystem hangs a beat mid-call — and if beats for
-    * a section do stall wholesale, that section's consecutive-miss
-    * abort (or the body's own hang on the same filesystem) surfaces
-    * it rather than letting the body run on unfenced. */
-  private lazy val heartbeats: java.util.concurrent.ScheduledExecutorService =
-    java.util.concurrent.Executors.newScheduledThreadPool(2, r => {
+    * (read + set-mtime, or a skip-on-contention renew).
+    *
+    * The pool is SIZED TO THE ACTIVE BEATS (r19 ADVICE): a fixed
+    * 2-thread pool let two beats hung on a dead filesystem starve
+    * every OTHER section's heartbeat — a starved beat never RUNS, so
+    * the consecutive-miss abort (which only counts beats that ran and
+    * threw) never fires, and the starved section goes silently
+    * unfenced. Core size now tracks registered beats (bounded at 64),
+    * so one directory's hung filesystem cannot consume another
+    * section's scheduling capacity. The residue — a beat hung on its
+    * OWN dead filesystem past its section's staleness window — is
+    * caught by the unconditional end-of-body ownership re-verify in
+    * [[fencedSection]]. */
+  private lazy val heartbeats: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(2, (r: Runnable) => {
       val t = new Thread(r, "graft-lease-heartbeat")
       t.setDaemon(true)
       t
     })
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
+
+  private val activeBeats = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Schedule a heartbeat with the pool sized to all live beats, so
+    * no beat can be starved of a thread by other leases' hung beats;
+    * the returned handle's cancel also releases the sizing claim. */
+  private def scheduleBeat(task: Runnable,
+      periodMillis: Long): java.util.concurrent.ScheduledFuture[_] = {
+    val n = activeBeats.incrementAndGet()
+    heartbeats.setCorePoolSize(math.min(64, math.max(2, n)))
+    heartbeats.scheduleWithFixedDelay(task, periodMillis, periodMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  private def releaseBeat(handle: java.util.concurrent.ScheduledFuture[_]): Unit = {
+    handle.cancel(false)
+    val n = activeBeats.decrementAndGet()
+    heartbeats.setCorePoolSize(math.min(64, math.max(2, n)))
+  }
 
   /** Section-held fence + body behind [[Handle.fencedSection]]. */
   private def fencedSection[T](dir: String, token: String,
@@ -235,7 +264,7 @@ object Lease {
           if (!done && lost.compareAndSet(false, true))
             bodyThread.interrupt()
         }
-        val beat = heartbeats.scheduleWithFixedDelay(() => {
+        val beat = scheduleBeat(() => {
           try {
             // token-checked: never refresh a STOLEN-and-replaced
             // section (that would keep a successor's alive)
@@ -257,8 +286,7 @@ object Lease {
               if (misses.incrementAndGet() >= cfg.maxHeartbeatMisses)
                 onLost()
           }
-        }, cfg.heartbeatMillis, cfg.heartbeatMillis,
-          java.util.concurrent.TimeUnit.MILLISECONDS)
+        }, cfg.heartbeatMillis)
         def lossError(cause: Throwable): Throwable = {
           val e = new java.util.ConcurrentModificationException(
             s"maintenance batch under $dir LOST its reaper section " +
@@ -275,6 +303,19 @@ object Lease {
           // a body that swallowed the abort interrupt and completed
           // must still FAIL the call: its effects ran unfenced
           if (lost.get()) throw lossError(null)
+          // unconditional END-OF-BODY ownership re-verify (r19 ADVICE
+          // closure): the beat-side sentinel only fires for beats that
+          // RAN — a beat that was never scheduled (starved pool) or is
+          // hung mid-IO leaves `lost` false while a concurrent entrant
+          // may have judged the unrefreshed section crashed and reaped
+          // it. One µs-scale file read makes that loss loud regardless
+          // of scheduler behavior: a completed batch whose section no
+          // longer carries its token FAILS the call.
+          val curSec =
+            try Some(new String(java.nio.file.Files.readAllBytes(
+              section.toPath), "UTF-8"))
+            catch { case _: java.io.IOException => None }
+          if (!curSec.contains(sec)) throw lossError(null)
           out
         } catch {
           case e: Throwable if lost.get() &&
@@ -282,7 +323,7 @@ object Lease {
             throw lossError(e)
         } finally {
           gate.synchronized { done = true }
-          beat.cancel(false)
+          releaseBeat(beat)
           // clear the abort interrupt so it cannot leak to the caller
           if (lost.get()) { Thread.interrupted(); () }
           exitSection(dir, sec)
@@ -344,12 +385,10 @@ object Lease {
     val interval = math.max(100L, ttlMillis / 3)
     // renew never blocks (a contended section skips the beat), so the
     // shared single-thread scheduler serves all concurrent leases
-    val beat = heartbeats.scheduleWithFixedDelay(
-      () => renew(dir, token, section), interval, interval,
-      java.util.concurrent.TimeUnit.MILLISECONDS)
+    val beat = scheduleBeat(() => renew(dir, token, section), interval)
     try body(new Handle(dir, token, section))
     finally {
-      beat.cancel(false)
+      releaseBeat(beat)
       release(dir, token, section)
     }
   }

@@ -369,8 +369,19 @@ object Dedup {
     // from the materialized edge set, or the lineage — and Catalyst
     // re-optimization time — grows exponentially with round count, the
     // standard iterative-DataFrame trap.
+    //
+    // LAZY checkpoint + checksum fusion (r20, guide §1.2 "remove
+    // passes"): an EAGER localCheckpoint schedules its own
+    // materialization job and the convergence checksum then runs a
+    // second job over the cached blocks — two scheduled actions per
+    // round where one suffices. With eager = false the checksum IS the
+    // materializing action (it reads every partition, so the full edge
+    // set caches under it), halving the per-round action count. The
+    // blocks are always materialized before the previous round's are
+    // freed (the checksum runs first), so the truncated-lineage
+    // recompute hazard the eager form guarded is still closed.
     var edges = pairs.select(col("y").as("u"), col("x").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
     // LogicalRDD was never registered with the CacheManager); freeing a
     // round's blocks promptly means unpersisting the underlying RDD.
@@ -406,7 +417,8 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager = false)
+      // the checksum materializes the lazy checkpoint (all partitions)
       val sig2 = checksum(afterSmall)
       freeCheckpoint(edges)
       edges = afterSmall

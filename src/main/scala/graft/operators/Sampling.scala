@@ -398,10 +398,15 @@ object Sampling {
     import s.implicits._
     val rates = Seq(("head", 100), ("middle", 50), ("tail", 10))
       .toDF("bucket", "rate")
-    val docs = documents(s, d)
-    TextOps.qualityBucketedFrom(docs, boundsExact)
-      .join(docs.select(col("doc_id"),
-        size(expr(TextOps.tokensExpr)).cast("bigint").as("n_tok")), "doc_id")
+    // the memoized scored frame carries n_tok (r20): no third corpus
+    // scan + re-tokenization just for the token budget — the previous
+    // shape re-ran the bigram pipeline for the buckets AND re-tokenized
+    // the corpus for n_tok; both now read one cached intermediate
+    val scored = TextOps.fluencyLang(s, d)
+      .select("doc_id", "lang", "fluency", "n_tok")
+    TextOps.qualityBucketedScored(
+        scored.select("doc_id", "lang", "fluency"), boundsExact)
+      .join(scored.select("doc_id", "n_tok"), "doc_id")
       .join(broadcast(rates), "bucket")
       .withColumn("kept",
         saltedBucket("curate:", col("doc_id"), 100) < col("rate"))

@@ -127,10 +127,22 @@ object SemanticQueries {
     * whose UTC offsets are whole hours — Asia/Kolkata (+05:30) and
     * Minute-grain requests fall back to the raw variant (see
     * [[graft.semantic.Cube.FactDef.storageGrain]]). */
-  private def eventsHourRollupView(s: SparkSession, d: String): DataFrame =
+  private def eventsHourRollupView(s: SparkSession, d: String): DataFrame = {
+    // date_trunc truncates in the SESSION timezone, while the planner's
+    // storage-grain gate (wholeOffsets) checks only the REQUEST zone —
+    // with a non-whole-hour session tz (e.g. Asia/Kolkata +05:30) this
+    // view would materialize :30-offset buckets and every request
+    // routed to it would silently aggregate wrong (r19 ADVICE). All
+    // entry points pin UTC; refuse loudly if one ever stops.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+      s"events_by_hour_rollup requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'): hour truncation in a non-whole-offset session " +
+        "zone would shift the rollup's storage buckets")
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("ts"), col("event_type"))
       .agg(count(lit(1)).as("__cnt"), sum(dec6(col("value"))).as("__val"))
+  }
 
   /** Cube over the events stream table: a tz-point Day grain (requests
     * carry a local timezone; the planner converts day-filter bounds

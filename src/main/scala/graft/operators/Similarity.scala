@@ -656,10 +656,7 @@ object Similarity {
         .parquet(s"$path/seg=base")
       // the arrival stream: the delta lands as two files, one per
       // micro-batch (maxFilesPerTrigger=1)
-      val src = java.nio.file.Files.createTempDirectory("graft-st13")
-        .toString
-      sys.addShutdownHook(
-        graft.core.TempDirs.rmTree(new java.io.File(src)))
+      val src = graft.core.TempDirs.scratchShared("st13")
       val delta = v.filter(col("vec_id") >= deltaFrom)
       delta.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
         .coalesce(1).write.parquet(s"$src/b0")

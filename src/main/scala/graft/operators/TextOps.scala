@@ -1034,7 +1034,28 @@ object TextOps {
     * (map-side combined), scoring joins occurrences back on that key
     * and aggregates per doc — no windows, no driver state. */
   def txBigramFluency(s: SparkSession, d: String): DataFrame =
-    txBigramFluencyFrom(documents(s, d))
+    fluencyLang(s, d)
+      .select("doc_id", "n_bigrams", "lb_sum", "fluency")
+      .orderBy("doc_id")
+
+  /** Session-memoized per-doc fluency + metadata frame —
+    * (doc_id, n_bigrams, lb_sum, fluency, lang, n_tok) — the
+    * materialize-once intermediate behind tx15, tx17 and sp12 (r20,
+    * guide §1.2/§2.4: dd02's pair-frame discipline applied here).
+    * Previously the bigram pipeline (explode + corpus-wide pair count
+    * + join-back + per-doc aggregate — the dominant cost) was
+    * re-evaluated once per REFERENCE: Catalyst shares no unpersisted
+    * subplan, and tx17/sp12 each reference the scored frame twice
+    * (the per-language bounds aggregate and the bucketing join), so
+    * one bench pass evaluated it five times across the three queries.
+    * At 100 TB this is the scored-corpus table a CCNet-style pipeline
+    * writes once and every downstream filter reads. n_tok rides along
+    * so sp12 doesn't re-tokenize the corpus for its token budget. */
+  private[operators] def fluencyLang(s: SparkSession, d: String): DataFrame =
+    graft.core.Caches.memo(s, s"txfluency|$d")(
+      txBigramFluencyFrom(documents(s, d))
+        .join(documents(s, d).select(col("doc_id"), col("lang"),
+          size(expr(tokensExpr)).cast("bigint").as("n_tok")), "doc_id"))
 
   private[graft] def txBigramFluencyFrom(docs: DataFrame): DataFrame = {
     val bi = docs
@@ -1078,7 +1099,8 @@ object TextOps {
     * form. */
   def txQualityBucketsWith(s: SparkSession, d: String,
       boundsExact: Boolean): DataFrame =
-    qualityBucketedFrom(documents(s, d), boundsExact)
+    qualityBucketedScored(
+      fluencyLang(s, d).select("doc_id", "lang", "fluency"), boundsExact)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("fluency")).as("min_fluency"),
@@ -1101,9 +1123,18 @@ object TextOps {
     * the broadcast bounds join, the CASE, sp12's curation — is
     * byte-identical between the two paths. */
   private[operators] def qualityBucketedFrom(docs: DataFrame,
-      boundsExact: Boolean = true): DataFrame = {
-    val scored = txBigramFluencyFrom(docs)
+      boundsExact: Boolean = true): DataFrame =
+    qualityBucketedScored(txBigramFluencyFrom(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "fluency"), boundsExact)
+
+  /** The bucketing tail over an already-scored (doc_id, lang, fluency)
+    * frame — session entry points pass the memoized [[fluencyLang]]
+    * frame so the double reference (bounds aggregate + bucketing join)
+    * reads ONE cached intermediate instead of re-running the bigram
+    * pipeline twice. */
+  private[operators] def qualityBucketedScored(scored: DataFrame,
+      boundsExact: Boolean): DataFrame = {
     val qs = array(lit(0.25), lit(0.75))
     val bounds = scored.groupBy("lang")
       .agg((if (boundsExact) percentile(col("fluency"), qs)

@@ -28,14 +28,11 @@ import graft.core.Tables
 object Streaming {
 
   /** Checkpoint root for the bounded (AvailableNow) runs: tmpfs when
-    * available — the offset/commit WAL fsyncs dominate small bounded
-    * runs; production unbounded streams would point this at durable
-    * storage instead. */
-  private def ckptDir(name: String): String = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
-      System.getProperty("java.io.tmpdir")
-    graft.core.TempDirs.scratchShared(s"ckpt-$name", base)
-  }
+    * available (TempDirs.fastBase) — the offset/commit WAL fsyncs
+    * dominate small bounded runs; production unbounded streams would
+    * point this at durable storage instead. */
+  private def ckptDir(name: String): String =
+    graft.core.TempDirs.scratchShared(s"ckpt-$name")
 
   /** Raw parquet schema of events as the file in `d` decodes (ts is
     * raw INT64 for nanos files, TimestampType for µs files — see
@@ -332,8 +329,7 @@ object Streaming {
   }
 
   def st05(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    val root = java.nio.file.Files.createTempDirectory("graft-st05")
-    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
+    val root = graft.core.TempDirs.scratchShared("st05")
     // split the arrivals into 4 files so AvailableNow sees 4 batches
     // (ts kept in its file encoding; the write preserves it, so the
     // stream read below declares the same raw schema)
@@ -598,8 +594,7 @@ object Streaming {
     * staging vs compacted file counts + off-axis footer pruning). */
   @volatile private[graft] var lastSt10Dirs: Option[(String, String)] = None
   def st10(s: SparkSession, d: String): DataFrame = withFewPartitions(s) {
-    val root = java.nio.file.Files.createTempDirectory("graft-st10")
-    sys.addShutdownHook(graft.core.TempDirs.rmTree(root.toFile))
+    val root = graft.core.TempDirs.scratchShared("st10")
     // 4 arrival files → 4 micro-batches (the st05 discipline)
     s.read.schema(rawSchema(s, d)).option("pathGlobFilter", "events.parquet")
       .parquet(d).repartition(4)
@@ -700,10 +695,7 @@ object Streaming {
         .toDF("o_orderkey", "o_orderstatus", "o_totalprice")) // v3
     TxnTable.deleteKeys(s, tableDir, "o_orderkey",
       Seq(26L, 35L)) // v4 — removes an upserted row and a base row
-    val root = java.nio.file.Files.createTempDirectory("graft-st11")
-      .toString
-    sys.addShutdownHook(
-      graft.core.TempDirs.rmTree(new java.io.File(root)))
+    val root = graft.core.TempDirs.scratchShared("st11")
     val keys = Seq("o_orderstatus")
     val sums = Seq("o_totalprice")
     val q = s.readStream.format("text")
@@ -755,10 +747,7 @@ object Streaming {
         .sortWithinPartitions("o_orderkey"),
       numFiles = 0, statsCols = Seq("o_orderkey"))
     // the correction feed: one parquet file per batch, disjoint keys
-    val src = java.nio.file.Files.createTempDirectory("graft-st12")
-      .toString
-    sys.addShutdownHook(
-      graft.core.TempDirs.rmTree(new java.io.File(src)))
+    val src = graft.core.TempDirs.scratchShared("st12")
     val batches = Seq(
       Seq((41L, "", 0.0, "delete"), (43L, "", 0.0, "delete"),
         (42L, "S", 11.11, "upsert")),

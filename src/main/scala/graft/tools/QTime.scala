@@ -4,6 +4,8 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir",
+        graft.core.TempDirs.scratchShared("spark-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("QT_DIR", "/root/testdata/sf0.1")

@@ -283,8 +283,13 @@ object RelCorpusGen {
     // repeated local hour, plus local midnights ±1s of the
     // transition day and its neighbors (window edges). Appended
     // AFTER the Jan draws so every existing seed's first nEvents
-    // rows — and every battery family's Jan-window comparisons —
-    // stay bit-identical.
+    // (ts, type, value) triples keep their pre-r19 values — but NOT
+    // the whole rows: this loop consumes draws from the shared `r`
+    // BEFORE the final .map below draws user_id/null/props per row,
+    // so those columns differ from pre-r19 corpora for every seed
+    // (r19 ADVICE). All committed corpora/relduck artifacts were
+    // (re)generated with the current stream and re-verify as such;
+    // do not treat pre-r19 recorded results as comparable.
     for ((utcTransition, zone) <- DstTransitions) {
       val t = java.time.LocalDateTime.parse(utcTransition)
       for (off <- Seq(-3600L, -1800L, -1L, 0L, 1L, 1800L, 3599L, 3600L))

@@ -2308,6 +2308,44 @@ class TxnTableSpec extends AnyFunSuite {
     }
   }
 
+  test("fencedSection end-of-body ownership re-verify (r20): a section " +
+      "lost while NO heartbeat ever ran (total beat starvation — the " +
+      "miss counter is blind to never-scheduled beats) still fails the " +
+      "call instead of completing as if fenced") {
+    val dir = graft.core.TempDirs.scratchShared("leasesectionstarve")
+    new java.io.File(dir).mkdirs()
+    val tok = graft.core.Lease.acquire(dir, "op", ttlMillis = 600000)
+    // staleMillis huge → heartbeat cadence 200 s: no beat fires inside
+    // the short body below, exactly the starved-scheduler regime — the
+    // beat-side sentinel (onLost / consecutive-miss) cannot fire, so
+    // only the unconditional end-of-body re-verify stands between a
+    // reaped section and a silently-unfenced completion
+    val h = graft.core.Lease.handleFor(dir, tok,
+      graft.core.Lease.SectionConfig(
+        entryTimeoutMillis = 300, staleMillis = 600000))
+    val section = new java.io.File(dir, ".reaper.lock")
+    try {
+      var completed = false
+      val e = intercept[java.util.ConcurrentModificationException] {
+        h.fencedSection {
+          // simulate reap + successor claim mid-body, before any beat
+          java.nio.file.Files.write(section.toPath,
+            "successor-token".getBytes("UTF-8"))
+          completed = true
+        }
+      }
+      assert(completed, "the body itself runs to completion here")
+      assert(e.getMessage.contains("LOST its reaper section"),
+        s"starved-beat loss must still be loud: ${e.getMessage}")
+      assert(new String(java.nio.file.Files.readAllBytes(section.toPath),
+        "UTF-8") == "successor-token",
+        "the loser's exit must not delete the successor's section")
+      java.nio.file.Files.deleteIfExists(section.toPath)
+    } finally {
+      graft.core.Lease.release(dir, tok)
+    }
+  }
+
   test("randomized histories WITH restore/checkpoint/maintenance over the " +
       "delta log: every surviving version ≡ its model, cold-cache, and " +
       "the CDC fold ≡ recompute across restores") {
