@@ -34,6 +34,32 @@ import graft.core.Tables
   */
 object Planner {
 
+  /** Per-(zone, grain-unit) memo of the whole-offset judgment (r19
+    * verdict #6): the judgment walks every post-1970 transition of the
+    * zone's rules, is immutable for fixed tzdb rules, and was being
+    * recomputed on every plan — microseconds each, but a high-QPS
+    * front door plans thousands of requests against the same handful
+    * of zones. */
+  private val wholeOffsetsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+
+  private[planner] def wholeOffsetsCached(zoneId: String,
+      unitSeconds: Long): Boolean =
+    wholeOffsetsMemo.computeIfAbsent((zoneId, unitSeconds), { case (z, unit) =>
+      val rules = java.time.ZoneId.of(z).getRules
+      import scala.jdk.CollectionConverters._
+      val epoch = java.time.Instant.EPOCH
+      val offs =
+        rules.getTransitions.asScala.toSeq
+          .filter(!_.getInstant.isBefore(epoch))
+          .flatMap(t => Seq(t.getOffsetBefore, t.getOffsetAfter)) ++
+          rules.getTransitionRules.asScala.toSeq
+            .flatMap(r => Seq(r.getOffsetBefore, r.getOffsetAfter)) ++
+          Seq(rules.getOffset(epoch),
+            rules.getOffset(java.time.Instant.now()))
+      offs.forall(_.getTotalSeconds % unit == 0)
+    })
+
   final case class Planned(df: DataFrame, factName: String, twoStage: Boolean,
       dimPaged: Boolean = false)
 
@@ -145,21 +171,8 @@ object Planner {
     //    an hourly partial, which no filter can split → raw variant.
     //    Refusing is always CORRECT (just costlier), so unknown/odd
     //    zones fall back conservatively.
-    def wholeOffsets(unitSeconds: Long): Boolean = {
-      val rules = java.time.ZoneId
-        .of(m.req.timezone.getOrElse("UTC")).getRules
-      import scala.jdk.CollectionConverters._
-      val epoch = java.time.Instant.EPOCH
-      val offs =
-        rules.getTransitions.asScala.toSeq
-          .filter(!_.getInstant.isBefore(epoch))
-          .flatMap(t => Seq(t.getOffsetBefore, t.getOffsetAfter)) ++
-          rules.getTransitionRules.asScala.toSeq
-            .flatMap(r => Seq(r.getOffsetBefore, r.getOffsetAfter)) ++
-          Seq(rules.getOffset(epoch),
-            rules.getOffset(java.time.Instant.now()))
-      offs.forall(_.getTotalSeconds % unitSeconds == 0)
-    }
+    def wholeOffsets(unitSeconds: Long): Boolean =
+      Planner.wholeOffsetsCached(m.req.timezone.getOrElse("UTC"), unitSeconds)
     def grainCompatible(v: FactDef): Boolean = v.storageGrain.forall { sg =>
       val unit = sg.step.getSeconds
       val usedGrains = neededFactAliases.distinct
