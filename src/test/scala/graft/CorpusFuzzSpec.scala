@@ -21,9 +21,14 @@ import graft.tools.{CorpusFuzz, CorpusGen}
   * catalyst XXH64 primitive, so even its corpus-dependent recall is
   * equality-checked, not just subset-checked.
   */
-class CorpusFuzzSpec extends AnyFunSuite {
+/** The seed loop, parameterized by corpus range so the two halves run
+  * as separate suites in PARALLEL forked test JVMs (r21 verify-latency
+  * split — see [[RelCorpusFuzzHalf]]): 1–10 here, 11–20 in
+  * [[CorpusFuzzSpecB]]; seeds and assertions identical to the
+  * pre-split single loop. */
+abstract class CorpusFuzzHalf(seeds: Range) extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
+  protected lazy val spark: SparkSession = {
     val root = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -114,7 +119,7 @@ class CorpusFuzzSpec extends AnyFunSuite {
   private def fmtRow(r: Seq[(String, Any)]): String =
     r.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
 
-  private def check(name: String, seed: Int,
+  protected def check(name: String, seed: Int,
       got: Seq[Seq[(String, Any)]], want: Seq[CorpusDuals.Row]): Unit = {
     assert(got.length == want.length,
       s"[$name seed=$seed] rows ${got.length} != dual ${want.length}\n" +
@@ -132,12 +137,12 @@ class CorpusFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("20 adversarial corpora × the full 46-query tx/dd/sp/mm battery " +
-      "≡ the independent plain-Scala duals (dd03's banding replicated " +
-      "bit-for-bit via catalyst XXH64)") {
+  test(s"adversarial corpora ${seeds.head}-${seeds.last} × the full " +
+      "46-query tx/dd/sp/mm battery ≡ the independent plain-Scala duals " +
+      "(dd03's banding replicated bit-for-bit via catalyst XXH64)") {
     val queries = SparkEntry.queries
     var checked = 0
-    (1 to 20).foreach { seed =>
+    seeds.foreach { seed =>
       val dir = graft.core.TempDirs.scratchShared(s"corpusfuzz$seed")
       CorpusFuzz.writeCorpus(spark, seed, dir, linkFixed = false)
       val docs = CorpusGen.documents(seed)
@@ -154,8 +159,11 @@ class CorpusFuzzSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
     info(s"$checked query×corpus checks green")
-    assert(checked == 20 * duals.size)
+    assert(checked == seeds.size * duals.size)
   }
+}
+
+class CorpusFuzzSpec extends CorpusFuzzHalf(1 to 10) {
 
   test("named minimal fixtures: each r17 cross-engine finding pinned " +
       "on a 6-row corpus (NBSP trim, VT tokenizer, empty-doc NULL " +
@@ -215,3 +223,5 @@ class CorpusFuzzSpec extends AnyFunSuite {
       s"codepoint-levenshtein pairs wrong: $dd13")
   }
 }
+
+class CorpusFuzzSpecB extends CorpusFuzzHalf(11 to 20)

@@ -23,9 +23,15 @@ import graft.tools.RelCorpusGen
   * that axis bites even the relational family. Each corpus gets its
   * own seed-derived request stream, so 12 corpora × ~97 requests
   * also WIDENS query-space coverage beyond the fixed spec's draws. */
-class RelCorpusFuzzSpec extends AnyFunSuite {
+/** The seed loop, parameterized by corpus range so the two halves run
+  * as separate suites in PARALLEL forked test JVMs (r21 — the verify
+  * driver killed the single-JVM 719-test run on wall-clock; this suite
+  * was its longest pole). Seeds, request streams and assertions are
+  * IDENTICAL to the pre-split single loop: 1–6 here, 7–12 in
+  * [[RelCorpusFuzzSpecB]]. */
+abstract class RelCorpusFuzzHalf(seeds: Range) extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
+  protected lazy val spark: SparkSession = {
     val root = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -39,12 +45,12 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
     s
   }
 
-  test("12 seeded adversarial star-schema corpora × the relational " +
-      "request-fuzz battery ≡ the independently-rendered duals " +
+  test(s"seeded adversarial star-schema corpora ${seeds.head}-${seeds.last} × " +
+      "the relational request-fuzz battery ≡ the independently-rendered duals " +
       "(valid + SQL door + pagination + union + grain×tz + curators " +
       "+ DST-transition grain/TimeShift windows)") {
     var total = 0
-    (1 to 12).foreach { seed =>
+    seeds.foreach { seed =>
       val dir = graft.core.TempDirs.scratchShared(s"relfuzz$seed")
       val profile = RelCorpusGen.writeCorpus(spark, seed, dir)
       info(profile.toString)
@@ -75,8 +81,11 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
       total += RelFuzzBattery.runVariantRollup(spark, dir, rnd, 6)
     }
     info(s"$total request×corpus comparisons green")
-    assert(total == 12 * (42 + 15 + 8 + 5 + 10 + 6 + 5 + 5 + 8 + 4 + 6))
+    assert(total == seeds.size * (42 + 15 + 8 + 5 + 10 + 6 + 5 + 5 + 8 + 4 + 6))
   }
+}
+
+class RelCorpusFuzzSpec extends RelCorpusFuzzHalf(1 to 6) {
 
   test("named minimal fixture (r18 fuzz finding): a grand-total COUNT " +
       "over an EMPTY fact is 0, not NULL — the two-stage " +
@@ -191,3 +200,5 @@ class RelCorpusFuzzSpec extends AnyFunSuite {
         s"${totals.getDouble(totals.fieldIndex("Total Spend"))}")
   }
 }
+
+class RelCorpusFuzzSpecB extends RelCorpusFuzzHalf(7 to 12)
