@@ -191,8 +191,18 @@ object Bench {
       .mkString("{", ",", "}")
     val calibAfter = calibrate()
     val calibScanAfter = calibScan(spark, warmDir)
+    // scaling/harness legibility (r20 verdict tasks #2/#5): the
+    // effective parallelism actually honored (PERF's
+    // suspect_cpus_ignored heuristic fired on totals alone — at sf0.1
+    // the battery is job-floor bound, so 8 cores legitimately beat
+    // 32) and the scratch medium under the timed region (tmpfs vs
+    // disk), so a driver comparison can see a harness-config delta
+    // instead of inferring one. Stdout contract line unchanged.
+    val scratchMedium =
+      if (graft.core.TempDirs.fastBase.startsWith("/dev/shm")) "tmpfs"
+      else "disk"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"calibBefore":$calibBefore,"calibAfter":$calibAfter,"calibScanBefore":$calibScanBefore,"calibScanAfter":$calibScanAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"agg":"min","queries":$qFull,"medianTop15":$med15,"calibBefore":$calibBefore,"calibAfter":$calibAfter,"calibScanBefore":$calibScanBefore,"calibScanAfter":$calibScanAfter,"cpus":$cpus,"defaultParallelism":${spark.sparkContext.defaultParallelism},"master":"${spark.sparkContext.master}","scratch":"$scratchMedium","sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case _: Throwable => () }

@@ -200,21 +200,30 @@ object Lease {
 
   private val activeBeats = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Count-then-resize must be one atomic step (r20 ADVICE): two
+    * concurrent schedules interleaving increment/resize could leave
+    * the final core size one below the live beat count — transiently
+    * re-opening the starvation window the sizing exists to close. The
+    * lock covers only the resize arithmetic (µs-scale). */
+  private def resizeToBeats(): Unit = heartbeats.synchronized {
+    heartbeats.setCorePoolSize(math.min(64, math.max(2, activeBeats.get())))
+  }
+
   /** Schedule a heartbeat with the pool sized to all live beats, so
     * no beat can be starved of a thread by other leases' hung beats;
     * the returned handle's cancel also releases the sizing claim. */
   private def scheduleBeat(task: Runnable,
       periodMillis: Long): java.util.concurrent.ScheduledFuture[_] = {
-    val n = activeBeats.incrementAndGet()
-    heartbeats.setCorePoolSize(math.min(64, math.max(2, n)))
+    activeBeats.incrementAndGet()
+    resizeToBeats()
     heartbeats.scheduleWithFixedDelay(task, periodMillis, periodMillis,
       java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 
   private def releaseBeat(handle: java.util.concurrent.ScheduledFuture[_]): Unit = {
     handle.cancel(false)
-    val n = activeBeats.decrementAndGet()
-    heartbeats.setCorePoolSize(math.min(64, math.max(2, n)))
+    activeBeats.decrementAndGet()
+    resizeToBeats()
   }
 
   /** Section-held fence + body behind [[Handle.fencedSection]]. */

@@ -41,21 +41,44 @@ object TempDirs {
     * repeated calls (per-query scratch or checkpoint dirs in a
     * long-running service) do not accumulate JVM shutdown hooks the
     * way per-call [[scratch]] would. Defaults to [[fastBase]]. */
+  /** Name of the owner-liveness marker each shared root carries. */
+  private val PidFile = "owner.pid"
+
+  /** Is the JVM that stamped `root` still alive? No marker (a pre-r21
+    * root, or a crash between mkdir and stamp) reads as dead — those
+    * roots still age out on the 6 h mtime cutoff alone. */
+  private[core] def ownerAlive(root: java.io.File): Boolean =
+    try {
+      val f = new java.io.File(root, PidFile)
+      f.isFile && {
+        val pid = java.nio.file.Files.readString(f.toPath).trim.toLong
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def scratchShared(tag: String, base: String = fastBase): String = {
     val root = sharedRoots.computeIfAbsent(base, b => {
       // a kill -9'd JVM never runs its shutdown hook, and tmpfs roots
-      // survive until reboot — retire ABANDONED sibling roots (no
-      // subdir created for >6 h; an active JVM's root stays fresh)
-      // so repeated bench/suite runs do not accumulate scratch
+      // survive until reboot — retire ABANDONED sibling roots so
+      // repeated bench/suite runs do not accumulate scratch. A root is
+      // abandoned only when BOTH hold: stale mtime (>6 h — mtime only
+      // moves on direct-child creation, so a quiet root is merely
+      // old) AND a dead owner per its pid stamp (r21: a >6 h-running
+      // service whose spark.local.dir lives here must never lose its
+      // shuffle scratch to a newly starting JVM).
       try {
         val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
         Option(new java.io.File(b).listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("graft-shared") &&
-            f.isDirectory && f.lastModified() < cutoff)
+            f.isDirectory && f.lastModified() < cutoff && !ownerAlive(f))
           .foreach(rmTree)
       } catch { case scala.util.control.NonFatal(_) => () }
       val d = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get(b), "graft-shared").toFile
+      try java.nio.file.Files.writeString(
+        new java.io.File(d, PidFile).toPath,
+        ProcessHandle.current().pid().toString)
+      catch { case scala.util.control.NonFatal(_) => () }
       sys.addShutdownHook(rmTree(d))
       d
     })

@@ -363,7 +363,14 @@ object Dedup {
     * run to the safety cap). */
   @volatile private[graft] var lastCcRounds: Int = 0
 
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** @param pairsDistinct the caller PROVES `pairs` carries no
+    *   duplicate rows (every in-repo producer is a groupBy/aggregate
+    *   output, so the proof is structural) — the initial dedup
+    *   exchange is skipped. A duplicated input would only thicken
+    *   round 1's edge multiset (the checksum still converges to the
+    *   same fixpoint), never change the result. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      pairsDistinct: Boolean = false): DataFrame = {
     // canonical directed form: u > v always (edge points high → low).
     // localCheckpoint (not just persist): each round's plan must start
     // from the materialized edge set, or the lineage — and Catalyst
@@ -380,8 +387,9 @@ object Dedup {
     // blocks are always materialized before the previous round's are
     // freed (the checksum runs first), so the truncated-lineage
     // recompute hazard the eager form guarded is still closed.
-    var edges = pairs.select(col("y").as("u"), col("x").as("v"))
-      .distinct().localCheckpoint(eager = false)
+    val oriented = pairs.select(col("y").as("u"), col("x").as("v"))
+    var edges = (if (pairsDistinct) oriented else oriented.distinct())
+      .localCheckpoint(eager = false)
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
     // LogicalRDD was never registered with the CacheManager); freeing a
     // round's blocks promptly means unpersisting the underlying RDD.
@@ -452,7 +460,9 @@ object Dedup {
     * dd05 and dd07 consume the labels. */
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cclabels") {
-      connectedComponents(ddNgramJaccard(s, d).select("x", "y"))
+      // the pair frame is a groupBy output: provably duplicate-free
+      connectedComponents(ddNgramJaccard(s, d).select("x", "y"),
+        pairsDistinct = true)
         .select(col("doc_id"), col("canonical").as("canonical_doc"))
     }
 

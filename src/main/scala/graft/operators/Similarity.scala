@@ -2328,7 +2328,9 @@ object Similarity {
       .filter(col("x") < col("y"))
       .filter(dotFix / (col("qn") * col("cn")) >= tau)
       .select("x", "y")
-    val labels = Dedup.connectedComponents(pairs) // (doc_id, canonical)
+    // within-cluster pairs are unique by construction (one cid per
+    // vec_id, x < y) — skip the CC input dedup exchange
+    val labels = Dedup.connectedComponents(pairs, pairsDistinct = true)
     labels.join(m.select(col("vec_id").as("doc_id"), col("cosc")), "doc_id")
       .groupBy(col("canonical").as("grp"))
       .agg(count(lit(1)).as("sz"),

@@ -444,34 +444,47 @@ object TextOps {
     // task overhead turns exponential; coalesce (no shuffle) pins the
     // corpus at its original parallelism
     val nParts = df.rdd.getNumPartitions
-    var pieces = df.agg(sum(size(split(col("seq"), " "))))
-      .first().getLong(0)
+    // piece accounting without any corpus pass (r21, guide §1.2): each
+    // document's adjacent-pair count is its piece count minus one, so
+    // pieces-after-round-r = Σ(count state after r) + nDocs. The Σ
+    // rides the NEXT round's argmax job (one aggregate computes both),
+    // so the per-round delta-sum action of the r20 form disappears;
+    // the last round's Σ is one tiny vocab-bounded aggregate after the
+    // loop. nDocs is constant (merges never create or drop documents).
+    val nDocs = df.count()
+    // argmax by (cnt DESC, l ASC, r ASC) ≡ min of struct(-cnt, l, r) —
+    // an aggregate, not a sort, so the total-pairs Σ shares its job
+    def bestAndTotal(c: DataFrame): (org.apache.spark.sql.Row, Long) = {
+      val r = c.agg(
+        min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("b"),
+        coalesce(sum(col("cnt")), lit(0L)).as("tot")).head()
+      (if (r.isNullAt(0)) null else r.getStruct(0), r.getLong(1))
+    }
     val rows = Seq.newBuilder[(String, String, Long, Long)]
+    var prev: Option[(String, String, Long)] = None
+    def emit(total: Long): Unit = prev.foreach { case (l, rr, cnt) =>
+      rows += ((l, rr, cnt, total + nDocs)); prev = None
+    }
     try {
       for (round <- 1 to k) {
-        val best = counts.orderBy(desc("cnt"), col("l"), col("r"))
-          .limit(1).collect().headOption.getOrElse(
-            throw new IllegalStateException(
-              s"BPE training exhausted adjacent pairs after ${round - 1}" +
-                s" merges (every document is a single piece) — lower k"))
-        val (l, rr, cnt) = (best.getString(0), best.getString(1),
-          best.getLong(2))
+        val (b, tot) = bestAndTotal(counts)
+        emit(tot) // previous round's pieces = Σ(current state) + nDocs
+        if (b == null) throw new IllegalStateException(
+          s"BPE training exhausted adjacent pairs after ${round - 1}" +
+            s" merges (every document is a single piece) — lower k")
+        val (l, rr, cnt) = (b.getString(1), b.getString(2), -b.getLong(0))
         val pat = l + " " + rr
         // the hit subset: the only documents whose pairs change
         val hit = df.filter(col("seq").contains(pat)).persist()
         val rep = hit.select(replace(col("seq"), lit(pat),
           lit(bpeMergedTok(l, rr))).as("seq")).persist()
+        // single-consumer now (the state re-aggregate) — no persist
         val delta = bpePairCounts(rep)
           .unionByName(bpePairCounts(hit)
             .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
           .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
-          .filter(col("cnt") =!= 0).persist()
+          .filter(col("cnt") =!= 0)
         try {
-          // Σdelta = (pieces-1 per hit doc) after − before = the piece
-          // change — one tiny aggregate over the delta, no corpus pass
-          val dsum = delta.agg(coalesce(sum(col("cnt")), lit(0L)))
-            .first().getLong(0)
-          pieces += dsum
           val (nextCounts, ncIds) = checkpointTracked(
             counts.unionByName(delta)
               .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
@@ -487,11 +500,13 @@ object TextOps {
         } finally {
           // round-scoped caches release on success AND mid-round
           // failure (a leaked persist pins blocks for the session)
-          hit.unpersist(); rep.unpersist(); delta.unpersist(); ()
+          hit.unpersist(); rep.unpersist(); ()
         }
-        rows += ((l, rr, cnt, pieces))
+        prev = Some((l, rr, cnt))
         onRound(round, cnt)
       }
+      // the final round's pieces: Σ over the (vocab-bounded) state
+      emit(counts.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
     } finally { releaseRdds(dfIds); releaseRdds(countIds) }
     rows.result()
   }

@@ -55,8 +55,11 @@ object Planner {
           .flatMap(t => Seq(t.getOffsetBefore, t.getOffsetAfter)) ++
           rules.getTransitionRules.asScala.toSeq
             .flatMap(r => Seq(r.getOffsetBefore, r.getOffsetAfter)) ++
-          Seq(rules.getOffset(epoch),
-            rules.getOffset(java.time.Instant.now()))
+          // no now() sample (r20 ADVICE: a time-dependent input would
+          // pin the memo to its first-call clock): any instant ≥ epoch
+          // carries either the epoch offset, a transition's
+          // offsetAfter, or a recurring-rule offset — all enumerated
+          Seq(rules.getOffset(epoch))
       offs.forall(_.getTotalSeconds % unit == 0)
     })
 

@@ -363,6 +363,56 @@ class TxnTableSpec extends AnyFunSuite {
       ("insert", 99999L)))
   }
 
+  test("changes() digest pre-pass (r21): wide rows diff on a 96-bit " +
+      "digest first, exact exceptAll runs on survivors only; narrow " +
+      "rows stay on the direct path") {
+    import spark.implicits._
+    // WIDE table (8 longs + a string ≈ 84 estimated bytes ≥ the gate):
+    // the digest legs must engage — and the result must equal the
+    // snapshot-level multiset difference regardless
+    val dir = graft.core.TempDirs.scratchShared("txndigest")
+    val base = (0L until 4000L).toDF("k")
+      .select(col("k") +: (1 to 7).map(i => (col("k") * i).as(s"p$i"))
+        :+ concat(lit("row-"), col("k")).as("tag"): _*)
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    TxnTable.init(spark, dir, base, numFiles = 0, statsCols = Seq("k"))
+    TxnTable.deleteKeys(spark, dir, "k", Seq(1500L, 1501L)) // v2
+    TxnTable.upsert(spark, dir, "k", // v3: replace 200, insert 77777
+      Seq(200L, 77777L).toDF("k")
+        .select(col("k") +: (1 to 7).map(i => lit(-i.toLong).as(s"p$i"))
+          :+ lit("upserted").as("tag"): _*))
+    val ch = TxnTable.changes(spark, dir, fromV = 1)
+    val plan = ch.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64") && plan.contains("LeftSemi"),
+      s"digest pre-pass did not engage on a wide schema:\n$plan")
+    // parity dual: net CDC over the file diff ≡ multiset difference of
+    // the full snapshots (carried rows cancel either way)
+    val v3 = TxnTable.read(spark, dir)
+    val v1 = TxnTable.read(spark, dir, v = 1)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "p7", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(keyed(ch.filter(col("_change_type") === "insert")
+        .drop("_change_type")) == keyed(v3.exceptAll(v1)),
+      "digest-pruned inserts must equal the snapshot multiset diff")
+    assert(keyed(ch.filter(col("_change_type") === "delete")
+        .drop("_change_type")) == keyed(v1.exceptAll(v3)),
+      "digest-pruned deletes must equal the snapshot multiset diff")
+    // NARROW table (16 estimated bytes < the gate): direct exceptAll,
+    // no digest machinery in the plan — measured locally the digest
+    // legs are pure added jobs at this width
+    val nd = graft.core.TempDirs.scratchShared("txndigestn")
+    TxnTable.init(spark, nd,
+      (0L until 1000L).toDF("k").withColumn("p", col("k") * 2)
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      numFiles = 0, statsCols = Seq("k"))
+    TxnTable.deleteKeys(spark, nd, "k", Seq(10L))
+    val nplan = TxnTable.changes(spark, nd, fromV = 1)
+      .queryExecution.executedPlan.toString
+    assert(!nplan.contains("xxhash64"),
+      s"narrow schema must stay on the direct exceptAll path:\n$nplan")
+  }
+
   test("CDC deltas maintain a rollup exactly equal to a full recompute") {
     val dir = graft.core.TempDirs.scratchShared("txntable")
     import spark.implicits._
