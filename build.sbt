@@ -38,8 +38,13 @@ Test / testGrouping := {
     case "PlanShapeSpec" | "PlanAuditSpec" | "OperatorSmokeSpec" => "plans"
     case _ => "core"
   }
+  // last -Xmx wins: bound EACH forked test JVM at 8g regardless of
+  // SPARK_DRIVER_MEM (which sizes the single-JVM bench/run) — six
+  // concurrent groups times a large driver heap must not outgrow the
+  // host, and the whole battery is proven green at 8g per JVM
   val opts = Tests.SubProcess(ForkOptions()
-    .withRunJVMOptions((Test / javaOptions).value.toVector))
+    .withRunJVMOptions(((Test / javaOptions).value :+
+      s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "8g")}").toVector))
   // heaviest groups first: sbt starts groups in sequence order as
   // slots free, so the measured long-runners must not queue behind
   // short ones (first grouped run: the last group to START, not the
