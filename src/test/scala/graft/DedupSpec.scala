@@ -57,6 +57,14 @@ class DedupSpec extends AnyFunSuite {
       .toDF("x", "y")
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the r21 pairsDistinct fast path (callers prove the input is
+    // duplicate-free, the initial dedup exchange is skipped) must be
+    // label-for-label identical on a unique pair set
+    val gotFast = Dedup.connectedComponents(pairs.distinct(),
+        pairsDistinct = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFast == got,
+      s"pairsDistinct path diverged: ${gotFast.toSet.diff(got.toSet)}")
     val want =
       (1L to 30L).map(_ -> 1L).toMap ++
         (100L to 103L).map(_ -> 100L) ++
